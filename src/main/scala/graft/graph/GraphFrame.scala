@@ -1,0 +1,127 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Property graph as two DataFrames: vertices (mandatory `id` LONG column)
+  * and directed edges (mandatory `src`, `dst` LONG columns); any number of
+  * additional property columns on either side. Mirrors the reference data
+  * model (`/root/reference/src/lib.rs:60-89`): ID columns are hard-constrained
+  * to LongType at construction.
+  */
+class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
+    extends Serializable {
+  import GraphFrame._
+
+  def numNodes: Long = vertices.count()
+  def numEdges: Long = edges.count()
+
+  /** `[id, in_degree]` — vertices with no in-edges are absent (reference
+    * `src/lib.rs:191-197` semantics).
+    */
+  def inDegrees: DataFrame =
+    edges.groupBy(col(DST).as(ID)).agg(count(col(SRC)).as("in_degree"))
+
+  /** `[id, out_degree]` — vertices with no out-edges are absent. */
+  def outDegrees: DataFrame =
+    edges.groupBy(col(SRC).as(ID)).agg(count(col(DST)).as("out_degree"))
+
+  /** `[id, degree]` on the symmetrized simple graph (self-loops dropped,
+    * each undirected edge counted once per endpoint).
+    */
+  def degrees: DataFrame =
+    symmetrizeEdges(edges.select(SRC, DST), doDistinct = true)
+      .groupBy(col(SRC).as(ID)).agg(count(col(DST)).as("degree"))
+
+  /** Adds the reverse of every edge, preserving attribute columns
+    * (column order enforced before the positional union, as the reference
+    * does at `src/lib.rs:245-278`).
+    */
+  def symmetrize: GraphFrame = {
+    val cols = edges.columns.toSeq
+    val swapped = edges.select(cols.map {
+      case SRC => col(SRC).as(DST)
+      case DST => col(DST).as(SRC)
+      case c   => col(c)
+    }: _*).select(cols.map(col): _*)
+    new GraphFrame(vertices, edges.union(swapped))
+  }
+
+  /** `[src_vertex: struct, edge: struct, dst_vertex: struct]`, each struct
+    * packing ALL columns of the underlying row; two left joins so edges with
+    * dangling endpoints keep NULL vertex structs (`src/lib.rs:322-371`).
+    */
+  def triplets: DataFrame = {
+    val edgeStruct = edges.select(
+      col(SRC), col(DST),
+      struct(edges.columns.map(col).toIndexedSeq: _*).as("edge"))
+    val vertexStruct = vertices.select(
+      col(ID).as("__v_id"),
+      struct(vertices.columns.map(col).toIndexedSeq: _*).as("__vertex_struct"))
+    edgeStruct
+      .join(vertexStruct.select(col("__v_id"), col("__vertex_struct").as("src_vertex")),
+        col(SRC) === col("__v_id"), "left")
+      .select(col("src_vertex"), col(DST), col("edge"))
+      .join(vertexStruct.select(col("__v_id"), col("__vertex_struct").as("dst_vertex")),
+        col(DST) === col("__v_id"), "left")
+      .select(col("src_vertex"), col("edge"), col("dst_vertex"))
+  }
+
+  /** Subgraph induced by a vertex predicate: keeps matching vertices and the
+    * edges whose both endpoints survive.
+    */
+  def filterVertices(condition: org.apache.spark.sql.Column): GraphFrame = {
+    val vs = vertices.filter(condition)
+    val ids = vs.select(col(ID))
+    val es = edges
+      .join(ids.withColumnRenamed(ID, "__fv_src"), col(SRC) === col("__fv_src"), "left_semi")
+      .join(ids.withColumnRenamed(ID, "__fv_dst"), col(DST) === col("__fv_dst"), "left_semi")
+    new GraphFrame(vs, es)
+  }
+
+  /** Subgraph with edges matching a predicate (vertex set unchanged). */
+  def filterEdges(condition: org.apache.spark.sql.Column): GraphFrame =
+    new GraphFrame(vertices, edges.filter(condition))
+
+  def pregel: graft.pregel.Pregel = new graft.pregel.Pregel(this)
+}
+
+object GraphFrame {
+  val ID = "id"
+  val SRC = "src"
+  val DST = "dst"
+
+  /** Validating constructor (reference `src/lib.rs:67-89`): `id`/`src`/`dst`
+    * must exist with LongType.
+    */
+  def apply(vertices: DataFrame, edges: DataFrame): GraphFrame = {
+    def fieldType(df: DataFrame, name: String, side: String) =
+      df.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side DataFrame must have a column named '$name'")).dataType
+    val ok = fieldType(vertices, ID, "vertices") == LongType &&
+      fieldType(edges, SRC, "edges") == LongType &&
+      fieldType(edges, DST, "edges") == LongType
+    require(ok, "ID, SRC and DST should have data type Int64 (LONG)")
+    new GraphFrame(vertices, edges)
+  }
+
+  /** Derives vertices from the edge endpoints (distinct union of src/dst). */
+  def fromEdges(edges: DataFrame): GraphFrame = {
+    val vertices = edges.select(col(SRC).as(ID))
+      .union(edges.select(col(DST).as(ID))).distinct()
+    apply(vertices, edges)
+  }
+
+  /** Internal edge preparation (reference `utils/graph_utils.rs:8-28`):
+    * drop self-loops, add the reverse of every edge, optionally dedup.
+    * Expects a 2-column `[src, dst]` frame.
+    */
+  private[graft] def symmetrizeEdges(edges: DataFrame, doDistinct: Boolean): DataFrame = {
+    val noLoops = edges.filter(col(SRC) =!= col(DST))
+    val reversed = noLoops.select(col(DST).as(SRC), col(SRC).as(DST))
+    val unioned = noLoops.union(reversed)
+    if (doDistinct) unioned.distinct() else unioned
+  }
+}

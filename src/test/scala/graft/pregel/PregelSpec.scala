@@ -1,0 +1,186 @@
+package graft.pregel
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.graph.GraphFrame
+
+/** Ports the reference Pregel engine tests (`pregel.rs:628-967`): zero
+  * iterations, degrees via messages, self-loop, no-edges, chain propagation
+  * converging in exactly 4 iterations (both directions), multi-message
+  * aggregation isolation, 40-iteration circle soak.
+  */
+class PregelSpec extends AnyFunSuite with SparkTestHarness {
+  import Pregel._
+
+  private def graph(vs: Seq[Long], es: Seq[(Long, Long)]): GraphFrame = {
+    val s = spark
+    import s.implicits._
+    GraphFrame(vs.map(Tuple1(_)).toDF("id"), es.toDF("src", "dst"))
+  }
+
+  private def valuesById(df: org.apache.spark.sql.DataFrame, valueCol: String): Map[Long, Long] =
+    df.select(col("id"), col(valueCol).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("zero iterations: init-only state with debug columns") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    val res = g.pregel
+      .maxIterations(0)
+      .withParticipationColumn("participation", lit(true), lit(true))
+      .withVertexVoting("activity", lit(true))
+      .addVertexColumn("value", lit(0), col("value"))
+      .addMessage(lit(1), MessageDirection.SrcToDst)
+      .run(includeDebugColumns = true)
+    assert(res.iterations === 0)
+    assert(res.vertices.columns.toSeq === Seq("id", "value", "activity", "participation"))
+    assert(res.vertices.count() === 3)
+  }
+
+  test("in-degree via SrcToDst messages") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("in_degree", lit(0),
+        col("in_degree") + coalesce(defaultMsg, lit(0)))
+      .addMessage(lit(1), MessageDirection.SrcToDst)
+      .addAggregateExpr(sum(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(valuesById(res.vertices, "in_degree") === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("out-degree via DstToSrc messages (dest-state join path)") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("out_degree", lit(0),
+        col("out_degree") + coalesce(defaultMsg, lit(0)))
+      .addMessage(lit(1), MessageDirection.DstToSrc)
+      .addAggregateExpr(sum(defaultMsg))
+      .run()
+    assert(valuesById(res.vertices, "out_degree") === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("self-loop delivers the message to the vertex itself") {
+    val g = graph(Seq(1L), Seq((1L, 1L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("loop", lit(0), col("loop") + defaultMsg)
+      .addMessage(lit(1), MessageDirection.SrcToDst)
+      .addAggregateExpr(sum(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(valuesById(res.vertices, "loop") === Map(1L -> 1L))
+  }
+
+  test("no edges: identity element handling") {
+    val g = graph(Seq(1L, 2L), Seq.empty)
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("value", lit(0), col("value") + defaultMsg)
+      .addMessage(lit(1), MessageDirection.SrcToDst)
+      .addAggregateExpr(sum(defaultMsg))
+      .skipDestState()
+      .run()
+    // value + NULL = NULL; reference asserts 0s because the sum over no rows
+    // never reaches any vertex => update col("value") + NULL... the reference
+    // test asserts [0, 0] because its engine's left join yields NULL msg and
+    // Int + NULL = NULL, but collect_to_i64 of NULL Int64Array slots is 0.
+    // Spark surfaces the NULL; assert NULL-or-zero per vertex.
+    val rows = res.vertices.select(col("value").cast("long")).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.isNullAt(0) || r.getLong(0) === 0L))
+  }
+
+  test("chain propagation converges in exactly 4 iterations (forward)") {
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val res = g.pregel
+      .maxIterations(100)
+      .addVertexColumn("value",
+        when(col("id") === 1L, lit(1)).otherwise(lit(0)),
+        when(defaultMsg > col("value"), defaultMsg).otherwise(col("value")))
+      .withVertexVoting("active", col("value") =!= defaultMsg)
+      .addMessage(src("value"), MessageDirection.SrcToDst)
+      .addAggregateExpr(max(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(res.iterations === 4)
+    assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
+  }
+
+  test("chain propagation converges in exactly 4 iterations (backward)") {
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val res = g.pregel
+      .maxIterations(100)
+      .addVertexColumn("value",
+        when(col("id") === 4L, lit(1)).otherwise(lit(0)),
+        when(defaultMsg > col("value"), defaultMsg).otherwise(col("value")))
+      .withVertexVoting("active", col("value") =!= defaultMsg)
+      .addMessage(dst("value"), MessageDirection.DstToSrc)
+      .addAggregateExpr(max(defaultMsg))
+      .run()
+    assert(res.iterations === 4)
+    assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
+  }
+
+  test("multi named messages, single aggregate targets only its column") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (1L, 3L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("va", lit(0L), col("va") + coalesce(defaultMsg, lit(0L)))
+      .addNamedMessage("a", lit(1L), MessageDirection.SrcToDst)
+      .addNamedMessage("b", lit(10L), MessageDirection.SrcToDst)
+      .addAggregateExpr(sum(msg("a")))
+      .skipDestState()
+      .run()
+    assert(valuesById(res.vertices, "va") === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("multi named messages with independent named aggregates") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (1L, 3L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("va", lit(0L), col("va") + coalesce(msg("a"), lit(0L)))
+      .addVertexColumn("vb", lit(0L), col("vb") + coalesce(msg("b"), lit(0L)))
+      .addNamedMessage("a", lit(1L), MessageDirection.SrcToDst)
+      .addNamedMessage("b", lit(10L), MessageDirection.SrcToDst)
+      .addNamedAggregateExpr("a", sum(msg("a")))
+      .addNamedAggregateExpr("b", max(msg("b")))
+      .skipDestState()
+      .run()
+    assert(valuesById(res.vertices, "va") === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    assert(valuesById(res.vertices, "vb") === Map(1L -> 0L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("bidirectional messages on a double circle: 40-iteration soak") {
+    val n = 100L
+    val edges = (0L until n).flatMap(i => Seq((i, (i + 1) % n), (i, (i + n - 1) % n)))
+    val g = graph(0L until n, edges)
+    val res = g.pregel
+      .maxIterations(40)
+      .checkpointInterval(2)
+      .addVertexColumn("value", lit(0), col("value") + defaultMsg)
+      .addMessage(lit(1), MessageDirection.Bidirectional)
+      .addAggregateExpr(sum(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(res.iterations === 40)
+    assert(valuesById(res.vertices, "value").values.toSet === Set(160L))
+  }
+
+  test("validation: messages required; aggregate required for multi-message") {
+    val g = graph(Seq(1L), Seq.empty)
+    intercept[IllegalArgumentException] {
+      g.pregel.maxIterations(1).addVertexColumn("v", lit(0), col("v")).run()
+    }
+    intercept[IllegalArgumentException] {
+      g.pregel.maxIterations(1)
+        .addVertexColumn("v", lit(0), col("v"))
+        .addNamedMessage("a", lit(1), MessageDirection.SrcToDst)
+        .addNamedMessage("b", lit(2), MessageDirection.SrcToDst)
+        .run()
+    }
+  }
+}
