@@ -1,0 +1,150 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FiniteAxpb
+import graft.functions.FiniteAxpb.finite_axpb
+import graft.graph.GraphFrame
+
+case class ConnectedComponentsResult(components: DataFrame, iterations: Int)
+
+/** Weakly connected components via randomized contraction (Bögeholz et al.,
+  * ICDE 2020), NOT Pregel — ports the reference's bespoke dataflow loop
+  * (`/root/reference/src/algorithm/connectivity/connected_components.rs:40-396`).
+  *
+  * Forward pass: per iteration draw an affine GF(2^64) hash `(a, b)` (seeded
+  * driver RNG, `a != 0`), compute per-source representatives
+  * `rep(v) = least(axpb(a,v,b), min over nbrs of axpb(a,u,b))`, relabel both
+  * edge endpoints to their reps (dropping the self-loops the contraction
+  * creates, inside the join condition), dedup, repeat until no edges remain.
+  * Back pass: unwind the hash chain in reverse, composing the affine maps on
+  * the driver with the scalar kernel so the distributed and host evaluations
+  * stay bit-identical. Finally isolated vertices become their own component
+  * and (optionally) each component is relabeled to its minimum member id.
+  *
+  * Expected O(log n) iterations; every iteration's frames are eagerly
+  * `localCheckpoint`ed (the Spark analogue of the reference's parquet
+  * spill/read-back) to truncate lineage.
+  */
+class ConnectedComponents(graph: GraphFrame) {
+  private var useLabelsAsComponents = true
+  private var seed = 42L
+
+  /** When true (default) relabel components to the min original vertex id. */
+  def labelsAsComponents(b: Boolean): this.type = { useLabelsAsComponents = b; this }
+  def setSeed(s: Long): this.type = { seed = s; this }
+
+  private val SRC = GraphFrame.SRC
+  private val DST = GraphFrame.DST
+  private val ID = GraphFrame.ID
+
+  /** `[v, rep]` per-source representatives under the affine hash `(rA, rB)`. */
+  private def computeReps(edges: DataFrame, rA: Long, rB: Long): DataFrame =
+    edges.groupBy(col(SRC))
+      .agg(min(finite_axpb(lit(rA), col(DST), lit(rB))).as("__cc_nbr_rep"))
+      .withColumn("__cc_self_rep", finite_axpb(lit(rA), col(SRC), lit(rB)))
+      .select(col(SRC).as("v"),
+        when(col("__cc_self_rep") < col("__cc_nbr_rep"), col("__cc_self_rep"))
+          .otherwise(col("__cc_nbr_rep")).as("rep"))
+
+  /** Relabel `(u, w) -> (rep(u), rep(w))`, dropping contraction self-loops
+    * inside the second join's condition, then dedup.
+    */
+  private def relabelEdges(edges: DataFrame, reps: DataFrame): DataFrame = {
+    val srcRelabeled = edges
+      .join(reps, col(SRC) === col("v"), "inner")
+      .select(col("rep").as(SRC), col(DST))
+    srcRelabeled
+      .join(reps, col(DST) === col("v") && col(SRC) =!= col("rep"), "inner")
+      .select(col(SRC), col("rep").as(DST))
+      .distinct()
+  }
+
+  /** One back-propagation step: forwarded reps take the frontier's value,
+    * the rest are pushed into final-id space with the accumulated map.
+    */
+  private def backPropStep(older: DataFrame, frontier: DataFrame,
+      accA: Long, accB: Long): DataFrame = {
+    val fr = frontier.select(col("v").as("__cc_fr_v"), col("rep").as("__cc_fr_rep"))
+    older.join(fr, col("rep") === col("__cc_fr_v"), "left")
+      .select(col("v"),
+        when(col("__cc_fr_rep").isNull, finite_axpb(lit(accA), col("rep"), lit(accB)))
+          .otherwise(col("__cc_fr_rep")).as("rep"))
+  }
+
+  def run(): ConnectedComponentsResult = {
+    val vertices = graph.vertices.select(col(ID))
+    // Symmetrize WITHOUT distinct: the first groupBy tolerates duplicate
+    // edges and a full dedup scan of the biggest frame costs more than it
+    // saves (reference cost note, connected_components.rs:217-223).
+    var edges = GraphFrame.symmetrizeEdges(
+      graph.edges.select(SRC, DST), doDistinct = false).localCheckpoint(true)
+
+    val rng = new scala.util.Random(seed)
+    var forwardReps = Vector.empty[DataFrame]
+    var affineParams = Vector.empty[(Long, Long)]
+    var graphSize = edges.count()
+    var iteration = 0
+
+    while (graphSize > 0) {
+      iteration += 1
+      var rA = rng.nextLong()
+      while (rA == 0L) rA = rng.nextLong()
+      val rB = rng.nextLong()
+      affineParams :+= (rA, rB)
+
+      val reps = computeReps(edges, rA, rB).localCheckpoint(true)
+      forwardReps :+= reps
+
+      val previous = edges
+      edges = relabelEdges(edges, reps).localCheckpoint(true)
+      graphSize = edges.count()
+      previous.unpersist()
+    }
+
+    val n = forwardReps.length
+    val frontier: Option[DataFrame] =
+      if (n == 0) None
+      else {
+        var frontier = forwardReps(n - 1)
+        var accA = 1L
+        var accB = 0L
+        var t = n - 1
+        while (t >= 1) {
+          val (pa, pb) = affineParams(t)
+          val oldAccA = accA
+          accA = FiniteAxpb.axpb(oldAccA, pa, 0L)
+          accB = FiniteAxpb.axpb(oldAccA, pb, accB)
+          val previous = frontier
+          frontier = backPropStep(forwardReps(t - 1), frontier, accA, accB)
+            .localCheckpoint(true)
+          previous.unpersist()
+          forwardReps(t - 1).unpersist()
+          t -= 1
+        }
+        Some(frontier)
+      }
+
+    val labeled = frontier match {
+      case Some(fr) =>
+        vertices.join(fr, col(ID) === col("v"), "left")
+          .select(col(ID),
+            when(col("rep").isNull, col(ID)).otherwise(col("rep")).as("component"))
+      case None =>
+        vertices.select(col(ID), col(ID).as("component"))
+    }
+
+    val result =
+      if (useLabelsAsComponents) {
+        val materialized = labeled.localCheckpoint(true)
+        val labels = materialized.groupBy(col("component").as("__cc_comp_key"))
+          .agg(min(col(ID)).as("__cc_new_component"))
+        materialized
+          .join(labels, col("component") === col("__cc_comp_key"), "inner")
+          .select(col(ID), col("__cc_new_component").as("component"))
+      } else labeled
+
+    ConnectedComponentsResult(result, iteration)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphFrame
+
+case class MISResult(vertices: DataFrame, iterations: Int)
+
+/** Maximal independent set via Ghaffari's probability-based nomination
+  * (Ghaffari 2016), ported from the reference's bespoke loop
+  * (`/root/reference/src/algorithm/subgraph/maximal_independent_set.rs:74-399`).
+  *
+  * Per round, over the symmetrized simple graph: each active vertex draws a
+  * nomination with its current probability `p`; the effective degree
+  * `d(v) = Σ p(u)` over neighbours decides whether `p` halves or doubles;
+  * a nominated vertex with no nominated neighbour joins the set, and it and
+  * its neighbours leave the active graph (two anti-joins contract the edge
+  * set). Vertices isolated in the active graph join immediately; when no
+  * edges remain, the pairwise non-adjacent survivors join in one sweep.
+  *
+  * Improvement over the reference: nomination draws use Spark's seedable
+  * `rand(seed + iteration)` (the reference's `random()` is unseedable,
+  * `maximal_independent_set.rs:102-104`), so runs are reproducible for a
+  * fixed partitioning. The output remains partition-dependent; invariant
+  * tests (independence + maximality) are the contract.
+  */
+class MaximalIndependentSet(graph: GraphFrame) {
+  private var seed = 42L
+
+  def setSeed(s: Long): this.type = { seed = s; this }
+
+  private val SRC = GraphFrame.SRC
+  private val DST = GraphFrame.DST
+  private val ID = GraphFrame.ID
+
+  /** OR the freshly-selected `members` (`[id]`) into `current` (`[id, mis]`);
+    * the joined flag coalesces to false so a non-match can't NULL the OR.
+    */
+  private def orIntoMis(current: DataFrame, members: DataFrame): DataFrame = {
+    val m = members.select(col(ID).as("__mis_new_v"), lit(true).as("__mis_new_flag"))
+    current.join(m, col(ID) === col("__mis_new_v"), "left")
+      .select(col(ID),
+        (col("mis") || coalesce(col("__mis_new_flag"), lit(false))).as("mis"))
+  }
+
+  def run(): MISResult = {
+    var currentMis = graph.vertices
+      .select(col(ID), lit(false).as("mis")).localCheckpoint(true)
+    // Active vertices with their selection probability (Ghaffari seeds 1/2).
+    var verticesLeft = graph.vertices
+      .select(col(ID), lit(0.5).as("p")).localCheckpoint(true)
+    // Dedup matters here: duplicate edges would inflate effective degrees.
+    var edges = GraphFrame.symmetrizeEdges(
+      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(true)
+
+    var iteration = 0
+    var converged = false
+
+    while (!converged) {
+      // ---- effective degree: d(v) = Σ p over v's neighbours ----
+      val effectiveDegrees = edges
+        .join(verticesLeft.select(col(ID).as("__mis_nbr"), col("p")),
+          col(DST) === col("__mis_nbr"), "inner")
+        .groupBy(col(SRC)).agg(sum(col("p")).as("__mis_deg"))
+        .localCheckpoint(true)
+
+      // ---- nominate with p_t, then advance p -> p_{t+1} ----
+      val probs = verticesLeft
+        .join(effectiveDegrees, col(ID) === col(SRC), "inner")
+        .withColumn("nom", rand(seed + iteration) <= col("p"))
+        .withColumn("p",
+          when(col("__mis_deg") >= 2.0, col("p") / 2.0)
+            .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
+            .otherwise(0.5))
+        .select(col(ID), col("p"), col("nom"))
+        .localCheckpoint(true) // freeze the random draws before reuse
+
+      // ---- isolated actives: no edges, absent from effectiveDegrees ----
+      val isolated = verticesLeft
+        .join(effectiveDegrees, col(ID) === col(SRC), "left_anti")
+        .select(col(ID))
+
+      // ---- does any neighbour nominate itself? ----
+      val hasNomNbr = edges
+        .join(probs.select(col(ID).as("__mis_nbr"), col("nom")),
+          col(DST) === col("__mis_nbr"), "inner")
+        .groupBy(col(SRC)).agg(bool_or(col("nom")).as("__mis_has_nbr_nom"))
+
+      // ---- nominated with no nominated neighbour => joins the MIS ----
+      val joinedMis = probs
+        .join(hasNomNbr, col(ID) === col(SRC), "inner")
+        .filter(!col("__mis_has_nbr_nom") && col("nom"))
+        .select(col(ID))
+        .localCheckpoint(true)
+
+      // The symmetrized edge set makes one direction sufficient: every
+      // neighbour u of a joined v is the source of edge (u, v).
+      val neighborsOfMis = edges
+        .join(joinedMis.select(col(ID).as("__mis_j")), col(DST) === col("__mis_j"), "inner")
+        .select(col(SRC).as(ID))
+
+      val removed = neighborsOfMis.union(joinedMis).distinct().localCheckpoint(true)
+      val newMembers = isolated.union(joinedMis).distinct()
+
+      val oldMis = currentMis
+      currentMis = orIntoMis(currentMis, newMembers).localCheckpoint(true)
+      oldMis.unpersist()
+
+      val removedKeys = removed.select(col(ID).as("__mis_rem_v"))
+      val oldVerticesLeft = verticesLeft
+      verticesLeft = probs
+        .join(removedKeys, col(ID) === col("__mis_rem_v"), "left_anti")
+        .select(col(ID), col("p"))
+        .localCheckpoint(true)
+      oldVerticesLeft.unpersist()
+
+      val oldEdges = edges
+      edges = edges
+        .join(removedKeys, col(SRC) === col("__mis_rem_v"), "left_anti")
+        .join(removedKeys, col(DST) === col("__mis_rem_v"), "left_anti")
+        .localCheckpoint(true)
+      oldEdges.unpersist()
+
+      val vLeft = verticesLeft.count()
+      val eLeft = edges.count()
+
+      if (eLeft == 0) {
+        if (vLeft > 0) {
+          // Survivors are pairwise non-adjacent: sweep them all in.
+          val oldMis2 = currentMis
+          currentMis = orIntoMis(currentMis, verticesLeft.select(col(ID)))
+            .localCheckpoint(true)
+          oldMis2.unpersist()
+        }
+        converged = true
+      }
+      effectiveDegrees.unpersist()
+      probs.unpersist()
+      joinedMis.unpersist()
+      removed.unpersist()
+      iteration += 1
+    }
+
+    MISResult(currentMis.filter(col("mis")).select(col(ID)), iteration)
+  }
+}

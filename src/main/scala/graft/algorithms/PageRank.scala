@@ -1,0 +1,70 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphFrame
+import graft.pregel.{MessageDirection, Pregel}
+
+case class PageRankResult(ranks: DataFrame, iterations: Int)
+
+/** Delta-incremental (GraphX-style) PageRank as a Pregel client
+  * (`/root/reference/src/algorithm/centrality/pagerank.rs:80-210`).
+  *
+  * Each vertex carries `pagerank` (accumulated, updated PR += α·msgSum) and
+  * `pagerank_delta` (per-iteration change). A source sends `delta/out_degree`
+  * over its out-edges, and only sources with `delta > tol` keep emitting —
+  * converged vertices stop generating messages while voting (convergence
+  * mode) decides termination. The result is normalized to sum to 1.
+  *
+  * Deviation from the reference: sink vertices (no out-edges) stay in the
+  * state with `out_degree = 0` instead of being dropped with the
+  * `out_degrees()` inner frame — they have no out-triplets, so they never
+  * emit, but they do accumulate and appear in the result.
+  */
+class PageRank(graph: GraphFrame) {
+  private var resetProb = 0.15
+  private var tol = 0.01
+  private var maxIter = 0 // 0 = run to convergence
+  private var ckptInterval = 1
+
+  def resetProbability(p: Double): this.type = { resetProb = p; this }
+  def tolerance(t: Double): this.type = { tol = t; this }
+  def maxIterations(n: Int): this.type = { maxIter = n; this }
+  def checkpointInterval(n: Int): this.type = { ckptInterval = n; this }
+
+  def run(): PageRankResult = {
+    val alpha = 1.0 - resetProb
+    val ID = GraphFrame.ID
+
+    val verticesWithDegrees = graph.vertices.select(col(ID))
+      .join(graph.outDegrees.withColumnRenamed(ID, "__od_id"),
+        col(ID) === col("__od_id"), "left")
+      .select(col(ID), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+
+    val prepared = GraphFrame(verticesWithDegrees, graph.edges.select(GraphFrame.SRC, GraphFrame.DST))
+
+    val newDelta = lit(alpha) * coalesce(Pregel.defaultMsg, lit(0.0))
+
+    val builder = prepared.pregel
+      .addVertexColumn("pagerank", lit(resetProb), col("pagerank") + newDelta)
+      .addVertexColumn("pagerank_delta", lit(resetProb), newDelta)
+      .addVertexColumn("out_degree", col("out_degree"), col("out_degree"))
+      .addMessage(Pregel.src("pagerank_delta") / Pregel.src("out_degree"),
+        MessageDirection.SrcToDst)
+      .addAggregateExpr(sum(Pregel.defaultMsg))
+      .withParticipationColumn("participates", lit(true), newDelta > lit(tol))
+      .skipDestState()
+      .checkpointInterval(ckptInterval)
+
+    val result =
+      if (maxIter > 0) builder.maxIterations(maxIter).run()
+      else builder.withVertexVoting("active", newDelta > lit(tol)).run()
+
+    // Normalize to sum 1. The 1-row aggregate is broadcast by the planner.
+    val total = result.vertices.agg(sum(col("pagerank")).as("pagerank_sum"))
+    val ranks = result.vertices.crossJoin(total)
+      .select(col(ID), (col("pagerank") / col("pagerank_sum")).as("pagerank"))
+    PageRankResult(ranks, result.iterations)
+  }
+}

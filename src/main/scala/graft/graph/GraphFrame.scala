@@ -85,6 +85,19 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     new GraphFrame(vertices, edges.filter(condition))
 
   def pregel: graft.pregel.Pregel = new graft.pregel.Pregel(this)
+
+  def pageRank: graft.algorithms.PageRank = new graft.algorithms.PageRank(this)
+
+  def shortestPaths(landmarks: Seq[Long]): graft.algorithms.ShortestPaths =
+    new graft.algorithms.ShortestPaths(this).setLandmarks(landmarks)
+
+  def kCore: graft.algorithms.KCore = new graft.algorithms.KCore(this)
+
+  def connectedComponents: graft.algorithms.ConnectedComponents =
+    new graft.algorithms.ConnectedComponents(this)
+
+  def maximalIndependentSet: graft.algorithms.MaximalIndependentSet =
+    new graft.algorithms.MaximalIndependentSet(this)
 }
 
 object GraphFrame {

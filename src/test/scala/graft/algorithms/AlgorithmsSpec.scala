@@ -1,0 +1,226 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{LdbcLoader, SparkTestHarness}
+import graft.graph.GraphFrame
+
+/** Golden-file and invariant tests for the five algorithms, ported from the
+  * reference (`pagerank.rs:290-366`, `shortest_paths.rs:255-441`,
+  * `k_core.rs:239-521`, `connected_components.rs:484-746`,
+  * `maximal_independent_set.rs:560-754`).
+  */
+class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
+
+  private def graph(vs: Seq[Long], es: Seq[(Long, Long)]): GraphFrame = {
+    val s = spark
+    import s.implicits._
+    GraphFrame(vs.map(Tuple1(_)).toDF("id"), es.toDF("src", "dst"))
+  }
+
+  // ---------------- ShortestPaths ----------------
+
+  test("shortest paths: small graph, single landmark") {
+    // Reference fixture shortest_paths.rs:255-377: 4 vertices, 8 edges.
+    val g = graph(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L), (1L, 3L), (3L, 1L)))
+    val res = g.shortestPaths(Seq(1L)).run()
+    val dists = res.vertices.select(col("id"), col("dist_1"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dists === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("shortest paths: multiple landmarks in one pass") {
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val res = g.shortestPaths(Seq(1L, 3L)).run()
+    val rows = res.vertices.select(col("id"), col("dist_1"), col("dist_3"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val Inf = Int.MaxValue
+    assert(rows === Set((1L, 0, Inf), (2L, 1, Inf), (3L, 2, 0), (4L, 3, 1)))
+  }
+
+  test("shortest paths: toLandmarks reverses direction") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    val res = g.shortestPaths(Seq(3L)).toLandmarks().run()
+    val dists = res.vertices.select(col("id"), col("dist_3"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dists === Map(1L -> 2, 2L -> 1, 3L -> 0))
+  }
+
+  test("LDBC golden: test-bfs-directed exact distances from vertex 1") {
+    val g = LdbcLoader.graph(spark, "test-bfs-directed")
+    val res = g.shortestPaths(Seq(1L)).run()
+    val golden = LdbcLoader.golden(spark, "test-bfs-directed", "BFS")
+      .select(col("id"),
+        // LDBC uses i64::MAX for infinity; we use i32::MAX (reference
+        // mapping, shortest_paths.rs:427-435).
+        when(col("expected").cast("long") === Long.MaxValue, lit(Int.MaxValue))
+          .otherwise(col("expected").cast("int")).as("expected"))
+    val joined = res.vertices.join(golden, "id")
+    assert(joined.count() === g.numNodes)
+    assert(joined.filter(col("dist_1") =!= col("expected")).count() === 0)
+  }
+
+  // ---------------- PageRank ----------------
+
+  test("LDBC golden: test-pr-directed, fixed 14 iterations, tol 0.0015") {
+    val g = LdbcLoader.graph(spark, "test-pr-directed")
+    // .properties: damping 0.85 (reset 0.15), 14 iterations.
+    val res = g.pageRank.maxIterations(14).tolerance(0.0).run()
+    val golden = LdbcLoader.golden(spark, "test-pr-directed", "PR")
+      .select(col("id"), col("expected").cast("double").as("expected"))
+    val joined = res.ranks.join(golden, "id")
+    assert(joined.count() === 50)
+    val maxDiff = joined.agg(max(abs(col("pagerank") - col("expected"))))
+      .collect().head.getDouble(0)
+    assert(maxDiff <= 0.0015, s"max |pr - golden| = $maxDiff")
+  }
+
+  test("LDBC golden: test-pr-directed, convergence mode, tol 0.01 band") {
+    val g = LdbcLoader.graph(spark, "test-pr-directed")
+    val res = g.pageRank.maxIterations(0).tolerance(1e-4).run()
+    val golden = LdbcLoader.golden(spark, "test-pr-directed", "PR")
+      .select(col("id"), col("expected").cast("double").as("expected"))
+    val joined = res.ranks.join(golden, "id")
+    val maxDiff = joined.agg(max(abs(col("pagerank") - col("expected"))))
+      .collect().head.getDouble(0)
+    assert(maxDiff <= 0.01, s"max |pr - golden| = $maxDiff")
+  }
+
+  test("pagerank: ranks sum to 1 and sinks keep accumulated rank") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 3L), (2L, 3L))) // 3 is a sink
+    val res = g.pageRank.maxIterations(5).run()
+    val ranks = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks(3L) > ranks(1L))
+    assert(ranks.contains(3L)) // sink present in the result
+  }
+
+  // ---------------- KCore ----------------
+
+  private def cores(g: GraphFrame): Map[Long, Long] =
+    g.kCore.run().vertices.select(col("id"), col("kcore"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kcore: triangle with tail — core differs from degree") {
+    // k_core.rs:365-389: edges (1,2),(2,3),(3,1),(1,4),(4,5)
+    val g = graph(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L)))
+    assert(cores(g) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("kcore: reciprocal pair is a 1-core, not 2-core") {
+    // k_core.rs:486-502: directed (0,1),(1,0) treated as one undirected edge
+    val g = graph(Seq(0L, 1L), Seq((0L, 1L), (1L, 0L)))
+    assert(cores(g) === Map(0L -> 1L, 1L -> 1L))
+  }
+
+  test("kcore: K5 plus chain layering") {
+    // K5 core (all 4-core) with a chain 5->10->11 hanging off vertex 5.
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val g = graph((1L to 5L) ++ Seq(10L, 11L), k5 ++ Seq((5L, 10L), (10L, 11L)))
+    val c = cores(g)
+    assert((1L to 5L).forall(c(_) === 4L))
+    assert(c(10L) === 1L && c(11L) === 1L)
+  }
+
+  test("kcore: isolated vertices get core 0") {
+    val g = graph(Seq(1L, 2L, 3L), Seq((1L, 2L)))
+    assert(cores(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  // ---------------- ConnectedComponents ----------------
+
+  private def components(g: GraphFrame): Map[Long, Long] =
+    g.connectedComponents.run().components
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("wcc: two disjoint components get min-label ids") {
+    // connected_components.rs:601-647: {1,2,3} via (1,2),(2,3); {10,11}
+    val g = graph(Seq(1L, 2L, 3L, 10L, 11L), Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(components(g) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("wcc: empty edge set — every vertex its own component") {
+    val g = graph(Seq(1L, 2L, 3L), Seq.empty)
+    assert(components(g) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("wcc: self-loops only") {
+    val g = graph(Seq(1L, 2L), Seq((1L, 1L), (2L, 2L)))
+    assert(components(g) === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("LDBC golden: test-wcc-directed exact components") {
+    val g = LdbcLoader.graph(spark, "test-wcc-directed")
+    val res = g.connectedComponents.run()
+    val golden = LdbcLoader.golden(spark, "test-wcc-directed", "WCC")
+      .select(col("id"), col("expected").cast("long").as("expected"))
+    val joined = res.components.join(golden, "id")
+    assert(joined.count() === g.numNodes)
+    assert(joined.filter(col("component") =!= col("expected")).count() === 0)
+  }
+
+  test("wcc: raw hashed labels mode still partitions identically") {
+    val g = graph(Seq(1L, 2L, 3L, 10L, 11L), Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val raw = g.connectedComponents.labelsAsComponents(false).run().components
+    val grouped = raw.groupBy("component").agg(collect_set("id").as("members"))
+      .collect().map(_.getSeq[Long](1).toSet).toSet
+    assert(grouped === Set(Set(1L, 2L, 3L), Set(10L, 11L)))
+  }
+
+  // ---------------- MaximalIndependentSet ----------------
+
+  private def misOf(g: GraphFrame): Set[Long] =
+    g.maximalIndependentSet.run().vertices.collect().map(_.getLong(0)).toSet
+
+  private def checkInvariants(g: GraphFrame, mis: Set[Long]): Unit = {
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+    // Independence: no edge inside the set.
+    assert(edges.forall { case (s, d) => !(mis(s) && mis(d)) },
+      s"edge inside MIS: $mis")
+    // Maximality: every vertex outside has a neighbour inside.
+    val vs = g.vertices.collect().map(_.getLong(0)).toSet
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((vs -- mis).forall(v => nbrs.getOrElse(v, Set.empty).exists(mis)),
+      s"non-maximal MIS: $mis")
+  }
+
+  test("mis: K5 yields exactly one vertex") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val g = graph(1L to 5L, k5)
+    val mis = misOf(g)
+    assert(mis.size === 1)
+    checkInvariants(g, mis)
+  }
+
+  test("mis: empty graph — all vertices are the set") {
+    val g = graph(Seq(1L, 2L, 3L), Seq.empty)
+    assert(misOf(g) === Set(1L, 2L, 3L))
+  }
+
+  test("mis: path graph invariants") {
+    val g = graph(1L to 6L, Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val mis = misOf(g)
+    checkInvariants(g, mis)
+    assert(mis.size >= 2 && mis.size <= 3)
+  }
+
+  test("mis: 6-cycle invariants") {
+    val g = graph(0L to 5L, (0L to 5L).map(i => (i, (i + 1) % 6)))
+    val mis = misOf(g)
+    checkInvariants(g, mis)
+    assert(mis.size >= 2 && mis.size <= 3)
+  }
+
+  test("mis: isolated vertices always join") {
+    val g = graph(Seq(1L, 2L, 3L, 99L), Seq((1L, 2L), (2L, 3L)))
+    val mis = misOf(g)
+    assert(mis(99L))
+    checkInvariants(g, mis)
+  }
+}
