@@ -1,13 +1,446 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.graph.GraphFrame
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import graft.pregel.{MessageDirection, Pregel}
+import graft.text.TextFunctions
+
+/** Driver contract: named queries over the driver-provided parquet tables,
+  * each paired (where ANSI-SQL-expressible) with an equivalent DuckDB oracle
+  * in [[SparkEntry.oracleSql]]. Column names AND value formatting must match
+  * the oracle exactly — the driver sorts columns by name and hashes values.
+  *
+  * Engine-parity rules used throughout (see Verify):
+  *   - money is summed as integer cents (`CAST(round(x*100) AS BIGINT)`) —
+  *     float summation order is engine-dependent, integer sums are exact;
+  *   - every remaining float output is `round(..., 6)`;
+  *   - counts/sizes are cast to BIGINT on both sides (DuckDB promotes
+  *     integer sums to HUGEINT, Spark keeps LongType);
+  *   - graph vertex ids from different tables get disjoint offsets
+  *     (part +1_000_000, nation +3_000_000, region +3_500_000,
+  *     order +4_000_000).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+
+  // ---- graph builders over the relational tables ----
+
+  /** part(+1e6) -> supplier multigraph, one edge per lineitem row. */
+  private def partSuppEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      (col("l_partkey") + 1000000L).as("src"), col("l_suppkey").as("dst"))
+
+  /** customer -> nation(+3e6) -> region(+3.5e6) tree. */
+  private def custNationRegionEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_custkey").as("src"), (col("c_nationkey").cast(LongType) + 3000000L).as("dst"))
+      .unionAll(tbl(s, dir, "nation").select(
+        (col("n_nationkey").cast(LongType) + 3000000L).as("src"),
+        (col("n_regionkey").cast(LongType) + 3500000L).as("dst")))
+
+  /** customer -> order(+4e6) -> part(+1e6) DAG. */
+  private def custOrderPartEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"))
+      .unionAll(tbl(s, dir, "lineitem").select(
+        (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst")))
+
+  /** Flagship: WCC component sizes of the customer–nation–region graph at
+    * sf0.001 (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = GraphFrame.fromEdges(custNationRegionEdges(spark, "/root/testdata/sf0.001"))
+    g.connectedComponents.run().components
+      .groupBy("component").agg(count(lit(1)).as("size"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational operator coverage (SURVEY §2.a) ----
+    "q01_groupby_agg" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"),
+          max(col("l_discount")).as("max_disc"),
+          count(lit(1)).as("cnt"))),
+
+    "q02_filter_project" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .filter(col("o_totalprice") > 50000.0)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          when(col("o_orderpriority").startsWith("1"), lit("urgent"))
+            .when(col("o_orderpriority").startsWith("2"), lit("high"))
+            .otherwise(lit("normal")).as("prio"),
+          cents(col("o_totalprice")).as("total_cents"))),
+
+    "q03_join_inner_agg" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast(LongType).as("nation_id"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(cents(col("o_totalprice"))).as("spent_cents"))),
+
+    "q04_join_left_agg" -> ((s, d) =>
+      tbl(s, d, "customer")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spent_cents"))),
+
+    "q05_join_anti" -> ((s, d) => {
+      val big = tbl(s, d, "orders").filter(col("o_totalprice") > 200000.0)
+      tbl(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q06_cross_normalize" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), cents(col("o_totalprice")).as("tc"))
+      val tot = o.agg(sum(col("tc")).as("tot"))
+      o.crossJoin(tot)
+        .select(col("o_orderkey"), expr("tc * 1000000 div tot").as("share_ppm"))
+    }),
+
+    "q07_union_distinct" -> ((s, d) => {
+      val e = partSuppEdges(s, d)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }),
+
+    "q08_theta_join" -> ((s, d) => {
+      val n = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      n.as("a").join(n.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.r").as("region_id"), col("a.k").as("n1"), col("b.k").as("n2"))
+    }),
+
+    // ---- graph operators (SURVEY §2.b) ----
+    "g01_in_degrees" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).inDegrees),
+
+    "g02_out_degrees" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).outDegrees),
+
+    "g03_degrees_sym" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).degrees),
+
+    "g04_triplets_flat" -> ((s, d) => {
+      val custs = tbl(s, d, "customer").select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val nations = tbl(s, d, "nation").select(
+        (col("n_nationkey").cast(LongType) + 3000000L).as("id"), col("n_name").as("name"))
+      val edges = tbl(s, d, "customer").select(
+        col("c_custkey").as("src"), (col("c_nationkey").cast(LongType) + 3000000L).as("dst"))
+      GraphFrame(custs.unionAll(nations), edges).triplets
+        .select(
+          col("src_vertex.id").as("src_id"), col("src_vertex.name").as("src_name"),
+          col("dst_vertex.id").as("dst_id"), col("dst_vertex.name").as("dst_name"))
+    }),
+
+    "g05_pregel_indegree" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).pregel
+        .addVertexColumn("in_degree", lit(0L), coalesce(Pregel.defaultMsg, lit(0L)))
+        .addMessage(lit(1L), MessageDirection.SrcToDst)
+        .addAggregateExpr(sum(Pregel.defaultMsg))
+        .maxIterations(1)
+        .run().vertices
+        .select(col("id"), col("in_degree"))),
+
+    "g06_bfs" -> ((s, d) =>
+      GraphFrame.fromEdges(custOrderPartEdges(s, d))
+        .shortestPaths(Seq(1L)).maxIterations(4).run()
+        .vertices.select(col("id"), col("dist_1").cast(LongType).as("dist_1"))),
+
+    "g07_wcc" -> ((s, d) =>
+      GraphFrame.fromEdges(custNationRegionEdges(s, d))
+        .connectedComponents.run().components),
+
+    "g08_pagerank" -> ((s, d) => {
+      val edges = tbl(s, d, "customer").select(
+        col("c_custkey").as("src"), (col("c_nationkey").cast(LongType) + 3000000L).as("dst"))
+      GraphFrame.fromEdges(edges).pageRank.maxIterations(2).run()
+        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
+    "g09_kcore" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).kCore.run()
+        .vertices.select(col("id"), col("kcore"))),
+
+    "g10_mis" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).maximalIndependentSet.run()
+        .vertices.select(col("id"))),
+
+    // ---- dedup (training-data pipeline) ----
+    "d01_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "d02_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
+
+    "d03_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
+
+    "d04_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(tbl(s, d, "documents"), "doc_id", "text", n = 3, maxHamming = 3)),
+
+    "d05_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.45)),
+
+    // ---- similarity search ----
+    "s01_cosine_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    "s02_ann_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.annCosineTopK(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // ---- text analysis ----
+    "t01_token_stats" -> ((s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tok_cnt"),
+        size(array_distinct(TextFunctions.tokenNgrams(col("text"), 3))).cast(LongType)
+          .as("ngram3_cnt"))),
+
+    "t02_quality_langid" -> ((s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "t03_fingerprints" -> ((s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        size(TextFunctions.fingerprints(col("text"), 3, 4)).cast(LongType).as("fp_cnt"),
+        array_min(TextFunctions.fingerprints(col("text"), 3, 4)).as("min_fp"))),
+
+    // ---- multimodal plumbing ----
+    "m01_media_meta" -> ((s, d) =>
+      Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))),
+
+    "m02_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain"))
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 7), 6).as("f6"))),
+
+    "m03_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain"),
+        n = 4, frameBytes = 64)
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  max(l_discount) AS max_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+        |       WHEN o_orderpriority LIKE '2%' THEN 'high'
+        |       ELSE 'normal' END AS prio,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_totalprice > 50000.0""".stripMargin,
+
+    "q03_join_inner_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation_id, count(*) AS order_cnt,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spent_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+
+    "q04_join_left_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS spent_cents
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1""".stripMargin,
+
+    "q05_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin,
+
+    "q06_cross_normalize" ->
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS tc FROM orders),
+        |t AS (SELECT CAST(sum(tc) AS BIGINT) AS tot FROM o)
+        |SELECT o_orderkey, tc * 1000000 // tot AS share_ppm FROM o, t""".stripMargin,
+
+    "q07_union_distinct" ->
+      """WITH e AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem)
+        |SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)""".stripMargin,
+
+    "q08_theta_join" ->
+      """SELECT CAST(a.n_regionkey AS BIGINT) AS region_id,
+        |  CAST(a.n_nationkey AS BIGINT) AS n1, CAST(b.n_nationkey AS BIGINT) AS n2
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
+
+    "g01_in_degrees" ->
+      """SELECT l_suppkey AS id, count(*) AS in_degree FROM lineitem GROUP BY 1""".stripMargin,
+
+    "g02_out_degrees" ->
+      """SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1""".stripMargin,
+
+    "g03_degrees_sym" ->
+      """WITH e AS (SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+        |SELECT src AS id, count(*) AS degree FROM ud GROUP BY 1""".stripMargin,
+
+    "g04_triplets_flat" ->
+      """SELECT c_custkey AS src_id, c_name AS src_name,
+        |  CAST(3000000 + c_nationkey AS BIGINT) AS dst_id, n_name AS dst_name
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin,
+
+    "g05_pregel_indegree" ->
+      """WITH e AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |ind AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1)
+        |SELECT v.id, CAST(coalesce(ind.c, 0) AS BIGINT) AS in_degree
+        |FROM v LEFT JOIN ind ON v.id = ind.id""".stripMargin,
+
+    "g06_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_custkey AS src, 4000000 + o_orderkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 4000000 + l_orderkey, 1000000 + l_partkey FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |r(id, dd) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 4)
+        |SELECT v.id, coalesce(CAST(min(r.dd) AS BIGINT), 2147483647) AS dist_1
+        |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
+
+    "g07_wcc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
+        |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |r(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM ud
+        |  UNION
+        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst)
+        |SELECT id, CAST(min(lab) AS BIGINT) AS component FROM r GROUP BY id""".stripMargin,
+
+    "g08_pagerank" ->
+      """WITH e AS (SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |ind AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1),
+        |pr AS (SELECT v.id, 0.15 + 0.85 * 0.15 * coalesce(ind.c, 0) AS p
+        |       FROM v LEFT JOIN ind ON v.id = ind.id),
+        |t AS (SELECT sum(p) AS tot FROM pr)
+        |SELECT id, round(p / tot, 6) AS pagerank FROM pr, t""".stripMargin,
+
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d02_ngram_jaccard" -> jaccardOracle,
+    "d03_minhash_lsh" -> jaccardOracle,
+
+    "d05_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin,
+
+    "s01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    "t01_token_stats" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok_cnt FROM documents)
+        |SELECT doc_id, tok_cnt,
+        |  CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS ngram3_cnt
+        |FROM t""".stripMargin,
+
+    "t02_quality_langid" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS hits_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|y|que|los|en|un|una|es)\b')) AS BIGINT) AS hits_es,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS BIGINT) AS hits_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|un|une|est|dans|que)\b')) AS BIGINT) AS hits_fr,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cjk
+        |FROM documents)
+        |SELECT doc_id,
+        |  round(0.4 * (CASE WHEN n_chars > 0 THEN CAST(alnum AS DOUBLE)/n_chars ELSE 0.0 END)
+        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(hits_en AS DOUBLE)/n_tok ELSE 0.0 END) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(n_chars AS DOUBLE)/500.0, 1.0), 6) AS quality,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+        |       WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+        |       WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+        |       WHEN hits_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "m02_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  round(CAST(len(regexp_extract_all(text, '[`a-o]')) AS DOUBLE)
+        |    / octet_length(encode(text)), 6) AS f6
+        |FROM documents""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS tot FROM documents),
+        |st AS (SELECT *, greatest((tot - 64) // 3, 1) AS stride FROM m WHERE tot >= 64),
+        |f AS (SELECT media_id, text, stride, tot, unnest([0,1,2,3]) AS frame_idx FROM st)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(frame_idx * stride + 1 AS INT), 64)) AS frame_md5
+        |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin
+  )
+
+  private lazy val jaccardOracle: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
 }

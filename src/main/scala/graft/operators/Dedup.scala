@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextHashes
+import graft.text.TextFunctions
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Scale design (the point of this module): exact dedup is one hash-groupBy
+  * shuffle; near-dup NEVER materializes the O(n^2) pair space — MinHash-LSH
+  * and SimHash bucket first (shuffle on bucket keys, candidates only within
+  * buckets), then verify exact similarity on the candidate set, which is
+  * O(candidates), not O(n^2). The exact n-gram-Jaccard join is kept as the
+  * small-scale oracle path; at 100 TB only the LSH paths are used.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical values of `textCol`, keep the minimum id
+    * as canonical. Output: `[fingerprint, keep_id, dup_count]`, one row per
+    * distinct document. Single map-side-combinable shuffle on md5(text) —
+    * 16-byte keys instead of full documents on the wire.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct token-n-gram shingles: `[id, g]`. */
+  private def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokenNgrams(col(textCol), n))).as("g"))
+
+  /** Exact n-gram Jaccard similarity join: all pairs (id1 < id2) with
+    * `|A ∩ B| / |A ∪ B| >= threshold` over distinct token n-gram sets.
+    * Output `[id1, id2, jaccard]`. Quadratic in co-occurring shingles — the
+    * correctness oracle for [[minHashLsh]], not the 100 TB path.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2")), "id2")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup pairs (the scale path).
+    *
+    * shingle → xxhash64 → k-wide MinHash signature (custom codegen
+    * expression, one pass per doc) → split into `bands` bands of
+    * `k/bands` rows → hash each band → shuffle on (band, bandHash) →
+    * candidate pairs within buckets (distinct) → verify exact Jaccard on
+    * candidates only. With k=128, b=16 (r=8) a 0.9-Jaccard pair is caught
+    * with probability 1-(1-0.9^8)^16 ≈ 0.9997; the verify step removes the
+    * false positives, so output ⊆ [[ngramJaccardPairs]] with near-1 recall.
+    *
+    * Output `[id1, id2, jaccard]`.
+    */
+  def minHashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      TextHashes.minhashSignature(TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
+    // One row per (doc, band): bucket key = hash of the band's slice.
+    val buckets = sig.select(
+      col("id"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // Verify candidates with exact Jaccard over shingle sets.
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2"), Seq("id2", "g"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2")), "id2")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit SimHash per document, bucketed
+    * by each of four 16-bit chunks (pigeonhole: Hamming distance <= 3 pairs
+    * share at least one intact chunk), candidates verified by popcount of the
+    * XOR. Output `[id1, id2, hamming]` with hamming <= maxHamming.
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextHashes.simhash64(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
+    val chunked = sh.select(
+      col("id"), col("sh"),
+      explode(
+        transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk"),
+            call_function("shiftrightunsigned", col("sh"), c * 16)
+              .bitwiseAND(lit(0xffffL)).as("ck")))).as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: all (id1 < id2) with cosine >= threshold.
+    * Brute-force self-join baseline; cosine in pure Column algebra
+    * (`zip_with` dot product + precomputed norms stay in codegen). The scale
+    * path buckets by [[TextHashes.cosineLshBits]] first — see
+    * [[Similarity.annCosineTopK]].
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = embeddings.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(
+          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

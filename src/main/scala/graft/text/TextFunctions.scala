@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for training-data pipelines, expressed as pure
+  * `Column` formulas (whole-stage-codegen'd, UDF-free) so they stay inside
+  * Catalyst and scale linearly over 100 TB document scans. Every formula is
+  * deliberately replicable in ANSI SQL so results can be oracle-checked
+  * engine-to-engine.
+  */
+object TextFunctions {
+
+  /** Lower-cased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-delimited token count (BIGINT). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
+
+  /** Token n-grams (space-joined) of the lower-cased alphanumeric tokens.
+    * Guarded: `sequence(1, 0)` in Spark counts DOWN, so docs shorter than n
+    * tokens must short-circuit to an empty array.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val cnt = size(w) - lit(n - 1) // number of n-grams; slice is 1-based
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val stopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in|is|it|that|for)\\b",
+    "es" -> "\\b(el|la|de|y|que|los|en|un|una|es)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\\b",
+    "fr" -> "\\b(le|la|et|les|des|un|une|est|dans|que)\\b"
+  )
+
+  /** Stopword-hit count for one language family (BIGINT). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val p = stopwordPatterns.toMap.apply(lang)
+    size(regexp_extract_all(lower(text), lit(p), lit(0))).cast(LongType)
+  }
+
+  /** N-gram/stopword-heuristic language ID over {en, es, de, fr, zh}.
+    * CJK codepoints trump the Latin stopword vote; among Latin languages the
+    * highest hit count wins with fixed precedence en > es > de > fr;
+    * all-zero scores fall back to 'und'. The decision tree is strict-`>`
+    * comparisons in a fixed order so any engine computing the same counts
+    * reproduces the same labels bit-for-bit.
+    */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
+    val en = stopwordHits(text, "en")
+    val es = stopwordHits(text, "es")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    when(cjk > 0, "zh")
+      .when((en >= es) && (en >= de) && (en >= fr) && (en > 0), "en")
+      .when((es >= de) && (es >= fr) && (es > 0), "es")
+      .when((de >= fr) && (de > 0), "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * `0.4*alnum_ratio + 0.3*min(5*stopword_ratio, 1) + 0.3*min(len/500, 1)`,
+    * rounded to 6 decimals. Components:
+    * alnum_ratio = alphanumeric chars / chars; stopword_ratio = EN stopword
+    * hits / whitespace tokens; length credit saturates at 500 chars.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast(LongType)
+    val alnum = size(regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))).cast(LongType)
+    val nTok = tokenCount(text)
+    val stops = stopwordHits(text, "en")
+    val alnumRatio = when(nChars > 0, alnum.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stops.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    round(
+      lit(0.4) * alnumRatio +
+        lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) +
+        lit(0.3) * least(nChars.cast("double") / lit(500.0), lit(1.0)),
+      6)
+  }
+
+  /** 64-bit xxhash of each token n-gram — the shingle-hash array consumed by
+    * MinHash/SimHash ([[graft.functions.TextHashes]]).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(tokenNgrams(text, n)), g => xxhash64(g))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the set
+    * of per-window minima over the rolling shingle-hash sequence; robust
+    * position-independent fingerprints for near-dup detection at corpus
+    * scale. Window size w over n-gram hashes; output array<bigint> distinct.
+    */
+  def fingerprints(text: Column, n: Int, w: Int): Column = {
+    val hs = transform(tokenNgrams(text, n), g => xxhash64(g))
+    val cnt = size(hs) - lit(w - 1)
+    array_distinct(
+      when(cnt >= 1,
+        transform(sequence(lit(1), cnt), i => array_min(slice(hs, i, lit(w)))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.functions.TextHashes
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+/** Unit specs for the training-data pipeline operators: dedup kernels +
+  * operators, similarity search, text analysis, multimodal plumbing.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-token edit
+  private val other = "completely different content about spark query engines and distributed joins at scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base), (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  // ---- text functions ----
+
+  test("tokenCount and ngrams handle short docs") {
+    val r = docs.select($"doc_id", TextFunctions.tokenCount($"text").as("c"),
+      size(TextFunctions.tokenNgrams($"text", 3)).as("g"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(r(1L) == (17L, 15))
+    assert(r(5L) == (2L, 0)) // shorter than n: no n-grams, no descending-sequence blowup
+  }
+
+  test("langId: stopword + CJK heuristics") {
+    val r = Seq(
+      (1L, "the cat is on the mat and it is warm"),
+      (2L, "el gato es un animal que vive en la casa"),
+      (3L, "der hund ist ein tier und das ist gut"),
+      (4L, "le chat est dans les maisons et les rues"),
+      (5L, "中文文本内容"),
+      (6L, "zzz qqq xxx")
+    ).toDF("id", "text").select($"id", TextFunctions.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val vals = docs.select(TextFunctions.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // ---- hash kernels ----
+
+  test("minhash signature: deterministic, jaccard-correlated") {
+    val sigs = docs.select($"doc_id",
+      TextHashes.minhashSignature(TextFunctions.shingleHashes($"text", 3), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical docs -> identical signatures
+    def est(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y } / 128.0
+    assert(est(sigs(1L), sigs(2L)) > 0.6)  // near-dups agree on most slots
+    assert(est(sigs(1L), sigs(3L)) < 0.2)  // unrelated docs do not
+  }
+
+  test("simhash: hamming distance tracks similarity") {
+    val sh = docs.select($"doc_id",
+      TextHashes.simhash64(TextFunctions.shingleHashes($"text", 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("cosine LSH bits: deterministic and angle-sensitive") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)), (2L, Array(1.0f, 0.01f, 0.5f, 0.2f)),
+      (3L, Array(-1.0f, 0.3f, -0.5f, -0.2f))).toDF("id", "v")
+    val bits = v.select($"id", TextHashes.cosineLshBits($"v", 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(bits(1L), bits(2L)) < ham(bits(1L), bits(3L)))
+  }
+
+  // ---- dedup operators ----
+
+  test("exactDedup groups identical docs") {
+    val r = Dedup.exactDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(r(1L) == 2L) // docs 1 and 4 identical, keep_id = 1
+    assert(r.values.sum == 5L)
+  }
+
+  test("ngramJaccardPairs and minHashLsh agree and find the planted pair") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 4L)) && exact.contains((2L, 4L)))
+    assert(!exact.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(lsh == exact) // full recall at this similarity level
+  }
+
+  test("simHashPairs finds the planted near-dup") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical -> hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embeddingNearDupPairs on planted vectors") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- similarity search ----
+
+  test("cosineTopK exact ranking") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.cosineTopK(e, e.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("annCosineTopK finds the planted nearest neighbor") {
+    // 50 random-ish corpus vectors + one nearly identical to the query.
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Array.tabulate(16)(i => if (i == 0) 1.0f else 0.001f))
+    val query = Seq((0L, Array.tabulate(16)(i => if (i == 0) 1.0f else 0.0f)))
+    val e = corpus.toDF("vec_id", "embedding")
+    val q = query.toDF("vec_id", "embedding")
+    val top = Similarity.annCosineTopK(e, q, "vec_id", "embedding", 1, nBits = 16,
+      bucketBits = 4, probes = 4).collect()
+    assert(top.nonEmpty && top.head.getLong(1) == 99L)
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("asMedia + extractFeatures: histogram features sum to 1") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    // Same names and types (nullability differs between literal-derived and declared schemas).
+    assert(m.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val f = Multimodal.extractFeatures(m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f.size == 5)
+    f.values.foreach(h => assert(math.abs(h.sum - 1.0) < 1e-9))
+    assert(f(1L) == f(4L)) // identical payloads -> identical features
+  }
+
+  test("sampleFrames: stride coverage and bounds") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    val frames = Multimodal.sampleFrames(m, n = 3, frameBytes = 16).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(r => assert(r.getAs[Array[Byte]](2).length == 16))
+    // doc 5 is shorter than one frame: excluded entirely
+    assert(!frames.exists(_.getLong(0) == 5L))
+  }
+}
