@@ -30,10 +30,18 @@ case class ConnectedComponentsResult(components: DataFrame, iterations: Int)
 class ConnectedComponents(graph: GraphFrame) {
   private var useLabelsAsComponents = true
   private var seed = 42L
+  private var smallThreshold = 1000000L
 
   /** When true (default) relabel components to the min original vertex id. */
   def labelsAsComponents(b: Boolean): this.type = { useLabelsAsComponents = b; this }
   def setSeed(s: Long): this.type = { seed = s; this }
+
+  /** Edge-count threshold below which the contraction finishes on the
+    * driver with a union-find (identical output, none of the per-iteration
+    * distributed-plan latency). 0 disables the hybrid path. Applies only in
+    * min-label mode — raw mode's labels are defined by the hash chain.
+    */
+  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
 
   private val SRC = GraphFrame.SRC
   private val DST = GraphFrame.DST
@@ -73,6 +81,35 @@ class ConnectedComponents(graph: GraphFrame) {
           .otherwise(col("__cc_fr_rep")).as("rep"))
   }
 
+  /** Hybrid small-graph path: union-find on the driver. Union always hangs
+    * the larger root under the smaller, so every root IS the minimum member
+    * id — exactly the min-label semantics of the distributed path.
+    */
+  private def runOnDriver(vertices: DataFrame, symEdges: DataFrame): ConnectedComponentsResult = {
+    val spark = vertices.sparkSession
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def add(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent.update(c, r); c = nx }
+      r
+    }
+    symEdges.collect().foreach { row =>
+      val u = row.getLong(0); val v = row.getLong(1)
+      add(u); add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+    }
+    val vids = vertices.collect().map(_.getLong(0))
+    vids.foreach(add)
+    val labeled = vids.map(v => (v, find(v))).toIndexedSeq
+    import spark.implicits._
+    ConnectedComponentsResult(
+      labeled.toDF(ID, "component"), iterations = 0)
+  }
+
   def run(): ConnectedComponentsResult = {
     val vertices = graph.vertices.select(col(ID))
     // Symmetrize WITHOUT distinct: the first groupBy tolerates duplicate
@@ -87,6 +124,18 @@ class ConnectedComponents(graph: GraphFrame) {
     var graphSize = edges.count()
     var iteration = 0
 
+    // Subcritical graphs: per-iteration distributed-plan latency (shuffles,
+    // adaptive re-planning, job scheduling) dwarfs the actual work. Finish
+    // on the driver instead — same output, one collect. The vertex count is
+    // only checked once the edge count qualifies, so the big-graph path
+    // never pays an extra scan.
+    if (useLabelsAsComponents && smallThreshold > 0 && graphSize <= 2 * smallThreshold &&
+        vertices.count() <= smallThreshold) {
+      val r = runOnDriver(vertices, edges)
+      edges.unpersist()
+      return r
+    }
+
     while (graphSize > 0) {
       iteration += 1
       var rA = rng.nextLong()
@@ -94,15 +143,25 @@ class ConnectedComponents(graph: GraphFrame) {
       val rB = rng.nextLong()
       affineParams :+= (rA, rB)
 
-      val reps = computeReps(edges, rA, rB).localCheckpoint(true)
+      // LAZY localCheckpoints: the logical plan is truncated immediately
+      // (reps appears twice in the relabel join — without truncation the
+      // plan tree doubles every iteration), but nothing executes until the
+      // single termination count() below, which materializes both frames in
+      // ONE job instead of three eager jobs per iteration.
+      val reps = computeReps(edges, rA, rB).localCheckpoint(false)
       forwardReps :+= reps
 
       val previous = edges
-      edges = relabelEdges(edges, reps).localCheckpoint(true)
+      edges = relabelEdges(edges, reps).localCheckpoint(false)
       graphSize = edges.count()
       previous.unpersist()
     }
 
+    // Back pass: a chain of left joins over the CACHED forward reps. All
+    // frames stay lazy; the single materialization at the end runs the whole
+    // unwind as one job. Unpersists are deferred until after that action —
+    // releasing an input earlier would force recomputation of the (already
+    // unpersisted) forward edge frames.
     val n = forwardReps.length
     val frontier: Option[DataFrame] =
       if (n == 0) None
@@ -116,11 +175,7 @@ class ConnectedComponents(graph: GraphFrame) {
           val oldAccA = accA
           accA = FiniteAxpb.axpb(oldAccA, pa, 0L)
           accB = FiniteAxpb.axpb(oldAccA, pb, accB)
-          val previous = frontier
           frontier = backPropStep(forwardReps(t - 1), frontier, accA, accB)
-            .localCheckpoint(true)
-          previous.unpersist()
-          forwardReps(t - 1).unpersist()
           t -= 1
         }
         Some(frontier)
@@ -145,6 +200,9 @@ class ConnectedComponents(graph: GraphFrame) {
           .select(col(ID), col("__cc_new_component").as("component"))
       } else labeled
 
-    ConnectedComponentsResult(result, iteration)
+    val out = result.localCheckpoint(true)
+    forwardReps.foreach(_.unpersist())
+    edges.unpersist()
+    ConnectedComponentsResult(out, iteration)
   }
 }

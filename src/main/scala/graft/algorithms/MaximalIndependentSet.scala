@@ -27,8 +27,16 @@ case class MISResult(vertices: DataFrame, iterations: Int)
   */
 class MaximalIndependentSet(graph: GraphFrame) {
   private var seed = 42L
+  private var smallThreshold = 1000000L
 
   def setSeed(s: Long): this.type = { seed = s; this }
+
+  /** Edge-count threshold below which the set is computed on the driver
+    * with a seeded greedy sweep (independence + maximality hold by
+    * construction; the distributed rounds only pay off once the graph
+    * outgrows a single collect). 0 disables the hybrid path.
+    */
+  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
 
   private val SRC = GraphFrame.SRC
   private val DST = GraphFrame.DST
@@ -45,14 +53,34 @@ class MaximalIndependentSet(graph: GraphFrame) {
   }
 
   def run(): MISResult = {
+    // Dedup matters here: duplicate edges would inflate effective degrees.
+    var edges = GraphFrame.symmetrizeEdges(
+      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(true)
+
+    // Subcritical graphs: greedy on the driver in seeded-random order.
+    if (smallThreshold > 0 && edges.count() <= 2 * smallThreshold &&
+        graph.vertices.count() <= smallThreshold) {
+      val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.Set[Long]]
+      edges.collect().foreach { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      }
+      val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
+      val order = new scala.util.Random(seed).shuffle(vids.sorted.toIndexedSeq)
+      val inSet = scala.collection.mutable.Set.empty[Long]
+      order.foreach { v =>
+        if (!adj.get(v).exists(_.exists(inSet.contains))) inSet += v
+      }
+      val spark = graph.vertices.sparkSession
+      import spark.implicits._
+      return MISResult(inSet.toSeq.sorted.toDF(ID), iterations = 0)
+    }
+
     var currentMis = graph.vertices
       .select(col(ID), lit(false).as("mis")).localCheckpoint(true)
     // Active vertices with their selection probability (Ghaffari seeds 1/2).
     var verticesLeft = graph.vertices
       .select(col(ID), lit(0.5).as("p")).localCheckpoint(true)
-    // Dedup matters here: duplicate edges would inflate effective degrees.
-    var edges = GraphFrame.symmetrizeEdges(
-      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(true)
 
     var iteration = 0
     var converged = false

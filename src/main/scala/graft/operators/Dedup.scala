@@ -43,7 +43,9 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Self-joined: persist so tokenization+shingling runs once, not per scan.
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -80,12 +82,16 @@ object Dedup {
       col(idCol).as("id"),
       TextHashes.minhashSignature(TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
     // One row per (doc, band): bucket key = hash of the band's slice.
+    // Persisted: the bucket frame is self-joined (two scans) and the
+    // signature computation (shingle + k affine mins per doc) is the most
+    // expensive map stage in the operator.
     val buckets = sig.select(
       col("id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -94,6 +100,7 @@ object Dedup {
       .distinct()
     // Verify candidates with exact Jaccard over shingle sets.
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     candidates
       .join(sh.withColumnRenamed("id", "id1"), "id1")
@@ -119,7 +126,7 @@ object Dedup {
     val sh = docs.select(
       col(idCol).as("id"),
       TextHashes.simhash64(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
-    val chunked = sh.select(
+    val chunked = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).select(
       col("id"), col("sh"),
       explode(
         transform(sequence(lit(0), lit(3)),
@@ -146,15 +153,14 @@ object Dedup {
   def embeddingNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.functions.ArrayDot.array_dot
     val e = embeddings.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(
-          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        round(array_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -189,9 +189,15 @@ class Pregel(graph: GraphFrame) extends Serializable {
         .drop(AM_ID)
 
       var newState = withMessages.select(updateCols: _*)
+      var toRelease: DataFrame = null
       if (iteration % ckptInterval == 0) {
-        newState = newState.localCheckpoint(true)
-        if (previous ne null) previous.unpersist()
+        // Voting mode: LAZY checkpoint — the activity count below
+        // materializes it in the same job DAG, halving driver round-trips.
+        // Fixed-iteration mode: EAGER, so the previous state can be
+        // released immediately (a lazy checkpoint still reads the parent's
+        // blocks when it finally materializes).
+        newState = newState.localCheckpoint(votingCol.isEmpty)
+        toRelease = previous
         previous = newState
       }
       state = newState
@@ -200,6 +206,8 @@ class Pregel(graph: GraphFrame) extends Serializable {
         val active = state.filter(col(ac)).count()
         if (active == 0) converged = true
       }
+      // By here the new checkpoint is materialized either way.
+      if ((toRelease ne null) && (toRelease ne state)) toRelease.unpersist()
     }
 
     // State is already materialized when the last iteration hit the

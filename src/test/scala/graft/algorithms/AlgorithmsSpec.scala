@@ -111,6 +111,18 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(cores(g) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("kcore: DISTRIBUTED rounds path matches driver peeling") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val g = graph((1L to 5L) ++ Seq(10L, 11L, 99L),
+      k5 ++ Seq((5L, 10L), (10L, 11L), (1L, 2L))) // duplicate edge on purpose
+    val res = g.kCore.smallGraphThreshold(0).run()
+    assert(res.iterations > 0) // hybrid fallback disabled: the rounds must run
+    val dist = res.vertices.select(col("id"), col("kcore"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === cores(g)) // same fixpoint as Matula–Beck peeling
+    assert(dist(99L) === 0L)  // isolated vertex
+  }
+
   test("kcore: reciprocal pair is a 1-core, not 2-core") {
     // k_core.rs:486-502: directed (0,1),(1,0) treated as one undirected edge
     val g = graph(Seq(0L, 1L), Seq((0L, 1L), (1L, 0L)))
@@ -156,6 +168,17 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
   test("LDBC golden: test-wcc-directed exact components") {
     val g = LdbcLoader.graph(spark, "test-wcc-directed")
     val res = g.connectedComponents.run()
+    val golden = LdbcLoader.golden(spark, "test-wcc-directed", "WCC")
+      .select(col("id"), col("expected").cast("long").as("expected"))
+    val joined = res.components.join(golden, "id")
+    assert(joined.count() === g.numNodes)
+    assert(joined.filter(col("component") =!= col("expected")).count() === 0)
+  }
+
+  test("LDBC golden: test-wcc-directed via the DISTRIBUTED contraction path") {
+    val g = LdbcLoader.graph(spark, "test-wcc-directed")
+    val res = g.connectedComponents.smallGraphThreshold(0).run()
+    assert(res.iterations > 0) // hybrid fallback disabled: the loop must run
     val golden = LdbcLoader.golden(spark, "test-wcc-directed", "WCC")
       .select(col("id"), col("expected").cast("long").as("expected"))
     val joined = res.components.join(golden, "id")
@@ -221,6 +244,17 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     val g = graph(Seq(1L, 2L, 3L, 99L), Seq((1L, 2L), (2L, 3L)))
     val mis = misOf(g)
     assert(mis(99L))
+    checkInvariants(g, mis)
+  }
+
+  test("mis: DISTRIBUTED rounds path keeps invariants (6-cycle + K5 + isolated)") {
+    val g = graph(0L to 10L,
+      (0L to 5L).map(i => (i, (i + 1) % 6)) ++
+        (for (i <- 6L to 9L; j <- (i + 1) to 9L) yield (i, j)))
+    val res = g.maximalIndependentSet.smallGraphThreshold(0).run()
+    assert(res.iterations > 0) // hybrid fallback disabled: the rounds must run
+    val mis = res.vertices.collect().map(_.getLong(0)).toSet
+    assert(mis(10L)) // isolated vertex always joins
     checkInvariants(g, mis)
   }
 }
