@@ -126,6 +126,32 @@ object SparkEntry {
         .select(col("a.r").as("region_id"), col("a.k").as("n1"), col("b.k").as("n2"))
     }),
 
+    "q09_window_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+      // nanos-since-epoch LONG (legacy conf); truncate to whole seconds for
+      // the 30-minute session gap, exactly like the oracle's epoch(ts).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sec = expr("ts div 1000000000")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      tbl(s, d, "events")
+        .withColumn("prev_s", lag(sec, 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_s").isNull || sec - col("prev_s") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    "q10_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, d, "orders")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    }),
+
     // ---- graph operators (SURVEY §2.b) ----
     "g01_in_degrees" -> ((s, d) =>
       GraphFrame.fromEdges(partSuppEdges(s, d)).inDegrees),
@@ -295,6 +321,23 @@ object SparkEntry {
         |  CAST(a.n_nationkey AS BIGINT) AS n1, CAST(b.n_nationkey AS BIGINT) AS n2
         |FROM nation a JOIN nation b
         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
+
+    "q09_window_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(epoch(ts) AS BIGINT) AS sec,
+        |  lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_s IS NULL OR sec - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q10_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
 
     "g01_in_degrees" ->
       """SELECT l_suppkey AS id, count(*) AS in_degree FROM lineitem GROUP BY 1""".stripMargin,

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+class StreamsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streamingExactDedup drops duplicate payloads across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.streamingExactDedup(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+      q.processAllAvailable()
+      input.addData((ts(3), "beta"), (ts(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("windowedEventStats aggregates sliding windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.windowedEventStats(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      window = "10 minutes", slide = "10 minutes", lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "cnt", "value_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("qualityFilter reuses the batch formula on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Streams.qualityFilter(input.toDF().toDF("text"), "text", 0.5)
+    val q = out.writeStream.format("memory").queryName("q_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        "the data pipeline processes a batch of documents and it is quite good for the query engine to scan",
+        "x")
+      q.processAllAvailable()
+      val kept = spark.table("q_out").select("text").as[String].collect()
+      assert(kept.length == 1 && kept.head.startsWith("the data"))
+    } finally q.stop()
+  }
+}
