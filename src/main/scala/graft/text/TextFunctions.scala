@@ -86,11 +86,14 @@ object TextFunctions {
       6)
   }
 
-  /** 64-bit xxhash of each token n-gram — the shingle-hash array consumed by
-    * MinHash/SimHash ([[graft.functions.TextHashes]]).
+  /** 64-bit xxhash of each distinct token n-gram — the shingle-hash array
+    * consumed by MinHash/SimHash ([[graft.functions.TextHashes]]). Native
+    * one-pass codegen kernel; semantically equal to
+    * `transform(array_distinct(tokenNgrams(text, n)), g => xxhash64(g))`
+    * (asserted by PipelineSpec).
     */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(array_distinct(tokenNgrams(text, n)), g => xxhash64(g))
+    graft.functions.ShingleHashes.shingleHashes(text, n)
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the set
     * of per-window minima over the rolling shingle-hash sequence; robust

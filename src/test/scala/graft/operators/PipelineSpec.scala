@@ -53,6 +53,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
 
   // ---- hash kernels ----
 
+  test("shingle_hashes kernel == composable lower/tokenize/ngram/xxhash formula") {
+    val composable = docs.select($"doc_id",
+      transform(array_distinct(TextFunctions.tokenNgrams($"text", 3)), g => xxhash64(g)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = docs.select($"doc_id", TextFunctions.shingleHashes($"text", 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == composable)
+    // Mixed case, punctuation, unicode, short docs
+    val tricky = Seq((1L, "Hello, WORLD! foo-bar baz42 qux"), (2L, "ab"), (3L, ""),
+      (4L, "ONE two THREE four FIVE one TWO three")).toDF("doc_id", "text")
+    val a = tricky.select($"doc_id",
+      transform(array_distinct(TextFunctions.tokenNgrams($"text", 3)), g => xxhash64(g)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = tricky.select($"doc_id", TextFunctions.shingleHashes($"text", 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("minhash signature: deterministic, jaccard-correlated") {
     val sigs = docs.select($"doc_id",
       TextHashes.minhashSignature(TextFunctions.shingleHashes($"text", 3), 128).as("sig"))
