@@ -207,6 +207,20 @@ object SparkEntry {
       GraphFrame.fromEdges(partSuppEdges(s, d)).maximalIndependentSet.run()
         .vertices.select(col("id"))),
 
+    "g11_triangles" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      GraphFrame(nations.select(col("k").as("id")), edges).triangleCount.run()
+    }),
+
+    "g12_labelprop" -> ((s, d) =>
+      GraphFrame.fromEdges(custNationRegionEdges(s, d))
+        .labelPropagation.maxIterations(5).run()
+        .vertices.select(col("id"), col("label"))),
+
     // ---- dedup (training-data pipeline) ----
     "d01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(tbl(s, d, "documents"), "doc_id", "text")),
@@ -395,6 +409,18 @@ object SparkEntry {
         |       FROM v LEFT JOIN ind ON v.id = ind.id),
         |t AS (SELECT sum(p) AS tot FROM pr)
         |SELECT id, round(p / tot, 6) AS pagerank FROM pr, t""".stripMargin,
+
+    "g11_triangles" ->
+      """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        |  FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
+        |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
+        |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -98,6 +98,12 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
 
   def maximalIndependentSet: graft.algorithms.MaximalIndependentSet =
     new graft.algorithms.MaximalIndependentSet(this)
+
+  def triangleCount: graft.algorithms.TriangleCount =
+    new graft.algorithms.TriangleCount(this)
+
+  def labelPropagation: graft.algorithms.LabelPropagation =
+    new graft.algorithms.LabelPropagation(this)
 }
 
 object GraphFrame {

@@ -247,6 +247,32 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     checkInvariants(g, mis)
   }
 
+  // ---------------- TriangleCount / LabelPropagation ----------------
+
+  test("triangle count: triangle with tail and an isolated vertex") {
+    val g = graph(Seq(1L, 2L, 3L, 4L, 5L, 9L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L)))
+    val t = g.triangleCount.run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 9L -> 0L))
+  }
+
+  test("triangle count: K4 has 3 per vertex; direction and duplicates ignored") {
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 3L))
+    val g = graph(1L to 4L, k4)
+    val t = g.triangleCount.run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("label propagation: two cliques bridged by one edge form two communities") {
+    val clique = (base: Long) => for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (base + i, base + j)
+    val g = graph((1L to 4L) ++ (11L to 14L), clique(1L) ++ clique(11L) :+ (4L, 11L))
+    val labels = g.labelPropagation.maxIterations(8).run()
+      .vertices.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap // id -> label
+    assert(Set(1L, 2L, 3L).map(labels).size === 1) // core of clique A agrees
+    assert(Set(12L, 13L, 14L).map(labels).size === 1) // core of clique B agrees
+    assert(labels(1L) !== labels(12L)) // and the communities differ
+  }
+
   test("mis: DISTRIBUTED rounds path keeps invariants (6-cycle + K5 + isolated)") {
     val g = graph(0L to 10L,
       (0L to 5L).map(i => (i, (i + 1) % 6)) ++
