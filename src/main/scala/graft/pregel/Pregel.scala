@@ -58,6 +58,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
   private var participation: Option[VertexCol] = None
   private var useDestState = true
   private var ckptInterval = 1
+  private var reliableDir: Option[String] = None
   private var edgeStorageLevel = StorageLevel.MEMORY_AND_DISK
 
   def maxIterations(n: Int): this.type = { maxIter = Some(n); this }
@@ -100,6 +101,18 @@ class Pregel(graph: GraphFrame) extends Serializable {
     require(n >= 1, "checkpointInterval must be >= 1"); ckptInterval = n; this
   }
 
+  /** Use RELIABLE checkpoints (written to `dir`, which may be a distributed
+    * filesystem) instead of executor-local ones. Local checkpoints are lost
+    * with an executor; on a long cluster run, reliable checkpoints bound
+    * recomputation on failure — the Spark-native analogue of the
+    * reference's parquet spill/read-back
+    * (`/root/reference/src/memory/parquet_checkpointer.rs:62-166`).
+    */
+  def withReliableCheckpoint(dir: String): this.type = {
+    require(dir != null && dir.nonEmpty, "checkpoint dir must be non-empty")
+    reliableDir = Some(dir); this
+  }
+
   def withEdgeStorageLevel(level: StorageLevel): this.type = { edgeStorageLevel = level; this }
 
   def run(includeDebugColumns: Boolean = false): PregelResult = {
@@ -111,6 +124,9 @@ class Pregel(graph: GraphFrame) extends Serializable {
 
     val spark = graph.vertices.sparkSession
     val ID = GraphFrame.ID
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
 
     // ---- init state: vertex columns applied sequentially (later init
     // expressions may reference earlier ones), then voting + participation.
@@ -137,7 +153,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
     // After the first update only id + declared columns remain, so original
     // vertex property columns are visible to messages in iteration 1 only —
     // reference semantics (`pregel.rs:266-270`, `440-499`).
-    state = state.localCheckpoint(true)
+    state = ckpt(state, eager = true)
     var previous: DataFrame = state
 
     val dstTargeted = msgs.filter(m => m.direction != MessageDirection.DstToSrc)
@@ -196,7 +212,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
         // Fixed-iteration mode: EAGER, so the previous state can be
         // released immediately (a lazy checkpoint still reads the parent's
         // blocks when it finally materializes).
-        newState = newState.localCheckpoint(votingCol.isEmpty)
+        newState = ckpt(newState, eager = votingCol.isEmpty)
         toRelease = previous
         previous = newState
       }
@@ -215,7 +231,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
     var result =
       if (state eq previous) state
       else {
-        val r = state.localCheckpoint(true)
+        val r = ckpt(state, eager = true)
         previous.unpersist()
         r
       }

@@ -110,6 +110,26 @@ class PregelSpec extends AnyFunSuite with SparkTestHarness {
     assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
   }
 
+  test("reliable checkpointing: same result and iteration count as local") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val res = g.pregel
+      .maxIterations(100)
+      .withReliableCheckpoint(dir)
+      .addVertexColumn("value",
+        when(col("id") === 1L, lit(1)).otherwise(lit(0)),
+        when(defaultMsg > col("value"), defaultMsg).otherwise(col("value")))
+      .withVertexVoting("active", col("value") =!= defaultMsg)
+      .addMessage(src("value"), MessageDirection.SrcToDst)
+      .addAggregateExpr(max(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(res.iterations === 4)
+    assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
+    // checkpoint files actually landed in the reliable dir
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
+
   test("chain propagation converges in exactly 4 iterations (backward)") {
     val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     val res = g.pregel
