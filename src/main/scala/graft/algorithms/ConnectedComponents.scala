@@ -85,8 +85,14 @@ class ConnectedComponents(graph: GraphFrame) {
     * the larger root under the smaller, so every root IS the minimum member
     * id — exactly the min-label semantics of the distributed path.
     */
-  private def runOnDriver(vertices: DataFrame, symEdges: DataFrame): ConnectedComponentsResult = {
-    val spark = vertices.sparkSession
+  /** Union-find over the current (contracted) edge set on the driver,
+    * returned as a `[v, rep]` frontier for back-propagation. Only edge
+    * ENDPOINTS are collected — never the original vertex set — so driver
+    * memory is bounded by the contracted edge count, and isolated vertices
+    * are still labeled distributively by the final left join.
+    */
+  private def unionFindFrontier(symEdges: DataFrame): DataFrame = {
+    val spark = symEdges.sparkSession
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def add(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
     def find(x: Long): Long = {
@@ -102,12 +108,16 @@ class ConnectedComponents(graph: GraphFrame) {
       val ru = find(u); val rv = find(v)
       if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
     }
-    val vids = vertices.collect().map(_.getLong(0))
-    vids.foreach(add)
-    val labeled = vids.map(v => (v, find(v))).toIndexedSeq
+    val labeled = parent.keys.toArray.map(v => (v, find(v)))
     import spark.implicits._
-    ConnectedComponentsResult(
-      labeled.toDF(ID, "component"), iterations = 0)
+    // RDD-backed, NOT a LocalRelation: toDF on a large Seq embeds the rows
+    // in the logical plan itself, which every optimizer copy and broadcast
+    // then drags along.
+    spark.createDataset(
+      spark.sparkContext.parallelize(labeled.toIndexedSeq,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .toDF("v", "rep")
+      .localCheckpoint(true)
   }
 
   def run(): ConnectedComponentsResult = {
@@ -124,37 +134,38 @@ class ConnectedComponents(graph: GraphFrame) {
     var graphSize = edges.count()
     var iteration = 0
 
-    // Subcritical graphs: per-iteration distributed-plan latency (shuffles,
-    // adaptive re-planning, job scheduling) dwarfs the actual work. Finish
-    // on the driver instead — same output, one collect. The vertex count is
-    // only checked once the edge count qualifies, so the big-graph path
-    // never pays an extra scan.
-    if (useLabelsAsComponents && smallThreshold > 0 && graphSize <= 2 * smallThreshold &&
-        vertices.count() <= smallThreshold) {
-      val r = runOnDriver(vertices, edges)
-      edges.unpersist()
-      return r
-    }
+    // Mid-loop hybrid cutover: contraction shrinks the edge set roughly
+    // geometrically, so the tail iterations process little data while still
+    // paying full per-round scheduling/replanning latency (~1.5 s each,
+    // measured). Once the contracted edge set fits the threshold — possibly
+    // at iteration 0 — finish it with ONE driver union-find and feed the
+    // result into back-propagation as the frontier. Distributed rounds only
+    // ever process supercritical data.
+    var driverFrontier: Option[DataFrame] = None
 
-    while (graphSize > 0) {
-      iteration += 1
-      var rA = rng.nextLong()
-      while (rA == 0L) rA = rng.nextLong()
-      val rB = rng.nextLong()
-      affineParams :+= (rA, rB)
+    while (graphSize > 0 && driverFrontier.isEmpty) {
+      if (useLabelsAsComponents && smallThreshold > 0 && graphSize <= 2 * smallThreshold) {
+        driverFrontier = Some(unionFindFrontier(edges))
+      } else {
+        iteration += 1
+        var rA = rng.nextLong()
+        while (rA == 0L) rA = rng.nextLong()
+        val rB = rng.nextLong()
+        affineParams :+= (rA, rB)
 
-      // LAZY localCheckpoints: the logical plan is truncated immediately
-      // (reps appears twice in the relabel join — without truncation the
-      // plan tree doubles every iteration), but nothing executes until the
-      // single termination count() below, which materializes both frames in
-      // ONE job instead of three eager jobs per iteration.
-      val reps = computeReps(edges, rA, rB).localCheckpoint(false)
-      forwardReps :+= reps
+        // LAZY localCheckpoints: the logical plan is truncated immediately
+        // (reps appears twice in the relabel join — without truncation the
+        // plan tree doubles every iteration), but nothing executes until the
+        // single termination count() below, which materializes both frames in
+        // ONE job instead of three eager jobs per iteration.
+        val reps = computeReps(edges, rA, rB).localCheckpoint(false)
+        forwardReps :+= reps
 
-      val previous = edges
-      edges = relabelEdges(edges, reps).localCheckpoint(false)
-      graphSize = edges.count()
-      previous.unpersist()
+        val previous = edges
+        edges = relabelEdges(edges, reps).localCheckpoint(false)
+        graphSize = edges.count()
+        previous.unpersist()
+      }
     }
 
     // Back pass: a chain of left joins over the CACHED forward reps. All
@@ -164,9 +175,18 @@ class ConnectedComponents(graph: GraphFrame) {
     // unpersisted) forward edge frames.
     val n = forwardReps.length
     val frontier: Option[DataFrame] =
-      if (n == 0) None
+      if (n == 0 && driverFrontier.isEmpty) None
       else {
-        var frontier = forwardReps(n - 1)
+        // Seed: the driver union-find result when the loop cut over (joined
+        // through the LAST forward reps with the identity map axpb(1,r,0)=r —
+        // a rep absent from the union-find domain was isolated after its
+        // contraction and its hash value IS its final label), else the last
+        // forward reps frame.
+        var frontier = (driverFrontier, n) match {
+          case (Some(df), 0) => df
+          case (Some(df), _) => backPropStep(forwardReps(n - 1), df, 1L, 0L)
+          case (None, _)     => forwardReps(n - 1)
+        }
         var accA = 1L
         var accB = 0L
         var t = n - 1

@@ -186,6 +186,24 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(joined.filter(col("component") =!= col("expected")).count() === 0)
   }
 
+  test("wcc: mid-loop cutover after distributed rounds matches pure distributed") {
+    // Two K5s bridged by a long path: big enough to start distributed at
+    // threshold 8, small enough to cut over after contraction shrinks it.
+    val k5 = (base: Long) => for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (base + i, base + j)
+    val path = (20L until 40L).map(i => (i, i + 1))
+    val es = k5(0L) ++ k5(100L) ++ path ++ Seq((4L, 20L), (40L, 100L))
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val g = graph(vs, es)
+    val pure = g.connectedComponents.smallGraphThreshold(0).run()
+    val hybrid = g.connectedComponents.smallGraphThreshold(8).run()
+    assert(hybrid.iterations > 0 && hybrid.iterations < pure.iterations,
+      s"expected a MID-loop cutover (pure=${pure.iterations}, hybrid=${hybrid.iterations})")
+    val p = pure.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = hybrid.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === p)
+    assert(h.values.toSet.size === 1) // single connected component
+  }
+
   test("wcc: raw hashed labels mode still partitions identically") {
     val g = graph(Seq(1L, 2L, 3L, 10L, 11L), Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     val raw = g.connectedComponents.labelsAsComponents(false).run().components

@@ -1,0 +1,120 @@
+package graft.algorithms
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.graph.GraphFrame
+
+/** Property-style randomized testing (SURVEY §5 layer 4 strengthening):
+  * seeded random graphs checked against independent in-test oracles —
+  * exercising the DISTRIBUTED algorithm paths (hybrid fallbacks disabled),
+  * whose correctness otherwise rests on a handful of fixed fixtures.
+  */
+class RandomGraphSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private case class RandomGraph(vs: Seq[Long], es: Seq[(Long, Long)]) {
+    def gf: GraphFrame = GraphFrame(
+      vs.toDF("id"), es.toDF("src", "dst"))
+    /** Undirected simple adjacency (self-loops dropped). */
+    def adj: Map[Long, Set[Long]] = {
+      val sym = es.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+      sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        .withDefaultValue(Set.empty)
+    }
+  }
+
+  private def randomGraph(seed: Int): RandomGraph = {
+    val rnd = new scala.util.Random(seed)
+    val n = 4 + rnd.nextInt(8)           // 4..11 vertices
+    val m = rnd.nextInt(2 * n)           // 0..2n-1 edges (loops/dups allowed)
+    val vs = (1L to n.toLong)
+    val es = Seq.fill(m)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+    RandomGraph(vs, es)
+  }
+
+  private val seeds = 1 to 6
+
+  test("random graphs: distributed WCC == union-find oracle") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      // oracle: BFS closure per vertex, label = min reachable id
+      val adj = g.adj
+      def component(v: Long): Long = {
+        var seen = Set(v); var frontier = Set(v)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val expected = g.vs.map(v => v -> component(v)).toMap
+      val got = g.gf.connectedComponents.smallGraphThreshold(0).run()
+        .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed graph=${g.es}")
+      // threshold 1: distributed rounds run until the contracted remainder
+      // is tiny, then the mid-loop union-find cutover finishes — same answer.
+      val hybrid = g.gf.connectedComponents.smallGraphThreshold(1).run()
+        .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hybrid === expected, s"mid-loop cutover diverged: seed=$seed graph=${g.es}")
+    }
+  }
+
+  test("random graphs: distributed k-core == peeling oracle") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      // oracle: repeatedly strip vertices with degree < k
+      val adj = g.adj
+      def coreness: Map[Long, Long] = {
+        var core = g.vs.map(_ -> 0L).toMap
+        var k = 1L
+        var alive = g.vs.toSet
+        var continue = true
+        while (continue) {
+          var changed = true
+          var surviving = alive
+          while (changed) {
+            val next = surviving.filter(v => (adj(v) & surviving).size >= k)
+            changed = next != surviving
+            surviving = next
+          }
+          if (surviving.isEmpty) continue = false
+          else { core = core ++ surviving.map(_ -> k); alive = surviving; k += 1 }
+        }
+        core
+      }
+      val expected = coreness
+      val got = g.gf.kCore.smallGraphThreshold(0).run()
+        .vertices.select("id", "kcore")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed graph=${g.es}")
+    }
+  }
+
+  test("random graphs: distributed MIS is independent and maximal") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val adj = g.adj
+      val mis = g.gf.maximalIndependentSet.smallGraphThreshold(0).run()
+        .vertices.collect().map(_.getLong(0)).toSet
+      assert(mis.forall(v => (adj(v) & mis).isEmpty), s"seed=$seed not independent: $mis")
+      assert((g.vs.toSet -- mis).forall(v => (adj(v) & mis).nonEmpty),
+        s"seed=$seed not maximal: $mis")
+    }
+  }
+
+  test("random graphs: triangle counts == brute force") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val adj = g.adj
+      val expected = g.vs.map { v =>
+        v -> adj(v).toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }.toLong
+      }.toMap
+      val got = g.gf.triangleCount.run()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed graph=${g.es}")
+    }
+  }
+}
