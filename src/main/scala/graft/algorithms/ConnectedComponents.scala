@@ -81,15 +81,13 @@ class ConnectedComponents(graph: GraphFrame) {
           .otherwise(col("__cc_fr_rep")).as("rep"))
   }
 
-  /** Hybrid small-graph path: union-find on the driver. Union always hangs
-    * the larger root under the smaller, so every root IS the minimum member
-    * id — exactly the min-label semantics of the distributed path.
-    */
   /** Union-find over the current (contracted) edge set on the driver,
-    * returned as a `[v, rep]` frontier for back-propagation. Only edge
-    * ENDPOINTS are collected — never the original vertex set — so driver
-    * memory is bounded by the contracted edge count, and isolated vertices
-    * are still labeled distributively by the final left join.
+    * returned as a `[v, rep]` frontier for back-propagation. Union always
+    * hangs the larger root under the smaller, so reps are distinct and
+    * stable per component. Only edge ENDPOINTS are collected — never the
+    * original vertex set — so driver memory is bounded by the contracted
+    * edge count, and isolated vertices are still labeled distributively by
+    * the final left join.
     */
   private def unionFindFrontier(symEdges: DataFrame): DataFrame = {
     val spark = symEdges.sparkSession
