@@ -152,6 +152,13 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "rnk")
     }),
 
+    "q11_json_extract" -> ((s, d) =>
+      tbl(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), count(lit(1)).as("cnt"))),
+
     // ---- graph operators (SURVEY §2.b) ----
     "g01_in_degrees" -> ((s, d) =>
       GraphFrame.fromEdges(partSuppEdges(s, d)).inDegrees),
@@ -352,6 +359,14 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
 
     "g01_in_degrees" ->
       """SELECT l_suppkey AS id, count(*) AS in_degree FROM lineitem GROUP BY 1""".stripMargin,
