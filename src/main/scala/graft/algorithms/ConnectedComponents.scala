@@ -58,15 +58,25 @@ class ConnectedComponents(graph: GraphFrame) {
 
   /** Relabel `(u, w) -> (rep(u), rep(w))`, dropping contraction self-loops
     * inside the second join's condition, then dedup.
+    *
+    * Shuffle discipline: `edges` carries a DECLARED HashPartitioning(src)
+    * from the loop's checkpoint and `reps` inherits the matching
+    * partitioning from its groupBy, so the first join plans with no
+    * exchange. The dst-relabel join is the one unavoidable reshuffle; the
+    * trailing `repartition(src) + dropDuplicates` costs one exchange, zero
+    * extra for the dedup (HashPartitioning(src) satisfies clustering on
+    * (src, dst) by the subset rule), and re-arms the no-shuffle path for
+    * the next iteration.
     */
-  private def relabelEdges(edges: DataFrame, reps: DataFrame): DataFrame = {
+  private def relabelEdges(edges: DataFrame, reps: DataFrame, numParts: Int): DataFrame = {
     val srcRelabeled = edges
       .join(reps, col(SRC) === col("v"), "inner")
       .select(col("rep").as(SRC), col(DST))
     srcRelabeled
       .join(reps, col(DST) === col("v") && col(SRC) =!= col("rep"), "inner")
       .select(col(SRC), col("rep").as(DST))
-      .distinct()
+      .repartition(numParts, col(SRC))
+      .dropDuplicates(SRC, DST)
   }
 
   /** One back-propagation step: forwarded reps take the frontier's value,
@@ -123,8 +133,21 @@ class ConnectedComponents(graph: GraphFrame) {
     // Symmetrize WITHOUT distinct: the first groupBy tolerates duplicate
     // edges and a full dedup scan of the biggest frame costs more than it
     // saves (reference cost note, connected_components.rs:217-223).
-    var edges = GraphFrame.symmetrizeEdges(
-      graph.edges.select(SRC, DST), doDistinct = false).localCheckpoint(true)
+    // Co-partitioning contract (the Spark analogue of the reference's
+    // hash-partitioned pre-sorted spill files, hash_partitioned.rs:77-361):
+    // keep the edge frame hash-partitioned on `src` across iterations, with
+    // the partitioning DECLARED on the checkpointed frame — a plain
+    // localCheckpoint under AQE reports unknown partitioning and forfeits
+    // the elision (see graft.tools.PlanProbe).
+    val numParts = graph.edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    def ckptBySrc(df: DataFrame, eager: Boolean): DataFrame =
+      org.apache.spark.sql.graft.checkpointing.localCheckpointHashPartitioned(
+        df, Seq(SRC), numParts, eager)
+    var edges = ckptBySrc(
+      GraphFrame.symmetrizeEdges(graph.edges.select(SRC, DST), doDistinct = false)
+        .repartition(numParts, col(SRC)),
+      eager = true)
 
     val rng = new scala.util.Random(seed)
     var forwardReps = Vector.empty[DataFrame]
@@ -156,11 +179,16 @@ class ConnectedComponents(graph: GraphFrame) {
         // plan tree doubles every iteration), but nothing executes until the
         // single termination count() below, which materializes both frames in
         // ONE job instead of three eager jobs per iteration.
-        val reps = computeReps(edges, rA, rB).localCheckpoint(false)
+        // reps inherits edges' src-partitioning through the groupBy (the
+        // grouping key is aliased to `v`), so its checkpoint declares the
+        // same layout and the src-relabel join plans with no exchange at all.
+        val reps = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointHashPartitioned(
+            computeReps(edges, rA, rB), Seq("v"), numParts, eager = false)
         forwardReps :+= reps
 
         val previous = edges
-        edges = relabelEdges(edges, reps).localCheckpoint(false)
+        edges = ckptBySrc(relabelEdges(edges, reps, numParts), eager = false)
         graphSize = edges.count()
         previous.unpersist()
       }
