@@ -110,6 +110,23 @@ class PregelSpec extends AnyFunSuite with SparkTestHarness {
     assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
   }
 
+  test("co-partitioned state: same result and iteration count as default") {
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val res = g.pregel
+      .maxIterations(100)
+      .withCoPartitionedState()
+      .addVertexColumn("value",
+        when(col("id") === 1L, lit(1)).otherwise(lit(0)),
+        when(defaultMsg > col("value"), defaultMsg).otherwise(col("value")))
+      .withVertexVoting("active", col("value") =!= defaultMsg)
+      .addMessage(src("value"), MessageDirection.SrcToDst)
+      .addAggregateExpr(max(defaultMsg))
+      .skipDestState()
+      .run()
+    assert(res.iterations === 4)
+    assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
+  }
+
   test("reliable checkpointing: same result and iteration count as local") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
