@@ -238,6 +238,9 @@ object SparkEntry {
     "d03_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
 
+    "d06_neardup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
+
     "d04_simhash" -> ((s, d) =>
       Dedup.simHashPairs(tbl(s, d, "documents"), "doc_id", "text", n = 3, maxHamming = 3)),
 
@@ -444,6 +447,18 @@ object SparkEntry {
 
     "d02_ngram_jaccard" -> jaccardOracle,
     "d03_minhash_lsh" -> jaccardOracle,
+
+    "d06_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+        |ud AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |r(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM ud
+        |  UNION
+        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst),
+        |comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
     "d05_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -119,6 +119,27 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS: MinHash-LSH candidate pairs become the edge
+    * set of a document graph and weakly connected components assign every
+    * document a cluster — the transitive closure of near-duplication, so a
+    * chain a~b~c dedups to ONE cluster even when a~c itself is below
+    * threshold. Output `[id, cluster]` for EVERY input document (cluster =
+    * min doc id of its component; singletons cluster to themselves). This
+    * is the full corpus-dedup pipeline: pick e.g. `min(id)` per cluster as
+    * the canonical survivor.
+    */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, n, threshold, numHashes, bands)
+    val graph = graft.graph.GraphFrame(
+      docs.select(col(idCol).as("id")),
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    graph.connectedComponents.run().components
+      .select(col("id"), col("component").as("cluster"))
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit SimHash per document, bucketed
     * by each of four 16-bit chunks (pigeonhole: Hamming distance <= 3 pairs
     * share at least one intact chunk), candidates verified by popcount of the

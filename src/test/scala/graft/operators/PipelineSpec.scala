@@ -119,6 +119,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(lsh == exact) // full recall at this similarity level
   }
 
+  test("nearDupClusters: transitive closure over LSH pairs, singletons kept") {
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 5) // every document is assigned a cluster
+    assert(clusters(1L) == clusters(2L) && clusters(1L) == clusters(4L)) // near-dup chain
+    assert(clusters(3L) == 3L && clusters(5L) == 5L) // singletons cluster to themselves
+    assert(clusters(1L) == 1L) // cluster id = min member id
+  }
+
   test("simHashPairs finds the planted near-dup") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3, maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
