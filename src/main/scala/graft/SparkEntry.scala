@@ -27,8 +27,16 @@ import graft.text.TextFunctions
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // nanos-since-epoch LONG (legacy conf). Set it at the read site — not
+    // inside any single query's closure — so query execution order (Verify
+    // iterates a Map, Bench warms an arbitrary head) can never leave a
+    // session unable to read events.
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
@@ -128,10 +136,9 @@ object SparkEntry {
 
     "q09_window_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-      // nanos-since-epoch LONG (legacy conf); truncate to whole seconds for
-      // the 30-minute session gap, exactly like the oracle's epoch(ts).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts arrives as nanos-since-epoch LONG (see tbl); truncate to
+      // whole seconds for the 30-minute gap, exactly like the oracle's
+      // epoch(ts).
       val sec = expr("ts div 1000000000")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       tbl(s, d, "events")
@@ -210,6 +217,13 @@ object SparkEntry {
       GraphFrame.fromEdges(partSuppEdges(s, d)).kCore.run()
         .vertices.select(col("id"), col("kcore"))),
 
+    // Capped run: exercises the DISTRIBUTED kcore_merge update rule (the
+    // hybrid driver peel only engages in run-to-convergence mode), gated by
+    // an unrolled 2-iteration SQL oracle.
+    "g09b_kcore_capped" -> ((s, d) =>
+      GraphFrame.fromEdges(partSuppEdges(s, d)).kCore.maxIterations(2).run()
+        .vertices.select(col("id"), col("kcore"))),
+
     "g10_mis" -> ((s, d) =>
       GraphFrame.fromEdges(partSuppEdges(s, d)).maximalIndependentSet.run()
         .vertices.select(col("id"))),
@@ -246,6 +260,9 @@ object SparkEntry {
 
     "d05_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.45)),
+
+    "d07_embed_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.45)),
 
     // ---- similarity search ----
     "s01_cosine_topk" -> ((s, d) => {
@@ -428,6 +445,9 @@ object SparkEntry {
         |t AS (SELECT sum(p) AS tot FROM pr)
         |SELECT id, round(p / tot, 6) AS pagerank FROM pr, t""".stripMargin,
 
+    "g09b_kcore_capped" -> kcoreCappedOracle,
+    "g12_labelprop" -> lpaOracle,
+
     "g11_triangles" ->
       """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
         |  FROM nation a JOIN nation b
@@ -460,13 +480,11 @@ object SparkEntry {
         |SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
-    "d05_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin,
+    "d05_embed_neardup" -> embedPairsOracle,
+    // The LSH path verifies candidates with the same exact cosine, and the
+    // (r=2, b=32) banding misses a qualifying pair w.p. < 3e-8 — the gate
+    // compares against the full exact pair set (see Dedup.embeddingNearDupLsh).
+    "d07_embed_neardup_lsh" -> embedPairsOracle,
 
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -531,6 +549,69 @@ object SparkEntry {
         |  md5(substr(text, CAST(frame_idx * stride + 1 AS INT), 64)) AS frame_md5
         |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin
   )
+
+  /** 2 unrolled iterations of the distributed k-core update: new core =
+    * min(current, H-index of neighbour cores) — `max(least(rn, nc))` over
+    * descending-sorted neighbour cores is the classic H-index identity, and
+    * equals `kcore_merge`'s capped-histogram scan (see KCoreMerge scaladoc).
+    * Vertices with no incoming message keep their core (LEFT JOIN+coalesce,
+    * mirroring Pregel's NULL-message delivery).
+    */
+  private lazy val kcoreCappedOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |ud AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        |v AS (SELECT DISTINCT src AS id FROM e0 UNION SELECT dst FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS d FROM ud GROUP BY 1),
+        |c0 AS (SELECT v.id, CAST(coalesce(deg.d, 0) AS BIGINT) AS core
+        |  FROM v LEFT JOIN deg ON deg.id = v.id)""".stripMargin
+    val iters = (1 to 2).map { k =>
+      s"""h$k AS (SELECT ud.dst AS id, c.core AS nc,
+         |  row_number() OVER (PARTITION BY ud.dst ORDER BY c.core DESC) AS rn
+         |  FROM ud JOIN c${k - 1} c ON c.id = ud.src),
+         |m$k AS (SELECT id, max(least(rn, nc)) AS h FROM h$k GROUP BY 1),
+         |c$k AS (SELECT p.id, CAST(least(p.core, coalesce(m.h, p.core)) AS BIGINT) AS core
+         |  FROM c${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT id, core AS kcore FROM c2"
+  }
+
+  /** 5 unrolled iterations of deterministic synchronous LPA: new label =
+    * mode of neighbour labels, smallest label on count ties (`ORDER BY cnt
+    * DESC, lab ASC` rn=1 == the engine's sorted strict-`>` run-length fold);
+    * vertices with no neighbours keep their label.
+    */
+  private lazy val lpaOracle: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
+        |ud AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        |v AS (SELECT DISTINCT src AS id FROM e0 UNION SELECT dst FROM e0),
+        |l0 AS (SELECT id, id AS lab FROM v)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""m$k AS (SELECT ud.dst AS id, p.lab, count(*) AS cnt
+         |  FROM ud JOIN l${k - 1} p ON p.id = ud.src GROUP BY 1, 2),
+         |w$k AS (SELECT id, lab,
+         |  row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn FROM m$k),
+         |l$k AS (SELECT p.id, CAST(coalesce(w.lab, p.lab) AS BIGINT) AS lab
+         |  FROM l${k - 1} p LEFT JOIN (SELECT id, lab FROM w$k WHERE rn = 1) w ON w.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT id, lab AS label FROM l5"
+  }
+
+  private lazy val embedPairsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin
 
   private lazy val jaccardOracle: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),

@@ -34,40 +34,88 @@ class KCore(graph: GraphFrame) {
     */
   def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
 
-  /** Exact coreness by peeling in increasing-degree order (Matula–Beck):
-    * when a vertex is removed, its coreness is its remaining degree (or the
-    * max seen so far), and its neighbours' degrees drop.
+  /** Exact coreness by peeling in increasing-degree order, O(V+E) with
+    * primitive arrays (Batagelj–Zaveršnik 2003: counting-sort the vertices
+    * by degree, process in order, and when a neighbour's degree drops swap
+    * it toward the front of its bin). No boxing, no heap — a starved driver
+    * thread finishes 1 M edges in tens of milliseconds, where a boxed
+    * priority queue took seconds.
+    *
+    * Edges whose endpoint is missing from `vertexIds` are skipped — the
+    * distributed path induces the subgraph on declared vertices the same way
+    * (the state⋈edges inner join drops dangling-endpoint edges).
+    *
+    * Returns coreness indexed like `vertexIds`.
     */
-  private def peelOnDriver(vertexIds: Array[Long], symEdges: Array[(Long, Long)]): Map[Long, Long] = {
-    val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
-    symEdges.foreach { case (u, v) =>
-      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+  private def peelOnDriver(
+      vertexIds: Array[Long], srcs: Array[Long], dsts: Array[Long]): Array[Long] = {
+    val n = vertexIds.length
+    if (n == 0) return Array.emptyLongArray
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx.update(vertexIds(i), i); i += 1 }
+    val m = srcs.length
+    // Degree count + CSR offsets (skipping dangling edges).
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      val s = idx.getOrElse(srcs(i), -1)
+      if (s >= 0 && idx.contains(dsts(i))) deg(s) += 1
+      i += 1
     }
-    val deg = scala.collection.mutable.LongMap.empty[Long]
-    vertexIds.foreach(v => deg.update(v, adj.get(v).map(_.size.toLong).getOrElse(0L)))
-    // Min-heap with lazy deletion: stale (degree, vertex) entries are
-    // skipped when popped (degree no longer current).
-    val removed = scala.collection.mutable.Set.empty[Long]
-    val core = scala.collection.mutable.LongMap.empty[Long]
-    var k = 0L
-    val queue = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
-      Ordering.by[(Long, Long), (Long, Long)](t => (-t._1, -t._2)))
-    vertexIds.foreach(v => queue.enqueue((deg(v), v)))
-    while (queue.nonEmpty) {
-      val (d, v) = queue.dequeue()
-      if (!removed.contains(v) && d == deg(v)) { // skip stale entries
-        removed += v
-        k = math.max(k, d)
-        core.update(v, k)
-        adj.get(v).foreach(_.foreach { u =>
-          if (!removed.contains(u)) {
-            deg.update(u, deg(u) - 1)
-            queue.enqueue((deg(u), u))
-          }
-        })
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val s = idx.getOrElse(srcs(i), -1)
+      val t = if (s >= 0) idx.getOrElse(dsts(i), -1) else -1
+      if (s >= 0 && t >= 0) { nbr(fill(s)) = t; fill(s) += 1 }
+      i += 1
+    }
+    // Counting sort by degree: vert = vertices ordered by current degree,
+    // pos = inverse permutation, bin(d) = start of degree-d block.
+    var md = 0
+    i = 0
+    while (i < n) { if (deg(i) > md) md = deg(i); i += 1 }
+    val bin = new Array[Int](md + 2)
+    i = 0
+    while (i < n) { bin(deg(i)) += 1; i += 1 }
+    var start = 0
+    var d = 0
+    while (d <= md) { val c = bin(d); bin(d) = start; start += c; d += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    i = 0
+    while (i < n) { val p = bin(deg(i)); pos(i) = p; vert(p) = i; bin(deg(i)) += 1; i += 1 }
+    d = md
+    while (d >= 1) { bin(d) = bin(d - 1); d -= 1 }
+    bin(0) = 0
+    // Peel: after the sweep deg(v) IS core(v).
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var j = off(v)
+      val end = off(v + 1)
+      while (j < end) {
+        val u = nbr(j)
+        if (deg(u) > deg(v)) {
+          val du = deg(u); val pu = pos(u)
+          val pw = bin(du); val w = vert(pw)
+          if (u != w) { pos(u) = pw; vert(pu) = w; pos(w) = pu; vert(pw) = u }
+          bin(du) += 1
+          deg(u) = du - 1
+        }
+        j += 1
       }
+      i += 1
     }
-    core.toMap
+    val core = new Array[Long](n)
+    i = 0
+    while (i < n) { core(i) = deg(i).toLong; i += 1 }
+    core
   }
 
   def run(): PregelResult = {
@@ -81,13 +129,25 @@ class KCore(graph: GraphFrame) {
       if (eCnt <= 2 * smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
         if (vids.length <= smallThreshold) {
-          val pairs = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val core = peelOnDriver(vids, pairs)
+          // Primitive arrays straight from the rows — no boxed pairs.
+          val rows = sym.collect()
+          val srcs = new Array[Long](rows.length)
+          val dsts = new Array[Long](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1); i += 1
+          }
+          val core = peelOnDriver(vids, srcs, dsts)
           val spark = graph.vertices.sparkSession
           import spark.implicits._
           sym.unpersist()
+          // RDD-backed, not a LocalRelation (which would embed up to 1 M
+          // rows in every optimizer copy of the plan).
+          val data = vids.indices.map(i => (core(i), vids(i)))
           return PregelResult(
-            vids.toIndexedSeq.map(v => (core.getOrElse(v, 0L), v)).toDF("kcore", ID),
+            spark.createDataset(spark.sparkContext.parallelize(
+              data, math.max(1, spark.sparkContext.defaultParallelism)))
+              .toDF("kcore", ID),
             iterations = 0)
         }
       }

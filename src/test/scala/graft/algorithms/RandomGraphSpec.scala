@@ -105,6 +105,66 @@ class RandomGraphSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("random graphs: driver-peel k-core == peeling oracle") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val adj = g.adj
+      val expected = g.vs.map { v =>
+        // coreness oracle: strip degree-<k vertices until fixpoint, per k
+        var core = 0L
+        var k = 1L
+        var alive = g.vs.toSet
+        var continue = true
+        while (continue) {
+          var changed = true
+          var surviving = alive
+          while (changed) {
+            val next = surviving.filter(u => (adj(u) & surviving).size >= k)
+            changed = next != surviving
+            surviving = next
+          }
+          if (surviving.isEmpty) continue = false
+          else { if (surviving(v)) core = k; alive = surviving; k += 1 }
+        }
+        v -> core
+      }.toMap
+      val got = g.gf.kCore.run() // default threshold => array peel on driver
+        .vertices.select("id", "kcore")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed graph=${g.es}")
+    }
+  }
+
+  test("random graphs: driver BFS == distributed shortest paths (capped and uncapped)") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val lms = Seq(1L, 2L)
+      def collect(r: graft.pregel.PregelResult): Map[Long, (Int, Int)] =
+        r.vertices.select(col("id"), col("dist_1"), col("dist_2"))
+          .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+      Seq(2, Int.MaxValue).foreach { cap =>
+        val driver = collect(
+          g.gf.shortestPaths(lms).maxIterations(cap).run())
+        val dist = collect(
+          g.gf.shortestPaths(lms).maxIterations(cap).smallGraphThreshold(0).run())
+        assert(driver === dist, s"seed=$seed cap=$cap graph=${g.es}")
+      }
+    }
+  }
+
+  test("random graphs: driver LPA == distributed label propagation") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      def collect(r: graft.pregel.PregelResult): Map[Long, Long] =
+        r.vertices.select(col("id"), col("label"))
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val driver = collect(g.gf.labelPropagation.maxIterations(3).run())
+      val dist = collect(
+        g.gf.labelPropagation.maxIterations(3).smallGraphThreshold(0).run())
+      assert(driver === dist, s"seed=$seed graph=${g.es}")
+    }
+  }
+
   test("random graphs: triangle counts == brute force") {
     seeds.foreach { seed =>
       val g = randomGraph(seed)
