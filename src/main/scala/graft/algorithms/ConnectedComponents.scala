@@ -190,7 +190,9 @@ class ConnectedComponents(graph: GraphFrame) {
         val previous = edges
         edges = ckptBySrc(relabelEdges(edges, reps, numParts), eager = false)
         graphSize = edges.count()
-        previous.unpersist()
+        // Real release: checkpoint blocks belong to the RDD, which plain
+        // Dataset.unpersist never reaches (it is a CacheManager no-op here).
+        org.apache.spark.sql.graft.checkpointing.release(previous)
       }
     }
 
@@ -236,9 +238,11 @@ class ConnectedComponents(graph: GraphFrame) {
         vertices.select(col(ID), col(ID).as("component"))
     }
 
+    var relabelInput: Option[DataFrame] = None
     val result =
       if (useLabelsAsComponents) {
         val materialized = labeled.localCheckpoint(true)
+        relabelInput = Some(materialized)
         val labels = materialized.groupBy(col("component").as("__cc_comp_key"))
           .agg(min(col(ID)).as("__cc_new_component"))
         materialized
@@ -247,8 +251,13 @@ class ConnectedComponents(graph: GraphFrame) {
       } else labeled
 
     val out = result.localCheckpoint(true)
-    forwardReps.foreach(_.unpersist())
-    edges.unpersist()
+    // `out` is materialized: every intermediate checkpoint can be freed now
+    // (real block release, not the CacheManager no-op — see checkpointing).
+    val release = org.apache.spark.sql.graft.checkpointing.release _
+    relabelInput.foreach(release)
+    driverFrontier.foreach(release)
+    forwardReps.foreach(release)
+    release(edges)
     ConnectedComponentsResult(out, iteration)
   }
 }

@@ -19,11 +19,19 @@ case class MISResult(vertices: DataFrame, iterations: Int)
   * set). Vertices isolated in the active graph join immediately; when no
   * edges remain, the pairwise non-adjacent survivors join in one sweep.
   *
-  * Improvement over the reference: nomination draws use Spark's seedable
-  * `rand(seed + iteration)` (the reference's `random()` is unseedable,
-  * `maximal_independent_set.rs:102-104`), so runs are reproducible for a
-  * fixed partitioning. The output remains partition-dependent; invariant
-  * tests (independence + maximality) are the contract.
+  * Improvements over the reference:
+  *   - Nomination draws are HASH-based — `xxhash64(id, seed, iteration)`
+  *     mapped to [0,1) — instead of the reference's unseedable `random()`
+  *     (`maximal_independent_set.rs:102-104`). A draw is a pure function of
+  *     (id, seed, iteration): reproducible across runs, partitionings and
+  *     cluster layouts, and safe under task retry/recompute — which is what
+  *     lets every per-round frame be LAZILY checkpointed (no eager "freeze
+  *     the randomness" materializations).
+  *   - One driver action per round: the three loop-carried frames are
+  *     materialized by a single combined count (the same discipline as
+  *     [[ConnectedComponents]]), not ~9 eager checkpoints+counts — at
+  *     ~1.5 s of fixed driver latency per action, this is the difference
+  *     between O(rounds) and O(9·rounds) of scheduling overhead.
   */
 class MaximalIndependentSet(graph: GraphFrame) {
   private var seed = 42L
@@ -53,9 +61,12 @@ class MaximalIndependentSet(graph: GraphFrame) {
   }
 
   def run(): MISResult = {
+    val release = org.apache.spark.sql.graft.checkpointing.release _
     // Dedup matters here: duplicate edges would inflate effective degrees.
+    // Lazy: the threshold count (or the first round's combined count)
+    // materializes it.
     var edges = GraphFrame.symmetrizeEdges(
-      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(true)
+      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(false)
 
     // Subcritical graphs: greedy on the driver in seeded-random order.
     if (smallThreshold > 0 && edges.count() <= 2 * smallThreshold &&
@@ -73,36 +84,44 @@ class MaximalIndependentSet(graph: GraphFrame) {
       }
       val spark = graph.vertices.sparkSession
       import spark.implicits._
+      release(edges)
       return MISResult(inSet.toSeq.sorted.toDF(ID), iterations = 0)
     }
 
     var currentMis = graph.vertices
-      .select(col(ID), lit(false).as("mis")).localCheckpoint(true)
+      .select(col(ID), lit(false).as("mis")).localCheckpoint(false)
     // Active vertices with their selection probability (Ghaffari seeds 1/2).
     var verticesLeft = graph.vertices
-      .select(col(ID), lit(0.5).as("p")).localCheckpoint(true)
+      .select(col(ID), lit(0.5).as("p")).localCheckpoint(false)
 
     var iteration = 0
     var converged = false
 
     while (!converged) {
       // ---- effective degree: d(v) = Σ p over v's neighbours ----
+      // All per-round frames are LAZY checkpoints (plan truncation now,
+      // materialization in the round's single combined count below); the
+      // hash-based draws make that safe — see class doc.
       val effectiveDegrees = edges
         .join(verticesLeft.select(col(ID).as("__mis_nbr"), col("p")),
           col(DST) === col("__mis_nbr"), "inner")
         .groupBy(col(SRC)).agg(sum(col("p")).as("__mis_deg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // ---- nominate with p_t, then advance p -> p_{t+1} ----
+      // Draw u(id) = xxhash64(id, seed, iteration)/2^64 + 0.5 ∈ [0,1):
+      // deterministic per (id, iteration), so recomputes can never redraw.
+      val draw = xxhash64(col(ID), lit(seed), lit(iteration))
+        .cast("double") / lit(1.8446744073709552e19) + lit(0.5)
       val probs = verticesLeft
         .join(effectiveDegrees, col(ID) === col(SRC), "inner")
-        .withColumn("nom", rand(seed + iteration) <= col("p"))
+        .withColumn("nom", draw <= col("p"))
         .withColumn("p",
           when(col("__mis_deg") >= 2.0, col("p") / 2.0)
             .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
             .otherwise(0.5))
         .select(col(ID), col("p"), col("nom"))
-        .localCheckpoint(true) // freeze the random draws before reuse
+        .localCheckpoint(false)
 
       // ---- isolated actives: no edges, absent from effectiveDegrees ----
       val isolated = verticesLeft
@@ -120,7 +139,7 @@ class MaximalIndependentSet(graph: GraphFrame) {
         .join(hasNomNbr, col(ID) === col(SRC), "inner")
         .filter(!col("__mis_has_nbr_nom") && col("nom"))
         .select(col(ID))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // The symmetrized edge set makes one direction sufficient: every
       // neighbour u of a joined v is the source of edge (u, v).
@@ -128,30 +147,39 @@ class MaximalIndependentSet(graph: GraphFrame) {
         .join(joinedMis.select(col(ID).as("__mis_j")), col(DST) === col("__mis_j"), "inner")
         .select(col(SRC).as(ID))
 
-      val removed = neighborsOfMis.union(joinedMis).distinct().localCheckpoint(true)
+      val removed = neighborsOfMis.union(joinedMis).distinct().localCheckpoint(false)
       val newMembers = isolated.union(joinedMis).distinct()
 
       val oldMis = currentMis
-      currentMis = orIntoMis(currentMis, newMembers).localCheckpoint(true)
-      oldMis.unpersist()
+      currentMis = orIntoMis(currentMis, newMembers).localCheckpoint(false)
 
       val removedKeys = removed.select(col(ID).as("__mis_rem_v"))
       val oldVerticesLeft = verticesLeft
       verticesLeft = probs
         .join(removedKeys, col(ID) === col("__mis_rem_v"), "left_anti")
         .select(col(ID), col("p"))
-        .localCheckpoint(true)
-      oldVerticesLeft.unpersist()
+        .localCheckpoint(false)
 
       val oldEdges = edges
       edges = edges
         .join(removedKeys, col(SRC) === col("__mis_rem_v"), "left_anti")
         .join(removedKeys, col(DST) === col("__mis_rem_v"), "left_anti")
-        .localCheckpoint(true)
-      oldEdges.unpersist()
+        .localCheckpoint(false)
 
-      val vLeft = verticesLeft.count()
-      val eLeft = edges.count()
+      // ---- the round's ONE materializing action: all three loop-carried
+      // checkpoints (and, transitively, every intermediate above) execute
+      // in this single job.
+      val counts = edges.select(count(lit(1)).as("e"))
+        .crossJoin(verticesLeft.select(count(lit(1)).as("v")))
+        .crossJoin(currentMis.select(count(lit(1)).as("m")))
+        .collect()(0)
+      val eLeft = counts.getLong(0)
+      val vLeft = counts.getLong(1)
+
+      // Everything superseded or intermediate is materialized by now and
+      // nothing downstream references it: free the blocks for real.
+      Seq(oldMis, oldVerticesLeft, oldEdges,
+        effectiveDegrees, probs, joinedMis, removed).foreach(release)
 
       if (eLeft == 0) {
         if (vLeft > 0) {
@@ -159,17 +187,15 @@ class MaximalIndependentSet(graph: GraphFrame) {
           val oldMis2 = currentMis
           currentMis = orIntoMis(currentMis, verticesLeft.select(col(ID)))
             .localCheckpoint(true)
-          oldMis2.unpersist()
+          release(oldMis2)
         }
         converged = true
       }
-      effectiveDegrees.unpersist()
-      probs.unpersist()
-      joinedMis.unpersist()
-      removed.unpersist()
       iteration += 1
     }
 
+    release(verticesLeft)
+    release(edges)
     MISResult(currentMis.filter(col("mis")).select(col(ID)), iteration)
   }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped caching for operators whose plans scan an intermediate frame more
+  * than once (self-joined shingle/signature/embedding frames).
+  *
+  * Persisting those frames is mandatory — without it the expensive map stage
+  * runs once per scan — but a bare `persist` leaks: the operator returns a
+  * lazy DataFrame, the caller evaluates it at an unknown later time, and
+  * nobody is left holding the cache references. On a long-lived session each
+  * dedup call then permanently pins its intermediates in executor storage
+  * (observed as an across-the-board bench slowdown once enough calls
+  * accumulate).
+  *
+  * `CacheScope.scoped` fixes the lifecycle: the body registers intermediates
+  * with `scope.cache`, the RESULT is eagerly materialized (local checkpoint
+  * — results here are candidate/pair sets, orders of magnitude smaller than
+  * the corpus-sized intermediates), and every registered cache is released
+  * in a `finally` before the result is returned. The caller gets a
+  * self-contained frame backed by its own checkpoint blocks and zero
+  * residual cache entries. Total work is unchanged: the evaluation the
+  * caller would have triggered simply happens inside the scope.
+  */
+private[graft] object CacheScope {
+
+  final class Scope private[CacheScope] () {
+    private val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+
+    /** Persist `df` (MEMORY_AND_DISK) for the lifetime of the scope. */
+    def cache(df: DataFrame): DataFrame = {
+      cached += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    private[CacheScope] def releaseAll(): Unit =
+      cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Build a result frame with scoped caches; returns it eagerly
+    * materialized, with every scoped cache released.
+    */
+  def scoped(build: Scope => DataFrame): DataFrame = {
+    val scope = new Scope
+    try build(scope).localCheckpoint(true)
+    finally scope.releaseAll()
+  }
+}

@@ -46,10 +46,10 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Self-joined: persist so tokenization+shingling runs once, not per scan.
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int = 3, threshold: Double = 0.8): DataFrame = CacheScope.scoped { scope =>
+    // Self-joined: cache so tokenization+shingling runs once, not per scan
+    // (scoped: released once the pair set is materialized).
+    val sh = scope.cache(shingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
@@ -87,23 +87,22 @@ object Dedup {
   def minHashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+      numHashes: Int = 128, bands: Int = 16): DataFrame = CacheScope.scoped { scope =>
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val sig = docs.select(
       col(idCol).as("id"),
       TextHashes.minhashSignature(TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
     // One row per (doc, band): bucket key = hash of the band's slice.
-    // Persisted: the bucket frame is self-joined (two scans) and the
+    // Cached (scoped): the bucket frame is self-joined (two scans) and the
     // signature computation (shingle + k affine mins per doc) is the most
     // expensive map stage in the operator.
-    val buckets = sig.select(
+    val buckets = scope.cache(sig.select(
       col("id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -111,8 +110,7 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     // Verify candidates with exact Jaccard over shingle sets.
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = scope.cache(shingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     candidates
       .join(sh.withColumnRenamed("id", "id1"), "id1")
@@ -155,11 +153,11 @@ object Dedup {
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxHamming: Int = 3): DataFrame = {
+      n: Int = 3, maxHamming: Int = 3): DataFrame = CacheScope.scoped { scope =>
     val sh = docs.select(
       col(idCol).as("id"),
       TextHashes.simhash64(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
-    val chunked = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).select(
+    val chunked = scope.cache(sh).select(
       col("id"), col("sh"),
       explode(
         transform(sequence(lit(0), lit(3)),
@@ -221,18 +219,17 @@ object Dedup {
     */
   def embeddingNearDupLsh(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 64, bands: Int = 32): DataFrame = {
+      threshold: Double, nBits: Int = 64, bands: Int = 32): DataFrame = CacheScope.scoped { scope =>
     import graft.functions.ArrayDot.array_dot
     require(nBits >= 2 && nBits <= 64 && bands >= 2 && nBits % bands == 0,
       s"need 2 <= bands <= nBits <= 64 with bands | nBits, got nBits=$nBits bands=$bands")
     val r = nBits / bands
     val mask = (1L << r) - 1L
-    val e = embeddings.select(
+    val e = scope.cache(embeddings.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
-      .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits)))
     val buckets = e.select(
       col("id"),
       explode(

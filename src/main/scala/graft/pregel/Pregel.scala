@@ -243,8 +243,11 @@ class Pregel(graph: GraphFrame) extends Serializable {
         val active = state.filter(col(ac)).count()
         if (active == 0) converged = true
       }
-      // By here the new checkpoint is materialized either way.
-      if ((toRelease ne null) && (toRelease ne state)) toRelease.unpersist()
+      // By here the new checkpoint is materialized either way. Release is
+      // the REAL one: localCheckpoint blocks belong to the RDD and plain
+      // Dataset.unpersist never reaches them (CacheManager no-op).
+      if ((toRelease ne null) && (toRelease ne state))
+        org.apache.spark.sql.graft.checkpointing.release(toRelease)
     }
 
     // State is already materialized when the last iteration hit the
@@ -253,7 +256,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
       if (state eq previous) state
       else {
         val r = ckpt(state, eager = true)
-        previous.unpersist()
+        org.apache.spark.sql.graft.checkpointing.release(previous)
         r
       }
     edges.unpersist()

@@ -1,12 +1,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
 
-/** Checkpointing that DECLARES the physical partitioning.
+/** Checkpointing that DECLARES the physical partitioning AND sort order.
   *
   * `Dataset.localCheckpoint` under AQE produces a `LogicalRDD` whose output
   * partitioning is unknown (AQE's final partitioning isn't visible at plan
@@ -17,11 +18,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   * columns — downstream operators clustered on those keys then plan with NO
   * exchange.
   *
+  * Additionally (mirroring the reference's hash-partitioned AND pre-sorted
+  * spill files, `/root/reference/src/memory/hash_partitioned.rs:146-361`,
+  * whose provider declares both so sort-merge joins skip shuffle and sort),
+  * the frame is sorted WITHIN partitions by the keys before materialization
+  * and the resulting `LogicalRDD` declares the matching `outputOrdering` —
+  * downstream sort-merge joins and sort-based aggregates on those keys then
+  * plan with NO SortExec on this side either. The sort is applied inside
+  * this helper, so the ordering declaration is true by construction.
+  *
   * CONTRACT: the input frame must actually BE hash-partitioned by `keys`
   * into `numParts` partitions (e.g. via `repartition(numParts, keys*)`
   * directly upstream); declaring a partitioning the data doesn't have
   * yields wrong results. Spark preserves user-specified repartitions under
   * AQE, so `repartition(...)` immediately upstream satisfies the contract.
+  * The partition COUNT half of the contract is asserted here (a mismatch
+  * would silently mis-route rows in exchange-elided joins); the hash
+  * function half is not mechanically checkable without a full scan and
+  * remains the caller's obligation.
   *
   * Lives in the `org.apache.spark.sql` tree for `private[sql]` access to
   * `LogicalRDD` construction and `Dataset.ofRows` (same pattern as
@@ -30,20 +44,65 @@ import org.apache.spark.sql.execution.LogicalRDD
 object checkpointing {
 
   def localCheckpointHashPartitioned(
-      df: DataFrame, keys: Seq[String], numParts: Int, eager: Boolean): DataFrame = {
-    val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      df: DataFrame, keys: Seq[String], numParts: Int, eager: Boolean,
+      sortWithinPartitions: Boolean = true): DataFrame = {
+    val sorted =
+      if (sortWithinPartitions) df.sortWithinPartitions(keys.map(col): _*) else df
+    val ds = sorted.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
     // Same materialization shape as Dataset.checkpoint: execute + row copy.
     var rdd = qe.toRdd.map(_.copy())
-    rdd = rdd.localCheckpoint()
-    if (eager) rdd.count()
+    if (rdd.getNumPartitions == 0) {
+      // AQE propagates provably-empty relations to a zero-partition scan.
+      // An empty frame is trivially hash-partitioned, but the declared
+      // partition COUNT must still be physically true for exchange-elided
+      // co-partitioned joins — so rebuild it as numParts empty partitions.
+      rdd = spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.catalyst.InternalRow], numParts)
+    } else {
+      // Partitioning-contract guard: a declared partitioning over the wrong
+      // partition count elides exchanges the plan actually needs and
+      // silently mis-routes rows. toRdd has already finalized AQE's plan,
+      // so the count observed here is physical.
+      require(rdd.getNumPartitions == numParts,
+        s"declared-partitioning contract violated: input has ${rdd.getNumPartitions} " +
+          s"partitions but HashPartitioning($keys, $numParts) was declared — " +
+          "repartition(numParts, keys*) immediately upstream")
+      rdd = rdd.localCheckpoint()
+      if (eager) rdd.count()
+    }
     val output: Seq[Attribute] = qe.analyzed.output
     val keyAttrs = keys.map(k =>
       output.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"key column '$k' not in ${output.map(_.name)}")))
+    val ordering: Seq[SortOrder] =
+      if (sortWithinPartitions) keyAttrs.map(a => SortOrder(a, Ascending)) else Nil
     val logical = LogicalRDD(
-      output, rdd, HashPartitioning(keyAttrs, numParts), Nil, isStreaming = false)(spark)
+      output, rdd, HashPartitioning(keyAttrs, numParts), ordering, isStreaming = false)(spark)
     ClassicDataset.ofRows(spark, logical)
+  }
+
+  /** Release the executor storage behind a checkpointed frame NOW.
+    *
+    * `Dataset.unpersist` only touches CacheManager entries; the blocks
+    * behind a `localCheckpoint` (or [[localCheckpointHashPartitioned]])
+    * frame belong to the checkpointed RDD and are otherwise reclaimed only
+    * when the ContextCleaner garbage-collects the RDD — on a long-lived
+    * session that means storage grows until GC pressure, not when the
+    * algorithm is done with the frame. This digs the RDD out of the
+    * `LogicalRDD` and unpersists it explicitly (non-blocking).
+    *
+    * Only call this when the frame (and anything still lazily derived from
+    * it) is no longer needed: a local checkpoint's lineage is truncated, so
+    * a released block cannot be recomputed.
+    */
+  def release(df: DataFrame): Unit = {
+    val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
+    }
+    df.unpersist(blocking = false)
   }
 }

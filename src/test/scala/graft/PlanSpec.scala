@@ -50,6 +50,48 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(joinIdx >= 0)
   }
 
+  test("declared partitioning+ordering checkpoint: SMJ with no exchange, no sort") {
+    // The checkpoint both hash-partitions AND sorts within partitions, and
+    // declares both on the LogicalRDD — a sort-merge join on the keys must
+    // then plan with NO Exchange and NO SortExec on either side (the Spark
+    // analogue of the reference's hash-partitioned pre-sorted spill files,
+    // hash_partitioned.rs:146-361).
+    import org.apache.spark.sql.graft.checkpointing
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val a0 = (1L to 1000L).map(i => (i % 97, i)).toDF("k", "va")
+      val b0 = (1L to 1000L).map(i => (i % 89, i)).toDF("k", "vb")
+      val a = checkpointing.localCheckpointHashPartitioned(
+        a0.repartition(4, col("k")), Seq("k"), 4, eager = true)
+      val b = checkpointing.localCheckpointHashPartitioned(
+        b0.repartition(4, col("k")), Seq("k"), 4, eager = true)
+      val j = a.join(b, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected exchange in:\n$plan")
+      val sorts = plan.linesIterator.count(_.contains("Sort ["))
+      assert(sorts == 0, s"expected 0 SortExec, got $sorts in:\n$plan")
+      // And the elided plan still computes the right thing.
+      val expected = a0.join(b0, "k").count()
+      assert(j.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("declared-partitioning contract violation fires the guard") {
+    import org.apache.spark.sql.graft.checkpointing
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      // Input really has 4 partitions; declaring 8 would silently mis-route
+      // rows in any exchange-elided downstream join.
+      checkpointing.localCheckpointHashPartitioned(
+        df.repartition(4, col("k")), Seq("k"), 8, eager = true)
+    }
+    assert(ex.getMessage.contains("declared-partitioning contract violated"))
+  }
+
   test("whole-stage codegen covers the custom expression pipeline") {
     // shingle_hashes -> simhash64 and shingle_hashes -> minhash_signature
     // are native expressions: the entire dedup map stage must stay inside
