@@ -120,11 +120,26 @@ class KCore(graph: GraphFrame) {
 
   def run(): PregelResult = {
     val ID = GraphFrame.ID
-    val preparedEdges = GraphFrame.symmetrizeEdges(
-      graph.edges.select(GraphFrame.SRC, GraphFrame.DST), doDistinct = true)
+    val SRC = GraphFrame.SRC
+    val DST = GraphFrame.DST
+    val release = org.apache.spark.sql.graft.checkpointing.release _
+    val numParts = graph.edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // ONE materialization of the symmetrized simple edge set, shared by the
+    // hybrid threshold check, the degree seed AND the Pregel loop — the
+    // symmetrize+distinct shuffle previously ran once per consumer. The
+    // dedup runs exchange-free on top of the src-repartition (subset rule)
+    // and the checkpoint DECLARES that layout, so the degree groupBy and the
+    // per-iteration state⋈edges joins plan with no edge-side exchange
+    // (Pregel is told via withPrePartitionedEdges to skip its own
+    // repartition).
+    val sym = org.apache.spark.sql.graft.checkpointing.localCheckpointHashPartitioned(
+      GraphFrame.symmetrizeEdges(graph.edges.select(SRC, DST), doDistinct = false)
+        .repartition(numParts, col(SRC))
+        .dropDuplicates(SRC, DST),
+      Seq(SRC), numParts, eager = false)
 
     if (maxIter == 0 && smallThreshold > 0) {
-      val sym = preparedEdges.localCheckpoint(true)
       val eCnt = sym.count()
       if (eCnt <= 2 * smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
@@ -140,7 +155,7 @@ class KCore(graph: GraphFrame) {
           val core = peelOnDriver(vids, srcs, dsts)
           val spark = graph.vertices.sparkSession
           import spark.implicits._
-          sym.unpersist()
+          release(sym)
           // RDD-backed, not a LocalRelation (which would embed up to 1 M
           // rows in every optimizer copy of the plan).
           val data = vids.indices.map(i => (core(i), vids(i)))
@@ -151,16 +166,14 @@ class KCore(graph: GraphFrame) {
             iterations = 0)
         }
       }
-      sym.unpersist()
     }
 
-    val degrees = preparedEdges.groupBy(col(GraphFrame.SRC))
-      .agg(count(col(GraphFrame.DST)).as("degree"))
+    val degrees = sym.groupBy(col(SRC)).agg(count(col(DST)).as("degree"))
     val preparedVertices = graph.vertices.select(col(ID))
-      .join(degrees, col(ID) === col(GraphFrame.SRC), "left")
+      .join(degrees, col(ID) === col(SRC), "left")
       .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
 
-    val prepared = GraphFrame(preparedVertices, preparedEdges)
+    val prepared = GraphFrame(preparedVertices, sym)
 
     val newCore = kcore_merge(Pregel.defaultMsg, col("kcore"))
     val builder = prepared.pregel
@@ -169,8 +182,11 @@ class KCore(graph: GraphFrame) {
       .addAggregateExpr(collect_list(Pregel.defaultMsg))
       .withVertexVoting("active", col("kcore") =!= newCore)
       .skipDestState()
+      .withPrePartitionedEdges()
       .checkpointInterval(ckptInterval)
     if (maxIter > 0) builder.maxIterations(maxIter)
-    builder.run()
+    val result = builder.run()
+    release(sym)
+    result
   }
 }

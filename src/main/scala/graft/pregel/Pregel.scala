@@ -60,6 +60,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
   private var ckptInterval = 1
   private var reliableDir: Option[String] = None
   private var coPartitionState = false
+  private var edgesPrePartitioned = false
   private var edgeStorageLevel = StorageLevel.MEMORY_AND_DISK
 
   def maxIterations(n: Int): this.type = { maxIter = Some(n); this }
@@ -113,6 +114,15 @@ class Pregel(graph: GraphFrame) extends Serializable {
     require(n >= 1, "checkpointInterval must be >= 1"); ckptInterval = n; this
   }
 
+  /** Declare that `graph.edges` is ALREADY hash-partitioned by `src` into
+    * the session's shuffle-partition count (e.g. via a declared-partitioning
+    * checkpoint), skipping the loop-invariant edge repartition — one full
+    * shuffle of the big edge table saved per run. The contract is the
+    * caller's: with a [[org.apache.spark.sql.graft.checkpointing]] frame
+    * upstream the declared layout flows through the projection.
+    */
+  def withPrePartitionedEdges(): this.type = { edgesPrePartitioned = true; this }
+
   /** Use RELIABLE checkpoints (written to `dir`, which may be a distributed
     * filesystem) instead of executor-local ones. Local checkpoints are lost
     * with an executor; on a long cluster run, reliable checkpoints bound
@@ -136,7 +146,21 @@ class Pregel(graph: GraphFrame) extends Serializable {
 
     val spark = graph.vertices.sparkSession
     val ID = GraphFrame.ID
-    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    reliableDir.foreach { dir =>
+      // Overlap validation (reference parquet_checkpointer.rs:31-59): a
+      // checkpoint dir nested inside an input path (or containing one)
+      // would be recursively deleted by eviction — refuse it up front.
+      val cp = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val inputs = (graph.vertices.inputFiles ++ graph.edges.inputFiles)
+        .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      def contains(parent: String, child: String): Boolean =
+        child == parent || child.startsWith(parent.stripSuffix("/") + "/")
+      val clash = inputs.find(f => contains(cp, f) || contains(f, cp))
+      require(clash.isEmpty,
+        s"reliable checkpoint dir '$dir' overlaps input path '${clash.getOrElse("")}' — " +
+          "checkpoint eviction would delete source data")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Opt-in co-partitioned state (see withCoPartitionedState): checkpoints
     // DECLARE their id-partitioning (enforced by the repartition right
@@ -160,9 +184,11 @@ class Pregel(graph: GraphFrame) extends Serializable {
     // ---- loop-invariant edges: project with edge prefixes, co-partition by
     // the join key once, cache. At cluster scale this is the big table — it
     // is shuffled exactly once for the whole run.
-    val edges = graph.edges
+    val edgesProjected = graph.edges
       .select(edgeCols.map(n => col(n).as(s"${EDGE_P}_$n")): _*)
-      .repartition(shufflePartitions, col(s"${EDGE_P}_${GraphFrame.SRC}"))
+    val edges = (if (edgesPrePartitioned) edgesProjected
+      else edgesProjected
+        .repartition(shufflePartitions, col(s"${EDGE_P}_${GraphFrame.SRC}")))
       .persist(edgeStorageLevel)
 
     // ---- update projection: vertex columns, voting, participation, id.

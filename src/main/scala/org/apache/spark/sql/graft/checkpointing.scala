@@ -100,8 +100,18 @@ object checkpointing {
   def release(df: DataFrame): Unit = {
     val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
     ds.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _              => ()
+      case lr: LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        // RELIABLE checkpoints additionally own a directory of files; evict
+        // it (the analogue of the reference's per-iteration spill cleanup,
+        // parquet_checkpointer.rs:133-165). Local checkpoints return None.
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(ds.sparkSession.sparkContext.hadoopConfiguration)
+          try fs.delete(path, true)
+          catch { case _: java.io.IOException => () } // eviction is best-effort
+        }
+      case _ => ()
     }
     df.unpersist(blocking = false)
   }

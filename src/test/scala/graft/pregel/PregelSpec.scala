@@ -145,6 +145,33 @@ class PregelSpec extends AnyFunSuite with SparkTestHarness {
     assert(valuesById(res.vertices, "value").values.toSet === Set(1L))
     // checkpoint files actually landed in the reliable dir
     assert(new java.io.File(dir).listFiles.nonEmpty)
+    // Eviction: superseded per-iteration checkpoints are deleted as the
+    // loop advances (the reference's parquet_checkpointer cleanup); after a
+    // 4-iteration run only the live result checkpoint (+ at most its
+    // predecessor) may remain of the 5+ created.
+    def rddDirs(f: java.io.File): Int =
+      (if (f.getName.startsWith("rdd-")) 1 else 0) +
+        Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0)
+    val remaining = rddDirs(new java.io.File(dir))
+    assert(remaining >= 1 && remaining <= 2,
+      s"expected eviction to keep 1-2 checkpoint dirs, found $remaining")
+  }
+
+  test("reliable checkpoint dir overlapping an input path is refused") {
+    val vertices = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("id"))
+    val edges = vertices.select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val g = GraphFrame(vertices, edges)
+    val ex = intercept[IllegalArgumentException] {
+      g.pregel
+        .maxIterations(1)
+        .withReliableCheckpoint("/root/testdata/sf0.001")
+        .addVertexColumn("value", lit(0L), coalesce(defaultMsg, lit(0L)))
+        .addMessage(lit(1L), MessageDirection.SrcToDst)
+        .addAggregateExpr(sum(defaultMsg))
+        .run()
+    }
+    assert(ex.getMessage.contains("overlaps input path"))
   }
 
   test("chain propagation converges in exactly 4 iterations (backward)") {
