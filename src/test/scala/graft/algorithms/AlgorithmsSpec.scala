@@ -281,6 +281,40 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangle count: degree-ordered orientation bounds hub wedges (10k-star)") {
+    // A star is the worst case for min-id orientation: hub id 0 would own
+    // all 10k edges and enumerate ~5*10^7 wedges. Degree orientation points
+    // every leaf (degree 1) AT the hub, so each leaf has out-degree 1 and
+    // the wedge count is ZERO — this test hangs, not fails, if the
+    // orientation regresses.
+    val n = 10000L
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+    val vertices = spark.range(0, n + 1).select(col("id"))
+    val t0 = System.nanoTime()
+    val t = GraphFrame(vertices, edges).triangleCount.run()
+    assert(t.filter(col("triangles") =!= 0L).count() === 0L)
+    assert(t.count() === n + 1)
+    // Generous bound: the whole run is a handful of small joins. A wedge
+    // explosion is two orders of magnitude slower.
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
+  test("triangle count: hub plus attached triangle stays exact under skew") {
+    // 1000-star at vertex 0 plus triangle {1,2,3}. The hub is adjacent to
+    // all three corners, so the graph has 4 triangles — {1,2,3} and
+    // {0,i,j} for each corner pair — and every one of {0,1,2,3} sits in
+    // exactly 3 of them: checks the (degree, id) orientation neither
+    // double- nor zero-counts around a hub.
+    val star = (1L to 1000L).map(i => (0L, i))
+    val g = graph(0L to 1000L, star ++ Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val t = g.triangleCount.run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(0L) === 3L)
+    assert(t(1L) === 3L && t(2L) === 3L && t(3L) === 3L)
+    assert(t(500L) === 0L)
+  }
+
   test("label propagation: two cliques bridged by one edge form two communities") {
     val clique = (base: Long) => for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (base + i, base + j)
     val g = graph((1L to 4L) ++ (11L to 14L), clique(1L) ++ clique(11L) :+ (4L, 11L))
