@@ -12,12 +12,14 @@ import graft.functions.TextHashes
   * Two paths:
   *   - [[cosineTopK]]: exact brute force — broadcast the (small) query set
   *     against the corpus, so the big side is scanned once with NO shuffle;
-  *     per-query top-k via aggregation. The correctness baseline.
-  *   - [[annCosineTopK]]: the scale path — random-hyperplane LSH bits
-  *     (custom codegen expression) bucket the corpus; queries probe their
-  *     own bucket (+ optional multi-probe by flipping bits), and only bucket
-  *     collisions are scored. Recall < 1 by construction; bucket width and
-  *     probes trade recall for scan fraction.
+  *     per-query top-k via a `row_number` window over the scored rows
+  *     (shuffled on query_id — only the scored set moves, never raw
+  *     corpus vectors beyond the scoring scan). The correctness baseline.
+  *   - [[annCosineTopK]]: the scale path — band-OR random-hyperplane LSH
+  *     (custom codegen signature kernel): only band collisions are scored,
+  *     and only the scored candidate set reaches the ranking window.
+  *     Recall < 1 by construction; band width/count trade recall for scan
+  *     fraction (cost model on the method).
   */
 object Similarity {
 
@@ -46,37 +48,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("bigint")).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed approximate cosine top-k. `nBits` hyperplanes produce a
-    * signature; the top `bucketBits` bits form the bucket key. `probes`
-    * additional buckets per query are generated by flipping single signature
-    * bits (multi-probe LSH), bounding the scanned fraction to roughly
-    * `(1+probes)/2^bucketBits` of the corpus per query.
+  /** LSH-bucketed approximate cosine top-k, band-OR structured (the same
+    * shape as [[Dedup.embeddingNearDupLsh]]): `nBits` hyperplane sign bits
+    * split into `bands` bands of `r = nBits/bands` bits; a corpus vector is
+    * a candidate for a query iff ANY band matches. Candidates are deduped
+    * BEFORE scoring, then scored exactly and ranked per query.
+    *
+    * COST MODEL: a neighbor at angle θ matches one band w.p. `m^r` with
+    * `m = 1 - θ/π`, and is caught w.p. `1-(1-m^r)^b`. The defaults
+    * (r=3, b=20) deliver recall@5 ≈ 0.99 even on near-orthogonal corpora
+    * (synthetic-random embeddings: true neighbors at cosine ≈ 0.3 ⇒
+    * m ≈ 0.6) — where pruning is information-theoretically weak and the
+    * scanned fraction approaches 1. On real corpora whose neighbors are
+    * substantially closer than random (m ≥ 0.8), widen the bands:
+    * r=8/b=8 catches ≥ 0.92 of cosine-0.85 neighbors while scanning ~3 %
+    * of pairs. The (nBits, bands) knobs are the honest recall/cost
+    * surface; PipelineSpec gates recall@5 ≥ 0.9 against [[cosineTopK]] on
+    * the driver-gate corpus.
     */
   def annCosineTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 16, bucketBits: Int = 8, probes: Int = 8): DataFrame = {
-    require(bucketBits <= nBits && bucketBits <= 62)
-    val mask = (1L << bucketBits) - 1L
-    def sig(vec: Column): Column = TextHashes.cosineLshBits(vec, nBits)
+      nBits: Int = 60, bands: Int = 20): DataFrame = CacheScope.scoped { scope =>
+    require(nBits >= 2 && nBits <= 64 && bands >= 1 && nBits % bands == 0,
+      s"need 1 <= bands <= nBits <= 64 with bands | nBits, got nBits=$nBits bands=$bands")
+    val r = nBits / bands
+    val mask = (1L << r) - 1L
+    def bandsOf(sig: Column): Column =
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            call_function("shiftrightunsigned", sig, b * r)
+              .bitwiseAND(lit(mask)).as("bh"))))
 
-    val c = withNorm(corpus, idCol, vecCol)
-      .withColumn("bucket", sig(col("v").cast("array<float>")).bitwiseAND(lit(mask)))
-    // Query-side: own bucket plus single-bit-flip probes.
+    // Corpus side: cached — scanned once to band, once to score candidates.
+    val c = scope.cache(withNorm(corpus, idCol, vecCol)
+      .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits)))
+    val cBands = c.select(col("id"), bandsOf(col("sig")).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val q = withNorm(queries, idCol, vecCol)
-      .withColumn("sig", sig(col("v").cast("array<float>")).bitwiseAND(lit(mask)))
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(array_distinct(
-          transform(sequence(lit(0), lit(math.min(probes, bucketBits))),
-            i => when(i === 0, col("sig"))
-              .otherwise(col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i - 1))
-                .bitwiseAND(lit(mask))))))
-          .as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits))
+    val qBands = q.select(col("id").as("qid"), bandsOf(col("sig")).as("bb"))
+      .select(col("qid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // Band collisions -> deduped candidate pairs; vectors join AFTER the
+    // dedup so each surviving pair is scored exactly once.
+    val candidates = cBands.join(broadcast(qBands), Seq("band", "bh"))
       .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .distinct()
+    val scored = candidates
+      .join(c.select(col("id"), col("v"), col("nrm")), "id")
+      .join(broadcast(q.select(col("id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qn"))), "qid")
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint")).filter(col("rank") <= k)
   }

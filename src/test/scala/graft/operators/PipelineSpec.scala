@@ -164,8 +164,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     val e = corpus.toDF("vec_id", "embedding")
     val q = query.toDF("vec_id", "embedding")
     val top = Similarity.annCosineTopK(e, q, "vec_id", "embedding", 1, nBits = 16,
-      bucketBits = 4, probes = 4).collect()
+      bands = 4).collect()
     assert(top.nonEmpty && top.head.getLong(1) == 99L)
+  }
+
+  test("annCosineTopK recall@5 >= 0.9 vs exact on the sf0.001 embeddings") {
+    // The s02 query shape on real data: recall of the LSH-bucketed path
+    // against the exact top-5, at the driver-gate parameters. An
+    // approximate operator without a recall gate is unfalsifiable — this
+    // pins the quality the defaults actually deliver.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 5))
+    val ann = pairs(Similarity.annCosineTopK(e, q, "vec_id", "embedding", 5))
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall@5 = $recall (|exact|=${exact.size}, hit=${(ann intersect exact).size})")
+  }
+
+  test("embeddingNearDupLsh: planted dups found with wide bands (pruning regime)") {
+    // Production near-dup regime from the scaladoc cost model: threshold
+    // 0.85 => collision prob per band m^8 with m >= 0.82, r=8/b=8 catches
+    // planted dups while random near-orthogonal pairs collide w.p. ~b/2^8.
+    val rnd = new scala.util.Random(11)
+    val planted = Seq(
+      (1000L, Array.tabulate(32)(i => if (i == 0) 1.0f else 0.01f)),
+      (1001L, Array.tabulate(32)(i => if (i == 0) 1.0f else 0.012f)),
+      (2000L, Array.tabulate(32)(i => if (i == 16) 1.0f else -0.01f)),
+      (2001L, Array.tabulate(32)(i => if (i == 16) 1.0f else -0.011f)))
+    val noise = (1L to 200L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val e = (noise ++ planted).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.85, nBits = 64, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1000L, 1001L)) && lsh.contains((2000L, 2001L)))
+    assert(lsh.subsetOf(exact)) // verify step removes every false positive
   }
 
   // ---- multimodal plumbing ----
