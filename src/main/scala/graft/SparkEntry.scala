@@ -480,6 +480,26 @@ object SparkEntry {
         |SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
+    // SimHash over ENGINE-PORTABLE 60-bit md5 shingle hashes (see
+    // PortableHashes): the oracle recomputes the same fingerprints from
+    // scratch in SQL — per-bit majority vote, then brute-force hamming.
+    "d04_simhash" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks)),
+        |bits AS (SELECT doc_id, CAST(r.b AS INT) AS b,
+        |  sum(CASE WHEN (h >> CAST(r.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM sh CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+        |sim0 AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh64
+        |  FROM bits GROUP BY 1),
+        |sim AS (SELECT d.doc_id, coalesce(sim0.sh64, 0) AS sh64
+        |  FROM documents d LEFT JOIN sim0 ON sim0.doc_id = d.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
+
     "d05_embed_neardup" -> embedPairsOracle,
     // The LSH path verifies candidates with the same exact cosine, and the
     // (r=2, b=32) banding misses a qualifying pair w.p. < 3e-8 — the gate
@@ -504,6 +524,16 @@ object SparkEntry {
         |  CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS ngram3_cnt
         |FROM t""".stripMargin,
+
+    // Winnowing fingerprints over the same portable 60-bit md5 hashes:
+    // per-window minima of the ordered n-gram hash sequence, deduped.
+    "t03_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT) AS h FROM toks),
+        |fp AS (SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 2),
+        |  i -> list_min(h[i:i+3]))) AS f FROM hs)
+        |SELECT doc_id, CAST(len(f) AS BIGINT) AS fp_cnt, list_min(f) AS min_fp FROM fp""".stripMargin,
 
     "t02_quality_langid" ->
       """WITH s AS (SELECT doc_id, text,

@@ -150,13 +150,23 @@ object Dedup {
     * by each of four 16-bit chunks (pigeonhole: Hamming distance <= 3 pairs
     * share at least one intact chunk), candidates verified by popcount of the
     * XOR. Output `[id1, id2, hamming]` with hamming <= maxHamming.
+    *
+    * Shingles are hashed with the ENGINE-PORTABLE 60-bit md5 hash
+    * ([[graft.functions.PortableHashes]]) rather than xxhash64: the output
+    * hamming values are a pure function of the shingle hashes, so portable
+    * hashes are what make the d04 gate an exact cross-engine oracle. (Bits
+    * 60-63 of every simhash are then constant-zero — hamming distances and
+    * the pigeonhole bucketing are unaffected, the fingerprint just carries
+    * 60 effective bits.)
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 3): DataFrame = CacheScope.scoped { scope =>
     val sh = docs.select(
       col(idCol).as("id"),
-      TextHashes.simhash64(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
+      TextHashes.simhash64(
+        graft.functions.PortableHashes.portableNgramHashes(col(textCol), n, distinct = true))
+        .as("sh"))
     val chunked = scope.cache(sh).select(
       col("id"), col("sh"),
       explode(

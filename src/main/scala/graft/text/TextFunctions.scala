@@ -99,13 +99,15 @@ object TextFunctions {
     * of per-window minima over the rolling shingle-hash sequence; robust
     * position-independent fingerprints for near-dup detection at corpus
     * scale. Window size w over n-gram hashes; output array<bigint> distinct.
+    *
+    * Native one-pass codegen kernel (monotonic-deque rolling minimum) over
+    * ENGINE-PORTABLE 60-bit md5 hashes — the lambda formulation
+    * (`transform`+`slice`+`array_min`) is CodegenFallback AND xxhash64 is
+    * not reproducible outside Spark; the portable hash makes the
+    * fingerprint VALUES oracle-checkable in plain SQL
+    * ([[graft.functions.PortableHashes]]).
     */
-  def fingerprints(text: Column, n: Int, w: Int): Column = {
-    val hs = transform(tokenNgrams(text, n), g => xxhash64(g))
-    val cnt = size(hs) - lit(w - 1)
-    array_distinct(
-      when(cnt >= 1,
-        transform(sequence(lit(1), cnt), i => array_min(slice(hs, i, lit(w)))))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  def fingerprints(text: Column, n: Int, w: Int): Column =
+    graft.functions.PortableHashes.winnowMin(
+      graft.functions.PortableHashes.portableNgramHashes(text, n, distinct = false), w)
 }

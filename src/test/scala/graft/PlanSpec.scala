@@ -103,7 +103,8 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
         graft.functions.TextHashes.simhash64(
           graft.text.TextFunctions.shingleHashes(col("text"), 3)).as("sh"),
         graft.functions.TextHashes.minhashSignature(
-          graft.text.TextFunctions.shingleHashes(col("text"), 3), 16).as("sig"))
+          graft.text.TextFunctions.shingleHashes(col("text"), 3), 16).as("sig"),
+        graft.text.TextFunctions.fingerprints(col("text"), 3, 4).as("fp"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"custom expressions broke codegen:\n$plan")
   }

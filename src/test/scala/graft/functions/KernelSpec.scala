@@ -97,4 +97,60 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 7L, 3L -> 0L))
   }
+
+  test("portable hash60: pinned against the SQL formulation's value") {
+    // ('0x' || substr(md5('hello world'), 1, 15))::BIGINT in DuckDB — the
+    // cross-engine contract the d04/t03 oracles rely on.
+    assert(PortableHashes.portableHash60("hello world") === 426544247714475757L)
+    // And the Spark SQL replica agrees with the kernel.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq("a", "tiny doc", "the quick brown fox", "", "ümlaut test")
+    val viaSql = words.toDF("t")
+      .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === words.map(PortableHashes.portableHash60))
+  }
+
+  test("portable ngram hashes: ordered/distinct modes match the composable formulas") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "the quick brown fox jumps over the quick brown fox again",
+      "one two", "", "a b c a b c a b c").toDF("t")
+    def hashed(g: org.apache.spark.sql.Column) =
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val ordered = docs.select(
+      PortableHashes.portableNgramHashes(col("t"), 3, distinct = false).as("k"),
+      transform(graft.text.TextFunctions.tokenNgrams(col("t"), 3), g => hashed(g)).as("f"))
+      .collect()
+    ordered.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val distinct = docs.select(
+      PortableHashes.portableNgramHashes(col("t"), 3, distinct = true).as("k"),
+      transform(array_distinct(graft.text.TextFunctions.tokenNgrams(col("t"), 3)), g => hashed(g)).as("f"))
+      .collect()
+    distinct.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("winnow_min kernel == composable rolling-min formulation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(30)(Seq.fill(rng.nextInt(12))(rng.nextLong())) :+
+      Seq.empty[Long] :+ Seq(5L) :+ Seq(3L, 3L, 3L, 3L, 3L)
+    val df = rows.toDF("h")
+    for (w <- Seq(1, 3, 4, 7)) {
+      val cnt = size(col("h")) - lit(w - 1)
+      val composable = array_distinct(
+        when(cnt >= 1,
+          transform(sequence(lit(1), cnt), i => array_min(slice(col("h"), i, lit(w)))))
+          .otherwise(array().cast("array<bigint>")))
+      val got = df.select(
+        PortableHashes.winnowMin(col("h"), w).as("k"), composable.as("f")).collect()
+      got.foreach(r => assert(r.getSeq[Long](0).sorted === r.getSeq[Long](1).sorted, s"w=$w"))
+    }
+  }
 }
