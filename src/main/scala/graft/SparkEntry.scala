@@ -228,6 +228,22 @@ object SparkEntry {
       GraphFrame.fromEdges(partSuppEdges(s, d)).maximalIndependentSet.run()
         .vertices.select(col("id"))),
 
+    // DISTRIBUTED Ghaffari rounds on the nation same-region graph, hybrid
+    // disabled: the md5-based nomination draws make the loop a pure
+    // function of (graph, seed), so the oracle replays the exact rounds in
+    // SQL (misOracle). This is the hard gate for the distributed MIS path
+    // — g10 above exercises the driver-greedy hybrid at bench scale.
+    "g10b_mis_det" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      GraphFrame(nations.select(col("k").as("id")), edges)
+        .maximalIndependentSet.smallGraphThreshold(0).run()
+        .vertices.select(col("id"))
+    }),
+
     "g11_triangles" -> ((s, d) => {
       val nations = tbl(s, d, "nation")
         .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
@@ -445,7 +461,13 @@ object SparkEntry {
         |t AS (SELECT sum(p) AS tot FROM pr)
         |SELECT id, round(p / tot, 6) AS pagerank FROM pr, t""".stripMargin,
 
-    "g09b_kcore_capped" -> kcoreCappedOracle,
+    "g09b_kcore_capped" -> kcoreOracle(2),
+    // Run-to-convergence kcore: the H-index fixpoint IS the coreness (Lü et
+    // al. 2016), and the fixpoint is stable under extra rounds — the sf0.01
+    // graph converges in 3 H-index iterations (measured via iterate-to-
+    // fixpoint in DuckDB), so an 8-round unroll is exact with 2.5x margin.
+    "g09_kcore" -> kcoreOracle(8),
+    "g10b_mis_det" -> misOracle(8),
     "g12_labelprop" -> lpaOracle,
 
     "g11_triangles" ->
@@ -580,14 +602,15 @@ object SparkEntry {
         |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin
   )
 
-  /** 2 unrolled iterations of the distributed k-core update: new core =
-    * min(current, H-index of neighbour cores) — `max(least(rn, nc))` over
+  /** `iters` unrolled iterations of the distributed k-core update: new core
+    * = min(current, H-index of neighbour cores) — `max(least(rn, nc))` over
     * descending-sorted neighbour cores is the classic H-index identity, and
     * equals `kcore_merge`'s capped-histogram scan (see KCoreMerge scaladoc).
     * Vertices with no incoming message keep their core (LEFT JOIN+coalesce,
-    * mirroring Pregel's NULL-message delivery).
+    * mirroring Pregel's NULL-message delivery). With `iters` at or beyond
+    * the graph's convergence round the result is the exact coreness.
     */
-  private lazy val kcoreCappedOracle: String = {
+  private def kcoreOracle(iters: Int): String = {
     val base =
       """WITH e0 AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
         |ud AS (SELECT DISTINCT src, dst FROM (
@@ -597,7 +620,7 @@ object SparkEntry {
         |deg AS (SELECT src AS id, count(*) AS d FROM ud GROUP BY 1),
         |c0 AS (SELECT v.id, CAST(coalesce(deg.d, 0) AS BIGINT) AS core
         |  FROM v LEFT JOIN deg ON deg.id = v.id)""".stripMargin
-    val iters = (1 to 2).map { k =>
+    val steps = (1 to iters).map { k =>
       s"""h$k AS (SELECT ud.dst AS id, c.core AS nc,
          |  row_number() OVER (PARTITION BY ud.dst ORDER BY c.core DESC) AS rn
          |  FROM ud JOIN c${k - 1} c ON c.id = ud.src),
@@ -605,7 +628,7 @@ object SparkEntry {
          |c$k AS (SELECT p.id, CAST(least(p.core, coalesce(m.h, p.core)) AS BIGINT) AS core
          |  FROM c${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$iters\nSELECT id, core AS kcore FROM c2"
+    s"$base,\n$steps\nSELECT id, core AS kcore FROM c$iters"
   }
 
   /** 5 unrolled iterations of deterministic synchronous LPA: new label =
@@ -633,6 +656,48 @@ object SparkEntry {
          |  FROM l${k - 1} p LEFT JOIN (SELECT id, lab FROM w$k WHERE rn = 1) w ON w.id = p.id)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$iters\nSELECT id, lab AS label FROM l5"
+  }
+
+  /** `rounds` unrolled Ghaffari MIS rounds on the nation same-region graph,
+    * replaying [[graft.algorithms.MaximalIndependentSet]]'s distributed
+    * loop exactly: the nomination draw is the engine's own
+    * `portableHash60("id:seed:iter") / 2^60` (md5 — bit-identical across
+    * engines), probabilities stay powers of two and degree sums stay
+    * dyadic-exact, so every branch decides identically. Rounds past
+    * convergence are no-ops (empty edge set ⇒ every survivor is isolated
+    * and joins; the set is then stable), so `rounds` only needs to be ≥
+    * convergence+1 — the sf-independent 25-vertex graph converges in 6.
+    */
+  private def misOracle(rounds: Int, seed: Long = 42L): String = {
+    val base =
+      s"""WITH e00 AS MATERIALIZED (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+         |  FROM nation a JOIN nation b
+         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM e00 UNION SELECT dst, src FROM e00),
+         |v AS MATERIALIZED (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+         |a0 AS MATERIALIZED (SELECT id, 0.5::DOUBLE AS p FROM v),
+         |m0 AS MATERIALIZED (SELECT id FROM v WHERE false)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      val u = s"(('0x' || substr(md5(a.id::VARCHAR || ':$seed:${t - 1}'), 1, 15))::BIGINT::DOUBLE" +
+        " / 1152921504606846976.0)"
+      s"""d$t AS MATERIALIZED (SELECT e.src AS id, sum(a.p) AS d
+         |  FROM e${t - 1} e JOIN a${t - 1} a ON a.id = e.dst GROUP BY 1),
+         |pr$t AS MATERIALIZED (SELECT a.id, $u <= a.p AS nom,
+         |  CASE WHEN d.d >= 2.0 THEN a.p/2.0 WHEN a.p*2.0 <= 0.5 THEN a.p*2.0 ELSE 0.5 END AS p
+         |  FROM a${t - 1} a JOIN d$t d ON d.id = a.id),
+         |iso$t AS MATERIALIZED (SELECT a.id FROM a${t - 1} a ANTI JOIN d$t d ON a.id = d.id),
+         |hn$t AS MATERIALIZED (SELECT e.src AS id, bool_or(p.nom) AS hn
+         |  FROM e${t - 1} e JOIN pr$t p ON p.id = e.dst GROUP BY 1),
+         |j$t AS MATERIALIZED (SELECT p.id FROM pr$t p JOIN hn$t h ON h.id = p.id WHERE p.nom AND NOT h.hn),
+         |rem$t AS MATERIALIZED (SELECT e.src AS id FROM e${t - 1} e JOIN j$t j ON j.id = e.dst
+         |  UNION SELECT id FROM j$t),
+         |m$t AS MATERIALIZED (SELECT id FROM m${t - 1} UNION SELECT id FROM iso$t UNION SELECT id FROM j$t),
+         |a$t AS MATERIALIZED (SELECT p.id, p.p FROM pr$t p ANTI JOIN rem$t r ON p.id = r.id),
+         |e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${t - 1} e
+         |  ANTI JOIN rem$t r1 ON e.src = r1.id
+         |  ANTI JOIN rem$t r2 ON e.dst = r2.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT id FROM m$rounds"
   }
 
   private lazy val embedPairsOracle: String =

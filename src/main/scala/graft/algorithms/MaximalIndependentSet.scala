@@ -109,10 +109,14 @@ class MaximalIndependentSet(graph: GraphFrame) {
         .localCheckpoint(false)
 
       // ---- nominate with p_t, then advance p -> p_{t+1} ----
-      // Draw u(id) = xxhash64(id, seed, iteration)/2^64 + 0.5 ∈ [0,1):
-      // deterministic per (id, iteration), so recomputes can never redraw.
-      val draw = xxhash64(col(ID), lit(seed), lit(iteration))
-        .cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+      // Draw u(id) = portableHash60("id:seed:iter") / 2^60 ∈ [0,1):
+      // deterministic per (id, iteration) — recomputes can never redraw —
+      // AND engine-portable (md5-based, see PortableHashes), so the whole
+      // loop is replicable in plain SQL: the g10b driver gate unrolls these
+      // exact rounds in DuckDB. p stays a power of two and degree sums stay
+      // dyadic-exact, so every comparison is bit-identical across engines.
+      val draw = conv(substring(md5(concat_ws(":", col(ID), lit(seed), lit(iteration))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606846976e18)
       val probs = verticesLeft
         .join(effectiveDegrees, col(ID) === col(SRC), "inner")
         .withColumn("nom", draw <= col("p"))
