@@ -98,6 +98,23 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === Map(1L -> 2L, 2L -> 7L, 3L -> 0L))
   }
 
+  test("array_dot: DuckDB list_dot_product edge semantics — mismatch and nulls raise") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(a: Seq[java.lang.Double], b: Seq[java.lang.Double]) =
+      Seq((a, b)).toDF("a", "b")
+        .select(ArrayDot.array_dot(col("a").cast("array<double>"), col("b").cast("array<double>")))
+        .collect()
+    assert(run(Seq(1.0, 2.0), Seq(3.0, 4.0)).head.getDouble(0) === 11.0)
+    val mismatch = intercept[Exception] { run(Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0)) }
+    assert(mismatch.getMessage.contains("lengths must be equal")
+      || mismatch.getCause.getMessage.contains("lengths must be equal"))
+    val withNull = intercept[Exception] { run(Seq(1.0, null), Seq(3.0, 4.0)) }
+    assert(withNull.getMessage.contains("null elements")
+      || withNull.getCause.getMessage.contains("null elements"))
+  }
+
   test("portable hash60: pinned against the SQL formulation's value") {
     // ('0x' || substr(md5('hello world'), 1, 15))::BIGINT in DuckDB — the
     // cross-engine contract the d04/t03 oracles rely on.
