@@ -239,8 +239,12 @@ object SparkEntry {
       val edges = nations.as("a").join(nations.as("b"),
           col("a.r") === col("b.r") && col("a.k") < col("b.k"))
         .select(col("a.k").as("src"), col("b.k").as("dst"))
+      // Seed 22 converges in 3 rounds on this graph (seed 42 took 6) —
+      // at ~1.4 s of fixed per-round latency the seed choice halves the
+      // gate's bench cost without weakening it: the oracle replays
+      // whatever seed is configured.
       GraphFrame(nations.select(col("k").as("id")), edges)
-        .maximalIndependentSet.smallGraphThreshold(0).run()
+        .maximalIndependentSet.smallGraphThreshold(0).setSeed(22L).run()
         .vertices.select(col("id"))
     }),
 
@@ -467,7 +471,7 @@ object SparkEntry {
     // graph converges in 3 H-index iterations (measured via iterate-to-
     // fixpoint in DuckDB), so an 8-round unroll is exact with 2.5x margin.
     "g09_kcore" -> kcoreOracle(8),
-    "g10b_mis_det" -> misOracle(8),
+    "g10b_mis_det" -> misOracle(5, seed = 22L),
     "g12_labelprop" -> lpaOracle,
 
     "g11_triangles" ->
@@ -666,7 +670,8 @@ object SparkEntry {
     * dyadic-exact, so every branch decides identically. Rounds past
     * convergence are no-ops (empty edge set ⇒ every survivor is isolated
     * and joins; the set is then stable), so `rounds` only needs to be ≥
-    * convergence+1 — the sf-independent 25-vertex graph converges in 6.
+    * convergence+1 — the sf-independent 25-vertex graph converges in 3
+    * rounds with seed 22 (simulated exactly; 5 unrolled = margin).
     */
   private def misOracle(rounds: Int, seed: Long = 42L): String = {
     val base =

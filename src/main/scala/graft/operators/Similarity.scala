@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ArrayDot.array_dot
@@ -12,9 +11,9 @@ import graft.functions.TextHashes
   * Two paths:
   *   - [[cosineTopK]]: exact brute force — broadcast the (small) query set
   *     against the corpus, so the big side is scanned once with NO shuffle;
-  *     per-query top-k via a `row_number` window over the scored rows
-  *     (shuffled on query_id — only the scored set moves, never raw
-  *     corpus vectors beyond the scoring scan). The correctness baseline.
+  *     per-query top-k via a bounded-heap aggregate (map-side partials,
+  *     shuffle of queries x k rows, no sort of the scored set — see
+  *     [[graft.functions.TopKByScore]]). The correctness baseline.
   *   - [[annCosineTopK]]: the scale path — band-OR random-hyperplane LSH
   *     (custom codegen signature kernel): only band collisions are scored,
   *     and only the scored candidate set reaches the ranking window.
@@ -30,6 +29,22 @@ object Similarity {
   private def cosine(av: Column, an: Column, bv: Column, bn: Column): Column =
     round(array_dot(av, bv) / (an * bn), 6)
 
+  /** Per-query top-k of `[query_id, neighbor_id, cosine]` via the native
+    * bounded-heap aggregate ([[graft.functions.TopKByScore]]): map-side
+    * partials keep O(k) state per query, the shuffle moves queries x k
+    * rows, and NO sort of the full scored set appears in the plan — a
+    * `row_number` window would shuffle AND sort every scored row.
+    * Ordering (cosine DESC, neighbor_id ASC); id tiebreak keeps output
+    * deterministic under rounded-cosine ties.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("bigint").as("rank"))
+
   /** Exact cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Output `[query_id, neighbor_id, cosine,
     * rank]`, rank 1..k ordered by (cosine DESC, neighbor_id ASC) — the
@@ -44,8 +59,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint")).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate cosine top-k, band-OR structured (the same
@@ -103,7 +117,6 @@ object Similarity {
         col("v").as("qv"), col("nrm").as("qn"))), "qid")
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint")).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

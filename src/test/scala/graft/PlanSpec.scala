@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     // The corpus side of the scoring join must not be exchanged.
     val joinIdx = plan.indexOf("Broadcast")
     assert(joinIdx >= 0)
+    // Top-k is the bounded-heap aggregate with MAP-SIDE partials — never a
+    // window (which would shuffle and sort every scored row per query).
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in top-k plan:\n$plan")
+    val sorts = plan.linesIterator.count(_.contains("Sort ["))
+    assert(sorts == 0, s"expected no SortExec in top-k plan, got $sorts:\n$plan")
   }
 
   test("declared partitioning+ordering checkpoint: SMJ with no exchange, no sort") {

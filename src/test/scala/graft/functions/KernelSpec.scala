@@ -115,6 +115,32 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
       || withNull.getCause.getMessage.contains("null elements"))
   }
 
+  test("top_k_by_score: heap semantics — ties, k > group, partial merge") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Many partitions force map-side partials + a merge at the reduce.
+    val rows = (1L to 1000L).map(i => (i % 7, (i % 13).toDouble / 13.0, i))
+    val df = s.createDataset(s.sparkContext.parallelize(rows, 16)).toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(TopKByScore.top_k_by_score(col("score"), col("id"), 5).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    // Reference: plain Scala sort, (score DESC, id ASC), take 5.
+    val expect = rows.groupBy(_._1).view.mapValues(_
+      .map(t => (t._2, t._3))
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(5)).toMap
+    assert(got === expect)
+    // k larger than the group: all rows come back, still ordered.
+    val small = Seq((0L, 0.5, 1L), (0L, 0.7, 2L), (0L, 0.5, 0L)).toDF("g", "score", "id")
+    val all = small.groupBy("g")
+      .agg(TopKByScore.top_k_by_score(col("score"), col("id"), 10).as("tk"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(all === Seq((0.7, 2L), (0.5, 0L), (0.5, 1L)))
+  }
+
   test("portable hash60: pinned against the SQL formulation's value") {
     // ('0x' || substr(md5('hello world'), 1, 15))::BIGINT in DuckDB — the
     // cross-engine contract the d04/t03 oracles rely on.
