@@ -30,7 +30,10 @@ case class ConnectedComponentsResult(components: DataFrame, iterations: Int)
 class ConnectedComponents(graph: GraphFrame) {
   private var useLabelsAsComponents = true
   private var seed = 42L
-  private var smallThreshold = 1000000L
+  private var smallThresholdOpt: Option[Long] = None
+  // Builder setter wins; otherwise the session default (spark.graft.smallGraphThreshold).
+  private def smallThreshold: Long = smallThresholdOpt.getOrElse(
+    graft.GraftConf.smallGraphThreshold(graph.vertices.sparkSession))
 
   /** When true (default) relabel components to the min original vertex id. */
   def labelsAsComponents(b: Boolean): this.type = { useLabelsAsComponents = b; this }
@@ -41,7 +44,7 @@ class ConnectedComponents(graph: GraphFrame) {
     * distributed-plan latency). 0 disables the hybrid path. Applies only in
     * min-label mode — raw mode's labels are defined by the hash chain.
     */
-  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
+  def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   private val SRC = GraphFrame.SRC
   private val DST = GraphFrame.DST

@@ -21,7 +21,10 @@ import graft.pregel.{MessageDirection, Pregel, PregelResult}
 class KCore(graph: GraphFrame) {
   private var maxIter = 0 // 0 = run to convergence
   private var ckptInterval = 1
-  private var smallThreshold = 1000000L
+  private var smallThresholdOpt: Option[Long] = None
+  // Builder setter wins; otherwise the session default (spark.graft.smallGraphThreshold).
+  private def smallThreshold: Long = smallThresholdOpt.getOrElse(
+    graft.GraftConf.smallGraphThreshold(graph.vertices.sparkSession))
 
   def maxIterations(n: Int): this.type = { maxIter = n; this }
   def checkpointInterval(n: Int): this.type = { ckptInterval = n; this }
@@ -32,7 +35,7 @@ class KCore(graph: GraphFrame) {
     * run-to-convergence mode: a capped `maxIterations` asks for the
     * intermediate estimate, which is defined by the distributed rounds.
     */
-  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
+  def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   /** Exact coreness by peeling in increasing-degree order, O(V+E) with
     * primitive arrays (Batagelj–Zaveršnik 2003: counting-sort the vertices

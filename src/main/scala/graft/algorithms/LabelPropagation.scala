@@ -27,7 +27,10 @@ import graft.pregel.{MessageDirection, Pregel, PregelResult}
 class LabelPropagation(graph: GraphFrame) {
   private var maxIter = 5
   private var ckptInterval = 1
-  private var smallThreshold = 1000000L
+  private var smallThresholdOpt: Option[Long] = None
+  // Builder setter wins; otherwise the session default (spark.graft.smallGraphThreshold).
+  private def smallThreshold: Long = smallThresholdOpt.getOrElse(
+    graft.GraftConf.smallGraphThreshold(graph.vertices.sparkSession))
 
   def maxIterations(n: Int): this.type = { require(n >= 1); maxIter = n; this }
   def checkpointInterval(n: Int): this.type = { ckptInterval = n; this }
@@ -35,7 +38,7 @@ class LabelPropagation(graph: GraphFrame) {
   /** Edge-count threshold below which labels are computed on the driver
     * (identical output — the update is deterministic). 0 disables.
     */
-  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
+  def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   /** `maxIter` synchronous rounds over a CSR adjacency; per vertex the new
     * label is the mode of its neighbours' labels with the SAME tie-break as

@@ -35,7 +35,10 @@ case class MISResult(vertices: DataFrame, iterations: Int)
   */
 class MaximalIndependentSet(graph: GraphFrame) {
   private var seed = 42L
-  private var smallThreshold = 1000000L
+  private var smallThresholdOpt: Option[Long] = None
+  // Builder setter wins; otherwise the session default (spark.graft.smallGraphThreshold).
+  private def smallThreshold: Long = smallThresholdOpt.getOrElse(
+    graft.GraftConf.smallGraphThreshold(graph.vertices.sparkSession))
 
   def setSeed(s: Long): this.type = { seed = s; this }
 
@@ -44,7 +47,7 @@ class MaximalIndependentSet(graph: GraphFrame) {
     * construction; the distributed rounds only pay off once the graph
     * outgrows a single collect). 0 disables the hybrid path.
     */
-  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
+  def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   private val SRC = GraphFrame.SRC
   private val DST = GraphFrame.DST

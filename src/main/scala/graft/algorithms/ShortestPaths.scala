@@ -24,7 +24,10 @@ class ShortestPaths(graph: GraphFrame) {
   private var toLandmarksFlag = false
   private var maxIter = Int.MaxValue
   private var ckptInterval = 1
-  private var smallThreshold = 1000000L
+  private var smallThresholdOpt: Option[Long] = None
+  // Builder setter wins; otherwise the session default (spark.graft.smallGraphThreshold).
+  private def smallThreshold: Long = smallThresholdOpt.getOrElse(
+    graft.GraftConf.smallGraphThreshold(graph.vertices.sparkSession))
 
   def setLandmarks(lms: Seq[Long]): this.type = { landmarks = lms; this }
   def toLandmarks(): this.type = { toLandmarksFlag = true; this }
@@ -35,7 +38,7 @@ class ShortestPaths(graph: GraphFrame) {
     * with a plain array-based BFS per landmark (exact — BFS depth == Pregel
     * iteration). 0 disables the hybrid path.
     */
-  def smallGraphThreshold(n: Long): this.type = { smallThreshold = n; this }
+  def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   /** Depth-capped BFS from each landmark over a CSR adjacency; returns one
     * Int distance array per landmark, indexed like `vertexIds`. Edges with

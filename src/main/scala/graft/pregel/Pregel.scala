@@ -146,7 +146,11 @@ class Pregel(graph: GraphFrame) extends Serializable {
 
     val spark = graph.vertices.sparkSession
     val ID = GraphFrame.ID
-    reliableDir.foreach { dir =>
+    // Builder setting wins; otherwise the session default
+    // (spark.graft.checkpointDir) opts the whole session into reliable
+    // checkpoints — the reference's `graphframes.checkpoint_dir` analogue.
+    val resolvedReliableDir = reliableDir.orElse(graft.GraftConf.checkpointDir(spark))
+    resolvedReliableDir.foreach { dir =>
       // Overlap validation (reference parquet_checkpointer.rs:31-59): a
       // checkpoint dir nested inside an input path (or containing one)
       // would be recursively deleted by eviction — refuse it up front.
@@ -168,7 +172,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
     // state-side exchange — a plain localCheckpoint under AQE reports
     // unknown partitioning and forfeits this (graft.tools.PlanProbe).
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint(eager)
+      if (resolvedReliableDir.isDefined) df.checkpoint(eager)
       else if (coPartitionState)
         org.apache.spark.sql.graft.checkpointing.localCheckpointHashPartitioned(
           df.repartition(shufflePartitions, col(ID)), Seq(ID), shufflePartitions, eager)

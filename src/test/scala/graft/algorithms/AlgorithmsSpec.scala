@@ -265,6 +265,18 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     checkInvariants(g, mis)
   }
 
+  test("session conf spark.graft.smallGraphThreshold flips the hybrid cutover") {
+    // KCore reports iterations == 0 only on the driver-peel hybrid path.
+    val g = graph(1L to 5L, Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(g.kCore.run().iterations === 0) // default threshold: driver peel
+    spark.conf.set(graft.GraftConf.SmallGraphThresholdKey, "0")
+    try {
+      assert(g.kCore.run().iterations > 0) // session default: distributed
+      // Builder setter still wins over the session conf.
+      assert(g.kCore.smallGraphThreshold(1000000L).run().iterations === 0)
+    } finally spark.conf.unset(graft.GraftConf.SmallGraphThresholdKey)
+  }
+
   // ---------------- TriangleCount / LabelPropagation ----------------
 
   test("triangle count: triangle with tail and an isolated vertex") {
