@@ -43,6 +43,14 @@ object ScaleBench {
         val r = g.pageRank.maxIterations(10).run()
         val cnt = r.ranks.count()
         println(f"SCALE-OK pagerank n=$n m=$m iters=${r.iterations} rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "mis" =>
+        val r = g.maximalIndependentSet.smallGraphThreshold(0).run()
+        val size = r.vertices.count()
+        println(f"SCALE-OK mis n=$n m=$m iters=${r.iterations} size=$size sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "triangles" =>
+        val t = g.triangleCount.run()
+        val total = t.agg(sum("triangles")).head.getLong(0)
+        println(f"SCALE-OK triangles n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
     spark.stop()
   }
