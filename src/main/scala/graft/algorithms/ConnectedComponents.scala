@@ -23,9 +23,13 @@ case class ConnectedComponentsResult(components: DataFrame, iterations: Int)
   * stay bit-identical. Finally isolated vertices become their own component
   * and (optionally) each component is relabeled to its minimum member id.
   *
-  * Expected O(log n) iterations; every iteration's frames are eagerly
-  * `localCheckpoint`ed (the Spark analogue of the reference's parquet
-  * spill/read-back) to truncate lineage.
+  * Expected O(log n) iterations. Each round's frames are LAZILY
+  * checkpointed with declared hash-partitioning AND sort order (the Spark
+  * analogue of the reference's hash-partitioned pre-sorted parquet spill,
+  * `hash_partitioned.rs:146-361`) — lineage truncates immediately, the
+  * single termination count materializes everything in one job, the
+  * per-round joins plan without edge-side exchanges or sorts, and
+  * superseded checkpoint blocks are released explicitly.
   */
 class ConnectedComponents(graph: GraphFrame) {
   private var useLabelsAsComponents = true

@@ -29,6 +29,16 @@ class KCore(graph: GraphFrame) {
   def maxIterations(n: Int): this.type = { maxIter = n; this }
   def checkpointInterval(n: Int): this.type = { ckptInterval = n; this }
 
+  /** Keep the Pregel state co-partitioned on `id` with the partitioning
+    * declared on each checkpoint (see [[graft.pregel.Pregel.withCoPartitionedState]]).
+    * Unlike pruned algorithms (PageRank), k-core has NO participation
+    * pruning — every vertex rebuilds its neighbour list every round, the
+    * state is never broadcastable, and the state side of both per-round
+    * joins otherwise re-shuffles; declaring the layout elides that.
+    */
+  def withCoPartitionedState(): this.type = { coPartition = true; this }
+  private var coPartition = false
+
   /** Edge-count threshold below which coreness is computed on the driver
     * with Matula–Beck peeling (exact coreness — identical to the converged
     * distributed fixpoint). 0 disables the hybrid path. Only taken in
@@ -187,6 +197,7 @@ class KCore(graph: GraphFrame) {
       .skipDestState()
       .withPrePartitionedEdges()
       .checkpointInterval(ckptInterval)
+    if (coPartition) builder.withCoPartitionedState()
     if (maxIter > 0) builder.maxIterations(maxIter)
     val result = builder.run()
     release(sym)

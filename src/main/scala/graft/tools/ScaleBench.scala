@@ -39,6 +39,10 @@ object ScaleBench {
         val r = g.kCore.smallGraphThreshold(0).run()
         val maxCore = r.vertices.select(max("kcore")).head.getLong(0)
         println(f"SCALE-OK kcore n=$n m=$m iters=${r.iterations} maxCore=$maxCore sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "kcore-copart" =>
+        val r = g.kCore.smallGraphThreshold(0).withCoPartitionedState().run()
+        val maxCore = r.vertices.select(max("kcore")).head.getLong(0)
+        println(f"SCALE-OK kcore-copart n=$n m=$m iters=${r.iterations} maxCore=$maxCore sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "pagerank" =>
         val r = g.pageRank.maxIterations(10).run()
         val cnt = r.ranks.count()
