@@ -132,7 +132,6 @@ class ConnectedComponents(graph: GraphFrame) {
       spark.sparkContext.parallelize(labeled.toIndexedSeq,
         math.max(1, spark.sparkContext.defaultParallelism)))
       .toDF("v", "rep")
-      .localCheckpoint(true)
   }
 
   def run(): ConnectedComponentsResult = {
@@ -151,10 +150,12 @@ class ConnectedComponents(graph: GraphFrame) {
     def ckptBySrc(df: DataFrame, eager: Boolean): DataFrame =
       org.apache.spark.sql.graft.checkpointing.localCheckpointHashPartitioned(
         df, Seq(SRC), numParts, eager)
+    // LAZY: the termination count below materializes the checkpoint — an
+    // eager checkpoint would schedule the same work as a separate job first.
     var edges = ckptBySrc(
       GraphFrame.symmetrizeEdges(graph.edges.select(SRC, DST), doDistinct = false)
         .repartition(numParts, col(SRC)),
-      eager = true)
+      eager = false)
 
     val rng = new scala.util.Random(seed)
     var forwardReps = Vector.empty[DataFrame]
@@ -245,6 +246,21 @@ class ConnectedComponents(graph: GraphFrame) {
         vertices.select(col(ID), col(ID).as("component"))
     }
 
+    val release = org.apache.spark.sql.graft.checkpointing.release _
+
+    // Immediate-cutover fast path: when the union-find ran on the ORIGINAL
+    // (symmetrized) edge set, its reps are already the minimum member id of
+    // each component (union hangs the larger root under the smaller, and
+    // every member of a non-singleton component is an edge endpoint), and
+    // isolated vertices label to themselves in `labeled` — min-label
+    // semantics hold by construction, so the relabel pass AND the result
+    // checkpoint are skipped. The returned frame depends only on `vertices`
+    // and the driver-built frontier, so the edge checkpoint is released now.
+    if (iteration == 0 && driverFrontier.isDefined && useLabelsAsComponents) {
+      release(edges)
+      return ConnectedComponentsResult(labeled, 0)
+    }
+
     var relabelInput: Option[DataFrame] = None
     val result =
       if (useLabelsAsComponents) {
@@ -260,9 +276,7 @@ class ConnectedComponents(graph: GraphFrame) {
     val out = result.localCheckpoint(true)
     // `out` is materialized: every intermediate checkpoint can be freed now
     // (real block release, not the CacheManager no-op — see checkpointing).
-    val release = org.apache.spark.sql.graft.checkpointing.release _
     relabelInput.foreach(release)
-    driverFrontier.foreach(release)
     forwardReps.foreach(release)
     release(edges)
     ConnectedComponentsResult(out, iteration)

@@ -175,13 +175,17 @@ object Dedup {
             call_function("shiftrightunsigned", col("sh"), c * 16)
               .bitwiseAND(lit(0xffffL)).as("ck")))).as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    // First-matching-chunk predicate (see [[embeddingNearDupLsh]]): a pair
+    // sharing k intact chunks is emitted once, from the lowest one — no
+    // post-join distinct.
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          graft.functions.FirstZeroBand.first_zero_band(
+            col("a.sh").bitwiseXOR(col("b.sh")), 16, 4) === col("a.chunk"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -241,19 +245,24 @@ object Dedup {
       .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
       .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits)))
     val buckets = e.select(
-      col("id"),
+      col("id"), col("sig"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             call_function("shiftrightunsigned", col("sig"), b * r)
               .bitwiseAND(lit(mask)).as("bh")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // A pair colliding in k bands would be emitted k times; keeping only the
+    // FIRST colliding band (cheapest bits-only predicate, evaluated inside
+    // the join's codegen) makes candidates unique by construction — no
+    // post-join distinct, nothing redundant reaches the verify shuffle.
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          graft.functions.FirstZeroBand.first_zero_band(
+            col("a.sig").bitwiseXOR(col("b.sig")), r, bands) === col("a.band"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
     candidates
       .join(e.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1")), "id1")
       .join(e.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2")), "id2")

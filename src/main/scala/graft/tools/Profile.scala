@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Ad-hoc per-query profiler: `runMain graft.tools.Profile q1 q2 ...` times
+  * each named [[SparkEntry.queries]] entry `SPARK_GRAFT_REPS` times (default
+  * 2) against `SPARK_GRAFT_SF_DIR`, printing per-rep wall seconds — the
+  * inner loop for chasing a single query's regression without paying a full
+  * bench sweep. `SPARK_GRAFT_EXPLAIN=1` additionally dumps the formatted
+  * physical plan before executing.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      if (explain) fn(spark, sfDir).explain("formatted")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name%-26s ${times.map(t => f"$t%.2f").mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
