@@ -543,6 +543,36 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
 
+    // Full SQL replay of the ANN pipeline — possible because the hyperplane
+    // signs are ENGINE-PORTABLE md5 planes (TextHashes.cosineLshKernel:
+    // sign(j,i) = bit 0 of portableHash60("plane:j:i")). bits → 3-bit bands
+    // (nBits=60, bands=20) → band-OR candidates → exact-cosine rerank,
+    // branch-for-branch identical with Similarity.annCosineTopK — so the
+    // gate is an exact hash compare, not just a recall bound.
+    "s02_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pl AS (SELECT j.j, i.i,
+        |  CASE WHEN ('0x' || substr(md5('plane:' || j.j || ':' || i.i), 1, 15))::BIGINT % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(60) j(j) CROSS JOIN range(64) i(i)),
+        |bits AS (SELECT e.vec_id, pl.j,
+        |  CASE WHEN sum(pl.s * e.v[pl.i + 1]) > 0 THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+        |bnd AS (SELECT vec_id, j // 3 AS band, sum(b * (1 << (j % 3))) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |qids AS (SELECT vec_id FROM e WHERE vec_id % 50 = 0),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.bh = c.bh
+        |  JOIN qids ON q.vec_id = qids.vec_id
+        |  WHERE c.vec_id <> q.vec_id),
+        |sc AS (SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.id),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
     "t01_token_stats" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok_cnt FROM documents)

@@ -105,13 +105,36 @@ object TextHashes {
     out
   }
 
-  /** Stafford mix13 of (j<<32 | i): the per-coordinate ±1 plane entry. */
-  private def planeSign(j: Int, i: Int): Int = {
-    var z = (j.toLong << 32) ^ i.toLong ^ 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= (z >>> 31)
-    if ((z & 1L) == 0L) 1 else -1
+  /** ENGINE-PORTABLE ±1 plane entry: the lowest bit of
+    * `portableHash60("plane:j:i")` (see [[PortableHashes]]) — in DuckDB,
+    * `('0x' || substr(md5('plane:' || j || ':' || i), 1, 15))::BIGINT % 2`.
+    * Portability is what lets an oracle replay the WHOLE ANN pipeline
+    * (bits → bands → candidates → exact rerank) in plain SQL. Planes are
+    * data-independent, so rows are memoized: the md5 cost is paid once per
+    * (plane, dimension), never in the per-row hot loop.
+    */
+  private val planeRows =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Byte]](64)
+
+  private def planeRow(j: Int, dim: Int): Array[Byte] = {
+    val cur = planeRows.get(j)
+    if (cur != null && cur.length >= dim) cur
+    else planeRows.synchronized {
+      val again = planeRows.get(j)
+      if (again != null && again.length >= dim) again
+      else {
+        val n = math.max(64, math.max(dim, if (again == null) 0 else again.length * 2))
+        val row = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          row(i) =
+            if ((PortableHashes.portableHash60(s"plane:$j:$i") & 1L) == 0L) 1 else -1
+          i += 1
+        }
+        planeRows.set(j, row)
+        row
+      }
+    }
   }
 
   def cosineLshKernel(vec: ArrayData, nBits: Int): Long = {
@@ -119,12 +142,13 @@ object TextHashes {
     var out = 0L
     var j = 0
     while (j < nBits) {
+      val row = planeRow(j, n)
       var acc = 0.0
       var i = 0
       while (i < n) {
         if (!vec.isNullAt(i)) {
           val x = vec.getFloat(i).toDouble
-          if (planeSign(j, i) > 0) acc += x else acc -= x
+          if (row(i) > 0) acc += x else acc -= x
         }
         i += 1
       }
