@@ -472,6 +472,12 @@ object SparkEntry {
     // fixpoint in DuckDB), so an 8-round unroll is exact with 2.5x margin.
     "g09_kcore" -> kcoreOracle(8),
     "g10b_mis_det" -> misOracle(5, seed = 22L),
+    // The bench-scale MIS query (hybrid driver path) is the SAME pure
+    // function of (graph, seed) as the distributed rounds — the hybrid
+    // replays them exactly — so it takes the same unrolled oracle on the
+    // part–supplier graph: seed 42 converges in 5 rounds at sf0.01
+    // (simulated exactly), 7 unrolled = margin.
+    "g10_mis" -> misOracle(7, graphBase = misPartSuppBase),
     "g12_labelprop" -> lpaOracle,
 
     "g11_triangles" ->
@@ -703,13 +709,30 @@ object SparkEntry {
     * convergence+1 — the sf-independent 25-vertex graph converges in 3
     * rounds with seed 22 (simulated exactly; 5 unrolled = margin).
     */
-  private def misOracle(rounds: Int, seed: Long = 42L): String = {
+  /** Nation same-region graph (g10b): edges + vertex set. */
+  private val misNationBase: (String, String) = (
+    """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      |  FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
+    "SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation")
+
+  /** Part–supplier multigraph (g10, same recipe as partSuppEdges /
+    * kcoreOracle); vertices = distinct raw-edge endpoints, matching
+    * `GraphFrame.fromEdges`.
+    */
+  private val misPartSuppBase: (String, String) = (
+    "SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem",
+    """SELECT DISTINCT id FROM (
+      |  SELECT 1000000 + l_partkey AS id FROM lineitem
+      |  UNION ALL SELECT l_suppkey FROM lineitem)""".stripMargin)
+
+  private def misOracle(rounds: Int, seed: Long = 42L,
+      graphBase: (String, String) = misNationBase): String = {
+    val (e00Sql, vSql) = graphBase
     val base =
-      s"""WITH e00 AS MATERIALIZED (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
-         |  FROM nation a JOIN nation b
-         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+      s"""WITH e00 AS MATERIALIZED ($e00Sql),
          |e0 AS MATERIALIZED (SELECT src, dst FROM e00 UNION SELECT dst, src FROM e00),
-         |v AS MATERIALIZED (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+         |v AS MATERIALIZED ($vSql),
          |a0 AS MATERIALIZED (SELECT id, 0.5::DOUBLE AS p FROM v),
          |m0 AS MATERIALIZED (SELECT id FROM v WHERE false)""".stripMargin
     val steps = (1 to rounds).map { t =>

@@ -42,16 +42,155 @@ class MaximalIndependentSet(graph: GraphFrame) {
 
   def setSeed(s: Long): this.type = { seed = s; this }
 
-  /** Edge-count threshold below which the set is computed on the driver
-    * with a seeded greedy sweep (independence + maximality hold by
-    * construction; the distributed rounds only pay off once the graph
-    * outgrows a single collect). 0 disables the hybrid path.
+  /** Edge-count threshold below which the rounds are SIMULATED on the
+    * driver — exactly, not approximated: the nomination draws are pure
+    * functions of (id, seed, iteration) and probabilities stay dyadic, so
+    * the driver replay makes every branch decision bit-identically to the
+    * distributed loop and returns the SAME set (equivalence-tested on
+    * random graphs). 0 disables the hybrid path.
     */
   def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
   private val SRC = GraphFrame.SRC
   private val DST = GraphFrame.DST
   private val ID = GraphFrame.ID
+
+  /** Driver replay of the distributed rounds over a CSR adjacency of the
+    * symmetrized deduped edge set (dangling-endpoint edges skipped — the
+    * distributed path's inner joins induce the subgraph on declared
+    * vertices the same way). Returns (members, rounds).
+    */
+  private def simulateOnDriver(
+      vertexIds: Array[Long], srcs: Array[Long], dsts: Array[Long]): (Array[Long], Int) = {
+    val n = vertexIds.length
+    if (n == 0) return (Array.emptyLongArray, 0)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx.update(vertexIds(i), i); i += 1 }
+    val m = srcs.length
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      val s = idx.getOrElse(srcs(i), -1)
+      if (s >= 0 && idx.contains(dsts(i))) deg(s) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val s = idx.getOrElse(srcs(i), -1)
+      val t = if (s >= 0) idx.getOrElse(dsts(i), -1) else -1
+      if (s >= 0 && t >= 0) { nbr(fill(s)) = t; fill(s) += 1 }
+      i += 1
+    }
+    val active = new Array[Boolean](n)
+    val inSet = new Array[Boolean](n)
+    val p = new Array[Double](n)
+    val effDeg = new Array[Double](n) // NaN-free: only read when hasNbr
+    val hasNbr = new Array[Boolean](n)
+    val nom = new Array[Boolean](n)
+    java.util.Arrays.fill(active, true)
+    java.util.Arrays.fill(p, 0.5)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      // Effective degree over ACTIVE neighbours (start-of-round state);
+      // dyadic p keeps the sum exact in double regardless of order, so the
+      // replay matches the distributed Σ bit-for-bit.
+      var v = 0
+      while (v < n) {
+        if (active(v)) {
+          var d = 0.0
+          var has = false
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val u = nbr(j)
+            if (active(u)) { d += p(u); has = true }
+            j += 1
+          }
+          effDeg(v) = d
+          hasNbr(v) = has
+        }
+        v += 1
+      }
+      // Isolated actives join immediately; the rest draw nominations with
+      // the SAME portable hash the distributed loop uses.
+      v = 0
+      while (v < n) {
+        if (active(v)) {
+          if (!hasNbr(v)) { inSet(v) = true; active(v) = false }
+          else {
+            val u = graft.functions.PortableHashes
+              .portableHash60(s"${vertexIds(v)}:$seed:$iter").toDouble / 1.152921504606846976e18
+            nom(v) = u <= p(v)
+          }
+        }
+        v += 1
+      }
+      // Nominated with no nominated (active) neighbour joins; it and its
+      // neighbours leave. p advances for every surviving active FIRST —
+      // the distributed loop computes probs before the anti-join removal.
+      v = 0
+      while (v < n) {
+        if (active(v)) {
+          p(v) =
+            if (effDeg(v) >= 2.0) p(v) / 2.0
+            else if (p(v) * 2.0 <= 0.5) p(v) * 2.0
+            else 0.5
+        }
+        v += 1
+      }
+      val joined = new scala.collection.mutable.ArrayBuffer[Int]()
+      v = 0
+      while (v < n) {
+        if (active(v) && nom(v)) {
+          var anyNbrNom = false
+          var j = off(v)
+          while (j < off(v + 1) && !anyNbrNom) {
+            val u = nbr(j)
+            if (active(u) && nom(u)) anyNbrNom = true
+            j += 1
+          }
+          if (!anyNbrNom) joined += v
+        }
+        v += 1
+      }
+      joined.foreach { v0 =>
+        inSet(v0) = true
+        var j = off(v0)
+        while (j < off(v0 + 1)) { active(nbr(j)) = false; j += 1 }
+      }
+      joined.foreach(v0 => active(v0) = false)
+      java.util.Arrays.fill(nom, false)
+      iter += 1
+      // Converged when no active-active edge remains: survivors sweep in.
+      var edgesLeft = false
+      v = 0
+      while (v < n && !edgesLeft) {
+        if (active(v)) {
+          var j = off(v)
+          while (j < off(v + 1) && !edgesLeft) {
+            if (active(nbr(j))) edgesLeft = true
+            j += 1
+          }
+        }
+        v += 1
+      }
+      if (!edgesLeft) {
+        v = 0
+        while (v < n) { if (active(v)) inSet(v) = true; v += 1 }
+        converged = true
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i < n) { if (inSet(i)) out += vertexIds(i); i += 1 }
+    (out.toArray, iter)
+  }
 
   /** OR the freshly-selected `members` (`[id]`) into `current` (`[id, mis]`);
     * the joined flag coalesces to false so a non-match can't NULL the OR.
@@ -71,24 +210,24 @@ class MaximalIndependentSet(graph: GraphFrame) {
     var edges = GraphFrame.symmetrizeEdges(
       graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(false)
 
-    // Subcritical graphs: greedy on the driver in seeded-random order.
+    // Subcritical graphs: replay the EXACT rounds on the driver — same
+    // draws, same branch decisions, same set as the distributed loop (see
+    // simulateOnDriver), so the hybrid cutover never changes the result.
     if (smallThreshold > 0 && edges.count() <= 2 * smallThreshold &&
         graph.vertices.count() <= smallThreshold) {
-      val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.Set[Long]]
-      edges.collect().foreach { r =>
-        val u = r.getLong(0); val v = r.getLong(1)
-        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      val rows = edges.collect()
+      val srcs = new Array[Long](rows.length)
+      val dsts = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1); i += 1
       }
       val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
-      val order = new scala.util.Random(seed).shuffle(vids.sorted.toIndexedSeq)
-      val inSet = scala.collection.mutable.Set.empty[Long]
-      order.foreach { v =>
-        if (!adj.get(v).exists(_.exists(inSet.contains))) inSet += v
-      }
+      val (members, rounds) = simulateOnDriver(vids, srcs, dsts)
       val spark = graph.vertices.sparkSession
       import spark.implicits._
       release(edges)
-      return MISResult(inSet.toSeq.sorted.toDF(ID), iterations = 0)
+      return MISResult(members.sorted.toSeq.toDF(ID), iterations = rounds)
     }
 
     var currentMis = graph.vertices

@@ -105,6 +105,19 @@ class RandomGraphSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("random graphs: driver MIS replay == distributed rounds (same set)") {
+    // The hybrid path SIMULATES the distributed rounds (md5 draws, dyadic
+    // probabilities) — outputs must be identical, not merely both valid.
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val distributed = g.gf.maximalIndependentSet.smallGraphThreshold(0).run()
+        .vertices.collect().map(_.getLong(0)).toSet
+      val driver = g.gf.maximalIndependentSet.smallGraphThreshold(1000000).run()
+        .vertices.collect().map(_.getLong(0)).toSet
+      assert(driver === distributed, s"seed=$seed driver replay diverged: graph=${g.es}")
+    }
+  }
+
   test("random graphs: driver-peel k-core == peeling oracle") {
     seeds.foreach { seed =>
       val g = randomGraph(seed)
