@@ -199,11 +199,17 @@ object Dedup {
       embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.ArrayDot.array_dot
+    val numParts = embeddings.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val e = embeddings.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+    // The broadcast-nested-loop scan parallelizes over STREAM-side
+    // partitions; a small corpus read from one parquet file is one
+    // partition, i.e. one task scoring all O(n²) pairs. Spread the stream
+    // side first (tiny shuffle, n rows).
+    e.repartition(numParts).as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         round(array_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -256,7 +262,11 @@ object Dedup {
     // FIRST colliding band (cheapest bits-only predicate, evaluated inside
     // the join's codegen) makes candidates unique by construction — no
     // post-join distinct, nothing redundant reaches the verify shuffle.
-    val candidates = buckets.as("a")
+    // Stream side spread like embeddingNearDupPairs: a one-file corpus is
+    // one partition, i.e. one task for the whole banded scan.
+    val numParts = embeddings.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val candidates = buckets.repartition(numParts).as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id") &&

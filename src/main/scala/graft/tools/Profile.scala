@@ -24,6 +24,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
