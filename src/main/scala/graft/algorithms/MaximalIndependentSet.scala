@@ -192,16 +192,6 @@ class MaximalIndependentSet(graph: GraphFrame) {
     (out.toArray, iter)
   }
 
-  /** OR the freshly-selected `members` (`[id]`) into `current` (`[id, mis]`);
-    * the joined flag coalesces to false so a non-match can't NULL the OR.
-    */
-  private def orIntoMis(current: DataFrame, members: DataFrame): DataFrame = {
-    val m = members.select(col(ID).as("__mis_new_v"), lit(true).as("__mis_new_flag"))
-    current.join(m, col(ID) === col("__mis_new_v"), "left")
-      .select(col(ID),
-        (col("mis") || coalesce(col("__mis_new_flag"), lit(false))).as("mis"))
-  }
-
   def run(): MISResult = {
     val release = org.apache.spark.sql.graft.checkpointing.release _
     // Dedup matters here: duplicate edges would inflate effective degrees.
@@ -230,60 +220,68 @@ class MaximalIndependentSet(graph: GraphFrame) {
       return MISResult(members.sorted.toSeq.toDF(ID), iterations = rounds)
     }
 
-    var currentMis = graph.vertices
-      .select(col(ID), lit(false).as("mis")).localCheckpoint(false)
     // Active vertices with their selection probability (Ghaffari seeds 1/2).
     var verticesLeft = graph.vertices
       .select(col(ID), lit(0.5).as("p")).localCheckpoint(false)
+    // Per-round member frames (`[id]`) — disjoint by construction (a
+    // selected or removed vertex never re-enters the active set), so the
+    // result is their plain union at the end. Maintaining a full
+    // vertex×flag frame instead would cost an extra |V|-row join +
+    // checkpoint EVERY round for information the small member deltas
+    // already carry.
+    var memberParts = Vector.empty[DataFrame]
 
     var iteration = 0
     var converged = false
 
     while (!converged) {
-      // ---- effective degree: d(v) = Σ p over v's neighbours ----
-      // All per-round frames are LAZY checkpoints (plan truncation now,
-      // materialization in the round's single combined count below); the
-      // hash-based draws make that safe — see class doc.
-      val effectiveDegrees = edges
-        .join(verticesLeft.select(col(ID).as("__mis_nbr"), col("p")),
-          col(DST) === col("__mis_nbr"), "inner")
-        .groupBy(col(SRC)).agg(sum(col("p")).as("__mis_deg"))
-        .localCheckpoint(false)
-
-      // ---- nominate with p_t, then advance p -> p_{t+1} ----
+      // ---- nominate with p_t ----
       // Draw u(id) = portableHash60("id:seed:iter") / 2^60 ∈ [0,1):
       // deterministic per (id, iteration) — recomputes can never redraw —
       // AND engine-portable (md5-based, see PortableHashes), so the whole
-      // loop is replicable in plain SQL: the g10b driver gate unrolls these
-      // exact rounds in DuckDB. p stays a power of two and degree sums stay
-      // dyadic-exact, so every comparison is bit-identical across engines.
+      // loop is replicable in plain SQL: the g10/g10b driver gates unroll
+      // these exact rounds in DuckDB. p stays a power of two and degree
+      // sums stay dyadic-exact, so every comparison is bit-identical
+      // across engines. Nomination depends only on (draw, p) — NOT on the
+      // effective degree — which is what lets one edge pass aggregate both
+      // messages below.
       val draw = conv(substring(md5(concat_ws(":", col(ID), lit(seed), lit(iteration))), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(1.152921504606846976e18)
-      val probs = verticesLeft
-        .join(effectiveDegrees, col(ID) === col(SRC), "inner")
-        .withColumn("nom", draw <= col("p"))
-        .withColumn("p",
-          when(col("__mis_deg") >= 2.0, col("p") / 2.0)
-            .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
-            .otherwise(0.5))
-        .select(col(ID), col("p"), col("nom"))
+      val state = verticesLeft.withColumn("nom", draw <= col("p"))
+
+      // ---- ONE edge traversal for both per-neighbour messages ----
+      // d(v) = Σ p(u) and "any neighbour nominated" share the same
+      // edges⋈state join and the same groupBy(src) shuffle; aggregating
+      // them together halves the per-round edge traffic (all per-round
+      // frames are LAZY checkpoints, materialized in the round's single
+      // combined count below).
+      val msgs = edges
+        .join(state.select(col(ID).as("__mis_nbr"), col("p").as("__mis_nbr_p"),
+            col("nom").as("__mis_nbr_nom")),
+          col(DST) === col("__mis_nbr"), "inner")
+        .groupBy(col(SRC)).agg(
+          sum(col("__mis_nbr_p")).as("__mis_deg"),
+          bool_or(col("__mis_nbr_nom")).as("__mis_has_nbr_nom"))
         .localCheckpoint(false)
 
-      // ---- isolated actives: no edges, absent from effectiveDegrees ----
-      val isolated = verticesLeft
-        .join(effectiveDegrees, col(ID) === col(SRC), "left_anti")
+      // ---- isolated actives: no active neighbours, absent from msgs ----
+      val isolated = state
+        .join(msgs, col(ID) === col(SRC), "left_anti")
         .select(col(ID))
 
-      // ---- does any neighbour nominate itself? ----
-      val hasNomNbr = edges
-        .join(probs.select(col(ID).as("__mis_nbr"), col("nom")),
-          col(DST) === col("__mis_nbr"), "inner")
-        .groupBy(col(SRC)).agg(bool_or(col("nom")).as("__mis_has_nbr_nom"))
+      // ---- advance p -> p_{t+1}; select joiners ----
+      val probs = state
+        .join(msgs, col(ID) === col(SRC), "inner")
+        .select(col(ID),
+          when(col("__mis_deg") >= 2.0, col("p") / 2.0)
+            .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
+            .otherwise(0.5).as("p"),
+          col("nom"), col("__mis_has_nbr_nom"))
+        .localCheckpoint(false)
 
       // ---- nominated with no nominated neighbour => joins the MIS ----
       val joinedMis = probs
-        .join(hasNomNbr, col(ID) === col(SRC), "inner")
-        .filter(!col("__mis_has_nbr_nom") && col("nom"))
+        .filter(col("nom") && !col("__mis_has_nbr_nom"))
         .select(col(ID))
         .localCheckpoint(false)
 
@@ -293,11 +291,14 @@ class MaximalIndependentSet(graph: GraphFrame) {
         .join(joinedMis.select(col(ID).as("__mis_j")), col(DST) === col("__mis_j"), "inner")
         .select(col(SRC).as(ID))
 
-      val removed = neighborsOfMis.union(joinedMis).distinct().localCheckpoint(false)
-      val newMembers = isolated.union(joinedMis).distinct()
-
-      val oldMis = currentMis
-      currentMis = orIntoMis(currentMis, newMembers).localCheckpoint(false)
+      // No distinct on either union: `removed` only ever feeds anti-joins
+      // (existence semantics — duplicate keys change nothing), and
+      // `isolated` ∪ `joinedMis` is duplicate-free by construction (each
+      // side dedup'd at its source; isolated vertices have no edges while
+      // joined ones do, so the sides are disjoint).
+      val removed = neighborsOfMis.union(joinedMis).localCheckpoint(false)
+      val newMembers = isolated.union(joinedMis).localCheckpoint(false)
+      memberParts :+= newMembers
 
       val removedKeys = removed.select(col(ID).as("__mis_rem_v"))
       val oldVerticesLeft = verticesLeft
@@ -312,36 +313,38 @@ class MaximalIndependentSet(graph: GraphFrame) {
         .join(removedKeys, col(DST) === col("__mis_rem_v"), "left_anti")
         .localCheckpoint(false)
 
-      // ---- the round's ONE materializing action: all three loop-carried
-      // checkpoints (and, transitively, every intermediate above) execute
-      // in this single job.
+      // ---- the round's ONE materializing action: the three loop-carried
+      // checkpoints AND the round's member delta (and, transitively, every
+      // intermediate above) execute in this single job.
       val counts = edges.select(count(lit(1)).as("e"))
         .crossJoin(verticesLeft.select(count(lit(1)).as("v")))
-        .crossJoin(currentMis.select(count(lit(1)).as("m")))
+        .crossJoin(newMembers.select(count(lit(1)).as("m")))
         .collect()(0)
       val eLeft = counts.getLong(0)
       val vLeft = counts.getLong(1)
 
       // Everything superseded or intermediate is materialized by now and
       // nothing downstream references it: free the blocks for real.
-      Seq(oldMis, oldVerticesLeft, oldEdges,
-        effectiveDegrees, probs, joinedMis, removed).foreach(release)
+      Seq(oldVerticesLeft, oldEdges, msgs, probs, joinedMis, removed)
+        .foreach(release)
 
       if (eLeft == 0) {
         if (vLeft > 0) {
           // Survivors are pairwise non-adjacent: sweep them all in.
-          val oldMis2 = currentMis
-          currentMis = orIntoMis(currentMis, verticesLeft.select(col(ID)))
-            .localCheckpoint(true)
-          release(oldMis2)
+          memberParts :+= verticesLeft.select(col(ID))
         }
         converged = true
       }
       iteration += 1
     }
 
+    // One action assembles the result; then every remaining checkpoint
+    // (including the member deltas and the final survivors' frame) is
+    // released.
+    val result = memberParts.reduce(_ union _).localCheckpoint(true)
+    memberParts.foreach(release)
     release(verticesLeft)
     release(edges)
-    MISResult(currentMis.filter(col("mis")).select(col(ID)), iteration)
+    MISResult(result, iteration)
   }
 }
