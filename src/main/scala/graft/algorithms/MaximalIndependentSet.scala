@@ -61,9 +61,10 @@ class MaximalIndependentSet(graph: GraphFrame) {
     * vertices the same way). Returns (members, rounds).
     */
   private def simulateOnDriver(
-      vertexIds: Array[Long], srcs: Array[Long], dsts: Array[Long]): (Array[Long], Int) = {
+      vertexIds: Array[Long], srcs: Array[Long], dsts: Array[Long],
+      p0: Array[Double] = null, startIter: Int = 0): (Array[Long], Int) = {
     val n = vertexIds.length
-    if (n == 0) return (Array.emptyLongArray, 0)
+    if (n == 0) return (Array.emptyLongArray, startIter)
     val idx = new scala.collection.mutable.LongMap[Int](n * 2)
     var i = 0
     while (i < n) { idx.update(vertexIds(i), i); i += 1 }
@@ -94,8 +95,9 @@ class MaximalIndependentSet(graph: GraphFrame) {
     val hasNbr = new Array[Boolean](n)
     val nom = new Array[Boolean](n)
     java.util.Arrays.fill(active, true)
-    java.util.Arrays.fill(p, 0.5)
-    var iter = 0
+    if (p0 == null) java.util.Arrays.fill(p, 0.5)
+    else System.arraycopy(p0, 0, p, 0, n)
+    var iter = startIter
     var converged = false
     while (!converged) {
       // Effective degree over ACTIVE neighbours (start-of-round state);
@@ -194,11 +196,26 @@ class MaximalIndependentSet(graph: GraphFrame) {
 
   def run(): MISResult = {
     val release = org.apache.spark.sql.graft.checkpointing.release _
+    val spark = graph.vertices.sparkSession
+    import spark.implicits._
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def ckpt(df: DataFrame, keys: Seq[String]): DataFrame =
+      org.apache.spark.sql.graft.checkpointing
+        .localCheckpointHashPartitioned(df, keys, numParts, eager = false)
+
     // Dedup matters here: duplicate edges would inflate effective degrees.
-    // Lazy: the threshold count (or the first round's combined count)
-    // materializes it.
-    var edges = GraphFrame.symmetrizeEdges(
-      graph.edges.select(SRC, DST), doDistinct = true).localCheckpoint(false)
+    // The dedup rides the dst-repartition (clustering-subset rule: equal
+    // (src,dst) pairs share a dst), and the checkpoint DECLARES the
+    // hash(dst) layout + sort — the loop's per-round edges⋈state joins then
+    // plan with no edge-side exchange and no sort (the same co-partitioning
+    // contract as WCC/k-core, mirroring the reference's hash-partitioned
+    // pre-sorted spill files, hash_partitioned.rs:77-361). Lazy: the
+    // threshold count (or the first round's combined count) materializes it.
+    var edges = ckpt(
+      GraphFrame.symmetrizeEdges(graph.edges.select(SRC, DST), doDistinct = false)
+        .repartition(numParts, col(DST))
+        .dropDuplicates(SRC, DST),
+      Seq(DST))
 
     // Subcritical graphs: replay the EXACT rounds on the driver — same
     // draws, same branch decisions, same set as the distributed loop (see
@@ -214,15 +231,17 @@ class MaximalIndependentSet(graph: GraphFrame) {
       }
       val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
       val (members, rounds) = simulateOnDriver(vids, srcs, dsts)
-      val spark = graph.vertices.sparkSession
-      import spark.implicits._
       release(edges)
       return MISResult(members.sorted.toSeq.toDF(ID), iterations = rounds)
     }
 
-    // Active vertices with their selection probability (Ghaffari seeds 1/2).
-    var verticesLeft = graph.vertices
-      .select(col(ID), lit(0.5).as("p")).localCheckpoint(false)
+    // Active vertices with their selection probability (Ghaffari seeds 1/2),
+    // hash(id)-declared: state⋈msgs and the removal anti-join stay
+    // exchange-free on the state side every round.
+    var verticesLeft = ckpt(
+      graph.vertices.select(col(ID), lit(0.5).as("p"))
+        .repartition(numParts, col(ID)),
+      Seq(ID))
     // Per-round member frames (`[id]`) — disjoint by construction (a
     // selected or removed vertex never re-enters the active set), so the
     // result is their plain union at the end. Maintaining a full
@@ -254,36 +273,46 @@ class MaximalIndependentSet(graph: GraphFrame) {
       // edges⋈state join and the same groupBy(src) shuffle; aggregating
       // them together halves the per-round edge traffic (all per-round
       // frames are LAZY checkpoints, materialized in the round's single
-      // combined count below).
-      val msgs = edges
-        .join(state.select(col(ID).as("__mis_nbr"), col("p").as("__mis_nbr_p"),
-            col("nom").as("__mis_nbr_nom")),
-          col(DST) === col("__mis_nbr"), "inner")
-        .groupBy(col(SRC)).agg(
-          sum(col("__mis_nbr_p")).as("__mis_deg"),
-          bool_or(col("__mis_nbr_nom")).as("__mis_has_nbr_nom"))
-        .localCheckpoint(false)
+      // combined count below). The join itself is exchange-AND-sort-free:
+      // edges declare hash(dst), state declares hash(id). The explicit
+      // src-repartition before the aggregate pins the shuffle at numParts
+      // (AQE won't coalesce a user repartition), making the declared
+      // layout on the checkpoint true by construction.
+      val msgs = ckpt(
+        edges
+          .join(state.select(col(ID).as("__mis_nbr"), col("p").as("__mis_nbr_p"),
+              col("nom").as("__mis_nbr_nom")),
+            col(DST) === col("__mis_nbr"), "inner")
+          .select(col(SRC), col("__mis_nbr_p"), col("__mis_nbr_nom"))
+          .repartition(numParts, col(SRC))
+          .groupBy(col(SRC)).agg(
+            sum(col("__mis_nbr_p")).as("__mis_deg"),
+            bool_or(col("__mis_nbr_nom")).as("__mis_has_nbr_nom")),
+        Seq(SRC))
 
       // ---- isolated actives: no active neighbours, absent from msgs ----
+      // (id and src hash identically: no exchange on either side)
       val isolated = state
         .join(msgs, col(ID) === col(SRC), "left_anti")
         .select(col(ID))
 
       // ---- advance p -> p_{t+1}; select joiners ----
-      val probs = state
-        .join(msgs, col(ID) === col(SRC), "inner")
-        .select(col(ID),
-          when(col("__mis_deg") >= 2.0, col("p") / 2.0)
-            .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
-            .otherwise(0.5).as("p"),
-          col("nom"), col("__mis_has_nbr_nom"))
-        .localCheckpoint(false)
+      val probs = ckpt(
+        state
+          .join(msgs, col(ID) === col(SRC), "inner")
+          .select(col(ID),
+            when(col("__mis_deg") >= 2.0, col("p") / 2.0)
+              .when(col("p") * 2.0 <= 0.5, col("p") * 2.0)
+              .otherwise(0.5).as("p"),
+            col("nom"), col("__mis_has_nbr_nom")),
+        Seq(ID))
 
       // ---- nominated with no nominated neighbour => joins the MIS ----
-      val joinedMis = probs
-        .filter(col("nom") && !col("__mis_has_nbr_nom"))
-        .select(col(ID))
-        .localCheckpoint(false)
+      val joinedMis = ckpt(
+        probs
+          .filter(col("nom") && !col("__mis_has_nbr_nom"))
+          .select(col(ID)),
+        Seq(ID))
 
       // The symmetrized edge set makes one direction sufficient: every
       // neighbour u of a joined v is the source of edge (u, v).
@@ -302,16 +331,26 @@ class MaximalIndependentSet(graph: GraphFrame) {
 
       val removedKeys = removed.select(col(ID).as("__mis_rem_v"))
       val oldVerticesLeft = verticesLeft
-      verticesLeft = probs
-        .join(removedKeys, col(ID) === col("__mis_rem_v"), "left_anti")
-        .select(col(ID), col("p"))
-        .localCheckpoint(false)
+      verticesLeft = ckpt(
+        probs
+          .join(removedKeys, col(ID) === col("__mis_rem_v"), "left_anti")
+          .select(col(ID), col("p")),
+        Seq(ID))
 
+      // Contract: dst-anti first (exchange-free on the hash(dst) edges),
+      // then src-anti (one edge shuffle, pinned at numParts), then restore
+      // the dst layout FOR FREE by swapping the columns — the edge set is
+      // symmetric and removal is endpoint-symmetric, so the mirror IS the
+      // contracted set, and the mirror of a hash(src)-partitioned frame is
+      // hash(dst)-partitioned by construction. No repartition.
       val oldEdges = edges
-      edges = edges
-        .join(removedKeys, col(SRC) === col("__mis_rem_v"), "left_anti")
-        .join(removedKeys, col(DST) === col("__mis_rem_v"), "left_anti")
-        .localCheckpoint(false)
+      edges = ckpt(
+        edges
+          .join(removedKeys, col(DST) === col("__mis_rem_v"), "left_anti")
+          .repartition(numParts, col(SRC))
+          .join(removedKeys, col(SRC) === col("__mis_rem_v"), "left_anti")
+          .select(col(DST).as(SRC), col(SRC).as(DST)),
+        Seq(DST))
 
       // ---- the round's ONE materializing action: the three loop-carried
       // checkpoints AND the round's member delta (and, transitively, every
@@ -336,6 +375,34 @@ class MaximalIndependentSet(graph: GraphFrame) {
         converged = true
       }
       iteration += 1
+
+      // Mid-loop hybrid cutover (the WCC discipline): the contraction
+      // shrinks the active graph geometrically, so tail rounds pay full
+      // per-round scheduling for little data. Once the remainder fits,
+      // finish with the driver replay — CONTINUING the exact simulation
+      // from the current (p, iteration) state, so the result is still
+      // bit-identical to running the rounds distributed.
+      if (!converged && smallThreshold > 0 &&
+          eLeft <= 2 * smallThreshold && vLeft <= smallThreshold) {
+        val vRows = verticesLeft.collect()
+        val vids = new Array[Long](vRows.length)
+        val ps = new Array[Double](vRows.length)
+        var i = 0
+        while (i < vRows.length) {
+          vids(i) = vRows(i).getLong(0); ps(i) = vRows(i).getDouble(1); i += 1
+        }
+        val eRows = edges.collect()
+        val srcs = new Array[Long](eRows.length)
+        val dsts = new Array[Long](eRows.length)
+        i = 0
+        while (i < eRows.length) {
+          srcs(i) = eRows(i).getLong(0); dsts(i) = eRows(i).getLong(1); i += 1
+        }
+        val (members, rounds) = simulateOnDriver(vids, srcs, dsts, ps, iteration)
+        memberParts :+= members.sorted.toSeq.toDF(ID)
+        iteration = rounds
+        converged = true
+      }
     }
 
     // One action assembles the result; then every remaining checkpoint

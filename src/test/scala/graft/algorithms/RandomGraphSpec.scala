@@ -115,6 +115,12 @@ class RandomGraphSpec extends AnyFunSuite with SparkTestHarness {
       val driver = g.gf.maximalIndependentSet.smallGraphThreshold(1000000).run()
         .vertices.collect().map(_.getLong(0)).toSet
       assert(driver === distributed, s"seed=$seed driver replay diverged: graph=${g.es}")
+      // threshold 1: distributed rounds run until the contracted remainder
+      // is tiny, then the mid-loop cutover CONTINUES the simulation from
+      // the collected (p, iteration) state — same set again.
+      val midLoop = g.gf.maximalIndependentSet.smallGraphThreshold(1).run()
+        .vertices.collect().map(_.getLong(0)).toSet
+      assert(midLoop === distributed, s"seed=$seed mid-loop cutover diverged: graph=${g.es}")
     }
   }
 
