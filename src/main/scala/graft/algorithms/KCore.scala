@@ -2,7 +2,6 @@ package graft.algorithms
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.KCoreMerge.kcore_merge
 import graft.graph.GraphFrame
 import graft.pregel.{MessageDirection, Pregel, PregelResult}
 
@@ -188,11 +187,20 @@ class KCore(graph: GraphFrame) {
 
     val prepared = GraphFrame(preparedVertices, sym)
 
-    val newCore = kcore_merge(Pregel.defaultMsg, col("kcore"))
+    // Fused update: aggregate = H-index of neighbour cores via the sparse
+    // histogram aggregate (map-side combinable; per-group state bounded by
+    // DISTINCT core values instead of degree — collect_list shipped every
+    // edge's core through the shuffle and held O(degree) state on hubs),
+    // then cap by the current core outside. Identical to
+    // kcore_merge(collect_list(...), current) — the H-index identity,
+    // spec-pinned in KernelSpec and still gated by the g09/g09b unrolled
+    // oracles.
+    val newCore = when(Pregel.defaultMsg.isNull, col("kcore"))
+      .otherwise(least(col("kcore"), Pregel.defaultMsg))
     val builder = prepared.pregel
       .addVertexColumn("kcore", col("degree"), newCore)
       .addMessage(Pregel.src("kcore"), MessageDirection.SrcToDst)
-      .addAggregateExpr(collect_list(Pregel.defaultMsg))
+      .addAggregateExpr(graft.functions.HIndexAgg.h_index(Pregel.defaultMsg))
       .withVertexVoting("active", col("kcore") =!= newCore)
       .skipDestState()
       .withPrePartitionedEdges()

@@ -98,6 +98,28 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === Map(1L -> 2L, 2L -> 7L, 3L -> 0L))
   }
 
+  test("h_index aggregate == uncapped kcore_merge over collect_list (random multisets)") {
+    // The distributed k-core's fused aggregate: h_index computes the
+    // H-index from a map-side-combinable histogram; capping by the current
+    // core moves outside (least). Pin the identity against the reference
+    // rule kernel on random multisets.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 1 to 40
+      _ <- 0 until (1 + rnd.nextInt(30))
+    } yield (g.toLong, rnd.nextInt(12).toLong)
+    val got = rows.toDF("g", "v").groupBy("g")
+      .agg(HIndexAgg.h_index(col("v")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> merge(vs.map(_._2).toArray, Long.MaxValue)
+    }
+    assert(got === expected)
+  }
+
   test("array_dot: DuckDB list_dot_product edge semantics — mismatch and nulls raise") {
     val s = spark
     import s.implicits._
