@@ -23,9 +23,19 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Uniform Erdos-Renyi-ish endpoints; `-skew` algo variants draw the
+    // dst from a power-law-ish transform (u^4 concentrates mass near 0, so
+    // low-id vertices become hubs — top vertex degree ≈ m·n^(-1/4), ~370 k
+    // at the defaults): the adversarial shape for per-vertex aggregation
+    // state and wedge enumeration.
+    val skew = algo.endsWith("-skew")
+    val u = pmod(xxhash64(col("id"), lit(2)), lit(1000000L)).cast("double") / lit(1000000.0)
+    val dstCol =
+      if (skew) (pow(u, 4.0) * n).cast("long")
+      else pmod(xxhash64(col("id"), lit(2)), lit(n))
     val edges = spark.range(m).select(
       pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
-      pmod(xxhash64(col("id"), lit(2)), lit(n)).as("dst"))
+      dstCol.as("dst"))
     val vertices = spark.range(n).select(col("id"))
     val g = GraphFrame(vertices, edges)
 
@@ -35,10 +45,10 @@ object ScaleBench {
         val r = g.connectedComponents.smallGraphThreshold(threshold).run()
         val comps = r.components.select(countDistinct("component")).head.getLong(0)
         println(f"SCALE-OK wcc n=$n m=$m thr=$threshold iters=${r.iterations} components=$comps sec=${(System.nanoTime() - t0) / 1e9}%.1f")
-      case "kcore" =>
+      case "kcore" | "kcore-skew" =>
         val r = g.kCore.smallGraphThreshold(0).run()
         val maxCore = r.vertices.select(max("kcore")).head.getLong(0)
-        println(f"SCALE-OK kcore n=$n m=$m iters=${r.iterations} maxCore=$maxCore sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        println(f"SCALE-OK $algo n=$n m=$m iters=${r.iterations} maxCore=$maxCore sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "kcore-copart" =>
         val r = g.kCore.smallGraphThreshold(0).withCoPartitionedState().run()
         val maxCore = r.vertices.select(max("kcore")).head.getLong(0)
@@ -51,10 +61,10 @@ object ScaleBench {
         val r = g.maximalIndependentSet.smallGraphThreshold(0).run()
         val size = r.vertices.count()
         println(f"SCALE-OK mis n=$n m=$m iters=${r.iterations} size=$size sec=${(System.nanoTime() - t0) / 1e9}%.1f")
-      case "triangles" =>
+      case "triangles" | "triangles-skew" =>
         val t = g.triangleCount.run()
         val total = t.agg(sum("triangles")).head.getLong(0)
-        println(f"SCALE-OK triangles n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        println(f"SCALE-OK $algo n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
     spark.stop()
   }
