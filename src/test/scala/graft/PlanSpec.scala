@@ -86,6 +86,38 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("symmetry-swap keeps the declared layout: swapped join plans exchange-free") {
+    // The MIS contraction restores the hash(dst) edge layout by SWAPPING
+    // columns (the edge set is symmetric, so the mirror IS the frame, and
+    // the mirror of a hash(src) frame is hash(dst) by construction). The
+    // partitioning must survive the rename: a join on the swapped frame's
+    // dst against an id-declared state frame plans with no exchange and
+    // no sort on either side.
+    import org.apache.spark.sql.graft.checkpointing
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val e0 = (1L to 500L).flatMap(i => Seq((i % 53, i % 47), (i % 47, i % 53)))
+        .toDF("src", "dst")
+      val edges = checkpointing.localCheckpointHashPartitioned(
+        e0.repartition(4, col("src")), Seq("src"), 4, eager = true)
+      val swapped = edges.select(col("dst").as("src"), col("src").as("dst"))
+      val state = checkpointing.localCheckpointHashPartitioned(
+        (0L to 52L).map(i => (i, 0.5)).toDF("id", "p").repartition(4, col("id")),
+        Seq("id"), 4, eager = true)
+      val j = swapped.join(state, col("dst") === col("id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected exchange in:\n$plan")
+      val sorts = plan.linesIterator.count(_.contains("Sort ["))
+      assert(sorts == 0, s"expected 0 SortExec, got $sorts in:\n$plan")
+      val expected = e0.select(col("dst").as("src"), col("src").as("dst"))
+        .join((0L to 52L).map(i => (i, 0.5)).toDF("id", "p"), col("dst") === col("id")).count()
+      assert(j.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("declared-partitioning contract violation fires the guard") {
     import org.apache.spark.sql.graft.checkpointing
     import spark.implicits._

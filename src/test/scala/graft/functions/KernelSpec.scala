@@ -98,6 +98,26 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === Map(1L -> 2L, 2L -> 7L, 3L -> 0L))
   }
 
+  test("first_zero_band: lowest all-zero r-bit group, -1 when none") {
+    import FirstZeroBand.kernel
+    assert(kernel(0L, 2, 32) === 0)                  // identical sigs: band 0
+    assert(kernel(0x3L, 2, 32) === 1)                // band 0 dirty, band 1 clean
+    assert(kernel(0xfL, 2, 32) === 2)
+    assert(kernel(-1L, 2, 32) === -1)                // every group dirty
+    assert(kernel(0xffffL, 16, 4) === 1)             // chunk width 16
+    assert(kernel(java.lang.Long.parseLong("10", 2), 1, 64) === 0) // bit 0 clean
+    // Matches a brute-force scan on random values.
+    val rnd = new scala.util.Random(3)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextLong()
+      val r = Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
+      val nBands = 64 / r
+      val mask = (1L << r) - 1L
+      val expected = (0 until nBands).find(b => ((x >>> (b * r)) & mask) == 0L).getOrElse(-1)
+      assert(FirstZeroBand.kernel(x, r, nBands) === expected, s"x=$x r=$r")
+    }
+  }
+
   test("h_index aggregate == uncapped kcore_merge over collect_list (random multisets)") {
     // The distributed k-core's fused aggregate: h_index computes the
     // H-index from a map-side-combinable histogram; capping by the current
