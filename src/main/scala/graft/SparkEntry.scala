@@ -40,6 +40,33 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
+  /** The same parquet table as an unbounded stream (explicit schema from a
+    * batch read — the file source does not infer). The batch read also
+    * arms the nanos conf for `events` before the streaming scan plans.
+    */
+  private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = tbl(s, dir, name).schema
+    // The file stream source requires a DIRECTORY path; select the one
+    // table's file with a glob filter.
+    s.readStream.schema(schema).option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir)
+  }
+
+  /** Drain a streaming frame with `Trigger.AvailableNow` into a memory sink
+    * and return the sink table: the stream runs the real micro-batch
+    * machinery (watermarks, state store, output-mode semantics) but
+    * terminates once the source is exhausted, so the result is a plain
+    * DataFrame the oracle harness can hash. Batch/stream equivalence IS the
+    * oracle contract for the st* queries.
+    */
+  private def drainStream(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   // ---- graph builders over the relational tables ----
 
   /** part(+1e6) -> supplier multigraph, one edge per lineitem row. */
@@ -333,7 +360,43 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain"),
         n = 4, frameBytes = 64)
-        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5")))
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
+
+    // ---- structured streaming (drained with AvailableNow; see drainStream) ----
+    // Event time is synthesized from doc_id so the watermark machinery runs
+    // on a deterministic clock; all duplicates land inside the horizon, so
+    // the streamed result equals the batch distinct.
+    "st01_stream_dedup" -> ((s, d) => {
+      val docs = streamTbl(s, d, "documents")
+        .withColumn("ets", timestamp_seconds(col("doc_id") % 3600))
+      drainStream(
+        graft.streaming.Streams.streamingExactDedup(docs, "ets", "text")
+          .select(col("fingerprint")),
+        "st01_sink", "append")
+    }),
+
+    // Sliding 1h/30min windows over events. value is pre-scaled to integer
+    // hundredths (`cents` discipline) so the windowed sum is exact; window
+    // bounds compare as epoch seconds (engine-neutral, tz-free).
+    "st02_stream_window" -> ((s, d) => {
+      val ev = streamTbl(s, d, "events")
+        .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("value", cents(col("value")))
+      drainStream(
+        graft.streaming.Streams.windowedEventStats(
+          ev, "ets", "event_type", "1 hour", "30 minutes", "30 minutes"),
+        "st02_sink", "complete")
+        .select(col("window_start").cast(LongType).as("ws"),
+          col("window_end").cast(LongType).as("we"),
+          col("event_type"), col("cnt"), col("value_sum"))
+    }),
+
+    // Stateless streaming filter: the batch quality formula at ingest.
+    "st03_stream_quality" -> ((s, d) =>
+      drainStream(
+        graft.streaming.Streams.qualityFilter(streamTbl(s, d, "documents"), "text", 0.5)
+          .select(col("doc_id"), round(col("quality"), 6).as("quality")),
+        "st03_sink", "append"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -631,6 +694,36 @@ object SparkEntry {
         |  round(CAST(len(regexp_extract_all(text, '[`a-o]')) AS DOUBLE)
         |    / octet_length(encode(text)), 6) AS f6
         |FROM documents""".stripMargin,
+
+    // Streaming queries: the oracle IS the batch semantics — AvailableNow
+    // drains the whole table through the micro-batch engine, so the result
+    // must equal the equivalent batch query.
+    "st01_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+
+    "st02_stream_window" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |w AS (SELECT sec, event_type, value_c,
+        |  (sec // 1800) * 1800 - k * 1800 AS ws
+        |  FROM e, (SELECT unnest([0, 1]) AS k) offs)
+        |SELECT ws, ws + 3600 AS we, event_type, count(*) AS cnt,
+        |  CAST(sum(value_c) AS BIGINT) AS value_sum
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "st03_stream_quality" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS hits_en
+        |FROM documents),
+        |q AS (SELECT doc_id,
+        |  0.4 * (CASE WHEN n_chars > 0 THEN CAST(alnum AS DOUBLE)/n_chars ELSE 0.0 END)
+        |    + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(hits_en AS DOUBLE)/n_tok ELSE 0.0 END) * 5.0, 1.0)
+        |    + 0.3 * least(CAST(n_chars AS DOUBLE)/500.0, 1.0) AS qraw
+        |FROM s)
+        |SELECT doc_id, round(qraw, 6) AS quality FROM q WHERE qraw >= 0.5""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,

@@ -64,4 +64,39 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       assert(kept.length == 1 && kept.head.startsWith("the data"))
     } finally q.stop()
   }
+
+  test("file-streamed st* queries equal their batch formulations (sf0.001)") {
+    // Batch/stream equivalence IS the oracle contract for the st* queries:
+    // AvailableNow drains the parquet through the micro-batch engine and
+    // must produce exactly the batch result. Mirrors the driver's DuckDB
+    // gate inside the test suite.
+    val sf = "/root/testdata/sf0.001"
+    def sym(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).isEmpty, "stream rows missing from batch")
+      assert(b.exceptAll(a).isEmpty, "batch rows missing from stream")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    val st01 = graft.SparkEntry.queries("st01_stream_dedup")(spark, sf)
+    sym(st01, docs.select(md5(col("text")).as("fingerprint")).distinct())
+
+    val st03 = graft.SparkEntry.queries("st03_stream_quality")(spark, sf)
+    sym(st03, docs
+      .withColumn("quality", graft.text.TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality")))
+
+    val st02 = graft.SparkEntry.queries("st02_stream_window")(spark, sf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("value", round(col("value") * 100, 0).cast("long"))
+    val batchWin = events
+      .groupBy(window(col("ets"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").cast("long").as("ws"),
+        col("window.end").cast("long").as("we"),
+        col("event_type"), col("cnt"), col("value_sum"))
+    sym(st02, batchWin)
+  }
 }
