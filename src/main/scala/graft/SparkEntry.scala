@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.graph.GraphFrame
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.pregel.{MessageDirection, Pregel}
 import graft.text.TextFunctions
 
@@ -362,6 +362,24 @@ object SparkEntry {
         n = 4, frameBytes = 64)
         .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
 
+    // ---- sampling + bucketed storage ----
+    "p01_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(tbl(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+
+    "p02_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedTakeK(tbl(s, d, "documents"), "source", "doc_id", 5)),
+
+    // Bucketed sink -> source round trip: degrees computed from the
+    // RELOADED graph, whose scan carries the bucket layout (no exchange).
+    "b01_bucketed_degrees" -> ((s, d) => {
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      graft.sources.BucketedTables.saveGraph(
+        GraphFrame.fromEdges(partSuppEdges(s, d)), "b01_graph", n)
+      graft.sources.BucketedTables.loadGraph(s, "b01_graph").outDegrees
+    }),
+
     // ---- structured streaming (drained with AvailableNow; see drainStream) ----
     // Event time is synthesized from doc_id so the watermark machinery runs
     // on a deterministic clock; all duplicates land inside the horizon, so
@@ -694,6 +712,31 @@ object SparkEntry {
         |  round(CAST(len(regexp_extract_all(text, '[`a-o]')) AS DOUBLE)
         |    / octet_length(encode(text)), 6) AS f6
         |FROM documents""".stripMargin,
+
+    // Sampling: the oracle replays the exact portable-hash formula; the
+    // thresholds interpolate from the SAME Scala doubles the plan compares
+    // against (0.8 + 0.1 in IEEE, not a hand-written 0.9).
+    "p01_hash_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |FROM documents)
+         |SELECT doc_id, CASE WHEN h < ${Sampling.threshold(0.8)} THEN 'train'
+         |  WHEN h < ${Sampling.threshold(0.8 + 0.1)} THEN 'val'
+         |  ELSE 'test' END AS split FROM h""".stripMargin,
+
+    // The heap orders (score DESC, id ASC) with score = -hash AS DOUBLE;
+    // the window replays that exact ordering.
+    "p02_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |FROM documents),
+        |r AS (SELECT source, doc_id, row_number() OVER (
+        |  PARTITION BY source ORDER BY CAST(h AS DOUBLE) ASC, doc_id ASC) AS rn
+        |FROM h)
+        |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin,
+
+    "b01_bucketed_degrees" ->
+      "SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1",
 
     // Streaming queries: the oracle IS the batch semantics — AvailableNow
     // drains the whole table through the micro-batch engine, so the result
