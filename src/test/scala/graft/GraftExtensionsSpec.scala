@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{FiniteAxpb, FirstZeroBand, PortableHashes}
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
+
+  /** A sibling session (same SparkContext) built WITH the extensions —
+    * function registration is per-session state, so the shared harness
+    * session stays untouched.
+    */
+  private lazy val ext: SparkSession = {
+    val base = spark // force harness session (and its SparkContext) first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder().master(base.sparkContext.master)
+      .withExtensions(new GraftExtensions).getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("scalar kernels resolve and match their host kernels from plain SQL") {
+    val r = ext.sql(
+      """SELECT finite_axpb(3L, 5L, 7L) AS axpb,
+        |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  kcore_merge(array(3L, 1L, 3L), 2L) AS km,
+        |  first_zero_band(12L, 2, 32) AS fzb,
+        |  shingle_hashes('a b c d', 3) AS sh,
+        |  winnow_min(portable_ngram_hashes('a b c d e', 2, false), 3) AS wm
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("axpb") == FiniteAxpb.axpb(3L, 5L, 7L))
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Int]("fzb") == FirstZeroBand.kernel(12L, 2, 32))
+    assert(r.getSeq[Long](r.fieldIndex("sh")).nonEmpty)
+    val expectedWm = {
+      val hs = Seq("a b", "b c", "c d", "d e").map(PortableHashes.portableHash60)
+      hs.sliding(3).map(_.min).toList.distinct
+    }
+    assert(r.getSeq[Long](r.fieldIndex("wm")).toList == expectedWm)
+  }
+
+  test("aggregate kernels resolve from plain SQL with partial aggregation") {
+    ext.range(0, 100).selectExpr("id % 5 AS g", "id AS v",
+      "CAST(id AS DOUBLE) AS s").createOrReplaceTempView("ext_agg_in")
+    val hi = ext.sql(
+      "SELECT g, h_index(v) AS h FROM ext_agg_in GROUP BY g ORDER BY g")
+    // group g holds {g, g+5, ..., g+95}: 20 values, h-index = the largest h
+    // with h members >= h.
+    val rows = hi.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.values.forall(h => h >= 15 && h <= 20))
+    val tk = ext.sql(
+      """SELECT g, top_k_by_score(s, v, 2) AS tk FROM ext_agg_in GROUP BY g""")
+      .selectExpr("g", "tk.id AS ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // top-2 scores per group are the two largest ids.
+    assert(tk(0L) == List(95L, 90L))
+    assert(tk(4L) == List(99L, 94L))
+    val plan = hi.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_h_index") || plan.contains("h_index"),
+      s"aggregate missing from plan:\n$plan")
+  }
+
+  test("non-literal static parameters are rejected with a clear error") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT shingle_hashes('a b c', CAST(rand() * 3 AS INT))").head()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+}
