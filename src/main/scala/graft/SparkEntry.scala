@@ -289,6 +289,21 @@ object SparkEntry {
         .labelPropagation.maxIterations(5).run()
         .vertices.select(col("id"), col("label"))),
 
+    // Induced subgraph: vertex predicate over PROPERTIES (both endpoints
+    // must survive the left-semi pruning) + an edge predicate on top.
+    "g13_subgraph" -> ((s, d) => {
+      val verts = tbl(s, d, "part")
+        .select((col("p_partkey") + 1000000L).as("id"),
+          col("p_retailprice").as("score"))
+        .unionByName(tbl(s, d, "supplier")
+          .select(col("s_suppkey").cast(LongType).as("id"),
+            col("s_acctbal").as("score")))
+      GraphFrame(verts, partSuppEdges(s, d))
+        .filterVertices(col("score") > 950.0)
+        .filterEdges(col("dst") % 2 === 0)
+        .edges.select(col("src"), col("dst"))
+    }),
+
     // ---- dedup (training-data pipeline) ----
     "d01_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(tbl(s, d, "documents"), "doc_id", "text")),
@@ -560,6 +575,16 @@ object SparkEntry {
     // (simulated exactly), 7 unrolled = margin.
     "g10_mis" -> misOracle(7, graphBase = misPartSuppBase),
     "g12_labelprop" -> lpaOracle,
+
+    "g13_subgraph" ->
+      """WITH v AS (
+        |  SELECT 1000000 + p_partkey AS id FROM part WHERE p_retailprice > 950.0
+        |  UNION ALL
+        |  SELECT s_suppkey AS id FROM supplier WHERE s_acctbal > 950.0),
+        |e AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem)
+        |SELECT e.src, e.dst FROM e
+        |WHERE e.src IN (SELECT id FROM v) AND e.dst IN (SELECT id FROM v)
+        |  AND e.dst % 2 = 0""".stripMargin,
 
     "g11_triangles" ->
       """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
