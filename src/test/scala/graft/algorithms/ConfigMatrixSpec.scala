@@ -1,0 +1,75 @@
+package graft.algorithms
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.graph.GraphFrame
+
+/** Config-invariance matrix: the DISTRIBUTED algorithm paths must produce
+  * bit-identical results with AQE disabled and with a different (odd,
+  * non-power-of-two) shuffle-partition count. This guards the declared-
+  * partitioning checkpoint machinery — whose layout contract quietly
+  * depends on session config — against wrong-results drift: a false
+  * partitioning declaration elides exchanges rows actually need, and the
+  * first symptom would be exactly a config-dependent answer.
+  *
+  * MIS is excluded on purpose: its `rand(seed)` draws are per-partition
+  * seeded, so a different partition count yields a DIFFERENT (but valid)
+  * independent set — its gate is the invariant suite + the deterministic
+  * replay oracle, not cross-config identity.
+  */
+class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private def graph: GraphFrame = {
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    // Subcritical random edges (many components) + a planted 5-clique
+    // (non-trivial core) — both precondition assertions hold structurally.
+    val sparse = Seq.fill(150)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+    val clique = for (i <- 1L to 5L; j <- 1L to 5L if i < j) yield (i, j)
+    GraphFrame((1L to n.toLong).toDF("id"),
+      (sparse ++ clique).toDF("src", "dst"))
+  }
+
+  private def runAll(): Map[String, Map[Long, Long]] = {
+    val g = graph
+    // Select columns by NAME: the Pregel result frames order state columns
+    // before the id, and a positional read would build a collision-prone
+    // (state -> id) map.
+    Map(
+      "wcc" -> g.connectedComponents.smallGraphThreshold(0).run()
+        .components.select("id", "component")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "kcore" -> g.kCore.smallGraphThreshold(0).run()
+        .vertices.select("id", "kcore")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "lpa" -> g.labelPropagation.maxIterations(4).smallGraphThreshold(0).run()
+        .vertices.select("id", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.get(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("distributed WCC/kcore/LPA results are invariant under AQE-off and odd partition counts") {
+    val baseline = runAll()
+    assert(baseline("wcc").values.toSet.size > 1, "graph should have several components")
+    assert(baseline("kcore").values.max >= 2, "graph should have a non-trivial core")
+
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      assert(runAll() === baseline, "AQE-off changed results")
+    }
+    withConf("spark.sql.shuffle.partitions" -> "7") {
+      assert(runAll() === baseline, "shuffle.partitions=7 changed results")
+    }
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "5") {
+      assert(runAll() === baseline, "AQE-off + partitions=5 changed results")
+    }
+  }
+}
