@@ -339,6 +339,13 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    "s03_ivf_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.ivfCosineTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // ---- text analysis ----
     "t01_token_stats" -> ((s, d) =>
       tbl(s, d, "documents").select(
@@ -678,6 +685,34 @@ object SparkEntry {
         |  FROM bnd q JOIN bnd c ON q.band = c.band AND q.bh = c.bh
         |  JOIN qids ON q.vec_id = qids.vec_id
         |  WHERE c.vec_id <> q.vec_id),
+        |sc AS (SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.id),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Full SQL replay of the IVF pipeline: the 16 smallest-id vectors ARE
+    // the coarse centroids (cid = id rank), assignment = argmax of
+    // dot(v, c)/|c| with smaller-cid tie-break, each query probes its 4
+    // nearest cells, exact cosine within the probed cells, rank (cosine
+    // DESC, id ASC) — branch-for-branch the Similarity.ivfCosineTopK plan.
+    "s03_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  v AS cv, sqrt(list_dot_product(v, v)) AS cn
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |cs AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) / c.cn AS s
+        |  FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cs) WHERE rn = 1),
+        |qids AS (SELECT vec_id FROM e WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS qid, cid FROM (SELECT cs.vec_id, cs.cid,
+        |  row_number() OVER (PARTITION BY cs.vec_id ORDER BY cs.s DESC, cs.cid) AS rn
+        |  FROM cs JOIN qids ON cs.vec_id = qids.vec_id) WHERE rn <= 4),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cand AS (SELECT p.qid, a.vec_id AS id FROM probes p
+        |  JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
         |sc AS (SELECT cand.qid AS query_id, cand.id AS neighbor_id,
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |  FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.id),

@@ -119,4 +119,69 @@ object Similarity {
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** IVF-FLAT approximate cosine top-k — the coarse-quantizer scale path
+    * (the classic inverted-file ANN layout, complementing the hyperplane-LSH
+    * path of [[annCosineTopK]]).
+    *
+    * Index: `nCells` coarse centroids; every corpus vector joins the cell
+    * of its nearest centroid. The centroid table is tiny by construction,
+    * so it is collected once and FOLDED INTO a single codegen projection
+    * (a chain of `array_dot`s against literal vectors) — assignment costs
+    * one corpus scan with no join and no shuffle. Search: each query probes
+    * its `nProbe` nearest cells and scores only the vectors living there —
+    * the scanned fraction is ~`nProbe/nCells` on balanced cells, the knob
+    * every IVF index trades recall with.
+    *
+    * Centroids default to the `nCells` corpus vectors with the smallest
+    * ids — deterministic and oracle-replayable. A production index would
+    * train them offline (k-means) and pass them via `centroidsDF`; the
+    * plan shape is identical either way.
+    *
+    * Tie discipline (mirrors the SQL oracle): cell argmax prefers the
+    * smaller centroid index on exact score ties; probe ranking and the
+    * final top-k order (score DESC, id ASC).
+    */
+  def ivfCosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      centroidsDF: Option[DataFrame] = None): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+
+    // (cellId, vector, norm), cellId = 0.. in centroid-id order.
+    val centroids: Array[(Int, Seq[Double], Double)] =
+      centroidsDF.map(withNorm(_, idCol, vecCol)).getOrElse(c)
+        .orderBy(col("id")).limit(nCells)
+        .select(col("v"), col("nrm")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0), r.getDouble(1)) }
+
+    // cos(v, c_i) ranks like dot(v, c_i)/|c_i| — |v| is a common factor.
+    def centroidScore(cv: Seq[Double], cn: Double): Column =
+      array_dot(col("v"), typedLit(cv)) / lit(cn)
+
+    // All cells ranked per row: (-score, cell) structs sorted
+    // lexicographically — score DESC, cell ASC (smaller cell wins ties).
+    // One array literal of linear size; a `when`-chain argmax fold would
+    // DOUBLE the expression tree per centroid (2^nCells nodes).
+    val rankedCells = array_sort(array(centroids.map { case (cid, cv, cn) =>
+      struct(negate(centroidScore(cv, cn)).as("ns"), lit(cid).as("c")) }
+      .toIndexedSeq: _*))
+    val bestCell = element_at(rankedCells, 1).getField("c")
+    val probeArr = slice(rankedCells, 1, nProbe)
+
+    val cells = c.withColumn("cell", bestCell)
+    val probes = q.select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probeArr).as("p"))
+      .select(col("qid"), col("qv"), col("qn"), col("p.c").as("cell"))
+
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    rankTopK(scored, k)
+  }
 }

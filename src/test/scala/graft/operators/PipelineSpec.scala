@@ -183,6 +183,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(recall >= 0.9, s"ANN recall@5 = $recall (|exact|=${exact.size}, hit=${(ann intersect exact).size})")
   }
 
+  test("ivfCosineTopK: recall@5 vs exact and the nProbe=nCells identity") {
+    // IVF prunes by cell: at the s03 gate parameters (16 cells, 4 probes,
+    // ~25 % scan fraction) recall stays useful; probing EVERY cell must
+    // reproduce the exact result identically — the index only partitions
+    // the corpus, it never changes scores.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfCosineTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall at 25% scan fraction")
+    val full = pairs(Similarity.ivfCosineTopK(e, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 16))
+    assert(full == exact, "probing all cells must equal the exact top-k")
+  }
+
   test("embeddingNearDupLsh: planted dups found with wide bands (pruning regime)") {
     // Production near-dup regime from the scaladoc cost model: threshold
     // 0.85 => collision prob per band m^8 with m >= 0.82, r=8/b=8 catches
