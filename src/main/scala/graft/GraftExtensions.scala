@@ -91,7 +91,9 @@ object GraftExtensions {
     */
   private def intArg(e: Expression, fn: String, param: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
+    case Literal(v: Long, LongType) =>
+      require(v.isValidInt, s"$fn: parameter $param out of int range: $v")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: parameter $param must be a literal integer, got $other")
   }

@@ -404,13 +404,17 @@ object SparkEntry {
 
     // ---- structured streaming (drained with AvailableNow; see drainStream) ----
     // Event time is synthesized from doc_id so the watermark machinery runs
-    // on a deterministic clock; all duplicates land inside the horizon, so
-    // the streamed result equals the batch distinct.
+    // on a deterministic clock. The lateness horizon (2h) COVERS the full
+    // synthesized span (1h): the batch-distinct oracle equality must hold
+    // even if the source ever delivers the file as multiple micro-batches
+    // (an advanced watermark could otherwise drop "late" rows / evict
+    // duplicate state mid-stream).
     "st01_stream_dedup" -> ((s, d) => {
       val docs = streamTbl(s, d, "documents")
         .withColumn("ets", timestamp_seconds(col("doc_id") % 3600))
       drainStream(
-        graft.streaming.Streams.streamingExactDedup(docs, "ets", "text")
+        graft.streaming.Streams.streamingExactDedup(docs, "ets", "text",
+          lateness = "2 hours")
           .select(col("fingerprint")),
         "st01_sink", "append")
     }),
@@ -826,7 +830,8 @@ object SparkEntry {
         |    + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(hits_en AS DOUBLE)/n_tok ELSE 0.0 END) * 5.0, 1.0)
         |    + 0.3 * least(CAST(n_chars AS DOUBLE)/500.0, 1.0) AS qraw
         |FROM s)
-        |SELECT doc_id, round(qraw, 6) AS quality FROM q WHERE qraw >= 0.5""".stripMargin,
+        |SELECT doc_id, round(qraw, 6) AS quality FROM q
+        |WHERE round(qraw, 6) >= 0.5""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,

@@ -158,6 +158,11 @@ object Similarity {
         .orderBy(col("id")).limit(nCells)
         .select(col("v"), col("nrm")).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0), r.getDouble(1)) }
+    // A zero-norm centroid scores NaN against every vector, and Spark's
+    // array_sort and SQL ORDER BY place NaN at OPPOSITE ends — assignment
+    // would silently diverge from any SQL replay. Fail loudly instead.
+    require(centroids.forall(_._3 > 0),
+      "zero-norm centroid: supply non-degenerate centroidsDF")
 
     // cos(v, c_i) ranks like dot(v, c_i)/|c_i| — |v| is a common factor.
     def centroidScore(cv: Seq[Double], cn: Double): Column =

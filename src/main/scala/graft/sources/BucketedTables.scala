@@ -57,9 +57,13 @@ object BucketedTables {
     * Sort elision additionally needs the scan to report the per-file sort
     * order, which Spark only does behind
     * `spark.sql.legacy.bucketedTableScan.outputOrdering` AND when every
-    * bucket is a single file — the planner verifies the file count, so
-    * enabling it is always safe; [[writeBucketed]]'s pre-repartition is
-    * what makes the condition hold for tables written here.
+    * bucket is a single file — the planner verifies the file count per
+    * table at planning time, so the flag can never claim an ordering that
+    * does not hold; [[writeBucketed]]'s pre-repartition is what makes the
+    * condition hold for tables written here. NOTE the flag is SESSION-wide
+    * and stays set after this call: for bucketed tables written elsewhere
+    * with multiple files per bucket it costs an extra file-count check at
+    * planning, never correctness.
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")

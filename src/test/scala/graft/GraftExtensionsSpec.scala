@@ -32,12 +32,28 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
         |  kcore_merge(array(3L, 1L, 3L), 2L) AS km,
         |  first_zero_band(12L, 2, 32) AS fzb,
         |  shingle_hashes('a b c d', 3) AS sh,
+        |  minhash_signature(shingle_hashes('a b c d', 3), 4) AS mh,
+        |  simhash64(portable_ngram_hashes('a b c d e', 2, true)) AS sim,
+        |  cosine_lsh_bits(CAST(array(1.0, -2.0, 0.5) AS ARRAY<FLOAT>), 8) AS lsh,
         |  winnow_min(portable_ngram_hashes('a b c d e', 2, false), 3) AS wm
         |""".stripMargin).head()
     assert(r.getAs[Long]("axpb") == FiniteAxpb.axpb(3L, 5L, 7L))
     assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Long]("km") ==
+      graft.functions.KCoreMerge.merge(Array(3L, 1L, 3L), 2L))
     assert(r.getAs[Int]("fzb") == FirstZeroBand.kernel(12L, 2, 32))
     assert(r.getSeq[Long](r.fieldIndex("sh")).nonEmpty)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
+    // parity with the Column-API kernels on identical input
+    val viaApi = ext.range(1).select(
+      graft.functions.TextHashes.simhash64(
+        graft.functions.PortableHashes.portableNgramHashes(
+          org.apache.spark.sql.functions.lit("a b c d e"), 2, distinct = true)).as("sim"),
+      graft.functions.TextHashes.cosineLshBits(
+        org.apache.spark.sql.functions.expr("CAST(array(1.0, -2.0, 0.5) AS ARRAY<FLOAT>)"), 8).as("lsh"))
+      .head()
+    assert(r.getAs[Long]("sim") == viaApi.getAs[Long]("sim"))
+    assert(r.getAs[Long]("lsh") == viaApi.getAs[Long]("lsh"))
     val expectedWm = {
       val hs = Seq("a b", "b c", "c d", "d e").map(PortableHashes.portableHash60)
       hs.sliding(3).map(_.min).toList.distinct
