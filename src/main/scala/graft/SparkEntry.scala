@@ -317,6 +317,13 @@ object SparkEntry {
     "d06_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
 
+    // Corpus-level removal: survivors of the d06 clustering (one min-id
+    // representative per near-dup cluster).
+    "d08_drop_neardups" -> ((s, d) =>
+      Dedup.dropNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .select(col("doc_id"), md5(col("text")).as("fp"))),
+
     "d04_simhash" -> ((s, d) =>
       Dedup.simHashPairs(tbl(s, d, "documents"), "doc_id", "text", n = 3, maxHamming = 3)),
 
@@ -365,6 +372,13 @@ object SparkEntry {
         col("doc_id"),
         size(TextFunctions.fingerprints(col("text"), 3, 4)).cast(LongType).as("fp_cnt"),
         array_min(TextFunctions.fingerprints(col("text"), 3, 4)).as("min_fp"))),
+
+    "t04_chunking" -> ((s, d) =>
+      TextFunctions.chunkDocs(tbl(s, d, "documents"), "doc_id", "text",
+        chunkChars = 512, overlapChars = 64)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast(LongType).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))),
 
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
@@ -629,6 +643,20 @@ object SparkEntry {
         |SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
+    "d08_drop_neardups" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+        |ud AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |r(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM ud
+        |  UNION
+        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst),
+        |comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id),
+        |clu AS (SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+        |SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+        |JOIN clu ON clu.id = d.doc_id WHERE clu.id = clu.cluster""".stripMargin,
+
     // SimHash over ENGINE-PORTABLE 60-bit md5 shingle hashes (see
     // PortableHashes): the oracle recomputes the same fingerprints from
     // scratch in SQL — per-bit majority vote, then brute-force hamming.
@@ -805,6 +833,18 @@ object SparkEntry {
     // Streaming queries: the oracle IS the batch semantics — AvailableNow
     // drains the whole table through the micro-batch engine, so the result
     // must equal the equivalent batch query.
+    // Chunk count is pure integer arithmetic — both engines enumerate the
+    // identical row set; chunks compare by md5.
+    "t04_chunking" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(1, (length(text) - 64 + 447) // 448) AS nc FROM documents),
+        |c AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, text FROM d),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |  substr(text, CAST(1 + chunk_idx * 448 AS BIGINT), 512) AS chunk FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM ch""".stripMargin,
+
     "st01_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
 

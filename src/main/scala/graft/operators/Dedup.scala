@@ -146,6 +146,23 @@ object Dedup {
       .select(col("id"), col("component").as("cluster"))
   }
 
+  /** Corpus-level near-duplicate REMOVAL — the end-user dedup operation the
+    * pair/cluster detectors exist to serve: keep ONE representative per
+    * near-dup cluster (the minimum member id, which IS the cluster label
+    * from [[nearDupClusters]]' min-label components), drop every other
+    * member. A left-semi join against the representative set, so no
+    * document payload is shuffled — only ids.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val reps = nearDupClusters(docs, idCol, textCol, n, threshold, numHashes, bands)
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as("__rep_id"))
+    docs.join(reps, col(idCol) === col("__rep_id"), "left_semi")
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit SimHash per document, bucketed
     * by each of four 16-bit chunks (pigeonhole: Hamming distance <= 3 pairs
     * share at least one intact chunk), candidates verified by popcount of the

@@ -110,4 +110,30 @@ object TextFunctions {
   def fingerprints(text: Column, n: Int, w: Int): Column =
     graft.functions.PortableHashes.winnowMin(
       graft.functions.PortableHashes.portableNgramHashes(text, n, distinct = false), w)
+
+  /** Fixed-size character chunking with overlap — the document →
+    * context-window preprocessing step of an LLM data pipeline. One output
+    * row per chunk: `[<idCol>, chunk_idx, chunk]`, chunks of `chunkChars`
+    * characters starting every `chunkChars - overlapChars`; every document
+    * yields at least one chunk. The chunk count is pure INTEGER arithmetic
+    * (`(len - overlap + stride - 1) div stride`) so any engine reproduces
+    * the row set exactly; the whole operator is one generate-and-project —
+    * no shuffle, no UDF, scales as a linear scan.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkChars: Int = 512, overlapChars: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkChars > overlapChars && overlapChars >= 0,
+      s"need 0 <= overlapChars < chunkChars, got $chunkChars/$overlapChars")
+    val stride = chunkChars - overlapChars
+    // `div`, not `/`: Spark's Column `/` is ALWAYS double division.
+    val nChunks = expr(s"greatest(CAST(1 AS BIGINT), " +
+      s"(length($textCol) - $overlapChars + ${stride - 1}) div $stride)")
+    docs.select(col(idCol),
+        explode(sequence(lit(0L), nChunks - lit(1L))).as("chunk_idx"),
+        col(textCol))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"substring($textCol, CAST(1 + chunk_idx * $stride AS INT), $chunkChars)")
+          .as("chunk"))
+  }
 }

@@ -244,4 +244,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     // doc 5 is shorter than one frame: excluded entirely
     assert(!frames.exists(_.getLong(0) == 5L))
   }
+
+  test("dropNearDuplicates keeps exactly one representative per planted cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + "!"),          // near-dup pair -> keep 1
+      (3L, "completely different content about spark query engines and scale"),
+      (4L, base + " !"))                     // third member of the cluster
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
+
+  test("chunkDocs: boundary row sets and overlap reconstruction") {
+    val docs = Seq(
+      (1L, "a" * 10),    // shorter than one chunk -> 1 chunk, len 10
+      (2L, "b" * 512),   // exactly one chunk
+      (3L, "c" * 513),   // one char past -> 2 chunks
+      (4L, ""))          // empty -> 1 empty chunk
+      .toDF("doc_id", "text")
+    val chunks = TextFunctions.chunkDocs(docs, "doc_id", "text", 512, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._3) sameElements Array("a" * 10))
+    assert(byDoc(2L).map(_._3) sameElements Array("b" * 512))
+    assert(byDoc(3L).length == 2 &&
+      byDoc(3L)(0)._3.length == 512 && byDoc(3L)(1)._3.length == 65)
+    assert(byDoc(4L).map(_._3) sameElements Array(""))
+    // consecutive chunks overlap by exactly overlapChars
+    val doc3 = byDoc(3L)
+    assert(doc3(0)._3.takeRight(64) == doc3(1)._3.take(64))
+  }
 }
