@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.graph.GraphFrame
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, KMeans, Retrieval, Sampling, Similarity}
 import graft.pregel.{MessageDirection, Pregel}
 import graft.text.TextFunctions
 
@@ -454,7 +454,31 @@ object SparkEntry {
       drainStream(
         graft.streaming.Streams.qualityFilter(streamTbl(s, d, "documents"), "text", 0.5)
           .select(col("doc_id"), round(col("quality"), 6).as("quality")),
-        "st03_sink", "append"))
+        "st03_sink", "append")),
+
+    // ---- round-4 additions: repetition QA, decontamination, BM25, k-means ----
+    "t05_repetition" -> ((s, d) =>
+      TextFunctions.repetitionSignals(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // Held-out set = doc_id % 10 == 7; 5-gram overlap (the data's planted
+    // near-dups make this a discriminative flag — 3-grams over the tiny
+    // synthetic vocabulary would mark most of the corpus).
+    "d09_decontaminate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 5)
+    }),
+
+    "s04_bm25_topk" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 5)
+    }),
+
+    "k01_kmeans" -> ((s, d) =>
+      KMeans.fitAssign(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, nIter = 2)
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("d2")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -880,7 +904,91 @@ object SparkEntry {
         |f AS (SELECT media_id, text, stride, tot, unnest([0,1,2,3]) AS frame_idx FROM st)
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substr(text, CAST(frame_idx * stride + 1 AS INT), 64)) AS frame_md5
-        |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin
+        |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin,
+
+    // Token/bigram frequency tables -> per-doc repetition fractions; LEFT
+    // JOINs keep token-less documents with all-zero signals.
+    "t05_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, sum(cnt) AS n_tok, max(cnt) AS top_tok, count(*) AS n_dist FROM tc GROUP BY 1),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |bc AS (SELECT doc_id, term, count(*) AS cnt FROM big GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(cnt) AS n_big, max(cnt) AS top_big FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN ts.n_tok > 0 THEN CAST(ts.n_tok - ts.n_dist AS DOUBLE) / CAST(ts.n_tok AS DOUBLE) ELSE 0.0 END, 6) AS dup_tok_frac,
+        |  round(CASE WHEN ts.n_tok > 0 THEN CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tok AS DOUBLE) ELSE 0.0 END, 6) AS top_tok_frac,
+        |  round(CASE WHEN bs.n_big > 0 THEN CAST(bs.top_big AS DOUBLE) / CAST(bs.n_big AS DOUBLE) ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    // Distinct portable 5-gram hashes per doc; train docs (id % 10 <> 7)
+    // counted by distinct hashes shared with the held-out side.
+    "d09_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),
+        |ex AS (SELECT doc_id, unnest(h) AS g FROM hs),
+        |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
+        |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+
+    // Full BM25 replay: postings/doc-length/corpus-stats CTEs, df counted
+    // over query-term postings only (identical to the engine's pruned
+    // plan), every float op CAST and parenthesized in the same order as
+    // the Column expression (doubles are not associative), rank on the
+    // ROUNDED score with doc-id tie-break.
+    "s04_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id % 100 = 0),
+        |pr AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM qt)),
+        |dfq AS (SELECT term, count(*) AS df FROM pr GROUP BY 1),
+        |sc AS (SELECT qt.qid AS query_id, pr.doc_id,
+        |  round(sum(
+        |    ln(CAST(1.0 AS DOUBLE) + (CAST(stats.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) * CAST(stats.n AS DOUBLE) / CAST(stats.sdl AS DOUBLE)))
+        |  ), 6) AS score
+        |  FROM pr JOIN qt USING (term) JOIN dl ON pr.doc_id = dl.doc_id
+        |  JOIN dfq ON pr.term = dfq.term CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Quantized-Lloyd's replay, 2 unrolled iterations: micro-lattice
+    // points, k=8 smallest-id init, exact integer squared-L2 assignment
+    // (ties to the smaller cell), floor-divided centroid update with
+    // empty-cell carryover — every step integer-exact, so the hash gate is
+    // strict equality (see graft.operators.KMeans).
+    "k01_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd1 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(e.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+        |u1 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s1 GROUP BY 1),
+        |c1 AS (SELECT c0.cell, coalesce(u1.cv, c0.cv) AS cv FROM c0 LEFT JOIN u1 USING (cell)),
+        |dd2 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(e.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a2 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+        |u2 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s2 GROUP BY 1),
+        |c2 AS (SELECT c1.cell, coalesce(u2.cv, c1.cv) AS cv FROM c1 LEFT JOIN u2 USING (cell)),
+        |dd3 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c2 c),
+        |a3 AS (SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd3) WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin
   )
 
   /** `iters` unrolled iterations of the distributed k-core update: new core

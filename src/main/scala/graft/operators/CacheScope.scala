@@ -46,4 +46,14 @@ private[graft] object CacheScope {
     try build(scope).localCheckpoint(true)
     finally scope.releaseAll()
   }
+
+  /** Scoped caches around a DRIVER-MATERIALIZED computation (collected
+    * arrays, counts): the body's result must not lazily reference the
+    * scoped frames, which are released on return.
+    */
+  def scopedValue[T](build: Scope => T): T = {
+    val scope = new Scope
+    try build(scope)
+    finally scope.releaseAll()
+  }
 }

@@ -297,4 +297,36 @@ object Dedup {
         round(array_dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Train/test decontamination: flag every corpus document sharing at
+    * least one token n-gram with the held-out set, with the count of
+    * DISTINCT shared n-grams as the contamination weight. Output
+    * `[<idCol>, shared_ngrams]`, held-out documents excluded from the
+    * corpus side (a doc is not its own contamination). The standard
+    * benchmark-leakage scrub of an LLM data pipeline (e.g. GPT-3 appendix
+    * C / PaLM-style 8-gram overlap), here over ENGINE-PORTABLE 60-bit md5
+    * n-gram hashes so the flag set is oracle-checkable in plain SQL.
+    *
+    * SHAPE: both sides explode their distinct shingle hashes; the held-out
+    * side collapses to DISTINCT hashes and is broadcast (a test set is
+    * orders of magnitude smaller than the corpus — for a huge held-out set
+    * drop the hint and let AQE pick the shuffle join on the hash key). One
+    * scan of the corpus, no shuffle of corpus rows beyond the final
+    * per-doc count, which is map-side-combinable.
+    */
+  def decontaminate(
+      corpus: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def hashed(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+        explode(graft.functions.PortableHashes
+          .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+    val testHashes = hashed(heldOut, "tid").select("h").distinct()
+    val testIds = heldOut.select(col(idCol).as("id")).distinct()
+    hashed(corpus, "id")
+      .join(testIds, Seq("id"), "left_anti")
+      .join(broadcast(testHashes), "h")
+      .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+      .withColumnRenamed("id", idCol)
+  }
 }

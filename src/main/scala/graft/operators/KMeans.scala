@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.ArrayDot.array_dot
+import graft.functions.VectorSumAgg.vector_sum
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer that
+  * produces the coarse centroids [[Similarity.ivfCosineTopK]] consumes
+  * (reference ANN indexes train these offline; here the trainer is part of
+  * the engine).
+  *
+  * DESIGN — quantized ("lattice") k-means, engine-exact by construction:
+  *   - Points are quantized once to integer MICROS
+  *     (`round(x * 1e6)` per component, 64-bit). Squared-L2 distances of
+  *     micro-lattice points are EXACT integers (dim x (2e6)^2 ~ 2.6e14 per
+  *     term, far below 2^53), so assignment has zero float drift.
+  *   - Centroid update rounds DOWN to the lattice:
+  *     `floorDiv(sum_micros, count)` per dimension. Sums are exact 64-bit
+  *     integers ([[graft.functions.VectorSumAgg]]); empty cells keep their
+  *     previous centroid.
+  *   - Ties (equidistant cells) break to the smaller cell id.
+  *   Every step is therefore a pure integer function of the input —
+  *   bit-reproducible across engines, partitionings and retries, and
+  *   replayable in ANSI SQL (the `k01` oracle unrolls the iterations).
+  *
+  * SCALE — per iteration: one corpus scan with the k centroids FOLDED INTO
+  * a single codegen projection (literal vectors — no join, no broadcast
+  * table, no shuffle on the big side), then one map-side-combining
+  * aggregate whose shuffled state is `k x dim` longs per partition. The
+  * driver holds only the k centroids. Iterations are driver-synchronous
+  * like every Lloyd's implementation. Int64 headroom: component sums
+  * overflow only past ~9e12 points per cell at unit-scale embeddings
+  * (checked via `Math.addExact` — overflow raises, never wraps).
+  */
+object KMeans {
+
+  /** `[id, vq]` with `vq` = integer-micro quantization of the vector. */
+  def quantize(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+    points.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(1e6), 0).cast(LongType)).as("vq"))
+
+  /** `(cellId, centroid_micros)` for the k initial centroids: the k
+    * smallest-id points, cell ids in id order (deterministic, replayable —
+    * the same discipline as [[Similarity.ivfCosineTopK]]'s default index).
+    */
+  private def initCentroids(q: DataFrame, k: Int): Array[Array[Long]] =
+    q.orderBy(col("id")).limit(k).select(col("vq")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** Exact integer squared-L2 to a literal centroid, via the expansion
+    * `|v|^2 - 2 v.c + |c|^2` (all terms < 2^53 so the double arithmetic of
+    * [[array_dot]] is exact; `vq2` is computed once per row, so each extra
+    * centroid costs one dot product per point).
+    */
+  private def dist2(vqd: Column, vq2: Column, cv: Array[Long]): Column = {
+    val c2 = cv.foldLeft(0L)((acc, x) => Math.addExact(acc, Math.multiplyExact(x, x)))
+    vq2 - lit(2.0) * array_dot(vqd, typedLit(cv.map(_.toDouble).toSeq)) + lit(c2.toDouble)
+  }
+
+  /** `[id, cell, d2]`: nearest centroid (ties to the smaller cell) and the
+    * exact integer squared distance, one codegen projection over `q`.
+    */
+  private def assignTo(q: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    // (dist, cell) structs array-sorted lexicographically: dist ASC then
+    // cell ASC — argmin with deterministic tie-break, linear expression size
+    // (a when-chain argmin would double the tree per centroid).
+    val ranked = array_sort(array(centroids.zipWithIndex.map { case (cv, cid) =>
+      struct(dist2(col("vqd"), col("vq2"), cv).as("d"), lit(cid).as("c"))
+    }.toIndexedSeq: _*))
+    q.withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+      .withColumn("best", element_at(ranked, 1))
+      .select(col("id"), col("best.c").as("cell"),
+        col("best.d").cast(LongType).as("d2"))
+  }
+
+  /** Train centroids: `nIter` Lloyd iterations from the deterministic init.
+    * Returns the final `(cellId -> centroid_micros)` table (size k — driver
+    * resident by design, like every coarse-quantizer index).
+    */
+  def fitCentroids(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, nIter: Int): Array[Array[Long]] = CacheScope.scopedValue { scope =>
+    require(k >= 1 && nIter >= 0, s"need k >= 1, nIter >= 0, got k=$k nIter=$nIter")
+    // Quantized points are scanned nIter+1 times (init + per-iteration
+    // assignment-aggregate) — cache the quantization, release on return.
+    val q = scope.cache(quantize(points, idCol, vecCol))
+    var centroids = initCentroids(q, k)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < nIter) {
+      val sums = assignTo(q, centroids)
+        .join(q, "id")
+        .groupBy("cell")
+        .agg(vector_sum(col("vq")).as("vsum"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val vsum = r.getSeq[Long](1)
+        val cnt = r.getLong(2)
+        require(vsum.length == dim, s"ragged centroid sum in cell $cell")
+        next(cell) = vsum.map(Math.floorDiv(_, cnt)).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train + assign: `[<idCol>, cell, d2]` for every point after `nIter`
+    * iterations — cell is the final cluster, d2 the exact integer squared
+    * micro-distance to its centroid.
+    */
+  def fitAssign(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, nIter: Int): DataFrame = {
+    val centroids = fitCentroids(points, idCol, vecCol, k, nIter)
+    assignTo(quantize(points, idCol, vecCol), centroids)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Trained centroids as a DataFrame `[cell, centroid]` (micros rescaled
+    * back to doubles) — pluggable into `Similarity.ivfCosineTopK(...,
+    * centroidsDF = Some(...))`.
+    */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (cv, cid) => (cid, cv.map(_ / 1e6).toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+}

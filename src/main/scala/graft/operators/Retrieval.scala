@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.text.TextFunctions
+
+/** Lexical (sparse) retrieval over the document corpus — the BM25
+  * complement to the dense-vector paths in [[Similarity]]: an LLM data
+  * pipeline needs both for sourcing, eval-set mining and hard-negative
+  * generation.
+  *
+  * SHAPE — the classic distributed inverted-index plan:
+  *   - one corpus scan builds the postings `(doc, term, tf)` via a
+  *     map-side-combining count;
+  *   - document frequencies and corpus stats (N, total length) derive from
+  *     the postings with term-local aggregates;
+  *   - the (tiny) query term set joins the postings ON TERM — broadcast, so
+  *     the postings never shuffle for the probe;
+  *   - per-(query, doc) partial scores sum map-side, and the final top-k
+  *     uses the bounded-heap aggregate ([[graft.functions.TopKByScore]]) —
+  *     no sort of the scored set.
+  * Every arithmetic step is written in the same operation order as the SQL
+  * oracle (double ops are not associative; syntactic mirroring is what
+  * makes the scores hash-comparable engine-to-engine).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query (id + text), the k highest-scoring
+    * corpus documents. Query terms are the DISTINCT tokens of the query
+    * text (query-side tf ignored, the common simplification). Output
+    * `[query_id, doc_id, score, rnk]`, rank by (rounded score DESC, doc_id
+    * ASC) — ranking on the ROUNDED score keeps the order engine-portable.
+    */
+  def bm25TopK(
+      docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    // One-row corpus stats; exact integers so every engine derives the
+    // same doubles (avgdl enters the formula as dl*N/sdl — two exact-int
+    // double ops — never as a pre-rounded average).
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val qterms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    // Postings pruned to query terms BEFORE any stats join — document
+    // frequency only needs counting for terms that can score, so no
+    // full-vocabulary aggregate or broadcast ever materializes.
+    val pruned = tf.join(broadcast(qterms.select("term").distinct()), "term")
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val dff = col("df").cast("double")
+    val nn = col("n").cast("double")
+    val tff = col("tf").cast("double")
+    val idf = log(lit(1.0) + (nn - dff + lit(0.5)) / (dff + lit(0.5)))
+    val den = tff + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast("double") * nn / col("sdl").cast("double"))
+    val term = idf * (tff * (lit(k1) + lit(1.0))) / den
+
+    val scored = pruned.join(broadcast(qterms), "term")
+      .join(dl, "id")
+      .join(broadcast(dfreq.crossJoin(stats)), "term")
+      .groupBy("qid", "id")
+      .agg(round(sum(term), 6).as("score"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("score"), col("id"), k).as("tk"))
+      .select(col("qid").as("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+}

@@ -111,6 +111,45 @@ object TextFunctions {
     graft.functions.PortableHashes.winnowMin(
       graft.functions.PortableHashes.portableNgramHashes(text, n, distinct = false), w)
 
+  /** Repetition-based quality signals (the Gopher/MassiveText family of
+    * filters): excessive repetition is the strongest single predictor of
+    * low-value training text. Output one row per input document:
+    * `[<idCol>, dup_tok_frac, top_tok_frac, top_bigram_frac]` —
+    *   - dup_tok_frac: `1 - distinct_tokens / tokens`,
+    *   - top_tok_frac: occurrences of the most frequent token / tokens,
+    *   - top_bigram_frac: occurrences of the most frequent bigram / bigrams,
+    * each rounded to 6 decimals, 0.0 for documents with no tokens/bigrams.
+    *
+    * SHAPE: frequency tables via explode + two-level aggregate — the first
+    * `groupBy(doc, term)` count is map-side-combinable and the second
+    * collapses to one row per doc, so the op is two partial-agg shuffles
+    * over token rows, linear at corpus scale. The per-doc lambda
+    * alternative (`transform(distinct, t -> count)`) is O(tokens x
+    * distinct) per document and CodegenFallback — quadratic on exactly the
+    * pathological documents this filter exists to catch.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val id = col(idCol)
+    def topFreq(termed: DataFrame, outTotal: String, outTop: String): DataFrame =
+      termed.groupBy(id, col("term")).agg(count(lit(1)).as("cnt"))
+        .groupBy(id).agg(sum("cnt").as(outTotal), max("cnt").as(outTop))
+    val toks = docs.select(id, explode(tokens(col(textCol))).as("term"))
+    val bigrams = docs.select(id, explode(tokenNgrams(col(textCol), 2)).as("term"))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6)
+    docs.select(id)
+      .join(topFreq(toks, "n_tok", "top_tok")
+        .join(toks.groupBy(id).agg(count_distinct(col("term")).as("n_dist")), Seq(idCol)),
+        Seq(idCol), "left")
+      .join(topFreq(bigrams, "n_big", "top_big"), Seq(idCol), "left")
+      .select(id,
+        frac(col("n_tok") - col("n_dist"), col("n_tok")).as("dup_tok_frac"),
+        frac(col("top_tok"), col("n_tok")).as("top_tok_frac"),
+        frac(col("top_big"), col("n_big")).as("top_bigram_frac"))
+  }
+
   /** Fixed-size character chunking with overlap — the document →
     * context-window preprocessing step of an LLM data pipeline. One output
     * row per chunk: `[<idCol>, chunk_idx, chunk]`, chunks of `chunkChars`
