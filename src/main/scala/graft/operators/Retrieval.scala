@@ -36,11 +36,16 @@ object Retrieval {
   def bm25TopK(
       docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = CacheScope.scoped { scope =>
     val tf = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    // Doc length == token count: a NARROW second corpus scan (size of the
+    // token array, no explode/aggregate) rather than re-deriving the whole
+    // postings chain — `sum(tf) == size(tokens)` by construction.
+    val dl = docs.select(col(idCol).as("id"),
+      size(TextFunctions.tokens(col(textCol))).cast(LongType).as("dl"))
+      .filter(col("dl") > 0) // token-less docs can't score; keep N = |{docs with terms}| like the postings-derived form
     // One-row corpus stats; exact integers so every engine derives the
     // same doubles (avgdl enters the formula as dl*N/sdl — two exact-int
     // double ops — never as a pre-rounded average).
@@ -49,8 +54,11 @@ object Retrieval {
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
     // Postings pruned to query terms BEFORE any stats join — document
     // frequency only needs counting for terms that can score, so no
-    // full-vocabulary aggregate or broadcast ever materializes.
-    val pruned = tf.join(broadcast(qterms.select("term").distinct()), "term")
+    // full-vocabulary aggregate or broadcast ever materializes. Cached:
+    // scanned once for df counts and once for scoring — without the cache
+    // both scans re-run the corpus tokenize+explode+count chain.
+    val pruned = scope.cache(
+      tf.join(broadcast(qterms.select("term").distinct()), "term"))
     val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
 
     val dff = col("df").cast("double")
