@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(args, 3, "top_k_by_score")
       TopKByScore(args(0), args(1), intArg(args(2), "top_k_by_score", "k"))
     }
+    register(ext, "vector_sum") { args =>
+      arity(args, 1, "vector_sum")
+      VectorSumAgg(args(0))
+    }
   }
 }
 

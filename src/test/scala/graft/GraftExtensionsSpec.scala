@@ -80,6 +80,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
     val plan = hi.queryExecution.executedPlan.toString
     assert(plan.contains("partial_h_index") || plan.contains("h_index"),
       s"aggregate missing from plan:\n$plan")
+    val vs = ext.sql(
+      "SELECT g, vector_sum(array(v, 2L * v)) AS s FROM ext_agg_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // group g sums ids {g, g+5, ..., g+95}: 20 terms, sum = 20g + 950.
+    assert(vs(0L) == List(950L, 1900L))
+    assert(vs(3L) == List(1010L, 2020L))
   }
 
   test("non-literal static parameters are rejected with a clear error") {
