@@ -478,7 +478,23 @@ object SparkEntry {
     "k01_kmeans" -> ((s, d) =>
       KMeans.fitAssign(tbl(s, d, "embeddings"), "vec_id", "embedding",
         k = 8, nIter = 2)
-        .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("d2")))
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("d2"))),
+
+    // Trainer -> index: IVF-FLAT probing k-means-trained centroids (the
+    // production IVF wiring, vs s03's smallest-id-vectors index). The
+    // oracle replays BOTH stages: the k01 centroid chain rescaled to
+    // doubles, then the s03 probe/score/rank pipeline over those cells.
+    "s05_ivf_trained" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val cents = KMeans.centroidsDF(s,
+        KMeans.fitCentroids(e, "vec_id", "embedding", k = 8, nIter = 2))
+        .select(col("cell").cast(LongType).as("vec_id"),
+          col("centroid").as("embedding"))
+      Similarity.ivfCosineTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
+        centroidsDF = Some(cents))
+        .withColumnRenamed("rank", "rnk")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -988,7 +1004,51 @@ object SparkEntry {
         |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c2 c),
         |a3 AS (SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd3) WHERE rn = 1)
-        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin,
+
+    // k01's trained-centroid chain (through c2), rescaled micros -> doubles,
+    // driving the s03 IVF probe/score/rank replay with nProbe = 2.
+    "s05_ivf_trained" ->
+      """WITH eq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM eq ORDER BY vec_id LIMIT 8),
+        |dd1 AS (SELECT eq.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (eq.vq[i] - c.cv[i]) * (eq.vq[i] - c.cv[i]))) AS d2 FROM eq CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(eq.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a1 a JOIN eq USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+        |u1 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s1 GROUP BY 1),
+        |c1 AS (SELECT c0.cell, coalesce(u1.cv, c0.cv) AS cv FROM c0 LEFT JOIN u1 USING (cell)),
+        |dd2 AS (SELECT eq.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (eq.vq[i] - c.cv[i]) * (eq.vq[i] - c.cv[i]))) AS d2 FROM eq CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(eq.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a2 a JOIN eq USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+        |u2 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s2 GROUP BY 1),
+        |c2 AS (SELECT c1.cell, coalesce(u2.cv, c1.cv) AS cv FROM c1 LEFT JOIN u2 USING (cell)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT cell AS cid, list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM c2),
+        |centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+        |cs AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) / c.cn AS s
+        |  FROM e CROSS JOIN centn c),
+        |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM cs) WHERE rn = 1),
+        |qids AS (SELECT vec_id FROM e WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS qid, cid FROM (SELECT cs.vec_id, cs.cid,
+        |  row_number() OVER (PARTITION BY cs.vec_id ORDER BY cs.s DESC, cs.cid) AS rn
+        |  FROM cs JOIN qids ON cs.vec_id = qids.vec_id) WHERE rn <= 2),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cand AS (SELECT p.qid, a.vec_id AS id FROM probes p
+        |  JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+        |sc AS (SELECT cand.qid AS query_id, cand.id AS neighbor_id,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |  FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.id),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin
   )
 
   /** `iters` unrolled iterations of the distributed k-core update: new core
