@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(args, 1, "vector_sum")
       VectorSumAgg(args(0))
     }
+    register(ext, "quantize_micros") { args =>
+      arity(args, 1, "quantize_micros")
+      QuantizeMicrosExpression(args(0))
+    }
   }
 }
 

@@ -37,11 +37,15 @@ import graft.functions.VectorSumAgg.vector_sum
   */
 object KMeans {
 
-  /** `[id, vq]` with `vq` = integer-micro quantization of the vector. */
+  /** `[id, vq]` with `vq` = integer-micro quantization of the vector
+    * (native kernel — the `transform` + `round` lambda formulation is
+    * interpreted and dominates the whole fit at scale; see
+    * [[graft.functions.QuantizeMicros]]).
+    */
   def quantize(points: DataFrame, idCol: String, vecCol: String): DataFrame =
     points.select(col(idCol).as("id"),
-      transform(col(vecCol).cast("array<double>"),
-        x => round(x * lit(1e6), 0).cast(LongType)).as("vq"))
+      graft.functions.QuantizeMicros.quantize_micros(
+        col(vecCol).cast("array<double>")).as("vq"))
 
   /** `(cellId, centroid_micros)` for the k initial centroids: the k
     * smallest-id points, cell ids in id order (deterministic, replayable —
@@ -61,21 +65,37 @@ object KMeans {
     vq2 - lit(2.0) * array_dot(vqd, typedLit(cv.map(_.toDouble).toSeq)) + lit(c2.toDouble)
   }
 
-  /** `[id, cell, d2]`: nearest centroid (ties to the smaller cell) and the
-    * exact integer squared distance, one codegen projection over `q`.
+  /** `[id, (vq,) cell, d2]`: nearest centroid (ties to the smaller cell)
+    * and the exact integer squared distance, as two stacked codegen
+    * projections over `q`: the first materializes the k distances (each
+    * dot product evaluated ONCE), the second takes `least` + a linear
+    * first-match when-chain — the argmin with smallest-cell tie-break, no
+    * per-row struct array or sort. `keepVq` threads the quantized vector
+    * through for the centroid update, so the update aggregates straight
+    * off the assignment scan with NO join back to the points.
     */
-  private def assignTo(q: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
-    // (dist, cell) structs array-sorted lexicographically: dist ASC then
-    // cell ASC — argmin with deterministic tie-break, linear expression size
-    // (a when-chain argmin would double the tree per centroid).
-    val ranked = array_sort(array(centroids.zipWithIndex.map { case (cv, cid) =>
-      struct(dist2(col("vqd"), col("vq2"), cv).as("d"), lit(cid).as("c"))
-    }.toIndexedSeq: _*))
-    q.withColumn("vqd", col("vq").cast("array<double>"))
+  private def assignTo(q: DataFrame, centroids: Array[Array[Long]],
+      keepVq: Boolean = false): DataFrame = {
+    val k = centroids.length
+    val dNames = centroids.indices.map(i => s"_d$i")
+    val carried = if (keepVq) Seq(col("vq")) else Nil
+    val distances = q
+      .withColumn("vqd", col("vq").cast("array<double>"))
       .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
-      .withColumn("best", element_at(ranked, 1))
-      .select(col("id"), col("best.c").as("cell"),
-        col("best.d").cast(LongType).as("d2"))
+      .select(col("id") +: carried ++:
+        centroids.zipWithIndex.map { case (cv, i) =>
+          dist2(col("vqd"), col("vq2"), cv).as(dNames(i))
+        }.toIndexedSeq: _*)
+    val dmin =
+      if (k == 1) col(dNames.head)
+      else least(dNames.map(col): _*)
+    val cell = dNames.init.zipWithIndex
+      .foldLeft(when(lit(false), -1)) { case (acc, (d, i)) =>
+        acc.when(col(d) === col("_dmin"), i)
+      }.otherwise(k - 1)
+    distances.withColumn("_dmin", dmin)
+      .select(col("id") +: carried ++: Seq(
+        cell.as("cell"), col("_dmin").cast(LongType).as("d2")): _*)
   }
 
   /** Train centroids: `nIter` Lloyd iterations from the deterministic init.
@@ -92,8 +112,7 @@ object KMeans {
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < nIter) {
-      val sums = assignTo(q, centroids)
-        .join(q, "id")
+      val sums = assignTo(q, centroids, keepVq = true)
         .groupBy("cell")
         .agg(vector_sum(col("vq")).as("vsum"), count(lit(1)).as("cnt"))
         .collect()

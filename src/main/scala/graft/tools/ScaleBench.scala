@@ -65,6 +65,53 @@ object ScaleBench {
         val t = g.triangleCount.run()
         val total = t.agg(sum("triangles")).head.getLong(0)
         println(f"SCALE-OK $algo n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "kmeans" =>
+        // n synthetic 64-dim points (xxhash-derived uniform components in
+        // [-0.5, 0.5]), k=64, 3 Lloyd iterations: each round is one
+        // literal-centroid codegen projection (64 dots/row) plus a k x dim
+        // long shuffle — the probe shows assignment scan throughput, not
+        // shuffle, is the scaling axis.
+        val dim = 64
+        val iters = args.lift(3).map(_.toInt).getOrElse(3) // 4th arg = Lloyd iterations here
+        val pts = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / lit(1000000.0) - lit(0.5)).as("v"))
+        val cents = graft.operators.KMeans.fitCentroids(pts, "id", "v", k = 64, nIter = iters)
+        println(f"SCALE-OK kmeans n=$n dim=$dim k=64 iters=$iters cells=${cents.length} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "kmeans-probe" =>
+        // Stage-by-stage cost attribution for the k-means iteration.
+        import graft.functions.ArrayDot.array_dot
+        import graft.functions.VectorSumAgg.vector_sum
+        val dim = 64
+        val pts = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / lit(1000000.0) - lit(0.5)).as("v"))
+        val q = graft.operators.KMeans.quantize(pts, "id", "v").persist()
+        def time(label: String)(f: => Unit): Unit = {
+          val s = System.nanoTime(); f
+          println(f"PROBE $label%-24s ${(System.nanoTime() - s) / 1e9}%.1f s")
+        }
+        time("materialize-cache") { q.count() }
+        val vqd = col("vq").cast("array<double>")
+        time("1-dot-per-row") {
+          q.select(array_dot(vqd, vqd).as("x")).agg(sum("x")).head
+        }
+        val cents0: Array[Array[Long]] = q.orderBy(col("id")).limit(64)
+          .select(col("vq")).collect().map(_.getSeq[Long](0).toArray)
+        time("64-dots-per-row") {
+          val d = q.withColumn("vqd", vqd).withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+          val cols = cents0.zipWithIndex.map { case (cv, i) =>
+            (col("vq2") - lit(2.0) * array_dot(col("vqd"),
+              typedLit(cv.map(_.toDouble).toSeq)) + lit(cv.map(x => x * x).sum.toDouble)).as(s"_d$i") }
+          d.select(cols.map(c => sum(c)).toIndexedSeq: _*).head
+        }
+        time("agg-vector-sum-only") {
+          q.withColumn("cell", (col("id") % 64).cast("int"))
+            .groupBy("cell").agg(vector_sum(col("vq")), count(lit(1))).collect()
+        }
+        time("full-update-round") {
+          graft.operators.KMeans.fitCentroids(pts, "id", "v", k = 64, nIter = 1)
+        }
     }
     spark.stop()
   }

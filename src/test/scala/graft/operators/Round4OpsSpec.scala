@@ -39,6 +39,25 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestHarness {
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
 
+  // ---- quantize kernel ----
+
+  test("quantize_micros kernel == round(x*1e6) transform formula") {
+    val tricky = Seq(
+      (1L, Seq(0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.5e-7, -1.5e-7)),
+      (2L, Seq(0.0, -0.0, 123.456789, -123.456789, 4.9999994e-7, 5.0000004e-7))
+    ).toDF("id", "v")
+    val viaKernel = tricky.select($"id",
+      graft.functions.QuantizeMicros.quantize_micros($"v".cast("array<double>")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaFormula = tricky.select($"id",
+      transform($"v".cast("array<double>"), x => round(x * lit(1e6), 0).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel == viaFormula)
+    // exact-half lattice points round away from zero
+    assert(graft.functions.QuantizeMicros.roundMicros(2.5e-6) == 3L)
+    assert(graft.functions.QuantizeMicros.roundMicros(-2.5e-6) == -3L)
+  }
+
   // ---- k-means ----
 
   private def clusteredPoints = {
