@@ -456,6 +456,17 @@ object SparkEntry {
           .select(col("doc_id"), round(col("quality"), 6).as("quality")),
         "st03_sink", "append")),
 
+    // One-round neighborhood aggregation (GraphFrames aggregateMessages
+    // parity): each dst receives its srcs' ids, each src its dsts' ids;
+    // per-vertex sum + count over the merged message stream.
+    "g14_aggmsg" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(partSuppEdges(s, d))
+      g.aggregateMessages(
+        sendToDst = Some(col("src_vertex.id")),
+        sendToSrc = Some(col("dst_vertex.id")),
+        sum(col("msg")).as("nbr_id_sum"), count(lit(1)).as("msg_cnt"))
+    }),
+
     // ---- round-4 additions: repetition QA, decontamination, BM25, k-means ----
     "t05_repetition" -> ((s, d) =>
       TextFunctions.repetitionSignals(tbl(s, d, "documents"), "doc_id", "text")),
@@ -921,6 +932,16 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substr(text, CAST(frame_idx * stride + 1 AS INT), 64)) AS frame_md5
         |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin,
+
+    // Message stream = every edge delivered both ways (src id to dst, dst
+    // id to src), then one per-vertex sum/count.
+    "g14_aggmsg" ->
+      """WITH e AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |msgs AS (SELECT dst AS id, src AS msg FROM e
+        |  UNION ALL SELECT src AS id, dst AS msg FROM e)
+        |SELECT id, CAST(sum(msg) AS BIGINT) AS nbr_id_sum,
+        |  CAST(count(*) AS BIGINT) AS msg_cnt
+        |FROM msgs GROUP BY id""".stripMargin,
 
     // Token/bigram frequency tables -> per-doc repetition fractions; LEFT
     // JOINs keep token-less documents with all-zero signals.

@@ -68,6 +68,38 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
       .select(col("src_vertex"), col("edge"), col("dst_vertex"))
   }
 
+  /** One round of message passing (the GraphFrames `aggregateMessages`
+    * primitive; the reference covers this ground only through its Pregel
+    * loop — exposed here directly because single-round neighborhood
+    * aggregation shouldn't pay loop/checkpoint machinery). `sendToDst` /
+    * `sendToSrc` are message expressions over the [[triplets]] schema
+    * (`src_vertex.*`, `edge.*`, `dst_vertex.*`); the result is
+    * `[id, <aggExprs over col("msg")>]` for every vertex that received at
+    * least one message.
+    *
+    * SHAPE: the two directions reuse ONE triplets frame; messages union
+    * positionally and aggregate with map-side combine on the vertex key —
+    * exactly the per-superstep plan of [[graft.pregel.Pregel]].
+    */
+  def aggregateMessages(
+      sendToDst: Option[org.apache.spark.sql.Column],
+      sendToSrc: Option[org.apache.spark.sql.Column],
+      aggExprs: org.apache.spark.sql.Column*): DataFrame = {
+    require(sendToDst.nonEmpty || sendToSrc.nonEmpty,
+      "aggregateMessages: at least one of sendToDst / sendToSrc required")
+    require(aggExprs.nonEmpty, "aggregateMessages: at least one aggregate required")
+    val t = triplets
+    // Targets come from the EDGE struct, not the joined vertex structs —
+    // a dangling endpoint has a NULL vertex struct but must still receive.
+    val sent = Seq(
+      sendToDst.map(m => t.select(col("edge." + DST).as(ID), m.as("msg"))),
+      sendToSrc.map(m => t.select(col("edge." + SRC).as(ID), m.as("msg")))
+    ).flatten
+    sent.reduce(_.unionAll(_))
+      .filter(col("msg").isNotNull)
+      .groupBy(ID).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
   /** Subgraph induced by a vertex predicate: keeps matching vertices and the
     * edges whose both endpoints survive.
     */

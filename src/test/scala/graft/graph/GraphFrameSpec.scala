@@ -120,4 +120,25 @@ class GraphFrameSpec extends AnyFunSuite with SparkTestHarness {
     // 10 edges touch vertex 1 (9 out + 1 in)
     assert(g.edges.count() === 20L)
   }
+
+  test("aggregateMessages: both directions, null messages dropped") {
+    val s = spark
+    import s.implicits._
+    // path 1 -> 2 -> 3
+    val g = GraphFrame.fromEdges(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val r = g.aggregateMessages(
+      sendToDst = Some(col("src_vertex.id")),
+      sendToSrc = Some(col("dst_vertex.id")),
+      sum(col("msg")).as("m"), count(lit(1)).as("c"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // vertex 1 gets dst-id 2; vertex 2 gets src-id 1 + dst-id 3; vertex 3 gets src-id 2
+    assert(r == Map(1L -> ((2L, 1L)), 2L -> ((4L, 2L)), 3L -> ((2L, 1L))))
+    // one-directional + NULL messages dropped: only dst 2 of edge (1,2) receives
+    val oneWay = g.aggregateMessages(
+      sendToDst = Some(when(col("src_vertex.id") === 1L, col("src_vertex.id"))),
+      sendToSrc = None,
+      count(lit(1)).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(oneWay == Map(2L -> 1L))
+  }
 }
