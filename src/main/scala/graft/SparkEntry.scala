@@ -505,6 +505,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2,
         centroidsDF = Some(cents))
         .withColumnRenamed("rank", "rnk")
+    }),
+
+    // End-to-end training-data pipeline, one composite gate: quality
+    // filter (>= 0.6) -> corpus near-dup removal (over the FILTERED set)
+    // -> deterministic hash split -> per-split doc/token counts. Every
+    // stage is individually oracle-proven (t02 / d08 / p01 / t01); this
+    // gate proves the COMPOSITION.
+    "p03_pipeline" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val clean = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.6)
+      val unique = Dedup.dropNearDuplicates(clean, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Sampling.hashSplit(unique, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
     })
   )
 
@@ -1069,7 +1086,42 @@ object SparkEntry {
         |  FROM cand JOIN n a ON a.vec_id = cand.qid JOIN n b ON b.vec_id = cand.id),
         |rk AS (SELECT *, CAST(row_number() OVER
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
-        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Composite pipeline replay: the t02 quality formula filters, the d08
+    // closure dedups OVER THE FILTERED SET, the p01 thresholds split, and
+    // t01's token count aggregates per split.
+    "p03_pipeline" ->
+      s"""WITH RECURSIVE sq AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum,
+        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT) AS hits_en
+        |FROM documents),
+        |clean AS (SELECT doc_id, text FROM sq WHERE
+        |  round(0.4 * (CASE WHEN n_chars > 0 THEN CAST(alnum AS DOUBLE)/n_chars ELSE 0.0 END)
+        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(hits_en AS DOUBLE)/n_tok ELSE 0.0 END) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(n_chars AS DOUBLE)/500.0, 1.0), 6) >= 0.6),
+        |pairs AS (${jaccardOracleOver("clean")}),
+        |ud AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |r(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM ud
+        |  UNION
+        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst),
+        |comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id),
+        |clu AS (SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
+        |  FROM clean d LEFT JOIN comp ON comp.id = d.doc_id),
+        |uniq AS (SELECT d.doc_id, d.text FROM clean d
+        |  JOIN clu ON clu.id = d.doc_id WHERE clu.id = clu.cluster),
+        |h AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM uniq),
+        |sp AS (SELECT CASE WHEN h < ${Sampling.threshold(0.8)} THEN 'train'
+        |  WHEN h < ${Sampling.threshold(0.8 + 0.1)} THEN 'val'
+        |  ELSE 'test' END AS split, text FROM h)
+        |SELECT split, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+        |FROM sp GROUP BY split""".stripMargin
   )
 
   /** `iters` unrolled iterations of the distributed k-core update: new core
@@ -1196,8 +1248,12 @@ object SparkEntry {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin
 
-  private lazy val jaccardOracle: String =
-    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+  /** 3-gram Jaccard >= 0.8 pair oracle over any documents-shaped relation
+    * (`doc_id`, `text`) — shared by d02/d06/d08 (over `documents`) and the
+    * p03 pipeline (over its quality-filtered CTE).
+    */
+  private def jaccardOracleOver(rel: String): String =
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM $rel),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1206,4 +1262,6 @@ object SparkEntry {
       |SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
       |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
       |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
+
+  private lazy val jaccardOracle: String = jaccardOracleOver("documents")
 }
