@@ -456,6 +456,17 @@ object SparkEntry {
           .select(col("doc_id"), round(col("quality"), 6).as("quality")),
         "st03_sink", "append")),
 
+    // Personalized PageRank from customer 1 over the customer->order->part
+    // DAG: teleport mass only at the source, 3 fixed iterations,
+    // near-zero tol so every nonzero delta propagates (keeps the
+    // participation gate engine-exact; see pprOracle).
+    "g15_ppr" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.pageRank.resetProbability(0.15).tolerance(1e-9).maxIterations(3)
+        .personalized(1L).run()
+        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
     // One-round neighborhood aggregation (GraphFrames aggregateMessages
     // parity): each dst receives its srcs' ids, each src its dsts' ids;
     // per-vertex sum + count over the merged message stream.
@@ -668,6 +679,7 @@ object SparkEntry {
     // (simulated exactly), 7 unrolled = margin.
     "g10_mis" -> misOracle(7, graphBase = misPartSuppBase),
     "g12_labelprop" -> lpaOracle,
+    "g15_ppr" -> pprOracle(3),
 
     "g13_subgraph" ->
       """WITH v AS (
@@ -1247,6 +1259,42 @@ object SparkEntry {
       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin
+
+  /** `iters` unrolled delta-incremental PPR rounds on the
+    * customer->order->part DAG, replaying the engine's loop exactly:
+    * messages = delta/out_degree from every vertex with delta > tol
+    * (1e-9 — far below any reachable nonzero delta, so the participation
+    * gate decides identically in both engines; zero-delta senders
+    * contribute exact +0.0 and are droppable), update pr += alpha*msgSum
+    * with alpha written as `1.0 - 0.15` so both engines compute the SAME
+    * IEEE subtraction, then normalize and round.
+    */
+  private def pprOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4000000 + l_orderkey AS BIGINT), CAST(1000000 + l_partkey AS BIGINT) FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+        |p0 AS (SELECT v.id,
+        |  CASE WHEN v.id = 1 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr,
+        |  CASE WHEN v.id = 1 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS dl
+        |  FROM v)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS id, sum(p.dl / od.d) AS ms FROM e
+         |  JOIN p${k - 1} p ON p.id = e.src AND p.dl > 1e-9
+         |  JOIN od ON od.id = e.src GROUP BY 1),
+         |p$k AS (SELECT p.id,
+         |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+         |  FROM p${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |t AS (SELECT sum(pr) AS tot FROM p$iters)
+       |SELECT id, round(pr / tot, 6) AS pagerank FROM p$iters, t""".stripMargin
+  }
 
   /** 3-gram Jaccard >= 0.8 pair oracle over any documents-shaped relation
     * (`doc_id`, `text`) — shared by d02/d06/d08 (over `documents`) and the

@@ -27,11 +27,18 @@ class PageRank(graph: GraphFrame) {
   private var tol = 0.01
   private var maxIter = 0 // 0 = run to convergence
   private var ckptInterval = 1
+  private var pprSource: Option[Long] = None
 
   def resetProbability(p: Double): this.type = { resetProb = p; this }
   def tolerance(t: Double): this.type = { tol = t; this }
   def maxIterations(n: Int): this.type = { maxIter = n; this }
   def checkpointInterval(n: Int): this.type = { ckptInterval = n; this }
+
+  /** Personalized PageRank (beyond the reference): the teleport mass lands
+    * only on `sourceId`, so ranks measure proximity to the source. Same
+    * delta-incremental loop — only the init mass changes.
+    */
+  def personalized(sourceId: Long): this.type = { pprSource = Some(sourceId); this }
 
   def run(): PageRankResult = {
     val alpha = 1.0 - resetProb
@@ -45,10 +52,13 @@ class PageRank(graph: GraphFrame) {
     val prepared = GraphFrame(verticesWithDegrees, graph.edges.select(GraphFrame.SRC, GraphFrame.DST))
 
     val newDelta = lit(alpha) * coalesce(Pregel.defaultMsg, lit(0.0))
+    val initMass = pprSource
+      .map(s => when(col(ID) === lit(s), lit(resetProb)).otherwise(lit(0.0)))
+      .getOrElse(lit(resetProb))
 
     val builder = prepared.pregel
-      .addVertexColumn("pagerank", lit(resetProb), col("pagerank") + newDelta)
-      .addVertexColumn("pagerank_delta", lit(resetProb), newDelta)
+      .addVertexColumn("pagerank", initMass, col("pagerank") + newDelta)
+      .addVertexColumn("pagerank_delta", initMass, newDelta)
       .addVertexColumn("out_degree", col("out_degree"), col("out_degree"))
       .addMessage(Pregel.src("pagerank_delta") / Pregel.src("out_degree"),
         MessageDirection.SrcToDst)

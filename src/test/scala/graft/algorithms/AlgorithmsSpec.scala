@@ -98,6 +98,17 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ranks.contains(3L)) // sink present in the result
   }
 
+  test("personalized pagerank: mass concentrates near the source, unreachable = 0") {
+    // 1 -> 2 -> 3, and isolated-from-source 4 -> 5
+    val g = graph(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)))
+    val ranks = g.pageRank.tolerance(1e-9).maxIterations(5).personalized(1L)
+      .run().ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9) // normalized
+    assert(ranks(1L) > ranks(2L) && ranks(2L) > ranks(3L)) // decays along the path
+    assert(ranks(4L) == 0.0 && ranks(5L) == 0.0) // unreachable from source
+  }
+
   // ---------------- KCore ----------------
 
   private def cores(g: GraphFrame): Map[Long, Long] =
