@@ -485,6 +485,11 @@ object SparkEntry {
     // Held-out set = doc_id % 10 == 7; 5-gram overlap (the data's planted
     // near-dups make this a discriminative flag — 3-grams over the tiny
     // synthetic vocabulary would mark most of the corpus).
+    // Cross-corpus span dedup: first occurrence of every distinct chunk.
+    "d10_chunk_dedup" -> ((s, d) =>
+      Dedup.firstOccurrenceChunks(tbl(s, d, "documents"), "doc_id", "text",
+        chunkChars = 512, overlapChars = 64)),
+
     "d09_decontaminate" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 10 === 7),
@@ -987,6 +992,19 @@ object SparkEntry {
         |  round(CASE WHEN ts.n_tok > 0 THEN CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tok AS DOUBLE) ELSE 0.0 END, 6) AS top_tok_frac,
         |  round(CASE WHEN bs.n_big > 0 THEN CAST(bs.top_big AS DOUBLE) / CAST(bs.n_big AS DOUBLE) ELSE 0.0 END, 6) AS top_bigram_frac
         |FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    // t04's chunk enumeration + first-occurrence selection by
+    // (doc_id, chunk_idx) — the same lexicographic order as the engine's
+    // min(struct(...)).
+    "d10_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(1, (length(text) - 64 + 447) // 448) AS nc FROM documents),
+        |c AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, text FROM d),
+        |ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  md5(substr(text, CAST(1 + chunk_idx * 448 AS BIGINT), 512)) AS chunk_md5 FROM c),
+        |r AS (SELECT doc_id, chunk_idx, chunk_md5, row_number() OVER
+        |  (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+        |SELECT doc_id, chunk_idx, chunk_md5 FROM r WHERE rn = 1""".stripMargin,
 
     // Distinct portable 5-gram hashes per doc; train docs (id % 10 <> 7)
     // counted by distinct hashes shared with the held-out side.

@@ -298,6 +298,27 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Cross-corpus SPAN dedup (the C4/RefinedWeb move): chunk every document
+    * ([[graft.text.TextFunctions.chunkDocs]]) and keep only the FIRST
+    * occurrence of each distinct chunk — first = lexicographic min of
+    * (document id, chunk index), so the survivor set is deterministic under
+    * any partitioning. Output `[<idCol>, chunk_idx, chunk_md5]`, one row
+    * per surviving span.
+    *
+    * SHAPE: one map-side-combining aggregate keyed on the chunk hash; the
+    * `min(struct(id, idx))` partial keeps O(1) state per distinct span, so
+    * the shuffle carries distinct-span cardinality, not corpus rows.
+    */
+  def firstOccurrenceChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int = 512, overlapChars: Int = 64): DataFrame =
+    graft.text.TextFunctions.chunkDocs(docs, idCol, textCol, chunkChars, overlapChars)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("first"))
+      .select(col(s"first.$idCol").as(idCol),
+        col("first.chunk_idx").as("chunk_idx"), col("chunk_md5"))
+
   /** Train/test decontamination: flag every corpus document sharing at
     * least one token n-gram with the held-out set, with the count of
     * DISTINCT shared n-grams as the contamination weight. Output
