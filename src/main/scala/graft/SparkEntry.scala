@@ -502,6 +502,21 @@ object SparkEntry {
         "doc_id", "text", k = 5)
     }),
 
+    // Exact embedding mean-pooling per class label (chunk->doc /
+    // class-centroid aggregation): quantized micro-lattice + vector_sum
+    // partials + floor-divided means — engine-exact like k01's update.
+    "e01_mean_pool" -> ((s, d) => {
+      import graft.functions.VectorSumAgg.vector_sum
+      val q = KMeans.quantize(
+        tbl(s, d, "embeddings").select(col("label").cast(LongType).as("label"),
+          col("embedding")), "label", "embedding")
+      q.groupBy("id").agg(vector_sum(col("vq")).as("vs"), count(lit(1)).as("cnt"))
+        .select(col("id").as("label"), col("cnt"), posexplode(col("vs")))
+        .select(col("label"), col("pos").cast(LongType).as("dim"),
+          floor(col("col").cast("double") / col("cnt").cast("double"))
+            .cast(LongType).as("mean_micros"))
+    }),
+
     "k01_kmeans" -> ((s, d) =>
       KMeans.fitAssign(tbl(s, d, "embeddings"), "vec_id", "embedding",
         k = 8, nIter = 2)
@@ -1041,6 +1056,17 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Quantized mean-pool replay: per-(label, dim) integer sums,
+    // floor-divided — posexplode's pos is 0-based, range is 1-based.
+    "e01_mean_pool" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |s AS (SELECT label, i.i,
+        |  CAST(floor(CAST(sum(vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micros
+        |  FROM e CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim, mean_micros FROM s""".stripMargin,
 
     // Quantized-Lloyd's replay, 2 unrolled iterations: micro-lattice
     // points, k=8 smallest-id init, exact integer squared-L2 assignment

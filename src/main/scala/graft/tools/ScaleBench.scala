@@ -78,6 +78,22 @@ object ScaleBench {
             i => pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / lit(1000000.0) - lit(0.5)).as("v"))
         val cents = graft.operators.KMeans.fitCentroids(pts, "id", "v", k = 64, nIter = iters)
         println(f"SCALE-OK kmeans n=$n dim=$dim k=64 iters=$iters cells=${cents.length} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "bm25" =>
+        // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
+        // picks), 16 query docs: unlike the tiny-vocab gate corpus, query
+        // terms here hit ~0.2 % of postings each, so this probes the
+        // pruned-postings path doing its real job at scale.
+        val words = (0 until 20).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000L))))
+        // Materialized: a real pipeline reads docs from storage — without
+        // this the generator re-runs once per corpus scan and the probe
+        // times synthesis, not retrieval.
+        val docs = spark.range(n).select(col("id"),
+          concat_ws(" ", words: _*).as("text")).localCheckpoint(true)
+        val queries = docs.filter(col("id") % lit(math.max(1L, n / 16)) === 0)
+        val cnt = graft.operators.Retrieval
+          .bm25TopK(docs, queries, "id", "text", k = 10).count()
+        println(f"SCALE-OK bm25 n=$n queries=16 k=10 rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "kmeans-probe" =>
         // Stage-by-stage cost attribution for the k-means iteration.
         import graft.functions.ArrayDot.array_dot
