@@ -449,6 +449,18 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("value_sum"))
     }),
 
+    // Custom-state streaming (flatMapGroupsWithState): per-user sessions
+    // on 30-min gaps; only successor-closed sessions emit, so the result
+    // is a pure function of the event set (see Streams.streamingSessionize).
+    "st04_stream_sessionize" -> ((s, d) => {
+      val ev = streamTbl(s, d, "events")
+        .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      drainStream(
+        graft.streaming.Streams.streamingSessionize(
+          ev, "ets", "user_id", "event_id", gapSec = 1800L).toDF(),
+        "st04_sink", "append")
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -947,6 +959,23 @@ object SparkEntry {
 
     "st01_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+
+    // Batch replay of successor-closed sessionization: q09's gap/session
+    // numbering, grouped to sessions, with each user's LAST session
+    // excluded (it is still open in the stream's state).
+    "st04_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |x AS (SELECT user_id, sec, event_id,
+        |  CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |       THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, sec, is_new, sum(is_new) OVER
+        |  (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |g AS (SELECT user_id, sid, min(sec) AS session_start, max(sec) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+        |FROM g JOIN mx ON g.user_id = mx.user_id AND g.sid < mx.last_sid""".stripMargin,
 
     "st02_stream_window" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type,

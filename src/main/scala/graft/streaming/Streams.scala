@@ -51,4 +51,64 @@ object Streams {
   def qualityFilter(stream: DataFrame, textCol: String, minQuality: Double): DataFrame =
     stream.withColumn("quality", graft.text.TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
+
+  /** Open trailing session carried between micro-batches. */
+  case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** Emitted (closed) session. */
+  case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Streaming sessionization with CUSTOM state (`flatMapGroupsWithState`):
+    * per-user sessions split on gaps > `gapSec` between consecutive
+    * event-time seconds. A session is emitted only when CLOSED BY A
+    * SUCCESSOR event — the trailing open session stays in state and is
+    * never emitted, so the output is a pure function of the event set (no
+    * timeout-firing dependence) and stream == batch holds under any
+    * drain that delivers batches in event-time order (AvailableNow over
+    * one source file = one batch). Within a batch, per-user events are
+    * sorted by (second, event id) before folding — group iterators carry
+    * no ordering guarantee.
+    *
+    * State per user is O(1) (the single open session) and is NOT
+    * watermark-evicted: eviction would silently reopen sessions for users
+    * whose next event lands after eviction. For unbounded user churn at
+    * 100 TB-stream scale, bound state by closing idle sessions with an
+    * event-time timeout instead — at the documented cost of emission
+    * depending on watermark progress.
+    */
+  def streamingSessionize(
+      stream: DataFrame, tsCol: String, userCol: String, idCol: String,
+      gapSec: Long = 1800L, lateness: String = "2 hours")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, lateness)
+      .select(col(userCol).cast("long").as("_u"),
+        col(tsCol).cast("long").as("_sec"),
+        col(idCol).cast("long").as("_eid"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val ordered = events.map(e => (e._2, e._3)).toSeq.sortBy(identity)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          ordered.foreach { case (sec, _) =>
+            cur match {
+              case Some(SessionAcc(st, last, n)) if sec - last <= gapSec =>
+                cur = Some(SessionAcc(st, math.max(last, sec), n + 1))
+              case Some(SessionAcc(st, last, n)) =>
+                closed += SessionOut(user, st, last, n)
+                cur = Some(SessionAcc(sec, sec, 1L))
+              case None =>
+                cur = Some(SessionAcc(sec, sec, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

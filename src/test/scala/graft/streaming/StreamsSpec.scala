@@ -65,6 +65,33 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingSessionize: successor-closed sessions with custom state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)] // ts, user, event_id
+    val out = Streams.streamingSessionize(
+      input.toDF().toDF("ts", "user_id", "event_id"), "ts", "user_id", "event_id",
+      gapSec = 600L) // 10-minute gap
+    val q = out.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:05 (one session), then 10:20 (new session)
+      input.addData((ts(0), 1L, 1L), (ts(5), 1L, 2L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // nothing closed yet
+      input.addData((ts(20), 1L, 3L)) // closes the first session ACROSS batches
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val t0 = ts(0).getTime / 1000; val t5 = ts(5).getTime / 1000
+      assert(rows.toSeq == Seq((1L, t0, t5, 2L)))
+      // the 10:20 session stays open (never emitted)
+      input.addData((ts(25), 1L, 4L)) // within gap: extends, still open
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("file-streamed st* queries equal their batch formulations (sf0.001)") {
     // Batch/stream equivalence IS the oracle contract for the st* queries:
     // AvailableNow drains the parquet through the micro-batch engine and
