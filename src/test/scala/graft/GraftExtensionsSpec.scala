@@ -35,7 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
         |  minhash_signature(shingle_hashes('a b c d', 3), 4) AS mh,
         |  simhash64(portable_ngram_hashes('a b c d e', 2, true)) AS sim,
         |  cosine_lsh_bits(CAST(array(1.0, -2.0, 0.5) AS ARRAY<FLOAT>), 8) AS lsh,
-        |  winnow_min(portable_ngram_hashes('a b c d e', 2, false), 3) AS wm
+        |  winnow_min(portable_ngram_hashes('a b c d e', 2, false), 3) AS wm,
+        |  quantize_micros(array(0.5D, -1.25D, 0.0000025D)) AS qm
         |""".stripMargin).head()
     assert(r.getAs[Long]("axpb") == FiniteAxpb.axpb(3L, 5L, 7L))
     assert(r.getAs[Double]("dot") == 11.0)
@@ -59,6 +60,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
       hs.sliding(3).map(_.min).toList.distinct
     }
     assert(r.getSeq[Long](r.fieldIndex("wm")).toList == expectedWm)
+    assert(r.getSeq[Long](r.fieldIndex("qm")).toList ==
+      List(500000L, -1250000L, 3L)) // 2.5 micros rounds away from zero
   }
 
   test("aggregate kernels resolve from plain SQL with partial aggregation") {
