@@ -56,6 +56,31 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
     try body finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  // Round-4b pipeline ops whose engine-exactness claims depend on nothing
+  // but integer arithmetic + deterministic hashes: k-means assignments and
+  // BM25 rounded scores must survive the same config matrix.
+  private def runPipeline(): Map[String, Seq[Product]] = {
+    val pts = (1L to 60L).map(i =>
+      (i, Seq((i % 7).toFloat, (i % 11).toFloat, (i % 3).toFloat))).toDF("id", "vec")
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 5} w${i % 7} w${i % 3} w${i % 5} common")).toDF("doc_id", "text")
+    Map(
+      "kmeans" -> graft.operators.KMeans.fitAssign(pts, "id", "vec", k = 4, nIter = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted,
+      "bm25" -> graft.operators.Retrieval.bm25TopK(
+          docs, docs.filter($"doc_id" <= 2), "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq.sortBy(t => (t._1, t._4)))
+  }
+
+  test("kmeans assignments and bm25 rankings are config-invariant") {
+    val baseline = runPipeline()
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "5") {
+      assert(runPipeline() === baseline, "AQE-off + partitions=5 changed results")
+    }
+  }
+
   test("distributed WCC/kcore/LPA results are invariant under AQE-off and odd partition counts") {
     val baseline = runAll()
     assert(baseline("wcc").values.toSet.size > 1, "graph should have several components")
