@@ -479,6 +479,13 @@ object SparkEntry {
         .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
 
+    // HITS hubs/authorities, 2 unnormalized iterations — integer-exact
+    // alternating-path counts (see graft.algorithms.Hits).
+    "g16_hits" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hits.iterations(2).run()
+    }),
+
     // One-round neighborhood aggregation (GraphFrames aggregateMessages
     // parity): each dst receives its srcs' ids, each src its dsts' ids;
     // per-vertex sum + count over the merged message stream.
@@ -712,6 +719,7 @@ object SparkEntry {
     "g10_mis" -> misOracle(7, graphBase = misPartSuppBase),
     "g12_labelprop" -> lpaOracle,
     "g15_ppr" -> pprOracle(3),
+    "g16_hits" -> hitsOracle(2),
 
     "g13_subgraph" ->
       """WITH v AS (
@@ -1332,6 +1340,32 @@ object SparkEntry {
       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45""".stripMargin
+
+  /** `iters` unrolled unnormalized HITS rounds on the customer->order->part
+    * DAG — all-integer alternating-path counts, strict-equality gate:
+    * `auth_k(v) = Σ_in hub_{k-1}`, `hub_k(u) = Σ_out auth_k`, absent
+    * messages coalesce to 0.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4000000 + l_orderkey AS BIGINT), CAST(1000000 + l_partkey AS BIGINT) FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT id, CAST(1 AS BIGINT) AS auth, CAST(1 AS BIGINT) AS hub FROM v)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""na$k AS (SELECT e.dst AS id, CAST(sum(s.hub) AS BIGINT) AS auth
+         |  FROM e JOIN s${k - 1} s ON s.id = e.src GROUP BY 1),
+         |wa$k AS (SELECT s.id, coalesce(na$k.auth, 0) AS auth, s.hub
+         |  FROM s${k - 1} s LEFT JOIN na$k ON na$k.id = s.id),
+         |nh$k AS (SELECT e.src AS id, CAST(sum(w.auth) AS BIGINT) AS hub
+         |  FROM e JOIN wa$k w ON w.id = e.dst GROUP BY 1),
+         |s$k AS (SELECT w.id, w.auth, coalesce(nh$k.hub, 0) AS hub
+         |  FROM wa$k w LEFT JOIN nh$k ON nh$k.id = w.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT id, CAST(auth AS BIGINT) AS auth, CAST(hub AS BIGINT) AS hub FROM s$iters"
+  }
 
   /** `iters` unrolled delta-incremental PPR rounds on the
     * customer->order->part DAG, replaying the engine's loop exactly:

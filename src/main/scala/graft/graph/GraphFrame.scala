@@ -134,6 +134,8 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
   def triangleCount: graft.algorithms.TriangleCount =
     new graft.algorithms.TriangleCount(this)
 
+  def hits: graft.algorithms.Hits = new graft.algorithms.Hits(this)
+
   def labelPropagation: graft.algorithms.LabelPropagation =
     new graft.algorithms.LabelPropagation(this)
 }

@@ -109,6 +109,18 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ranks(4L) == 0.0 && ranks(5L) == 0.0) // unreachable from source
   }
 
+  test("hits: integer path counts on a fan graph") {
+    // 1 -> {3, 4}, 2 -> 3: vertex 3 is the strongest authority, 1 the
+    // strongest hub. Iter 1: auth = in-degree (3: 2, 4: 1), hub = sum of
+    // out-neighbor auths (1: 2+1 = 3, 2: 2). Iter 2: auth_3 = hub_1 +
+    // hub_2 = 5, auth_4 = hub_1 = 3; hub_1 = 5+3 = 8, hub_2 = 5.
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 3L), (1L, 4L), (2L, 3L)))
+    val r = g.hits.iterations(2).run()
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> ((0L, 8L)), 2L -> ((0L, 5L)),
+      3L -> ((5L, 0L)), 4L -> ((3L, 0L))))
+  }
+
   // ---------------- KCore ----------------
 
   private def cores(g: GraphFrame): Map[Long, Long] =
