@@ -373,6 +373,16 @@ object SparkEntry {
         size(TextFunctions.fingerprints(col("text"), 3, 4)).cast(LongType).as("fp_cnt"),
         array_min(TextFunctions.fingerprints(col("text"), 3, 4)).as("min_fp"))),
 
+    // Corpus-wide most-frequent bigrams (boilerplate / contamination
+    // analysis): map-side-combining counts, then TakeOrdered's
+    // per-partition top-k + driver merge — no global sort. Ties break on
+    // the gram so the LIMIT boundary is deterministic.
+    "t06_top_ngrams" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)),
+
     "t04_chunking" -> ((s, d) =>
       TextFunctions.chunkDocs(tbl(s, d, "documents"), "doc_id", "text",
         chunkChars = 512, overlapChars = 64)
@@ -1028,6 +1038,13 @@ object SparkEntry {
         |SELECT id, CAST(sum(msg) AS BIGINT) AS nbr_id_sum,
         |  CAST(count(*) AS BIGINT) AS msg_cnt
         |FROM msgs GROUP BY id""".stripMargin,
+
+    "t06_top_ngrams" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+        |SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
 
     // Token/bigram frequency tables -> per-doc repetition fractions; LEFT
     // JOINs keep token-less documents with all-zero signals.
