@@ -337,16 +337,20 @@ object Dedup {
     */
   def decontaminate(
       corpus: DataFrame, heldOut: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      broadcastHeldOut: Boolean = true): DataFrame = {
     def hashed(df: DataFrame, out: String): DataFrame =
       df.select(col(idCol).as(out),
         explode(graft.functions.PortableHashes
           .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
     val testHashes = hashed(heldOut, "tid").select("h").distinct()
+    // A benchmark-sized held-out set broadcasts; pass false for a huge one
+    // and the probe becomes a shuffle join on the hash key.
+    val probe = if (broadcastHeldOut) broadcast(testHashes) else testHashes
     val testIds = heldOut.select(col(idCol).as("id")).distinct()
     hashed(corpus, "id")
       .join(testIds, Seq("id"), "left_anti")
-      .join(broadcast(testHashes), "h")
+      .join(probe, "h")
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .withColumnRenamed("id", idCol)
   }
