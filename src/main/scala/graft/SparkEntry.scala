@@ -525,6 +525,13 @@ object SparkEntry {
         "doc_id", "text", n = 5)
     }),
 
+    // Fuzzy decontamination: near-dup pairs ACROSS the same split.
+    "d11_fuzzy_decon" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Dedup.crossCorpusNearDups(docs, docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 3, threshold = 0.8)
+    }),
+
     "s04_bm25_topk" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
@@ -806,6 +813,19 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh64, b.sh64)) AS BIGINT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
+
+    // Exact cross-split jaccard pairs (one endpoint in held-out).
+    "d11_fuzzy_decon" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin,
 
     "d05_embed_neardup" -> embedPairsOracle,
     // The LSH path verifies candidates with the same exact cosine, and the

@@ -125,6 +125,63 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** FUZZY decontamination: MinHash-LSH near-duplicate pairs ACROSS the
+    * train/held-out split — [[decontaminate]] flags exact n-gram overlap,
+    * this catches paraphrased/partially-edited benchmark leakage the same
+    * way [[minHashLsh]] catches in-corpus near-dups. Documents present in
+    * `heldOut` are excluded from the corpus side. Output
+    * `[id1 (corpus), id2 (held-out), jaccard]` with jaccard >= threshold;
+    * recall follows the same banding curve as [[minHashLsh]] (output ⊆
+    * exact-pair oracle is the invariant).
+    *
+    * SHAPE: both sides band their signatures; the held-out band table is
+    * broadcast (pass `broadcastHeldOut = false` for a huge held-out set),
+    * so the corpus never shuffles for candidate generation; verification
+    * joins shingles on the hash key only for surviving candidates.
+    */
+  def crossCorpusNearDups(
+      corpus: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16,
+      broadcastHeldOut: Boolean = true): DataFrame = CacheScope.scoped { scope =>
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def bucketize(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        TextHashes.minhashSignature(
+          TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
+        .select(col("id"), explode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val testIds = heldOut.select(col(idCol)).distinct()
+    val train = corpus.join(testIds, Seq(idCol), "left_anti")
+    val tb = bucketize(heldOut)
+    val probe = if (broadcastHeldOut) broadcast(tb) else tb
+    val candidates = bucketize(train).as("a")
+      .join(probe.select(col("id").as("tid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("id").as("id1"), col("tid").as("id2"))
+      .distinct()
+    val shTrain = scope.cache(shingles(train, idCol, textCol, n))
+    val shTest = scope.cache(shingles(heldOut, idCol, textCol, n))
+    val sizesT = shTrain.groupBy("id").agg(count(lit(1)).as("n1"))
+    val sizesH = shTest.groupBy("id").agg(count(lit(1)).as("n2"))
+    candidates
+      .join(shTrain.withColumnRenamed("id", "id1"), "id1")
+      .join(shTest.withColumnRenamed("id", "id2"), Seq("id2", "g"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizesT.withColumnRenamed("id", "id1")), "id1")
+      .join(broadcast(sizesH.withColumnRenamed("id", "id2")), "id2")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** Near-duplicate CLUSTERS: MinHash-LSH candidate pairs become the edge
     * set of a document graph and weakly connected components assign every
     * document a cluster — the transitive closure of near-duplication, so a
