@@ -194,6 +194,14 @@ object SparkEntry {
           max(col("k")).as("k_max"), count(lit(1)).as("cnt"))),
 
     // ---- graph operators (SURVEY §2.b) ----
+    // OLAP rollup: per-(flag, status) + per-flag subtotals + grand total
+    // in one pass; money in integer cents (exact engine parity).
+    "q12_rollup" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
+
     "g01_in_degrees" -> ((s, d) =>
       GraphFrame.fromEdges(partSuppEdges(s, d)).inDegrees),
 
@@ -663,6 +671,11 @@ object SparkEntry {
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
         |  count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "g01_in_degrees" ->
       """SELECT l_suppkey AS id, count(*) AS in_degree FROM lineitem GROUP BY 1""".stripMargin,
