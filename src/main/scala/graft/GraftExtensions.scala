@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(args, 1, "h_index")
       HIndexAgg(args(0))
     }
+    register(ext, "label_mode") { args =>
+      arity(args, 1, "label_mode")
+      LabelModeAgg(args(0))
+    }
     register(ext, "top_k_by_score") { args =>
       arity(args, 3, "top_k_by_score")
       TopKByScore(args(0), args(1), intArg(args(2), "top_k_by_score", "k"))

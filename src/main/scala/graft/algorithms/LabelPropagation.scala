@@ -16,8 +16,10 @@ import graft.pregel.{MessageDirection, Pregel, PregelResult}
   * bipartite-ish structures can oscillate, so a cap, not convergence
   * voting, is the standard termination (same choice as Spark GraphFrames).
   *
-  * The per-vertex mode is computed with pure Column ops (no UDF): collect
-  * neighbour labels, sort, and fold once tracking (current run, best run).
+  * The per-vertex mode is the `label_mode` histogram aggregate — map-side
+  * combinable, per-group state bounded by distinct neighbour labels (not
+  * degree), so hub vertices never pull their whole neighbourhood into one
+  * aggregation buffer.
   *
   * Subcritical graphs take a driver sweep computing the SAME deterministic
   * fixed-iteration synchronous update (sorted labels, strict-> run-length
@@ -144,29 +146,18 @@ class LabelPropagation(graph: GraphFrame) {
 
     val prepared = GraphFrame(graph.vertices.select(col(ID)), sym)
 
-    // Mode of the collected neighbour labels: sort ascending, then a single
-    // pass tracking (current run, best run) — smallest label wins ties
-    // because the list is sorted and strict '>' is required to replace.
-    val labels = array_sort(Pregel.defaultMsg)
-    val best = aggregate(
-      labels,
-      struct(lit(0L).as("best"), lit(0L).as("bestCnt"), lit(0L).as("cur"), lit(0L).as("curCnt")),
-      (acc, x) => {
-        val curCnt = when(x === acc.getField("cur"), acc.getField("curCnt") + 1L).otherwise(1L)
-        val isBetter = curCnt > acc.getField("bestCnt")
-        struct(
-          when(isBetter, x).otherwise(acc.getField("best")).as("best"),
-          when(isBetter, curCnt).otherwise(acc.getField("bestCnt")).as("bestCnt"),
-          x.as("cur"),
-          curCnt.as("curCnt"))
-      },
-      acc => acc.getField("best"))
-
+    // Mode of the neighbour labels, computed by the map-side-combinable
+    // label_mode histogram aggregate: per-group state is bounded by the
+    // DISTINCT neighbour-label count, not the degree, so a celebrity hub
+    // never materializes its whole neighbourhood in one buffer (the same
+    // fix kcore_merge∘collect_list got from h_index). Tie-break — smallest
+    // label among the most frequent — matches the driver sweep's sorted
+    // strict-'>' run-length fold exactly (spec-pinned in KernelSpec).
     prepared.pregel
       .addVertexColumn("label", col(ID),
-        when(Pregel.defaultMsg.isNull, col("label")).otherwise(best))
+        when(Pregel.defaultMsg.isNull, col("label")).otherwise(Pregel.defaultMsg))
       .addMessage(Pregel.src("label"), MessageDirection.SrcToDst)
-      .addAggregateExpr(collect_list(Pregel.defaultMsg))
+      .addAggregateExpr(graft.functions.LabelModeAgg.label_mode(Pregel.defaultMsg))
       .maxIterations(maxIter)
       .checkpointInterval(ckptInterval)
       .skipDestState()

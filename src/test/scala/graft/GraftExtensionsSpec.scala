@@ -89,6 +89,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
     // group g sums ids {g, g+5, ..., g+95}: 20 terms, sum = 20g + 950.
     assert(vs(0L) == List(950L, 1900L))
     assert(vs(3L) == List(1010L, 2020L))
+    // label_mode: mode of v % 25 within group g is every value once (tie),
+    // so the smallest — g itself — wins the tie-break.
+    val lm = ext.sql(
+      "SELECT g, label_mode(v % 25) AS m FROM ext_agg_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
   test("non-literal static parameters are rejected with a clear error") {

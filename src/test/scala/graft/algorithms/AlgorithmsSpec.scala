@@ -350,6 +350,28 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(t(500L) === 0L)
   }
 
+  test("label propagation: 10k-star hub is safe under skew (bounded aggregate state)") {
+    // A star hub aggregates its entire neighbourhood's labels each round.
+    // With collect_list that is a 10k-element buffer shipped un-combined
+    // through the shuffle; label_mode's histogram partials combine map-side
+    // and late rounds collapse to a handful of distinct labels. The exact
+    // synchronous trace is deterministic: round 1 hub<-mode(1..n)=1,
+    // leaves<-0; the pair then oscillates with period 2, so after 4 rounds
+    // hub=0 and every leaf=1.
+    val n = 10000L
+    val edges = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+    val vertices = spark.range(0, n + 1).select(col("id"))
+    val g = GraphFrame(vertices, edges)
+    val t0 = System.nanoTime()
+    val res = g.labelPropagation.maxIterations(4).smallGraphThreshold(0).run()
+      .vertices.select("id", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(0L) === 0L)
+    assert(res(1L) === 1L && res(n) === 1L)
+    assert(res.count(_._2 == 1L) === n)
+    assert((System.nanoTime() - t0) / 1e9 < 120.0)
+  }
+
   test("label propagation: two cliques bridged by one edge form two communities") {
     val clique = (base: Long) => for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (base + i, base + j)
     val g = graph((1L to 4L) ++ (11L to 14L), clique(1L) ++ clique(11L) :+ (4L, 11L))

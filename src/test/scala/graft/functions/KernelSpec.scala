@@ -140,6 +140,42 @@ class KernelSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === expected)
   }
 
+  test("label_mode aggregate == sorted strict-'>' run-length fold (random multisets)") {
+    // LPA's fused aggregate: the histogram mode with smallest-label
+    // tie-break must equal the fold the driver sweep (and the g12 SQL
+    // oracle) computes — ascending sort, replace best only on a strictly
+    // longer run, so the smallest among the most frequent wins.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def foldMode(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted
+      var best = 0L; var bestCnt = 0L; var cur = 0L; var curCnt = 0L
+      sorted.foreach { x =>
+        curCnt = if (x == cur && curCnt > 0) curCnt + 1 else 1
+        if (curCnt > bestCnt) { best = x; bestCnt = curCnt }
+        cur = x
+      }
+      best
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 1 to 40
+      _ <- 0 until (1 + rnd.nextInt(30))
+    } yield (g.toLong, (rnd.nextInt(8) - 2).toLong) // include negatives
+    val got = rows.toDF("g", "v").repartition(7).groupBy("g")
+      .agg(LabelModeAgg.label_mode(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) => g -> foldMode(vs.map(_._2)) }
+    assert(got === expected)
+    // Explicit tie-break: {5,5,2,2} -> 2; all-distinct -> smallest.
+    assert(foldMode(Seq(5L, 2L, 5L, 2L)) === 2L)
+    val tie = Seq((1L, 5L), (1L, 2L), (1L, 5L), (1L, 2L), (2L, 9L), (2L, 4L), (2L, 7L))
+      .toDF("g", "v").groupBy("g").agg(LabelModeAgg.label_mode(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie === Map(1L -> 2L, 2L -> 4L))
+  }
+
   test("array_dot: DuckDB list_dot_product edge semantics — mismatch and nulls raise") {
     val s = spark
     import s.implicits._
