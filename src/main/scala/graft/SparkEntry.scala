@@ -504,6 +504,23 @@ object SparkEntry {
       g.hits.iterations(2).run()
     }),
 
+    // Weighted SSSP (min-plus Pregel over an edge weight column) on the
+    // customer->order->part DAG, weights = integer cents, FORCED
+    // distributed (threshold 0) so the Pregel edge-column path is the one
+    // oracle-gated — the g09b/g10b discipline. The 4-round cap is past the
+    // DAG's depth-2 convergence, so capped == exact here.
+    "g17_wsssp" -> ((s, d) => {
+      val edges = tbl(s, d, "orders")
+        .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"),
+          cents(col("o_totalprice")).as("weight"))
+        .unionAll(tbl(s, d, "lineitem").select(
+          (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst"),
+          cents(col("l_extendedprice")).as("weight")))
+      GraphFrame.fromEdges(edges)
+        .weightedShortestPaths(Seq(1L)).maxIterations(4).smallGraphThreshold(0).run()
+        .vertices.select(col("id"), col("dist_1"))
+    }),
+
     // One-round neighborhood aggregation (GraphFrames aggregateMessages
     // parity): each dst receives its srcs' ids, each src its dsts' ids;
     // per-vertex sum + count over the merged message stream.
@@ -750,6 +767,7 @@ object SparkEntry {
     "g12_labelprop" -> lpaOracle,
     "g15_ppr" -> pprOracle(3),
     "g16_hits" -> hitsOracle(2),
+    "g17_wsssp" -> wssspOracle(4),
 
     "g13_subgraph" ->
       """WITH v AS (
@@ -1426,6 +1444,35 @@ object SparkEntry {
     * with alpha written as `1.0 - 0.15` so both engines compute the SAME
     * IEEE subtraction, then normalize and round.
     */
+  /** Unrolled synchronous Bellman-Ford over the weighted cust->order->part
+    * DAG (g17): round k takes the min of round k-1 and every one-edge
+    * relaxation of it. Integer-cents weights make every distance an exact
+    * BIGINT — no float-summation-order hazards. Unreached vertices carry
+    * the engine's Long.MaxValue ∞ sentinel.
+    */
+  private def wssspOracle(rounds: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS w FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4000000 + l_orderkey AS BIGINT), CAST(1000000 + l_partkey AS BIGINT),
+        |         CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |d0(id, dist) AS (SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d.dist + e.w FROM d${k - 1} d JOIN e ON e.src = d.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT v.id, coalesce(d.dist, 9223372036854775807) AS dist_1
+       |FROM v LEFT JOIN d$rounds d ON d.id = v.id""".stripMargin
+  }
+
   private def pprOracle(iters: Int): String = {
     val base =
       """WITH e AS (

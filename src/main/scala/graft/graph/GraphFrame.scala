@@ -123,6 +123,10 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
   def shortestPaths(landmarks: Seq[Long]): graft.algorithms.ShortestPaths =
     new graft.algorithms.ShortestPaths(this).setLandmarks(landmarks)
 
+  def weightedShortestPaths(
+      landmarks: Seq[Long], weightCol: String = "weight"): graft.algorithms.WeightedShortestPaths =
+    new graft.algorithms.WeightedShortestPaths(this, weightCol).setLandmarks(landmarks)
+
   def kCore: graft.algorithms.KCore = new graft.algorithms.KCore(this)
 
   def connectedComponents: graft.algorithms.ConnectedComponents =

@@ -49,6 +49,79 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(dists === Map(1L -> 2, 2L -> 1, 3L -> 0))
   }
 
+  // ---------------- WeightedShortestPaths ----------------
+
+  private def wgraph(vs: Seq[Long], es: Seq[(Long, Long, Long)]): GraphFrame = {
+    val s = spark
+    import s.implicits._
+    GraphFrame(vs.map(Tuple1(_)).toDF("id"), es.toDF("src", "dst", "weight"))
+  }
+
+  private def wdists(g: GraphFrame, lm: Long, distributed: Boolean,
+      cap: Int = Int.MaxValue): Map[Long, Long] = {
+    var b = g.weightedShortestPaths(Seq(lm))
+    if (distributed) b = b.smallGraphThreshold(0)
+    if (cap != Int.MaxValue) b = b.maxIterations(cap)
+    b.run().vertices.select(col("id"), col(s"dist_$lm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted shortest paths: lighter two-hop path beats heavier direct edge") {
+    val g = wgraph(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 3L, 10L), (1L, 2L, 3L), (2L, 3L, 4L), (3L, 4L, 1L)))
+    val expected = Map(1L -> 0L, 2L -> 3L, 3L -> 7L, 4L -> 8L)
+    assert(wdists(g, 1L, distributed = false) === expected)
+    assert(wdists(g, 1L, distributed = true) === expected)
+  }
+
+  test("weighted shortest paths: unreachable is Long.MaxValue; parallel edges take min") {
+    val g = wgraph(Seq(1L, 2L, 3L, 9L),
+      Seq((1L, 2L, 7L), (1L, 2L, 2L), (2L, 3L, 5L)))
+    val expected = Map(1L -> 0L, 2L -> 2L, 3L -> 7L, 9L -> Long.MaxValue)
+    assert(wdists(g, 1L, distributed = false) === expected)
+    assert(wdists(g, 1L, distributed = true) === expected)
+  }
+
+  test("weighted shortest paths: iteration cap bounds path length in edges") {
+    // Chain 1 -5-> 2 -5-> 3 -5-> 4; after 2 rounds vertex 4 is unreached.
+    val g = wgraph(1L to 4L, Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L)))
+    val expected = Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> Long.MaxValue)
+    assert(wdists(g, 1L, distributed = false, cap = 2) === expected)
+    assert(wdists(g, 1L, distributed = true, cap = 2) === expected)
+  }
+
+  test("weighted shortest paths: negative edge relaxes a longer-but-cheaper path") {
+    // 1 -5-> 2 direct, but 1 -10-> 3 -(-8)-> 2 costs 2.
+    val g = wgraph(1L to 3L, Seq((1L, 2L, 5L), (1L, 3L, 10L), (3L, 2L, -8L)))
+    val expected = Map(1L -> 0L, 2L -> 2L, 3L -> 10L)
+    assert(wdists(g, 1L, distributed = false) === expected)
+    assert(wdists(g, 1L, distributed = true) === expected)
+  }
+
+  test("weighted shortest paths: multi-landmark and toLandmarks") {
+    val g = wgraph(1L to 4L, Seq((1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 4L)))
+    val res = g.weightedShortestPaths(Seq(1L, 3L)).run()
+      .vertices.select(col("id"), col("dist_1"), col("dist_3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val Inf = Long.MaxValue
+    assert(res === Set((1L, 0L, Inf), (2L, 2L, Inf), (3L, 5L, 0L), (4L, 9L, 4L)))
+    val to3 = g.weightedShortestPaths(Seq(3L)).toLandmarks().run()
+      .vertices.select(col("id"), col("dist_3"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(to3 === Map(1L -> 5L, 2L -> 3L, 3L -> 0L, 4L -> Inf))
+  }
+
+  test("weighted shortest paths: float weight column is rejected") {
+    val s = spark
+    import s.implicits._
+    val g = GraphFrame(Seq(1L, 2L).map(Tuple1(_)).toDF("id"),
+      Seq((1L, 2L, 1.5)).toDF("src", "dst", "weight"))
+    val e = intercept[IllegalArgumentException] {
+      g.weightedShortestPaths(Seq(1L)).run()
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("LDBC golden: test-bfs-directed exact distances from vertex 1") {
     val g = LdbcLoader.graph(spark, "test-bfs-directed")
     val res = g.shortestPaths(Seq(1L)).run()

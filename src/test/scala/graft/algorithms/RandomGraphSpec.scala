@@ -171,6 +171,37 @@ class RandomGraphSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("random graphs: weighted SSSP == Bellman-Ford oracle, driver == distributed") {
+    seeds.foreach { seed =>
+      val g = randomGraph(seed)
+      val rnd = new scala.util.Random(seed * 31 + 7)
+      val wes = g.es.map { case (s, d) => (s, d, 1L + rnd.nextInt(20)) }
+      val gf = GraphFrame(g.vs.toDF("id"), wes.toDF("src", "dst", "weight"))
+      val lm = 1L
+      // oracle: full synchronous relaxation to fixpoint
+      val dist = scala.collection.mutable.Map(g.vs.map(_ -> Long.MaxValue): _*)
+      dist(lm) = 0L
+      var changed = true
+      while (changed) {
+        changed = false
+        wes.foreach { case (s, d, w) =>
+          if (dist(s) < Long.MaxValue && dist(s) + w < dist(d)) {
+            dist(d) = dist(s) + w; changed = true
+          }
+        }
+      }
+      val expected = dist.toMap
+      def collect(r: graft.pregel.PregelResult): Map[Long, Long] =
+        r.vertices.select(col("id"), col("dist_1"))
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val driver = collect(gf.weightedShortestPaths(Seq(lm)).run())
+      val distrib = collect(
+        gf.weightedShortestPaths(Seq(lm)).smallGraphThreshold(0).run())
+      assert(driver === expected, s"seed=$seed graph=$wes")
+      assert(distrib === expected, s"seed=$seed graph=$wes")
+    }
+  }
+
   test("random graphs: driver LPA == distributed label propagation") {
     seeds.foreach { seed =>
       val g = randomGraph(seed)
