@@ -453,7 +453,11 @@ object SparkEntry {
 
     // Sliding 1h/30min windows over events. value is pre-scaled to integer
     // hundredths (`cents` discipline) so the windowed sum is exact; window
-    // bounds compare as epoch seconds (engine-neutral, tz-free).
+    // bounds compare as epoch seconds (engine-neutral, tz-free). APPEND
+    // mode: only watermark-finalized windows emit (window_end <= max event
+    // time - 30min lateness, boundary inclusive — pinned by StreamsSpec),
+    // so state store size stays O(active windows) on an unbounded stream
+    // where complete mode would retain and re-emit every window ever seen.
     "st02_stream_window" -> ((s, d) => {
       val ev = streamTbl(s, d, "events")
         .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
@@ -461,7 +465,7 @@ object SparkEntry {
       drainStream(
         graft.streaming.Streams.windowedEventStats(
           ev, "ets", "event_type", "1 hour", "30 minutes", "30 minutes"),
-        "st02_sink", "complete")
+        "st02_sink", "append")
         .select(col("window_start").cast(LongType).as("ws"),
           col("window_end").cast(LongType).as("we"),
           col("event_type"), col("cnt"), col("value_sum"))
@@ -1046,15 +1050,19 @@ object SparkEntry {
         |SELECT g.user_id, g.session_start, g.session_end, g.n_events
         |FROM g JOIN mx ON g.user_id = mx.user_id AND g.sid < mx.last_sid""".stripMargin,
 
+    // Append-mode drain: keep only windows the final watermark (max event
+    // time - 30min lateness) has finalized; boundary we == watermark emits
+    // (StreamsSpec-pinned Spark semantics).
     "st02_stream_window" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |wm AS (SELECT max(sec) - 1800 AS w FROM e),
         |w AS (SELECT sec, event_type, value_c,
         |  (sec // 1800) * 1800 - k * 1800 AS ws
         |  FROM e, (SELECT unnest([0, 1]) AS k) offs)
         |SELECT ws, ws + 3600 AS we, event_type, count(*) AS cnt,
         |  CAST(sum(value_c) AS BIGINT) AS value_sum
-        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+        |FROM w, wm WHERE ws + 3600 <= wm.w GROUP BY 1, 2, 3""".stripMargin,
 
     "st03_stream_quality" ->
       """WITH s AS (SELECT doc_id, text,

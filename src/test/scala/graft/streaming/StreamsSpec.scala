@@ -49,6 +49,33 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("windowedEventStats append mode emits exactly the watermark-finalized windows") {
+    // Pins the finalization boundary the st02 oracle encodes: a window is
+    // emitted in append mode once watermark >= window_end, where watermark
+    // = max event time - lateness. The boundary window (end == watermark)
+    // IS emitted; the window holding the max event is retained in state.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.windowedEventStats(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      window = "10 minutes", slide = "10 minutes", lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_append_out")
+      .outputMode("append").start()
+    try {
+      // max = 10:45 -> watermark 10:40. Window ends: 10:10 (< wm, emits),
+      // 10:40 (== wm, boundary), 10:50 (> wm, retained).
+      input.addData((ts(5), "a", 1.0), (ts(35), "b", 2.0), (ts(45), "c", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(45), "c", 4.0)) // second batch: watermark now applied
+      q.processAllAvailable()
+      val ends = spark.table("win_append_out")
+        .select(col("window_end").cast("long"), col("event_type")).collect()
+        .map(r => (r.getLong(0) - ts(0).getTime / 1000, r.getString(1))).toSet
+      assert(ends === Set((600L, "a"), (2400L, "b")),
+        s"observed finalized windows: $ends")
+    } finally q.stop()
+  }
+
   test("qualityFilter reuses the batch formula on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
@@ -124,6 +151,8 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       .select(col("window.start").cast("long").as("ws"),
         col("window.end").cast("long").as("we"),
         col("event_type"), col("cnt"), col("value_sum"))
-    sym(st02, batchWin)
+    // Append mode drains only watermark-finalized windows: we <= max - 30min.
+    val maxSec = events.agg(max(col("ets").cast("long"))).head.getLong(0)
+    sym(st02, batchWin.filter(col("we") <= maxSec - 1800L))
   }
 }
