@@ -508,6 +508,15 @@ object SparkEntry {
       g.hits.iterations(2).run()
     }),
 
+    // L2-normalized HITS (the user-facing form, scores in (0,1]): same
+    // integer-exact rounds as g16, one normalization aggregate at the end.
+    "g16b_hits_norm" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hits.iterations(2).normalized(true).run()
+        .select(col("id"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+    }),
+
     // Weighted SSSP (min-plus Pregel over an edge weight column) on the
     // customer->order->part DAG, weights = integer cents, FORCED
     // distributed (threshold 0) so the Pregel edge-column path is the one
@@ -771,6 +780,7 @@ object SparkEntry {
     "g12_labelprop" -> lpaOracle,
     "g15_ppr" -> pprOracle(3),
     "g16_hits" -> hitsOracle(2),
+    "g16b_hits_norm" -> hitsOracleImpl(2, normalized = true),
     "g17_wsssp" -> wssspOracle(4),
 
     "g13_subgraph" ->
@@ -1422,7 +1432,14 @@ object SparkEntry {
     * `auth_k(v) = Σ_in hub_{k-1}`, `hub_k(u) = Σ_out auth_k`, absent
     * messages coalesce to 0.
     */
-  private def hitsOracle(iters: Int): String = {
+  private def hitsOracle(iters: Int): String = hitsOracleImpl(iters, normalized = false)
+
+  /** Same unrolled integer HITS rounds; `normalized` divides the final
+    * exact counts by their L2 norms (squares in DOUBLE — a large count
+    * squared overflows the integer domain) and rounds to 6, mirroring
+    * `Hits.normalized(true)`.
+    */
+  private def hitsOracleImpl(iters: Int, normalized: Boolean): String = {
     val base =
       """WITH e AS (
         |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst FROM orders
@@ -1440,7 +1457,18 @@ object SparkEntry {
          |s$k AS (SELECT w.id, w.auth, coalesce(nh$k.hub, 0) AS hub
          |  FROM wa$k w LEFT JOIN nh$k ON nh$k.id = w.id)""".stripMargin
     }.mkString(",\n")
-    s"$base,\n$steps\nSELECT id, CAST(auth AS BIGINT) AS auth, CAST(hub AS BIGINT) AS hub FROM s$iters"
+    if (!normalized)
+      s"$base,\n$steps\nSELECT id, CAST(auth AS BIGINT) AS auth, CAST(hub AS BIGINT) AS hub FROM s$iters"
+    else
+      s"""$base,
+         |$steps,
+         |n AS (SELECT
+         |  sqrt(sum(CAST(auth AS DOUBLE) * CAST(auth AS DOUBLE))) AS na,
+         |  sqrt(sum(CAST(hub AS DOUBLE) * CAST(hub AS DOUBLE))) AS nh FROM s$iters)
+         |SELECT id,
+         |  round(CASE WHEN n.na > 0 THEN CAST(auth AS DOUBLE) / n.na ELSE 0.0 END, 6) AS auth,
+         |  round(CASE WHEN n.nh > 0 THEN CAST(hub AS DOUBLE) / n.nh ELSE 0.0 END, 6) AS hub
+         |FROM s$iters, n""".stripMargin
   }
 
   /** `iters` unrolled delta-incremental PPR rounds on the

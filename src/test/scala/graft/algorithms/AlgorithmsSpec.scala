@@ -194,6 +194,40 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
       3L -> ((5L, 0L)), 4L -> ((3L, 0L))))
   }
 
+  test("hits: normalized scores divide the exact counts by their L2 norms") {
+    // Same fan graph: auth vector (0,0,5,3), norm sqrt(34); hub vector
+    // (8,5,0,0), norm sqrt(89).
+    val g = graph(Seq(1L, 2L, 3L, 4L), Seq((1L, 3L), (1L, 4L), (2L, 3L)))
+    val r = g.hits.iterations(2).normalized(true).run()
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val na = math.sqrt(34.0); val nh = math.sqrt(89.0)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(r(3L)._1, 5.0 / na) && close(r(4L)._1, 3.0 / na))
+    assert(close(r(1L)._2, 8.0 / nh) && close(r(2L)._2, 5.0 / nh))
+    assert(r(1L)._1 == 0.0 && r(3L)._2 == 0.0)
+    // All-isolated graph: zero norms must yield 0.0, not NaN.
+    val iso = graph(Seq(7L, 8L), Seq.empty).hits.iterations(1).normalized(true)
+      .run().collect().map(x => (x.getDouble(1), x.getDouble(2))).toSet
+    assert(iso === Set((0.0, 0.0)))
+  }
+
+  test("hits: Long overflow raises instead of wrapping") {
+    // K2 bipartite-complete blowup: n sources each pointing at n sinks
+    // doubles magnitudes fast, but Long survives any practical n. Force
+    // the wrap cheaply instead: two vertices exchanging edges with initial
+    // counts amplified by a huge fan would need a big graph — so assert
+    // the guard path directly on a crafted graph: a self-loop vertex with
+    // 2^62-scale counts overflows within 40 iterations.
+    val g = graph(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)))
+    // each round roughly triples counts: 3^k > 2^63 at k = 40
+    val e = intercept[Exception] {
+      g.hits.iterations(45).run().collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString("; ")
+    assert(messages.contains("overflow"), s"unexpected failure: $messages")
+  }
+
   // ---------------- KCore ----------------
 
   private def cores(g: GraphFrame): Map[Long, Long] =
