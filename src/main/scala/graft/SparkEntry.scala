@@ -416,6 +416,20 @@ object SparkEntry {
         n = 4, frameBytes = 64)
         .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
 
+    // REAL-codec gate: synthesized grayscale PNGs (pixel = (7x+13y+id) mod
+    // 256, 32x24) are decoded with javax.imageio and histogrammed over the
+    // DECODED pixels. The oracle computes the same histogram from the
+    // synthesis formula in pure SQL — raw deflate bytes look nothing like
+    // the pixel distribution, so only a correct decode matches.
+    "m04_png_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.synthesizePngMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 6).as("b0"),
+          round(element_at(col("features"), 8), 6).as("b7"),
+          round(element_at(col("features"), 16), 6).as("b15"))),
+
     // ---- sampling + bucketed storage ----
     "p01_hash_split" -> ((s, d) =>
       Sampling.hashSplit(tbl(s, d, "documents"), "doc_id",
@@ -1097,6 +1111,20 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substr(text, CAST(frame_idx * stride + 1 AS INT), 64)) AS frame_md5
         |FROM f WHERE frame_idx * stride + 64 <= tot""".stripMargin,
+
+    // Pixel histogram of the synthesized 32x24 gray PNG, straight from the
+    // synthesis formula — never touches a decoder; the engine must have
+    // decoded the actual PNG bytes to agree. One IEEE division per bin
+    // (no sum-order hazard), rounded like every float gate.
+    "m04_png_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, (gx.x * 7 + gy.y * 13 + d.doc_id) % 256 AS v
+        |  FROM documents d, generate_series(0, 31) gx(x), generate_series(0, 23) gy(y))
+        |SELECT media_id,
+        |  round(CAST(sum(CASE WHEN v // 16 = 0  THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b0,
+        |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b7,
+        |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b15
+        |FROM px GROUP BY media_id""".stripMargin,
 
     // Message stream = every edge delivered both ways (src id to dst, dst
     // id to src), then one per-vertex sum/count.

@@ -39,9 +39,11 @@ object Multimodal {
 
   private val histBins = 16
 
-  /** REAL-CODEC: replace with an actual image/audio decode + model feature
-    * extractor. The stub computes a 16-bin byte histogram normalized to
-    * sum 1 — deterministic, shape-identical to a real feature vector.
+  /** REAL-CODEC (non-image mimes): replace with an actual audio/video
+    * decode + model feature extractor. The stub computes a 16-bin byte
+    * histogram normalized to sum 1 — deterministic, shape-identical to a
+    * real feature vector. `image/png` does NOT take this path — it gets a
+    * real `javax.imageio` decode in [[pngPixelHistogram]].
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val h = new Array[Double](histBins)
@@ -54,10 +56,83 @@ object Multimodal {
     h
   }
 
+  /** REAL codec path: decode a PNG with `javax.imageio` and histogram the
+    * DECODED grayscale pixel values (16 bins, normalized to sum 1). Raw
+    * PNG bytes are a deflate stream whose byte histogram looks nothing
+    * like the pixel distribution, so the m04 oracle (which computes the
+    * pixel histogram from the synthesis formula in SQL) passes only if
+    * this decode is actually correct. Undecodable/empty payloads yield
+    * the zero vector, matching the stub's empty-input behavior.
+    */
+  private[multimodal] def pngPixelHistogram(bytes: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](histBins)
+    if (bytes == null || bytes.isEmpty) return h
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return h
+    val raster = img.getRaster
+    val (w, ht) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        h((raster.getSample(x, y, 0) & 0xff) / (256 / histBins)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * ht).toDouble
+    var j = 0
+    while (j < histBins) { h(j) /= n; j += 1 }
+    h
+  }
+
+  /** Synthesize a deterministic 8-bit grayscale PNG: pixel(x,y) =
+    * (7x + 13y + id) mod 256, encoded with `javax.imageio`. PNG is
+    * lossless, so decoding recovers these exact values — which makes the
+    * pixel statistics a pure SQL-expressible function of (id, w, h): the
+    * m04 oracle replays them without ever touching a decoder.
+    */
+  def synthesizeGrayPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, (java.lang.Math.floorMod(7L * x + 13L * y + id, 256L)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A media-schema frame of synthesized grayscale PNGs, one per input id —
+    * the PNG analogue of [[asMedia]]; encoding runs per partition (one
+    * ImageIO context per task, no driver loop).
+    */
+  def synthesizePngMedia(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val png = synthesizeGrayPng(id, w, h)
+        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(png)
+          .map("%02x".format(_)).mkString
+        Row(id, png, Row("image/png", png.length.toLong, md5hex))
+      }
+    }(encoder)
+  }
+
   /** Feature extraction over media rows, batched per partition (the shape a
     * GPU/codec worker needs: one library init per partition, streaming
-    * iterator, no per-row overhead). Output `[media_id, features
-    * array<double>, n_bytes]`.
+    * iterator, no per-row overhead). `image/png` content is REALLY decoded
+    * (`javax.imageio`) and histogrammed over pixel values; other mimes take
+    * the byte-histogram stub. Output `[media_id, features array<double>,
+    * n_bytes]`.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -66,13 +141,18 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
       StructField("n_bytes", LongType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select("media_id", "content").mapPartitions { rows =>
-      // REAL-CODEC: initialize the decoder/model ONCE per partition here.
-      rows.map { r =>
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), decodeStub(bytes).toSeq, bytes.length.toLong)
-      }
-    }(encoder)
+    media.select(col("media_id"), col("content"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        // REAL-CODEC: initialize heavier decoders/models ONCE per partition
+        // here (ImageIO is stateless, so PNG needs no init).
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val feats =
+            if (!r.isNullAt(2) && r.getString(2) == "image/png") pngPixelHistogram(bytes)
+            else decodeStub(bytes)
+          Row(r.getLong(0), feats.toSeq, bytes.length.toLong)
+        }
+      }(encoder)
   }
 
   /** Frame sampling: pick `n` evenly-strided fixed-size blocks from the

@@ -236,6 +236,48 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(f(1L) == f(4L)) // identical payloads -> identical features
   }
 
+  test("png codec: synthesize -> imageio decode recovers the exact pixel histogram") {
+    // The formula histogram computed WITHOUT any codec...
+    def formulaHist(id: Long, w: Int, h: Int): Seq[Double] = {
+      val counts = new Array[Double](16)
+      for (y <- 0 until h; x <- 0 until w)
+        counts((java.lang.Math.floorMod(7L * x + 13L * y + id, 256L) / 16).toInt) += 1.0
+      counts.map(_ / (w * h)).toSeq
+    }
+    // ...must equal what the real decode path extracts from the PNG bytes.
+    val media = Multimodal.synthesizePngMedia(
+      Seq(1L, 42L, 999L).toDF("doc_id"), "doc_id", w = 32, h = 24)
+    val rows = media.collect()
+    assert(rows.forall(_.getStruct(2).getString(0) == "image/png"))
+    // PNG magic bytes prove a real encoder ran.
+    assert(rows.forall { r =>
+      val b = r.getAs[Array[Byte]](1)
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    })
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Seq(1L, 42L, 999L).foreach { id =>
+      assert(feats(id) == formulaHist(id, 32, 24), s"id=$id")
+    }
+    // The decoded-pixel histogram differs from the raw-byte (deflate
+    // stream) histogram — the gate really distinguishes decode from stub.
+    val raw1 = rows.find(_.getLong(0) == 1L).get.getAs[Array[Byte]](1)
+    val byteHist = new Array[Double](16)
+    raw1.foreach(b => byteHist((b & 0xff) / 16) += 1.0 / raw1.length)
+    assert(feats(1L) != byteHist.toSeq)
+  }
+
+  test("png codec: undecodable payload yields the zero vector, text path unchanged") {
+    val junk = Seq((1L, "not a png at all")).toDF("doc_id", "text")
+    val asPng = Multimodal.asMedia(junk, "doc_id", "text", "image/png")
+    val f = Multimodal.extractFeatures(asPng).collect().head.getSeq[Double](1)
+    assert(f.forall(_ == 0.0))
+    // Same payload under text/plain still takes the byte-histogram stub.
+    val asText = Multimodal.asMedia(junk, "doc_id", "text", "text/plain")
+    val t = Multimodal.extractFeatures(asText).collect().head.getSeq[Double](1)
+    assert(math.abs(t.sum - 1.0) < 1e-9)
+  }
+
   test("sampleFrames: stride coverage and bounds") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val frames = Multimodal.sampleFrames(m, n = 3, frameBytes = 16).collect()
