@@ -81,6 +81,36 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("relational suite: plans and results invariant under the session-wide bucketed-scan ordering flag") {
+    // readBucketed sets spark.sql.legacy.bucketedTableScan.outputOrdering
+    // for the whole session (documented in BucketedTables) — so after any
+    // b01-style query, every later query in the same session planner runs
+    // with it. The flag only affects scans of bucketed TABLES (these
+    // queries read plain parquet), so neither the physical plan nor the
+    // result of any relational query may move.
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("q01_groupby_agg", "q02_filter_project", "q03_join_inner_agg",
+      "q04_join_left_agg", "q05_join_anti", "q06_cross_normalize", "q07_union_distinct",
+      "q08_theta_join", "q09_window_sessionize", "q10_window_topk",
+      "q11_json_extract", "q12_rollup")
+    def snap(): Map[String, (String, Seq[String])] = names.map { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      // Expression ids (#123) and plan_id tags differ per planning pass;
+      // normalize so only structural plan changes can fail the assertion.
+      val plan = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+      n -> (plan, df.collect().map(_.toString).sorted.toSeq)
+    }.toMap
+    val before = snap()
+    withConf("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val after = snap()
+      names.foreach { n =>
+        assert(after(n)._1 === before(n)._1, s"$n: physical plan moved under the flag")
+        assert(after(n)._2 === before(n)._2, s"$n: results moved under the flag")
+      }
+    }
+  }
+
   test("distributed WCC/kcore/LPA results are invariant under AQE-off and odd partition counts") {
     val baseline = runAll()
     assert(baseline("wcc").values.toSet.size > 1, "graph should have several components")
