@@ -874,6 +874,11 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""".stripMargin,
 
     // Exact cross-split jaccard pairs (one endpoint in held-out).
+    // DATA-DEPENDENT like d03: the engine's LSH misses a pair AT the 0.8
+    // threshold with ~5% probability (1-(1-0.8^8)^16 under r=8/b=16); the
+    // strict hash gate holds because planted pairs sit far above
+    // threshold. On regenerated borderline data, engine ⊂ oracle would be
+    // expected recall loss, not wrongness (see Dedup.crossCorpusNearDups).
     "d11_fuzzy_decon" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),

@@ -21,8 +21,11 @@ object VectorSumAgg {
     * what makes the update engine-portable and oracle-checkable.
     *
     * Semantics (mirrored by the SQL replay `sum(vq[i]) GROUP BY i`):
-    * null rows are skipped; null ELEMENTS and ragged lengths raise — a
-    * centroid over ragged input is a silent wrong answer.
+    * null rows are skipped; null ELEMENTS, ragged lengths, and EMPTY
+    * (dim-0) vectors raise — a centroid over ragged input is a silent
+    * wrong answer, and a dim-0 "vector" is indistinguishable from the
+    * not-yet-initialized buffer, so it is rejected rather than silently
+    * treated as absent.
     */
   def vector_sum(vec: Column): Column =
     compat.column(
@@ -55,6 +58,9 @@ case class VectorSumAgg(
     if (a == null) return buffer
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // A dim-0 input would alias the lazy 'uninitialized' marker below and
+    // silently vanish from the group — reject it like other ragged input.
+    require(n > 0, "vector_sum: empty (dim-0) vector")
     val buf = if (buffer.length == 0) new Array[Long](n) else buffer
     require(buf.length == n,
       s"vector_sum: ragged input (dim $n vs ${buf.length})")

@@ -134,6 +134,14 @@ object Dedup {
     * recall follows the same banding curve as [[minHashLsh]] (output ⊆
     * exact-pair oracle is the invariant).
     *
+    * ORACLE-GATE NOTE (same data-dependence as [[minHashLsh]]'s): the d11
+    * gate compares against the EXACT cross-split pair set and currently
+    * hash-matches because the planted near-dups sit far above threshold —
+    * a pair AT jaccard 0.8 is caught with probability only
+    * 1-(1-0.8^8)^16 ≈ 0.95 under r=8/b=16 banding, so regenerated data
+    * with a borderline pair would show expected recall loss (engine ⊂
+    * oracle), not a correctness regression.
+    *
     * SHAPE: both sides band their signatures; the held-out band table is
     * broadcast (pass `broadcastHeldOut = false` for a huge held-out set),
     * so the corpus never shuffles for candidate generation; verification

@@ -37,6 +37,15 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(e.getMessage.contains("ragged") ||
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
+    // A dim-0 vector would alias the uninitialized buffer and silently
+    // drop out of the group — it must raise like other ragged input.
+    val empty = Seq((0, Seq.empty[Long]), (0, Seq(1L, 2L))).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      empty.groupBy($"g").agg(vector_sum($"v")).collect()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(t => Option(t.getMessage)).mkString("; ")
+    assert(msgs2.contains("empty"), s"unexpected: $msgs2")
   }
 
   // ---- quantize kernel ----
