@@ -548,6 +548,23 @@ object SparkEntry {
         .vertices.select(col("id"), col("dist_1"))
     }),
 
+    // Weighted PageRank on the same weighted DAG: delta distributes
+    // proportional to edge weight. Per-source weight totals are EXACT
+    // integer sums; only the per-edge fraction and message sum are float —
+    // the same IEEE discipline as g08/g15.
+    "g18_wpagerank" -> ((s, d) => {
+      val edges = tbl(s, d, "orders")
+        .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"),
+          cents(col("o_totalprice")).as("weight"))
+        .unionAll(tbl(s, d, "lineitem").select(
+          (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst"),
+          cents(col("l_extendedprice")).as("weight")))
+      GraphFrame.fromEdges(edges)
+        .pageRank.resetProbability(0.15).tolerance(1e-9).maxIterations(3)
+        .weighted("weight").run()
+        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
     // One-round neighborhood aggregation (GraphFrames aggregateMessages
     // parity): each dst receives its srcs' ids, each src its dsts' ids;
     // per-vertex sum + count over the merged message stream.
@@ -796,6 +813,7 @@ object SparkEntry {
     "g16_hits" -> hitsOracle(2),
     "g16b_hits_norm" -> hitsOracleImpl(2, normalized = true),
     "g17_wsssp" -> wssspOracle(4),
+    "g18_wpagerank" -> wprOracle(3),
 
     "g13_subgraph" ->
       """WITH v AS (
@@ -1540,6 +1558,40 @@ object SparkEntry {
        |$steps
        |SELECT v.id, coalesce(d.dist, 9223372036854775807) AS dist_1
        |FROM v LEFT JOIN d$rounds d ON d.id = v.id""".stripMargin
+  }
+
+  /** `iters` unrolled WEIGHTED delta-incremental PageRank rounds on the
+    * weighted cust->order->part DAG: message = dl * w / W(src), with W the
+    * EXACT BIGINT per-source weight total (identical in any engine), the
+    * fraction and message sum in double, `(dl * w) / W` parenthesized the
+    * way both engines associate. Participation/normalization/rounding
+    * exactly as [[pprOracle]].
+    */
+  private def wprOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS w FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4000000 + l_orderkey AS BIGINT), CAST(1000000 + l_partkey AS BIGINT),
+        |         CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wt FROM e GROUP BY 1),
+        |p0 AS (SELECT v.id, CAST(0.15 AS DOUBLE) AS pr, CAST(0.15 AS DOUBLE) AS dl FROM v)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS id,
+         |  sum(p.dl * CAST(e.w AS DOUBLE) / CAST(ow.wt AS DOUBLE)) AS ms FROM e
+         |  JOIN p${k - 1} p ON p.id = e.src AND p.dl > 1e-9
+         |  JOIN ow ON ow.id = e.src AND ow.wt > 0 GROUP BY 1),
+         |p$k AS (SELECT p.id,
+         |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+         |  FROM p${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |t AS (SELECT sum(pr) AS tot FROM p$iters)
+       |SELECT id, round(pr / tot, 6) AS pagerank FROM p$iters, t""".stripMargin
   }
 
   private def pprOracle(iters: Int): String = {

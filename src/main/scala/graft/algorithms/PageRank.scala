@@ -40,32 +40,72 @@ class PageRank(graph: GraphFrame) {
     */
   def personalized(sourceId: Long): this.type = { pprSource = Some(sourceId); this }
 
+  /** Weighted PageRank (beyond the reference — its bench surface gestures
+    * at weighted graphs, `run_benchmarks.py:204-208`, but the library
+    * ignores the flag): a source's delta distributes proportional to edge
+    * weight, `msg = delta * w / W(src)` with `W(src)` the source's total
+    * outgoing weight. The weight column must be integral (cents/micros
+    * discipline, as [[WeightedShortestPaths]]): per-source totals then sum
+    * EXACTLY in 64-bit integers in any engine, so the only float ops are
+    * the per-edge fraction and the message sum — the same IEEE discipline
+    * the unweighted oracle gates already hold. Non-negative weights
+    * assumed; a source whose total weight is 0 sends nothing.
+    */
+  def weighted(weightCol: String): this.type = { weightColOpt = Some(weightCol); this }
+  private var weightColOpt: Option[String] = None
+
   def run(): PageRankResult = {
     val alpha = 1.0 - resetProb
     val ID = GraphFrame.ID
 
+    // Unweighted: out_degree count. Weighted: exact integer sum of
+    // outgoing weights (both are the message denominator).
+    val outTotals = weightColOpt match {
+      case None => graph.outDegrees.withColumnRenamed("out_degree", "__ot")
+      case Some(w) =>
+        val wType = graph.edges.schema.apply(w).dataType
+        require(wType == org.apache.spark.sql.types.LongType ||
+          wType == org.apache.spark.sql.types.IntegerType,
+          s"weight column '$w' must be integral (INT or BIGINT) so per-source " +
+            s"totals are exact, got $wType — quantize floats (cents/micros) first")
+        graph.edges.groupBy(col(GraphFrame.SRC).as(ID))
+          .agg(sum(col(w).cast("long")).as("__ot"))
+    }
     val verticesWithDegrees = graph.vertices.select(col(ID))
-      .join(graph.outDegrees.withColumnRenamed(ID, "__od_id"),
+      .join(outTotals.withColumnRenamed(ID, "__od_id"),
         col(ID) === col("__od_id"), "left")
-      .select(col(ID), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+      .select(col(ID), coalesce(col("__ot"), lit(0L)).as("out_total"))
 
-    val prepared = GraphFrame(verticesWithDegrees, graph.edges.select(GraphFrame.SRC, GraphFrame.DST))
+    val edgeCols = GraphFrame.SRC +: GraphFrame.DST +: weightColOpt.toSeq
+    val prepared = GraphFrame(verticesWithDegrees,
+      graph.edges.select(edgeCols.map(col): _*))
 
     val newDelta = lit(alpha) * coalesce(Pregel.defaultMsg, lit(0.0))
     val initMass = pprSource
       .map(s => when(col(ID) === lit(s), lit(resetProb)).otherwise(lit(0.0)))
       .getOrElse(lit(resetProb))
 
-    val builder = prepared.pregel
+    val msgExpr = weightColOpt match {
+      case None => Pregel.src("pagerank_delta") / Pregel.src("out_total")
+      case Some(w) =>
+        // (delta * w) / W — left-to-right, mirrored exactly by the oracle;
+        // W = 0 (all-zero weights) would be 0/0, so those sources emit 0.
+        when(Pregel.src("out_total") > 0L,
+          Pregel.src("pagerank_delta") * Pregel.edge(w).cast("double")
+            / Pregel.src("out_total").cast("double"))
+          .otherwise(lit(0.0))
+    }
+
+    var builder = prepared.pregel
       .addVertexColumn("pagerank", initMass, col("pagerank") + newDelta)
       .addVertexColumn("pagerank_delta", initMass, newDelta)
-      .addVertexColumn("out_degree", col("out_degree"), col("out_degree"))
-      .addMessage(Pregel.src("pagerank_delta") / Pregel.src("out_degree"),
-        MessageDirection.SrcToDst)
+      .addVertexColumn("out_total", col("out_total"), col("out_total"))
+      .addMessage(msgExpr, MessageDirection.SrcToDst)
       .addAggregateExpr(sum(Pregel.defaultMsg))
       .withParticipationColumn("participates", lit(true), newDelta > lit(tol))
       .skipDestState()
       .checkpointInterval(ckptInterval)
+    weightColOpt.foreach(w => builder = builder.addEdgeColumn(w))
 
     val result =
       if (maxIter > 0) builder.maxIterations(maxIter).run()

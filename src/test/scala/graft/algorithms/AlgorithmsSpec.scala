@@ -182,6 +182,42 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ranks(4L) == 0.0 && ranks(5L) == 0.0) // unreachable from source
   }
 
+  test("weighted pagerank: mass follows edge weight; equal weights == unweighted") {
+    // 1 -> 2 with weight 9, 1 -> 3 with weight 1: vertex 2 must outrank 3,
+    // and the round-1 message split must be exactly 0.9/0.1 of the delta.
+    val s = spark
+    import s.implicits._
+    val g = GraphFrame(Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id"),
+      Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "weight"))
+    val r = g.pageRank.tolerance(1e-9).maxIterations(1).weighted("weight").run()
+      .ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // pre-normalization: pr(1) = 0.15; pr(2) = 0.15 + 0.85*0.15*0.9;
+    // pr(3) = 0.15 + 0.85*0.15*0.1
+    val p1 = 0.15; val p2 = 0.15 + 0.85 * 0.15 * 0.9; val p3 = 0.15 + 0.85 * 0.15 * 0.1
+    val tot = p1 + p2 + p3
+    assert(math.abs(r(2L) - p2 / tot) < 1e-12 && math.abs(r(3L) - p3 / tot) < 1e-12)
+    // Uniform weights reproduce the unweighted ranks exactly (w/W == 1/d).
+    val gu = GraphFrame(Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id"),
+      Seq((1L, 2L, 5L), (1L, 3L, 5L)).toDF("src", "dst", "weight"))
+    val wr = gu.pageRank.tolerance(1e-9).maxIterations(2).weighted("weight").run()
+      .ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val ur = gu.pageRank.tolerance(1e-9).maxIterations(2).run()
+      .ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(wr.keySet === ur.keySet)
+    wr.foreach { case (k, v) => assert(math.abs(v - ur(k)) < 1e-12, s"id=$k") }
+  }
+
+  test("weighted pagerank: float weight column is rejected") {
+    val s = spark
+    import s.implicits._
+    val g = GraphFrame(Seq(1L, 2L).map(Tuple1(_)).toDF("id"),
+      Seq((1L, 2L, 0.5)).toDF("src", "dst", "weight"))
+    val e = intercept[IllegalArgumentException] {
+      g.pageRank.weighted("weight").maxIterations(1).run()
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("hits: integer path counts on a fan graph") {
     // 1 -> {3, 4}, 2 -> 3: vertex 3 is the strongest authority, 1 the
     // strongest hub. Iter 1: auth = in-degree (3: 2, 4: 1), hub = sum of
