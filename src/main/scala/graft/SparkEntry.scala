@@ -391,6 +391,15 @@ object SparkEntry {
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram")).limit(20)),
 
+    // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
+    // the RE2-portable regex runs verbatim in the oracle.
+    "t07_bpe_tokens" -> ((s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_cnt"),
+        size(array_distinct(TextFunctions.bpeTokens(col("text")))).cast(LongType)
+          .as("bpe_vocab"))),
+
     "t04_chunking" -> ((s, d) =>
       TextFunctions.chunkDocs(tbl(s, d, "documents"), "doc_id", "text",
         chunkChars = 512, overlapChars = 64)
@@ -990,6 +999,15 @@ object SparkEntry {
         |SELECT doc_id, tok_cnt,
         |  CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS ngram3_cnt
+        |FROM t""".stripMargin,
+
+    // Same RE2 pattern verbatim — alternation order and greediness match.
+    "t07_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), ' ?[a-z0-9]+| ?[^a-z0-9\s]+') AS bt
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(bt) AS BIGINT) AS bpe_cnt,
+        |  CAST(len(list_distinct(bt)) AS BIGINT) AS bpe_vocab
         |FROM t""".stripMargin,
 
     // Winnowing fingerprints over the same portable 60-bit md5 hashes:

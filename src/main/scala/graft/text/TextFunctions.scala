@@ -20,6 +20,21 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
 
+  /** BPE-style pre-tokenization (GPT-2-ish, RE2-portable): lower-cased
+    * alphanumeric runs and punctuation runs, each optionally absorbing one
+    * leading space — the unit a byte-pair tokenizer would merge within.
+    * Deliberately avoids lookahead (Java-regex-only) so the exact same
+    * pattern runs in any RE2 engine's SQL.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(" ?[a-z0-9]+| ?[^a-z0-9\\s]+"), lit(0))
+
+  /** BPE-ish pre-token count (BIGINT) — the training-cost proxy; pair with
+    * [[tokenCount]]'s whitespace count for a cheap token-per-word signal.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast(LongType)
+
   /** Token n-grams (space-joined) of the lower-cased alphanumeric tokens.
     * Guarded: `sequence(1, 0)` in Spark counts DOWN, so docs shorter than n
     * tokens must short-circuit to an empty array.

@@ -222,6 +222,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(lsh.subsetOf(exact)) // verify step removes every false positive
   }
 
+  test("bpeTokens: GPT-2-ish pre-tokenization, hand-computed") {
+    val rows = Seq((1L, "The cat's hat, x2!"), (2L, "aa aa aa"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.bpeTokens($"text").as("bt"),
+        TextFunctions.bpeTokenCount($"text").as("cnt"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == Seq("the", " cat", "'", "s", " hat", ",", " x2", "!"))
+    assert(rows(1L)._2 == 8L)
+    assert(rows(2L)._1 == Seq("aa", " aa", " aa")) // leading-space convention
+    assert(rows(2L)._2 == 3L)
+  }
+
   // ---- multimodal plumbing ----
 
   test("asMedia + extractFeatures: histogram features sum to 1") {
