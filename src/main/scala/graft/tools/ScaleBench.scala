@@ -57,6 +57,24 @@ object ScaleBench {
         val r = g.pageRank.maxIterations(10).run()
         val cnt = r.ranks.count()
         println(f"SCALE-OK pagerank n=$n m=$m iters=${r.iterations} rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "wsssp" =>
+        // Weighted SSSP from vertex 0: xxhash-derived integer weights in
+        // [1, 1000]. BFS-like round count (small-world ER graph), but each
+        // round carries the edge weight column through the message join —
+        // the probe shows the extra column costs shuffle width, not rounds.
+        val wEdges = edges.withColumn("weight",
+          (pmod(xxhash64(col("src"), col("dst")), lit(1000L)) + 1L))
+        val wg = GraphFrame(vertices, wEdges)
+        val r = wg.weightedShortestPaths(Seq(0L)).smallGraphThreshold(0).run()
+        val reached = r.vertices.filter(col("dist_0") < Long.MaxValue).count()
+        println(f"SCALE-OK wsssp n=$n m=$m iters=${r.iterations} reached=$reached sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "wpagerank" =>
+        val wEdges = edges.withColumn("weight",
+          (pmod(xxhash64(col("src"), col("dst")), lit(1000L)) + 1L))
+        val r = GraphFrame(vertices, wEdges).pageRank.maxIterations(10)
+          .weighted("weight").run()
+        val cnt = r.ranks.count()
+        println(f"SCALE-OK wpagerank n=$n m=$m iters=${r.iterations} rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "mis" =>
         val r = g.maximalIndependentSet.smallGraphThreshold(0).run()
         val size = r.vertices.count()

@@ -38,6 +38,18 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
   }
 
+  test("label_mode aggregates with map-side partials (the hub-safe LPA shape)") {
+    // The whole point of replacing collect_list (no map-side reduction)
+    // with the histogram aggregate is that partials combine BEFORE the
+    // shuffle — a hub's neighbourhood reduces to per-partition histograms.
+    val plan = spark.range(1000)
+      .selectExpr("id % 10 AS g", "id % 3 AS v")
+      .groupBy("g").agg(graft.functions.LabelModeAgg.label_mode(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_label_mode"),
+      s"label_mode not partially aggregated map-side:\n$plan")
+  }
+
   test("cosine top-k broadcasts the query side — corpus is never shuffled") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = Similarity.cosineTopK(e, e.filter(col("vec_id") % 50 === 0),
