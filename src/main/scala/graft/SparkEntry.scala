@@ -439,6 +439,21 @@ object SparkEntry {
           round(element_at(col("features"), 8), 6).as("b7"),
           round(element_at(col("features"), 16), 6).as("b15"))),
 
+    // Resize gate: decode -> nearest-neighbour 32x24 -> 16x12 -> re-encode
+    // -> decode again for features. With exactly 2:1 strides the resampled
+    // pixel (x,y) is source pixel (2x,2y) = (14x + 26y + id) mod 256, so
+    // the oracle replays the whole chain from the synthesis formula.
+    "m05_png_resize" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(
+          Multimodal.synthesizePngMedia(
+            tbl(s, d, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24),
+          w = 16, h = 12))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 6).as("b0"),
+          round(element_at(col("features"), 8), 6).as("b7"),
+          round(element_at(col("features"), 16), 6).as("b15"))),
+
     // ---- sampling + bucketed storage ----
     "p01_hash_split" -> ((s, d) =>
       Sampling.hashSplit(tbl(s, d, "documents"), "doc_id",
@@ -1165,6 +1180,19 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN v // 16 = 0  THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b0,
         |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b7,
         |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 768.0, 6) AS b15
+        |FROM px GROUP BY media_id""".stripMargin,
+
+    // The resize chain replayed from the formula: 2:1 nearest-neighbour
+    // keeps source pixels (2x, 2y), i.e. v = (14x + 26y + id) mod 256
+    // over the 16x12 output grid (192 pixels).
+    "m05_png_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, (gx.x * 14 + gy.y * 26 + d.doc_id) % 256 AS v
+        |  FROM documents d, generate_series(0, 15) gx(x), generate_series(0, 11) gy(y))
+        |SELECT media_id,
+        |  round(CAST(sum(CASE WHEN v // 16 = 0  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b0,
+        |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b7,
+        |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b15
         |FROM px GROUP BY media_id""".stripMargin,
 
     // Message stream = every edge delivered both ways (src id to dst, dst

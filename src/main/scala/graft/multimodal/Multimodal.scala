@@ -127,6 +127,49 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL resize: decode the PNG, nearest-neighbour resample to `w`×`h`,
+    * re-encode — a full decode→transform→encode chain through the actual
+    * codec, per partition. Nearest-neighbour (`src(x·sw/dw, y·sh/dh)`,
+    * integer floor) is chosen over interpolation precisely so the output
+    * pixels are an EXACT function of the input pixels — which is what lets
+    * the m05 oracle replay a resize of the synthesized corpus in pure SQL.
+    * Single-band (grayscale) rasters; undecodable payloads pass through
+    * unchanged with a NULL content so downstream stages see the failure.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val img = if (bytes.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(r.getLong(0), null, Row("image/png", 0L, null))
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val src = img.getRaster
+          val dst = out.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              dst.setSample(x, y, 0, src.getSample(x * sw / w, y * sh / h, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          val png = baos.toByteArray
+          val md5hex = java.security.MessageDigest.getInstance("MD5").digest(png)
+            .map("%02x".format(_)).mkString
+          Row(r.getLong(0), png, Row("image/png", png.length.toLong, md5hex))
+        }
+      }
+    }(encoder)
+  }
+
   /** Feature extraction over media rows, batched per partition (the shape a
     * GPU/codec worker needs: one library init per partition, streaming
     * iterator, no per-row overhead). `image/png` content is REALLY decoded

@@ -279,6 +279,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(feats(1L) != byteHist.toSeq)
   }
 
+  test("png resize: nearest-neighbour resample is the exact source-pixel subsample") {
+    // 2:1 both axes: out(x,y) must be src(2x,2y). Decode the resized PNG
+    // and compare every pixel against the synthesis formula directly.
+    val media = Multimodal.synthesizePngMedia(
+      Seq(7L).toDF("doc_id"), "doc_id", w = 32, h = 24)
+    val resized = Multimodal.resizeImages(media, w = 16, h = 12).collect().head
+    val png = resized.getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 16 && img.getHeight == 12)
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert(img.getRaster.getSample(x, y, 0) ==
+        ((14L * x + 26L * y + 7L) % 256).toInt, s"pixel ($x,$y)")
+    // Undecodable input passes through with NULL content.
+    val junk = Multimodal.asMedia(
+      Seq((1L, "not a png")).toDF("doc_id", "text"), "doc_id", "text", "image/png")
+    val out = Multimodal.resizeImages(junk, 16, 12).collect().head
+    assert(out.isNullAt(1))
+  }
+
   test("png codec: undecodable payload yields the zero vector, text path unchanged") {
     val junk = Seq((1L, "not a png at all")).toDF("doc_id", "text")
     val asPng = Multimodal.asMedia(junk, "doc_id", "text", "image/png")
