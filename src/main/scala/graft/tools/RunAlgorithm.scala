@@ -14,8 +14,10 @@ import graft.graph.GraphFrame
   *   <param> <outDir> [numPartitions]
   * }}}
   *
-  * `param`: pagerank -> tolerance; wcc -> seed; bfs -> landmark id;
-  * kcore/mis -> ignored. Edge columns named `source`/`target` are renamed
+  * `param`: pagerank/wpagerank -> tolerance; wcc -> seed; bfs/wsssp ->
+  * landmark id; kcore/mis -> ignored. The weighted algorithms (wsssp,
+  * wpagerank — beyond the reference CLI) expect an integral `weight`
+  * edge column. Edge columns named `source`/`target` are renamed
   * to `src`/`dst` like the reference does (`main.rs:75-81`). The result is
   * written as parquet to `outDir` and the iteration count printed as
   * `RUN-OK iterations=N`. Memory knobs are spark-submit's
@@ -59,6 +61,12 @@ object RunAlgorithm {
       case "mis" =>
         val r = g.maximalIndependentSet.run()
         (r.vertices, r.iterations)
+      case "wsssp" =>
+        val r = g.weightedShortestPaths(Seq(param.toLong)).run()
+        (r.vertices, r.iterations)
+      case "wpagerank" =>
+        val r = g.pageRank.tolerance(param.toDouble).weighted("weight").run()
+        (r.ranks, r.iterations)
       case other =>
         throw new IllegalArgumentException(s"unknown algorithm: $other")
     }

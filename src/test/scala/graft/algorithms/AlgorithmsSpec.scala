@@ -111,6 +111,18 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
     assert(to3 === Map(1L -> 5L, 2L -> 3L, 3L -> 0L, 4L -> Inf))
   }
 
+  test("weighted shortest paths: empty edges, missing landmark, empty graph") {
+    // No edges: landmark at 0, everyone else at infinity, 1 voting round.
+    val g = wgraph(Seq(1L, 2L), Seq.empty)
+    assert(wdists(g, 1L, distributed = true) === Map(1L -> 0L, 2L -> Long.MaxValue))
+    // Landmark not in the vertex set: all infinite.
+    val g2 = wgraph(Seq(1L, 2L), Seq((1L, 2L, 3L)))
+    assert(wdists(g2, 99L, distributed = true) ===
+      Map(1L -> Long.MaxValue, 2L -> Long.MaxValue))
+    assert(wdists(g2, 99L, distributed = false) ===
+      Map(1L -> Long.MaxValue, 2L -> Long.MaxValue))
+  }
+
   test("weighted shortest paths: float weight column is rejected") {
     val s = spark
     import s.implicits._
