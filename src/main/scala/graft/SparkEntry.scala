@@ -202,6 +202,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
 
+    // EXACT discrete percentiles per event type: value at rank
+    // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
+    // integer rank arithmetic, so any engine lands on the identical row
+    // (approx_percentile sketches differ across engines and would only
+    // support a rows-only gate). One shuffle on event_type; both window
+    // functions share the partitioning. At 100 TB the same plan holds —
+    // exact percentiles cost the per-key sort; swap in approx_percentile
+    // when sketch error is acceptable.
+    "q13_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = tbl(s, d, "events").select(col("event_type"), cents(col("value")).as("v"))
+      ev.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") <= expr("(n*50+99) div 100"), col("v"))).as("p50_cents"),
+          max(when(col("rn") <= expr("(n*95+99) div 100"), col("v"))).as("p95_cents"),
+          max(when(col("rn") <= expr("(n*99+99) div 100"), col("v"))).as("p99_cents"),
+          count(lit(1)).as("cnt"))
+    }),
+
     "g01_in_degrees" -> ((s, d) =>
       GraphFrame.fromEdges(partSuppEdges(s, d)).inDegrees),
 
@@ -761,6 +783,20 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Same integer rank arithmetic: ties in the row_number order cannot
+    // change the SELECTED VALUE at a rank boundary.
+    "q13_percentiles" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type,
+        |  max(CASE WHEN rn <= (n*50+99)//100 THEN v END) AS p50_cents,
+        |  max(CASE WHEN rn <= (n*95+99)//100 THEN v END) AS p95_cents,
+        |  max(CASE WHEN rn <= (n*99+99)//100 THEN v END) AS p99_cents,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM r GROUP BY 1""".stripMargin,
 
     "g01_in_degrees" ->
       """SELECT l_suppkey AS id, count(*) AS in_degree FROM lineitem GROUP BY 1""".stripMargin,

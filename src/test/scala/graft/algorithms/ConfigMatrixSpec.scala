@@ -92,7 +92,7 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
     val names = Seq("q01_groupby_agg", "q02_filter_project", "q03_join_inner_agg",
       "q04_join_left_agg", "q05_join_anti", "q06_cross_normalize", "q07_union_distinct",
       "q08_theta_join", "q09_window_sessionize", "q10_window_topk",
-      "q11_json_extract", "q12_rollup")
+      "q11_json_extract", "q12_rollup", "q13_percentiles")
     def snap(): Map[String, (String, Seq[String])] = names.map { n =>
       val df = graft.SparkEntry.queries(n)(spark, sf)
       // Expression ids (#123) and plan_id tags differ per planning pass;
