@@ -543,6 +543,18 @@ object SparkEntry {
         "st04_sink", "append")
     }),
 
+    // Stateless stream-static LEFT SEMI join: decontamination at ingest.
+    // The held-out hash table is a STATIC broadcast side; contaminated
+    // documents emit per micro-batch with zero state.
+    "st05_stream_decon" -> ((s, d) => {
+      val stream = streamTbl(s, d, "documents").filter(col("doc_id") % 10 =!= 7)
+      val heldOut = tbl(s, d, "documents").filter(col("doc_id") % 10 === 7)
+      drainStream(
+        graft.streaming.Streams.streamingDecontaminate(
+          stream, heldOut, "doc_id", "text", n = 5),
+        "st05_sink", "append")
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -1287,6 +1299,16 @@ object SparkEntry {
         |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
         |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
         |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+
+    // The streaming semi-join flags the same documents, without counts.
+    "st05_stream_decon" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),
+        |ex AS (SELECT doc_id, unnest(h) AS g FROM hs),
+        |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
+        |SELECT DISTINCT ex.doc_id
+        |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7""".stripMargin,
 
     // Full BM25 replay: postings/doc-length/corpus-stats CTEs, df counted
     // over query-term postings only (identical to the engine's pruned

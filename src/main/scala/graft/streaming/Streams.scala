@@ -52,6 +52,29 @@ object Streams {
     stream.withColumn("quality", graft.text.TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming decontamination at ingest: STATELESS stream-static LEFT
+    * SEMI join — each incoming document's distinct n-gram hash array
+    * probes the broadcast held-out hash table and contaminated documents
+    * emit immediately; no state store, no watermark, so throughput is the
+    * map throughput. Exclude held-out documents from the stream upstream
+    * (a document is not its own contamination). The portable-hash family
+    * keeps the flag set oracle-checkable ([[graft.operators.Dedup
+    * .decontaminate]] is the batch twin with per-doc overlap counts).
+    * For a held-out set too large to broadcast, use the batch twin's
+    * exploded equi-join shape in a foreachBatch sink instead.
+    */
+  def streamingDecontaminate(
+      stream: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val hashes = heldOut.select(explode(graft.functions.PortableHashes
+        .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+      .distinct()
+    stream.select(col(idCol), graft.functions.PortableHashes
+        .portableNgramHashes(col(textCol), n, distinct = true).as("__h"))
+      .join(broadcast(hashes), expr("array_contains(__h, h)"), "left_semi")
+      .select(idCol)
+  }
+
   /** Open trailing session carried between micro-batches. */
   case class SessionAcc(start: Long, last: Long, n: Long)
 

@@ -140,6 +140,12 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), round(col("quality"), 6).as("quality")))
 
+    val st05 = graft.SparkEntry.queries("st05_stream_decon")(spark, sf)
+    val batchDecon = graft.operators.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 7), docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", n = 5).select("doc_id")
+    sym(st05, batchDecon)
+
     val st02 = graft.SparkEntry.queries("st02_stream_window")(spark, sf)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sf/events.parquet")
