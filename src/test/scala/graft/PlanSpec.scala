@@ -38,6 +38,16 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("partial_sum"), s"no partial aggregation in:\n$plan")
   }
 
+  test("q13 percentiles: both windows and the final agg share ONE shuffle") {
+    // row_number (ordered window), count (unordered window) and the
+    // terminal groupBy all key on event_type — the plan must hash-exchange
+    // once and reuse the partitioning for everything downstream.
+    val q = graft.SparkEntry.queries("q13_percentiles")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
+  }
+
   test("label_mode aggregates with map-side partials (the hub-safe LPA shape)") {
     // The whole point of replacing collect_list (no map-side reduction)
     // with the histogram aggregate is that partials combine BEFORE the
