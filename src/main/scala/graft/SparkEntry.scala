@@ -422,6 +422,19 @@ object SparkEntry {
         size(array_distinct(TextFunctions.bpeTokens(col("text")))).cast(LongType)
           .as("bpe_vocab"))),
 
+    // PII redaction gate: the corpus text is augmented with a synthetic
+    // email + phone derived from doc_id (both sides build the identical
+    // string), then scrubbed. Gates the real redaction path — md5 of the
+    // scrubbed text catches any divergence in match/replace semantics.
+    "t08_redact" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .withColumn("aug", concat(col("text"),
+          lit(" contact: user"), col("doc_id"), lit("@example.com or +1-555-00"),
+          col("doc_id")))
+        .select(col("doc_id"),
+          TextFunctions.emailCount(col("aug")).as("n_emails"),
+          md5(TextFunctions.redactPii(col("aug"))).as("redacted_md5"))),
+
     "t04_chunking" -> ((s, d) =>
       TextFunctions.chunkDocs(tbl(s, d, "documents"), "doc_id", "text",
         chunkChars = 512, overlapChars = 64)
@@ -541,6 +554,19 @@ object SparkEntry {
         graft.streaming.Streams.streamingSessionize(
           ev, "ets", "user_id", "event_id", gapSec = 1800L).toDF(),
         "st04_sink", "append")
+    }),
+
+    // STREAM-STREAM watermarked inner join: click->purchase attribution
+    // within 1 hour per user; the time-range condition bounds both sides'
+    // state to lateness + horizon.
+    "st06_stream_join" -> ((s, d) => {
+      val ev = streamTbl(s, d, "events")
+        .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+      drainStream(
+        graft.streaming.Streams.streamingAttribution(
+          ev, "ets", "user_id", "event_id", "event_type",
+          fromType = "click", toType = "purchase", horizonSec = 3600L),
+        "st06_sink", "append")
     }),
 
     // Stateless stream-static LEFT SEMI join: decontamination at ingest.
@@ -1064,6 +1090,19 @@ object SparkEntry {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS ngram3_cnt
         |FROM t""".stripMargin,
 
+    // Same regex strings verbatim; DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics.
+    "t08_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact: user' || doc_id || '@example.com or +1-555-00' || doc_id AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  md5(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM a""".stripMargin,
+
     // Same RE2 pattern verbatim — alternation order and greediness match.
     "t07_bpe_tokens" ->
       """WITH t AS (SELECT doc_id,
@@ -1299,6 +1338,18 @@ object SparkEntry {
         |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
         |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
         |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+
+    // Batch replay of the attribution join: identical equi + time-range
+    // predicate, gap in whole seconds.
+    "st06_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000000000 AS sec FROM events)
+        |SELECT a.user_id, a.event_id AS from_id, b.event_id AS to_id,
+        |  CAST(b.sec - a.sec AS BIGINT) AS gap_sec
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_type = 'click'
+        |  AND b.event_type = 'purchase'
+        |  AND b.sec >= a.sec AND b.sec <= a.sec + 3600""".stripMargin,
 
     // The streaming semi-join flags the same documents, without counts.
     "st05_stream_decon" ->

@@ -75,6 +75,36 @@ object Streams {
       .select(idCol)
   }
 
+  /** STREAM-STREAM inner join with watermarks: attribute each `toType`
+    * event to every `fromType` event of the same user within
+    * `horizonSec` BEFORE it (click→purchase attribution). Both sides are
+    * watermarked and the join condition carries the event-time range, so
+    * the state store holds only `lateness + horizon` worth of events per
+    * side — the canonical bounded-state stream-stream join. Output
+    * `[user, from_id, to_id, gap_sec]`, append-safe: a pair emits once,
+    * when both sides have arrived.
+    */
+  def streamingAttribution(
+      stream: DataFrame, tsCol: String, userCol: String, idCol: String,
+      typeCol: String, fromType: String, toType: String,
+      horizonSec: Long, lateness: String = "2 hours"): DataFrame = {
+    val a = stream.filter(col(typeCol) === fromType)
+      .select(col(userCol).as("__a_user"), col(idCol).as("__a_id"),
+        col(tsCol).as("__a_ts"))
+      .withWatermark("__a_ts", lateness)
+    val b = stream.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__b_user"), col(idCol).as("__b_id"),
+        col(tsCol).as("__b_ts"))
+      .withWatermark("__b_ts", lateness)
+    a.join(b,
+      col("__a_user") === col("__b_user") &&
+        col("__b_ts") >= col("__a_ts") &&
+        col("__b_ts") <= col("__a_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("__a_user").as("user_id"),
+        col("__a_id").as("from_id"), col("__b_id").as("to_id"),
+        (col("__b_ts").cast("long") - col("__a_ts").cast("long")).as("gap_sec"))
+  }
+
   /** Open trailing session carried between micro-batches. */
   case class SessionAcc(start: Long, last: Long, n: Long)
 

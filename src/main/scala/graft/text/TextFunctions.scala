@@ -47,6 +47,24 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII scrub patterns — deliberately lookahead/backreference-free so the
+    * SAME strings run in Java regex (Spark) and RE2 (DuckDB/etc.) with
+    * identical semantics.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  /** Redact email addresses and phone-like digit runs (emails first, so a
+    * digits-bearing local part is consumed as `<EMAIL>`, not half-eaten by
+    * the phone rule — the order is part of the contract). Pure Column ops.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Count of email matches (BIGINT) — the audit signal beside the scrub. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast(LongType)
+
   private val stopwordPatterns: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|a|of|and|to|in|is|it|that|for)\\b",
     "es" -> "\\b(el|la|de|y|que|los|en|un|una|es)\\b",

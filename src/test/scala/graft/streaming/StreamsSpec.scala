@@ -92,6 +92,30 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingAttribution: stream-stream join pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String)] // ts, user, id, type
+    val out = Streams.streamingAttribution(
+      input.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+      "ts", "user_id", "event_id", "event_type",
+      fromType = "click", toType = "purchase", horizonSec = 600L)
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, 10L, "click"), (ts(30), 1L, 11L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("attr_out").count() == 0)
+      // Purchase arrives in a LATER batch: joins the 10:00 click (gap 5
+      // min) but not the 10:30 one (purchase precedes it).
+      input.addData((ts(5), 1L, 20L, "purchase"), (ts(59), 2L, 21L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("user_id", "from_id", "to_id", "gap_sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows === Set((1L, 10L, 20L, 300L)))
+    } finally q.stop()
+  }
+
   test("streamingSessionize: successor-closed sessions with custom state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long)] // ts, user, event_id
@@ -139,6 +163,19 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       .withColumn("quality", graft.text.TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), round(col("quality"), 6).as("quality")))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
+    val st06 = graft.SparkEntry.queries("st06_stream_join")(spark, sf)
+    val a6 = evRaw.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("from_id"), col("ets").as("ats"))
+    val b6 = evRaw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bu"), col("event_id").as("to_id"), col("ets").as("bts"))
+    sym(st06, a6.join(b6, col("u") === col("bu") &&
+        col("bts") >= col("ats") && col("bts") <= col("ats") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("u").as("user_id"), col("from_id"), col("to_id"),
+        (col("bts").cast("long") - col("ats").cast("long")).as("gap_sec")))
 
     val st05 = graft.SparkEntry.queries("st05_stream_decon")(spark, sf)
     val batchDecon = graft.operators.Dedup.decontaminate(
