@@ -38,7 +38,7 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         }
       }
-      (name, times.head, times.lastOption.getOrElse(times.head), err)
+      (name, times.head, times.last, err)
     }
     def jmap(f: ((String, Double, Double, Option[String])) => Option[String]) =
       results.flatMap(r => f(r)).mkString("{", ",", "}")

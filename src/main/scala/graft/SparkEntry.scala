@@ -89,6 +89,18 @@ object SparkEntry {
       .unionAll(tbl(s, dir, "lineitem").select(
         (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst")))
 
+  /** The same DAG with integer-cents edge weights (order edges weigh the
+    * order total, part edges the line price) — shared by g17/g18 so the
+    * two weighted gates can never drift onto different graphs.
+    */
+  private def weightedDagEdges(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"),
+        cents(col("o_totalprice")).as("weight"))
+      .unionAll(tbl(s, dir, "lineitem").select(
+        (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst"),
+        cents(col("l_extendedprice")).as("weight")))
+
   /** Flagship: WCC component sizes of the customer–nation–region graph at
     * sf0.001 (driver smoke-checks rows > 0).
     */
@@ -204,8 +216,11 @@ object SparkEntry {
 
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
-    // integer rank arithmetic, so any engine lands on the identical row
-    // (approx_percentile sketches differ across engines and would only
+    // integer rank arithmetic over NON-NULL values, so any engine lands
+    // on the identical row (the explicit isNotNull matters: Spark window
+    // ORDER BY ranks NULLS FIRST, DuckDB NULLS LAST, so unfiltered NULLs
+    // would shift every rank boundary differently per engine;
+    // approx_percentile sketches differ across engines and would only
     // support a rows-only gate). One shuffle on event_type; both window
     // functions share the partitioning. At 100 TB the same plan holds —
     // exact percentiles cost the per-key sort; swap in approx_percentile
@@ -213,6 +228,7 @@ object SparkEntry {
     "q13_percentiles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = tbl(s, d, "events").select(col("event_type"), cents(col("value")).as("v"))
+        .filter(col("v").isNotNull)
       ev.withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("v")))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
@@ -620,34 +636,20 @@ object SparkEntry {
     // distributed (threshold 0) so the Pregel edge-column path is the one
     // oracle-gated — the g09b/g10b discipline. The 4-round cap is past the
     // DAG's depth-2 convergence, so capped == exact here.
-    "g17_wsssp" -> ((s, d) => {
-      val edges = tbl(s, d, "orders")
-        .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"),
-          cents(col("o_totalprice")).as("weight"))
-        .unionAll(tbl(s, d, "lineitem").select(
-          (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst"),
-          cents(col("l_extendedprice")).as("weight")))
-      GraphFrame.fromEdges(edges)
+    "g17_wsssp" -> ((s, d) =>
+      GraphFrame.fromEdges(weightedDagEdges(s, d))
         .weightedShortestPaths(Seq(1L)).maxIterations(4).smallGraphThreshold(0).run()
-        .vertices.select(col("id"), col("dist_1"))
-    }),
+        .vertices.select(col("id"), col("dist_1"))),
 
     // Weighted PageRank on the same weighted DAG: delta distributes
     // proportional to edge weight. Per-source weight totals are EXACT
     // integer sums; only the per-edge fraction and message sum are float —
     // the same IEEE discipline as g08/g15.
-    "g18_wpagerank" -> ((s, d) => {
-      val edges = tbl(s, d, "orders")
-        .select(col("o_custkey").as("src"), (col("o_orderkey") + 4000000L).as("dst"),
-          cents(col("o_totalprice")).as("weight"))
-        .unionAll(tbl(s, d, "lineitem").select(
-          (col("l_orderkey") + 4000000L).as("src"), (col("l_partkey") + 1000000L).as("dst"),
-          cents(col("l_extendedprice")).as("weight")))
-      GraphFrame.fromEdges(edges)
+    "g18_wpagerank" -> ((s, d) =>
+      GraphFrame.fromEdges(weightedDagEdges(s, d))
         .pageRank.resetProbability(0.15).tolerance(1e-9).maxIterations(3)
         .weighted("weight").run()
-        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
-    }),
+        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))),
 
     // One-round neighborhood aggregation (GraphFrames aggregateMessages
     // parity): each dst receives its srcs' ids, each src its dsts' ids;
@@ -825,7 +827,8 @@ object SparkEntry {
     // Same integer rank arithmetic: ties in the row_number order cannot
     // change the SELECTED VALUE at a rank boundary.
     "q13_percentiles" ->
-      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (SELECT event_type, v,
         |  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
         |  count(*) OVER (PARTITION BY event_type) AS n FROM e)

@@ -60,6 +60,13 @@ class PageRank(graph: GraphFrame) {
 
     // Unweighted: out_degree count. Weighted: exact integer sum of
     // outgoing weights (both are the message denominator).
+    // NULL weights raise (shared guard: out_total aggregation AND the edge
+    // projection below) — silently a NULL would drop out of the total but
+    // also zero the message, i.e. divergent semantics nobody chose.
+    def guardedWeight(w: String): org.apache.spark.sql.Column =
+      when(col(w).isNull,
+        raise_error(lit(s"weighted pagerank: NULL in weight column '$w'")))
+        .otherwise(col(w).cast("long"))
     val outTotals = weightColOpt match {
       case None => graph.outDegrees.withColumnRenamed("out_degree", "__ot")
       case Some(w) =>
@@ -69,16 +76,19 @@ class PageRank(graph: GraphFrame) {
           s"weight column '$w' must be integral (INT or BIGINT) so per-source " +
             s"totals are exact, got $wType — quantize floats (cents/micros) first")
         graph.edges.groupBy(col(GraphFrame.SRC).as(ID))
-          .agg(sum(col(w).cast("long")).as("__ot"))
+          .agg(sum(guardedWeight(w)).as("__ot"))
     }
     val verticesWithDegrees = graph.vertices.select(col(ID))
       .join(outTotals.withColumnRenamed(ID, "__od_id"),
         col(ID) === col("__od_id"), "left")
       .select(col(ID), coalesce(col("__ot"), lit(0L)).as("out_total"))
 
-    val edgeCols = GraphFrame.SRC +: GraphFrame.DST +: weightColOpt.toSeq
-    val prepared = GraphFrame(verticesWithDegrees,
-      graph.edges.select(edgeCols.map(col): _*))
+    val baseEdgeCols = Seq(col(GraphFrame.SRC), col(GraphFrame.DST))
+    val preparedEdges = weightColOpt match {
+      case None    => graph.edges.select(baseEdgeCols: _*)
+      case Some(w) => graph.edges.select(baseEdgeCols :+ guardedWeight(w).as(w): _*)
+    }
+    val prepared = GraphFrame(verticesWithDegrees, preparedEdges)
 
     val newDelta = lit(alpha) * coalesce(Pregel.defaultMsg, lit(0.0))
     val initMass = pprSource

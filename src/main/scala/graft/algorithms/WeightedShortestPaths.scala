@@ -121,7 +121,13 @@ class WeightedShortestPaths(graph: GraphFrame, weightCol: String) {
           col(GraphFrame.SRC).as(GraphFrame.DST),
           col(weightCol))
       else graph.edges.select(GraphFrame.SRC, GraphFrame.DST, weightCol)
-    val edges = edges0.withColumn(weightCol, col(weightCol).cast(LongType))
+    // NULL weights raise: silently they would diverge between paths (the
+    // driver unboxes NULL to 0 — a free edge — while min() on the
+    // distributed side skips the NULL message, dropping the edge).
+    val edges = edges0.withColumn(weightCol,
+      when(col(weightCol).isNull,
+        raise_error(lit(s"weighted shortest paths: NULL in weight column '$weightCol'")))
+        .otherwise(col(weightCol).cast(LongType)))
 
     if (smallThreshold > 0) {
       val e = edges.localCheckpoint(true)

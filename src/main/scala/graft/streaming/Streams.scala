@@ -52,26 +52,36 @@ object Streams {
     stream.withColumn("quality", graft.text.TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
 
-  /** Streaming decontamination at ingest: STATELESS stream-static LEFT
-    * SEMI join — each incoming document's distinct n-gram hash array
-    * probes the broadcast held-out hash table and contaminated documents
-    * emit immediately; no state store, no watermark, so throughput is the
-    * map throughput. Exclude held-out documents from the stream upstream
+  /** Streaming decontamination at ingest: STATELESS broadcast-set probe —
+    * the held-out side collapses to a driver HashSet once (it is the
+    * benchmark/test split, orders of magnitude smaller than the stream),
+    * broadcast to executors, and each incoming document's distinct n-gram
+    * hash array probes it in O(|doc hashes|). Contaminated documents emit
+    * immediately; no state store, no watermark. A semi join on an
+    * `array_contains` condition would plan as a nested-loop probe of
+    * EVERY held-out hash against every document — O(|docs|·|held-out|) —
+    * so the set-membership filter is the scale-correct stateless shape;
+    * the UDF boundary costs one codegen break per row against an
+    * asymptotic win. Exclude held-out documents from the stream upstream
     * (a document is not its own contamination). The portable-hash family
     * keeps the flag set oracle-checkable ([[graft.operators.Dedup
     * .decontaminate]] is the batch twin with per-doc overlap counts).
-    * For a held-out set too large to broadcast, use the batch twin's
-    * exploded equi-join shape in a foreachBatch sink instead.
+    * For a held-out set too large for one broadcast set, use the batch
+    * twin's exploded equi-join shape in a foreachBatch sink instead.
     */
   def streamingDecontaminate(
       stream: DataFrame, heldOut: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val hashes = heldOut.select(explode(graft.functions.PortableHashes
+    val spark = stream.sparkSession
+    val hashSet = heldOut.select(explode(graft.functions.PortableHashes
         .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
-      .distinct()
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(hashSet)
+    val contaminated = udf((hs: Seq[Long]) =>
+      hs != null && hs.exists(bc.value.contains))
     stream.select(col(idCol), graft.functions.PortableHashes
         .portableNgramHashes(col(textCol), n, distinct = true).as("__h"))
-      .join(broadcast(hashes), expr("array_contains(__h, h)"), "left_semi")
+      .filter(contaminated(col("__h")))
       .select(idCol)
   }
 

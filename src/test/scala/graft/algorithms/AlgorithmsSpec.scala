@@ -123,6 +123,30 @@ class AlgorithmsSpec extends AnyFunSuite with SparkTestHarness {
       Map(1L -> Long.MaxValue, 2L -> Long.MaxValue))
   }
 
+  test("weighted algorithms: NULL edge weight raises instead of diverging") {
+    // Unguarded, a NULL weight is a free edge on the driver path (getLong
+    // unboxes to 0) but a dropped edge distributed (min skips NULL) —
+    // divergent silent answers. Both weighted algorithms must raise.
+    val s = spark
+    import s.implicits._
+    val g = GraphFrame(Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id"),
+      Seq((1L, 2L, Some(5L)), (2L, 3L, None)).toDF("src", "dst", "weight"))
+    def messages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(10).flatMap(t => Option(t.getMessage)).mkString("; ")
+    Seq(true, false).foreach { distributed =>
+      var b = g.weightedShortestPaths(Seq(1L))
+      if (distributed) b = b.smallGraphThreshold(0)
+      val e = intercept[Exception] { b.run().vertices.collect() }
+      assert(messages(e).contains("NULL in weight column"),
+        s"distributed=$distributed: ${messages(e)}")
+    }
+    val e2 = intercept[Exception] {
+      g.pageRank.weighted("weight").maxIterations(1).run().ranks.collect()
+    }
+    assert(messages(e2).contains("NULL in weight column"), messages(e2))
+  }
+
   test("weighted shortest paths: float weight column is rejected") {
     val s = spark
     import s.implicits._
