@@ -392,6 +392,15 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // INT8-quantized cosine top-k: 1 byte/dim storage, integer dot
+    // scoring (exact in the double domain), scale cancels out of cosine.
+    "s06_int8_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.int8CosineTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     "s03_ivf_topk" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
       Similarity.ivfCosineTopK(e, e.filter(col("vec_id") % 50 === 0),
@@ -1023,6 +1032,25 @@ object SparkEntry {
         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // int8 replay: floor(127*x/max|v| + 0.5) quantization (floor is the
+    // one rounding rule every engine computes identically), integer dots.
+    "s06_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mx AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        |qz AS (SELECT vec_id, CASE WHEN m > 0 THEN
+        |    list_transform(v, x -> floor(x * 127.0 / m + 0.5))
+        |  ELSE list_transform(v, x -> 0.0) END AS q FROM mx),
+        |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qz),
+        |qs AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |sc AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CASE WHEN qs.nrm > 0 AND c.nrm > 0 THEN
+        |    round(list_dot_product(qs.q, c.q) / (qs.nrm * c.nrm), 6)
+        |  ELSE 0.0 END AS cosine
+        |  FROM qs JOIN n c ON c.vec_id <> qs.vec_id),
         |rk AS (SELECT *, CAST(row_number() OVER
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,

