@@ -57,6 +57,15 @@ object ScaleBench {
         val r = g.pageRank.maxIterations(10).run()
         val cnt = r.ranks.count()
         println(f"SCALE-OK pagerank n=$n m=$m iters=${r.iterations} rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "lpa" | "lpa-skew" =>
+        // 4 synchronous rounds, forced distributed. The -skew variant's
+        // ~370 k-degree hub is the label_mode aggregate's stress shape:
+        // the hub's per-round aggregation state is its distinct
+        // neighbour-label count (collapsing fast after round 1), never
+        // its degree — collect_list would ship 370 k labels per round.
+        val r = g.labelPropagation.maxIterations(4).smallGraphThreshold(0).run()
+        val nLabels = r.vertices.select(countDistinct("label")).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m iters=${r.iterations} labels=$nLabels sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "wsssp" =>
         // Weighted SSSP from vertex 0: xxhash-derived integer weights in
         // [1, 1000]. BFS-like round count (small-world ER graph), but each
