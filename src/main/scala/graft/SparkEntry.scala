@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.graph.GraphFrame
 import graft.multimodal.Multimodal
@@ -448,14 +448,15 @@ object SparkEntry {
           .as("bpe_vocab"))),
 
     // PII redaction gate: the corpus text is augmented with a synthetic
-    // email + phone derived from doc_id (both sides build the identical
-    // string), then scrubbed. Gates the real redaction path — md5 of the
-    // scrubbed text catches any divergence in match/replace semantics.
+    // MIXED-CASE email + fixed-width phone derived from doc_id (both sides
+    // build the identical string), then scrubbed. Gates the real redaction
+    // path — md5 of the scrubbed text catches any divergence in match/
+    // replace semantics, including the (?i) case-insensitivity contract.
     "t08_redact" -> ((s, d) =>
       tbl(s, d, "documents")
         .withColumn("aug", concat(col("text"),
-          lit(" contact: user"), col("doc_id"), lit("@example.com or +1-555-00"),
-          col("doc_id")))
+          lit(" contact: User"), col("doc_id"), lit("@Example.COM or +1-555-00"),
+          lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
         .select(col("doc_id"),
           TextFunctions.emailCount(col("aug")).as("n_emails"),
           md5(TextFunctions.redactPii(col("aug"))).as("redacted_md5"))),
@@ -1125,13 +1126,14 @@ object SparkEntry {
     // flag to match Spark's replace-all semantics.
     "t08_redact" ->
       """WITH a AS (SELECT doc_id,
-        |  text || ' contact: user' || doc_id || '@example.com or +1-555-00' || doc_id AS aug
+        |  text || ' contact: User' || doc_id || '@Example.COM or +1-555-00'
+        |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS aug
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(regexp_replace(aug,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][-. ()]?(?:[0-9][-. ()]?){5,13}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM a""".stripMargin,
 
     // Same RE2 pattern verbatim — alternation order and greediness match.

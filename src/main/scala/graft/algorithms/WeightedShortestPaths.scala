@@ -93,7 +93,14 @@ class WeightedShortestPaths(graph: GraphFrame, weightCol: String) {
           while (j < k) {
             val ds = dist(es(j))
             if (ds < Inf) {
-              val cand = ds + ew(j)
+              // Math.addExact mirrors the distributed path's try_add guard:
+              // a finite dist + weight that overflows Long raises (here an
+              // ArithmeticException) instead of wrapping negative.
+              val cand =
+                try Math.addExact(ds, ew(j))
+                catch { case _: ArithmeticException => throw new ArithmeticException(
+                  "wsssp: Long overflow in dist + weight relaxation — " +
+                    "rescale weights (see cents discipline note)") }
               if (cand < next(ed(j))) { next(ed(j)) = cand; changed = true }
             }
             j += 1
@@ -193,10 +200,16 @@ class WeightedShortestPaths(graph: GraphFrame, weightCol: String) {
           when(m.isNull, col(distCol))
             .otherwise(when(col(distCol) <= m, col(distCol)).otherwise(m)))
         .addNamedMessage(lm.toString,
-          // Participating sources are always finite, but the guard keeps
-          // ∞ + w from wrapping if participation semantics ever loosen.
+          // Participating sources are always finite (the < Inf guard keeps
+          // ∞ + w out if participation semantics ever loosen), and a FINITE
+          // dist + weight that overflows Long raises loudly via try_add
+          // (NULL on overflow) instead of wrapping negative and poisoning
+          // every downstream min — the Hits try_sum pattern.
           when(Pregel.src(distCol) < lit(Inf),
-            Pregel.src(distCol) + Pregel.edge(weightCol))
+            coalesce(try_add(Pregel.src(distCol), Pregel.edge(weightCol)),
+              raise_error(lit("wsssp: Long overflow in dist + weight " +
+                "relaxation — rescale weights (see cents discipline note)"))
+                .cast(LongType)))
             .otherwise(lit(Inf)),
           MessageDirection.SrcToDst)
         .addNamedAggregateExpr(lm.toString, min(m))

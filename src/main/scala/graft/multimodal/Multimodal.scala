@@ -67,8 +67,23 @@ object Multimodal {
   private[multimodal] def pngPixelHistogram(bytes: Array[Byte]): Array[Double] = {
     val h = new Array[Double](histBins)
     if (bytes == null || bytes.isEmpty) return h
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return h
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (decoded == null) return h
+    // Band-0-with-&0xff is only the pixel value for 8-bit single-band gray.
+    // Anything else (RGB, 16-bit gray, palette) is first re-drawn into
+    // TYPE_BYTE_GRAY so the histogram is over proper 8-bit luminance, not
+    // the low byte of a 16-bit sample or just the red channel.
+    val img =
+      if (decoded.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
+          decoded.getRaster.getNumBands == 1) decoded
+      else {
+        val gray = new java.awt.image.BufferedImage(
+          decoded.getWidth, decoded.getHeight,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+        gray
+      }
     val raster = img.getRaster
     val (w, ht) = (img.getWidth, img.getHeight)
     var y = 0

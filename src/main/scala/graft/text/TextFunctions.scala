@@ -51,12 +51,23 @@ object TextFunctions {
     * SAME strings run in Java regex (Spark) and RE2 (DuckDB/etc.) with
     * identical semantics.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Phone-like runs: 7–15 digits with optional single `-`/`.`/space/`()`
+    * separators between them. Requiring most of the run to be digits (not
+    * just "digits or hyphens") keeps low-density runs like "1-2-3-4" and
+    * 6-digit hyphenated IDs out, and caps the run at E.164's 15 digits.
+    * KNOWN false positives, by design (7-15 digit runs are phone-shaped
+    * regardless of meaning, and excluding them needs lookarounds we ban
+    * for RE2 portability): ISO dates "2026-08-13" (8 digits), 10/13-digit
+    * ISBNs, and bare 7-15 digit order IDs still redact.
+    */
+  val PhoneRe = "\\+?[0-9][-. ()]?(?:[0-9][-. ()]?){5,13}[0-9]"
 
   /** Redact email addresses and phone-like digit runs (emails first, so a
     * digits-bearing local part is consumed as `<EMAIL>`, not half-eaten by
-    * the phone rule — the order is part of the contract). Pure Column ops.
+    * the phone rule — the order is part of the contract). Case-insensitive
+    * via inline `(?i)` — identical in Java regex and RE2. Pure Column ops.
     */
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")

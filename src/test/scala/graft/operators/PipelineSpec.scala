@@ -254,6 +254,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(rows(2L)._2 == 3L)
   }
 
+  test("redactPii: mixed-case emails, phone shapes, and documented non-matches") {
+    val rows = Seq(
+      (1L, "write John.Doe@Example.COM or UPPER@CASE.ORG today"),
+      (2L, "call +1-555-0042-99 or 555.123.4567 now"),
+      (3L, "date 2026-08-13 is phone-shaped but 1-2-3-4 and v1.2.3 are not"),
+      (4L, "id 123456 is too short to redact"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.redactPii($"text").as("r"),
+        TextFunctions.emailCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == "write <EMAIL> or <EMAIL> today") // (?i) catches both
+    assert(rows(1L)._2 == 2L)
+    assert(rows(2L)._1 == "call <PHONE> or <PHONE> now")
+    // 8-digit ISO date is a documented false positive; low-digit-density
+    // runs (1-2-3-4) and dotted versions (v1.2.3) now survive unredacted.
+    assert(rows(3L)._1 == "date <PHONE> is phone-shaped but 1-2-3-4 and v1.2.3 are not")
+    assert(rows(4L)._1 == "id 123456 is too short to redact")
+  }
+
   // ---- multimodal plumbing ----
 
   test("asMedia + extractFeatures: histogram features sum to 1") {
@@ -297,6 +316,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     val byteHist = new Array[Double](16)
     raw1.foreach(b => byteHist((b & 0xff) / 16) += 1.0 / raw1.length)
     assert(feats(1L) != byteHist.toSeq)
+  }
+
+  test("png decode: non-8-bit-gray formats histogram luminance, not a raw band") {
+    import java.awt.image.BufferedImage
+    // pixel(x,y) = (7x+13y) mod 256 in three encodings of the SAME image:
+    // 8-bit gray (the native path), RGB with r=g=b=v (luminance == v), and
+    // 16-bit gray with sample v*257 (high and low byte both v, but naive
+    // low-byte masking of, say, v=128 -> 128*257=32896 & 0xff = 128 only
+    // because *257 duplicates bytes — use v*256+7 to break that symmetry).
+    def encode(imgType: Int, scale: Int, offset: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, imgType)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = java.lang.Math.floorMod(7 * x + 13 * y, 256)
+        if (imgType == BufferedImage.TYPE_INT_RGB) img.setRGB(x, y, v << 16 | v << 8 | v)
+        else img.getRaster.setSample(x, y, 0, v * scale + (if (v * scale + offset < 65536) offset else 0))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gray8 = encode(BufferedImage.TYPE_BYTE_GRAY, 1, 0)
+    val rgb = encode(BufferedImage.TYPE_INT_RGB, 1, 0)
+    val gray16 = encode(BufferedImage.TYPE_USHORT_GRAY, 256, 7) // low byte = 7, NOT v
+    val media = Seq((1L, gray8), (2L, rgb), (3L, gray16)).toDF("media_id", "content")
+      .select($"media_id", $"content",
+        struct(lit("image/png").as("mime"), length($"content").cast("long").as("n_bytes"),
+          md5($"content").as("checksum")).as("meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // RGB with equal channels decodes to the same luminance histogram as gray.
+    assert(feats(2L) == feats(1L))
+    // 16-bit gray: v*256+7 re-drawn to 8-bit recovers ~v (not the low byte
+    // 7, which would put ALL mass in bin 0).
+    assert(feats(3L)(0) < 0.2 && feats(3L).count(_ > 0.0) > 8)
   }
 
   test("png resize: nearest-neighbour resample is the exact source-pixel subsample") {
