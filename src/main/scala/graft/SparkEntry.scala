@@ -438,6 +438,24 @@ object SparkEntry {
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram")).limit(20)),
 
+    // Bigram PMI collocations: exact BIGINT counts, one fixed-association
+    // float per row. Gates pmiBigrams end to end (tokenization, both count
+    // aggregations, the two unigram joins, the probability formula).
+    "t10_pmi" -> ((s, d) =>
+      TextFunctions.pmiBigrams(tbl(s, d, "documents"), "doc_id", "text", minCount = 3L)),
+
+    // Portable HyperLogLog: the full 256-row register table (exact
+    // integers — gates hashing, register split, rank arithmetic) ...
+    "q14_hll_registers" -> ((s, d) =>
+      graft.operators.Sketches.hllRegisters(tbl(s, d, "lineitem"), "l_partkey", p = 8)),
+
+    // ... and the one-row estimate off it (scaled-integer harmonic sum;
+    // single rounded float division at the end).
+    "q14b_hll_estimate" -> ((s, d) =>
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(tbl(s, d, "lineitem"), "l_partkey", p = 8),
+        p = 8)),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -1135,6 +1153,59 @@ object SparkEntry {
         |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][-. ()]?(?:[0-9][-. ()]?){5,13}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM a""".stripMargin,
+
+    // Bigram construction mirrors tokenNgrams(2) (1-based slice, space
+    // join); counts exact BIGINTs; pmi6 written in the SAME association
+    // order as the Spark expression (doubles from the first cast onward).
+    "t10_pmi" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |u AS (SELECT uw AS w, CAST(count(*) AS BIGINT) AS u_cnt
+        |      FROM (SELECT unnest(w) AS uw FROM t) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(u_cnt) AS BIGINT) AS nu FROM u),
+        |bgl AS (SELECT list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs FROM t),
+        |nb AS (SELECT CAST(sum(len(bgs)) AS BIGINT) AS nb FROM bgl),
+        |b AS (SELECT bg, CAST(count(*) AS BIGINT) AS b_cnt
+        |      FROM (SELECT unnest(bgs) AS bg FROM bgl) GROUP BY 1 HAVING count(*) >= 3),
+        |s AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, b_cnt FROM b)
+        |SELECT w1, w2, b_cnt, u1.u_cnt AS u1_cnt, u2.u_cnt AS u2_cnt,
+        |  round(ln(CAST(b_cnt AS DOUBLE) * nu.nu * nu.nu /
+        |    (CAST(nb.nb AS DOUBLE) * u1.u_cnt * u2.u_cnt)), 6) AS pmi6
+        |FROM s JOIN u u1 ON s.w1 = u1.w JOIN u u2 ON s.w2 = u2.w, nu, nb""".stripMargin,
+
+    // The exact register table: portable 60-bit md5 hash, low 8 bits pick
+    // the register, rank = leading zeros of the 52-bit suffix + 1 via
+    // bin() (no float log2); empty registers materialized as max_rank 0.
+    "q14_hll_registers" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM lineitem),
+        |r AS (SELECT h & 255 AS register,
+        |             53 - CASE WHEN (h >> 8) = 0 THEN 0 ELSE len(bin(h >> 8)) END AS rank
+        |      FROM h),
+        |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
+        |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
+
+    // Harmonic sum scaled to exact integers (sum of 2^(53 - M_j) as
+    // BIGINT — a double sum would be summation-order-dependent), one
+    // rounded float division at the end in the same association order.
+    "q14b_hll_estimate" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM lineitem),
+        |r AS (SELECT h & 255 AS register,
+        |             53 - CASE WHEN (h >> 8) = 0 THEN 0 ELSE len(bin(h >> 8)) END AS rank
+        |      FROM h),
+        |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1),
+        |regs AS (SELECT COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |         FROM range(256) LEFT JOIN agg ON range = register),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
+        |             CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |      FROM regs)
+        |SELECT m, sum_scaled, n_zero,
+        |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE /
+        |    CAST(sum_scaled AS DOUBLE), 6) AS est6
+        |FROM e""".stripMargin,
 
     // Same RE2 pattern verbatim — alternation order and greediness match.
     "t07_bpe_tokens" ->

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Engine-portable distinct-count sketching (HyperLogLog) for 100 TB-scale
+  * profiling, built the graft way: every intermediate is exact integer
+  * arithmetic any md5-capable SQL engine replays bit-for-bit.
+  *
+  * Design notes vs a stock HLL implementation:
+  *   - The hash is the library's portable 60-bit md5 convention
+  *     ([[Sampling.keyHash60]]), NOT xxhash/murmur: the register table is
+  *     then a pure SQL function of the input, so the ORACLE can gate the
+  *     whole sketch, not just its estimate.
+  *   - `bin()` (present in both Spark and DuckDB, returns the binary
+  *     string WITHOUT leading zeros) gives the rank = number of leading
+  *     zeros in the (60-p)-bit suffix + 1, with no float log2 at the edge.
+  *   - The harmonic sum `sum(2^-M_j)` is kept EXACT by scaling to
+  *     integers: `sum_scaled = sum(2^(maxRank - M_j))` as BIGINT (worst
+  *     case 2^p * 2^(60-p+1) = 2^61, inside i64), because a double sum of
+  *     2^0 .. 2^-53 terms spans >53 bits of precision and its rounding
+  *     would be summation-order-dependent — the one thing an oracle-gated
+  *     artifact cannot be. The single float division happens once, at the
+  *     end, in a fixed association order.
+  *
+  * The registers shuffle is one map-side-combinable groupBy over 2^p keys
+  * — at any scale the reduce side is 2^p rows. That is the whole point of
+  * the sketch: a 100 TB scan folds to a 256-row table that unions across
+  * partitions/days by pairwise `greatest`.
+  */
+object Sketches {
+
+  /** Bits in the portable md5 hash (15 hex chars). */
+  val HashBits = 60
+
+  /** `[register, max_rank]` — one row per register in `[0, 2^p)`, BIGINTs.
+    * Registers no key hashed into carry `max_rank = 0` (the standard HLL
+    * empty-register convention), materialized by a left join against
+    * `range(2^p)` so the output shape is fixed regardless of data.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    val m = 1L << p
+    val suffixBits = HashBits - p
+    val h = Sampling.keyHash60(col(keyCol))
+    // Low p bits pick the register, the remaining 60-p bits feed the rank —
+    // BIT ops, not arithmetic: Column./ on longs is double division, which
+    // silently rounds above 2^53. h is non-negative by construction, so
+    // `&`/`>>` agree across engines.
+    val reg = h.bitwiseAND(lit(m - 1))
+    val w = shiftrightunsigned(h, p)
+    val rank = (lit(suffixBits + 1) -
+      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
+    val seen = df
+      .select(reg.as("register"), rank.as("rank"))
+      .groupBy("register").agg(max(col("rank")).as("max_rank"))
+    df.sparkSession.range(m).select(col("id").as("register"))
+      .join(seen, Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("max_rank"), lit(0L)).as("max_rank"))
+  }
+
+  /** One-row estimate frame off a register table:
+    * `[m, sum_scaled, n_zero, est6]` where `sum_scaled = sum(2^(S - M_j))`
+    * with `S = 60 - p + 1` (exact BIGINT), `n_zero` counts empty registers
+    * (the signal for small-range linear-counting correction, which is NOT
+    * applied — documented raw-HLL semantics), and
+    * `est6 = round(alpha_m * m * m * 2^S / sum_scaled, 6)`.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val s = HashBits - p + 1 // max_rank range is [0, 60-p+1]
+    // Computed in Scala doubles (NOT an expr string: both Spark and DuckDB
+    // parse bare decimal literals as DECIMAL, whose division rules diverge
+    // from IEEE double — the oracle spells every literal ::DOUBLE and this
+    // Scala expression performs the identical double ops in the same order).
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    registers.agg(
+      count(lit(1)).as("m"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
+        .as("sum_scaled"),
+      sum(when(col("max_rank") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("m"), col("sum_scaled"), col("n_zero"),
+        round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, s)) / col("sum_scaled").cast("double"), 6).as("est6"))
+  }
+}

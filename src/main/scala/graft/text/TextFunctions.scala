@@ -219,4 +219,46 @@ object TextFunctions {
         expr(s"substring($textCol, CAST(1 + chunk_idx * $stride AS INT), $chunkChars)")
           .as("chunk"))
   }
+
+  /** Pointwise-mutual-information bigram collocations over the corpus:
+    * `[w1, w2, b_cnt, u1_cnt, u2_cnt, pmi6]` for every adjacent token pair
+    * occurring at least `minCount` times, where
+    * `pmi = ln(P(w1,w2) / (P(w1) * P(w2)))` with bigram probability over
+    * the bigram total and unigram probabilities over the unigram total.
+    *
+    * Engine-parity: all five counts are exact BIGINTs; the single float
+    * expression is evaluated in ONE fixed association order — doubles from
+    * the first cast onward, never a 64-bit integer product (whose overflow
+    * semantics differ across engines) — and `round(..., 6)`d.
+    *
+    * Scale shape: two map-side-combinable token-count aggregations (the
+    * shuffles carry vocabulary cardinality, not corpus size), two joins of
+    * the bigram table against the unigram table keyed on a word, and two
+    * 1-row broadcast cross joins for the totals. No per-doc quadratic
+    * lambdas, no global sort.
+    */
+  def pmiBigrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("u_cnt"))
+    val big = docs.select(explode(tokenNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("b_cnt"))
+      .filter(col("b_cnt") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("b_cnt"))
+    // Totals BEFORE the minCount filter — probabilities are corpus-wide.
+    val nu = docs.select(explode(tokens(col(textCol))).as("w"))
+      .agg(count(lit(1)).as("nu"))
+    val nb = docs.select((size(tokenNgrams(col(textCol), 2))).cast(LongType).as("k"))
+      .agg(sum("k").as("nb"))
+    big
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u_cnt", "u1_cnt"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u_cnt", "u2_cnt"), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("b_cnt"), col("u1_cnt"), col("u2_cnt"),
+        round(log(
+          col("b_cnt").cast("double") * col("nu") * col("nu") /
+            (col("nb").cast("double") * col("u1_cnt") * col("u2_cnt"))), 6)
+          .as("pmi6"))
+  }
 }
