@@ -438,6 +438,13 @@ object SparkEntry {
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram")).limit(20)),
 
+    // Sequence packing: the (doc, training-sequence) overlap table for a
+    // 128-token context window. Gates the distributed two-phase prefix sum
+    // against the oracle's single windowed SUM — same integers, different
+    // execution shape (that is the point).
+    "t09_pack" -> ((s, d) =>
+      TextFunctions.packSequences(tbl(s, d, "documents"), "doc_id", "text", seqLen = 128L)),
+
     // Bigram PMI collocations: exact BIGINT counts, one fixed-association
     // float per row. Gates pmiBigrams end to end (tokenization, both count
     // aggregations, the two unigram joins, the probability formula).
@@ -1153,6 +1160,22 @@ object SparkEntry {
         |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][-. ()]?(?:[0-9][-. ()]?){5,13}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM a""".stripMargin,
+
+    // The oracle's cumsum is ONE windowed SUM (fine at sf0.01) replaying
+    // the engine's two-phase distributed scan exactly.
+    "t09_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS cnt FROM documents),
+        |nz AS (SELECT doc_id, cnt FROM c WHERE cnt > 0),
+        |g AS (SELECT doc_id, cnt,
+        |  CAST(COALESCE(sum(cnt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM nz)
+        |SELECT CAST(t.seq_id AS BIGINT) AS seq_id, g.doc_id,
+        |  CAST(greatest(t.seq_id * 128, g.s) - g.s AS BIGINT) AS start_tok,
+        |  CAST(least((t.seq_id + 1) * 128, g.s + g.cnt)
+        |    - greatest(t.seq_id * 128, g.s) AS BIGINT) AS n_toks
+        |FROM g, range(g.s // 128, (g.s + g.cnt - 1) // 128 + 1) AS t(seq_id)""".stripMargin,
 
     // Bigram construction mirrors tokenNgrams(2) (1-based slice, space
     // join); counts exact BIGINTs; pmi6 written in the SAME association

@@ -220,6 +220,61 @@ object TextFunctions {
           .as("chunk"))
   }
 
+  /** GPT-style sequence packing ("concatenate and chunk"): lay every
+    * document's whitespace tokens end to end in `idCol` order and cut the
+    * stream every `seqLen` tokens. One output row per (document, training
+    * sequence) overlap: `[seq_id, <idCol>, start_tok, n_toks]` — the doc
+    * contributes tokens `[start_tok, start_tok + n_toks)` to sequence
+    * `seq_id`. Zero-token documents contribute nothing. All integer
+    * arithmetic, exactly replayable by any engine's windowed SUM.
+    *
+    * Scale shape — the global prefix sum is NOT a single-partition window
+    * (the classic packing scale-killer). It is the textbook two-phase
+    * distributed scan:
+    *   1. range-repartition by `idCol` (the shuffle Spark would need
+    *      anyway to order the corpus) and sum token counts PER PARTITION
+    *      — a handful of rows;
+    *   2. collect those partition totals (one bounded driver action, one
+    *      row per partition), prefix-scan them, broadcast the offsets
+    *      back;
+    *   3. window-cumsum WITHIN each partition and add the partition's
+    *      offset — every partition scans concurrently.
+    * At 1000 executors the driver sees 1000 longs, not 100 TB of rows.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqLen: Long): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(col(idCol).as("__pk_id"), tokenCount(col(textCol)).as("__pk_cnt"))
+      .filter(col("__pk_cnt") > 0L)
+      .repartitionByRange(col("__pk_id"))
+      .withColumn("__pk_pid", spark_partition_id())
+    // Phase 1+2: per-partition totals -> driver prefix scan (bounded by the
+    // partition count) -> broadcast back.
+    val totals = counts.groupBy("__pk_pid").agg(sum("__pk_cnt").as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = offsets.toSeq.toDF("__pk_pid", "__pk_off")
+    // Phase 3: partition-local cumsum + offset = global token position.
+    val w = Window.partitionBy("__pk_pid").orderBy("__pk_id")
+    val placed = counts.join(broadcast(offDf), Seq("__pk_pid"))
+      .withColumn("__pk_end", sum("__pk_cnt").over(w) + col("__pk_off"))
+      .withColumn("__pk_start", col("__pk_end") - col("__pk_cnt"))
+    // A doc spanning [start, end) overlaps sequences start div L .. (end-1) div L.
+    placed
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__pk_start div $seqLen"), expr(s"(__pk_end - 1) div $seqLen"))))
+      .select(col("seq_id"), col("__pk_id").as(idCol),
+        (greatest(col("seq_id") * seqLen, col("__pk_start")) - col("__pk_start"))
+          .as("start_tok"),
+        (least((col("seq_id") + 1L) * seqLen, col("__pk_end")) -
+          greatest(col("seq_id") * seqLen, col("__pk_start"))).as("n_toks"))
+  }
+
   /** Pointwise-mutual-information bigram collocations over the corpus:
     * `[w1, w2, b_cnt, u1_cnt, u2_cnt, pmi6]` for every adjacent token pair
     * occurring at least `minCount` times, where

@@ -53,6 +53,47 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(folded.exceptAll(regs).isEmpty && regs.exceptAll(folded).isEmpty)
   }
 
+  // ---- sequence packing ----
+
+  test("packSequences: hand-computed spans, boundary docs split exactly") {
+    // token counts: 3, 4, 6, 2 -> offsets 0,3,7,13; seqLen 5 cuts at 5,10,15.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m"), (4L, "n o"))
+      .toDF("doc_id", "text")
+    val rows = TextFunctions.packSequences(docs, "doc_id", "text", seqLen = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (0L, 1L, 0L, 3L),           // doc1 [0,3) in seq0
+      (0L, 2L, 0L, 2L), (1L, 2L, 2L, 2L), // doc2 [3,7) splits at 5
+      (1L, 3L, 0L, 3L), (2L, 3L, 3L, 3L), // doc3 [7,13) splits at 10
+      (2L, 4L, 0L, 2L)))          // doc4 [13,15)
+  }
+
+  test("packSequences: invariants on the real corpus across partitionings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextFunctions.packSequences(docs, "doc_id", "text", 64L).cache()
+    val total = docs.select(TextFunctions.tokenCount($"text").as("c"))
+      .filter($"c" > 0).agg(sum("c")).collect().head.getLong(0)
+    // Every sequence except the last is exactly full; token mass conserved.
+    val perSeq = packed.groupBy("seq_id").agg(sum("n_toks").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, n) => assert(n == 64L || s == lastSeq, s"seq $s has $n") }
+    assert(perSeq.values.sum == total)
+    // Per-doc segments are contiguous and cover [0, cnt).
+    val segs = packed.collect().groupBy(_.getLong(1))
+    segs.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0)).map(r => (r.getLong(2), r.getLong(3)))
+      var pos = 0L
+      sorted.foreach { case (st, n) => assert(st == pos && n > 0); pos = st + n }
+    }
+    // Repartitioning the input must not change the result (the two-phase
+    // scan is a pure function of (doc_id, text), not of layout).
+    val re = TextFunctions.packSequences(docs.repartition(7), "doc_id", "text", 64L)
+    assert(re.exceptAll(packed).isEmpty && packed.exceptAll(re).isEmpty)
+    packed.unpersist()
+  }
+
   // ---- PMI collocations ----
 
   test("pmiBigrams: hand-computed counts and pmi on a toy corpus") {
