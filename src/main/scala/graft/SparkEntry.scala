@@ -463,6 +463,15 @@ object SparkEntry {
         graft.operators.Sketches.hllRegisters(tbl(s, d, "lineitem"), "l_partkey", p = 8),
         p = 8)),
 
+    // Linear-counting-corrected estimate, keyed low-cardinality on purpose
+    // (l_suppkey ~ 100 distinct at sf0.01 << 2.5 * 256): the corrected
+    // branch actually fires, gating the n_zero condition AND the
+    // m * ln(m / n_zero) float path against DuckDB's ln.
+    "q14c_hll_corrected" -> ((s, d) =>
+      graft.operators.Sketches.hllEstimateCorrected(
+        graft.operators.Sketches.hllRegisters(tbl(s, d, "lineitem"), "l_suppkey", p = 8),
+        p = 8)),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -1170,12 +1179,14 @@ object SparkEntry {
         |g AS (SELECT doc_id, cnt,
         |  CAST(COALESCE(sum(cnt) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
-        |  FROM nz)
-        |SELECT CAST(t.seq_id AS BIGINT) AS seq_id, g.doc_id,
-        |  CAST(greatest(t.seq_id * 128, g.s) - g.s AS BIGINT) AS start_tok,
-        |  CAST(least((t.seq_id + 1) * 128, g.s + g.cnt)
-        |    - greatest(t.seq_id * 128, g.s) AS BIGINT) AS n_toks
-        |FROM g, range(g.s // 128, (g.s + g.cnt - 1) // 128 + 1) AS t(seq_id)""".stripMargin,
+        |  FROM nz),
+        |g2 AS (SELECT doc_id, cnt, s,
+        |  unnest(range(s // 128, (s + cnt - 1) // 128 + 1)) AS seq_id FROM g)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(seq_id * 128, s) - s AS BIGINT) AS start_tok,
+        |  CAST(least((seq_id + 1) * 128, s + cnt)
+        |    - greatest(seq_id * 128, s) AS BIGINT) AS n_toks
+        |FROM g2""".stripMargin,
 
     // Bigram construction mirrors tokenNgrams(2) (1-based slice, space
     // join); counts exact BIGINTs; pmi6 written in the SAME association
@@ -1229,6 +1240,34 @@ object SparkEntry {
         |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE /
         |    CAST(sum_scaled AS DOUBLE), 6) AS est6
         |FROM e""".stripMargin,
+
+    // Same register pipeline on l_suppkey + the linear-counting CASE: the
+    // branch condition reads the already-rounded est6 (bit-identical
+    // operands both sides), correction = m * ln(m / n_zero) in the same
+    // association order as the engine.
+    "q14c_hll_corrected" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM lineitem),
+        |r AS (SELECT h & 255 AS register,
+        |             53 - CASE WHEN (h >> 8) = 0 THEN 0 ELSE len(bin(h >> 8)) END AS rank
+        |      FROM h),
+        |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1),
+        |regs AS (SELECT COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |         FROM range(256) LEFT JOIN agg ON range = register),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
+        |             CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |      FROM regs),
+        |est AS (SELECT m, sum_scaled, n_zero,
+        |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE /
+        |    CAST(sum_scaled AS DOUBLE), 6) AS est6
+        |  FROM e)
+        |SELECT m, sum_scaled, n_zero, est6,
+        |  round(CASE WHEN n_zero > 0 AND est6 <= 640.0::DOUBLE
+        |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(n_zero AS DOUBLE))
+        |    ELSE est6 END, 6) AS est6c
+        |FROM est""".stripMargin,
 
     // Same RE2 pattern verbatim — alternation order and greediness match.
     "t07_bpe_tokens" ->

@@ -200,17 +200,27 @@ class WeightedShortestPaths(graph: GraphFrame, weightCol: String) {
           when(m.isNull, col(distCol))
             .otherwise(when(col(distCol) <= m, col(distCol)).otherwise(m)))
         .addNamedMessage(lm.toString,
-          // Participating sources are always finite (the < Inf guard keeps
-          // ∞ + w out if participation semantics ever loosen), and a FINITE
-          // dist + weight that overflows Long raises loudly via try_add
-          // (NULL on overflow) instead of wrapping negative and poisoning
-          // every downstream min — the Hits try_sum pattern.
-          when(Pregel.src(distCol) < lit(Inf),
-            coalesce(try_add(Pregel.src(distCol), Pregel.edge(weightCol)),
-              raise_error(lit("wsssp: Long overflow in dist + weight " +
-                "relaxation — rescale weights (see cents discipline note)"))
-                .cast(LongType)))
-            .otherwise(lit(Inf)),
+          // NULL weights are rejected upstream (the validating column
+          // rewrite raises "NULL in weight column" — spec-pinned, since
+          // driver vs distributed would silently diverge on NULLs). The
+          // isNull branch here is defense-in-depth: with it, try_add
+          // returning NULL can only ever mean GENUINE overflow, so the
+          // raise_error below never misattributes a NULL operand to
+          // overflow even if the upstream guard is ever relaxed (a relaxed
+          // guard degrades to drop-the-message — the min aggregate's NULL
+          // semantics — not to a misleading abort). Participating sources
+          // are always finite (the < Inf guard keeps ∞ + w out if
+          // participation semantics ever loosen), and a FINITE dist +
+          // non-NULL weight that overflows Long raises loudly instead of
+          // wrapping negative and poisoning every downstream min — the
+          // Hits try_sum pattern.
+          when(Pregel.edge(weightCol).isNull, lit(null).cast(LongType))
+            .otherwise(when(Pregel.src(distCol) < lit(Inf),
+              coalesce(try_add(Pregel.src(distCol), Pregel.edge(weightCol)),
+                raise_error(lit("wsssp: Long overflow in dist + weight " +
+                  "relaxation — rescale weights (see cents discipline note)"))
+                  .cast(LongType)))
+              .otherwise(lit(Inf))),
           MessageDirection.SrcToDst)
         .addNamedAggregateExpr(lm.toString, min(m))
     }

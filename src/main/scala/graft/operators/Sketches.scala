@@ -64,8 +64,9 @@ object Sketches {
   /** One-row estimate frame off a register table:
     * `[m, sum_scaled, n_zero, est6]` where `sum_scaled = sum(2^(S - M_j))`
     * with `S = 60 - p + 1` (exact BIGINT), `n_zero` counts empty registers
-    * (the signal for small-range linear-counting correction, which is NOT
-    * applied — documented raw-HLL semantics), and
+    * (the signal for small-range linear-counting correction, which THIS
+    * method leaves unapplied — raw-HLL semantics; see
+    * [[hllEstimateCorrected]] for the corrected variant), and
     * `est6 = round(alpha_m * m * m * 2^S / sum_scaled, 6)`.
     */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
@@ -75,7 +76,15 @@ object Sketches {
     // parse bare decimal literals as DECIMAL, whose division rules diverge
     // from IEEE double — the oracle spells every literal ::DOUBLE and this
     // Scala expression performs the identical double ops in the same order).
-    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    // Flajolet's bias constant: the 0.7213/(1 + 1.079/m) asymptotic form is
+    // only valid for m >= 128; m = 16/32/64 take the canonical per-size
+    // constants from the HLL paper (mirrored verbatim in any small-p oracle).
+    val alpha = m match {
+      case 16L => 0.673
+      case 32L => 0.697
+      case 64L => 0.709
+      case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }
     registers.agg(
       count(lit(1)).as("m"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
@@ -84,5 +93,27 @@ object Sketches {
       .select(col("m"), col("sum_scaled"), col("n_zero"),
         round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
           lit(math.pow(2.0, s)) / col("sum_scaled").cast("double"), 6).as("est6"))
+  }
+
+  /** [[hllEstimate]] plus the standard small-range linear-counting
+    * correction: when the raw estimate is below `2.5 * m` AND empty
+    * registers remain, the balls-in-bins estimator `m * ln(m / n_zero)` is
+    * strictly more accurate than raw HLL (whose relative error blows up
+    * below ~2.5m distinct — the first thing a profiling user hits on a
+    * small partition). Output adds one column:
+    * `est6c = round(if (n_zero > 0 && est6 <= 2.5m) m * ln(m / n_zero)
+    *                else est6, 6)`.
+    * The branch condition reads the already-rounded `est6` so the oracle's
+    * CASE sees bit-identical operands; `ln` is IEEE-identical across
+    * engines (one float expression, fixed association order).
+    */
+  def hllEstimateCorrected(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    hllEstimate(registers, p).select(
+      col("m"), col("sum_scaled"), col("n_zero"), col("est6"),
+      round(
+        when(col("n_zero") > 0L && col("est6") <= lit(2.5 * m.toDouble),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("est6")), 6).as("est6c"))
   }
 }

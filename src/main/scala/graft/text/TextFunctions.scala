@@ -240,18 +240,32 @@ object TextFunctions {
     *   3. window-cumsum WITHIN each partition and add the partition's
     *      offset — every partition scans concurrently.
     * At 1000 executors the driver sees 1000 longs, not 100 TB of rows.
+    *
+    * Correctness at scale: phases 1 and 3 both read `counts`, which is two
+    * SEPARATE Spark jobs. `RangePartitioner` samples its bounds per job and
+    * AQE may coalesce the shuffle differently each time, so an un-pinned
+    * frame could place a document in different partitions in the two jobs —
+    * silently wrong global offsets. `localCheckpoint(eager = true)`
+    * materializes `counts` ONCE (ids + counts + pids only — row-count-sized,
+    * not corpus-sized) and pins both phases to the same blocks; the blocks
+    * are released by the context cleaner when the frame is unreferenced.
     */
   def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, seqLen: Long): org.apache.spark.sql.DataFrame = {
+      textCol: String, seqLen: Long,
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
+    val sized = docs
       .select(col(idCol).as("__pk_id"), tokenCount(col(textCol)).as("__pk_cnt"))
       .filter(col("__pk_cnt") > 0L)
-      .repartitionByRange(col("__pk_id"))
+    val ranged =
+      if (numPartitions > 0) sized.repartitionByRange(numPartitions, col("__pk_id"))
+      else sized.repartitionByRange(col("__pk_id"))
+    val counts = ranged
       .withColumn("__pk_pid", spark_partition_id())
+      .localCheckpoint(true)
     // Phase 1+2: per-partition totals -> driver prefix scan (bounded by the
     // partition count) -> broadcast back.
     val totals = counts.groupBy("__pk_pid").agg(sum("__pk_cnt").as("tot"))
@@ -296,16 +310,21 @@ object TextFunctions {
       textCol: String, minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
     val uni = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("u_cnt"))
-    val big = docs.select(explode(tokenNgrams(col(textCol), 2)).as("bg"))
+    val bigAll = docs.select(explode(tokenNgrams(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("b_cnt"))
+    val big = bigAll
       .filter(col("b_cnt") >= minCount)
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"), col("b_cnt"))
-    // Totals BEFORE the minCount filter — probabilities are corpus-wide.
-    val nu = docs.select(explode(tokens(col(textCol))).as("w"))
-      .agg(count(lit(1)).as("nu"))
-    val nb = docs.select((size(tokenNgrams(col(textCol), 2))).cast(LongType).as("k"))
-      .agg(sum("k").as("nb"))
+    // Totals BEFORE the minCount filter — probabilities are corpus-wide —
+    // derived from the already-aggregated vocabulary-sized frames, NOT by
+    // re-tokenizing the corpus: sum(u_cnt) IS the token total and
+    // sum(b_cnt) over the unfiltered bigram table IS the bigram total.
+    // Catalyst's ReuseExchange dedups the shared aggregation exchanges, so
+    // the whole query reads + tokenizes the corpus exactly twice (once per
+    // n-gram order) instead of four times.
+    val nu = uni.agg(sum("u_cnt").as("nu"))
+    val nb = bigAll.agg(sum("b_cnt").as("nb"))
     big
       .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u_cnt", "u1_cnt"), Seq("w1"))
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u_cnt", "u2_cnt"), Seq("w2"))
