@@ -472,6 +472,29 @@ object SparkEntry {
         graft.operators.Sketches.hllRegisters(tbl(s, d, "lineitem"), "l_suppkey", p = 8),
         p = 8)),
 
+    // Count-min heavy-hitters: the full 4x1024 counter grid over the t06
+    // bigram stream (exact integers — gates the per-row salted hash, the
+    // mod-width split, and the zero-materialized shape).
+    "q15_cms_registers" -> ((s, d) =>
+      graft.operators.Sketches.cmsRegisters(
+        tbl(s, d, "documents")
+          .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram")),
+        "gram", depth = 4, width = 1024)),
+
+    // ... and point estimates for the exact top-20 bigrams (the t06
+    // result): est_cnt = min over the 4 counters, always >= the true cnt.
+    // Carrying the exact cnt alongside gates the containment property
+    // row-by-row, not just the sketch internals.
+    "q15b_cms_topk" -> ((s, d) => {
+      val grams = tbl(s, d, "documents")
+        .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
+      val top = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+      graft.operators.Sketches.cmsEstimates(
+        graft.operators.Sketches.cmsRegisters(grams, "gram", depth = 4, width = 1024),
+        top, "gram", depth = 4, width = 1024)
+    }),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -1268,6 +1291,41 @@ object SparkEntry {
         |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(n_zero AS DOUBLE))
         |    ELSE est6 END, 6) AS est6c
         |FROM est""".stripMargin,
+
+    // The exact 4x1024 count-min grid: per-row salted portable hash
+    // (md5 of "row:gram"), mod width, zeros materialized by the grid
+    // cross join.
+    "q15_cms_registers" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |p AS (SELECT r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 1024 AS col
+        |  FROM g CROSS JOIN range(4) r),
+        |seen AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)
+        |SELECT CAST(rr.range AS BIGINT) AS row, CAST(cc.range AS BIGINT) AS col,
+        |  COALESCE(seen.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM range(4) rr CROSS JOIN range(1024) cc
+        |LEFT JOIN seen ON rr.range = seen.row AND cc.range = seen.col""".stripMargin,
+
+    // Exact top-20 bigrams (t06's ordering: cnt desc, gram asc) + the CMS
+    // point estimate: min over the 4 salted counters.
+    "q15b_cms_topk" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+        |top AS (SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 20),
+        |p AS (SELECT r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 1024 AS col
+        |  FROM g CROSS JOIN range(4) r),
+        |seen AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+        |th AS (SELECT top.gram, top.cnt, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || top.gram), 1, 15))::BIGINT % 1024 AS col
+        |  FROM top CROSS JOIN range(4) r)
+        |SELECT th.gram, th.cnt, CAST(min(COALESCE(seen.cnt, 0)) AS BIGINT) AS est_cnt
+        |FROM th LEFT JOIN seen ON th.row = seen.row AND th.col = seen.col
+        |GROUP BY th.gram, th.cnt""".stripMargin,
 
     // Same RE2 pattern verbatim — alternation order and greediness match.
     "t07_bpe_tokens" ->

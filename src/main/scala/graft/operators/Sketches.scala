@@ -116,4 +116,64 @@ object Sketches {
           lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
           .otherwise(col("est6")), 6).as("est6c"))
   }
+
+  /** Count-min heavy-hitters sketch: `depth × width` exact-BIGINT counters,
+    * `[row, col, cnt]` with zero counters materialized so the output shape
+    * is `depth * width` rows regardless of data. Row `i`'s hash is the
+    * portable 60-bit md5 of `"i:" + key` (the same [[Sampling.keyHash60]]
+    * convention as the HLL — `md5(CAST(i AS VARCHAR) || ':' || key)` runs
+    * verbatim in any SQL engine), reduced mod `width`; `h` is non-negative
+    * by construction so `%` agrees across engines.
+    *
+    * This is the bounded-width companion to an exact corpus top-k (t06):
+    * exact top-k shuffles the full vocabulary; the sketch's reduce side is
+    * `depth * width` rows at ANY scale (map-side-combinable groupBy), and
+    * two sketches over disjoint corpus halves merge by elementwise `+` —
+    * the per-partition/per-day fold that makes a 100 TB profiling pass one
+    * scan plus a constant-size combine.
+    */
+  def cmsRegisters(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width must be in [16, 2^20], got $width")
+    val spark = df.sparkSession
+    val seen = df
+      .select(col(keyCol).cast("string").as("__cms_k"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__cms_k"))
+      .select(col("row").cast(LongType).as("row"),
+        pmod(Sampling.keyHash60(
+          concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
+          lit(width.toLong)).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+    spark.range(depth).select(col("id").as("row"))
+      .crossJoin(spark.range(width).select(col("id").as("col")))
+      .join(seen, Seq("row", "col"), "left")
+      .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Point-query estimates off a count-min register table: for each key in
+    * `keys`, the min over the `depth` counters it hashes to — the classic
+    * CMS upper bound (`est_cnt >= true count`, equality when no collision).
+    * The register table is broadcast (`depth * width` rows, bounded by
+    * construction), so estimating any number of keys is one shuffle-free
+    * join plus a `depth`-row-per-key min — no vocabulary-sized exchange.
+    */
+  def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val hashed = keys
+      .select(keys.columns.map(col): _*)
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("row", col("row").cast(LongType))
+      .withColumn("col", pmod(Sampling.keyHash60(
+        concat(col("row").cast("string"), lit(":"), col(keyCol).cast("string"))),
+        lit(width.toLong)))
+    // Rename the register counter before the join: `keys` may legitimately
+    // carry its own `cnt` (e.g. the exact top-k frame this sketch gates
+    // against), which must pass through untouched.
+    hashed.join(broadcast(registers.withColumnRenamed("cnt", "__cms_cnt")),
+        Seq("row", "col"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min("__cms_cnt").as("est_cnt"))
+  }
 }

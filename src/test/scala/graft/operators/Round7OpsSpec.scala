@@ -71,6 +71,81 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(large.getDouble(4) == large.getDouble(3))
   }
 
+  // ---- count-min heavy-hitters sketch ----
+
+  /** Reference 60-bit md5 hash (the Sampling.keyHash60 convention). */
+  private def refHash60(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("cmsRegisters: grid matches from-scratch salted hashes; halves merge by +") {
+    val keys = (1L to 300L).map(i => s"k${i % 37}") // 37 distinct, skewed counts
+    val df = keys.toDF("k")
+    val got = Sketches.cmsRegisters(df, "k", depth = 3, width = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 3 * 64)
+    val expect = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    keys.foreach { k =>
+      (0 until 3).foreach { row =>
+        expect((row.toLong, refHash60(s"$row:$k") % 64)) += 1L
+      }
+    }
+    got.foreach { case (cell, cnt) => assert(cnt == expect(cell), s"cell $cell") }
+    // Mergeability: sketches of two disjoint halves fold by elementwise +
+    // into exactly the full sketch — the per-partition/per-day combine.
+    val a = Sketches.cmsRegisters(keys.take(150).toDF("k"), "k", 3, 64)
+    val b = Sketches.cmsRegisters(keys.drop(150).toDF("k"), "k", 3, 64)
+    val folded = a.withColumnRenamed("cnt", "ca")
+      .join(b.withColumnRenamed("cnt", "cb"), Seq("row", "col"))
+      .select($"row", $"col", ($"ca" + $"cb").as("cnt"))
+    val full = Sketches.cmsRegisters(df, "k", 3, 64)
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty)
+  }
+
+  test("cmsEstimates: upper bound on every corpus gram, error within CMS bound") {
+    // The synthetic corpus's bigram distribution is near-FLAT (top-10
+    // counts 44-51 vs dozens at 37-43, collision mass N/w ~ 27): top-k
+    // containment is structurally meaningless here — same adjudicated
+    // property that defeats t06/s04 pruning. What IS meaningful on the
+    // real corpus: the one-sided error contract.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = docs
+      .select(explode(TextFunctions.tokenNgrams($"text", 2)).as("gram"))
+    val exact = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val regs = Sketches.cmsRegisters(grams, "gram", depth = 4, width = 1024)
+    val est = Sketches.cmsEstimates(regs, exact, "gram", depth = 4, width = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = est.map(_._2).sum
+    // CMS never underestimates (min over rows still counts every true
+    // hit), and the deterministic worst case per counter is bounded by the
+    // whole stream; empirically the min-over-4-rows error stays inside a
+    // few expected-collision units (N/w ~ 27).
+    est.foreach { case (g, cnt, e) =>
+      assert(e >= cnt, s"$g: est $e < true $cnt")
+      assert(e - cnt <= 8L * n / 1024L, s"$g: error ${e - cnt} implausible")
+    }
+  }
+
+  test("cmsEstimates: top-k containment on a skewed (Zipf) stream") {
+    // Where heavy hitters actually exist (count >> N/width collision
+    // noise), the sketch must surface them: key i repeated 2000/i times,
+    // i in 1..200 -> top counts 2000, 1000, 666 ... vs noise ~ 11.
+    val rows = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"key$i"))
+    val df = rows.toDF("k")
+    val exact = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val regs = Sketches.cmsRegisters(df, "k", depth = 4, width = 1024)
+    val est = Sketches.cmsEstimates(regs, exact, "k", depth = 4, width = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exactTop10 = est.sortBy { case (g, cnt, _) => (-cnt, g) }.take(10)
+      .map(_._1).toSet
+    val sketchTop15 = est.sortBy { case (g, _, e) => (-e, g) }.take(15)
+      .map(_._1).toSet
+    assert(exactTop10.subsetOf(sketchTop15),
+      s"missing: ${exactTop10 -- sketchTop15}")
+  }
+
   // ---- weighted SSSP: genuine overflow still raises post null-guard ----
 
   test("weighted shortest paths: genuine Long overflow raises distributed") {
