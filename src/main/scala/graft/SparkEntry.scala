@@ -572,6 +572,21 @@ object SparkEntry {
           round(element_at(col("features"), 8), 6).as("b7"),
           round(element_at(col("features"), 16), 6).as("b15"))),
 
+    // REAL-codec audio gate: synthesized 16-bit PCM mono WAVs (sample i =
+    // (31i + 17id) mod 65536 - 32768, 480 samples) are container-parsed
+    // and sample-decoded with javax.sound.sampled, then histogrammed over
+    // the DECODED samples. The oracle replays the formula in pure SQL —
+    // RIFF headers and little-endian packing mean only a correct parse +
+    // decode matches.
+    "m06_wav_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.synthesizeWavMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id", nSamples = 480))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 6).as("b0"),
+          round(element_at(col("features"), 8), 6).as("b7"),
+          round(element_at(col("features"), 16), 6).as("b15"))),
+
     // ---- sampling + bucketed storage ----
     "p01_hash_split" -> ((s, d) =>
       Sampling.hashSplit(tbl(s, d, "documents"), "doc_id",
@@ -1505,6 +1520,19 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b7,
         |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b15
         |FROM px GROUP BY media_id""".stripMargin,
+
+    // The WAV chain replayed from the synthesis formula: 16 histogram bins
+    // over (sample + 32768) // 4096; since sample = raw - 32768 with
+    // raw = (31i + 17id) mod 65536, the bin is just raw // 4096.
+    "m06_wav_decode" ->
+      """WITH sm AS (
+        |  SELECT d.doc_id AS media_id, (gi.i * 31 + d.doc_id * 17) % 65536 AS raw
+        |  FROM documents d, generate_series(0, 479) gi(i))
+        |SELECT media_id,
+        |  round(CAST(sum(CASE WHEN raw // 4096 = 0  THEN 1 ELSE 0 END) AS DOUBLE) / 480.0, 6) AS b0,
+        |  round(CAST(sum(CASE WHEN raw // 4096 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 480.0, 6) AS b7,
+        |  round(CAST(sum(CASE WHEN raw // 4096 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 480.0, 6) AS b15
+        |FROM sm GROUP BY media_id""".stripMargin,
 
     // Message stream = every edge delivered both ways (src id to dst, dst
     // id to src), then one per-vertex sum/count.

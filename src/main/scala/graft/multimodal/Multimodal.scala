@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * of media shares the same partitioning/shuffle/pushdown machinery as text.
   *
   * Spark-side design is real and tested (schema, batched partition-level
-  * processing, deterministic output); ONLY the codec calls are stubbed —
-  * this container has no image/audio libraries, so `decodeStub` derives
-  * features from the raw bytes deterministically where a real implementation
-  * would call the decoder. Swap points are marked `REAL-CODEC`.
+  * processing, deterministic output). PNG decode/resize (`javax.imageio`)
+  * and WAV PCM decode (`javax.sound.sampled`) are REAL pure-JDK codec
+  * paths; ONLY video decode remains stubbed — this container has no video
+  * libraries, so `decodeStub` derives features from the raw bytes
+  * deterministically where a real implementation would call the decoder.
+  * Swap points are marked `REAL-CODEC`.
   */
 object Multimodal {
 
@@ -39,11 +41,13 @@ object Multimodal {
 
   private val histBins = 16
 
-  /** REAL-CODEC (non-image mimes): replace with an actual audio/video
-    * decode + model feature extractor. The stub computes a 16-bin byte
-    * histogram normalized to sum 1 — deterministic, shape-identical to a
-    * real feature vector. `image/png` does NOT take this path — it gets a
-    * real `javax.imageio` decode in [[pngPixelHistogram]].
+  /** REAL-CODEC (video mimes only): replace with an actual video decode +
+    * model feature extractor. The stub computes a 16-bin byte histogram
+    * normalized to sum 1 — deterministic, shape-identical to a real
+    * feature vector. `image/png` does NOT take this path — it gets a real
+    * `javax.imageio` decode in [[pngPixelHistogram]] — and neither does
+    * `audio/wav`, which gets a real `javax.sound.sampled` decode in
+    * [[wavSampleHistogram]].
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val h = new Array[Double](histBins)
@@ -125,6 +129,88 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** REAL codec path: decode a WAV container with `javax.sound.sampled`
+    * (pure JDK — header parse, format negotiation, frame extraction) and
+    * histogram the DECODED 16-bit signed samples: 16 bins over
+    * `(sample + 32768) / 4096`, normalized to sum 1. Raw WAV bytes carry a
+    * 44-byte RIFF header and little-endian sample packing, so the m06
+    * oracle (which replays the synthesis formula in SQL) passes only if
+    * the container is actually parsed and the samples actually decoded —
+    * the same only-a-correct-decode-matches construction as the PNG gate.
+    * Undecodable/empty/non-16-bit payloads yield the zero vector.
+    */
+  private[multimodal] def wavSampleHistogram(bytes: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](histBins)
+    if (bytes == null || bytes.isEmpty) return h
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => return h }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return h
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      if (n == 0) return h
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt // sign-carrying high byte
+        val sample = (hi << 8) | lo   // signed 16-bit, LE unless flagged
+        val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                else sample
+        h((s + 32768) / (65536 / histBins)) += 1.0
+        i += 1
+      }
+      var j = 0
+      while (j < histBins) { h(j) /= n; j += 1 }
+      h
+    } finally in.close()
+  }
+
+  /** Synthesize a deterministic 16-bit PCM mono WAV: sample(i) =
+    * `((31 i + 17 id) mod 65536) - 32768`, encoded through
+    * `javax.sound.sampled` (real RIFF container, little-endian frames).
+    * PCM is lossless, so decoding recovers these exact values — sample
+    * statistics are a pure SQL-expressible function of (id, n): the m06
+    * oracle replays them without touching the audio stack.
+    */
+  def synthesizeWav(id: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = java.lang.Math.floorMod(31L * i + 17L * id, 65536L).toInt - 32768
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** A media-schema frame of synthesized WAVs, one per input id — the audio
+    * analogue of [[synthesizePngMedia]]; encoding runs per partition.
+    */
+  def synthesizeWavMedia(df: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val wav = synthesizeWav(id, nSamples)
+        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(wav)
+          .map("%02x".format(_)).mkString
+        Row(id, wav, Row("audio/wav", wav.length.toLong, md5hex))
+      }
+    }(encoder)
+  }
+
   /** A media-schema frame of synthesized grayscale PNGs, one per input id —
     * the PNG analogue of [[asMedia]]; encoding runs per partition (one
     * ImageIO context per task, no driver loop).
@@ -188,9 +274,10 @@ object Multimodal {
   /** Feature extraction over media rows, batched per partition (the shape a
     * GPU/codec worker needs: one library init per partition, streaming
     * iterator, no per-row overhead). `image/png` content is REALLY decoded
-    * (`javax.imageio`) and histogrammed over pixel values; other mimes take
-    * the byte-histogram stub. Output `[media_id, features array<double>,
-    * n_bytes]`.
+    * (`javax.imageio`) and histogrammed over pixel values; `audio/wav` is
+    * REALLY decoded (`javax.sound.sampled`) and histogrammed over PCM
+    * samples; remaining mimes (video) take the byte-histogram stub. Output
+    * `[media_id, features array<double>, n_bytes]`.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -207,6 +294,7 @@ object Multimodal {
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val feats =
             if (!r.isNullAt(2) && r.getString(2) == "image/png") pngPixelHistogram(bytes)
+            else if (!r.isNullAt(2) && r.getString(2) == "audio/wav") wavSampleHistogram(bytes)
             else decodeStub(bytes)
           Row(r.getLong(0), feats.toSeq, bytes.length.toLong)
         }

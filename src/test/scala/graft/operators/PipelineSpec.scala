@@ -382,6 +382,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(math.abs(t.sum - 1.0) < 1e-9)
   }
 
+  test("wav codec: synthesize -> javax.sound decode recovers the exact sample histogram") {
+    // The formula histogram computed WITHOUT any codec...
+    def formulaHist(id: Long, n: Int): Seq[Double] = {
+      val counts = new Array[Double](16)
+      for (i <- 0 until n)
+        counts((java.lang.Math.floorMod(31L * i + 17L * id, 65536L) / 4096).toInt) += 1.0
+      counts.map(_ / n).toSeq
+    }
+    // ...must equal what the real decode path extracts from the WAV bytes.
+    val media = Multimodal.synthesizeWavMedia(
+      Seq(1L, 42L, 999L).toDF("doc_id"), "doc_id", nSamples = 480)
+    val rows = media.collect()
+    assert(rows.forall(_.getStruct(2).getString(0) == "audio/wav"))
+    // RIFF/WAVE magic proves a real container encoder ran.
+    assert(rows.forall { r =>
+      val b = r.getAs[Array[Byte]](1)
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    })
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Seq(1L, 42L, 999L).foreach { id =>
+      assert(feats(id) == formulaHist(id, 480), s"id=$id")
+    }
+    // The decoded-sample histogram differs from the raw-byte histogram
+    // (44-byte RIFF header + little-endian 16-bit packing) — the gate
+    // really distinguishes container parse + sample decode from the stub.
+    val raw1 = rows.find(_.getLong(0) == 1L).get.getAs[Array[Byte]](1)
+    val byteHist = new Array[Double](16)
+    raw1.foreach(b => byteHist((b & 0xff) / 16) += 1.0 / raw1.length)
+    assert(feats(1L) != byteHist.toSeq)
+    // Undecodable audio payload yields the zero vector, like PNG junk.
+    val junk = Multimodal.asMedia(
+      Seq((1L, "not audio at all")).toDF("doc_id", "text"), "doc_id", "text", "audio/wav")
+    val fj = Multimodal.extractFeatures(junk).collect().head.getSeq[Double](1)
+    assert(fj.forall(_ == 0.0))
+  }
+
   test("sampleFrames: stride coverage and bounds") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val frames = Multimodal.sampleFrames(m, n = 3, frameBytes = 16).collect()
