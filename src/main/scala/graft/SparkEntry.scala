@@ -484,16 +484,20 @@ object SparkEntry {
     // ... and point estimates for the exact top-20 bigrams (the t06
     // result): est_cnt = min over the 4 counters, always >= the true cnt.
     // Carrying the exact cnt alongside gates the containment property
-    // row-by-row, not just the sketch internals.
-    "q15b_cms_topk" -> ((s, d) => {
-      val grams = tbl(s, d, "documents")
-        .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
-      val top = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("gram")).limit(20)
-      graft.operators.Sketches.cmsEstimates(
-        graft.operators.Sketches.cmsRegisters(grams, "gram", depth = 4, width = 1024),
-        top, "gram", depth = 4, width = 1024)
-    }),
+    // row-by-row, not just the sketch internals. ONE corpus scan: the
+    // vocabulary-sized gram-count aggregate is scope-cached and feeds
+    // both the exact top-20 and the weighted-ingest grid.
+    "q15b_cms_topk" -> ((s, d) =>
+      graft.operators.CacheScope.scoped { scope =>
+        val gramCounts = scope.cache(tbl(s, d, "documents")
+          .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("cnt")))
+        val top = gramCounts.orderBy(col("cnt").desc, col("gram")).limit(20)
+        graft.operators.Sketches.cmsEstimates(
+          graft.operators.Sketches.cmsRegistersFromCounts(
+            gramCounts, "gram", "cnt", depth = 4, width = 1024),
+          top, "gram", depth = 4, width = 1024)
+      }),
 
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.

@@ -152,6 +152,36 @@ object Sketches {
       .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** [[cmsRegisters]] ingesting a PRE-AGGREGATED `(key, count)` table:
+    * each distinct key adds its count to its `depth` cells (weighted
+    * ingest — `sum(cnt)` per cell instead of `count(1)`, identical grid by
+    * construction). Use when a key-count aggregate already exists in the
+    * pipeline (e.g. alongside an exact top-k): the sketch then costs one
+    * vocabulary-sized pass instead of a second corpus scan.
+    */
+  def cmsRegistersFromCounts(counts: DataFrame, keyCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width must be in [16, 2^20], got $width")
+    val spark = counts.sparkSession
+    val seen = counts
+      .select(col(keyCol).cast("string").as("__cms_k"),
+        col(cntCol).cast(LongType).as("__cms_c"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("__cms_k"), col("__cms_c"))
+      .select(col("row").cast(LongType).as("row"),
+        pmod(Sampling.keyHash60(
+          concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
+          lit(width.toLong)).as("col"),
+        col("__cms_c"))
+      .groupBy("row", "col").agg(sum("__cms_c").as("cnt"))
+    spark.range(depth).select(col("id").as("row"))
+      .crossJoin(spark.range(width).select(col("id").as("col")))
+      .join(seen, Seq("row", "col"), "left")
+      .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Point-query estimates off a count-min register table: for each key in
     * `keys`, the min over the `depth` counters it hashes to — the classic
     * CMS upper bound (`est_cnt >= true count`, equality when no collision).

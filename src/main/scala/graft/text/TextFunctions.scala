@@ -307,32 +307,48 @@ object TextFunctions {
     * lambdas, no global sort.
     */
   def pmiBigrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
-    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("u_cnt"))
-    val bigAll = docs.select(explode(tokenNgrams(col(textCol), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("b_cnt"))
-    val big = bigAll
-      .filter(col("b_cnt") >= minCount)
-      .select(split(col("bg"), " ").getItem(0).as("w1"),
-        split(col("bg"), " ").getItem(1).as("w2"), col("b_cnt"))
-    // Totals BEFORE the minCount filter — probabilities are corpus-wide —
-    // derived from the already-aggregated vocabulary-sized frames, NOT by
-    // re-tokenizing the corpus: sum(u_cnt) IS the token total and
-    // sum(b_cnt) over the unfiltered bigram table IS the bigram total.
-    // Catalyst's ReuseExchange dedups the shared aggregation exchanges, so
-    // the whole query reads + tokenizes the corpus exactly twice (once per
-    // n-gram order) instead of four times.
-    val nu = uni.agg(sum("u_cnt").as("nu"))
-    val nb = bigAll.agg(sum("b_cnt").as("nb"))
-    big
-      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u_cnt", "u1_cnt"), Seq("w1"))
-      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u_cnt", "u2_cnt"), Seq("w2"))
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .select(col("w1"), col("w2"), col("b_cnt"), col("u1_cnt"), col("u2_cnt"),
-        round(log(
-          col("b_cnt").cast("double") * col("nu") * col("nu") /
-            (col("nb").cast("double") * col("u1_cnt") * col("u2_cnt"))), 6)
-          .as("pmi6"))
-  }
+      textCol: String, minCount: Long = 3L): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      // ONE corpus scan: unigrams and bigrams ride a single combined
+      // explode (kind 1 = word, kind 2 = bigram; tokens(text) inside
+      // tokenNgrams dedups via codegen subexpression elimination) into one
+      // map-side-combinable groupBy whose shuffle carries VOCABULARY
+      // cardinality. The scoped cache pins that vocabulary table so the
+      // two unigram joins, both corpus-wide totals, and the minCount
+      // filter all derive from it without touching the corpus again.
+      // (Relying on ReuseExchange across separate aggregates does NOT
+      // work: joins push isnotnull(key) into their copies of the agg
+      // subtrees, so the totals' exchanges canonicalize differently and
+      // never dedup — plan-verified.)
+      val counts = scope.cache(docs
+        .select(explode(concat(
+          transform(tokens(col(textCol)),
+            w => struct(lit(1).as("kind"), w.as("term"))),
+          transform(tokenNgrams(col(textCol), 2),
+            g => struct(lit(2).as("kind"), g.as("term"))))).as("kt"))
+        .select(col("kt.kind").as("kind"), col("kt.term").as("term"))
+        .groupBy("kind", "term").agg(count(lit(1)).as("cnt")))
+      val uni = counts.filter(col("kind") === 1)
+        .select(col("term").as("w"), col("cnt").as("u_cnt"))
+      val bigAll = counts.filter(col("kind") === 2)
+        .select(col("term").as("bg"), col("cnt").as("b_cnt"))
+      val big = bigAll
+        .filter(col("b_cnt") >= minCount)
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"), col("b_cnt"))
+      // Totals BEFORE the minCount filter — probabilities are corpus-wide:
+      // sum(u_cnt) IS the token total and sum(b_cnt) over the unfiltered
+      // bigram table IS the bigram total.
+      val nu = uni.agg(sum("u_cnt").as("nu"))
+      val nb = bigAll.agg(sum("b_cnt").as("nb"))
+      big
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u_cnt", "u1_cnt"), Seq("w1"))
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u_cnt", "u2_cnt"), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("b_cnt"), col("u1_cnt"), col("u2_cnt"),
+          round(log(
+            col("b_cnt").cast("double") * col("nu") * col("nu") /
+              (col("nb").cast("double") * col("u1_cnt") * col("u2_cnt"))), 6)
+            .as("pmi6"))
+    }
 }

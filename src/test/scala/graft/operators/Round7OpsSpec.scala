@@ -128,6 +128,17 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("cmsRegistersFromCounts: weighted ingest == raw-stream ingest") {
+    // Pre-aggregating then adding cnt per cell must build the identical
+    // grid — the identity that lets a pipeline with an existing key-count
+    // table skip the second corpus scan.
+    val keys = (1L to 500L).map(i => s"k${i % 61}").toDF("k")
+    val raw = Sketches.cmsRegisters(keys, "k", depth = 3, width = 64)
+    val agg = keys.groupBy("k").agg(count(lit(1)).as("c"))
+    val weighted = Sketches.cmsRegistersFromCounts(agg, "k", "c", depth = 3, width = 64)
+    assert(weighted.exceptAll(raw).isEmpty && raw.exceptAll(weighted).isEmpty)
+  }
+
   test("cmsEstimates: top-k containment on a skewed (Zipf) stream") {
     // Where heavy hitters actually exist (count >> N/width collision
     // noise), the sketch must surface them: key i repeated 2000/i times,
