@@ -137,7 +137,11 @@ object Multimodal {
     * oracle (which replays the synthesis formula in SQL) passes only if
     * the container is actually parsed and the samples actually decoded —
     * the same only-a-correct-decode-matches construction as the PNG gate.
-    * Undecodable/empty/non-16-bit payloads yield the zero vector.
+    * Undecodable/empty/non-16-bit payloads yield the zero vector — that
+    * includes corrupt-but-recognized containers (e.g. a truncated RIFF
+    * header that passes `getAudioInputStream` but throws `IOException`
+    * mid-decode): junk bytes degrade one row, never the job, matching the
+    * PNG junk-payload behavior.
     */
   private[multimodal] def wavSampleHistogram(bytes: Array[Byte]): Array[Double] = {
     val h = new Array[Double](histBins)
@@ -145,7 +149,10 @@ object Multimodal {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => return h }
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return h
+        case _: java.io.IOException                               => return h
+      }
     try {
       val fmt = in.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
@@ -167,6 +174,8 @@ object Multimodal {
       var j = 0
       while (j < histBins) { h(j) /= n; j += 1 }
       h
+    } catch {
+      case _: java.io.IOException => new Array[Double](histBins)
     } finally in.close()
   }
 

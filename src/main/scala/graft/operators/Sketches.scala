@@ -68,6 +68,12 @@ object Sketches {
     * method leaves unapplied — raw-HLL semantics; see
     * [[hllEstimateCorrected]] for the corrected variant), and
     * `est6 = round(alpha_m * m * m * 2^S / sum_scaled, 6)`.
+    *
+    * Behavior change (round 7): for `p < 7` (m = 16/32/64) the bias
+    * constant is now the HLL paper's canonical per-size alpha
+    * (0.673/0.697/0.709) instead of the asymptotic `0.7213/(1+1.079/m)`
+    * form, which is only valid for m >= 128. Callers pinned to old small-p
+    * `est6` values will see different output; `p >= 7` is unchanged.
     */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     val m = 1L << p
@@ -188,21 +194,32 @@ object Sketches {
     * The register table is broadcast (`depth * width` rows, bounded by
     * construction), so estimating any number of keys is one shuffle-free
     * join plus a `depth`-row-per-key min — no vocabulary-sized exchange.
+    *
+    * Rows whose `keyCol` is NULL are dropped (a NULL key has no hash and
+    * therefore no counters; [[cmsRegisters]] never ingests one either).
+    * All join plumbing lives in reserved `__cms_*` columns so the caller's
+    * frame passes through untouched — `keys` may not already contain them.
     */
   def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
+    val reserved = Seq("__cms_row", "__cms_col", "__cms_cnt")
+    require(!keys.columns.exists(reserved.contains),
+      s"cmsEstimates reserves columns ${reserved.mkString(", ")}")
     val hashed = keys
-      .select(keys.columns.map(col): _*)
-      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("row", col("row").cast(LongType))
-      .withColumn("col", pmod(Sampling.keyHash60(
-        concat(col("row").cast("string"), lit(":"), col(keyCol).cast("string"))),
+      .where(col(keyCol).isNotNull)
+      .withColumn("__cms_row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_row", col("__cms_row").cast(LongType))
+      .withColumn("__cms_col", pmod(Sampling.keyHash60(
+        concat(col("__cms_row").cast("string"), lit(":"),
+          col(keyCol).cast("string"))),
         lit(width.toLong)))
-    // Rename the register counter before the join: `keys` may legitimately
-    // carry its own `cnt` (e.g. the exact top-k frame this sketch gates
-    // against), which must pass through untouched.
-    hashed.join(broadcast(registers.withColumnRenamed("cnt", "__cms_cnt")),
-        Seq("row", "col"))
+    // Rename ALL register columns into the reserved namespace before the
+    // join: `keys` may legitimately carry its own `row`/`col`/`cnt` (e.g.
+    // the exact top-k frame this sketch gates against), which must pass
+    // through untouched.
+    val regs = registers.select(col("row").as("__cms_row"),
+      col("col").as("__cms_col"), col("cnt").as("__cms_cnt"))
+    hashed.join(broadcast(regs), Seq("__cms_row", "__cms_col"))
       .groupBy(keys.columns.map(col): _*)
       .agg(min("__cms_cnt").as("est_cnt"))
   }

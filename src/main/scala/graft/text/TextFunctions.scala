@@ -249,6 +249,16 @@ object TextFunctions {
     * materializes `counts` ONCE (ids + counts + pids only — row-count-sized,
     * not corpus-sized) and pins both phases to the same blocks; the blocks
     * are released by the context cleaner when the frame is unreferenced.
+    *
+    * Tradeoffs of that pin, deliberate: (a) the call is EAGER — invoking
+    * this method triggers the sizing job immediately rather than at first
+    * action; (b) localCheckpoint blocks are non-replicated, so on a real
+    * cluster losing an executor mid-query fails the query (fast, explicit)
+    * instead of recomputing — re-run the call on failure. A deployment that
+    * prefers recompute-on-loss over a deterministic pin can substitute a
+    * reliable `checkpoint()` against the configured checkpoint dir at the
+    * cost of one HDFS round-trip; the partition-pinning requirement itself
+    * is not optional.
     */
   def packSequences(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, seqLen: Long,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.multimodal.Multimodal
+
+class Round8OpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  // ---- cmsEstimates hardening (round-7 advice pins) ----
+
+  test("cmsEstimates: caller's own row/col/cnt columns pass through untouched") {
+    // Pre-fix, withColumn("row")/("col") silently clobbered caller columns
+    // of those names and the groupBy then grouped on hash artifacts. The
+    // reserved __cms_* plumbing must leave them bit-identical.
+    val stream = Seq("a", "a", "b").toDF("k")
+    val regs = Sketches.cmsRegisters(stream, "k", depth = 3, width = 64)
+    val keys = Seq(("a", 10L, 20L, 30L), ("b", 1L, 2L, 3L))
+      .toDF("k", "row", "col", "cnt")
+    val est = Sketches.cmsEstimates(regs, keys, "k", depth = 3, width = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(est("a").getLong(1) == 10L && est("a").getLong(2) == 20L &&
+      est("a").getLong(3) == 30L)
+    assert(est("b").getLong(1) == 1L && est("b").getLong(2) == 2L &&
+      est("b").getLong(3) == 3L)
+    // And the estimates are still the true CMS upper bounds (tiny stream,
+    // no collisions plausible at width 64 with 2 keys).
+    assert(est("a").getLong(4) == 2L && est("b").getLong(4) == 1L)
+  }
+
+  test("cmsEstimates: NULL keys dropped, reserved __cms_* columns rejected") {
+    val stream = Seq("a", "b").toDF("k")
+    val regs = Sketches.cmsRegisters(stream, "k", depth = 2, width = 32)
+    val withNull = Seq("a", null).toDF("k")
+    val out = Sketches.cmsEstimates(regs, withNull, "k", depth = 2, width = 32)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "a")
+    val clash = Seq("a").toDF("k").withColumn("__cms_row", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimates(regs, clash, "k", depth = 2, width = 32)
+    }
+    assert(e.getMessage.contains("__cms_row"))
+  }
+
+  // ---- WAV decode robustness (round-7 advice pin) ----
+
+  test("wav decode: truncated RIFF header degrades to zero vector, not a crash") {
+    // A corrupt-but-recognized container (RIFF/WAVE magic present, header
+    // cut short) can throw IOException paths out of javax.sound; the
+    // contract is the PNG-junk contract — zero vector per row, job intact.
+    val wav = Multimodal.synthesizeWav(7L, 480)
+    val cases = Seq(
+      1L -> wav.take(20),           // mid-header truncation
+      2L -> wav.take(45),           // header complete, data nearly empty
+      3L -> Array.empty[Byte])      // empty payload
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (id, b) =>
+        Row(id, b, Row("audio/wav", b.length.toLong, "x"))
+      }), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1L).forall(_ == 0.0))
+    assert(feats(3L).forall(_ == 0.0))
+    // Case 2 either decodes whatever samples survived or yields zeros —
+    // both are per-row degradation; the assertion is that we GOT a row.
+    assert(feats.contains(2L) && feats(2L).length == 16)
+  }
+}
