@@ -773,6 +773,26 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8)
     }),
 
+    // Bloom-filter decontamination, the constant-size-probe companion to
+    // d09: (d12) the set-bit table of a 2^16-slot / 3-probe filter over
+    // the held-out 5-grams — exact integers, gates the salted double-hash
+    // and the mod-m split; (d12b) the corpus probe counting grams whose 3
+    // positions are ALL set — flagged_ngrams >= d09's shared_ngrams
+    // row-wise (bloom one-sided error), and the oracle replays filter AND
+    // probe so even the false positives must match bit-for-bit.
+    "d12_bloom_bits" -> ((s, d) =>
+      Dedup.bloomBits(
+        tbl(s, d, "documents").filter(col("doc_id") % 10 === 7),
+        "text", n = 5, mBits = 1 << 16, kHashes = 3)),
+
+    "d12b_bloom_decon" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val bits = Dedup.bloomBits(docs.filter(col("doc_id") % 10 === 7),
+        "text", n = 5, mBits = 1 << 16, kHashes = 3)
+      Dedup.bloomDecontaminate(docs.filter(col("doc_id") % 10 =!= 7), bits,
+        "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 3)
+    }),
+
     "s04_bm25_topk" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
@@ -1594,6 +1614,38 @@ object SparkEntry {
         |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
         |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
         |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+
+    // Bloom bit set: salted double-hash of every distinct held-out 5-gram
+    // hash, mod 2^16, distinct positions. The gram hash feeds the position
+    // hash AS ITS DECIMAL STRING (CAST to VARCHAR both sides).
+    "d12_bloom_bits" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),
+        |test AS (SELECT DISTINCT unnest(h) AS g FROM hs WHERE doc_id % 10 = 7)
+        |SELECT DISTINCT
+        |  ('0x' || substr(md5(CAST(r.s AS VARCHAR) || ':' || CAST(g AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+        |FROM test CROSS JOIN range(0, 3) AS r(s)""".stripMargin,
+
+    // Bloom probe replay: same bit set, then every corpus gram's 3 salted
+    // positions joined against it; a gram is flagged when all 3 probe rows
+    // hit. Replays false positives too — the gate is exact, not bounded.
+    "d12b_bloom_decon" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),
+        |ex AS (SELECT doc_id, unnest(h) AS g FROM hs),
+        |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7),
+        |bits AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(CAST(r.s AS VARCHAR) || ':' || CAST(g AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+        |  FROM test CROSS JOIN range(0, 3) AS r(s)),
+        |probes AS (SELECT doc_id, g,
+        |  ('0x' || substr(md5(CAST(r.s AS VARCHAR) || ':' || CAST(g AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+        |  FROM ex CROSS JOIN range(0, 3) AS r(s) WHERE doc_id % 10 <> 7),
+        |hits AS (SELECT doc_id, g, count(*) AS c
+        |  FROM probes JOIN bits USING (pos) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS flagged_ngrams
+        |FROM hits WHERE c = 3 GROUP BY 1""".stripMargin,
 
     // Batch replay of the attribution join: identical equi + time-range
     // predicate, gap in whole seconds.

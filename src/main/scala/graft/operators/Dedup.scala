@@ -419,4 +419,74 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Bloom-filter bit set of a held-out corpus's token n-grams: the SET
+    * positions of an `mBits`-slot, `kHashes`-probe bloom filter, one
+    * `[pos]` row per set bit. Probe `i` of gram hash `h` is the portable
+    * 60-bit md5 of `"i:h"` mod `mBits` — the same salted-row convention as
+    * the count-min sketch ([[Sketches.cmsRegisters]]), so the whole bit
+    * set is a pure SQL function of the held-out text and the d12 oracle
+    * replays it bit-for-bit.
+    *
+    * Why a bloom filter next to [[decontaminate]]'s exact hash join: the
+    * exact probe ships the DISTINCT held-out gram set (8 bytes per gram —
+    * a 10^8-gram benchmark suite is ~1 GB broadcast); the bloom bit set is
+    * bounded by `min(mBits, grams * kHashes)` rows of positions in
+    * `[0, mBits)` REGARDLESS of held-out size once saturated, and two bit
+    * sets (per-suite, per-day) union by plain `DISTINCT pos`. The price is
+    * one-sided error: false POSITIVES only (over-flagging is safe for
+    * decontamination — a flagged-clean doc is dropped, never a
+    * contaminated doc kept).
+    */
+  def bloomBits(heldOut: DataFrame, textCol: String, n: Int,
+      mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits >= 16 && mBits <= (1 << 28),
+      s"bloom mBits must be in [16, 2^28], got $mBits")
+    require(kHashes >= 1 && kHashes <= 16,
+      s"bloom kHashes must be in [1,16], got $kHashes")
+    heldOut
+      .select(explode(graft.functions.PortableHashes
+        .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+      .distinct()
+      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("salt"), col("h"))
+      .select(pmod(Sampling.keyHash60(
+        concat(col("salt").cast("string"), lit(":"), col("h").cast("string"))),
+        lit(mBits.toLong)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe a corpus against a [[bloomBits]] bit set: a gram is flagged
+    * when ALL `kHashes` of its probe positions are set; output
+    * `[<idCol>, flagged_ngrams]` counting each document's flagged distinct
+    * grams — the bloom analogue of [[decontaminate]]'s `shared_ngrams`,
+    * with `flagged_ngrams >= shared_ngrams` row-wise (no false negatives).
+    *
+    * SHAPE: one corpus scan; grams explode `kHashes`-fold (linear), the
+    * position join is broadcast (bit set rows bounded by `mBits`), and a
+    * gram survives to the first shuffle only if at least one probe hit —
+    * on a clean corpus against a sparse filter, almost nothing does. Both
+    * aggregates are map-side combinable. For a saturated multi-gigabit
+    * filter pass `broadcastBits = false` and the probe becomes a shuffle
+    * join on `pos`.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bits: DataFrame,
+      idCol: String, textCol: String, n: Int, mBits: Int, kHashes: Int,
+      broadcastBits: Boolean = true): DataFrame = {
+    val probe = if (broadcastBits) broadcast(bits) else bits
+    corpus
+      .select(col(idCol).as("id"),
+        explode(graft.functions.PortableHashes
+          .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(kHashes - 1))).as("salt"))
+      .select(col("id"), col("h"),
+        pmod(Sampling.keyHash60(
+          concat(col("salt").cast("string"), lit(":"), col("h").cast("string"))),
+          lit(mBits.toLong)).as("pos"))
+      .join(probe, "pos")
+      .groupBy("id", "h").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHashes.toLong)
+      .groupBy("id").agg(count(lit(1)).as("flagged_ngrams"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -68,4 +68,36 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestHarness {
     // both are per-row degradation; the assertion is that we GOT a row.
     assert(feats.contains(2L) && feats(2L).length == 16)
   }
+
+  // ---- bloom-filter decontamination ----
+
+  test("bloomDecontaminate: no false negatives vs exact decontaminate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val heldOut = docs.filter($"doc_id" % 10 === 7)
+    val exact = Dedup.decontaminate(docs, heldOut, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bits = Dedup.bloomBits(heldOut, "text", n = 5, mBits = 1 << 16, kHashes = 3)
+    val bloom = Dedup.bloomDecontaminate(docs.filter($"doc_id" % 10 =!= 7),
+      bits, "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // One-sided error: every contaminated doc is flagged, with at least
+    // its exact shared-gram count (a truly shared gram always probes set
+    // bits — its own insertion set them).
+    exact.foreach { case (id, shared) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
+      assert(bloom(id) >= shared, s"doc $id: flagged ${bloom(id)} < shared $shared")
+    }
+  }
+
+  test("bloomBits: bit sets of corpus halves union into the full bit set") {
+    // The per-suite/per-day fold: DISTINCT over the unioned position
+    // tables == the filter built over the union of the suites.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 10 === 7)
+    val a = Dedup.bloomBits(docs.filter($"doc_id" < 250), "text", 5, 1 << 16, 3)
+    val b = Dedup.bloomBits(docs.filter($"doc_id" >= 250), "text", 5, 1 << 16, 3)
+    val folded = a.union(b).distinct()
+    val full = Dedup.bloomBits(docs, "text", 5, 1 << 16, 3)
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty)
+  }
 }
