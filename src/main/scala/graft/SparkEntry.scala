@@ -451,6 +451,17 @@ object SparkEntry {
     "t10_pmi" -> ((s, d) =>
       TextFunctions.pmiBigrams(tbl(s, d, "documents"), "doc_id", "text", minCount = 3L)),
 
+    // Bigram-LM perplexity scoring (CCNet-style quality filter),
+    // self-trained on the corpus: add-one-smoothed conditionals, per-pair
+    // NLL floored to integer micros BEFORE the per-doc sum (exact BIGINT
+    // aggregation — order-independent), one fixed-order float average at
+    // the end. Gates tokenization, both count tables, the smoothing
+    // formula, and the lattice discipline end to end.
+    "t11_perplexity" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      TextFunctions.bigramLmNll(docs, docs, "doc_id", "text")
+    }),
+
     // Portable HyperLogLog: the full 256-row register table (exact
     // integers — gates hashing, register split, rank arithmetic) ...
     "q14_hll_registers" -> ((s, d) =>
@@ -1267,6 +1278,25 @@ object SparkEntry {
         |  round(ln(CAST(b_cnt AS DOUBLE) * nu.nu * nu.nu /
         |    (CAST(nb.nb AS DOUBLE) * u1.u_cnt * u2.u_cnt)), 6) AS pmi6
         |FROM s JOIN u u1 ON s.w1 = u1.w JOIN u u2 ON s.w2 = u2.w, nu, nb""".stripMargin,
+
+    // Bigram-LM NLL replay: same count tables, same add-one conditional,
+    // per-pair floor onto the micro-lattice BEFORE the integer sum (the
+    // only way a float-scored doc aggregate can hash-match), one
+    // fixed-order float average at the end. Inner joins suffice — the
+    // corpus scores itself, so every pair and head exists in the model.
+    "t11_perplexity" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |uni AS (SELECT DISTINCT unnest(w) AS tok FROM t),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |pairs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM t),
+        |b AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM pairs GROUP BY 1),
+        |hd AS (SELECT split_part(bg, ' ', 1) AS u, CAST(sum(cuv) AS BIGINT) AS cu FROM b GROUP BY 1),
+        |terms AS (SELECT p.doc_id,
+        |  CAST(floor(ln(CAST(b.cuv + 1 AS DOUBLE) / CAST(hd.cu + v.v AS DOUBLE)) * -1000000.0) AS BIGINT) AS tm
+        |  FROM pairs p JOIN b USING (bg) JOIN hd ON split_part(p.bg, ' ', 1) = hd.u CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(tm) AS BIGINT) AS nll_micros,
+        |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // The exact register table: portable 60-bit md5 hash, low 8 bits pick
     // the register, rank = leading zeros of the 52-bit suffix + 1 via

@@ -361,4 +361,78 @@ object TextFunctions {
               (col("nb").cast("double") * col("u1_cnt") * col("u2_cnt"))), 6)
             .as("pmi6"))
     }
+
+  /** Bigram-language-model document scoring — the CCNet/Gopher-style
+    * perplexity quality filter, oracle-exact: train add-one-smoothed
+    * bigram conditionals on `train`, score every `score` document by its
+    * average per-pair negative log-likelihood. Output
+    * `[<idCol>, n_pairs, nll_micros, avg_nll6]` (docs with < 2 tokens have
+    * no pairs and are excluded); perplexity is `exp(avg_nll)` — monotone
+    * in `avg_nll6`, so thresholding on the emitted column IS perplexity
+    * filtering.
+    *
+    * Model: `p(v|u) = (c(u,v) + 1) / (c1(u) + V)` with `c(u,v)` the
+    * corpus bigram count, `c1(u) = sum_v c(u,v)` (occurrences of `u` as a
+    * pair head — the proper conditional normalizer), and `V` the distinct
+    * unigram vocabulary size. Unseen pairs/heads score `1/(c1+V)` resp.
+    * `1/V` via left joins, so held-out text scores without retraining.
+    *
+    * Float discipline, the part that makes this GATEABLE: a per-doc
+    * `sum(ln p)` over doubles is summation-order-dependent — useless as a
+    * hash-gated artifact. Instead each pair's NLL is floored onto an
+    * integer micro-lattice FIRST —
+    * `tm = floor(ln((cuv+1)::D / (c1+V)::D) * -1e6)::BIGINT`
+    * — one float expression per pair in one fixed association order (only
+    * `ln`, whose cross-engine IEEE parity the q14c gate already pins; no
+    * `exp` anywhere), then summed EXACTLY as BIGINTs in any order. The
+    * per-doc average is one more fixed-order float at the end. Lattice
+    * quantization costs < 1e-6 nats/pair of precision — noise relative to
+    * any quality threshold, in exchange for a bit-exact artifact.
+    *
+    * Scale shape: one `train` scan into a map-side-combinable count whose
+    * shuffle carries VOCABULARY cardinality (the kind-1/kind-2 combined
+    * explode, as [[pmiBigrams]]); `c1` and `V` derive from that table
+    * without re-scanning. One `score` scan explodes pairs (linear) into
+    * two joins keyed on the pair/head strings — vocabulary-sized build
+    * sides, broadcast when they fit — and a map-side-combinable per-doc
+    * integer sum. No window, no global sort, no per-doc quadratic work.
+    */
+  def bigramLmNll(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      val counts = scope.cache(train
+        .select(explode(concat(
+          transform(tokens(col(textCol)),
+            w => struct(lit(1).as("kind"), w.as("term"))),
+          transform(tokenNgrams(col(textCol), 2),
+            g => struct(lit(2).as("kind"), g.as("term"))))).as("kt"))
+        .select(col("kt.kind").as("kind"), col("kt.term").as("term"))
+        .groupBy("kind", "term").agg(count(lit(1)).as("cnt")))
+      val big = counts.filter(col("kind") === 2)
+        .select(col("term").as("bg"), col("cnt").as("cuv"))
+      val heads = big
+        .groupBy(split(col("bg"), " ").getItem(0).as("u"))
+        .agg(sum("cuv").as("cu"))
+      val vocab = counts.filter(col("kind") === 1)
+        .agg(count(lit(1)).as("v"))
+      val pairs = score
+        .select(col(idCol).as("__lm_id"),
+          explode(tokenNgrams(col(textCol), 2)).as("bg"))
+        .withColumn("u", split(col("bg"), " ").getItem(0))
+      pairs
+        .join(big, Seq("bg"), "left")
+        .join(heads, Seq("u"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("__lm_id"),
+          floor(log(
+            (coalesce(col("cuv"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")) *
+            lit(-1000000.0)).cast(LongType).as("tm"))
+        .groupBy("__lm_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("tm").as("nll_micros"))
+        .select(col("__lm_id").as(idCol), col("n_pairs"), col("nll_micros"),
+          round((col("nll_micros").cast("double") / lit(1000000.0)) /
+            col("n_pairs").cast("double"), 6).as("avg_nll6"))
+    }
 }

@@ -100,4 +100,39 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestHarness {
     val full = Dedup.bloomBits(docs, "text", 5, 1 << 16, 3)
     assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty)
   }
+
+  // ---- bigram-LM perplexity scoring ----
+
+  test("bigramLmNll: held-out smoothing ranks in-model text below gibberish") {
+    import graft.text.TextFunctions
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"),      // every pair in-model
+      (11L, "the cat sat on the floor"),    // one unseen pair (the->floor? no: "the floor")
+      (12L, "zyx qwv plm okn ijb uhg"))     // nothing in-model at all
+    .toDF("doc_id", "text")
+    val out = TextFunctions.bigramLmNll(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3 && out.values.forall(_._1 == 5L)) // 6 tokens -> 5 pairs
+    // Monotone quality signal: fully in-model < one-unseen < all-unseen.
+    assert(out(10L)._3 < out(11L)._3 && out(11L)._3 < out(12L)._3, out.toString)
+    // All-unseen text scores exactly 5 * floor(1e6 * ln(V)) micros: every
+    // pair falls to the 1/(0 + V) floor — pins the left-join + coalesce
+    // smoothing path end to end (V = 7 distinct train tokens: the, cat,
+    // sat, on, mat, rug, dog).
+    val vFloor = math.floor(-math.log(1.0 / 7.0) * 1e6).toLong
+    assert(out(12L)._2 == 5L * vFloor, s"${out(12L)._2} vs ${5L * vFloor}")
+  }
+
+  test("bigramLmNll: docs under two tokens are excluded, single-pair doc scores") {
+    import graft.text.TextFunctions
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val score = Seq((20L, "a"), (21L, ""), (22L, "a b")).toDF("doc_id", "text")
+    val out = TextFunctions.bigramLmNll(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(22L) && out(22L) == 1L)
+  }
 }
