@@ -611,6 +611,15 @@ object SparkEntry {
     "p02_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedTakeK(tbl(s, d, "documents"), "source", "doc_id", 5)),
 
+    // Mixture sampling to per-language quotas: exercises quota < count
+    // (en/zh/es/de at sf0.01) AND quota >= count (fr, take-all) through
+    // the histogram-refinement selection; the oracle is the plain
+    // hash-rank window — same semantics, deliberately different execution
+    // shape (that difference is what's under test).
+    "p04_quota_sample" -> ((s, d) =>
+      Sampling.quotaSample(tbl(s, d, "documents"), "lang", "doc_id",
+        Seq("en" -> 100L, "zh" -> 40L, "es" -> 30L, "de" -> 20L, "fr" -> 5000L))),
+
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
     "b01_bucketed_degrees" -> ((s, d) => {
@@ -1471,6 +1480,20 @@ object SparkEntry {
         |  PARTITION BY source ORDER BY CAST(h AS DOUBLE) ASC, doc_id ASC) AS rn
         |FROM h)
         |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin,
+
+    // Quota selection semantics in one window: smallest hashes first,
+    // ties by key, per-category quota cutoff. The engine's
+    // histogram-refinement execution must reproduce this row set exactly.
+    "p04_quota_sample" ->
+      """WITH q(lang, quota) AS (VALUES
+        |  ('en', 100), ('zh', 40), ('es', 30), ('de', 20), ('fr', 5000)),
+        |h AS (SELECT lang, doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |FROM documents),
+        |r AS (SELECT lang, doc_id, quota, row_number() OVER (
+        |  PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+        |FROM h JOIN q USING (lang))
+        |SELECT lang, doc_id FROM r WHERE rn <= quota""".stripMargin,
 
     "b01_bucketed_degrees" ->
       "SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1",

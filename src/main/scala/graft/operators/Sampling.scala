@@ -75,4 +75,85 @@ object Sampling {
         .top_k_by_score(col("__samp_score"), col("__samp_id"), k).as("__tk"))
       .select(col(strataCol), explode(col("__tk.id")).as(keyCol))
   }
+
+  /** Mixture (quota) sampling: EXACTLY `min(quota_c, count_c)` rows per
+    * category — the data-mixing primitive that turns per-domain target
+    * counts ("20 B tokens web, 5 B code, 1 B math") into a concrete,
+    * rerun-stable document selection. SEMANTICS: per category, the
+    * `quota_c` rows with the smallest portable key hashes, ties broken by
+    * key — i.e. `row_number() OVER (PARTITION BY cat ORDER BY hash, key)
+    * <= quota_c`, which is exactly the p04 oracle. Categories without a
+    * quota are dropped. Output `[<catCol>, <keyCol>]`.
+    *
+    * EXECUTION is deliberately not that window: a per-category global
+    * sort shuffles the whole corpus and serializes each category through
+    * one task (hot categories = the skew worst case). [[stratifiedTakeK]]'s
+    * bounded heap is wrong here too — mixture quotas are millions of rows,
+    * not top-20s. Instead, distributed selection by histogram refinement:
+    *   1. one map-side-combinable `groupBy (cat, bucket)` count, where
+    *      `bucket` is the top `histBits` bits of the hash — the shuffle
+    *      carries `cats * 2^histBits` rows no matter the corpus size;
+    *   2. the driver prefix-scans each category's histogram (bounded:
+    *      `quotas.size * 2^histBits` longs) to find the BOUNDARY bucket
+    *      containing the quota-th smallest hash, and how many rows of it
+    *      are still needed;
+    *   3. rows in buckets below the boundary are selected by a broadcast
+    *      lookup — no shuffle, no sort; ONLY the boundary bucket's rows
+    *      (≈ `count_c / 2^histBits` of the category) go through a
+    *      `row_number` window to rank the remainder exactly.
+    * Bucket order is hash-prefix order, so phases 3a/3b compose to the
+    * exact global (hash, key) rank. At 1000 executors the full sort never
+    * happens; the only windowed data is a 2^histBits-th of one category.
+    */
+  def quotaSample(df: DataFrame, catCol: String, keyCol: String,
+      quotas: Seq[(String, Long)], histBits: Int = 12): DataFrame = {
+    require(quotas.nonEmpty, "at least one category quota required")
+    require(quotas.forall(_._2 >= 0), "quotas must be non-negative")
+    require(histBits >= 4 && histBits <= 16,
+      s"histBits must be in [4,16], got $histBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shift = 60 - histBits
+    val base = df
+      .filter(col(catCol).isin(quotas.map(_._1): _*))
+      .select(col(catCol).as("__qs_cat"), col(keyCol).as("__qs_key"),
+        keyHash60(col(keyCol)).as("__qs_h"))
+      .withColumn("__qs_b", shiftrightunsigned(col("__qs_h"), shift))
+    // Phase 1: per-(category, bucket) counts — the only corpus-wide
+    // aggregate, map-side combinable, reduce side bounded by cats * 2^bits.
+    val hist = base.groupBy("__qs_cat", "__qs_b").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Phase 2: driver prefix scan per category -> (boundary bucket, rows
+    // still needed from it). quota >= count degenerates to take-all
+    // (boundary past the last bucket).
+    val bounds = quotas.map { case (cat, quota) =>
+      val buckets = (0L until (1L << histBits))
+        .map(b => b -> hist.getOrElse((cat, b), 0L)).filter(_._2 > 0)
+      var remaining = quota
+      var boundary = 1L << histBits // past-the-end: everything selected
+      var needed = 0L
+      val it = buckets.iterator
+      while (it.hasNext && boundary == (1L << histBits)) {
+        val (b, cnt) = it.next()
+        if (cnt >= remaining) { boundary = b; needed = remaining }
+        else remaining -= cnt
+      }
+      (cat, boundary, needed)
+    }.toDF("__qs_cat", "__qs_boundary", "__qs_needed")
+    val withBounds = base.join(broadcast(bounds), Seq("__qs_cat"))
+    // Phase 3a: strictly-below-boundary buckets — selected, shuffle-free.
+    val below = withBounds.filter(col("__qs_b") < col("__qs_boundary"))
+      .select(col("__qs_cat"), col("__qs_key"))
+    // Phase 3b: the boundary bucket only — exact (hash, key) rank among
+    // ~count/2^histBits rows, keep the remainder the quota still needs.
+    val atBoundary = withBounds.filter(col("__qs_b") === col("__qs_boundary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qs_cat").orderBy(col("__qs_h"), col("__qs_key"))
+    val boundarySel = atBoundary
+      .withColumn("__qs_rn", row_number().over(w))
+      .filter(col("__qs_rn") <= col("__qs_needed"))
+      .select(col("__qs_cat"), col("__qs_key"))
+    below.union(boundarySel)
+      .select(col("__qs_cat").as(catCol), col("__qs_key").as(keyCol))
+  }
 }

@@ -127,6 +127,35 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out(12L)._2 == 5L * vFloor, s"${out(12L)._2} vs ${5L * vFloor}")
   }
 
+  // ---- quota (mixture) sampling ----
+
+  test("quotaSample: histogram refinement == plain hash-rank window, any histBits") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val quotas = Seq("en" -> 7L, "zh" -> 3L, "fr" -> 10000L, "de" -> 0L)
+    // Reference: the window the p04 oracle runs.
+    val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+    val expect = docs.filter(col("lang").isin("en", "zh", "fr", "de"))
+      .withColumn("__h", Sampling.keyHash60(col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .join(quotas.toDF("lang", "__q"), "lang")
+      .filter(col("__rn") <= col("__q"))
+      .select("lang", "doc_id")
+    // Coarse 4-bit histogram: ~16 buckets over hundreds of docs forces the
+    // boundary bucket to hold MANY rows, so the phase-3b ranking path does
+    // real work (at histBits=12 on this corpus most buckets hold 0/1 rows).
+    for (bits <- Seq(4, 8, 12)) {
+      val got = Sampling.quotaSample(docs, "lang", "doc_id", quotas, histBits = bits)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"histBits=$bits diverges from the rank window")
+    }
+    // Exact quota sizes: en capped at 7, zh at 3, fr take-all, de zero.
+    val sizes = Sampling.quotaSample(docs, "lang", "doc_id", quotas)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frTotal = docs.filter(col("lang") === "fr").count()
+    assert(sizes == Map("en" -> 7L, "zh" -> 3L, "fr" -> frTotal))
+  }
+
   test("bigramLmNll: docs under two tokens are excluded, single-pair doc scores") {
     import graft.text.TextFunctions
     val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
