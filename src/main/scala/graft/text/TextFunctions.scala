@@ -399,15 +399,30 @@ object TextFunctions {
     */
   def bigramLmNll(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame =
+      textCol: String, broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame =
     graft.operators.CacheScope.scoped { scope =>
-      val counts = scope.cache(train
-        .select(explode(concat(
-          transform(tokens(col(textCol)),
-            w => struct(lit(1).as("kind"), w.as("term"))),
-          transform(tokenNgrams(col(textCol), 2),
-            g => struct(lit(2).as("kind"), g.as("term"))))).as("kt"))
-        .select(col("kt.kind").as("kind"), col("kt.term").as("term"))
+      // Tokenization (two regex extractions per document) dominates the
+      // cost of everything downstream, so it runs ONCE per distinct input:
+      // for the common self-scoring case (`train eq score`) the scoped
+      // token cache feeds BOTH the count tables and the score pairs — one
+      // corpus scan total instead of two.
+      def kt(df: org.apache.spark.sql.DataFrame, withId: Boolean) = df
+        .select(
+          (if (withId) col(idCol) else lit(0L)).as("__lm_id"),
+          explode(concat(
+            transform(tokens(col(textCol)),
+              w => struct(lit(1).as("kind"), w.as("term"))),
+            transform(tokenNgrams(col(textCol), 2),
+              g => struct(lit(2).as("kind"), g.as("term"))))).as("kt"))
+        .select(col("__lm_id"), col("kt.kind").as("kind"), col("kt.term").as("term"))
+      val selfScore = train eq score
+      val scoreKt =
+        if (selfScore) scope.cache(kt(score, withId = true))
+        else kt(score, withId = true)
+      val trainKt = if (selfScore) scoreKt else kt(train, withId = false)
+      // Count table is consumed three times (bigrams, heads, vocab) —
+      // vocabulary-sized, cached for the scope.
+      val counts = scope.cache(trainKt
         .groupBy("kind", "term").agg(count(lit(1)).as("cnt")))
       val big = counts.filter(col("kind") === 2)
         .select(col("term").as("bg"), col("cnt").as("cuv"))
@@ -416,13 +431,19 @@ object TextFunctions {
         .agg(sum("cuv").as("cu"))
       val vocab = counts.filter(col("kind") === 1)
         .agg(count(lit(1)).as("v"))
-      val pairs = score
-        .select(col(idCol).as("__lm_id"),
-          explode(tokenNgrams(col(textCol), 2)).as("bg"))
+      val pairs = scoreKt.filter(col("kind") === 2)
+        .select(col("__lm_id"), col("term").as("bg"))
         .withColumn("u", split(col("bg"), " ").getItem(0))
+      // The model tables are vocabulary-sized; broadcast keeps the
+      // corpus-pair stream shuffle-free end to end (explode -> probe ->
+      // map-side-combinable per-doc sum). For a web-scale bigram
+      // vocabulary that outgrows executor memory pass false and the
+      // probes become shuffle joins on the pair/head strings.
+      val (bigJ, headsJ) =
+        if (broadcastModel) (broadcast(big), broadcast(heads)) else (big, heads)
       pairs
-        .join(big, Seq("bg"), "left")
-        .join(heads, Seq("u"), "left")
+        .join(bigJ, Seq("bg"), "left")
+        .join(headsJ, Seq("u"), "left")
         .crossJoin(broadcast(vocab))
         .select(col("__lm_id"),
           floor(log(
