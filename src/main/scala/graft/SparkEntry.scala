@@ -691,6 +691,21 @@ object SparkEntry {
         "st06_sink", "append")
     }),
 
+    // Streaming HLL: the register table as bounded streaming state (2^p
+    // rows forever), drained complete and zero-materialized downstream.
+    // The oracle is the BATCH register construction (q14's SQL verbatim):
+    // stream == batch on the same data IS the gate.
+    "st07_stream_hll" -> ((s, d) => {
+      val drained = drainStream(
+        graft.streaming.Streams.streamingHllRegisters(
+          streamTbl(s, d, "lineitem"), "l_partkey", p = 8),
+        "st07_sink", "complete")
+      s.range(256).select(col("id").as("register"))
+        .join(drained, Seq("register"), "left")
+        .select(col("register"),
+          coalesce(col("max_rank"), lit(0L)).as("max_rank"))
+    }),
+
     // Stateless stream-static LEFT SEMI join: decontamination at ingest.
     // The held-out hash table is a STATIC broadcast side; contaminated
     // documents emit per micro-batch with zero state.
@@ -1306,6 +1321,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(tm) AS BIGINT) AS nll_micros,
         |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
         |FROM terms GROUP BY 1""".stripMargin,
+
+    // Streaming HLL gate: the drained stream state must equal the batch
+    // register construction — q14's replay, verbatim.
+    "st07_stream_hll" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM lineitem),
+        |r AS (SELECT h & 255 AS register,
+        |             53 - CASE WHEN (h >> 8) = 0 THEN 0 ELSE len(bin(h >> 8)) END AS rank
+        |      FROM h),
+        |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
+        |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
 
     // The exact register table: portable 60-bit md5 hash, low 8 bits pick
     // the register, rank = leading zeros of the 52-bit suffix + 1 via

@@ -39,7 +39,13 @@ object Sketches {
     * empty-register convention), materialized by a left join against
     * `range(2^p)` so the output shape is fixed regardless of data.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+  /** The stateless `[register, rank]` projection under [[hllRegisters]] —
+    * shared with the STREAMING register builder
+    * ([[graft.streaming.Streams.streamingHllRegisters]]), where it feeds
+    * the same `groupBy(register).max(rank)` as continuously-maintained
+    * state. Package-private: callers want the aggregated forms.
+    */
+  private[graft] def hllObservations(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
     val m = 1L << p
     val suffixBits = HashBits - p
@@ -52,8 +58,12 @@ object Sketches {
     val w = shiftrightunsigned(h, p)
     val rank = (lit(suffixBits + 1) -
       when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
-    val seen = df
-      .select(reg.as("register"), rank.as("rank"))
+    df.select(reg.as("register"), rank.as("rank"))
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val m = 1L << p
+    val seen = hllObservations(df, keyCol, p)
       .groupBy("register").agg(max(col("rank")).as("max_rank"))
     df.sparkSession.range(m).select(col("id").as("register"))
       .join(seen, Seq("register"), "left")

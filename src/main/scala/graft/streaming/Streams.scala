@@ -174,4 +174,21 @@ object Streams {
           closed.result().iterator
       }
   }
+
+  /** Streaming HyperLogLog: the register table maintained as streaming
+    * aggregation state — the same stateless `[register, rank]` projection
+    * as the batch sketch ([[graft.operators.Sketches.hllObservations]])
+    * under a continuous `groupBy(register).max(rank)`. State is EXACTLY
+    * `2^p` rows no matter how long the stream runs — the sketch-in-state
+    * shape that gives a distinct-count over an unbounded stream with
+    * bounded memory and no watermark (register maxes are monotone; there
+    * is nothing to evict). Drain in complete/update mode; registers never
+    * hashed into are absent from the output (left-join `range(2^p)`
+    * downstream to materialize the fixed shape, as the batch builder
+    * does), and the drained table must equal the batch register table on
+    * the same data — that equality is the st07 gate.
+    */
+  def streamingHllRegisters(stream: DataFrame, keyCol: String, p: Int): DataFrame =
+    graft.operators.Sketches.hllObservations(stream, keyCol, p)
+      .groupBy("register").agg(max(col("rank")).as("max_rank"))
 }

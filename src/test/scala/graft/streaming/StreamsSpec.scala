@@ -30,6 +30,37 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingHllRegisters merges register state across micro-batches") {
+    // The st07 drain delivers one batch; THIS is where the cross-batch
+    // state merge is forced: two disjoint key batches must leave exactly
+    // the registers the batch sketch computes over their union.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val out = Streams.streamingHllRegisters(input.toDF().toDF("k"), "k", p = 6)
+    val q = out.writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("hll_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      input.addData(501L to 1000L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Sketches
+        .hllRegisters((1L to 1000L).toDF("k"), "k", p = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0L).toMap
+      assert(streamed == batch)
+      // Monotone state: no register regressed when the second batch landed.
+      afterFirst.foreach { case (reg, rank) =>
+        assert(streamed.getOrElse(reg, 0L) >= rank, s"register $reg regressed")
+      }
+      // Bounded state: never more rows than 2^p, regardless of stream length.
+      assert(streamed.size <= 64)
+    } finally q.stop()
+  }
+
   test("windowedEventStats aggregates sliding windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
