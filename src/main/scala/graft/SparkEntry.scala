@@ -620,6 +620,18 @@ object SparkEntry {
       Sampling.quotaSample(tbl(s, d, "documents"), "lang", "doc_id",
         Seq("en" -> 100L, "zh" -> 40L, "es" -> 30L, "de" -> 20L, "fr" -> 5000L))),
 
+    // Token-budget mixture: per-language TOKEN budgets (mass, not doc
+    // counts) — en/zh/es cut mid-category, de tiny, fr take-all. The
+    // oracle is the cumulative-weight window; the engine must reproduce
+    // it through the weighted histogram refinement.
+    "p05_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+        tbl(s, d, "documents")
+          .withColumn("n_toks", TextFunctions.tokenCount(col("text"))),
+        "lang", "doc_id", "n_toks",
+        Seq("en" -> 5000L, "zh" -> 2000L, "es" -> 1500L, "de" -> 100L,
+          "fr" -> 1000000L))),
+
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
     "b01_bucketed_degrees" -> ((s, d) => {
@@ -1521,6 +1533,21 @@ object SparkEntry {
         |  PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
         |FROM h JOIN q USING (lang))
         |SELECT lang, doc_id FROM r WHERE rn <= quota""".stripMargin,
+
+    // Take-until-budget semantics in one window: a doc is selected iff
+    // the token mass BEFORE it (hash-rank order) is under the budget.
+    "p05_token_budget" ->
+      """WITH b(lang, budget) AS (VALUES
+        |  ('en', 5000), ('zh', 2000), ('es', 1500), ('de', 100), ('fr', 1000000)),
+        |h AS (SELECT lang, doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |FROM documents),
+        |c AS (SELECT lang, doc_id, budget,
+        |  CAST(sum(w) OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) - w AS BIGINT) AS cum_before
+        |FROM h JOIN b USING (lang))
+        |SELECT lang, doc_id FROM c WHERE cum_before < budget""".stripMargin,
 
     "b01_bucketed_degrees" ->
       "SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1",

@@ -106,52 +106,95 @@ object Sampling {
     * happens; the only windowed data is a 2^histBits-th of one category.
     */
   def quotaSample(df: DataFrame, catCol: String, keyCol: String,
-      quotas: Seq[(String, Long)], histBits: Int = 12): DataFrame = {
-    require(quotas.nonEmpty, "at least one category quota required")
-    require(quotas.forall(_._2 >= 0), "quotas must be non-negative")
+      quotas: Seq[(String, Long)], histBits: Int = 12): DataFrame =
+    weightedBudgetSelect(df, catCol, keyCol, lit(1L), quotas, histBits)
+
+  /** Token-budget selection: per category, take documents in (hash, key)
+    * order until the category's WEIGHT budget is exhausted — the
+    * real-world mixture primitive ("20 B tokens of web, 5 B of code"),
+    * where quotas are token mass, not document counts. A row is selected
+    * iff the cumulative weight of all rows BEFORE it (hash-rank order) is
+    * still under the budget — i.e.
+    * `sum(w) OVER (PARTITION BY cat ORDER BY hash, key
+    *               ROWS UNBOUNDED PRECEDING) - w < budget_c`,
+    * which is exactly the p05 oracle; the last selected document may
+    * overshoot the budget by part of its own mass (take-until semantics).
+    * Weights must be non-negative BIGINTs (token counts) — integer
+    * cumulative mass is exactly replayable; a float weight sum would be
+    * summation-order-dependent.
+    *
+    * Runs on the same histogram-refinement execution as [[quotaSample]]
+    * (which is this selection with weight 1): bucket histograms carry
+    * `sum(w)` instead of counts, and only the boundary bucket pays an
+    * exact cumulative-sum window.
+    */
+  def tokenBudgetSample(df: DataFrame, catCol: String, keyCol: String,
+      weightCol: String, budgets: Seq[(String, Long)],
+      histBits: Int = 12): DataFrame =
+    weightedBudgetSelect(df, catCol, keyCol,
+      col(weightCol).cast(LongType), budgets, histBits)
+
+  /** The shared weighted core of [[quotaSample]] / [[tokenBudgetSample]]:
+    * per category, rows in (hash, key) order whose cumulative
+    * preceding-weight is under the category budget.
+    */
+  private def weightedBudgetSelect(df: DataFrame, catCol: String,
+      keyCol: String, weight: org.apache.spark.sql.Column,
+      budgets: Seq[(String, Long)], histBits: Int): DataFrame = {
+    require(budgets.nonEmpty, "at least one category budget required")
+    require(budgets.forall(_._2 >= 0), "budgets must be non-negative")
     require(histBits >= 4 && histBits <= 16,
       s"histBits must be in [4,16], got $histBits")
     val spark = df.sparkSession
     import spark.implicits._
     val shift = 60 - histBits
     val base = df
-      .filter(col(catCol).isin(quotas.map(_._1): _*))
+      .filter(col(catCol).isin(budgets.map(_._1): _*))
       .select(col(catCol).as("__qs_cat"), col(keyCol).as("__qs_key"),
-        keyHash60(col(keyCol)).as("__qs_h"))
+        keyHash60(col(keyCol)).as("__qs_h"), weight.as("__qs_w"))
       .withColumn("__qs_b", shiftrightunsigned(col("__qs_h"), shift))
-    // Phase 1: per-(category, bucket) counts — the only corpus-wide
+    // Phase 1: per-(category, bucket) weight mass — the only corpus-wide
     // aggregate, map-side combinable, reduce side bounded by cats * 2^bits.
-    val hist = base.groupBy("__qs_cat", "__qs_b").count()
+    val hist = base.groupBy("__qs_cat", "__qs_b").agg(sum("__qs_w").as("m"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // Phase 2: driver prefix scan per category -> (boundary bucket, rows
-    // still needed from it). quota >= count degenerates to take-all
-    // (boundary past the last bucket).
-    val bounds = quotas.map { case (cat, quota) =>
-      val buckets = (0L until (1L << histBits))
-        .map(b => b -> hist.getOrElse((cat, b), 0L)).filter(_._2 > 0)
-      var remaining = quota
-      var boundary = 1L << histBits // past-the-end: everything selected
-      var needed = 0L
-      val it = buckets.iterator
-      while (it.hasNext && boundary == (1L << histBits)) {
-        val (b, cnt) = it.next()
-        if (cnt >= remaining) { boundary = b; needed = remaining }
-        else remaining -= cnt
+    // Phase 2: driver prefix scan per category -> (boundary bucket, mass
+    // still needed from it). budget >= total mass degenerates to take-all
+    // (boundary past the last bucket); budget 0 to take-none (boundary
+    // -1, so even zero-weight rows are excluded, matching the strict
+    // `cum_before < budget` window).
+    val bounds = budgets.map { case (cat, budget) =>
+      if (budget == 0L) (cat, -1L, 0L)
+      else {
+        val buckets = (0L until (1L << histBits))
+          .map(b => b -> hist.getOrElse((cat, b), 0L)).filter(_._2 > 0)
+        var remaining = budget
+        var boundary = 1L << histBits // past-the-end: everything selected
+        var needed = 0L
+        val it = buckets.iterator
+        while (it.hasNext && boundary == (1L << histBits)) {
+          val (b, m) = it.next()
+          if (m >= remaining) { boundary = b; needed = remaining }
+          else remaining -= m
+        }
+        (cat, boundary, needed)
       }
-      (cat, boundary, needed)
     }.toDF("__qs_cat", "__qs_boundary", "__qs_needed")
     val withBounds = base.join(broadcast(bounds), Seq("__qs_cat"))
-    // Phase 3a: strictly-below-boundary buckets — selected, shuffle-free.
+    // Phase 3a: strictly-below-boundary buckets — selected, shuffle-free
+    // (scanned buckets keep cum mass < budget by construction; zero-mass
+    // buckets below the boundary add nothing to any row's cum_before).
     val below = withBounds.filter(col("__qs_b") < col("__qs_boundary"))
       .select(col("__qs_cat"), col("__qs_key"))
-    // Phase 3b: the boundary bucket only — exact (hash, key) rank among
-    // ~count/2^histBits rows, keep the remainder the quota still needs.
+    // Phase 3b: the boundary bucket only — exact cumulative-mass window
+    // among ~1/2^histBits of one category, keep rows whose preceding mass
+    // fits in what the budget still needs.
     val atBoundary = withBounds.filter(col("__qs_b") === col("__qs_boundary"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qs_cat").orderBy(col("__qs_h"), col("__qs_key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val boundarySel = atBoundary
-      .withColumn("__qs_rn", row_number().over(w))
-      .filter(col("__qs_rn") <= col("__qs_needed"))
+      .withColumn("__qs_cb", sum("__qs_w").over(w) - col("__qs_w"))
+      .filter(col("__qs_cb") < col("__qs_needed"))
       .select(col("__qs_cat"), col("__qs_key"))
     below.union(boundarySel)
       .select(col("__qs_cat").as(catCol), col("__qs_key").as(keyCol))

@@ -156,6 +156,42 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(sizes == Map("en" -> 7L, "zh" -> 3L, "fr" -> frTotal))
   }
 
+  test("tokenBudgetSample: histogram refinement == cumulative-weight window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n_toks", TextFunctions.tokenCount(col("text")))
+    val budgets = Seq("en" -> 400L, "zh" -> 150L, "fr" -> 100000000L, "de" -> 0L)
+    val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expect = docs.filter(col("lang").isin("en", "zh", "fr", "de"))
+      .withColumn("__h", Sampling.keyHash60(col("doc_id")))
+      .withColumn("__cb", sum("n_toks").over(w) - col("n_toks"))
+      .join(budgets.toDF("lang", "__b"), "lang")
+      .filter(col("__cb") < col("__b"))
+      .select("lang", "doc_id")
+    for (bits <- Seq(4, 8, 12)) {
+      val got = Sampling.tokenBudgetSample(docs, "lang", "doc_id", "n_toks",
+        budgets, histBits = bits)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"histBits=$bits diverges from the cumulative-weight window")
+    }
+    // Budget-0 excludes the whole category even for zero-weight rows
+    // (strict cum_before < 0 never holds), and take-all keeps fr intact.
+    val out = Sampling.tokenBudgetSample(docs, "lang", "doc_id", "n_toks", budgets)
+    assert(out.filter(col("lang") === "de").count() == 0L)
+    assert(out.filter(col("lang") === "fr").count() ==
+      docs.filter(col("lang") === "fr").count())
+    // Take-until semantics: selected en mass crosses the budget only via
+    // the last doc (mass - last < budget <= mass).
+    val en = out.filter(col("lang") === "en").join(docs, Seq("lang", "doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        Sampling.keyHash60(col("doc_id")).as("__h"))
+      .collect().sortBy(r => (r.getLong(2), r.getLong(0)))
+    val masses = en.map(_.getLong(1))
+    assert(masses.sum >= 400L && masses.sum - masses.last < 400L)
+  }
+
   test("bigramLmNll: docs under two tokens are excluded, single-pair doc scores") {
     import graft.text.TextFunctions
     val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
