@@ -718,6 +718,22 @@ object SparkEntry {
           coalesce(col("max_rank"), lit(0L)).as("max_rank"))
     }),
 
+    // Streaming count-min over the document bigram stream: additive grid
+    // state (depth x width cells forever), drained complete and
+    // zero-materialized. Oracle = the batch grid (q15's SQL verbatim).
+    "st08_stream_cms" -> ((s, d) => {
+      val grams = streamTbl(s, d, "documents")
+        .select(explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
+      val drained = drainStream(
+        graft.streaming.Streams.streamingCmsRegisters(grams, "gram",
+          depth = 4, width = 1024),
+        "st08_sink", "complete")
+      s.range(4).select(col("id").as("row"))
+        .crossJoin(s.range(1024).select(col("id").as("col")))
+        .join(drained, Seq("row", "col"), "left")
+        .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
     // Stateless stream-static LEFT SEMI join: decontamination at ingest.
     // The held-out hash table is a STATIC broadcast side; contaminated
     // documents emit per micro-batch with zero state.
@@ -1345,6 +1361,21 @@ object SparkEntry {
         |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
         |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
         |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
+
+    // Streaming CMS gate: the drained additive state must equal the batch
+    // grid — q15's replay, verbatim.
+    "st08_stream_cms" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |p AS (SELECT r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 1024 AS col
+        |  FROM g CROSS JOIN range(4) r),
+        |seen AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)
+        |SELECT CAST(rr.range AS BIGINT) AS row, CAST(cc.range AS BIGINT) AS col,
+        |  COALESCE(seen.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM range(4) rr CROSS JOIN range(1024) cc
+        |LEFT JOIN seen ON rr.range = seen.row AND cc.range = seen.col""".stripMargin,
 
     // The exact register table: portable 60-bit md5 hash, low 8 bits pick
     // the register, rank = leading zeros of the 52-bit suffix + 1 via

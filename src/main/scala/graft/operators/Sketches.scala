@@ -148,19 +148,29 @@ object Sketches {
     * the per-partition/per-day fold that makes a 100 TB profiling pass one
     * scan plus a constant-size combine.
     */
-  def cmsRegisters(df: DataFrame, keyCol: String, depth: Int,
-      width: Int): DataFrame = {
+  /** The stateless `[row, col]` cell projection under [[cmsRegisters]] —
+    * shared with the STREAMING grid builder
+    * ([[graft.streaming.Streams.streamingCmsRegisters]]), where it feeds
+    * the same `groupBy(row, col).count()` as continuously-maintained
+    * additive state. Package-private: callers want the aggregated grids.
+    */
+  private[graft] def cmsObservations(df: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
     require(width >= 16 && width <= (1 << 20),
       s"cms width must be in [16, 2^20], got $width")
-    val spark = df.sparkSession
-    val seen = df
-      .select(col(keyCol).cast("string").as("__cms_k"))
+    df.select(col(keyCol).cast("string").as("__cms_k"))
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__cms_k"))
       .select(col("row").cast(LongType).as("row"),
         pmod(Sampling.keyHash60(
           concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
           lit(width.toLong)).as("col"))
+  }
+
+  def cmsRegisters(df: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    val spark = df.sparkSession
+    val seen = cmsObservations(df, keyCol, depth, width)
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
     spark.range(depth).select(col("id").as("row"))
       .crossJoin(spark.range(width).select(col("id").as("col")))

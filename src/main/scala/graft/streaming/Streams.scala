@@ -191,4 +191,17 @@ object Streams {
   def streamingHllRegisters(stream: DataFrame, keyCol: String, p: Int): DataFrame =
     graft.operators.Sketches.hllObservations(stream, keyCol, p)
       .groupBy("register").agg(max(col("rank")).as("max_rank"))
+
+  /** Streaming count-min: the counter grid as streaming aggregation state —
+    * the ADDITIVE twin of [[streamingHllRegisters]]'s monotone-max state
+    * (the two merge disciplines every mergeable sketch reduces to). State
+    * is at most `depth * width` cells however long the stream runs; no
+    * watermark — counts only grow. Drain complete and zero-materialize
+    * downstream; equality with the batch grid on the same data is the
+    * st08 gate.
+    */
+  def streamingCmsRegisters(stream: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    graft.operators.Sketches.cmsObservations(stream, keyCol, depth, width)
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
 }

@@ -61,6 +61,34 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingCmsRegisters accumulates additive grid state across micro-batches") {
+    // Same cross-batch obligation as the HLL spec, for the ADDITIVE merge
+    // discipline: two batches with overlapping keys must sum into the
+    // union's exact batch grid (not max, not last-writer).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Streams.streamingCmsRegisters(input.toDF().toDF("k"), "k",
+      depth = 3, width = 64)
+    val q = out.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 200).map(i => s"k${i % 23}")
+      val batch2 = (1 to 100).map(i => s"k${i % 31}") // overlaps batch1's keys
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Sketches
+        .cmsRegisters((batch1 ++ batch2).toDF("k"), "k", depth = 3, width = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .filter(_._2 > 0L).toMap
+      assert(streamed == batch)
+      assert(streamed.size <= 3 * 64)
+    } finally q.stop()
+  }
+
   test("windowedEventStats aggregates sliding windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
