@@ -510,6 +510,25 @@ object SparkEntry {
           top, "gram", depth = 4, width = 1024)
       }),
 
+    // Fixed-bin histogram sketch (the quantile member of the mergeable
+    // family): all 256 [bin, cnt] rows over events.value on the cents
+    // lattice — exact integers, gating the clamp, the div binning and
+    // the zero-materialized shape.
+    "q16_hist_registers" -> ((s, d) =>
+      graft.operators.Sketches.histRegisters(
+        tbl(s, d, "events").select(cents(col("value")).as("v")),
+        "v", lo = 0L, binWidth = 200L, binCount = 256)),
+
+    // ... and p50/p95/p99 off the registers: integer target ranks, the
+    // smallest bin whose cumulative count reaches them, upper-edge
+    // estimate — all BIGINT, nothing for the oracle to disagree with.
+    "q16b_hist_quantiles" -> ((s, d) =>
+      graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histRegisters(
+          tbl(s, d, "events").select(cents(col("value")).as("v")),
+          "v", lo = 0L, binWidth = 200L, binCount = 256),
+        lo = 0L, binWidth = 200L, permilles = Seq(500, 950, 990))),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>

@@ -208,6 +208,64 @@ object Sketches {
       .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Fixed-bin histogram sketch over an integer-lattice column (cents/
+    * micros): `[bin, cnt]`, all `binCount` rows materialized, where
+    * `bin = v < lo ? 0 : min(binCount-1, (v - lo) div binWidth)` — the
+    * guard keeps the numerator non-negative so truncating (Spark) and
+    * flooring (DuckDB) integer division agree, and out-of-range values
+    * clamp to the edge bins instead of poisoning the sketch. The third
+    * member of the mergeable-sketch family (HLL = distinct, CMS =
+    * frequency, histogram = QUANTILES): one map-side-combinable groupBy
+    * whose reduce side is `binCount` rows at any scale, and two
+    * histograms (per-partition/per-day) merge by elementwise `+`.
+    */
+  def histRegisters(df: DataFrame, valueCol: String, lo: Long,
+      binWidth: Long, binCount: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(binCount >= 2 && binCount <= (1 << 20),
+      s"binCount must be in [2, 2^20], got $binCount")
+    val v = col(valueCol).cast(LongType)
+    val bin = when(v < lo, lit(0L)).otherwise(
+      least(lit(binCount - 1L), expr(s"(CAST($valueCol AS BIGINT) - $lo) div $binWidth")))
+    val seen = df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(binCount).select(col("id").as("bin"))
+      .join(seen, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Quantile estimates off a histogram register table: for each requested
+    * permille `q`, the target rank `ceil(q * N / 1000)` (exact integer
+    * arithmetic: `(q*N + 999) div 1000`), the smallest bin whose
+    * cumulative count reaches it, and the bin's UPPER edge as the
+    * estimate — a one-sided bound with error at most `binWidth`, entirely
+    * in BIGINTs (no interpolation floats, nothing for an oracle to
+    * disagree with). Output `[permille, target_rank, bin,
+    * est_upper_cents]`. The cumulative window runs over `binCount` rows —
+    * sketch-sized, not data-sized.
+    */
+  def histQuantiles(registers: DataFrame, lo: Long, binWidth: Long,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000], got $permilles")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = registers.withColumn("cum", sum("cnt").over(w))
+    val n = registers.agg(sum("cnt").as("n"))
+    val targets = permilles.map(_.toLong).toDF("permille")
+      .crossJoin(broadcast(n))
+      .select(col("permille"),
+        expr("(permille * n + 999) div 1000").as("target_rank"))
+    targets.join(cum, col("cum") >= col("target_rank"))
+      .groupBy("permille", "target_rank")
+      .agg(min("bin").as("bin"))
+      .select(col("permille"), col("target_rank"), col("bin"),
+        (lit(lo) + (col("bin") + 1L) * lit(binWidth)).as("est_upper_cents"))
+  }
+
   /** Point-query estimates off a count-min register table: for each key in
     * `keys`, the min over the `depth` counters it hashes to — the classic
     * CMS upper bound (`est_cnt >= true count`, equality when no collision).
