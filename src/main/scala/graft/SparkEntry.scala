@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
 
 import graft.graph.GraphFrame
 import graft.multimodal.Multimodal
@@ -28,28 +28,65 @@ import graft.text.TextFunctions
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanos-since-epoch LONG (legacy conf). Set it at the read site — not
-    // inside any single query's closure — so query execution order (Verify
-    // iterates a Map, Bench warms an arbitrary head) can never leave a
-    // session unable to read events.
+    // events.ts has drifted across testdata regenerations: TIMESTAMP(NANOS)
+    // parquet (readable only as a nanos LONG under the legacy conf) and
+    // TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ / TIMESTAMP). Arm the
+    // legacy conf at the read site — not inside any single query's closure,
+    // so query execution order (Verify iterates a Map, Bench warms an
+    // arbitrary head) can never leave a session unable to read events —
+    // then normalize whatever dtype actually arrived to nanos LONG. Every
+    // downstream query sees one contract: ts = nanos-since-epoch BIGINT.
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize `ts` to nanos-since-epoch LONG by dtype branch, so the engine
+    * is immune to driver testdata schema drift:
+    *   - LongType (nanos parquet under the legacy conf): passthrough;
+    *   - TIMESTAMP_NTZ (micros parquet, NTZ inference on): a tz-free
+    *     NTZ-literal `timestampdiff`, NOT a cast through TimestampType —
+    *     a cast would shift by the session zone and break oracle parity
+    *     with DuckDB's `epoch_ns`, which reads the stored micros raw;
+    *   - TIMESTAMP (micros parquet, NTZ inference off): `unix_micros` reads
+    *     the stored UTC-adjusted micros directly (tz-independent).
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          (expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            * 1000L).cast(LongType))
+      case Some(TimestampType) =>
+        df.withColumn("ts", (unix_micros(col("ts")) * 1000L).cast(LongType))
+      case _ => df
+    }
+
+  /** The events table with `ts` normalized to nanos LONG — the one reader
+    * specs and tools share so the schema-drift contract lives in one place.
+    */
+  private[graft] def eventsNanos(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
 
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
   /** The same parquet table as an unbounded stream (explicit schema from a
-    * batch read — the file source does not infer). The batch read also
-    * arms the nanos conf for `events` before the streaming scan plans.
+    * batch read — the file source does not infer). The declared schema must
+    * be the RAW file schema (the stream source reads the files directly), so
+    * the ts normalization is applied to the streaming frame AFTER the scan,
+    * not baked into the declared schema. The batch read also arms the nanos
+    * conf for `events` before the streaming scan plans.
     */
   private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    val schema = tbl(s, dir, name).schema
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/$name.parquet").schema
     // The file stream source requires a DIRECTORY path; select the one
     // table's file with a glob filter.
-    s.readStream.schema(schema).option("pathGlobFilter", s"$name.parquet")
-      .parquet(dir)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    if (name == "events") normalizeEventTs(stream) else stream
   }
 
   /** Drain a streaming frame with `Trigger.AvailableNow` into a memory sink
@@ -984,8 +1021,8 @@ object SparkEntry {
 
     "q09_window_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
-        |  CAST(epoch(ts) AS BIGINT) AS sec,
-        |  lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  epoch_ns(ts) // 1000000000 AS sec,
+        |  lag(epoch_ns(ts) // 1000000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
         |FROM events)
         |SELECT user_id,
         |  CAST(sum(CASE WHEN prev_s IS NULL OR sec - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,

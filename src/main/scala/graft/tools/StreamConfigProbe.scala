@@ -39,7 +39,6 @@ object StreamConfigProbe {
       val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", parts)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir",
           s"${sys.props("java.io.tmpdir")}/graft-probe-warehouse-${ProcessHandle.current().pid()}")
         .config("spark.ui.enabled", "false")

@@ -223,8 +223,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), round(col("quality"), 6).as("quality")))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val evRaw = graft.SparkEntry.eventsNanos(spark, sf)
       .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
     val st06 = graft.SparkEntry.queries("st06_stream_join")(spark, sf)
     val a6 = evRaw.filter(col("event_type") === "click")
@@ -243,8 +242,7 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     sym(st05, batchDecon)
 
     val st02 = graft.SparkEntry.queries("st02_stream_window")(spark, sf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.SparkEntry.eventsNanos(spark, sf)
       .withColumn("ets", timestamp_seconds(expr("ts div 1000000000")))
       .withColumn("value", round(col("value") * 100, 0).cast("long"))
     val batchWin = events
