@@ -1531,6 +1531,38 @@ object SparkEntry {
         |FROM th LEFT JOIN seen ON th.row = seen.row AND th.col = seen.col
         |GROUP BY th.gram, th.cnt""".stripMargin,
 
+    // Histogram registers: the same cents lattice, clamp-below-lo to bin 0,
+    // integer-div binning capped at the last bin, zero-filled via range().
+    "q16_hist_registers" ->
+      """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0 THEN 0 ELSE least(255, v // 200) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
+        |SELECT CAST(r.range AS BIGINT) AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |FROM range(256) r LEFT JOIN b ON r.range = b.bin""".stripMargin,
+
+    // Quantiles off the registers: integer target rank (p*N+999)//1000,
+    // smallest bin whose running total reaches it, UPPER-edge estimate
+    // lo+(bin+1)*width — the engine's one-sided convention, all BIGINT.
+    "q16b_hist_quantiles" ->
+      """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0 THEN 0 ELSE least(255, v // 200) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+        |reg AS (SELECT r.range AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |  FROM range(256) r LEFT JOIN b ON r.range = b.bin),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM reg),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM reg),
+        |t AS (SELECT p.permille, (p.permille * n.n + 999) // 1000 AS target_rank
+        |  FROM (VALUES (500), (950), (990)) p(permille) CROSS JOIN n)
+        |SELECT CAST(t.permille AS BIGINT) AS permille,
+        |  CAST(t.target_rank AS BIGINT) AS target_rank,
+        |  CAST(min(cum.bin) AS BIGINT) AS bin,
+        |  CAST((min(cum.bin) + 1) * 200 AS BIGINT) AS est_upper_cents
+        |FROM t JOIN cum ON cum.cum >= t.target_rank
+        |GROUP BY t.permille, t.target_rank""".stripMargin,
+
     // Same RE2 pattern verbatim — alternation order and greediness match.
     "t07_bpe_tokens" ->
       """WITH t AS (SELECT doc_id,
