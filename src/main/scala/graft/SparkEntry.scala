@@ -499,6 +499,14 @@ object SparkEntry {
       TextFunctions.bigramLmNll(docs, docs, "doc_id", "text")
     }),
 
+    // Distributed BPE merge TRAINING (the tokenizer-side twin of t07's
+    // pre-tokenization): 10 greedy top-pair merge rounds on the word
+    // histogram, deterministic tie-break, one row collected per round.
+    // Gates the histogram build, pair explode, argmax reduction and the
+    // left-to-right merge application across all 10 unrolled rounds.
+    "t12_bpe_merges" -> ((s, d) =>
+      TextFunctions.bpeTrainMerges(tbl(s, d, "documents"), "text", rounds = 10)),
+
     // Portable HyperLogLog: the full 256-row register table (exact
     // integers — gates hashing, register split, rank arithmetic) ...
     "q14_hll_registers" -> ((s, d) =>
@@ -1405,6 +1413,35 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(tm) AS BIGINT) AS nll_micros,
         |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
         |FROM terms GROUP BY 1""".stripMargin,
+
+    // BPE merge training, K=10 rounds unrolled (the g09b/g12 pattern):
+    // each round CTE recomputes pair frequencies from the previous round's
+    // vocabulary, picks the (freq DESC, pair ASC) argmax, and applies it
+    // with the same left-to-right non-overlapping replace on the bracketed
+    // representation. Generated programmatically — the SQL is mechanical.
+    "t12_bpe_merges" -> {
+      val rounds = 10
+      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // w_r references w_{r-1} twice (pair counts + merge apply) — without
+      // materialization the 10-round chain expands to 2^10 parquet scans.
+      val roundCtes = (1 to rounds).map { r =>
+        s"""p$r AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+           |  SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || sy[i+1])) AS pair, wcnt
+           |  FROM (SELECT regexp_extract_all(seq, '<[^<>]+>') AS sy, wcnt FROM w${r - 1})) GROUP BY 1),
+           |m$r AS MATERIALIZED (SELECT $r AS merge_round, pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM m$r),
+           |  replace((SELECT pair FROM m$r), '><', '')) AS seq, wcnt FROM w${r - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS seq,
+         |  CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |        FROM documents) GROUP BY 1),
+         |$roundCtes
+         |SELECT CAST(merge_round AS BIGINT) AS merge_round,
+         |  replace(replace(replace(pair, '><', ' '), '<', ''), '>', '') AS pair, freq
+         |FROM ($union)""".stripMargin
+    },
 
     // Streaming HLL gate: the drained stream state must equal the batch
     // register construction — q14's replay, verbatim.

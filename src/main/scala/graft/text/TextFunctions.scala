@@ -456,4 +456,76 @@ object TextFunctions {
           round((col("nll_micros").cast("double") / lit(1000000.0)) /
             col("n_pairs").cast("double"), 6).as("avg_nll6"))
     }
+
+  /** Distributed BPE merge training: the `rounds` highest-frequency adjacent
+    * symbol-pair merges over the corpus, GPT-2-style but on the WORD
+    * HISTOGRAM — the classic trainer optimization that makes per-round cost
+    * vocabulary-sized, not corpus-sized. The missing stage between
+    * [[bpeTokens]] (pre-tokenization, t07) and sequence packing (t09):
+    * together they are tokenizer training -> tokenization -> batching.
+    *
+    * Representation: each word's symbol sequence is one string of bracketed
+    * symbols (`"the"` -> `"<t><h><e>"`). Brackets make adjacency textual —
+    * the pair (s1,s2) IS the substring `"<s1><s2>"`, so applying a merge is
+    * a plain left-to-right non-overlapping `replace` of that substring with
+    * `"<s1s2>"`, with bracket boundaries guaranteeing a symbol can never
+    * match a suffix of a longer symbol. Left-to-right non-overlapping
+    * `replace` is exactly BPE's greedy merge-application order ("aaa" with
+    * merge (a,a) -> [aa, a]), and is the semantics of `replace` in both
+    * Spark and ANSI SQL engines — which is what makes K unrolled rounds
+    * oracle-expressible.
+    *
+    * Scale shape (100 TB): ONE corpus scan builds the word histogram
+    * (map-side-combinable groupBy). Each round then explodes the CURRENT
+    * vocabulary's adjacent pairs (O(vocab x word-len) rows), sums
+    * word-frequency weights per pair (map-side partial agg), and takes the
+    * global argmax via `orderBy.limit(1)` — a TakeOrdered reduction, no
+    * global sort — collecting exactly ONE row to the driver per round.
+    * Merge application is a narrow map over the vocabulary. Ties break
+    * deterministically on the bracketed pair string ascending (binary
+    * collation both engines).
+    *
+    * Returns `rounds` rows: `[merge_round BIGINT, pair STRING
+    * (space-joined, e.g. "t h"), freq BIGINT]`.
+    */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    val spark = df.sparkSession
+    val merges = graft.operators.CacheScope.scopedValue { scope =>
+      var cur = scope.cache(df
+        .select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("seq"), col("wcnt")))
+      val out = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val syms = regexp_extract_all(col("seq"), lit("<[^<>]+>"), lit(0))
+        // sequence(1, 0) counts DOWN — single-symbol words must short-
+        // circuit to no pairs, same guard as tokenNgrams.
+        val pairs = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), element_at(syms, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = cur.select(explode(pairs).as("pair"), col("wcnt"))
+          .groupBy("pair").agg(sum("wcnt").as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // corpus fully merged
+        else {
+          val pair = top(0).getString(0)
+          out += ((r.toLong, pair.replace("><", " ").replaceAll("[<>]", ""),
+            top(0).getLong(1)))
+          cur = scope.cache(cur.select(
+            replace(col("seq"), lit(pair), lit(pair.replace("><", ""))).as("seq"),
+            col("wcnt")))
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    import spark.implicits._
+    merges.toDF("merge_round", "pair", "freq")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.text.TextFunctions
+
+class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  // ---- bpeTrainMerges (t12) ----
+
+  test("bpeTrainMerges: hand-checkable corpus, greedy left-to-right merges") {
+    // Corpus: "low low low lower" -> word histogram {low:3, lower:1}.
+    // Round 1 pairs: (l,o) 4, (o,w) 4, (w,e) 1, (e,r) 1. Tie at 4 between
+    // "<l><o>" and "<o><w>"; lexicographic ascending picks "<l><o>".
+    // Round 2: sequences are <lo><w>, <lo><w><e><r>: (lo,w) 4 wins.
+    // Round 3: <low>, <low><e><r>: (low,e) 1, (e,r) 1 -> "<e><r>" wins
+    // lexicographically ("<e><r>" < "<low><e>").
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val m = TextFunctions.bpeTrainMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq((1L, "l o", 4L), (2L, "lo w", 4L), (3L, "e r", 1L)))
+  }
+
+  test("bpeTrainMerges: overlap is non-overlapping left-to-right (aaa -> [aa,a])") {
+    // "aaaa aaa": round 1 pairs: aaaa has 3 (a,a), aaa has 2 -> freq 5.
+    // Greedy application: aaaa -> <aa><aa>, aaa -> <aa><a>. Round 2 pairs:
+    // (aa,aa) 1, (aa,a) 1 -> "<aa><a>" < "<aa><aa>" lexicographically
+    // (prefix rule), so (aa,a) wins at freq 1.
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val m = TextFunctions.bpeTrainMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq((1L, "a a", 5L), (2L, "aa a", 1L)))
+  }
+
+  test("bpeTrainMerges: exhaustion stops early, single-char words produce no pairs") {
+    // Every word is one char: zero pairs anywhere -> zero merge rounds.
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextFunctions.bpeTrainMerges(docs, "text", rounds = 5).count() == 0L)
+    // Two-char vocab exhausts after one merge: "ab ab" -> <ab> only, no
+    // pairs remain, so rounds=5 yields exactly 1 row.
+    val docs2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m2 = TextFunctions.bpeTrainMerges(docs2, "text", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m2 == Seq((1L, "a b", 2L)))
+  }
+
+  test("bpeTrainMerges: weighting is by word frequency, not document count") {
+    // "xy" appears 3x in one doc, "zq" once each in two docs: (x,y) freq 3
+    // beats (z,q) freq 2 even though "zq" touches more documents.
+    val docs = Seq((1L, "xy xy xy"), (2L, "zq"), (3L, "zq")).toDF("doc_id", "text")
+    val m = TextFunctions.bpeTrainMerges(docs, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq(("x y", 3L)))
+  }
+}
