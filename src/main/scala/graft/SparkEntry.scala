@@ -71,6 +71,32 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
+  /** Merge-round count shared by the BPE gates (t12 training, t13 apply). */
+  private val BpeRounds = 10
+
+  /** The unrolled BPE-training CTE chain shared by the t12/t13 oracles:
+    * `w0` (bracketed word histogram), then per round r: `p_r` (pair
+    * frequencies), `m_r` (the argmax merge) and `w_r` (the merge applied).
+    * AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and `w_r`
+    * references `w_{r-1}` twice (pair counts + merge apply) — without
+    * materialization the chain expands to 2^rounds parquet scans.
+    */
+  private def bpeTrainingCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || sy[i+1])) AS pair, wcnt
+         |  FROM (SELECT regexp_extract_all(seq, '<[^<>]+>') AS sy, wcnt FROM w${r - 1})) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT $r AS merge_round, pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM m$r),
+         |  replace((SELECT pair FROM m$r), '><', '')) AS seq, wcnt FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS seq,
+       |  CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents) GROUP BY 1),
+       |$roundCtes""".stripMargin
+  }
+
   /** The same parquet table as an unbounded stream (explicit schema from a
     * batch read — the file source does not infer). The declared schema must
     * be the RAW file schema (the stream source reads the files directly), so
@@ -505,7 +531,14 @@ object SparkEntry {
     // Gates the histogram build, pair explode, argmax reduction and the
     // left-to-right merge application across all 10 unrolled rounds.
     "t12_bpe_merges" -> ((s, d) =>
-      TextFunctions.bpeTrainMerges(tbl(s, d, "documents"), "text", rounds = 10)),
+      TextFunctions.bpeTrainMerges(tbl(s, d, "documents"), "text", rounds = BpeRounds)),
+
+    // BPE apply (tokenizer inference): replay the 10 trained merges per
+    // word — literal replace chain, one narrow codegen'd corpus scan, no
+    // vocabulary join — and report per-doc chars + post-merge tokens.
+    "t13_bpe_segment" -> ((s, d) =>
+      TextFunctions.bpeSegmentStats(tbl(s, d, "documents"), "doc_id", "text",
+        rounds = BpeRounds)),
 
     // Portable HyperLogLog: the full 256-row register table (exact
     // integers — gates hashing, register split, rank arithmetic) ...
@@ -796,6 +829,22 @@ object SparkEntry {
         .crossJoin(s.range(1024).select(col("id").as("col")))
         .join(drained, Seq("row", "col"), "left")
         .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
+    // Streaming histogram over the event value stream: additive bin state
+    // (binCount rows forever) — the quantile member of the sketch family
+    // as streaming state, completing the batch+streaming symmetry (q14/
+    // st07 HLL, q15/st08 CMS, q16/st09 histogram). Oracle = the batch
+    // register construction (q16's SQL verbatim).
+    "st09_stream_hist" -> ((s, d) => {
+      val vals = streamTbl(s, d, "events").select(cents(col("value")).as("v"))
+      val drained = drainStream(
+        graft.streaming.Streams.streamingHistRegisters(
+          vals, "v", lo = 0L, binWidth = 200L, binCount = 256),
+        "st09_sink", "complete")
+      s.range(256).select(col("id").as("bin"))
+        .join(drained, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     }),
 
     // Stateless stream-static LEFT SEMI join: decontamination at ingest.
@@ -1420,27 +1469,29 @@ object SparkEntry {
     // with the same left-to-right non-overlapping replace on the bracketed
     // representation. Generated programmatically — the SQL is mechanical.
     "t12_bpe_merges" -> {
-      val rounds = 10
-      // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-      // w_r references w_{r-1} twice (pair counts + merge apply) — without
-      // materialization the 10-round chain expands to 2^10 parquet scans.
-      val roundCtes = (1 to rounds).map { r =>
-        s"""p$r AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
-           |  SELECT unnest(list_transform(range(1, len(sy)), i -> sy[i] || sy[i+1])) AS pair, wcnt
-           |  FROM (SELECT regexp_extract_all(seq, '<[^<>]+>') AS sy, wcnt FROM w${r - 1})) GROUP BY 1),
-           |m$r AS MATERIALIZED (SELECT $r AS merge_round, pair, freq FROM p$r ORDER BY freq DESC, pair LIMIT 1),
-           |w$r AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM m$r),
-           |  replace((SELECT pair FROM m$r), '><', '')) AS seq, wcnt FROM w${r - 1})""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS seq,
-         |  CAST(count(*) AS BIGINT) AS wcnt
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-         |        FROM documents) GROUP BY 1),
-         |$roundCtes
+      val union = (1 to BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+      s"""WITH ${bpeTrainingCtes(BpeRounds)}
          |SELECT CAST(merge_round AS BIGINT) AS merge_round,
          |  replace(replace(replace(pair, '><', ' '), '<', ''), '>', '') AS pair, freq
          |FROM ($union)""".stripMargin
+    },
+
+    // BPE apply: re-derive the same 10 merges (identical CTE chain), then
+    // replay them per word in training order — the nested replace chain —
+    // and sum chars/post-merge tokens per document.
+    "t13_bpe_segment" -> {
+      val applyChain = (1 to BpeRounds).foldLeft(
+        "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, r) =>
+        s"replace($acc, (SELECT pair FROM m$r), replace((SELECT pair FROM m$r), '><', ''))"
+      }
+      s"""WITH ${bpeTrainingCtes(BpeRounds)},
+         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |        FROM documents),
+         |seg AS (SELECT doc_id, len(w) AS chars,
+         |  len(regexp_extract_all($applyChain, '<[^<>]+>')) AS toks FROM tok)
+         |SELECT doc_id, CAST(sum(chars) AS BIGINT) AS char_cnt,
+         |  CAST(sum(toks) AS BIGINT) AS bpe_len
+         |FROM seg GROUP BY 1""".stripMargin
     },
 
     // Streaming HLL gate: the drained stream state must equal the batch
@@ -1469,6 +1520,16 @@ object SparkEntry {
         |  COALESCE(seen.cnt, CAST(0 AS BIGINT)) AS cnt
         |FROM range(4) rr CROSS JOIN range(1024) cc
         |LEFT JOIN seen ON rr.range = seen.row AND cc.range = seen.col""".stripMargin,
+
+    // Streaming histogram gate: the drained additive bin state must equal
+    // the batch register table — q16's replay, verbatim.
+    "st09_stream_hist" ->
+      """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0 THEN 0 ELSE least(255, v // 200) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
+        |SELECT CAST(r.range AS BIGINT) AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |FROM range(256) r LEFT JOIN b ON r.range = b.bin""".stripMargin,
 
     // The exact register table: portable 60-bit md5 hash, low 8 bits pick
     // the register, rank = leading zeros of the 52-bit suffix + 1 via

@@ -221,18 +221,26 @@ object Sketches {
     */
   def histRegisters(df: DataFrame, valueCol: String, lo: Long,
       binWidth: Long, binCount: Int): DataFrame = {
+    val seen = histObservations(df, valueCol, lo, binWidth, binCount)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(binCount).select(col("id").as("bin"))
+      .join(seen, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** The per-row bin assignment [[histRegisters]] aggregates — exposed so
+    * the streaming formulation (st09) shares the exact clamp/div lattice
+    * with the batch one; one `bin` row per non-NULL input value.
+    */
+  def histObservations(df: DataFrame, valueCol: String, lo: Long,
+      binWidth: Long, binCount: Int): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(binCount >= 2 && binCount <= (1 << 20),
       s"binCount must be in [2, 2^20], got $binCount")
     val v = col(valueCol).cast(LongType)
     val bin = when(v < lo, lit(0L)).otherwise(
       least(lit(binCount - 1L), expr(s"(CAST($valueCol AS BIGINT) - $lo) div $binWidth")))
-    val seen = df.filter(v.isNotNull)
-      .select(bin.as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    df.sparkSession.range(binCount).select(col("id").as("bin"))
-      .join(seen, Seq("bin"), "left")
-      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    df.filter(v.isNotNull).select(bin.as("bin"))
   }
 
   /** Quantile estimates off a histogram register table: for each requested

@@ -204,4 +204,18 @@ object Streams {
       depth: Int, width: Int): DataFrame =
     graft.operators.Sketches.cmsObservations(stream, keyCol, depth, width)
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+
+  /** Streaming fixed-bin histogram: the quantile member of the mergeable
+    * family as streaming state, completing the batch+streaming symmetry
+    * (HLL = distinct / monotone-max state, CMS = frequency / additive
+    * grid, histogram = quantiles / additive bins). State is at most
+    * `binCount` rows however long the stream runs; no watermark — counts
+    * only grow. Drain complete and zero-materialize downstream; equality
+    * with the batch register table on the same data is the st09 gate.
+    */
+  def streamingHistRegisters(stream: DataFrame, valueCol: String, lo: Long,
+      binWidth: Long, binCount: Int): DataFrame =
+    graft.operators.Sketches
+      .histObservations(stream, valueCol, lo, binWidth, binCount)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
 }

@@ -528,4 +528,41 @@ object TextFunctions {
     import spark.implicits._
     merges.toDF("merge_round", "pair", "freq")
   }
+
+  /** BPE TOKENIZATION with a trained merge list (the apply-side twin of
+    * [[bpeTrainMerges]]): re-segments every word by replaying the merges
+    * in training order — merge priority order, standard BPE inference —
+    * and reports per-document `[<idCol>, char_cnt, bpe_len]`: total
+    * alphanumeric characters and total post-merge token count. The
+    * compression ratio char_cnt/bpe_len is the tokenizer-quality signal a
+    * data pipeline tracks per corpus slice.
+    *
+    * The merge replay is a chain of `rounds` literal `replace` calls on
+    * the bracketed representation — a single narrow codegen'd projection,
+    * NO shuffle and NO join against a vocabulary table: the trained merge
+    * list (driver-held, `rounds` strings) is baked into the plan as
+    * literals, the per-doc totals are array aggregates over the token
+    * array, and the only distributed work is the corpus scan itself.
+    * Documents with zero alphanumeric tokens are dropped (the oracle's
+    * UNNEST semantics).
+    */
+  def bpeSegmentStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrainMerges(df, textCol, rounds).collect()
+      .sortBy(_.getLong(0))
+      .map(r => "<" + r.getString(1).replace(" ", "><") + ">")
+    def segmented(w: Column): Column = {
+      val seq0 = regexp_replace(w, "(.)", "<$1>")
+      merges.foldLeft(seq0)((c, m) => replace(c, lit(m), lit(m.replace("><", ""))))
+    }
+    val toks = tokens(col(textCol))
+    df.filter(size(toks) >= 1)
+      .select(col(idCol),
+        aggregate(transform(toks, w => length(w).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("char_cnt"),
+        aggregate(transform(toks,
+            w => size(regexp_extract_all(segmented(w), lit("<[^<>]+>"), lit(0)))
+              .cast(LongType)),
+          lit(0L), (a, x) => a + x).as("bpe_len"))
+  }
 }

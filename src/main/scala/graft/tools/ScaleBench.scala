@@ -125,6 +125,47 @@ object ScaleBench {
         val cnt = graft.operators.Retrieval
           .bm25TopK(docs, queries, "id", "text", k = 10).count()
         println(f"SCALE-OK bm25 n=$n queries=$nQueries k=10 rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "quota-skew" | "quota-window" =>
+        // Mixture selection under category skew: 90% web / 9% code / 1%
+        // math over n docs, quotas ~30% of each category. "quota-skew"
+        // runs the histogram-refinement path (shuffle carries cats x 2^12
+        // rows; only the boundary bucket is windowed); "quota-window" runs
+        // the semantically-identical per-category row_number window — the
+        // formulation that serializes the 90% category through ONE task's
+        // sort, i.e. the skew worst case the refinement exists to avoid.
+        import graft.operators.Sampling
+        val cat = when(pmod(xxhash64(col("id"), lit(7)), lit(100)) < 90, lit("web"))
+          .when(pmod(xxhash64(col("id"), lit(7)), lit(100)) < 99, lit("code"))
+          .otherwise(lit("math"))
+        val docs = spark.range(n).select(col("id"), cat.as("cat"),
+          (pmod(xxhash64(col("id"), lit(9)), lit(900L)) + 100L).as("toks"))
+          .localCheckpoint(true)
+        val quotas = Seq("web" -> n * 27L / 100L, "code" -> n * 3L / 100L,
+          "math" -> n / 300L)
+        docs.count() // materialize the checkpoint OUTSIDE the timed region
+        val s0 = System.nanoTime()
+        if (algo == "quota-skew") {
+          val c1 = Sampling.quotaSample(docs, "cat", "id", quotas).count()
+          val t1 = (System.nanoTime() - s0) / 1e9
+          val budgets = quotas.map { case (c, q) => c -> q * 550L } // ~same doc mass
+          val c2 = Sampling
+            .tokenBudgetSample(docs, "cat", "id", "toks", budgets).count()
+          val t2 = (System.nanoTime() - s0) / 1e9 - t1
+          println(f"SCALE-OK quota-skew n=$n quotaRows=$c1 quotaSec=$t1%.1f " +
+            f"budgetRows=$c2 budgetSec=$t2%.1f")
+        } else {
+          import org.apache.spark.sql.expressions.Window
+          import spark.implicits._
+          val w = Window.partitionBy("cat")
+            .orderBy(Sampling.keyHash60(col("id")), col("id"))
+          val qdf = quotas.toDF("cat", "q")
+          val cnt = docs
+            .withColumn("rn", row_number().over(w))
+            .join(broadcast(qdf), Seq("cat"))
+            .filter(col("rn") <= col("q"))
+            .count()
+          println(f"SCALE-OK quota-window n=$n rows=$cnt sec=${(System.nanoTime() - s0) / 1e9}%.1f")
+        }
       case "kmeans-probe" =>
         // Stage-by-stage cost attribution for the k-means iteration.
         import graft.functions.ArrayDot.array_dot

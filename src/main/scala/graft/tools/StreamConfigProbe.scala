@@ -28,7 +28,12 @@ object StreamConfigProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val queries = Seq("st06_stream_join", "st04_stream_sessionize")
+    // Default: the two custom-state gates; override with explicit query
+    // names as args (e.g. st07_stream_hll st08_stream_cms for the bounded
+    // sketch-state cells).
+    val queries =
+      if (args.nonEmpty) args.toSeq
+      else Seq("st06_stream_join", "st04_stream_sessionize")
     val matrix: Seq[(String, Option[String], Int)] = Seq(
       ("hdfs", None, cpus.toInt),
       ("hdfs", None, 8),

@@ -46,6 +46,18 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(m2 == Seq((1L, "a b", 2L)))
   }
 
+  test("bpeSegmentStats: replays merges in training order, drops token-free docs") {
+    // Training on "low low low lower" (see the t12 spec) yields merges
+    // (l,o), (lo,w), (e,r). Applied: "low" -> <low> = 1 token, "lower" ->
+    // <low><er> = 2 tokens. Doc totals: chars 3*3+5 = 14, bpe_len 5.
+    // The punctuation-only doc has no alphanumeric tokens -> dropped.
+    val docs = Seq((1L, "low low low lower"), (2L, ",,, !!!"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bpeSegmentStats(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 14L, 5L)))
+  }
+
   test("bpeTrainMerges: weighting is by word frequency, not document count") {
     // "xy" appears 3x in one doc, "zq" once each in two docs: (x,y) freq 3
     // beats (z,q) freq 2 even though "zq" touches more documents.

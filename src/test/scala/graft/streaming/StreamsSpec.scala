@@ -254,5 +254,11 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // Append mode drains only watermark-finalized windows: we <= max - 30min.
     val maxSec = events.agg(max(col("ets").cast("long"))).head.getLong(0)
     sym(st02, batchWin.filter(col("we") <= maxSec - 1800L))
+
+    // Sketch-state streams equal their batch register constructions — the
+    // family symmetry gate (st07/st08 are covered by the driver oracle;
+    // st09 shares q16's batch query verbatim).
+    val st09 = graft.SparkEntry.queries("st09_stream_hist")(spark, sf)
+    sym(st09, graft.SparkEntry.queries("q16_hist_registers")(spark, sf))
   }
 }
