@@ -684,6 +684,27 @@ object SparkEntry {
           round(element_at(col("features"), 8), 6).as("b7"),
           round(element_at(col("features"), 16), 6).as("b15"))),
 
+    // Perceptual-hash image dedup (aHash over the REAL decode): 8x8
+    // nearest-neighbour downsample of the synthesized 32x24 PNGs keeps
+    // source pixels (4x, 3y), i.e. v = (28x + 39y + id) mod 256 — so the
+    // oracle replays hash bits in pure SQL while the engine must decode,
+    // gray-convert, stride-resample and integer-threshold correctly.
+    // Synthesized images repeat every 256 ids: real dup buckets.
+    "m07_phash" -> ((s, d) =>
+      Multimodal.perceptualHash(
+        Multimodal.synthesizePngMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24))),
+
+    // ... and the bucket view: hash groups with >= 2 members are the
+    // image near-dup clusters (id classes mod 256 by construction).
+    "m07b_phash_dups" -> ((s, d) =>
+      Multimodal.perceptualHash(
+        Multimodal.synthesizePngMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("dup_cnt"), min("media_id").as("rep_id"))
+        .filter(col("dup_cnt") >= 2)),
+
     // REAL-codec audio gate: synthesized 16-bit PCM mono WAVs (sample i =
     // (31i + 17id) mod 65536 - 32768, 480 samples) are container-parsed
     // and sample-decoded with javax.sound.sampled, then histogrammed over
@@ -1868,6 +1889,32 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b7,
         |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b15
         |FROM px GROUP BY media_id""".stripMargin,
+
+    // aHash bits replayed from the synthesis formula over the 8x8
+    // downsample grid; threshold in integers (v*64 > sum), bit string in
+    // (y, x) raster order.
+    "m07_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, gx.x AS x, gy.y AS y,
+        |    (gx.x * 28 + gy.y * 39 + d.doc_id) % 256 AS v
+        |  FROM documents d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |s AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1)
+        |SELECT px.media_id,
+        |  string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, '' ORDER BY y, x) AS phash
+        |FROM px JOIN s USING (media_id) GROUP BY px.media_id""".stripMargin,
+
+    "m07b_phash_dups" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, gx.x AS x, gy.y AS y,
+        |    (gx.x * 28 + gy.y * 39 + d.doc_id) % 256 AS v
+        |  FROM documents d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |s AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1),
+        |b AS (SELECT px.media_id,
+        |  string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, '' ORDER BY y, x) AS phash
+        |  FROM px JOIN s USING (media_id) GROUP BY px.media_id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS dup_cnt,
+        |  CAST(min(media_id) AS BIGINT) AS rep_id
+        |FROM b GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     // The WAV chain replayed from the synthesis formula: 16 histogram bins
     // over (sample + 32768) // 4096; since sample = raw - 32768 with

@@ -73,21 +73,7 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) return h
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (decoded == null) return h
-    // Band-0-with-&0xff is only the pixel value for 8-bit single-band gray.
-    // Anything else (RGB, 16-bit gray, palette) is first re-drawn into
-    // TYPE_BYTE_GRAY so the histogram is over proper 8-bit luminance, not
-    // the low byte of a 16-bit sample or just the red channel.
-    val img =
-      if (decoded.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
-          decoded.getRaster.getNumBands == 1) decoded
-      else {
-        val gray = new java.awt.image.BufferedImage(
-          decoded.getWidth, decoded.getHeight,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val g = gray.createGraphics()
-        try g.drawImage(decoded, 0, 0, null) finally g.dispose()
-        gray
-      }
+    val img = toByteGray(decoded)
     val raster = img.getRaster
     val (w, ht) = (img.getWidth, img.getHeight)
     var y = 0
@@ -288,6 +274,78 @@ object Multimodal {
     * samples; remaining mimes (video) take the byte-histogram stub. Output
     * `[media_id, features array<double>, n_bytes]`.
     */
+  /** Re-draw into 8-bit single-band grayscale unless the decode already is
+    * one — shared by the histogram and perceptual-hash paths so both read
+    * proper luminance, never the low byte of a 16-bit sample or one RGB
+    * channel.
+    */
+  private def toByteGray(decoded: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (decoded.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
+        decoded.getRaster.getNumBands == 1) decoded
+    else {
+      val gray = new java.awt.image.BufferedImage(
+        decoded.getWidth, decoded.getHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = gray.createGraphics()
+      try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+      gray
+    }
+
+  /** Average-hash (aHash) bits of a PNG payload: REAL decode, nearest-
+    * neighbour 8x8 downsample (the same `x*sw/8` stride arithmetic as
+    * [[resizeImages]]), then one bit per cell — set iff the cell EXCEEDS
+    * the 64-cell mean. The threshold compares `p*64 > sum` in integers, so
+    * there is no mean-rounding convention for an oracle to disagree with.
+    * Returned as the 64-char '0'/'1' string in (y, x) raster order —
+    * portable across engines where a 64-bit integer would fight sign-bit
+    * and shift-overflow conventions. NULL for undecodable payloads.
+    */
+  private[multimodal] def pngAHashBits(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return null
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (decoded == null) return null
+    val img = toByteGray(decoded)
+    val raster = img.getRaster
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val p = new Array[Long](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val v = (raster.getSample(x * sw / 8, y * sh / 8, 0) & 0xff).toLong
+        p(y * 8 + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (p(i) * 64L > sum) '1' else '0'); i += 1 }
+    sb.toString
+  }
+
+  /** Perceptual hash per media row: `[media_id, phash]` (64-char aHash bit
+    * string, NULL when undecodable). The image-side member of the dedup
+    * family — identical content hashes equal under re-encode, and
+    * near-identical content differs in few bits (Hamming distance on the
+    * bit string). One narrow mapPartitions over the payloads: no shuffle;
+    * the downstream groupBy-phash bucket join is vocabulary-sized.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", StringType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), pngAHashBits(bytes))
+      }
+    }(encoder)
+  }
+
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(

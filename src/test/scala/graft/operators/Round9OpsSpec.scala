@@ -58,6 +58,27 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out == Seq((1L, 14L, 5L)))
   }
 
+  // ---- perceptualHash (m07) ----
+
+  test("perceptualHash: invariant under lossless re-encode, ids mod 256 collide") {
+    import graft.multimodal.Multimodal
+    val ids = spark.range(0, 520, 8).toDF("id") // includes id, id+256 pairs
+    val media = Multimodal.synthesizePngMedia(ids, "id", w = 32, h = 24)
+    val direct = Multimodal.perceptualHash(media)
+    // Same-size "resize" round-trips through a SECOND encode+decode; aHash
+    // must be bit-identical (PNG is lossless) — the re-encode-invariance
+    // that makes the hash a dedup key across storage generations.
+    val reenc = Multimodal.perceptualHash(Multimodal.resizeImages(media, 32, 24))
+    assert(direct.exceptAll(reenc).isEmpty && reenc.exceptAll(direct).isEmpty)
+    val hashes = direct.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes.values.forall(h => h != null && h.length == 64 &&
+      h.forall(c => c == '0' || c == '1')))
+    // Synthesis repeats every 256 ids: (8, 264), (16, 272) must collide.
+    assert(hashes(8L) == hashes(264L) && hashes(16L) == hashes(272L))
+    // And images from different mod-256 classes are not ALL identical.
+    assert(hashes.values.toSet.size > 1)
+  }
+
   test("bpeTrainMerges: weighting is by word frequency, not document count") {
     // "xy" appears 3x in one doc, "zq" once each in two docs: (x,y) freq 3
     // beats (z,q) freq 2 even though "zq" touches more documents.
