@@ -455,6 +455,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Late-interaction MaxSim: embeddings grouped by label are the
+    // multi-vector "documents"; a query scores a group by its best-
+    // matching member, top-3 groups per query. Shuffle is bounded at
+    // queries x groups by the partial max.
+    "s07_maxsim_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.maxSimTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 3)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // INT8-quantized cosine top-k: 1 byte/dim storage, integer dot
     // scoring (exact in the double domain), scale cancels out of cosine.
     "s06_int8_topk" -> ((s, d) => {
@@ -749,6 +760,14 @@ object SparkEntry {
         "lang", "doc_id", "n_toks",
         Seq("en" -> 5000L, "zh" -> 2000L, "es" -> 1500L, "de" -> 100L,
           "fr" -> 1000000L))),
+
+    // Temperature-scaled mixture weights (alpha = 0.5, i.e. T = 2): the
+    // per-source sampling-rate computation that upweights small slices.
+    // Integer micro-weight lattice (floor(sqrt(n)*1e6) — sqrt is IEEE
+    // correctly-rounded, so both engines floor the same double), one
+    // rounded float division for the share.
+    "p06_temp_mixture" -> ((s, d) =>
+      Sampling.temperatureMixtureWeights(tbl(s, d, "documents"), "source")),
 
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
@@ -1330,6 +1349,21 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
 
+    // MaxSim replay: per-(query, label) max of the rounded cosines, then
+    // the per-query top-3 window with the (max DESC, label ASC) tiebreak.
+    "s07_maxsim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.vec_id AS query_id, c.label,
+        |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |mx AS (SELECT query_id, label, max(cosine) AS max_cosine FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY max_cosine DESC, label) AS BIGINT) AS rnk FROM mx)
+        |SELECT query_id, label, max_cosine, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+
     // int8 replay: floor(127*x/max|v| + 0.5) quantization (floor is the
     // one rounding rule every engine computes identically), integer dots.
     "s06_int8_topk" ->
@@ -1771,6 +1805,19 @@ object SparkEntry {
         |  PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
         |FROM h JOIN q USING (lang))
         |SELECT lang, doc_id FROM r WHERE rn <= quota""".stripMargin,
+
+    // Temperature mixture: integer micro-weight lattice, one rounded
+    // division.
+    "p06_temp_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        |  FROM c),
+        |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, w_micro,
+        |  round(CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share6
+        |FROM w CROSS JOIN t""".stripMargin,
 
     // Take-until-budget semantics in one window: a doc is selected iff
     // the token mass BEFORE it (hash-rank order) is under the budget.

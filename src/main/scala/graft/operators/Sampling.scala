@@ -199,4 +199,32 @@ object Sampling {
     below.union(boundarySel)
       .select(col("__qs_cat").as(catCol), col("__qs_key").as(keyCol))
   }
+
+  /** Temperature-scaled mixture weights (the T5/data-mixing rate
+    * computation): per category, `w_c ∝ n_c^alpha` with `alpha = 1/T < 1`
+    * UPWEIGHTING small categories — the knob that stops a 90% web crawl
+    * from drowning the 1% math slice. Output
+    * `[<catCol>, n_docs, w_micro, share6]` where `w_micro =
+    * floor(n_c^alpha * 1e6)` on the integer lattice (sqrt is IEEE
+    * correctly-rounded, so the floor is engine-exact; `alpha = 0.5` is
+    * computed via `sqrt`, other alphas via `pow`, which is only
+    * 1-ulp-accurate — the oracle gate pins 0.5) and `share6` is the one
+    * rounded float division `w_c / Σw`. One category-sized aggregate; the
+    * corpus is scanned once (scoped cache guards the total's second read).
+    */
+  def temperatureMixtureWeights(df: DataFrame, catCol: String,
+      alpha: Double = 0.5): DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+      val nd = col("n_docs").cast("double")
+      val raw = if (alpha == 0.5) sqrt(nd) else pow(nd, alpha)
+      val w = scope.cache(
+        df.groupBy(col(catCol)).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_micro", floor(raw * lit(1000000.0)).cast(LongType)))
+      val tot = w.agg(sum("w_micro").as("tw"))
+      w.crossJoin(broadcast(tot))
+        .select(col(catCol), col("n_docs"), col("w_micro"),
+          round(col("w_micro").cast("double") / col("tw").cast("double"), 6)
+            .as("share6"))
+    }
 }

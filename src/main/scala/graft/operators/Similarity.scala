@@ -179,6 +179,44 @@ object Similarity {
     * smaller centroid index on exact score ties; probe ranking and the
     * final top-k order (score DESC, id ASC).
     */
+  /** Late-interaction (MaxSim) retrieval: corpus vectors belong to GROUPS
+    * (a multi-vector document — ColBERT-style passage embeddings, image
+    * tiles, chunked long docs); a query scores a group by the MAXIMUM
+    * cosine over its members, and the top-k groups per query are returned
+    * as `[query_id, <groupCol>, max_cosine, rank]`, rank ordered by
+    * (max_cosine DESC, group ASC). The query's own vector is excluded
+    * from its group (self-similarity is always 1).
+    *
+    * Plan shape: broadcast the query set against the corpus (one scan, no
+    * corpus shuffle), then `groupBy(query, group).max` — a map-side
+    * PARTIAL max, so the shuffle carries at most queries x groups rows,
+    * not the scored stream — then the bounded-heap top-k per query
+    * ([[graft.functions.TopKByScore]], O(k) state, no sort). At 100 TB
+    * the scored stream never materializes: max-combine happens inside the
+    * scan stage.
+    */
+  def maxSimTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, groupCol: String, k: Int): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), col(groupCol).cast("long").as("grp"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(array_dot(col("qv"), col("qv"))))
+    val grouped = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("grp"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+      .groupBy("query_id", "grp").agg(max(col("cosine")).as("max_cosine"))
+    grouped.groupBy("query_id")
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("max_cosine"), col("grp"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as(groupCol),
+        col("col.score").as("max_cosine"), (col("pos") + 1).cast("bigint").as("rank"))
+  }
+
   def ivfCosineTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -79,6 +79,37 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(hashes.values.toSet.size > 1)
   }
 
+  // ---- temperatureMixtureWeights (p06) ----
+
+  test("temperatureMixtureWeights: sqrt lattice upweights small categories") {
+    // n = {4, 9}: micro-weights 2e6/3e6, shares 0.4/0.6 — the small
+    // category holds 4/13 of the docs but 40% of the sampling mass.
+    val docs = (Seq.fill(4)("small") ++ Seq.fill(9)("big")).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("doc_id", "cat")
+    val out = Sampling.temperatureMixtureWeights(docs, "cat")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("small") == ((4L, 2000000L, 0.4)))
+    assert(out("big") == ((9L, 3000000L, 0.6)))
+  }
+
+  // ---- maxSimTopK (s07) ----
+
+  test("maxSimTopK: group score is the max member cosine, self excluded") {
+    import graft.operators.Similarity
+    // Group 0: {q itself, an orthogonal vector}; group 1: {a near-parallel
+    // vector}. Without self-exclusion group 0 would win at cosine 1.0;
+    // with it, group 1's 0.8-ish member must rank first.
+    val vecs = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)),  // the query
+      (1L, 0L, Array(0.0f, 1.0f)),  // orthogonal, same group
+      (2L, 1L, Array(0.8f, 0.6f)))  // cos = 0.8, other group
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.maxSimTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq.sortBy(_._3)
+    assert(out == Seq((1L, 0.8, 1L), (0L, 0.0, 2L)))
+  }
+
   test("bpeTrainMerges: weighting is by word frequency, not document count") {
     // "xy" appears 3x in one doc, "zq" once each in two docs: (x,y) freq 3
     // beats (z,q) freq 2 even though "zq" touches more documents.
