@@ -79,6 +79,24 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(sorts == 0, s"expected no SortExec in top-k plan, got $sorts:\n$plan")
   }
 
+  test("maxsim: partial max bounds the shuffle, heap top-k, no window/sort") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Similarity.maxSimTopK(e, e.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", "label", 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    // The group score must combine map-side: the shuffle then carries at
+    // most queries x groups rows, not the scored stream.
+    assert(plan.contains("partial_max"),
+      s"group max not partially aggregated map-side:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) == 0,
+      s"expected no SortExec:\n$plan")
+  }
+
   test("declared partitioning+ordering checkpoint: SMJ with no exchange, no sort") {
     // The checkpoint both hash-partitions AND sorts within partitions, and
     // declares both on the LogicalRDD — a sort-merge join on the keys must
