@@ -536,6 +536,13 @@ object SparkEntry {
       TextFunctions.bigramLmNll(docs, docs, "doc_id", "text")
     }),
 
+    // Composite Gopher-style admission filter: per-doc violation bitmask
+    // + keep flag over five rules (token count, mean token length,
+    // quality, dup-token fraction, top-bigram fraction) — all reusing
+    // already-gated formulas, decided on engine-exact values.
+    "t14_quality_mask" -> ((s, d) =>
+      TextFunctions.compositeQualityFilter(tbl(s, d, "documents"), "doc_id", "text")),
+
     // Distributed BPE merge TRAINING (the tokenizer-side twin of t07's
     // pre-tokenization): 10 greedy top-pair merge rounds on the word
     // histogram, deterministic tie-break, one row collected per round.
@@ -1517,6 +1524,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(tm) AS BIGINT) AS nll_micros,
         |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
         |FROM terms GROUP BY 1""".stripMargin,
+
+    // Composite filter: t02's quality + t05's fractions + alnum-token
+    // stats, thresholds on the same rounded/exact values, bit weights
+    // 1/2/4/8/16.
+    "t14_quality_mask" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, sum(cnt) AS n_tok, max(cnt) AS top_tok, count(*) AS n_dist FROM tc GROUP BY 1),
+        |tl AS (SELECT doc_id, CAST(sum(length(term)) AS BIGINT) AS sum_len FROM tok GROUP BY 1),
+        |big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |bc AS (SELECT doc_id, term, count(*) AS cnt FROM big GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(cnt) AS n_big, max(cnt) AS top_big FROM bc GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |  round(0.4 * (CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS DOUBLE)/length(text) ELSE 0.0 END)
+        |      + 0.3 * least((CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)/len(regexp_extract_all(text, '\S+')) ELSE 0.0 END) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(length(text) AS DOUBLE)/500.0, 1.0), 6) AS quality
+        |  FROM documents),
+        |m AS (SELECT d.doc_id,
+        |  COALESCE(ts.n_tok, 0) AS n_tok,
+        |  CASE WHEN COALESCE(ts.n_tok, 0) > 0 THEN CAST(tl.sum_len AS DOUBLE) / CAST(ts.n_tok AS DOUBLE) ELSE 0.0 END AS mean_len,
+        |  q.quality,
+        |  round(CASE WHEN ts.n_tok > 0 THEN CAST(ts.n_tok - ts.n_dist AS DOUBLE) / CAST(ts.n_tok AS DOUBLE) ELSE 0.0 END, 6) AS dup_frac,
+        |  round(CASE WHEN bs.n_big > 0 THEN CAST(bs.top_big AS DOUBLE) / CAST(bs.n_big AS DOUBLE) ELSE 0.0 END, 6) AS top_big_frac
+        |  FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN tl USING (doc_id)
+        |  LEFT JOIN bs USING (doc_id) JOIN q USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN n_tok < 5 OR n_tok > 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN quality < 0.5 THEN 4 ELSE 0 END
+        |     + CASE WHEN dup_frac > 0.3 THEN 8 ELSE 0 END
+        |     + CASE WHEN top_big_frac > 0.18 THEN 16 ELSE 0 END AS BIGINT) AS fail_mask,
+        |  CAST(CASE WHEN n_tok >= 5 AND n_tok <= 5000 AND mean_len >= 2.0 AND mean_len <= 12.0
+        |    AND quality >= 0.5 AND dup_frac <= 0.3 AND top_big_frac <= 0.18 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m""".stripMargin,
 
     // BPE merge training, K=10 rounds unrolled (the g09b/g12 pattern):
     // each round CTE recomputes pair frequencies from the previous round's

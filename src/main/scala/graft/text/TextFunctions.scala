@@ -457,6 +457,49 @@ object TextFunctions {
             col("n_pairs").cast("double"), 6).as("avg_nll6"))
     }
 
+  /** Gopher-style composite admission filter: every document gets a
+    * `fail_mask` BIGINT with one bit per violated rule (0 = admitted) and
+    * a `keep` 0/1 — the form a pipeline wants, because "why was this
+    * dropped" drives threshold tuning and per-rule loss accounting, and
+    * the mask aggregates into per-rule violation rates with one groupBy.
+    * Rules (bit: condition):
+    *   0: alphanumeric token count outside `[minTok, maxTok]`
+    *   1: mean token length outside `[minMeanLen, maxMeanLen]`
+    *   2: [[qualityScore]] < `minQuality`
+    *   3: duplicate-token fraction > `maxDupFrac`  (t05 formula)
+    *   4: top-bigram fraction > `maxTopBigramFrac` (t05 formula)
+    * Bits 0-2 are per-row Column math on the corpus scan; bits 3-4 reuse
+    * [[repetitionSignals]]' two map-side-combining aggregates — the whole
+    * filter adds ONE join of two doc-keyed frames, no new shuffle class.
+    * Thresholds compare ROUNDED 6-decimal fractions and exact-integer-
+    * derived doubles, so the admission decision is engine-exact.
+    */
+  def compositeQualityFilter(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minTok: Long = 5L, maxTok: Long = 5000L,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      minQuality: Double = 0.5, maxDupFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(LongType)
+    val sumLen = aggregate(transform(toks, w => length(w).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val meanLen = when(nTok > 0, sumLen.cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val base = docs.select(col(idCol), nTok.as("__cq_n"),
+      meanLen.as("__cq_ml"), qualityScore(col(textCol)).as("__cq_q"))
+    val rep = repetitionSignals(docs, idCol, textCol)
+    base.join(rep, Seq(idCol))
+      .select(col(idCol),
+        (when(col("__cq_n") < minTok || col("__cq_n") > maxTok, 1L).otherwise(0L) +
+         when(col("__cq_ml") < minMeanLen || col("__cq_ml") > maxMeanLen, 2L).otherwise(0L) +
+         when(col("__cq_q") < minQuality, 4L).otherwise(0L) +
+         when(col("dup_tok_frac") > maxDupFrac, 8L).otherwise(0L) +
+         when(col("top_bigram_frac") > maxTopBigramFrac, 16L).otherwise(0L)
+          ).as("fail_mask"))
+      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+  }
+
   /** Distributed BPE merge training: the `rounds` highest-frequency adjacent
     * symbol-pair merges over the corpus, GPT-2-style but on the WORD
     * HISTOGRAM — the classic trainer optimization that makes per-round cost

@@ -79,6 +79,31 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(hashes.values.toSet.size > 1)
   }
 
+  // ---- compositeQualityFilter (t14) ----
+
+  test("compositeQualityFilter: each rule sets its own bit") {
+    // doc 1: healthy English prose -> mask 0, keep 1.
+    // doc 2: two tokens -> bit 0 (count) — long enough text for quality.
+    // doc 3: repeated token -> bit 3 (dup) + bit 4 (top bigram).
+    // doc 4: all 1-char tokens -> bit 1 (mean len) fires alongside others.
+    // Distinct content words (zero dup tokens) + one stopword run for the
+    // stopword-ratio credit; long enough for the length credit.
+    val healthy = (0 until 100).map(i => s"word$i").mkString(" ") +
+      " the of and to in is it that for a"
+    val docs = Seq(
+      (1L, healthy),
+      (2L, "the cat " + "x" * 420),
+      (3L, ("spam " * 40) + "the of and to in is it that for a"),
+      (4L, ("a b c d e f g h i j " * 3) + "the of and to in is it that for")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.compositeQualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 1L)), s"healthy doc: ${out(1L)}")
+    assert((out(2L)._1 & 1L) == 1L && out(2L)._2 == 0L, s"count bit: ${out(2L)}")
+    assert((out(3L)._1 & 8L) == 8L && out(3L)._2 == 0L, s"dup bit: ${out(3L)}")
+    assert((out(4L)._1 & 2L) == 2L && out(4L)._2 == 0L, s"mean-len bit: ${out(4L)}")
+  }
+
   // ---- temperatureMixtureWeights (p06) ----
 
   test("temperatureMixtureWeights: sqrt lattice upweights small categories") {
