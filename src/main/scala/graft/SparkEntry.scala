@@ -625,6 +625,21 @@ object SparkEntry {
           "v", lo = 0L, binWidth = 200L, binCount = 256),
         lo = 0L, binWidth = 200L, permilles = Seq(500, 950, 990))),
 
+    // Per-group HLL (p=6): distinct parts per return flag as 3 bounded
+    // register tables — the distinct-per-slice profiling query at
+    // groups x 64 rows instead of a raw-pair distinct shuffle.
+    "q17_hll_grouped" -> ((s, d) =>
+      graft.operators.Sketches.hllGroupedRegisters(
+        tbl(s, d, "lineitem"), "l_returnflag", "l_partkey", p = 6)),
+
+    // ... and the per-group estimates off those registers (integer
+    // harmonic sum, one rounded division per group).
+    "q17b_hll_grouped_est" -> ((s, d) =>
+      graft.operators.Sketches.hllGroupedEstimate(
+        graft.operators.Sketches.hllGroupedRegisters(
+          tbl(s, d, "lineitem"), "l_returnflag", "l_partkey", p = 6),
+        "l_returnflag", p = 6)),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -2004,6 +2019,49 @@ object SparkEntry {
         |SELECT phash, CAST(count(*) AS BIGINT) AS dup_cnt,
         |  CAST(min(media_id) AS BIGINT) AS rep_id
         |FROM b GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // Grouped HLL: q14's register construction with a group key; the
+    // group list is derived from the aggregated observations, zero
+    // registers materialized per group. p=6: mask 63, shift 6, rank base
+    // 55 (= 60-6+1).
+    "q17_hll_grouped" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT grp, h & 63 AS register,
+        |  55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE len(bin(h >> 6)) END AS rank
+        |  FROM h),
+        |agg AS (SELECT grp, register, CAST(max(rank) AS BIGINT) AS max_rank
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT grp FROM agg)
+        |SELECT g.grp AS l_returnflag, CAST(rg.range AS BIGINT) AS register,
+        |  COALESCE(agg.max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |FROM g CROSS JOIN range(64) rg
+        |LEFT JOIN agg ON agg.grp = g.grp AND rg.range = agg.register""".stripMargin,
+
+    // ... and q14b's estimate math per group: alpha(64) = 0.709 (the
+    // paper's canonical small-m constant), 2^55 scale.
+    "q17b_hll_grouped_est" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT grp, h & 63 AS register,
+        |  55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE len(bin(h >> 6)) END AS rank
+        |  FROM h),
+        |agg AS (SELECT grp, register, CAST(max(rank) AS BIGINT) AS max_rank
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT grp FROM agg),
+        |regs AS (SELECT g.grp, COALESCE(agg.max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |  FROM g CROSS JOIN range(64) rg
+        |  LEFT JOIN agg ON agg.grp = g.grp AND rg.range = agg.register),
+        |e AS (SELECT grp, CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
+        |  CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1)
+        |SELECT grp AS l_returnflag, m, sum_scaled, n_zero,
+        |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE
+        |    * 36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+        |FROM e""".stripMargin,
 
     // The WAV chain replayed from the synthesis formula: 16 histogram bins
     // over (sample + 32768) // 4096; since sample = raw - 32768 with

@@ -95,12 +95,7 @@ object Sketches {
     // Flajolet's bias constant: the 0.7213/(1 + 1.079/m) asymptotic form is
     // only valid for m >= 128; m = 16/32/64 take the canonical per-size
     // constants from the HLL paper (mirrored verbatim in any small-p oracle).
-    val alpha = m match {
-      case 16L => 0.673
-      case 32L => 0.697
-      case 64L => 0.709
-      case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
-    }
+    val alpha = hllAlpha(m)
     registers.agg(
       count(lit(1)).as("m"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
@@ -123,6 +118,64 @@ object Sketches {
     * CASE sees bit-identical operands; `ln` is IEEE-identical across
     * engines (one float expression, fixed association order).
     */
+  /** Flajolet's bias constant: asymptotic form for m >= 128, the paper's
+    * canonical per-size constants below (see [[hllEstimate]] round-7 note).
+    */
+  private def hllAlpha(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** Per-GROUP HLL register tables — approximate distinct-per-key, the
+    * profiling query every corpus slice view needs ("distinct users per
+    * event type", "distinct 5-grams per source") at `groups * 2^p` rows
+    * instead of a `distinct` shuffle of the raw pairs. Output
+    * `[<groupCol>, register, max_rank]` with empty registers materialized
+    * per group; the group list comes from the AGGREGATED observations (no
+    * second corpus scan), and two grouped tables merge by per-(group,
+    * register) `greatest` exactly like the global sketch.
+    */
+  def hllGroupedRegisters(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    val m = 1L << p
+    val suffixBits = HashBits - p
+    val h = Sampling.keyHash60(col(keyCol))
+    val reg = h.bitwiseAND(lit(m - 1))
+    val w = shiftrightunsigned(h, p)
+    val rank = (lit(suffixBits + 1) -
+      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
+    val seen = df.select(col(groupCol).as("__hll_grp"), reg.as("register"),
+        rank.as("rank"))
+      .groupBy("__hll_grp", "register").agg(max(col("rank")).as("max_rank"))
+    seen.select("__hll_grp").distinct()
+      .crossJoin(df.sparkSession.range(m).select(col("id").as("register")))
+      .join(seen, Seq("__hll_grp", "register"), "left")
+      .select(col("__hll_grp").as(groupCol), col("register"),
+        coalesce(col("max_rank"), lit(0L)).as("max_rank"))
+  }
+
+  /** Per-group estimates off a [[hllGroupedRegisters]] table — the same
+    * exact-BIGINT harmonic sum and single rounded float division as
+    * [[hllEstimate]], one row per group.
+    */
+  def hllGroupedEstimate(registers: DataFrame, groupCol: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val s = HashBits - p + 1
+    val alpha = hllAlpha(m)
+    registers.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("m"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
+        .as("sum_scaled"),
+      sum(when(col("max_rank") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col(groupCol), col("m"), col("sum_scaled"), col("n_zero"),
+        round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, s)) / col("sum_scaled").cast("double"), 6).as("est6"))
+  }
+
   def hllEstimateCorrected(registers: DataFrame, p: Int): DataFrame = {
     val m = 1L << p
     hllEstimate(registers, p).select(

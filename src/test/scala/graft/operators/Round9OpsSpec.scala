@@ -79,6 +79,28 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(hashes.values.toSet.size > 1)
   }
 
+  // ---- hllGroupedRegisters / hllGroupedEstimate (q17) ----
+
+  test("grouped HLL: each group's register table equals the global sketch of its slice") {
+    val rows = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).toDF("grp", "k")
+    val grouped = Sketches.hllGroupedRegisters(rows, "grp", "k", p = 6)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = Sketches.hllRegisters(rows.filter($"grp" === g), "k", p = 6)
+      val mine = grouped.filter($"grp" === g).select("register", "max_rank")
+      assert(mine.exceptAll(slice).isEmpty && slice.exceptAll(mine).isEmpty,
+        s"group $g registers diverge from the single-group sketch")
+    }
+    // Estimates land near truth (p=6 => ~13% typical error; be generous).
+    val est = Sketches.hllGroupedEstimate(grouped, "grp", p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // Keys are i % 700 split by i % 3: each group sees ~233 distinct keys
+    // plus wraparound overlap; compute truth directly.
+    val truth = (1L to 3000L).map(i => (s"g${i % 3}", i % 700)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    for ((g, t) <- truth)
+      assert(math.abs(est(g) - t) / t < 0.35, s"$g: est=${est(g)} truth=$t")
+  }
+
   // ---- compositeQualityFilter (t14) ----
 
   test("compositeQualityFilter: each rule sets its own bit") {
