@@ -252,6 +252,32 @@ object SparkEntry {
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Sessionized conversion funnel: q09's 30-min-gap session numbering,
+    // then per (user, session) the click->purchase conversion test
+    // (strictly-after ordering on the nanos lattice), rolled up per user.
+    // Composes lag window + running-sum window + two conditional aggs —
+    // all BIGINT until the final counts.
+    "q18_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sec = expr("ts div 1000000000")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessioned = tbl(s, d, "events")
+        .withColumn("prev_s", lag(sec, 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_s").isNull || sec - col("prev_s") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessioned.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("first_click").isNotNull &&
+              col("last_purchase") > col("first_click"), 1L).otherwise(0L))
+            .as("n_converted"))
+    }),
+
     "q10_window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -817,6 +843,22 @@ object SparkEntry {
         "st01_sink", "append")
     }),
 
+    // Streaming IMAGE dedup at ingest: the media synthesis + REAL PNG
+    // decode + aHash chain runs per micro-batch (mapPartitions is a
+    // narrow streaming transform), then first-seen-phash admission —
+    // multimodal and streaming composing through one fingerprint column.
+    "st10_stream_phash_dedup" -> ((s, d) => {
+      val ids = streamTbl(s, d, "documents").select(col("doc_id"))
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.synthesizePngMedia(ids, "doc_id", w = 32, h = 24))
+        .withColumn("ets", timestamp_seconds(col("media_id") % 3600))
+      drainStream(
+        graft.streaming.Streams.streamingFingerprintDedup(
+          hashed, "ets", "phash", lateness = "2 hours")
+          .select(col("phash")),
+        "st10_sink", "append")
+    }),
+
     // Sliding 1h/30min windows over events. value is pre-scaled to integer
     // hundredths (`cents` discipline) so the windowed sum is exact; window
     // bounds compare as epoch seconds (engine-neutral, tz-free). APPEND
@@ -1147,6 +1189,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev_s IS NULL OR sec - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM e GROUP BY 1""".stripMargin,
+
+    // Funnel replay: same session numbering (epoch_ns floor lattice),
+    // same strictly-after conversion predicate; NULL first_click never
+    // converts (NULL comparison is false in the CASE).
+    "q18_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |  epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |x AS (SELECT user_id, event_id, event_type, tns, sec,
+        |  lag(sec) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev_s
+        |  FROM e),
+        |sn AS (SELECT user_id, event_type, tns,
+        |  sum(CASE WHEN prev_s IS NULL OR sec - prev_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x),
+        |sess AS (SELECT user_id, session_id,
+        |  min(CASE WHEN event_type = 'click' THEN tns END) AS first_click,
+        |  max(CASE WHEN event_type = 'purchase' THEN tns END) AS last_purchase
+        |  FROM sn GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM sess GROUP BY 1""".stripMargin,
 
     "q10_window_topk" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -1911,6 +1976,19 @@ object SparkEntry {
 
     "st01_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+
+    // Streaming phash dedup gate: first-seen-per-hash == DISTINCT hash;
+    // the hash bits replay from the synthesis formula (m07's CTEs).
+    "st10_stream_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, gx.x AS x, gy.y AS y,
+        |    (gx.x * 28 + gy.y * 39 + d.doc_id) % 256 AS v
+        |  FROM documents d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |s AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1),
+        |b AS (SELECT px.media_id,
+        |  string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, '' ORDER BY y, x) AS phash
+        |  FROM px JOIN s USING (media_id) GROUP BY px.media_id)
+        |SELECT DISTINCT phash FROM b""".stripMargin,
 
     // Batch replay of successor-closed sessionization: q09's gap/session
     // numbering, grouped to sessions, with each user's LAST session

@@ -26,6 +26,17 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicates("fingerprint")
 
+  /** Streaming dedup on a PRECOMPUTED fingerprint column — the admission
+    * form for fingerprints that are not a column formula (a perceptual
+    * hash off the media decode path, a model embedding bucket): one output
+    * row per first-seen fingerprint inside the watermark horizon, same
+    * state discipline as [[streamingExactDedup]].
+    */
+  def streamingFingerprintDedup(
+      stream: DataFrame, tsCol: String, fpCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, lateness).dropDuplicates(fpCol)
+
   /** Sliding-window event counts + value sums per event type.
     * Late data beyond `lateness` is dropped; windows emit once finalized
     * (append mode) or continuously (update mode) — caller's choice of sink.
