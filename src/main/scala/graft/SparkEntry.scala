@@ -562,6 +562,12 @@ object SparkEntry {
       TextFunctions.bigramLmNll(docs, docs, "doc_id", "text")
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per doc on the integer
+    // micro-lattice (smooth idf, fixed float association) — tf from one
+    // corpus scan, df off the cached tf table, vocab-sized term join.
+    "t15_tfidf_topk" -> ((s, d) =>
+      TextFunctions.tfIdfTopK(tbl(s, d, "documents"), "doc_id", "text", k = 3)),
+
     // Composite Gopher-style admission filter: per-doc violation bitmask
     // + keep flag over five rules (token count, mean token length,
     // quality, dup-token fraction, top-bigram fraction) — all reusing
@@ -650,6 +656,46 @@ object SparkEntry {
           tbl(s, d, "events").select(cents(col("value")).as("v")),
           "v", lo = 0L, binWidth = 200L, binCount = 256),
         lo = 0L, binWidth = 200L, permilles = Seq(500, 950, 990))),
+
+    // Sketch MERGE gates: the property that makes every sketch here a
+    // 100 TB operator is that per-partition/per-day sketches combine into
+    // the exact whole-corpus sketch. Each query builds TWO half sketches
+    // (orderkey parity split — cuts across all partitions), merges them
+    // with the family's merge op, and must hash-equal the WHOLE-corpus
+    // oracle: HLL merges by per-register greatest...
+    "q19_hll_merge" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      val a = graft.operators.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 === 0), "l_partkey", p = 8)
+      val b = graft.operators.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 === 1), "l_partkey", p = 8)
+      a.join(b.withColumnRenamed("max_rank", "mr_b"), Seq("register"))
+        .select(col("register"),
+          greatest(col("max_rank"), col("mr_b")).as("max_rank"))
+    }),
+
+    // ... count-min by elementwise addition...
+    "q19b_cms_merge" -> ((s, d) => {
+      val grams = tbl(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokenNgrams(col("text"), 2)).as("gram"))
+      val a = graft.operators.Sketches.cmsRegisters(
+        grams.filter(col("doc_id") % 2 === 0).select("gram"), "gram", depth = 4, width = 1024)
+      val b = graft.operators.Sketches.cmsRegisters(
+        grams.filter(col("doc_id") % 2 === 1).select("gram"), "gram", depth = 4, width = 1024)
+      a.join(b.withColumnRenamed("cnt", "cnt_b"), Seq("row", "col"))
+        .select(col("row"), col("col"), (col("cnt") + col("cnt_b")).as("cnt"))
+    }),
+
+    // ... and the histogram by elementwise addition too.
+    "q19c_hist_merge" -> ((s, d) => {
+      val ev = tbl(s, d, "events").select(col("event_id"), cents(col("value")).as("v"))
+      val a = graft.operators.Sketches.histRegisters(
+        ev.filter(col("event_id") % 2 === 0), "v", lo = 0L, binWidth = 200L, binCount = 256)
+      val b = graft.operators.Sketches.histRegisters(
+        ev.filter(col("event_id") % 2 === 1), "v", lo = 0L, binWidth = 200L, binCount = 256)
+      a.join(b.withColumnRenamed("cnt", "cnt_b"), Seq("bin"))
+        .select(col("bin"), (col("cnt") + col("cnt_b")).as("cnt"))
+    }),
 
     // Per-group HLL (p=6): distinct parts per return flag as 3 bounded
     // register tables — the distinct-per-slice profiling query at
@@ -1605,6 +1651,22 @@ object SparkEntry {
         |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
         |FROM terms GROUP BY 1""".stripMargin,
 
+    // TF-IDF replay: identical smooth-idf chain and floor lattice; rank
+    // window with the same (score DESC, term ASC) tiebreak.
+    "t15_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |  CAST(floor(CAST(tf AS DOUBLE) *
+        |    (ln((1.0::DOUBLE + CAST(n AS DOUBLE)) / (1.0::DOUBLE + CAST(df AS DOUBLE))) + 1.0::DOUBLE) *
+        |    1000000.0::DOUBLE) AS BIGINT) AS score_micro
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS BIGINT) AS rnk FROM sc)
+        |SELECT doc_id, term, score_micro, rnk FROM rk WHERE rnk <= 3""".stripMargin,
+
     // Composite filter: t02's quality + t05's fractions + alnum-token
     // stats, thresholds on the same rounded/exact values, bit weights
     // 1/2/4/8/16.
@@ -2097,6 +2159,40 @@ object SparkEntry {
         |SELECT phash, CAST(count(*) AS BIGINT) AS dup_cnt,
         |  CAST(min(media_id) AS BIGINT) AS rep_id
         |FROM b GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // Sketch-merge gates: the oracle is the WHOLE-corpus sketch (q14/q15/
+    // q16 SQL verbatim) — the engine's merged half-sketches must equal it
+    // bit for bit, which is the mergeability law under the hard gate.
+    "q19_hll_merge" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM lineitem),
+        |r AS (SELECT h & 255 AS register,
+        |             53 - CASE WHEN (h >> 8) = 0 THEN 0 ELSE len(bin(h >> 8)) END AS rank
+        |      FROM h),
+        |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
+        |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
+        |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
+
+    "q19b_cms_merge" ->
+      """WITH g AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)),
+        |p AS (SELECT r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 1024 AS col
+        |  FROM g CROSS JOIN range(4) r),
+        |seen AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)
+        |SELECT CAST(rr.range AS BIGINT) AS row, CAST(cc.range AS BIGINT) AS col,
+        |  COALESCE(seen.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM range(4) rr CROSS JOIN range(1024) cc
+        |LEFT JOIN seen ON rr.range = seen.row AND cc.range = seen.col""".stripMargin,
+
+    "q19c_hist_merge" ->
+      """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0 THEN 0 ELSE least(255, v // 200) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
+        |SELECT CAST(r.range AS BIGINT) AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |FROM range(256) r LEFT JOIN b ON r.range = b.bin""".stripMargin,
 
     // Grouped HLL: q14's register construction with a group key; the
     // group list is derived from the aggregated observations, zero

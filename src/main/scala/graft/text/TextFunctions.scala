@@ -457,6 +457,46 @@ object TextFunctions {
             col("n_pairs").cast("double"), 6).as("avg_nll6"))
     }
 
+  /** Per-document top-k TF-IDF terms — keyword extraction, the classic
+    * retrieval-feature stage (doc tags, weak labels, index keys).
+    * Smooth-idf convention: `idf = ln((1+N)/(1+df)) + 1`, score on the
+    * integer micro-lattice `floor(tf * idf * 1e6)` — tf/df/N are exact
+    * BIGINTs, the float chain is one fixed association order, so the
+    * floor (and therefore the ranking) is engine-exact. Output
+    * `[<idCol>, term, score_micro, rnk]`, rank by (score DESC, term ASC).
+    *
+    * Plan: one corpus scan builds the (doc, term) tf table (map-side
+    * combine); df is a vocabulary-sized aggregate OF that table (no
+    * second scan — scoped cache); the tf-df join shuffles on term at
+    * vocabulary cardinality, never corpus rows; the final top-k window
+    * partitions by document, so its sort is per-doc-local (bounded by
+    * document length — the one place a window beats a heap here, because
+    * the ranked payload is a STRING, outside `top_k_by_score`'s long-id
+    * contract).
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = scope.cache(
+        docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+          .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("score_micro").desc, col("term").asc)
+      tf.join(dft, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_micro",
+          floor(col("tf").cast("double") *
+            (log((lit(1.0) + col("n").cast("double")) /
+              (lit(1.0) + col("df").cast("double"))) + lit(1.0)) *
+            lit(1000000.0)).cast(LongType))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= k)
+        .select(col(idCol), col("term"), col("score_micro"), col("rnk"))
+    }
+
   /** Gopher-style composite admission filter: every document gets a
     * `fail_mask` BIGINT with one bit per violated rule (0 = admitted) and
     * a `keep` 0/1 — the form a pipeline wants, because "why was this

@@ -79,6 +79,24 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(hashes.values.toSet.size > 1)
   }
 
+  // ---- tfIdfTopK (t15) ----
+
+  test("tfIdfTopK: hand-computed smooth-idf micro-lattice scores") {
+    // N=2. df: apple 1, banana 2, cherry 1. idf: ln(3/2)+1 for the
+    // singletons, ln(3/3)+1 = 1 for banana.
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.tfIdfTopK(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val idf1 = math.log(3.0 / 2.0) + 1.0
+    assert(out == Set(
+      (1L, "apple", math.floor(2.0 * idf1 * 1e6).toLong, 1L),
+      (1L, "banana", 1000000L, 2L),
+      (2L, "cherry", math.floor(1.0 * idf1 * 1e6).toLong, 1L),
+      (2L, "banana", 1000000L, 2L)))
+  }
+
   // ---- hllGroupedRegisters / hllGroupedEstimate (q17) ----
 
   test("grouped HLL: each group's register table equals the global sketch of its slice") {
