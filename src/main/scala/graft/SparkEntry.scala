@@ -863,6 +863,22 @@ object SparkEntry {
     "p06_temp_mixture" -> ((s, d) =>
       Sampling.temperatureMixtureWeights(tbl(s, d, "documents"), "source")),
 
+    // Partitioned sink -> source round trip: events written partitioned
+    // by event_type, reloaded, filtered to two types — the filter prunes
+    // DIRECTORIES at planning time (PartitionFilters, plan-spec'd), and
+    // the aggregate must equal the oracle on the ORIGINAL table (nothing
+    // lost or duplicated by the layout change). ts arrives normalized
+    // (LONG) so the round trip also freezes the schema contract into
+    // storage.
+    "b02_partitioned_roundtrip" -> ((s, d) => {
+      val path = graft.sources.PartitionedTables.writePartitioned(
+        tbl(s, d, "events"), "b02_events_parted", Seq("event_type"))
+      graft.sources.PartitionedTables.readPartitioned(s, path)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+    }),
+
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
     "b01_bucketed_degrees" -> ((s, d) => {
@@ -2020,6 +2036,13 @@ object SparkEntry {
 
     "b01_bucketed_degrees" ->
       "SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1",
+
+    // The partitioned round trip must agree with the ORIGINAL table.
+    "b02_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1""".stripMargin,
 
     // Streaming queries: the oracle IS the batch semantics — AvailableNow
     // drains the whole table through the micro-batch engine, so the result

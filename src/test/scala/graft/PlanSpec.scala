@@ -79,6 +79,34 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(sorts == 0, s"expected no SortExec in top-k plan, got $sorts:\n$plan")
   }
 
+  test("partitioned table: value filter prunes directories at planning time") {
+    import graft.sources.PartitionedTables
+    val src = spark.range(0, 1000)
+      .selectExpr("id", "CASE WHEN id % 4 = 0 THEN 'a' WHEN id % 4 = 1 THEN 'b' " +
+        "WHEN id % 4 = 2 THEN 'c' ELSE 'd' END AS part")
+    val path = PartitionedTables.writePartitioned(src, "planspec_parted", Seq("part"))
+    val filtered = PartitionedTables.readPartitioned(spark, path)
+      .filter(col("part") === "a")
+    // The partition predicate must reach the scan's PartitionFilters (file
+    // planning), not a post-scan Filter over all directories.
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("part#"),
+      s"partition filter not pushed to file planning:\n$scan")
+    // And pruning is real: the executed scan reads only the matching
+    // directory's files (inputFiles ignores partition filters — the
+    // post-execution numFiles metric is the honest count).
+    // collect() (not count()) so the metric lands on THIS QueryExecution —
+    // count() plans and executes a separate aggregate query.
+    assert(filtered.collect().length == 250)
+    val allFiles = PartitionedTables.readPartitioned(spark, path).inputFiles.length
+    val scanExec = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scanExec.isDefined, "no FileSourceScanExec leaf found")
+    val read = scanExec.get.metrics("numFiles").value
+    assert(read > 0 && read < allFiles,
+      s"no directory pruned: read $read of $allFiles files")
+  }
+
   test("maxsim: partial max bounds the shuffle, heap top-k, no window/sort") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = Similarity.maxSimTopK(e, e.filter(col("vec_id") % 50 === 0),
