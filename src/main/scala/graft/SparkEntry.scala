@@ -419,6 +419,26 @@ object SparkEntry {
       GraphFrame(nations.select(col("k").as("id")), edges).triangleCount.run()
     }),
 
+    // k-truss (edge-cohesion peeling, 2 capped rounds): customers form
+    // c-n-r triangles only when c%3=0 (the others' c->n edges are
+    // support-0 and peel in round 1); nation-region edges survive on the
+    // triangle customers' support. Gates triangle-support counting, the
+    // peel filter, and the recompute-after-removal loop.
+    "g19_ktruss" -> ((s, d) => {
+      val nation = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("nk"),
+          col("n_regionkey").cast(LongType).as("rk"))
+      val nr = nation.select((col("nk") + 3000000L).as("src"),
+        (col("rk") + 3500000L).as("dst"))
+      val cust = tbl(s, d, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").cast(LongType).as("nk"))
+      val cn = cust.select(col("ck").as("src"), (col("nk") + 3000000L).as("dst"))
+      val cr = cust.filter(col("ck") % 3 === 0)
+        .join(nation, Seq("nk"))
+        .select(col("ck").as("src"), (col("rk") + 3500000L).as("dst"))
+      graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
+    }),
+
     "g12_labelprop" -> ((s, d) =>
       GraphFrame.fromEdges(custNationRegionEdges(s, d))
         .labelPropagation.maxIterations(5).run()
@@ -1396,6 +1416,32 @@ object SparkEntry {
         |SELECT e.src, e.dst FROM e
         |WHERE e.src IN (SELECT id FROM v) AND e.dst IN (SELECT id FROM v)
         |  AND e.dst % 2 = 0""".stripMargin,
+
+    // k-truss replay, 2 unrolled rounds: per-edge support = common
+    // neighbors via the adjacency self-join, peel below k-2, recompute on
+    // the survivors; output the round-2 survivors with round-2 support.
+    // MATERIALIZED: e/a CTEs are each read twice downstream.
+    "g19_ktruss" ->
+      """WITH ed AS MATERIALIZED (
+        |  SELECT CAST(n_nationkey AS BIGINT) + 3000000 AS s, CAST(n_regionkey AS BIGINT) + 3500000 AS d FROM nation
+        |  UNION ALL
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) + 3000000 AS d FROM customer
+        |  UNION ALL
+        |  SELECT c.c_custkey AS s, CAST(n.n_regionkey AS BIGINT) + 3500000 AS d
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE c.c_custkey % 3 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM ed WHERE s <> d),
+        |a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+        |s0 AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e0 e JOIN a0 p ON e.a = p.u JOIN a0 q ON e.b = q.u AND p.v = q.v GROUP BY 1, 2),
+        |e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0 LEFT JOIN s0 USING (a, b)
+        |  WHERE COALESCE(s0.sup, 0) >= 1),
+        |a1 AS MATERIALIZED (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+        |s1 AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e1 e JOIN a1 p ON e.a = p.u JOIN a1 q ON e.b = q.u AND p.v = q.v GROUP BY 1, 2)
+        |SELECT a AS src, b AS dst, sup AS support FROM (
+        |  SELECT e1.a, e1.b, COALESCE(s1.sup, 0) AS sup FROM e1 LEFT JOIN s1 USING (a, b))
+        |WHERE sup >= 1""".stripMargin,
 
     "g11_triangles" ->
       """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst

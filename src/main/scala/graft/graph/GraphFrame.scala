@@ -135,6 +135,8 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
   def maximalIndependentSet: graft.algorithms.MaximalIndependentSet =
     new graft.algorithms.MaximalIndependentSet(this)
 
+  def kTruss: graft.algorithms.KTruss = new graft.algorithms.KTruss(this)
+
   def triangleCount: graft.algorithms.TriangleCount =
     new graft.algorithms.TriangleCount(this)
 

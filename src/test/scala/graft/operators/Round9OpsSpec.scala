@@ -79,6 +79,27 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(hashes.values.toSet.size > 1)
   }
 
+  // ---- KTruss (g19) ----
+
+  test("kTruss: peeling cascades — removing support-1 edges starves the shared edge") {
+    import graft.algorithms.KTruss
+    // Two triangles sharing edge 2-3: that edge has support 2 (common
+    // neighbors 1 and 4), all others support 1. k=4 demands support >= 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    // One round: only the shared edge survives, with its PRE-peel support.
+    val r1 = KTruss.run(edges, k = 4, maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r1 == Seq((2L, 3L, 2L)))
+    // Two rounds: the survivors' triangles are gone, so the cascade
+    // empties the graph — the fixpoint a support-once computation misses.
+    assert(KTruss.run(edges, k = 4, maxRounds = 2).count() == 0L)
+    // k=3 (support >= 1): both triangles are intact trusses; direction and
+    // duplicate edges must not matter (canonical simple graph).
+    val noisy = edges.unionAll(Seq((2L, 1L), (3L, 2L)).toDF("src", "dst"))
+    assert(KTruss.run(noisy, k = 3, maxRounds = 3).count() == 5L)
+  }
+
   // ---- tfIdfTopK (t15) ----
 
   test("tfIdfTopK: hand-computed smooth-idf micro-lattice scores") {
