@@ -92,6 +92,12 @@ object ScaleBench {
         val t = g.triangleCount.run()
         val total = t.agg(sum("triangles")).head.getLong(0)
         println(f"SCALE-OK $algo n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "ktruss" | "ktruss-skew" =>
+        // 3-round capped peel: each round is a full degree-oriented
+        // triangle enumeration on the survivors — the probe shows the
+        // per-round cost amortizing as the graph thins.
+        val r = graft.algorithms.KTruss.run(edges, k = 4, maxRounds = 3)
+        println(f"SCALE-OK $algo n=$n m=$m edges=${r.count()} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "kmeans" =>
         // n synthetic 64-dim points (xxhash-derived uniform components in
         // [-0.5, 0.5]), k=64, 3 Lloyd iterations: each round is one
