@@ -717,6 +717,30 @@ object SparkEntry {
         .select(col("bin"), (col("cnt") + col("cnt_b")).as("cnt"))
     }),
 
+    // As-of join (the "last known value" join): every event annotated with
+    // the same user's most recent PURCHASE at-or-before it — probe = all
+    // events, build = purchase events deduped per (user, ts) by max
+    // event_id (max_by on both engines; an as-of match is ill-defined
+    // under build duplicates). Exercises: equal-t inclusion (a purchase
+    // matches itself), no-predecessor NULLs, and the single-pass merge
+    // shape (one Exchange + one in-partition sort, zero row replication —
+    // plan-spec'd). Oracle: DuckDB native ASOF LEFT JOIN on epoch_ns.
+    "q20_asof_join" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
+          col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("purchase_id"),
+          col("w.cents").as("purchase_cents"))
+      graft.operators.AsOfJoin.lastAtOrBefore(
+        ev.select("event_id", "user_id", "ts"), build,
+        keyCol = "user_id", timeCol = "ts",
+        probeCols = Seq("event_id", "user_id", "ts"),
+        buildCols = Seq("purchase_id", "purchase_cents"))
+    }),
+
     // Per-group HLL (p=6): distinct parts per return flag as 3 bounded
     // register tables — the distinct-per-slice profiling query at
     // groups x 64 rows instead of a raw-pair distinct shuffle.
@@ -2262,6 +2286,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
         |SELECT CAST(r.range AS BIGINT) AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
         |FROM range(256) r LEFT JOIN b ON r.range = b.bin""".stripMargin,
+
+    // The as-of join against DuckDB's NATIVE ASOF LEFT JOIN — the one
+    // oracle that is itself a dedicated engine operator, not a SQL
+    // re-derivation. Build dedup winner = max event_id per (user, ts);
+    // arg_max carries its cents.
+    "q20_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+        |b AS (SELECT user_id, epoch_ns(ts) AS t,
+        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  b.purchase_id, b.purchase_cents, b.t AS asof_t
+        |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
 
     // Grouped HLL: q14's register construction with a group key; the
     // group list is derived from the aggregated observations, zero

@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   *
   * Contract: the build side must be unique per (key, t) — with duplicates
   * an as-of match is ill-defined in ANY engine (DuckDB picks an arbitrary
-  * winner); callers dedupe first (see q20: max(event_id) per (user, ts)).
-  * Probe-side duplicates at equal t are fine: preceding probe rows carry
-  * null payloads, which `ignoreNulls` skips, so probe-probe sort ties
-  * cannot affect results.
+  * winner); callers dedupe first (the q20 gate uses `max_by` per
+  * (user, ts)). Probe-side duplicates at equal t are fine: preceding probe
+  * rows carry null payloads, which `ignoreNulls` skips, so probe-probe
+  * sort ties cannot affect results.
+  *
+  * NULL semantics match the SQL engines' (ASOF JOIN is an equi-join plus
+  * an inequality, and NULL fails both): build rows with a NULL key or NULL
+  * time are dropped before the union — ascending sort is nulls-FIRST, so
+  * an unfiltered null-t build row would sort before every probe and leak
+  * its payload into probes with no true predecessor. Probe rows always
+  * pass through; a NULL-key or NULL-t probe gets NULL payload (no build
+  * row survives in the null-key partition, and a null-t probe sorts before
+  * every surviving build row).
   */
 object AsOfJoin {
 
@@ -45,9 +54,13 @@ object AsOfJoin {
       probe: DataFrame, build: DataFrame,
       keyCol: String, timeCol: String,
       probeCols: Seq[String], buildCols: Seq[String]): DataFrame = {
+    val outNames = probeCols ++ buildCols :+ "asof_t"
+    require(outNames.distinct == outNames,
+      s"as-of output columns must be disjoint (probeCols ++ buildCols ++ asof_t), got $outNames")
+    val buildKept = build.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
     val payload = struct(
-      (buildCols.map(c => build(c).as(c)) :+ build(timeCol).as("asof_t")): _*)
-    val b = build.select(
+      (buildCols.map(c => col(c).as(c)) :+ col(timeCol).as("asof_t")): _*)
+    val b = buildKept.select(
       col(keyCol).as("k"), col(timeCol).as("t"), lit(0).as("side"),
       payload.as("bpay"), lit(null).cast("bigint").as("probe_tag"))
     // Probe columns ride in a struct so the union schema is fixed

@@ -125,6 +125,26 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"expected no SortExec:\n$plan")
   }
 
+  test("as-of join: ONE exchange + one in-partition sort, no join node, no replication") {
+    // The whole point of the union-tag formulation (AsOfJoin.scala): the
+    // plan must be scan+scan -> union -> ONE hash exchange on the key ->
+    // ONE in-partition sort -> running-last window — the sort-merge-join
+    // cost shape. Any Join node, second Exchange, or per-probe candidate
+    // replication means the naive O(n*m) formulation snuck back in.
+    import spark.implicits._
+    val probe = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "t")
+    val build = (1L to 200L).map(i => (i % 50, i * 3, s"v$i")).toDF("k", "t", "v")
+    val q = graft.operators.AsOfJoin.lastAtOrBefore(
+      probe, build, "k", "t", Seq("k", "t"), Seq("v"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one Exchange:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) == 1,
+      s"expected exactly one SortExec:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join node:\n$plan")
+    assert(plan.contains("Union"), s"missing union:\n$plan")
+  }
+
   test("declared partitioning+ordering checkpoint: SMJ with no exchange, no sort") {
     // The checkpoint both hash-partitions AND sorts within partitions, and
     // declares both on the LogicalRDD — a sort-merge join on the keys must
