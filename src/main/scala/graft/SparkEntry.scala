@@ -923,6 +923,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // JSONL corpus ingestion with corrupt-record accounting: documents
+    // serialized to JSONL with every 97th line TRUNCATED (cutting the
+    // closing brace + tail — guaranteed-malformed JSON), then read back
+    // under the declared schema in PERMISSIVE mode. Good lines must parse
+    // field-for-field (lang groups, n_chars sum, text length sum prove
+    // lang/int/string survive the round trip); malformed lines must land
+    // in _corrupt_record — counted under lang='__corrupt', never dropped,
+    // never parsed. Oracle replays the classification off the ORIGINAL
+    // parquet (doc_id % 97 picks the corrupted lines).
+    "b03_jsonl_ingest" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val line = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("l")
+      val lines = docs.select(line, col("doc_id").as("__id"))
+        .select(when(col("__id") % 97 === 0,
+          col("l").substr(lit(1), length(col("l")) - 5)).otherwise(col("l"))
+          .as("line"))
+      val path = graft.sources.JsonlTables.writeLines(
+        lines, "b03_docs_jsonl")
+      graft.sources.JsonlTables.readJsonl(s, path, docs.schema)
+        .select(
+          when(col(graft.sources.JsonlTables.CorruptCol).isNotNull,
+            lit("__corrupt")).otherwise(col("lang")).as("lang"),
+          col("n_chars"), length(col("text")).cast(LongType).as("tlen"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum("n_chars"), lit(0L)).as("chars"),
+          coalesce(sum("tlen"), lit(0L)).as("text_chars"))
+    }),
+
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
     "b01_bucketed_degrees" -> ((s, d) => {
@@ -2106,6 +2136,16 @@ object SparkEntry {
 
     "b01_bucketed_degrees" ->
       "SELECT 1000000 + l_partkey AS id, count(*) AS out_degree FROM lineitem GROUP BY 1",
+
+    // JSONL round trip: the classification (every 97th doc truncated ->
+    // corrupt) replayed off the original table; good rows must carry
+    // their parsed fields, corrupt rows only a count.
+    "b03_jsonl_ingest" ->
+      """SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt' ELSE lang END AS lang,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END), 0) AS BIGINT) AS chars,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE length(text) END), 0) AS BIGINT) AS text_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // The partitioned round trip must agree with the ORIGINAL table.
     "b02_partitioned_roundtrip" ->
