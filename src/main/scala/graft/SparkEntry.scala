@@ -582,6 +582,25 @@ object SparkEntry {
       TextFunctions.bigramLmNll(docs, docs, "doc_id", "text")
     }),
 
+    // C4 line-level cleanup + dedup over a SYNTHESIZED multi-line corpus
+    // (the raw docs are single-line): newline every 8 words, then a
+    // terminal '.' appended to lines where (doc_id + line_no) % 3 != 0 —
+    // so BOTH boilerplate rules bite (unpunctuated lines drop, short tail
+    // lines drop) before the corpus-wide keep-first line dedup.
+    "t16_line_dedup" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val ml = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1\n").as("t"))
+      val lines = split(col("t"), "\n")
+      val aug = array_join(
+        zip_with(lines, sequence(lit(0), size(lines) - 1),
+          (l, i) => when((col("doc_id") + i) % 3 =!= 0, concat(l, lit(".")))
+            .otherwise(l)),
+        "\n")
+      TextFunctions.c4LineDedup(ml.select(col("doc_id"), aug.as("text")),
+        "doc_id", "text", minWords = 3, requireTerminalPunct = true)
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc on the integer
     // micro-lattice (smooth idf, fixed float association) — tf from one
     // corpus scan, df off the cached tf table, vocab-sized term join.
@@ -1766,6 +1785,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(tm) AS BIGINT) AS nll_micros,
         |  round((CAST(sum(tm) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6) AS avg_nll6
         |FROM terms GROUP BY 1""".stripMargin,
+
+    // Line synthesis replayed (regexp newline insertion, zipped-unnest
+    // line numbering, conditional '.'), then the C4 rules and the
+    // keep-first as a window (the engine's min(struct) equivalent).
+    "t16_line_dedup" ->
+      """WITH ml AS (SELECT doc_id,
+        |  string_split(regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g'), chr(10)) AS ls
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, unnest(range(len(ls))) AS line_no, unnest(ls) AS line FROM ml),
+        |l AS (SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+        |  CASE WHEN (doc_id + line_no) % 3 <> 0 THEN line || '.' ELSE line END AS line FROM l0),
+        |q AS (SELECT doc_id, line_no, md5(line) AS line_md5 FROM l
+        |  WHERE regexp_matches(line, '[.!?"]$')
+        |    AND len(regexp_extract_all(line, '\S+')) >= 3),
+        |r AS (SELECT doc_id, line_no, line_md5, row_number() OVER
+        |  (PARTITION BY line_md5 ORDER BY doc_id, line_no) AS rn FROM q)
+        |SELECT doc_id, line_no, line_md5 FROM r WHERE rn = 1""".stripMargin,
 
     // TF-IDF replay: identical smooth-idf chain and floor lattice; rank
     // window with the same (score DESC, term ASC) tiebreak.

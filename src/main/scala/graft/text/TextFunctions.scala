@@ -220,6 +220,46 @@ object TextFunctions {
           .as("chunk"))
   }
 
+  /** C4-style line-level cleanup + cross-corpus line dedup (the WITHIN-doc
+    * twin of [[graft.operators.Dedup.firstOccurrenceChunks]]'s span dedup):
+    * split every document on newlines, drop boilerplate lines, and keep
+    * only the FIRST corpus-wide occurrence of each surviving distinct line
+    * — first = lexicographic min of (document id, line number), so the
+    * survivor set is deterministic under any partitioning. The two
+    * boilerplate rules are the C4 paper's line filters (Raffel et al. 2020
+    * §2.2): a line must carry at least `minWords` whitespace tokens, and —
+    * when `requireTerminalPunct` — must end in a terminal punctuation mark
+    * (`.`, `!`, `?`, or a closing quote), which is what strips nav menus,
+    * cookie banners, and footer fragments from web text. Output
+    * `[<idCol>, line_no, line_md5]`, one row per surviving line (0-based
+    * line numbers).
+    *
+    * SHAPE: the split + rules ride the one corpus scan (generate-and-
+    * filter, no shuffle); the keep-first is a single map-side-combining
+    * aggregate keyed on the line hash whose `min(struct)` partial keeps
+    * O(1) state per distinct line — the shuffle carries distinct-line
+    * cardinality, not corpus lines. Identical cost shape to d10's span
+    * dedup, which is what makes it a one-pass stage at 100 TB.
+    */
+  def c4LineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 3, requireTerminalPunct: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    require(minWords >= 0, s"minWords must be >= 0, got $minWords")
+    val punctOk =
+      if (requireTerminalPunct) col("line").rlike("[.!?\"]$") else lit(true)
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("line_no", "line")))
+      .filter(punctOk &&
+        size(regexp_extract_all(col("line"), lit("\\S+"), lit(0))) >= minWords)
+      .select(col(idCol), col("line_no").cast(LongType).as("line_no"),
+        md5(col("line")).as("line_md5"))
+      .groupBy("line_md5")
+      .agg(min(struct(col(idCol), col("line_no"))).as("first"))
+      .select(col(s"first.$idCol").as(idCol),
+        col("first.line_no").as("line_no"), col("line_md5"))
+  }
+
   /** GPT-style sequence packing ("concatenate and chunk"): lay every
     * document's whitespace tokens end to end in `idCol` order and cut the
     * stream every `seqLen` tokens. One output row per (document, training

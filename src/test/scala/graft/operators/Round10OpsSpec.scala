@@ -53,6 +53,30 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got.filter(col("id") === 7).count() == 1)
   }
 
+  test("c4 line dedup: rules drop boilerplate, keep-first is (doc, line) min") {
+    val docs = Seq(
+      (1L, "Good long line one.\nshort.\nno punct line here\nGood long line one."),
+      (0L, "Good long line one.\nAnother fine line!\nquoted line \"ok\""),
+      (2L, "Good long line one.")).toDF("doc_id", "text")
+    val got = graft.text.TextFunctions
+      .c4LineDedup(docs, "doc_id", "text", minWords = 3,
+        requireTerminalPunct = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "short." fails minWords; "no punct line here" fails the punct rule;
+    // "Good long line one." survives ONCE at its smallest (doc, line) =
+    // (0, 0) — doc order, not input order, decides the survivor.
+    assert(got == Set((0L, 0L), (0L, 1L), (0L, 2L)))
+  }
+
+  test("c4 line dedup: punct rule off keeps unpunctuated lines") {
+    val docs = Seq((5L, "alpha beta gamma\ndelta epsilon zeta."))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextFunctions
+      .c4LineDedup(docs, "doc_id", "text", minWords = 3,
+        requireTerminalPunct = false)
+    assert(got.count() == 2)
+  }
+
   test("jsonl: writeLines rejects multi-column frames, readJsonl rejects reserved name") {
     intercept[IllegalArgumentException] {
       JsonlTables.writeLines(Seq((1, "a")).toDF("a", "b"), "bad")
