@@ -775,6 +775,33 @@ object SparkEntry {
           tbl(s, d, "lineitem"), "l_returnflag", "l_partkey", p = 6),
         "l_returnflag", p = 6)),
 
+    // Per-group CMS (4x64): part-frequency grids per return flag — the
+    // frequency-per-slice profiling twin of q17's distinct-per-slice HLL.
+    // groups x depth x width bounded rows; per-slice grids merge by `+`.
+    "q17c_cms_grouped" -> ((s, d) =>
+      graft.operators.Sketches.cmsGroupedRegisters(
+        tbl(s, d, "lineitem"), "l_returnflag", "l_partkey",
+        depth = 4, width = 64)),
+
+    // ... and per-group heavy-hitters through the grid: exact top-5 parts
+    // per flag (deterministic cnt DESC, key tiebreak) probed against
+    // their group's sketch — est_cnt >= cnt by construction, equality
+    // exactness both engines replay.
+    "q17d_cms_grouped_est" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = tbl(s, d, "lineitem").select("l_returnflag", "l_partkey")
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_partkey"))
+      val top = li.groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+      graft.operators.Sketches.cmsGroupedEstimates(
+        graft.operators.Sketches.cmsGroupedRegisters(
+          li, "l_returnflag", "l_partkey", depth = 4, width = 64),
+        top, "l_returnflag", "l_partkey", depth = 4, width = 64)
+    }),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -2419,6 +2446,40 @@ object SparkEntry {
         |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE
         |    * 36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
         |FROM e""".stripMargin,
+
+    // Grouped CMS: q15's salted-row hashing with a group key; zero cells
+    // materialized per observed group.
+    "q17c_cms_grouped" ->
+      """WITH cells AS (SELECT l_returnflag AS grp, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS col
+        |  FROM lineitem CROSS JOIN range(4) r),
+        |agg AS (SELECT grp, row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2, 3),
+        |g AS (SELECT DISTINCT grp FROM agg)
+        |SELECT g.grp AS l_returnflag, CAST(r.range AS BIGINT) AS row,
+        |  CAST(c.range AS BIGINT) AS col, COALESCE(agg.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM g CROSS JOIN range(4) r CROSS JOIN range(64) c
+        |LEFT JOIN agg ON agg.grp = g.grp AND agg.row = r.range AND agg.col = c.range""".stripMargin,
+
+    // Heavy-hitters: per-group exact top-5 (same window tiebreak), each
+    // probed at its 4 cells, min over depth. Probed cells are never zero
+    // (a probe's own count is in them), so the no-zeros agg suffices.
+    "q17d_cms_grouped_est" ->
+      """WITH counts AS (SELECT l_returnflag AS grp, l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT grp, l_partkey, cnt, CAST(row_number() OVER
+        |  (PARTITION BY grp ORDER BY cnt DESC, l_partkey) AS BIGINT) AS rnk FROM counts),
+        |top AS (SELECT * FROM rk WHERE rnk <= 5),
+        |cells AS (SELECT l_returnflag AS grp, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS col
+        |  FROM lineitem CROSS JOIN range(4) r),
+        |agg AS (SELECT grp, row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2, 3),
+        |probe AS (SELECT t.grp, t.l_partkey, t.cnt, t.rnk, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS col
+        |  FROM top t CROSS JOIN range(4) r)
+        |SELECT p.grp AS l_returnflag, p.l_partkey, p.cnt, p.rnk,
+        |  min(agg.cnt) AS est_cnt
+        |FROM probe p JOIN agg ON agg.grp = p.grp AND agg.row = p.row AND agg.col = p.col
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // The WAV chain replayed from the synthesis formula: 16 histogram bins
     // over (sample + 32768) // 4096; since sample = raw - 32768 with

@@ -339,6 +339,67 @@ object Sketches {
     * All join plumbing lives in reserved `__cms_*` columns so the caller's
     * frame passes through untouched — `keys` may not already contain them.
     */
+  /** Per-GROUP count-min grids — the frequency-family twin of
+    * [[hllGroupedRegisters]] (grouped HLL = distinct-per-slice, grouped
+    * CMS = frequency-per-slice): one `depth × width` counter grid per
+    * group, `[<groupCol>, row, col, cnt]` with zero cells materialized per
+    * group. Same portable salted-row hashing as [[cmsRegisters]]; the
+    * group list comes from the AGGREGATED observations (no second corpus
+    * scan). Reduce side is `groups * depth * width` rows at ANY corpus
+    * scale (map-side-combinable groupBy), and two grouped grids (per-day,
+    * per-partition) merge by per-(group, row, col) `+` — the same fold
+    * that licenses per-partition sketching at 100 TB (q19 merge laws).
+    */
+  def cmsGroupedRegisters(df: DataFrame, groupCol: String, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width must be in [16, 2^20], got $width")
+    val spark = df.sparkSession
+    val seen = df
+      .select(col(groupCol).as("__cms_grp"),
+        col(keyCol).cast("string").as("__cms_k"))
+      .select(col("__cms_grp"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__cms_k"))
+      .select(col("__cms_grp"), col("row").cast(LongType).as("row"),
+        pmod(Sampling.keyHash60(
+          concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
+          lit(width.toLong)).as("col"))
+      .groupBy("__cms_grp", "row", "col").agg(count(lit(1)).as("cnt"))
+    seen.select("__cms_grp").distinct()
+      .crossJoin(spark.range(depth).select(col("id").as("row")))
+      .crossJoin(spark.range(width).select(col("id").as("col")))
+      .join(seen, Seq("__cms_grp", "row", "col"), "left")
+      .select(col("__cms_grp").as(groupCol), col("row"), col("col"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Point estimates off a [[cmsGroupedRegisters]] grid for probe rows
+    * carrying `(groupCol, keyCol)`: `min` over the key's `depth` cells
+    * WITHIN its group's grid. All probe columns pass through plus
+    * `est_cnt`. The grid is `groups * depth * width` rows — broadcast —
+    * so probing is one scan of the probe set, no probe shuffle.
+    */
+  def cmsGroupedEstimates(registers: DataFrame, keys: DataFrame,
+      groupCol: String, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val reserved = Seq("__cms_row", "__cms_col", "__cms_cnt")
+    require(!keys.columns.exists(reserved.contains),
+      s"cmsGroupedEstimates reserves columns ${reserved.mkString(", ")}")
+    val hashed = keys
+      .where(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .withColumn("__cms_row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_row", col("__cms_row").cast(LongType))
+      .withColumn("__cms_col", pmod(Sampling.keyHash60(
+        concat(col("__cms_row").cast("string"), lit(":"),
+          col(keyCol).cast("string"))),
+        lit(width.toLong)))
+    val regs = registers.select(col(groupCol), col("row").as("__cms_row"),
+      col("col").as("__cms_col"), col("cnt").as("__cms_cnt"))
+    hashed.join(broadcast(regs), Seq(groupCol, "__cms_row", "__cms_col"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min("__cms_cnt").as("est_cnt"))
+  }
+
   def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     val reserved = Seq("__cms_row", "__cms_col", "__cms_cnt")

@@ -77,6 +77,27 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got.count() == 2)
   }
 
+  test("grouped cms: half-grids merge by + into the full grid; est >= truth") {
+    val df = spark.range(2000)
+      .selectExpr("CAST(id % 3 AS STRING) AS g", "id % 47 AS k", "id")
+    val full = Sketches.cmsGroupedRegisters(df, "g", "k", depth = 4, width = 32)
+    val a = Sketches.cmsGroupedRegisters(
+      df.filter(col("id") % 2 === 0), "g", "k", depth = 4, width = 32)
+    val b = Sketches.cmsGroupedRegisters(
+      df.filter(col("id") % 2 === 1), "g", "k", depth = 4, width = 32)
+    val merged = a.withColumnRenamed("cnt", "ca")
+      .join(b.withColumnRenamed("cnt", "cb"), Seq("g", "row", "col"))
+      .select(col("g"), col("row"), col("col"), (col("ca") + col("cb")).as("cnt"))
+    assert(merged.count() == 3 * 4 * 32)
+    assert(merged.join(full.withColumnRenamed("cnt", "cf"), Seq("g", "row", "col"))
+      .filter(col("cnt") =!= col("cf")).count() == 0)
+    // Point estimates dominate true counts (the CMS guarantee).
+    val truth = df.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+    val est = Sketches.cmsGroupedEstimates(full, truth, "g", "k",
+      depth = 4, width = 32)
+    assert(est.filter(col("est_cnt") < col("cnt")).count() == 0)
+  }
+
   test("jsonl: writeLines rejects multi-column frames, readJsonl rejects reserved name") {
     intercept[IllegalArgumentException] {
       JsonlTables.writeLines(Seq((1, "a")).toDF("a", "b"), "bad")
