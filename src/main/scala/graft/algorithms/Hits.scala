@@ -75,7 +75,11 @@ class Hits(graph: GraphFrame) {
         .join(hub.withColumnRenamed(ID, "__h_id"), col(ID) === col("__h_id"), "left")
         .select(col(ID), col("auth"), guarded("__new_hub", "__nh_cnt", "hub").as("hub"))
       i += 1
-      if (i % 3 == 0 && i < iters) state = state.localCheckpoint(false)
+      // NoStats: per-iteration truncation must not inherit the compounding
+      // size estimate (checkpointing.localCheckpointNoStats).
+      if (i % 3 == 0 && i < iters)
+        state = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointNoStats(state, eager = false)
     }
     if (!normalize) state
     else {

@@ -325,8 +325,13 @@ class MaximalIndependentSet(graph: GraphFrame) {
       // `isolated` ∪ `joinedMis` is duplicate-free by construction (each
       // side dedup'd at its source; isolated vertices have no edges while
       // joined ones do, so the sides are disjoint).
-      val removed = neighborsOfMis.union(joinedMis).localCheckpoint(false)
-      val newMembers = isolated.union(joinedMis).localCheckpoint(false)
+      // NoStats: these truncate per ROUND — a plain localCheckpoint's
+      // inherited size estimate compounds geometrically across rounds
+      // (checkpointing.localCheckpointNoStats).
+      val removed = org.apache.spark.sql.graft.checkpointing
+        .localCheckpointNoStats(neighborsOfMis.union(joinedMis), eager = false)
+      val newMembers = org.apache.spark.sql.graft.checkpointing
+        .localCheckpointNoStats(isolated.union(joinedMis), eager = false)
       memberParts :+= newMembers
 
       val removedKeys = removed.select(col(ID).as("__mis_rem_v"))

@@ -171,12 +171,20 @@ class Pregel(graph: GraphFrame) extends Serializable {
     // before), so the state⋈edges and message-delivery joins plan with no
     // state-side exchange — a plain localCheckpoint under AQE reports
     // unknown partitioning and forfeits this (graft.tools.PlanProbe).
+    // Every flavor must RESET the leaf's estimated stats: plain
+    // localCheckpoint / checkpoint copy the optimizer's sizeInBytes
+    // estimate onto the new leaf, and in an iterative loop that estimate
+    // is a product over the previous leaf's — the bit-length compounds
+    // geometrically per iteration until stats estimation (BigInteger
+    // products) dominates planning (checkpointing.localCheckpointNoStats).
+    // localCheckpointHashPartitioned already builds its LogicalRDD fresh.
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (resolvedReliableDir.isDefined) df.checkpoint(eager)
+      if (resolvedReliableDir.isDefined)
+        org.apache.spark.sql.graft.checkpointing.dropLeafStats(df.checkpoint(eager))
       else if (coPartitionState)
         org.apache.spark.sql.graft.checkpointing.localCheckpointHashPartitioned(
           df.repartition(shufflePartitions, col(ID)), Seq(ID), shufflePartitions, eager)
-      else df.localCheckpoint(eager)
+      else org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(df, eager)
 
     // ---- init state: vertex columns applied sequentially (later init
     // expressions may reference earlier ones), then voting + participation.

@@ -83,6 +83,59 @@ object checkpointing {
     ClassicDataset.ofRows(spark, logical)
   }
 
+  /** Lineage-truncating local checkpoint that RESETS the leaf's estimated
+    * statistics instead of propagating them.
+    *
+    * `Dataset.localCheckpoint` copies the optimizer's ESTIMATED
+    * `sizeInBytes` onto the new `LogicalRDD` leaf. In an iterative
+    * algorithm each round's estimate is a product over the previous
+    * round's leaf sizes (every join MULTIPLIES the sides' estimates), so
+    * the estimate's bit-length compounds geometrically round over round —
+    * one self-join per round doubles it (measured: 20 -> 38,880 bits in 12
+    * rounds, graft.tools.StatsProbe), and a 30-round peel leaves Catalyst
+    * multiplying million-bit BigIntegers inside stats estimation: planning
+    * hangs while the cluster idles. Capped loops mask it; deep fixpoint
+    * loops die of it.
+    *
+    * This helper materializes the frame exactly like `localCheckpoint`
+    * (execute + row copy + localCheckpoint + eager count) but constructs
+    * the `LogicalRDD` WITHOUT the inherited stats, so every round restarts
+    * from `defaultSizeInBytes` — constant-size planning forever. Use it
+    * for EVERY per-round checkpoint in an unbounded or deep loop. The cost
+    * is that Catalyst can no longer auto-broadcast off these leaves'
+    * (garbage anyway) estimates — loops that want a broadcast say so
+    * explicitly with `broadcast()`.
+    */
+  def localCheckpointNoStats(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    if (eager) rdd.count()
+    val logical = LogicalRDD(qe.analyzed.output, rdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, isStreaming = false)(spark)
+    ClassicDataset.ofRows(spark, logical)
+  }
+
+  /** Rebuild an already-checkpointed frame's `LogicalRDD` WITHOUT its
+    * inherited estimated stats, preserving the rdd, declared partitioning,
+    * and ordering. For checkpoint flavors this module doesn't construct
+    * itself — `Dataset.checkpoint(reliable)` in Pregel's reliable-dir mode
+    * — which propagate estimates exactly like `localCheckpoint` (see
+    * [[localCheckpointNoStats]]). No-op on non-LogicalRDD plans.
+    */
+  def dropLeafStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        ClassicDataset.ofRows(ds.sparkSession,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming)(ds.sparkSession))
+      case _ => df
+    }
+  }
+
   /** Release the executor storage behind a checkpointed frame NOW.
     *
     * `Dataset.unpersist` only touches CacheManager entries; the blocks

@@ -98,6 +98,25 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(est.filter(col("est_cnt") < col("cnt")).count() == 0)
   }
 
+  test("ktruss: incremental == re-enumeration on a random graph (capped + fixpoint)") {
+    // 600-edge random multigraph-ish edge list (dupes + canonical flips
+    // exercised by construction). The incremental arm must match the
+    // from-scratch recount at EVERY cap depth, including deep fixpoint —
+    // the invariant that licenses frontier-only decrements.
+    val edges = spark.range(600).selectExpr(
+      "CAST(xxhash64(id, 11) % 60 AS BIGINT) % 60 AS src",
+      "CAST(xxhash64(id, 13) % 60 AS BIGINT) % 60 AS dst")
+      .selectExpr("abs(src) AS src", "abs(dst) AS dst")
+      .localCheckpoint(true)
+    for (cap <- Seq(1, 2, 50); k <- Seq(3, 4, 5)) {
+      val inc = graft.algorithms.KTruss.run(edges, k, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val re = graft.algorithms.KTruss.runReenumerate(edges, k, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc == re, s"arms diverge at k=$k cap=$cap")
+    }
+  }
+
   test("jsonl: writeLines rejects multi-column frames, readJsonl rejects reserved name") {
     intercept[IllegalArgumentException] {
       JsonlTables.writeLines(Seq((1, "a")).toDF("a", "b"), "bad")
