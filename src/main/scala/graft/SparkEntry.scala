@@ -760,6 +760,23 @@ object SparkEntry {
         buildCols = Seq("purchase_id", "purchase_cents"))
     }),
 
+    // Bloom-pruned semi join (the runtime-filter pattern): the urgent-order
+    // key set builds ONE packed-bitset row (map-side OR-combined), a codegen
+    // bloom probe prunes the lineitem scan BEFORE any shuffle, and a
+    // left-semi against the distinct keys removes the false positives —
+    // the result is exact for ANY bitset contents, which is precisely what
+    // the hash gate checks.
+    "q21_bloom_semijoin" -> ((s, d) => {
+      val urgent = tbl(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      graft.operators.RuntimeFilter.bloomSemiJoin(
+          tbl(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+          mBits = 1 << 16, kHashes = 3)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
     // Per-group HLL (p=6): distinct parts per return flag as 3 bounded
     // register tables — the distinct-per-slice profiling query at
     // groups x 64 rows instead of a raw-pair distinct shuffle.
@@ -2403,6 +2420,15 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // The bloom is invisible to semantics: the oracle is the plain
+    // IN-subquery semi join the operator must equal bit-for-bit.
+    "q21_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
 
     // Grouped HLL: q14's register construction with a group key; the
     // group list is derived from the aggregated observations, zero

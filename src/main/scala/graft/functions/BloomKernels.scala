@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.compat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PACKED Bloom-filter kernels for runtime semi-join pruning — the "build a
+  * tiny filter from the dimension keys, drop fact rows map-side before any
+  * shuffle" pattern Spark itself applies in `InjectRuntimeFilter`, exposed
+  * here as an explicit, oracle-checkable operator
+  * ([[graft.operators.RuntimeFilter]]).
+  *
+  * Two pieces:
+  *   - [[BloomWordsAgg]]: aggregates bit POSITIONS into a packed `long[]`
+  *     bitset (`mBits/64` words). State is fixed-size, partials OR together
+  *     on the map side, so building the filter over a billion-key dimension
+  *     shuffles `partitions x mBits/64` words — never the keys.
+  *   - [[BloomContains]]: a native codegen predicate testing all `kHashes`
+  *     probe positions of a key against a driver-collected bitset. The
+  *     bitset rides into codegen as a referenced object (exactly how
+  *     Spark's own bloom runtime filter ships its subquery result), so the
+  *     probe is a handful of md5+mask ops inside WholeStageCodegen, sitting
+  *     directly above the fact scan.
+  *
+  * Probe-position contract (shared with the declarative build side and any
+  * SQL oracle): `pos(salt, key) = portable_hash60(salt || ':' || key) mod
+  * mBits` with `key` in its engine-portable string form — the same
+  * `('0x' || substr(md5(s),1,15))::BIGINT` hash family as every other
+  * portable kernel in this package.
+  */
+object BloomKernels {
+
+  /** `bloom_words(pos, mBits)` — OR bit positions into a packed bitset. */
+  def bloom_words(pos: Column, mBits: Int): Column =
+    compat.column(BloomWordsAgg(compat.expression(pos), mBits).toAggregateExpression())
+
+  /** Predicate: all `kHashes` positions of `key` (string form) are set. */
+  def bloom_contains(key: Column, words: Array[Long], mBits: Int, kHashes: Int): Column =
+    compat.column(BloomContains(compat.expression(key), words, mBits, kHashes))
+
+  /** JVM twin of the declarative probe-position formula. */
+  def position(salt: Int, key: UTF8String, mBits: Int): Int = {
+    val h = PortableHashes.portableHash60(salt.toString + ":" + key.toString)
+    java.lang.Math.floorMod(h, mBits.toLong).toInt
+  }
+
+  def containsKernel(words: Array[Long], key: UTF8String, mBits: Int, kHashes: Int): Boolean = {
+    var salt = 0
+    while (salt < kHashes) {
+      val pos = position(salt, key, mBits)
+      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      salt += 1
+    }
+    true
+  }
+}
+
+/** See [[BloomKernels.bloom_words]]. */
+case class BloomWordsAgg(
+    pos: Expression, mBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(mBits >= 64 && mBits <= (1 << 28) && mBits % 64 == 0,
+    s"bloom mBits must be a multiple of 64 in [64, 2^28], got $mBits")
+
+  override def prettyName: String = "bloom_words"
+  override def children: Seq[Expression] = Seq(pos)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = pos.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_words expects an integral position, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = pos.eval(input)
+    if (v != null) {
+      val p = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      require(p >= 0 && p < mBits, s"bloom position out of range: $p (mBits=$mBits)")
+      buffer((p >>> 6).toInt) |= 1L << (p & 63)
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) |= other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomWordsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomWordsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomWordsAgg =
+    copy(pos = newChildren(0))
+}
+
+/** See [[BloomKernels.bloom_contains]]. */
+case class BloomContains(child: Expression, words: Array[Long], mBits: Int, kHashes: Int)
+    extends UnaryExpression {
+  require(words.length * 64 == mBits,
+    s"bitset word count ${words.length} does not match mBits=$mBits")
+  require(kHashes >= 1 && kHashes <= 16, s"bloom kHashes out of range: $kHashes")
+
+  override def prettyName: String = "bloom_contains"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains expects the key in string form, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomKernels.containsKernel(words, input.asInstanceOf[UTF8String], mBits, kHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BloomKernels.containsKernel($wordsRef, $c, $mBits, $kHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+
+  // words is a plain array — exclude it from case-class equality semantics
+  // by comparing identity (two filters with different bitsets must not be
+  // deduplicated by plan canonicalization).
+  override def equals(other: Any): Boolean = other match {
+    case BloomContains(c, w, m, k) =>
+      (c == child) && (w eq words) && m == mBits && k == kHashes
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(System.identityHashCode(words)),
+      Integer.valueOf(mBits), Integer.valueOf(kHashes))
+}

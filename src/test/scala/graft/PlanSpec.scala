@@ -271,4 +271,21 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     // codegen'd stages render as "*(n)" in the executed-plan string
     assert(plan.contains("*(1)"), s"assignment fell out of codegen:\n$plan")
   }
+
+  test("bloom prune: codegen filter on the scan — no join, no exchange") {
+    // The probe must be a predicate directly above the fact scan, inside
+    // whole-stage codegen — a 16 MB bitset riding as a codegen reference,
+    // never a join node. The EXACT join comes later and only sees
+    // survivors; the prune stage itself must be shuffle-free.
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+    val words = graft.operators.RuntimeFilter.bloomBitsetWords(
+      spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 1 << 16, 3)
+    val pruned = graft.operators.RuntimeFilter.bloomPrune(
+      fact, "l_orderkey", words, 1 << 16, 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"prune stage shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"prune stage joins:\n$plan")
+    assert(plan.contains("bloom_contains"), s"probe predicate missing:\n$plan")
+    assert(plan.contains("*(1)"), s"probe fell out of codegen:\n$plan")
+  }
 }

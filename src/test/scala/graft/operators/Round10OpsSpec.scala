@@ -126,4 +126,30 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
         StructField(JsonlTables.CorruptCol, StringType))))
     }
   }
+
+  test("bloom: zero false negatives, FP rate in the analytic ballpark") {
+    val dim = spark.range(0, 2000).toDF("k")
+    val words = RuntimeFilter.bloomBitsetWords(dim, "k", mBits = 1 << 16, kHashes = 3)
+    // Every inserted key must probe true.
+    val members = RuntimeFilter.bloomPrune(dim, "k", words, 1 << 16, 3).count()
+    assert(members == 2000L, s"false negatives: $members of 2000 inserted keys probe true")
+    // Non-members: (1 - e^(-kn/m))^k ~= 0.07% at n=2000, m=65536, k=3.
+    // 20k disjoint probes -> expect ~15 FPs; 20x headroom on the bound.
+    val nonMembers = spark.range(1000000, 1020000).toDF("k")
+    val fps = RuntimeFilter.bloomPrune(nonMembers, "k", words, 1 << 16, 3).count()
+    assert(fps < 300, s"FP rate off the charts: $fps of 20000 non-member probes hit")
+  }
+
+  test("bloom semi join == plain left-semi, including empty-dimension edge") {
+    val fact = spark.range(0, 5000).selectExpr("id AS fk", "id % 7 AS tag")
+    val dim = spark.range(0, 5000).selectExpr("id * 3 AS dk").filter("dk % 2 = 1")
+    val got = RuntimeFilter.bloomSemiJoin(fact, "fk", dim, "dk", 1 << 16, 3)
+      .collect().map(_.getLong(0)).toSet
+    val want = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    val empty = RuntimeFilter.bloomSemiJoin(
+      fact, "fk", dim.filter("dk < 0"), "dk", 1 << 16, 3)
+    assert(empty.count() == 0)
+  }
 }
