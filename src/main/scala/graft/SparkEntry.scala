@@ -512,6 +512,12 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Positional phrase search: inverted-index intersection pruned to the
+    // phrase's terms at the scan; counts ALL start positions per doc.
+    "s08_phrase_match" -> ((s, d) =>
+      graft.operators.Retrieval.phraseMatch(
+        tbl(s, d, "documents"), "doc_id", "text", Seq("big", "query"))),
+
     // INT8-quantized cosine top-k: 1 byte/dim storage, integer dot
     // scoring (exact in the double domain), scale cancels out of cosine.
     "s06_int8_topk" -> ((s, d) => {
@@ -1663,6 +1669,17 @@ object SparkEntry {
 
     // MaxSim replay: per-(query, label) max of the rounded cosines, then
     // the per-query top-3 window with the (max DESC, label ASC) tiebreak.
+    // Phrase occurrences = start positions i with tk[i]='big', tk[i+1]=
+    // 'query' over the same [a-z0-9]+ tokenization; 1-based list indexing,
+    // range end exclusive, so starts run 1..len-1.
+    "s08_phrase_match" ->
+      """SELECT doc_id, n_matches FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(tk)),
+        |      i -> tk[i] = 'big' AND tk[i+1] = 'query')) AS BIGINT) AS n_matches
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |        FROM documents))
+        |WHERE n_matches >= 1""".stripMargin,
+
     "s07_maxsim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

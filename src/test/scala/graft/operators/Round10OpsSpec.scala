@@ -127,6 +127,26 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("phrase match: consecutive tokens only, overlapping starts counted") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // 1 match of "quick brown"
+      (2L, "quick, BROWN! quick brown"),    // 2 (case/punct-normalized)
+      (3L, "brown quick"),                  // reversed: 0
+      (4L, "quick x brown"),                // gap: 0
+      (5L, "")).toDF("doc_id", "text")
+    val got = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+    // Repeated-word phrase: "table table table" has starts at 0 AND 1.
+    val rep = Seq((9L, "table table table")).toDF("doc_id", "text")
+    val overlap = Retrieval.phraseMatch(rep, "doc_id", "text", Seq("table", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(overlap == Map(9L -> 2L))
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatch(docs, "doc_id", "text", Seq("Not Normalized"))
+    }
+  }
+
   test("bloom: zero false negatives, FP rate in the analytic ballpark") {
     val dim = spark.range(0, 2000).toDF("k")
     val words = RuntimeFilter.bloomBitsetWords(dim, "k", mBits = 1 << 16, kHashes = 3)
