@@ -1022,6 +1022,35 @@ object SparkEntry {
           coalesce(sum("tlen"), lit(0L)).as("text_chars"))
     }),
 
+    // Z-order clustered layout: lineitem rewritten as 8 files range-
+    // partitioned AND sorted by the Morton interleave of the scaled
+    // (l_partkey, l_suppkey) pair. The gate re-derives the z-value from
+    // the READ-BACK files and aggregates per coarse z-cell — content
+    // loss, mis-scaling, or any interleave drift breaks the hash. The
+    // clustering-quality property (tight per-file natural-column spans)
+    // needs file identity, so it is pinned in the sources spec instead.
+    "b04_zorder_roundtrip" -> ((s, d) => {
+      import graft.sources.ZOrderedTables
+      val li = tbl(s, d, "lineitem")
+      val mm = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (mnp, mxp, mns, mxs) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val path = ZOrderedTables.writeZOrdered(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice"),
+        "b04_zorder_lineitem",
+        Seq(("l_partkey", mnp, mxp), ("l_suppkey", mns, mxs)),
+        bits = 8, numFiles = 8)
+      val z = ZOrderedTables.zValue(Seq(
+        ZOrderedTables.scale(col("l_partkey"), mnp, mxp, 8),
+        ZOrderedTables.scale(col("l_suppkey"), mns, mxs, 8)), 8)
+      ZOrderedTables.readZOrdered(s, path)
+        .groupBy(shiftright(z, 10).as("zcell"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
     // Bucketed sink -> source round trip: degrees computed from the
     // RELOADED graph, whose scan carries the bucket layout (no exchange).
     "b01_bucketed_degrees" -> ((s, d) => {
@@ -2243,6 +2272,20 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END), 0) AS BIGINT) AS chars,
         |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE length(text) END), 0) AS BIGINT) AS text_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Generated from the SAME per-bit interleave formula as the plan
+    // (ZOrderedTables.zValueSql) — the z-cell aggregate over the original
+    // table; the Spark side computes it over the read-back layout.
+    "b04_zorder_roundtrip" -> {
+      val z = graft.sources.ZOrderedTables.zValueSql(
+        Seq(("l_partkey", "mm.mnp", "mm.mxp"),
+          ("l_suppkey", "mm.mns", "mm.mxs")), 8)
+      s"""WITH mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         |  min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem)
+         |SELECT ($z) >> 10 AS zcell, count(*) AS cnt,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM lineitem, mm GROUP BY 1""".stripMargin
+    },
 
     // The partitioned round trip must agree with the ORIGINAL table.
     "b02_partitioned_roundtrip" ->
