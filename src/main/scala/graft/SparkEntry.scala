@@ -97,6 +97,27 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  /** The g20 oracle's unrolled walk CTEs: step `t` re-derives the frontier
+    * from `s{t-1}` with the identical portable-hash argmin draw the plan
+    * computes (`row_number = 1` over `(hash, dst)` == `min(struct(h, d))`).
+    */
+  private def walkOracleCtes(len: Int): String = {
+    val stepCtes = (1 to len).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT walk_id, dst AS cur FROM (
+         |  SELECT s.walk_id, e.dst, row_number() OVER (PARTITION BY s.walk_id
+         |    ORDER BY ('0x' || substr(md5(CAST(s.walk_id AS VARCHAR) || ':$t:' ||
+         |      CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT, e.dst) AS rn
+         |  FROM s${t - 1} s JOIN e ON e.src = s.cur) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT o_custkey AS src, 4000000 + o_orderkey AS dst FROM orders
+       |  UNION ALL
+       |  SELECT 4000000 + l_orderkey, 1000000 + l_partkey FROM lineitem),
+       |s0 AS (SELECT c_custkey AS walk_id, c_custkey AS cur FROM customer
+       |       WHERE c_custkey % 100 = 0),
+       |$stepCtes""".stripMargin
+  }
+
   /** The same parquet table as an unbounded stream (explicit schema from a
     * batch read — the file source does not infer). The declared schema must
     * be the RAW file schema (the stream source reads the files directly), so
@@ -438,6 +459,18 @@ object SparkEntry {
         .select(col("ck").as("src"), (col("rk") + 3500000L).as("dst"))
       graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
     }),
+
+    // Deterministic hash-guided random walks over the customer->order->part
+    // DAG: 4 steps from every 100th customer. Customers' walks end at part
+    // sinks after 2 hops — the gate exercises BOTH the per-step argmin draw
+    // and sink termination. Each step is replayed move-for-move in the
+    // DuckDB oracle from the same portable-hash draw.
+    "g20_walks" -> ((s, d) =>
+      graft.algorithms.RandomWalks.run(
+        custOrderPartEdges(s, d),
+        tbl(s, d, "customer").filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey")),
+        "c_custkey", len = 4)),
 
     "g12_labelprop" -> ((s, d) =>
       GraphFrame.fromEdges(custNationRegionEdges(s, d))
@@ -1573,6 +1606,18 @@ object SparkEntry {
     // neighbors via the adjacency self-join, peel below k-2, recompute on
     // the survivors; output the round-2 survivors with round-2 support.
     // MATERIALIZED: e/a CTEs are each read twice downstream.
+    // Walks replayed step-for-step; the union enumerates step 0 (starts)
+    // plus each survived frontier.
+    "g20_walks" -> {
+      val stepSelects = (1 to 4).map(t =>
+        s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS vertex FROM s$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${walkOracleCtes(4)}
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM s0
+         |UNION ALL
+         |$stepSelects""".stripMargin
+    },
+
     "g19_ktruss" ->
       """WITH ed AS MATERIALIZED (
         |  SELECT CAST(n_nationkey AS BIGINT) + 3000000 AS s, CAST(n_regionkey AS BIGINT) + 3500000 AS d FROM nation

@@ -1,0 +1,45 @@
+package graft.algorithms
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.functions.PortableHashes
+
+class RandomWalksSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  test("walks follow the portable-hash argmin and stop at sinks") {
+    // 1 -> {2, 3}; 2 -> {4}; 3 -> {5}; 4, 5 sinks. Walk from 1: the step-1
+    // draw picks argmin over hash("1:1:2") vs hash("1:1:3"); step 2 is
+    // forced; step 3 hits a sink and the walk ends at length 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 5L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("v")
+    val got = RandomWalks.run(edges, starts, "v", len = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val step1 = Seq(2L, 3L)
+      .minBy(u => (PortableHashes.portableHash60(s"1:1:$u"), u))
+    val step2 = if (step1 == 2L) 4L else 5L
+    assert(got == Map(0L -> 1L, 1L -> step1, 2L -> step2),
+      s"walk diverged from the reference draw: $got")
+  }
+
+  test("duplicate edges don't bias the draw; reruns are identical") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 2L, 3L).toDF("v")
+    val a = RandomWalks.run(edges, starts, "v", len = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = RandomWalks.run(edges, starts, "v", len = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // Every walk on this sink-free graph runs the full length.
+    assert(a.size == 3 * 4)
+    // Different walks at the same vertex may draw different next hops:
+    // the draw keys on walk_id, so walk 2 and walk 3 (both at vertex 1
+    // after step 1) are independent draws — just assert structure holds.
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2) == Set(0L, 1L, 2L, 3L))
+    }
+  }
+}
