@@ -1340,6 +1340,15 @@ object SparkEntry {
         "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 3)
     }),
 
+    // SemDeDup: k-means cells (k01's deterministic init, nIter=0) bound
+    // the quadratic term; within each cell the greedy keep-lowest-id rule
+    // drops any vector with a lower-id cell-mate at rounded cosine >= 0.45
+    // (the d05 threshold, so the gate provably removes rows on this corpus:
+    // near-dup pairs cluster into the same cell).
+    "d13_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, threshold = 0.45)),
+
     "s04_bm25_topk" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Retrieval.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
@@ -2713,6 +2722,27 @@ object SparkEntry {
         |  FROM probes JOIN bits USING (pos) GROUP BY 1, 2)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS flagged_ngrams
         |FROM hits WHERE c = 3 GROUP BY 1""".stripMargin,
+
+    // k01's nIter=0 assignment chain (c0 -> dd -> argmin), then the
+    // within-cell greedy removal as one EXISTS-style pair join.
+    "d13_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c0 c),
+        |a AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |  FROM e JOIN a USING (vec_id)),
+        |rm AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b ON a.cell = b.cell
+        |  AND a.vec_id < b.vec_id
+        |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45)
+        |SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
+        |  (rm.vec_id IS NULL) AS keep
+        |FROM n LEFT JOIN rm ON n.vec_id = rm.vec_id""".stripMargin,
 
     // Batch replay of the attribution join: identical equi + time-range
     // predicate, gap in whole seconds.

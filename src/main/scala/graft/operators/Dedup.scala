@@ -489,4 +489,42 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("flagged_ngrams"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
+    * embedding space, then de-duplicate ONLY within clusters — the
+    * clustering bounds the quadratic term, turning the O(n^2) semantic
+    * pair problem into `sum_c O(n_c^2)` with `n_c ≈ n/k`. At 100 TB the
+    * operating point is `k ≈ n / 10^4`: cells of ~10k vectors make the
+    * within-cell comparison a per-cell-local O(10^8)-dot-product task
+    * after ONE shuffle on the cell id, and cells are embarrassingly
+    * parallel. (The gate's k=8 over 500 vectors is the same plan at toy
+    * scale.)
+    *
+    * Assignment reuses [[KMeans.fitAssign]] (deterministic init, `nIter`
+    * Lloyd rounds — `nIter = 0` assigns to the initial centroids, the
+    * oracle-friendly default). Removal is the greedy keep-lowest-id rule:
+    * a vector is dropped iff a LOWER-id vector in its cell has rounded
+    * cosine ≥ `threshold` — per-pair, not transitive, so the rule is
+    * order-free and replayable in plain SQL.
+    *
+    * Output: `[<idCol>, cell, keep]` for every vector.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, nIter: Int = 0): DataFrame = CacheScope.scoped { scope =>
+    import graft.functions.ArrayDot.array_dot
+    val asg = KMeans.fitAssign(embeddings, idCol, vecCol, k, nIter)
+      .select(col(idCol).as("id"), col("cell").cast(LongType).as("cell"))
+    val e = scope.cache(
+      embeddings.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
+        .join(asg, "id"))
+    val removed = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          round(array_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+            >= threshold)
+      .select(col("b.id").as("rid")).distinct()
+    e.join(removed, col("id") === col("rid"), "left")
+      .select(col("id").as(idCol), col("cell"), col("rid").isNull.as("keep"))
+  }
 }

@@ -127,6 +127,28 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("semantic dedup: planted near-dups drop, keep-lowest-id, cells bound pairs") {
+    // 4 well-separated axis directions, 5 copies each (tiny jitter on a
+    // second axis keeps vectors distinct while cosine stays ~1). Every
+    // group must collapse to its lowest id; distinct directions survive.
+    // Copy-major ids (id = copy*10 + group) so the k lowest ids — the
+    // deterministic centroid init — are the 4 DISTINCT directions; every
+    // vector then assigns to its own group's cell.
+    val dim = 8
+    val vecs = for (g <- 0 until 4; c <- 0 until 5) yield {
+      val v = Array.fill(dim)(0.0)
+      v(g) = 1.0
+      v((g + 4) % dim) = 0.01 * c
+      (c * 10L + g, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", k = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out.size == 20)
+    val kept = out.filter(_._2).keys.toSet
+    assert(kept == Set(0L, 1L, 2L, 3L), s"wrong survivors: $kept")
+  }
+
   test("phrase match: consecutive tokens only, overlapping starts counted") {
     val docs = Seq(
       (1L, "the quick brown fox"),          // 1 match of "quick brown"
