@@ -1126,6 +1126,16 @@ object SparkEntry {
         "st10_sink", "append")
     }),
 
+    // Streaming per-category token-budget admission: one long of state per
+    // lang; the prefix rule makes the admitted set a pure function of the
+    // document set, replayed as a cumulative-sum window in the oracle.
+    "st11_stream_budget" -> ((s, d) =>
+      drainStream(
+        graft.streaming.Streams.streamingTokenBudget(
+          streamTbl(s, d, "documents"), "doc_id", "lang", "text",
+          budget = 2000L).toDF(),
+        "st11_sink", "append")),
+
     // Sliding 1h/30min windows over events. value is pre-scaled to integer
     // hundredths (`cents` discipline) so the windowed sum is exact; window
     // bounds compare as epoch seconds (engine-neutral, tz-free). APPEND
@@ -2378,6 +2388,17 @@ object SparkEntry {
         |  string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, '' ORDER BY y, x) AS phash
         |  FROM px JOIN s USING (media_id) GROUP BY px.media_id)
         |SELECT DISTINCT phash FROM b""".stripMargin,
+
+    // The prefix rule as a window: admit docs while the per-lang running
+    // token total (ordered by doc_id) stays within budget.
+    "st11_stream_budget" ->
+      """SELECT doc_id, cat, toks, cum FROM (
+        |  SELECT doc_id, lang AS cat,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS toks,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |WHERE cum <= 2000""".stripMargin,
 
     // Batch replay of successor-closed sessionization: q09's gap/session
     // numbering, grouped to sessions, with each user's LAST session

@@ -229,4 +229,50 @@ object Streams {
     graft.operators.Sketches
       .histObservations(stream, valueCol, lo, binWidth, binCount)
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  case class BudgetAcc(cum: Long)
+  case class BudgetOut(doc_id: Long, cat: String, toks: Long, cum: Long)
+
+  /** Streaming per-category token-budget admission: documents are admitted
+    * in id order while the category's RUNNING token total (over every doc
+    * seen, admitted or not — the prefix rule) stays within `budget`; once
+    * the running total crosses the budget the category is closed forever.
+    * The prefix rule is what makes the admission a pure function of the
+    * document set: the admitted set is exactly `{doc : cumsum(toks) over
+    * (PARTITION BY cat ORDER BY id) <= budget}`, the SQL window the st11
+    * oracle replays — no dependence on which rejected doc arrived when.
+    *
+    * State per category is ONE long (the running total) under
+    * `flatMapGroupsWithState`; no watermark, no eviction — category
+    * cardinality bounds state, not stream length. Within a batch the
+    * group's rows are sorted by id before folding (group iterators carry
+    * no order); across batches the id-ordered contract holds under any
+    * drain delivering batches in id order (AvailableNow over one source
+    * file = one batch, the gate's drain).
+    *
+    * Output per admitted doc: `[doc_id, cat, toks, cum]`.
+    */
+  def streamingTokenBudget(stream: DataFrame, idCol: String, catCol: String,
+      textCol: String, budget: Long): org.apache.spark.sql.Dataset[BudgetOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(idCol).cast("long").as("_id"),
+        col(catCol).cast("string").as("_c"),
+        size(graft.text.TextFunctions.tokens(col(textCol))).cast("long").as("_t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BudgetAcc, BudgetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cat, rows, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = Seq.newBuilder[BudgetOut]
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, t) =>
+            cum += t
+            if (cum <= budget) out += BudgetOut(id, cat, t, cum)
+          }
+          state.update(BudgetAcc(cum))
+          out.result().iterator
+      }
+  }
 }

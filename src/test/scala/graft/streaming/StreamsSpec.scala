@@ -261,4 +261,31 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     val st09 = graft.SparkEntry.queries("st09_stream_hist")(spark, sf)
     sym(st09, graft.SparkEntry.queries("q16_hist_registers")(spark, sf))
   }
+
+  test("streamingTokenBudget carries the running total across batches") {
+    // Budget 10. Batch 1: docs 1 (4 toks) and 2 (4 toks) admit, cum 4/8.
+    // Batch 2: doc 3 (4 toks) pushes cum to 12 > 10 -> rejected AND the
+    // category closes; doc 4 (1 tok) would fit a naive remaining-budget
+    // rule (9 + 1 <= 10) but NOT the prefix rule (cum 13) — rejecting it
+    // is exactly the cross-batch state the spec pins. A fresh category in
+    // batch 2 starts from zero.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = Streams.streamingTokenBudget(
+      input.toDF().toDF("doc_id", "lang", "text"), "doc_id", "lang", "text",
+      budget = 10L)
+    val q = out.toDF().writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "en", "a b c d"), (2L, "en", "e f g h"))
+      q.processAllAvailable()
+      input.addData((3L, "en", "i j k l"), (4L, "en", "m"),
+        (5L, "fr", "un deux trois"))
+      q.processAllAvailable()
+      val got = spark.table("budget_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, "en", 4L, 4L), (2L, "en", 4L, 8L),
+        (5L, "fr", 3L, 3L)), s"got $got")
+    } finally q.stop()
+  }
 }
