@@ -956,6 +956,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("dup_cnt"), min("media_id").as("rep_id"))
         .filter(col("dup_cnt") >= 2)),
 
+    // Audio-fingerprint dedup over the REAL WAV decode path: the corpus
+    // plants duplicates by synthesizing each doc's audio from doc_id%100,
+    // ONE decode per distinct payload; the 8-frame energy signature
+    // (audio aHash, all-integer) buckets docs into equal-content groups.
+    "m08_wav_dedup" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 100).as("gid"))
+      val fp = Multimodal.wavEnergyFingerprint(
+        Multimodal.synthesizeWavMedia(docs.select("gid").distinct(), "gid",
+          nSamples = 480), frames = 8)
+        .withColumnRenamed("media_id", "gid")
+      docs.join(fp, "gid")
+        .groupBy("afp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+    }),
+
     // REAL-codec audio gate: synthesized 16-bit PCM mono WAVs (sample i =
     // (31i + 17id) mod 65536 - 32768, 480 samples) are container-parsed
     // and sample-decoded with javax.sound.sampled, then histogrammed over
@@ -2507,6 +2523,23 @@ object SparkEntry {
         |SELECT phash, CAST(count(*) AS BIGINT) AS dup_cnt,
         |  CAST(min(media_id) AS BIGINT) AS rep_id
         |FROM b GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // The synth formula + the quantized energy profile replayed in integer
+    // SQL: frame(i) = (i*8)//480, digit_f = (frame-abs-sum * 4096) //
+    // track total, 4-digit zero-padded.
+    "m08_wav_dedup" ->
+      """WITH g AS (SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |sm AS (SELECT g.gid, gi.i, ((gi.i * 31 + g.gid * 17) % 65536) - 32768 AS s
+        |  FROM g, generate_series(0, 479) gi(i)),
+        |fr AS (SELECT gid, (i * 8) // 480 AS f, sum(abs(s)) AS e FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT gid, sum(e) AS te FROM fr GROUP BY 1),
+        |fp AS (SELECT fr.gid,
+        |  string_agg(lpad(CAST((e * 4096) // te AS VARCHAR), 4, '0'), '' ORDER BY f) AS afp
+        |  FROM fr JOIN tot USING (gid) GROUP BY 1)
+        |SELECT afp, CAST(min(d.doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents d JOIN fp ON d.doc_id % 100 = fp.gid
+        |GROUP BY 1""".stripMargin,
 
     // Sketch-merge gates: the oracle is the WHOLE-corpus sketch (q14/q15/
     // q16 SQL verbatim) — the engine's merged half-sketches must equal it

@@ -346,6 +346,90 @@ object Multimodal {
     }(encoder)
   }
 
+  /** 16-bit mono PCM samples from a WAV payload through the REAL
+    * `javax.sound.sampled` decode (same container/format policy as
+    * [[wavSampleHistogram]]); null for undecodable/unsupported payloads.
+    */
+  private def wavPcmSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.isEmpty) return null
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return null
+        case _: java.io.IOException                               => return null
+      }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return null
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      if (n == 0) return null
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        out(i) = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                 else (hi << 8) | lo
+        i += 1
+      }
+      out
+    } catch {
+      case _: java.io.IOException => null
+    } finally in.close()
+  }
+
+  /** Frame-energy fingerprint: samples split into `frames` balanced frames
+    * (`frame(i) = i * frames / n` — integer math any engine replays); each
+    * frame contributes its 12-bit-quantized share of the total absolute
+    * amplitude, `(energy_f * 4096) // total`, zero-padded to 4 digits.
+    * All-integer, so the profile string is exact across engines; equal
+    * audio ⇒ equal profile, and near-equal audio collides at the
+    * quantization granularity (the perceptual-bucket property).
+    */
+  private[multimodal] def wavEnergyProfile(bytes: Array[Byte], frames: Int): String = {
+    val s = wavPcmSamples(bytes)
+    if (s == null) return null
+    val e = new Array[Long](frames)
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i).toLong)
+      e((i.toLong * frames / s.length).toInt) += a
+      total += a
+      i += 1
+    }
+    if (total == 0L) return "0000" * frames
+    val sb = new java.lang.StringBuilder(4 * frames)
+    var f = 0
+    while (f < frames) { sb.append("%04d".format(e(f) * 4096L / total)); f += 1 }
+    sb.toString
+  }
+
+  /** Audio fingerprint per media row: `[media_id, afp]` (the
+    * `4*frames`-char quantized energy profile, NULL when undecodable) —
+    * the audio member of the perceptual-dedup family next to
+    * [[perceptualHash]]. Same shape: one narrow mapPartitions over
+    * payloads (the decode IS the work; no Catalyst expression fits a
+    * codec), downstream equality buckets are vocabulary-sized.
+    */
+  def wavEnergyFingerprint(media: DataFrame, frames: Int = 8): DataFrame = {
+    require(frames >= 2 && frames <= 64, s"frames out of range: $frames")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", StringType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), wavEnergyProfile(bytes, frames))
+      }
+    }(encoder)
+  }
+
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(

@@ -127,6 +127,26 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("wav fingerprint: equal audio => equal profile, junk => NULL, digits sane") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.synthesizeWavMedia(
+      Seq(3L, 7L, 3L + 65536L).toDF("id"), "id", nSamples = 480)
+    val fps = Multimodal.wavEnergyFingerprint(media, frames = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // The synth sample formula is mod-65536 in id: 3 and 65539 are
+    // byte-identical WAVs and must collide; profiles are 8 x 4 digits.
+    assert(fps(3L) == fps(3L + 65536L))
+    assert(fps.values.forall(f => f != null && f.length == 32 && f.forall(_.isDigit)))
+    // Junk payload (not a RIFF container) -> NULL, row preserved.
+    import org.apache.spark.sql.Row
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(99L, "not audio".getBytes, Row("audio/wav", 9L, "x")))),
+      Multimodal.mediaSchema)
+    val j = Multimodal.wavEnergyFingerprint(junk, frames = 8).collect()
+    assert(j.length == 1 && j.head.isNullAt(1))
+  }
+
   test("semantic dedup: planted near-dups drop, keep-lowest-id, cells bound pairs") {
     // 4 well-separated axis directions, 5 copies each (tiny jitter on a
     // second axis keeps vectors distinct while cosine stays ~1). Every
