@@ -858,6 +858,23 @@ object SparkEntry {
         top, "l_returnflag", "l_partkey", depth = 4, width = 64)
     }),
 
+    // Grouped histogram (the quantile member completing the grouped-sketch
+    // family): per-event-type value distribution on the cents lattice at
+    // groups x 64 rows.
+    "q17e_hist_grouped" -> ((s, d) =>
+      graft.operators.Sketches.histGroupedRegisters(
+        tbl(s, d, "events").select(col("event_type"), cents(col("value")).as("v")),
+        "event_type", "v", lo = 0L, binWidth = 800L, binCount = 64)),
+
+    // ... and per-slice p50/p95/p99 off the grouped registers — every
+    // join/window sketch-sized, never data-sized.
+    "q17f_hist_grouped_q" -> ((s, d) =>
+      graft.operators.Sketches.histGroupedQuantiles(
+        graft.operators.Sketches.histGroupedRegisters(
+          tbl(s, d, "events").select(col("event_type"), cents(col("value")).as("v")),
+          "event_type", "v", lo = 0L, binWidth = 800L, binCount = 64),
+        "event_type", lo = 0L, binWidth = 800L, permilles = Seq(500, 950, 990))),
+
     // BPE-ish pre-tokenization counts (total + distinct-pretoken "vocab"):
     // the RE2-portable regex runs verbatim in the oracle.
     "t07_bpe_tokens" -> ((s, d) =>
@@ -2199,6 +2216,38 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
         |SELECT CAST(r.range AS BIGINT) AS bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
         |FROM range(256) r LEFT JOIN b ON r.range = b.bin""".stripMargin,
+
+    // Grouped histogram: q16's clamp/div lattice per event type, empty
+    // bins materialized per group.
+    "q17e_hist_grouped" ->
+      """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, CASE WHEN v < 0 THEN 0 ELSE least(63, v // 800) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT event_type FROM b)
+        |SELECT g.event_type, CAST(r.range AS BIGINT) AS bin,
+        |  CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+        |FROM g CROSS JOIN range(64) r
+        |LEFT JOIN b ON b.event_type = g.event_type AND b.bin = r.range""".stripMargin,
+
+    // Per-slice quantiles off the grouped registers: q16b's integer-exact
+    // convention keyed by the group.
+    "q17f_hist_grouped_q" ->
+      """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, CASE WHEN v < 0 THEN 0 ELSE least(63, v // 800) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+        |cum AS (SELECT event_type, bin,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum FROM b),
+        |t AS (SELECT n.event_type, p.p AS permille,
+        |  CAST((p.p * n.n + 999) // 1000 AS BIGINT) AS target_rank
+        |  FROM n CROSS JOIN (VALUES (500), (950), (990)) p(p))
+        |SELECT t.event_type, CAST(t.permille AS BIGINT) AS permille, t.target_rank,
+        |  CAST(min(cum.bin) AS BIGINT) AS bin,
+        |  CAST(0 + (min(cum.bin) + 1) * 800 AS BIGINT) AS est_upper_cents
+        |FROM t JOIN cum ON cum.event_type = t.event_type AND cum.cum >= t.target_rank
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Quantiles off the registers: integer target rank (p*N+999)//1000,
     // smallest bin whose running total reaches it, UPPER-edge estimate

@@ -327,6 +327,60 @@ object Sketches {
         (lit(lo) + (col("bin") + 1L) * lit(binWidth)).as("est_upper_cents"))
   }
 
+  /** Per-GROUP histogram register tables — the quantile member of the
+    * grouped-sketch family (grouped HLL = [[hllGroupedRegisters]], grouped
+    * CMS = [[cmsGroupedRegisters]]): per-slice value distributions at
+    * `groups * binCount` rows, one map-side-combinable groupBy, zero bins
+    * materialized per group, per-(group, bin) merge by `+`. Same
+    * clamp/div lattice as [[histObservations]].
+    */
+  def histGroupedRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Long, binWidth: Long, binCount: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(binCount >= 2 && binCount <= (1 << 20),
+      s"binCount must be in [2, 2^20], got $binCount")
+    val v = col(valueCol).cast(LongType)
+    val bin = when(v < lo, lit(0L)).otherwise(
+      least(lit(binCount - 1L), expr(s"(CAST($valueCol AS BIGINT) - $lo) div $binWidth")))
+    val seen = df.filter(v.isNotNull)
+      .select(col(groupCol).as("__h_grp"), bin.as("bin"))
+      .groupBy("__h_grp", "bin").agg(count(lit(1)).as("cnt"))
+    seen.select("__h_grp").distinct()
+      .crossJoin(df.sparkSession.range(binCount).select(col("id").as("bin")))
+      .join(seen, Seq("__h_grp", "bin"), "left")
+      .select(col("__h_grp").as(groupCol), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Per-group quantile estimates off a [[histGroupedRegisters]] table —
+    * [[histQuantiles]]' integer-exact convention (target rank
+    * `(q*N + 999) div 1000`, smallest reaching bin, upper-edge estimate)
+    * with every step keyed by the group. All windows and joins run over
+    * sketch-sized tables (`groups * binCount` rows), never the data.
+    */
+  def histGroupedQuantiles(registers: DataFrame, groupCol: String,
+      lo: Long, binWidth: Long, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000], got $permilles")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = registers.withColumn("cum", sum("cnt").over(w))
+    val n = registers.groupBy(groupCol).agg(sum("cnt").as("n"))
+    val targets = permilles.map(_.toLong).toDF("permille")
+      .crossJoin(broadcast(n))
+      .select(col(groupCol), col("permille"),
+        expr("(permille * n + 999) div 1000").as("target_rank"))
+    targets.join(cum, Seq(groupCol))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy(groupCol, "permille", "target_rank")
+      .agg(min("bin").as("bin"))
+      .select(col(groupCol), col("permille"), col("target_rank"), col("bin"),
+        (lit(lo) + (col("bin") + 1L) * lit(binWidth)).as("est_upper_cents"))
+  }
+
   /** Point-query estimates off a count-min register table: for each key in
     * `keys`, the min over the `depth` counters it hashes to — the classic
     * CMS upper bound (`est_cnt >= true count`, equality when no collision).

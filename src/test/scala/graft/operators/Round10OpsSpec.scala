@@ -127,6 +127,28 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("grouped histogram: each slice equals the global sketch on that slice") {
+    val df = spark.range(5000)
+      .selectExpr("CAST(id % 3 AS STRING) AS g", "(id * 37) % 9999 AS v")
+    val grouped = Sketches.histGroupedRegisters(df, "g", "v", 0L, 200L, 32)
+    for (gv <- Seq("0", "1", "2")) {
+      val slice = Sketches.histRegisters(
+        df.filter(col("g") === gv), "v", 0L, 200L, 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = grouped.filter(col("g") === gv)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == slice, s"slice $gv diverges")
+    }
+    // Merge law: two grouped halves sum to the whole, per (group, bin).
+    val h1 = Sketches.histGroupedRegisters(df.filter("id % 2 = 0"), "g", "v", 0L, 200L, 32)
+    val h2 = Sketches.histGroupedRegisters(df.filter("id % 2 = 1"), "g", "v", 0L, 200L, 32)
+    val merged = h1.unionAll(h2).groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("wav fingerprint: equal audio => equal profile, junk => NULL, digits sane") {
     import graft.multimodal.Multimodal
     val media = Multimodal.synthesizeWavMedia(
