@@ -460,6 +460,16 @@ object SparkEntry {
       graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
     }),
 
+    // Landmark-sampled harmonic centrality on the SYMMETRIZED
+    // customer-nation-region graph: one multi-landmark BFS (4 hops),
+    // reciprocal distances on the exact micro lattice (1e6 div d).
+    "g21_harmonic" -> ((s, d) => {
+      val e = custNationRegionEdges(s, d)
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      graft.algorithms.HarmonicCentrality.run(
+        sym, landmarks = Seq(1L, 3000003L), maxIter = 4)
+    }),
+
     // Deterministic hash-guided random walks over the customer->order->part
     // DAG: 4 steps from every 100th customer. Customers' walks end at part
     // sinks after 2 hops — the gate exercises BOTH the per-step argmin draw
@@ -1658,6 +1668,33 @@ object SparkEntry {
     // neighbors via the adjacency self-join, peel below k-2, recompute on
     // the survivors; output the round-2 survivors with round-2 support.
     // MATERIALIZED: e/a CTEs are each read twice downstream.
+    // Multi-landmark BFS replayed as ONE recursive CTE over the
+    // symmetrized edge set (state = (landmark, vertex, depth), UNION
+    // dedup, 4-hop cap), then reciprocal micro-lattice sums.
+    "g21_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS src, CAST(c_nationkey AS BIGINT) + 3000000 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 3000000, CAST(n_regionkey AS BIGINT) + 3500000 FROM nation
+        |  UNION ALL
+        |  SELECT CAST(c_nationkey AS BIGINT) + 3000000, c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS BIGINT) + 3500000, CAST(n_nationkey AS BIGINT) + 3000000 FROM nation),
+        |-- NOTE: inside WITH RECURSIVE DuckDB does NOT dedup a plain UNION in
+        |-- a non-recursive CTE; the SUM below is duplication-sensitive, so v
+        |-- must be made distinct explicitly (g06's MIN never noticed).
+        |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |r(lm, id, dd) AS (
+        |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |    (CAST(3000003 AS BIGINT), CAST(3000003 AS BIGINT), CAST(0 AS BIGINT))) t(lm, id, dd)
+        |  UNION
+        |  SELECT r.lm, e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 4),
+        |m AS (SELECT lm, id, min(dd) AS d FROM r GROUP BY 1, 2)
+        |SELECT v.id,
+        |  CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 1000000 // m.d END), 0) AS BIGINT) AS h_micros,
+        |  CAST(coalesce(sum(CASE WHEN m.d > 0 THEN 1 END), 0) AS BIGINT) AS n_reached
+        |FROM v LEFT JOIN m ON m.id = v.id GROUP BY 1""".stripMargin,
+
     // Walks replayed step-for-step; the union enumerates step 0 (starts)
     // plus each survived frontier.
     "g20_walks" -> {

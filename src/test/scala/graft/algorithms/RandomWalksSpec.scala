@@ -24,6 +24,25 @@ class RandomWalksSpec extends AnyFunSuite with SparkTestHarness {
       s"walk diverged from the reference draw: $got")
   }
 
+  test("harmonic centrality: reciprocal micro-lattice sums on a path graph") {
+    // Undirected path 1-2-3-4-5, landmarks 1 and 5, cap 4 hops.
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val edges = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val expect = Map(
+      1L -> ((1000000L / 4, 1L)),            // d(5,1)=4; own landmark excluded
+      2L -> ((1000000L + 1000000L / 3, 2L)), // d=1, d=3
+      3L -> ((500000L + 500000L, 2L)),
+      4L -> ((1000000L / 3 + 1000000L, 2L)),
+      5L -> ((250000L, 1L)))
+    val got = HarmonicCentrality.run(edges, Seq(1L, 5L), maxIter = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"got $got")
+    // Tighter cap: d=4 terms vanish, d<=3 survive.
+    val capped = HarmonicCentrality.run(edges, Seq(1L), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1000000L, 3L -> 500000L, 4L -> 0L, 5L -> 0L))
+  }
+
   test("duplicate edges don't bias the draw; reruns are identical") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
       .toDF("src", "dst")
