@@ -4,12 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graft.compat
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** PACKED Bloom-filter kernels for runtime semi-join pruning — the "build a
   * tiny filter from the dimension keys, drop fact rows map-side before any
@@ -23,35 +21,41 @@ import org.apache.spark.unsafe.types.UTF8String
   *     on the map side, so building the filter over a billion-key dimension
   *     shuffles `partitions x mBits/64` words — never the keys.
   *   - [[BloomContains]]: a native codegen predicate testing all `kHashes`
-  *     probe positions of a key against a driver-collected bitset. The
+  *     probe positions of a LONG key against a driver-collected bitset. The
   *     bitset rides into codegen as a referenced object (exactly how
   *     Spark's own bloom runtime filter ships its subquery result), so the
-  *     probe is a handful of md5+mask ops inside WholeStageCodegen, sitting
-  *     directly above the fact scan.
+  *     probe is `kHashes` xxhash64+mask ops inside WholeStageCodegen,
+  *     sitting directly above the fact scan.
   *
-  * Probe-position contract (shared with the declarative build side and any
-  * SQL oracle): `pos(salt, key) = portable_hash60(salt || ':' || key) mod
-  * mBits` with `key` in its engine-portable string form — the same
-  * `('0x' || substr(md5(s),1,15))::BIGINT` hash family as every other
-  * portable kernel in this package.
+  * Probe-position contract (shared by [[position]], the JVM kernel, and the
+  * declarative build side in `RuntimeFilter`): `pos(salt, key) =
+  * xxhash64(key, seed = 42 + salt) mod mBits`. The hash is deliberately
+  * NOT the engine-portable md5 family: the bitset is internal — exactness
+  * comes from the exact join on the survivors, so the q21 oracle never
+  * models it — and xxhash64 probes are ~20x cheaper than md5 in the
+  * per-fact-row hot path.
   */
 object BloomKernels {
 
   /** `bloom_words(pos, mBits)` — OR bit positions into a packed bitset. */
   def bloom_words(pos: Column, mBits: Int): Column =
-    compat.column(BloomWordsAgg(compat.expression(pos), mBits).toAggregateExpression())
+    org.apache.spark.sql.graft.compat.column(
+      BloomWordsAgg(org.apache.spark.sql.graft.compat.expression(pos), mBits)
+        .toAggregateExpression())
 
-  /** Predicate: all `kHashes` positions of `key` (string form) are set. */
+  /** Predicate: all `kHashes` positions of the long `key` are set. */
   def bloom_contains(key: Column, words: Array[Long], mBits: Int, kHashes: Int): Column =
-    compat.column(BloomContains(compat.expression(key), words, mBits, kHashes))
+    org.apache.spark.sql.graft.compat.column(
+      BloomContains(org.apache.spark.sql.graft.compat.expression(key),
+        words, mBits, kHashes))
 
-  /** JVM twin of the declarative probe-position formula. */
-  def position(salt: Int, key: UTF8String, mBits: Int): Int = {
-    val h = PortableHashes.portableHash60(salt.toString + ":" + key.toString)
-    java.lang.Math.floorMod(h, mBits.toLong).toInt
-  }
+  /** JVM twin of the declarative probe-position formula
+    * (`XxHash64(Seq(key), 42 + salt)` == `XXH64.hashLong(key, 42 + salt)`).
+    */
+  def position(salt: Int, key: Long, mBits: Int): Int =
+    java.lang.Math.floorMod(XXH64.hashLong(key, 42L + salt), mBits.toLong).toInt
 
-  def containsKernel(words: Array[Long], key: UTF8String, mBits: Int, kHashes: Int): Boolean = {
+  def containsKernel(words: Array[Long], key: Long, mBits: Int, kHashes: Int): Boolean = {
     var salt = 0
     while (salt < kHashes) {
       val pos = position(salt, key, mBits)
@@ -139,13 +143,13 @@ case class BloomContains(child: Expression, words: Array[Long], mBits: Int, kHas
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bloom_contains expects the key in string form, got $t")
+      s"bloom_contains expects a LONG key, got $t")
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    BloomKernels.containsKernel(words, input.asInstanceOf[UTF8String], mBits, kHashes)
+    BloomKernels.containsKernel(words, input.asInstanceOf[Long], mBits, kHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")

@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.compat
+import org.apache.spark.sql.catalyst.{expressions => catalyst}
+import org.apache.spark.sql.types.LongType
 
 
 import graft.functions.BloomKernels
@@ -34,17 +37,22 @@ import graft.functions.BloomKernels
 object RuntimeFilter {
 
   /** Driver-collected packed bitset over `kHashes` probe positions of each
-    * (distinct implied — duplicates just re-set bits) dimension key.
+    * (distinct implied — duplicates just re-set bits) dimension key. The
+    * per-salt positions are one projected array (`xxhash64(key, 42+salt)
+    * mod mBits` — the seed is a literal per salt, matching
+    * [[graft.functions.BloomKernels.position]] exactly), exploded into the
+    * single-row packed aggregate.
     */
   def bloomBitsetWords(dim: DataFrame, keyCol: String,
       mBits: Int, kHashes: Int): Array[Long] = {
     require(kHashes >= 1 && kHashes <= 16, s"kHashes out of range: $kHashes")
+    val key = col(keyCol).cast(LongType)
+    val positions = (0 until kHashes).map { salt =>
+      pmod(compat.column(catalyst.XxHash64(
+        Seq(compat.expression(key)), 42L + salt)), lit(mBits.toLong))
+    }
     val one = dim
-      .select(col(keyCol).cast("string").as("__bf_key"))
-      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("__bf_salt"), col("__bf_key"))
-      .select(pmod(Sampling.keyHash60(
-          concat(col("__bf_salt").cast("string"), lit(":"), col("__bf_key"))),
-        lit(mBits.toLong)).as("__bf_pos"))
+      .select(explode(array(positions: _*)).as("__bf_pos"))
       .agg(BloomKernels.bloom_words(col("__bf_pos"), mBits).as("w"))
       .head()
     one.getSeq[Long](0).toArray
@@ -56,7 +64,7 @@ object RuntimeFilter {
   def bloomPrune(fact: DataFrame, keyCol: String, words: Array[Long],
       mBits: Int, kHashes: Int): DataFrame =
     fact.filter(BloomKernels.bloom_contains(
-      col(keyCol).cast("string"), words, mBits, kHashes))
+      col(keyCol).cast(LongType), words, mBits, kHashes))
 
   /** The full exact semi join: bloom-prune, then left-semi the survivors
     * against the distinct dimension keys. Output = fact rows with at least

@@ -220,6 +220,82 @@ object ScaleBench {
         time("full-update-round") {
           graft.operators.KMeans.fitCentroids(pts, "id", "v", k = 64, nIter = 1)
         }
+
+      case "bloom" =>
+        // Runtime-filter probe: m fact rows against an n-key dimension
+        // whose keys cover ~1% of the fact's key space — the regime the
+        // bloom exists for. Reports build / bloom-pruned / plain-semi-join
+        // wall times and the pruned-row count (exactness is the q21 gate's
+        // job; this probe is the cost story).
+        val factB = spark.range(m).select(
+          pmod(xxhash64(col("id"), lit(7)), lit(n * 100)).as("fk"))
+        val dimB = spark.range(n).select(
+          (pmod(xxhash64(col("id"), lit(8)), lit(n)) * 100L).as("dk"))
+        var t = System.nanoTime()
+        val words = graft.operators.RuntimeFilter.bloomBitsetWords(
+          dimB, "dk", mBits = 1 << 24, kHashes = 3)
+        val tBuild = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        val prunedCnt = graft.operators.RuntimeFilter.bloomPrune(
+          factB, "fk", words, 1 << 24, 3).count()
+        val tPrune = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        val bloomCnt = graft.operators.RuntimeFilter.bloomSemiJoin(
+          factB, "fk", dimB, "dk", 1 << 24, 3).count()
+        val tBloom = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        val plainCnt = factB.join(dimB.distinct(),
+          col("fk") === col("dk"), "left_semi").count()
+        val tPlain = (System.nanoTime() - t) / 1e9
+        // The regime the bloom exists for: a dim too large to broadcast
+        // (forced shuffle join) — here the fact-side shuffle is what the
+        // map-side prune avoids for the 99% of rows that can't match.
+        t = System.nanoTime()
+        val shufCnt = factB.join(dimB.distinct().hint("merge"),
+          col("fk") === col("dk"), "left_semi").count()
+        val tShuf = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        val bloomShufCnt = graft.operators.RuntimeFilter.bloomPrune(
+            factB, "fk", words, 1 << 24, 3)
+          .join(dimB.distinct().hint("merge"), col("fk") === col("dk"), "left_semi")
+          .count()
+        val tBloomShuf = (System.nanoTime() - t) / 1e9
+        assert(bloomCnt == plainCnt && shufCnt == plainCnt && bloomShufCnt == plainCnt,
+          s"semi-join arms diverged: $bloomCnt/$shufCnt/$bloomShufCnt vs $plainCnt")
+        println(f"SCALE-OK bloom m=$m dimKeys=$n pruned=$prunedCnt matched=$plainCnt " +
+          f"build=$tBuild%.1f prune=$tPrune%.1f bloomJoin=$tBloom%.1f " +
+          f"plainBroadcast=$tPlain%.1f plainShuffle=$tShuf%.1f bloom+shuffle=$tBloomShuf%.1f sec")
+
+      case "zorder" =>
+        // Clustered-layout probe: write m rows z-ordered on two
+        // 2^16-domain keys into 64 files; report write time and the mean
+        // per-file span of each natural column relative to its domain —
+        // the stat that becomes row-group skipping on read.
+        val rows = spark.range(m).select(col("id"),
+          pmod(xxhash64(col("id"), lit(3)), lit(65536L)).as("x"),
+          pmod(xxhash64(col("id"), lit(4)), lit(65536L)).as("y"))
+        val path = graft.sources.ZOrderedTables.writeZOrdered(
+          rows, "scale_zorder", Seq(("x", 0L, 65535L), ("y", 0L, 65535L)),
+          bits = 8, numFiles = 64)
+        val tWrite = (System.nanoTime() - t0) / 1e9
+        val spans = graft.sources.ZOrderedTables.readZOrdered(spark, path)
+          .groupBy(input_file_name())
+          .agg(((max("x") - min("x")) / 65535.0).as("sx"),
+            ((max("y") - min("y")) / 65535.0).as("sy"))
+          .agg(avg("sx"), avg("sy")).head()
+        println(f"SCALE-OK zorder m=$m files=64 write=$tWrite%.1f sec " +
+          f"avgSpanX=${spans.getDouble(0)}%.3f avgSpanY=${spans.getDouble(1)}%.3f (1.0 = unclustered)")
+
+      case "walks" =>
+        // Deep-walk probe: 32 steps from n/64 starts over the ER graph —
+        // exercises the per-8-step stats-free checkpoint cadence and the
+        // frontier-only per-step shuffle.
+        val starts = spark.range(n / 64).select((col("id") * 64L).as("v"))
+        val out = graft.algorithms.RandomWalks.run(edges, starts, "v", len = 32)
+        val cnt = out.count()
+        val maxStep = out.agg(max("step")).head.getLong(0)
+        println(f"SCALE-OK walks n=$n m=$m starts=${n / 64} steps=32 rows=$cnt " +
+          f"maxStep=$maxStep sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
     spark.stop()
   }
