@@ -561,6 +561,22 @@ object SparkEntry {
       graft.operators.Retrieval.phraseMatch(
         tbl(s, d, "documents"), "doc_id", "text", Seq("big", "query"))),
 
+    // Hybrid retrieval: RRF fusion of the BM25 top-5 (s04's plan) and a
+    // dense cosine top-5 (s01's plan) on the same %100 query ids — exact
+    // integer micros, heap top-k, no window over anything corpus-sized.
+    "s09_rrf_fusion" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val sparse = Retrieval.bm25TopK(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 5)
+        .select("query_id", "doc_id", "rnk")
+      val e = tbl(s, d, "embeddings")
+      val dense = Similarity.cosineTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    }),
+
     // INT8-quantized cosine top-k: 1 byte/dim storage, integer dot
     // scoring (exact in the double domain), scale cancels out of cosine.
     "s06_int8_topk" -> ((s, d) => {
@@ -1096,6 +1112,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           coalesce(sum("n_chars"), lit(0L)).as("chars"),
           coalesce(sum("tlen"), lit(0L)).as("text_chars"))
+    }),
+
+    // ORC round trip: the second columnar format Spark ships a native
+    // vectorized reader for — a corpus archived as ORC must re-enter the
+    // pipeline losslessly. The aggregate runs over the READ-BACK ORC and
+    // must equal the oracle over the original parquet (schema, values,
+    // and NULL-handling all survive the format hop).
+    "b05_orc_roundtrip" -> ((s, d) => {
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/b05_orders_orc"
+      tbl(s, d, "orders").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("price_cents"),
+          countDistinct("o_custkey").as("custs"))
     }),
 
     // Z-order clustered layout: lineitem rewritten as 8 files range-
@@ -2439,6 +2471,13 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE length(text) END), 0) AS BIGINT) AS text_chars
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // The ORC round trip must agree with the ORIGINAL table.
+    "b05_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // Generated from the SAME per-bit interleave formula as the plan
     // (ZOrderedTables.zValueSql) — the z-cell aggregate over the original
     // table; the Spark side computes it over the read-back layout.
@@ -2912,24 +2951,32 @@ object SparkEntry {
     // the Column expression (doubles are not associative), rank on the
     // ROUNDED score with doc-id tie-break.
     "s04_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
-        |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id % 100 = 0),
-        |pr AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM qt)),
-        |dfq AS (SELECT term, count(*) AS df FROM pr GROUP BY 1),
-        |sc AS (SELECT qt.qid AS query_id, pr.doc_id,
-        |  round(sum(
-        |    ln(CAST(1.0 AS DOUBLE) + (CAST(stats.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-        |    * (CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-        |    / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) * CAST(stats.n AS DOUBLE) / CAST(stats.sdl AS DOUBLE)))
-        |  ), 6) AS score
-        |  FROM pr JOIN qt USING (term) JOIN dl ON pr.doc_id = dl.doc_id
-        |  JOIN dfq ON pr.term = dfq.term CROSS JOIN stats
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
-        |SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+      s"""WITH $bm25OracleCtes
+         |SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // RRF fusion of the s04 BM25 top-5 and an s01-plan dense top-5 on the
+    // same %100 query ids: per listed doc 1e6 // (60 + rnk) micros per
+    // list, summed, re-ranked (score DESC, doc ASC) — all BIGINT.
+    "s09_rrf_fusion" -> {
+      val cosineCtes =
+        """ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ce),
+          |cq AS (SELECT * FROM cn WHERE vec_id % 100 = 0),
+          |csc AS (SELECT cq.vec_id AS query_id, c.vec_id AS doc_id,
+          |  round(list_dot_product(cq.v, c.v) / (cq.nrm * c.nrm), 6) AS cosine
+          |  FROM cq JOIN cn c ON c.vec_id <> cq.vec_id),
+          |crk AS (SELECT query_id, doc_id, CAST(row_number() OVER
+          |  (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT) AS rnk FROM csc)""".stripMargin
+      s"""WITH $bm25OracleCtes,
+         |$cosineCtes,
+         |u AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 5
+         |      UNION ALL SELECT query_id, doc_id, rnk FROM crk WHERE rnk <= 5),
+         |f AS (SELECT query_id, doc_id, CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micros
+         |      FROM u GROUP BY 1, 2),
+         |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS frnk FROM f)
+         |SELECT query_id, doc_id, rrf_micros, frnk AS rnk FROM fr WHERE frnk <= 5""".stripMargin
+    },
 
     // Quantized mean-pool replay: per-(label, dim) integer sums,
     // floor-divided — posexplode's pos is 0-based, range is 1-based.
@@ -3169,6 +3216,28 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$steps\nSELECT id FROM m$rounds"
   }
+
+  /** The s04 BM25 chain (tok → tf → dl → stats → qt → pr → dfq → sc → rk),
+    * shared verbatim by the s09 fusion oracle so the two can never drift.
+    */
+  private lazy val bm25OracleCtes: String =
+    """tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id % 100 = 0),
+      |pr AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM qt)),
+      |dfq AS (SELECT term, count(*) AS df FROM pr GROUP BY 1),
+      |sc AS (SELECT qt.qid AS query_id, pr.doc_id,
+      |  round(sum(
+      |    ln(CAST(1.0 AS DOUBLE) + (CAST(stats.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * (CAST(pr.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |    / (CAST(pr.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) * CAST(stats.n AS DOUBLE) / CAST(stats.sdl AS DOUBLE)))
+      |  ), 6) AS score
+      |  FROM pr JOIN qt USING (term) JOIN dl ON pr.doc_id = dl.doc_id
+      |  JOIN dfq ON pr.term = dfq.term CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)""".stripMargin
 
   private lazy val embedPairsOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -127,4 +127,33 @@ object Retrieval {
       .groupBy("__ph_doc").agg(count(lit(1)).as("n_matches"))
       .withColumnRenamed("__ph_doc", idCol)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each input ranking `[query_id, doc_id,
+    * rnk]` contributes `1_000_000 div (kConst + rnk)` micros per listed
+    * doc, fused score = the sum over lists, final rank by (score DESC,
+    * doc_id ASC). The micro-lattice keeps every score an exact integer —
+    * no float association questions, the s09 oracle replays it in BIGINT.
+    *
+    * SHAPE: union of the (already tiny, top-k-sized) rankings, one
+    * map-side-combinable sum per (query, doc), bounded-heap top-k per
+    * query — no window, no sort; cost scales with `queries * k * lists`,
+    * never the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking to fuse")
+    require(kConst >= 1, s"kConst must be positive, got $kConst")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionAll _)
+    unioned.groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000 div ($kConst + rnk)")).as("rrf_micros"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        col("rrf_micros").cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").cast(LongType).as("rrf_micros"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
 }
