@@ -324,6 +324,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
 
+    // CUBE: rollup's missing cross-slices ((), flag, status, flag×status)
+    // in ONE pass — Catalyst expands the grouping sets into a single
+    // Expand + aggregate, no per-slice rescan.
+    "q12b_cube" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
+
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
     // integer rank arithmetic over NON-NULL values, so any engine lands
@@ -1593,6 +1602,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q12b_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     // Same integer rank arithmetic: ties in the row_number order cannot
     // change the SELECTED VALUE at a rank boundary.
