@@ -272,6 +272,20 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("*(1)"), s"assignment fell out of codegen:\n$plan")
   }
 
+  test("rrf fusion: map-side partial sum + heap top-k, no window, no sort") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i % 5, i, i % 7 + 1)).toDF("query_id", "doc_id", "rnk")
+    val b = (1L to 100L).map(i => (i % 5, (i * 3) % 90, i % 9 + 1)).toDF("query_id", "doc_id", "rnk")
+    val plan = graft.operators.Retrieval.rrfFuse(Seq(a, b), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"rrf sum not map-side partial:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) == 0,
+      s"expected no SortExec:\n$plan")
+  }
+
   test("bloom prune: codegen filter on the scan — no join, no exchange") {
     // The probe must be a predicate directly above the fact scan, inside
     // whole-stage codegen — a 16 MB bitset riding as a codegen reference,
