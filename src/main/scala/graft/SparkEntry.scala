@@ -834,6 +834,32 @@ object SparkEntry {
         buildCols = Seq("purchase_id", "purchase_cents"))
     }),
 
+    // Salted skew join: lineitem x orders on orderkey with an 8-way salt
+    // split (dim replicated 8x, fact rows spread within each key by a
+    // payload hash). ANY salt assignment must yield the plain join —
+    // that invariance is the gate.
+    "q22_salted_join" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedJoin(
+          tbl(s, d, "lineitem"), "l_orderkey",
+          tbl(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderkey",
+          saltBy = Seq("l_partkey", "l_linenumber"), nSalts = 8)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))),
+
+    // CDC-style latest-version compaction: one max_by(struct) aggregate
+    // per user — no window, no sort; ties on ts break by event_id.
+    "q23_latest_version" -> ((s, d) =>
+      eventsNanos(s, d)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"),
+          col("event_type"), cents(col("value")).as("cents"))).as("w"))
+        .select(col("user_id"), col("w.ts").as("last_ts"),
+          col("w.event_id").as("last_event_id"),
+          col("w.event_type").as("last_type"),
+          col("w.cents").as("last_value_cents"))),
+
     // Bloom-pruned semi join (the runtime-filter pattern): the urgent-order
     // key set builds ONE packed-bitset row (map-side OR-combined), a codegen
     // bloom probe prunes the lineitem scan BEFORE any shuffle, and a
@@ -2727,6 +2753,23 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // Salting is invisible to semantics: the oracle is the plain join.
+    "q22_salted_join" ->
+      """SELECT o_orderpriority, l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Latest row per user, ties on ts broken by event_id — the window
+    // replay of the max_by(struct) aggregate.
+    "q23_latest_version" ->
+      """SELECT user_id, last_ts, last_event_id, last_type, last_value_cents FROM (
+        |  SELECT user_id, epoch_ns(ts) AS last_ts, event_id AS last_event_id,
+        |    event_type AS last_type, CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     // The bloom is invisible to semantics: the oracle is the plain
     // IN-subquery semi join the operator must equal bit-for-bit.

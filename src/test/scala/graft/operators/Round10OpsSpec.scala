@@ -127,6 +127,31 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("salted join == plain join for any salt count; exchange keys on (key, salt)") {
+    // 10k fact rows, one hot key (60% of rows), 100-row dim.
+    val fact = spark.range(10000).selectExpr(
+      "CASE WHEN id % 10 < 6 THEN 7 ELSE id % 100 END AS fk",
+      "id AS payload")
+    val dim = spark.range(100).selectExpr("id AS dk", "id * 11 AS attr")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .selectExpr("fk", "payload", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (nSalts <- Seq(2, 8, 32)) {
+      val salted = SkewJoin.saltedJoin(fact, "fk", dim, "dk",
+        saltBy = Seq("payload"), nSalts = nSalts)
+        .selectExpr("fk", "payload", "attr")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted == plain, s"salted($nSalts) diverges from plain join")
+    }
+    // The join must key on (key, salt): the hot key's rows then span
+    // nSalts hash-partitions instead of one.
+    val plan = SkewJoin.saltedJoin(fact, "fk", dim, "dk", Seq("payload"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"dim replication missing:\n$plan")
+  }
+
   test("grouped histogram: each slice equals the global sketch on that slice") {
     val df = spark.range(5000)
       .selectExpr("CAST(id % 3 AS STRING) AS g", "(id * 37) % 9999 AS v")
