@@ -1236,6 +1236,15 @@ object SparkEntry {
         "st10_sink", "append")
     }),
 
+    // Streaming latest-version compaction (the q23 twin): per-user upsert
+    // state, emission only on change; one AvailableNow batch == q23.
+    "st12_stream_latest" -> ((s, d) =>
+      drainStream(
+        graft.streaming.Streams.streamingLatestVersion(
+          streamTbl(s, d, "events").withColumn("cents", cents(col("value"))),
+          "user_id", "ts", "event_id", "event_type", "cents").toDF(),
+        "st12_sink", "append")),
+
     // Streaming per-category token-budget admission: one long of state per
     // lang; the prefix rule makes the admitted set a pure function of the
     // document set, replayed as a cumulative-sum window in the oracle.
@@ -2569,6 +2578,15 @@ object SparkEntry {
         |  string_agg(CASE WHEN v * 64 > total THEN '1' ELSE '0' END, '' ORDER BY y, x) AS phash
         |  FROM px JOIN s USING (media_id) GROUP BY px.media_id)
         |SELECT DISTINCT phash FROM b""".stripMargin,
+
+    // One drained batch == the batch compaction (q23's oracle verbatim).
+    "st12_stream_latest" ->
+      """SELECT user_id, last_ts, last_event_id, last_type, last_value_cents FROM (
+        |  SELECT user_id, epoch_ns(ts) AS last_ts, event_id AS last_event_id,
+        |    event_type AS last_type, CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     // The prefix rule as a window: admit docs while the per-lang running
     // token total (ordered by doc_id) stays within budget.

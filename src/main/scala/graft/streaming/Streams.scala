@@ -230,6 +230,46 @@ object Streams {
       .histObservations(stream, valueCol, lo, binWidth, binCount)
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
+  case class LatestOut(user_id: Long, last_ts: Long, last_event_id: Long,
+      last_type: String, last_value_cents: Option[Long])
+
+  /** Streaming latest-version compaction — the stateful twin of the q23
+    * batch `max(struct)` aggregate: per key, state is the single winning
+    * `(ts, event_id, ...)` tuple; each micro-batch folds its rows against
+    * the state and emits the key's new latest ONLY when it changed (an
+    * upsert stream — exactly what a CDC sink consumes). Late/stale rows
+    * (older than the state) emit nothing and mutate nothing, so replays
+    * and out-of-order delivery are idempotent. State per key is one
+    * tuple forever; no watermark — version order, not time, decides.
+    *
+    * Under an AvailableNow single-batch drain the emitted set IS the
+    * batch q23 result — that equality is the st12 gate; the stale-row
+    * and cross-batch-upsert behaviors are spec-pinned.
+    */
+  def streamingLatestVersion(stream: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, centsCol: String)
+      : org.apache.spark.sql.Dataset[LatestOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(userCol).cast("long").as("_u"),
+        col(tsCol).cast("long").as("_t"),
+        col(idCol).cast("long").as("_e"),
+        col(typeCol).cast("string").as("_y"),
+        col(centsCol).cast("long").as("_c"))
+      .as[(Long, Long, Long, String, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LatestOut, LatestOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val candidates = state.getOption.iterator ++ rows.map(r =>
+            LatestOut(user, r._2, r._3, r._4, r._5))
+          val best = candidates.maxBy(o => (o.last_ts, o.last_event_id))
+          if (state.getOption.contains(best)) Iterator.empty
+          else { state.update(best); Iterator.single(best) }
+      }
+  }
+
   case class BudgetAcc(cum: Long)
   case class BudgetOut(doc_id: Long, cat: String, toks: Long, cum: Long)
 

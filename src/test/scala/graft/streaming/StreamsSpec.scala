@@ -262,6 +262,35 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     sym(st09, graft.SparkEntry.queries("q16_hist_registers")(spark, sf))
   }
 
+  test("streamingLatestVersion: upserts on newer, silent on stale, idempotent replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, java.lang.Long)]
+    val out = Streams.streamingLatestVersion(
+      input.toDF().toDF("u", "t", "e", "y", "c"), "u", "t", "e", "y", "c")
+    val q = out.toDF().writeStream.format("memory").queryName("latest_out")
+      .outputMode("append").start()
+    def rows() = spark.table("latest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    try {
+      input.addData(Seq((1L, 10L, 100L, "a", java.lang.Long.valueOf(5L)), (1L, 20L, 101L, "b", java.lang.Long.valueOf(6L))))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 20L, 101L)), "batch 1 emits only the winner")
+      // Stale row (older ts): no emission, no state change.
+      input.addData(Seq((1L, 15L, 102L, "c", java.lang.Long.valueOf(7L))))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 20L, 101L)), "stale row must not emit")
+      // Replay of the current winner: idempotent, no duplicate emission.
+      input.addData(Seq((1L, 20L, 101L, "b", java.lang.Long.valueOf(6L))))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 20L, 101L)), "replay must not re-emit")
+      // Genuinely newer: one upsert. Ties on ts break by event_id.
+      input.addData(Seq((1L, 20L, 103L, "d", java.lang.Long.valueOf(8L))))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 20L, 101L), (1L, 20L, 103L)),
+        "newer version must upsert once")
+    } finally q.stop()
+  }
+
   test("streamingTokenBudget carries the running total across batches") {
     // Budget 10. Batch 1: docs 1 (4 toks) and 2 (4 toks) admit, cum 4/8.
     // Batch 2: doc 3 (4 toks) pushes cum to 12 > 10 -> rejected AND the
