@@ -1149,6 +1149,33 @@ object SparkEntry {
           coalesce(sum("tlen"), lit(0L)).as("text_chars"))
     }),
 
+    // Manifest-pruned read: lineitem z-ordered on (partkey, suppkey) and
+    // manifested; a partkey range then reads only the files whose span
+    // intersects — planning-time file skipping with no table format. The
+    // residual predicate re-applies on the scan, so pruning can only skip
+    // work, never change the result: the gate is the unpruned oracle.
+    "b06_manifest_pruned" -> ((s, d) => {
+      import graft.sources.{ManifestTables, ZOrderedTables}
+      val li = tbl(s, d, "lineitem")
+      val mm = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (mnp, mxp, mns, mxs) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val z = ZOrderedTables.zValue(Seq(
+        ZOrderedTables.scale(col("l_partkey"), mnp, mxp, 8),
+        ZOrderedTables.scale(col("l_suppkey"), mns, mxs, 8)), 8)
+      val clustered = li.select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_extendedprice")
+        .repartitionByRange(8, z).sortWithinPartitions(z)
+      val path = ManifestTables.writeWithManifest(
+        clustered, "b06_lineitem_manifest", Seq("l_partkey", "l_suppkey"))
+      val (lo, hi) = (mnp, mnp + (mxp - mnp) / 8)
+      ManifestTables.readPruned(s, path, "l_partkey", lo, hi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
     // ORC round trip: the second columnar format Spark ships a native
     // vectorized reader for — a corpus archived as ORC must re-enter the
     // pipeline losslessly. The aggregate runs over the READ-BACK ORC and
@@ -2519,6 +2546,17 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END), 0) AS BIGINT) AS chars,
         |  CAST(coalesce(sum(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE length(text) END), 0) AS BIGINT) AS text_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Pruning may only skip files, never rows: the oracle is the plain
+    // range filter over the original table. The range mirrors the gate:
+    // [min_pk, min_pk + (max_pk - min_pk)/8].
+    "b06_manifest_pruned" ->
+      """WITH mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem, mm
+        |WHERE l_partkey >= mm.mnp AND l_partkey <= mm.mnp + (mm.mxp - mm.mnp) // 8
+        |GROUP BY 1""".stripMargin,
 
     // The ORC round trip must agree with the ORIGINAL table.
     "b05_orc_roundtrip" ->

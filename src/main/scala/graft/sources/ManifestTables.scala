@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max manifest — the data-skipping catalog plain parquet
+  * lacks: Delta/Iceberg prune FILES at planning time from column stats;
+  * bare `spark.read.parquet` can only row-group-skip INSIDE each opened
+  * file, after listing and scheduling all of them. This module persists a
+  * sibling `<table>__manifest` parquet (one row per data file: min/max per
+  * tracked column) at write time and, on read, turns a range predicate
+  * into an explicit pruned file list — planning-time skipping with zero
+  * table-format dependency.
+  *
+  * Composes with [[ZOrderedTables]]: z-clustering is WHAT makes per-file
+  * spans narrow; the manifest is what turns narrow spans into files never
+  * opened. The manifest is file-count-sized (a 100 TB table at 1 GB files
+  * is a 10^5-row manifest — driver-trivial), rebuilt atomically with each
+  * overwrite, and consulted with one small scan before the main plan.
+  *
+  * The predicate re-applies on the scan (`readPruned` returns the filter
+  * too), so manifest pruning can only SKIP work, never change results —
+  * which is exactly what the b06 gate checks against the unpruned oracle.
+  */
+object ManifestTables {
+
+  private def manifestPath(path: String) = s"${path}__manifest"
+
+  /** Write `df` as parquet plus its per-file min/max manifest over
+    * `statsCols`. Returns the data path.
+    */
+  def writeWithManifest(df: DataFrame, name: String,
+      statsCols: Seq[String]): String = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    val spark = df.sparkSession
+    val base = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$base/$name"
+    df.write.mode("overwrite").parquet(path)
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(manifestPath(path))
+    path
+  }
+
+  /** Read back only the files whose `[min_col, max_col]` span intersects
+    * `[lo, hi]`; the residual predicate is re-applied on the scan, so the
+    * result equals the unpruned read + filter regardless of manifest
+    * contents. Empty file list short-circuits to an empty frame with the
+    * table's schema.
+    */
+  def readPruned(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val keep = spark.read.parquet(manifestPath(path))
+      .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val predicate: Column = col(statsCol) >= lo && col(statsCol) <= hi
+    if (keep.isEmpty)
+      spark.read.parquet(path).filter(predicate).limit(0)
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(predicate)
+  }
+}

@@ -53,6 +53,26 @@ class ZOrderedTablesSpec extends AnyFunSuite with SparkTestHarness {
       s"weak clustering: avg x-span $avgSx, avg y-span $avgSy (domain 63)")
   }
 
+  test("manifest pruning: narrow range opens a strict file subset, same rows") {
+    val df = spark.range(64L * 64L)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+    val clustered = df.repartitionByRange(16,
+        ZOrderedTables.zValue(Seq(col("x"), col("y")), 6))
+      .sortWithinPartitions(ZOrderedTables.zValue(Seq(col("x"), col("y")), 6))
+    val path = ManifestTables.writeWithManifest(clustered, "manifest_spec_grid",
+      Seq("x", "y"))
+    val pruned = ManifestTables.readPruned(spark, path, "x", 0L, 7L)
+    val all = spark.read.parquet(path)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"no files pruned: ${pruned.inputFiles.length} of ${all.inputFiles.length}")
+    val want = all.filter(col("x") <= 7).collect().map(_.getLong(2)).toSet
+    val got = pruned.collect().map(_.getLong(2)).toSet
+    assert(got == want, "pruned read lost or gained rows")
+    // Empty-range short circuit keeps the schema and returns nothing.
+    val empty = ManifestTables.readPruned(spark, path, "x", 1000L, 2000L)
+    assert(empty.columns.toSeq == all.columns.toSeq && empty.count() == 0)
+  }
+
   test("zValue equals a pure-Scala Morton reference on a value sweep") {
     // (The SQL replay itself is exercised end-to-end by the b04 gate,
     // where DuckDB executes zValueSql against this plan's output.)
