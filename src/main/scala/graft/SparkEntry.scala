@@ -469,6 +469,36 @@ object SparkEntry {
       graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
     }),
 
+    // Local clustering coefficient on g19's mixed graph (every third
+    // customer closes a cust-nation-region triangle): per-vertex
+    // triangles over (d choose 2) on the micro lattice —
+    // lcc = (2 * tri * 1e6) div (d * (d-1)), 0 below degree 2.
+    "g22_clustering_coeff" -> ((s, d) => {
+      val nation = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("nk"),
+          col("n_regionkey").cast(LongType).as("rk"))
+      val nr = nation.select((col("nk") + 3000000L).as("src"),
+        (col("rk") + 3500000L).as("dst"))
+      val cust = tbl(s, d, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").cast(LongType).as("nk"))
+      val cn = cust.select(col("ck").as("src"), (col("nk") + 3000000L).as("dst"))
+      val cr = cust.filter(col("ck") % 3 === 0)
+        .join(nation, Seq("nk"))
+        .select(col("ck").as("src"), (col("rk") + 3500000L).as("dst"))
+      val edges = nr.unionAll(cn).unionAll(cr)
+      val verts = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val tri = GraphFrame(verts, edges).triangleCount.run()
+      val deg = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      tri.join(deg, Seq("id"))
+        .select(col("id"), col("triangles"), col("d"),
+          when(col("d") >= 2L,
+            expr("(2 * triangles * 1000000) div (d * (d - 1))"))
+            .otherwise(0L).as("lcc_micros"))
+    }),
+
     // Landmark-sampled harmonic centrality on the SYMMETRIZED
     // customer-nation-region graph: one multi-landmark BFS (4 hops),
     // reciprocal distances on the exact micro lattice (1e6 div d).
@@ -1776,6 +1806,31 @@ object SparkEntry {
     // neighbors via the adjacency self-join, peel below k-2, recompute on
     // the survivors; output the round-2 survivors with round-2 support.
     // MATERIALIZED: e/a CTEs are each read twice downstream.
+    // g11's generic wedge-closure triangle count over g19's edge set
+    // (already canonical: cust < 3e6+nation < 3.5e6+region), then degrees
+    // from both edge directions and the micro-lattice ratio.
+    "g22_clustering_coeff" ->
+      """WITH e0 AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) + 3000000 AS src, CAST(n_regionkey AS BIGINT) + 3500000 AS dst FROM nation
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 3000000 FROM customer
+        |  UNION ALL
+        |  SELECT c.c_custkey, CAST(n.n_regionkey AS BIGINT) + 3500000
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE c.c_custkey % 3 = 0),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1),
+        |ends AS (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY 1)
+        |SELECT deg.id, CAST(coalesce(tcnt.triangles, 0) AS BIGINT) AS triangles, deg.d,
+        |  CAST(CASE WHEN deg.d >= 2
+        |    THEN (2 * coalesce(tcnt.triangles, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micros
+        |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id""".stripMargin,
+
     // Multi-landmark BFS replayed as ONE recursive CTE over the
     // symmetrized edge set (state = (landmark, vertex, depth), UNION
     // dedup, 4-hop cap), then reciprocal micro-lattice sums.
