@@ -890,6 +890,12 @@ object SparkEntry {
           col("w.event_type").as("last_type"),
           col("w.cents").as("last_value_cents"))),
 
+    // Deterministic mixture-interleave keys: reading docs by ascending
+    // key visits every lang at its proportional cadence — the stationary
+    // data-loader order, rerun-identical.
+    "p07_interleave" -> ((s, d) =>
+      Sampling.mixtureInterleaveKeys(tbl(s, d, "documents"), "lang", "doc_id")),
+
     // Bloom-pruned semi join (the runtime-filter pattern): the urgent-order
     // key set builds ONE packed-bitset row (map-side OR-combined), a codegen
     // bloom probe prunes the lineitem scan BEFORE any shuffle, and a
@@ -2864,6 +2870,18 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // Midpoint-rule interleave keys off the same (hash, id) category rank.
+    "p07_interleave" ->
+      """SELECT lang, doc_id, cat_rank,
+        |  ((2 * cat_rank - 1) * 1000000000000) // (2 * cnt) AS interleave_key
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id)
+        |      AS BIGINT) AS cat_rank,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)""".stripMargin,
 
     // Salting is invisible to semantics: the oracle is the plain join.
     "q22_salted_join" ->

@@ -227,4 +227,34 @@ object Sampling {
           round(col("w_micro").cast("double") / col("tw").cast("double"), 6)
             .as("share6"))
     }
+
+  /** Deterministic mixture-interleave keys — the data-LOADER ordering
+    * primitive the mixture selectors (p04/p05) stop short of: reading the
+    * corpus in ascending `interleave_key` order visits every category at
+    * its proportional cadence (category c's k-th doc sits at the midpoint
+    * `(2k-1)/(2·cnt_c)` of the unit interval, scaled to an exact integer
+    * `(2k-1)·1e12 div (2·cnt_c)`), so a sequential trainer sees a
+    * stationary mixture instead of category-clumped data, with zero
+    * randomness — rerun-identical, resume-stable.
+    *
+    * Per-category ranks come from a (hash, key) window here — the
+    * SEMANTIC spec; at corpus scale ranks substitute the p04 histogram
+    * refinement (same contract, `cats × 2^bits` shuffle, no global sort).
+    * The KEY is the output: writing range-partitioned by it materializes
+    * the interleaved order without any global numbering step.
+    *
+    * Output `[<catCol>, <keyCol>, cat_rank, interleave_key]`.
+    */
+  def mixtureInterleaveKeys(df: DataFrame, catCol: String,
+      keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(catCol).orderBy(keyHash60(col(keyCol)), col(keyCol))
+    df.select(col(catCol), col(keyCol))
+      .withColumn("cat_rank", row_number().over(w).cast(LongType))
+      .withColumn("__cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(catCol)))
+      .select(col(catCol), col(keyCol), col("cat_rank"),
+        expr("((2 * cat_rank - 1) * 1000000000000) div (2 * __cnt)")
+          .as("interleave_key"))
+  }
 }

@@ -127,6 +127,32 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("interleave keys: every prefix of the key order is proportionally mixed") {
+    // 300 docs: 150 a, 100 b, 50 c. In ascending interleave_key order,
+    // any prefix of length n must hold within ceil(n*share)+1 of each
+    // category — the stationary-mixture property.
+    val docs = (0 until 300).map { i =>
+      val cat = if (i < 150) "a" else if (i < 250) "b" else "c"
+      (i.toLong, cat)
+    }.toDF("doc_id", "cat")
+    val ordered = Sampling.mixtureInterleaveKeys(docs, "cat", "doc_id")
+      .orderBy("interleave_key", "cat")
+      .collect().map(_.getString(0))
+    val share = Map("a" -> 0.5, "b" -> 1.0 / 3, "c" -> 1.0 / 6)
+    for (n <- Seq(30, 60, 120, 240)) {
+      val prefix = ordered.take(n).groupBy(identity).view.mapValues(_.length)
+      share.foreach { case (c, s) =>
+        val got = prefix.getOrElse(c, 0)
+        assert(math.abs(got - n * s) <= 2,
+          s"prefix $n has $got of '$c', expected ~${n * s}")
+      }
+    }
+    // Rerun-identical: the key is a pure function of (cat sizes, hash).
+    val again = Sampling.mixtureInterleaveKeys(docs, "cat", "doc_id")
+      .orderBy("interleave_key", "cat").collect().map(_.getString(0))
+    assert(ordered.toSeq == again.toSeq)
+  }
+
   test("salted join == plain join for any salt count; exchange keys on (key, salt)") {
     // 10k fact rows, one hot key (60% of rows), 100-row dim.
     val fact = spark.range(10000).selectExpr(
