@@ -890,6 +890,18 @@ object SparkEntry {
           col("w.event_type").as("last_type"),
           col("w.cents").as("last_value_cents"))),
 
+    // Exact integer Gram matrix over the quantized embedding lattice —
+    // the PCA/whitening/covariance input as ONE dim^2-state aggregate
+    // (map-side combinable; corpus reduces to partitions x 4096 longs).
+    // Output: the upper triangle, row-major indices.
+    "e02_gram_matrix" -> ((s, d) =>
+      KMeans.quantize(tbl(s, d, "embeddings"), "vec_id", "embedding")
+        .agg(graft.functions.GramMatrixAgg.gram_matrix(col("vq")).as("g"))
+        .select(posexplode(col("g")).as(Seq("p", "v")))
+        .select(expr("p div 64").cast(LongType).as("i"),
+          expr("p % 64").cast(LongType).as("j"), col("v").as("gram"))
+        .filter(col("i") <= col("j"))),
+
     // Deterministic mixture-interleave keys: reading docs by ascending
     // key visits every lang at its proportional cadence — the stationary
     // data-loader order, rerun-identical.
@@ -2870,6 +2882,15 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // The Gram sums replayed cell-by-cell on the same micro lattice.
+    "e02_gram_matrix" ->
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings)
+        |SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+        |  CAST(sum(vq[i.i] * vq[j.j]) AS BIGINT) AS gram
+        |FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+        |WHERE i.i <= j.j GROUP BY 1, 2""".stripMargin,
 
     // Midpoint-rule interleave keys off the same (hash, id) category rank.
     "p07_interleave" ->

@@ -127,6 +127,27 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("gram matrix: hand-computed sums, map-side partials, symmetry") {
+    import graft.functions.GramMatrixAgg.gram_matrix
+    val rows = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)).toDF("vq")
+    val g = rows.repartition(2).agg(gram_matrix(col("vq")))
+      .head().getSeq[Long](0)
+    // G = [1,2,3]^T[1,2,3] + [4,5,6]^T[4,5,6]
+    val want = for (i <- 0 until 3; j <- 0 until 3)
+      yield (Seq(1L, 2L, 3L)(i) * Seq(1L, 2L, 3L)(j)
+        + Seq(4L, 5L, 6L)(i) * Seq(4L, 5L, 6L)(j))
+    assert(g == want, s"got $g want $want")
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(g(i * 3 + j) == g(j * 3 + i), "not symmetric")
+    val plan = rows.agg(gram_matrix(col("vq"))).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_gram_matrix"),
+      s"gram not partially aggregated map-side:\n$plan")
+    intercept[org.apache.spark.SparkException] {
+      Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("vq")
+        .coalesce(1).agg(gram_matrix(col("vq"))).head()
+    }
+  }
+
   test("interleave keys: every prefix of the key order is proportionally mixed") {
     // 300 docs: 150 a, 100 b, 50 c. In ascending interleave_key order,
     // any prefix of length n must hold within ceil(n*share)+1 of each
