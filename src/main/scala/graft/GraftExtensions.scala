@@ -85,6 +85,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(args, 1, "quantize_micros")
       QuantizeMicrosExpression(args(0))
     }
+    register(ext, "gram_matrix") { args =>
+      arity(args, 1, "gram_matrix")
+      GramMatrixAgg(args(0))
+    }
+    register(ext, "bloom_words") { args =>
+      arity(args, 2, "bloom_words")
+      BloomWordsAgg(args(0), intArg(args(1), "bloom_words", "mBits"))
+    }
   }
 }
 

@@ -95,6 +95,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
       "SELECT g, label_mode(v % 25) AS m FROM ext_agg_in GROUP BY g")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lm === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // gram_matrix: 2 rows [1,2],[3,4] -> [1+9, 2+12, 2+12, 4+16].
+    val gm2 = ext.sql(
+      "SELECT gram_matrix(g) FROM (SELECT array(1L, 2L) AS g UNION ALL SELECT array(3L, 4L))")
+      .head().getSeq[Long](0)
+    assert(gm2 == Seq(10L, 14L, 14L, 20L), s"got $gm2")
+    // bloom_words: positions {0, 65} set bits in words 0 and 1.
+    val bw = ext.sql(
+      "SELECT bloom_words(p, 128) FROM (SELECT CAST(0 AS BIGINT) AS p UNION ALL SELECT 65)")
+      .head().getSeq[Long](0)
+    assert(bw == Seq(1L, 2L), s"got $bw")
   }
 
   test("non-literal static parameters are rejected with a clear error") {
