@@ -908,6 +908,28 @@ object SparkEntry {
     "p07_interleave" -> ((s, d) =>
       Sampling.mixtureInterleaveKeys(tbl(s, d, "documents"), "lang", "doc_id")),
 
+    // CDC MERGE apply: a deterministic change set (every 17th key deleted,
+    // every remaining 5th updated, every 13th key re-inserted shifted)
+    // against the orders snapshot — one full-outer join, projection-only
+    // resolution. The gate hashes the ENTIRE next snapshot.
+    "q24_merge_apply" -> ((s, d) => {
+      val base = tbl(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderpriority"))
+      val del = base.filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"), lit("delete").as("op"),
+          col("price_cents"), col("o_orderpriority"))
+      val upd = base.filter(col("o_orderkey") % 17 =!= 0 && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("upsert").as("op"),
+          (col("price_cents") + 111L).as("price_cents"),
+          lit("9-MERGED").as("o_orderpriority"))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("upsert").as("op"), col("o_orderkey").as("price_cents"),
+          lit("9-NEW").as("o_orderpriority"))
+      graft.operators.MergeApply.mergeApply(
+        base, del.unionAll(upd).unionAll(ins), "o_orderkey")
+    }),
+
     // Bloom-pruned semi join (the runtime-filter pattern): the urgent-order
     // key set builds ONE packed-bitset row (map-side OR-combined), a codegen
     // bloom probe prunes the lineitem scan BEFORE any shuffle, and a
@@ -2882,6 +2904,23 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // MERGE resolved set-wise: base minus deletes, updates override via
+    // left join, inserts append.
+    "q24_merge_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderpriority AS prio FROM orders),
+        |upd AS (SELECT k, price_cents + 111 AS price_cents, '9-MERGED' AS prio
+        |  FROM base WHERE k % 17 <> 0 AND k % 5 = 0),
+        |ins AS (SELECT k + 10000000 AS k, CAST(k AS BIGINT) AS price_cents,
+        |  '9-NEW' AS prio FROM base WHERE k % 13 = 0)
+        |SELECT b.k AS o_orderkey, coalesce(u.price_cents, b.price_cents) AS price_cents,
+        |  coalesce(u.prio, b.prio) AS o_orderpriority
+        |FROM base b LEFT JOIN upd u ON u.k = b.k
+        |WHERE b.k % 17 <> 0
+        |UNION ALL
+        |SELECT k, price_cents, prio FROM ins""".stripMargin,
 
     // The Gram sums replayed cell-by-cell on the same micro lattice.
     "e02_gram_matrix" ->

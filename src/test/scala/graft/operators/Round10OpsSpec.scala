@@ -127,6 +127,37 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("mergeApply: upsert/insert/delete semantics, loud on ambiguity") {
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "tag")
+    val changes = Seq(
+      (2L, "upsert", 99L, "B"),     // update
+      (4L, "upsert", 40L, "d"),     // insert
+      (3L, "delete", 0L, ""),       // delete (payload ignored)
+      (7L, "delete", 0L, ""))       // delete of absent key: no-op
+      .toDF("k", "op", "v", "tag")
+    val got = MergeApply.mergeApply(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "a"), (2L, 99L, "B"), (4L, 40L, "d")))
+    // Two changes for one key: loud failure, not a silent winner.
+    val dup = Seq((2L, "upsert", 1L, "x"), (2L, "upsert", 2L, "y"))
+      .toDF("k", "op", "v", "tag")
+    val e1 = intercept[Exception] {
+      MergeApply.mergeApply(base, dup, "k").collect()
+    }
+    assert(e1.getMessage.contains("multiple changes"), e1.getMessage)
+    // Unknown op: loud failure.
+    val bad = Seq((2L, "replace", 1L, "x")).toDF("k", "op", "v", "tag")
+    val e2 = intercept[Exception] {
+      MergeApply.mergeApply(base, bad, "k").collect()
+    }
+    assert(e2.getMessage.contains("unknown op"), e2.getMessage)
+    // Schema mismatch rejected before any job runs.
+    intercept[IllegalArgumentException] {
+      MergeApply.mergeApply(base, Seq((1L, "upsert")).toDF("k", "op"), "k")
+    }
+  }
+
   test("gram matrix: hand-computed sums, map-side partials, symmetry") {
     import graft.functions.GramMatrixAgg.gram_matrix
     val rows = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)).toDF("vq")
