@@ -469,6 +469,21 @@ object SparkEntry {
       graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
     }),
 
+    // Strongly connected components (FW-BW coloring) on a synthetic cyclic
+    // graph over the first 300 customers: 30 ten-cycles plus pseudo-random
+    // chords from every third vertex — chords weld some cycles into larger
+    // SCCs and leave tree tails as singletons; the oracle computes ground
+    // truth from the full transitive closure.
+    "g23_scc" -> ((s, d) => {
+      val ks = tbl(s, d, "customer").select(col("c_custkey").as("k"))
+        .filter(col("k") <= 300)
+      val cyc = ks.select(col("k").as("src"),
+        when(col("k") % 10 === 0, col("k") - 9).otherwise(col("k") + 1).as("dst"))
+      val chord = ks.filter(col("k") % 3 === 0)
+        .select(col("k").as("src"), ((col("k") * 7) % 300 + 1).as("dst"))
+      graft.algorithms.StronglyConnectedComponents.run(cyc.unionAll(chord))
+    }),
+
     // Local clustering coefficient on g19's mixed graph (every third
     // customer closes a cust-nation-region triangle): per-vertex
     // triangles over (d choose 2) on the micro lattice —
@@ -1846,6 +1861,26 @@ object SparkEntry {
     // neighbors via the adjacency self-join, peel below k-2, recompute on
     // the survivors; output the round-2 survivors with round-2 support.
     // MATERIALIZED: e/a CTEs are each read twice downstream.
+    // Ground truth from the closure: scc_id(u) = max over u and all
+    // mutually-reachable v — the same canonical representative the
+    // coloring algorithm's roots produce. (Explicit DISTINCT subquery for
+    // v: see g21's WITH RECURSIVE UNION note.)
+    "g23_scc" ->
+      """WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 300),
+        |e AS (
+        |  SELECT k AS src, CASE WHEN k % 10 = 0 THEN k - 9 ELSE k + 1 END AS dst FROM ks
+        |  UNION ALL
+        |  SELECT k, ((k * 7) % 300) + 1 FROM ks WHERE k % 3 = 0),
+        |r(s, d) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d),
+        |vv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |m AS (SELECT a.s AS u, max(a.d) AS mx FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+        |      GROUP BY 1)
+        |SELECT vv.id, CAST(greatest(vv.id, coalesce(m.mx, vv.id)) AS BIGINT) AS scc_id
+        |FROM vv LEFT JOIN m ON m.u = vv.id""".stripMargin,
+
     // g11's generic wedge-closure triangle count over g19's edge set
     // (already canonical: cust < 3e6+nation < 3.5e6+region), then degrees
     // from both edge directions and the micro-lattice ratio.

@@ -43,6 +43,29 @@ class RandomWalksSpec extends AnyFunSuite with SparkTestHarness {
     assert(capped == Map(1L -> 0L, 2L -> 1000000L, 3L -> 500000L, 4L -> 0L, 5L -> 0L))
   }
 
+  test("scc: cycles, one-way links stay separate, two-way bridges merge, tails singleton") {
+    // 3-cycle {1,2,3}, 3-cycle {4,5,6}, one-way 3->4 (separate SCCs),
+    // tail 7->1 (singleton), and a 2-cycle {8,9} bridged INTO {1,2,3}
+    // both ways (8->1, 2->9, 9->8) — mutual, so {1,2,3,8,9} is ONE SCC.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L),
+      (7L, 1L),
+      (8L, 1L), (2L, 9L), (9L, 8L)).toDF("src", "dst")
+    val got = StronglyConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 9L, 2L -> 9L, 3L -> 9L, 8L -> 9L, 9L -> 9L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L,
+      7L -> 7L), s"got $got")
+    // Pure DAG: every vertex is its own SCC.
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dagGot = StronglyConnectedComponents.run(dag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dagGot == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("duplicate edges don't bias the draw; reruns are identical") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
       .toDF("src", "dst")
