@@ -917,6 +917,12 @@ object SparkEntry {
           expr("p % 64").cast(LongType).as("j"), col("v").as("gram"))
         .filter(col("i") <= col("j"))),
 
+    // Top eigenvector (leading PCA direction) by integer power iteration
+    // on the distributed Gram build — 3 rounds, floorDiv renormalization.
+    "e03_top_eigenvector" -> ((s, d) =>
+      graft.operators.Spectral.topEigenvector(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", iters = 3)),
+
     // Deterministic mixture-interleave keys: reading docs by ascending
     // key visits every lang at its proportional cadence — the stationary
     // data-loader order, rerun-identical.
@@ -2956,6 +2962,26 @@ object SparkEntry {
         |WHERE b.k % 17 <> 0
         |UNION ALL
         |SELECT k, price_cents, prio FROM ins""".stripMargin,
+
+    // The Gram chain + 3 unrolled integer power-iteration rounds; // is
+    // floor division, matching the plan's floorDiv renormalization.
+    "e03_top_eigenvector" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""u$t AS (SELECT g.i, CAST(sum(g.gv * v${t - 1}.v) AS BIGINT) AS u
+           |  FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY 1),
+           |m$t AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1000) AS s FROM u$t),
+           |v$t AS (SELECT i, CAST(u // s AS BIGINT) AS v FROM u$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+         |g AS (SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+         |  CAST(sum(vq[i.i] * vq[j.j]) AS BIGINT) AS gv
+         |  FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v FROM range(64)),
+         |$rounds
+         |SELECT i, v AS eig_micros FROM v3""".stripMargin
+    },
 
     // The Gram sums replayed cell-by-cell on the same micro lattice.
     "e02_gram_matrix" ->

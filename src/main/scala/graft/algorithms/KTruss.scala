@@ -124,13 +124,30 @@ object KTruss {
       val removed = sup.filter(col("support") < k - 2)
         .select("a", "b").transform(ckpt)
       val survivors = sup.filter(col("support") >= k - 2).transform(ckpt)
-      if (removed.count() == 0 || round == maxRounds) {
+      val removedCount = removed.count()
+      if (removedCount == 0 || round == maxRounds) {
         out = survivors
           .select(col("a").as(GraphFrame.SRC), col("b").as(GraphFrame.DST),
             col("support"))
           .transform(ckpt)
         checkpointing.release(survivors)
         checkpointing.release(removed)
+      } else if (removedCount > survivors.count()) {
+        // MASS peel (most of the graph died this round — e.g. a sparse
+        // graph's first round): the removal frontier's wedge volume
+        // exceeds a fresh enumeration on the (smaller) survivor set, so
+        // incremental decrementing LOSES here — ScaleBench
+        // ktruss-inc-deep-skew measured 104 s frontier vs 44 s recount
+        // at 8.4 M edges peeling to 1512. Recount from scratch and let
+        // later (gradual) rounds take the incremental path.
+        val surEdges = survivors.select("a", "b").transform(ckpt)
+        val next = triangleSupport(surEdges)
+        checkpointing.release(surEdges)
+        checkpointing.release(survivors)
+        checkpointing.release(sup)
+        checkpointing.release(removed)
+        sup = next
+        round += 1
       } else {
         // Triangles of the PRE-removal graph touching >= 1 removed edge:
         // expand each removed edge from its (degree, id)-smaller endpoint

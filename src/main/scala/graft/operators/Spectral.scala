@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Spectral post-processing on the exact integer Gram matrix: power
+  * iteration for the TOP EIGENVECTOR (the leading PCA direction — the
+  * quality/diversity axis semantic-curation pipelines project onto).
+  *
+  * The DISTRIBUTED work is the Gram build
+  * ([[graft.functions.GramMatrixAgg]]: corpus → one dim² row, map-side
+  * combined); the iteration itself runs on the driver over that bounded
+  * dim² array — the same bounded-driver-step discipline as k-means'
+  * centroid update. Every step is INTEGER arithmetic:
+  *
+  *   - `u = G·v` exactly (|u| ≤ dim · max|G| · 1001 < 2^63 for
+  *     micro-lattice corpora at dim 64);
+  *   - renormalize `v' = u / max(1, max|u| / 1000)` with TRUNCATING
+  *     division (Java `/`): DuckDB's BIGINT `//` truncates toward zero
+  *     (probed: `(-7)//2 = -3`, NOT floor's `-4`), and the two engines
+  *     must agree on negative components.
+  *
+  * Fixed iteration count, no convergence test — determinism over
+  * adaptivity, like every other gated loop here. Output: `[i, eig_micros]`
+  * (the ~±1000-scaled direction after `iters` rounds).
+  */
+object Spectral {
+
+  def topEigenvector(embeddings: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val spark = embeddings.sparkSession
+    val g = KMeans.quantize(embeddings, idCol, vecCol)
+      .agg(graft.functions.GramMatrixAgg.gram_matrix(col("vq")).as("g"))
+      .head().getSeq[Long](0).toArray
+    val dim = math.sqrt(g.length.toDouble).toInt
+    require(dim * dim == g.length, s"gram length ${g.length} is not square")
+
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to iters) {
+      val u = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0L
+        var j = 0
+        while (j < dim) {
+          acc = Math.addExact(acc, Math.multiplyExact(g(i * dim + j), v(j)))
+          j += 1
+        }
+        u(i) = acc
+        i += 1
+      }
+      val m = u.map(math.abs).max
+      val scale = math.max(1L, m / 1000L)
+      v = u.map(_ / scale)
+    }
+    val rows = v.zipWithIndex.map { case (x, i) => Row(i.toLong, x) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(StructField("i", LongType, nullable = false),
+        StructField("eig_micros", LongType, nullable = false))))
+  }
+}
