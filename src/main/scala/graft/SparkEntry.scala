@@ -923,6 +923,12 @@ object SparkEntry {
       graft.operators.Spectral.topEigenvector(
         tbl(s, d, "embeddings"), "vec_id", "embedding", iters = 3)),
 
+    // ...and the projection scores — the curation ranking along the
+    // trained axis, one codegen scan with the direction folded in.
+    "e03b_pca_scores" -> ((s, d) =>
+      graft.operators.Spectral.pcaScores(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", iters = 3)),
+
     // Deterministic mixture-interleave keys: reading docs by ascending
     // key visits every lang at its proportional cadence — the stationary
     // data-loader order, rerun-identical.
@@ -2981,6 +2987,32 @@ object SparkEntry {
          |v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v FROM range(64)),
          |$rounds
          |SELECT i, v AS eig_micros FROM v3""".stripMargin
+    },
+
+    // e03's chain + the per-vector dot against v3 — exact integers in the
+    // double domain (all partials < 2^53), // truncating like the plan.
+    "e03b_pca_scores" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""u$t AS (SELECT g.i, CAST(sum(g.gv * v${t - 1}.v) AS BIGINT) AS u
+           |  FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY 1),
+           |m$t AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1000) AS s FROM u$t),
+           |v$t AS (SELECT i, CAST(u // s AS BIGINT) AS v FROM u$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eq AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+         |e AS (SELECT vq FROM eq),
+         |g AS (SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+         |  CAST(sum(vq[i.i] * vq[j.j]) AS BIGINT) AS gv
+         |  FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v FROM range(64)),
+         |$rounds,
+         |ev AS (SELECT list(v ORDER BY i) AS evec FROM v3)
+         |SELECT vec_id,
+         |  CAST(CAST(list_dot_product(list_transform(vq, x -> CAST(x AS DOUBLE)),
+         |    list_transform(evec, x -> CAST(x AS DOUBLE))) AS BIGINT) // 1000 AS BIGINT)
+         |    AS score_micros
+         |FROM eq, ev""".stripMargin
     },
 
     // The Gram sums replayed cell-by-cell on the same micro lattice.

@@ -61,4 +61,25 @@ object Spectral {
       StructType(Seq(StructField("i", LongType, nullable = false),
         StructField("eig_micros", LongType, nullable = false))))
   }
+
+  /** Per-vector projection onto the trained direction — the downstream
+    * curation score (`rank by |projection|` = distance along the leading
+    * variance axis). One codegen corpus scan: the ~±1000-scale direction
+    * folds in as a literal array and the dot runs through the
+    * [[graft.functions.ArrayDot]] kernel — every product and partial sum
+    * is an exact integer below 2^53, so the double-domain dot is
+    * order-independent and engine-exact; `// 1000` (truncating) lands the
+    * score back on the micro lattice. Output `[<idCol>, score_micros]`.
+    */
+  def pcaScores(embeddings: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    import graft.functions.ArrayDot.array_dot
+    val eig = topEigenvector(embeddings, idCol, vecCol, iters)
+      .orderBy("i").collect().map(_.getLong(1))
+    KMeans.quantize(embeddings, idCol, vecCol)
+      .withColumn("__dot", array_dot(col("vq").cast("array<double>"),
+        typedLit(eig.map(_.toDouble).toSeq)))
+      .select(col("id").as(idCol),
+        expr("CAST(__dot AS BIGINT) div 1000").as("score_micros"))
+  }
 }
