@@ -469,6 +469,13 @@ object SparkEntry {
       graft.algorithms.KTruss.run(nr.unionAll(cn).unionAll(cr), k = 3, maxRounds = 2)
     }),
 
+    // Co-purchase projection: the weighted part-part graph from order
+    // membership (size-capped self-join, weight = shared orders >= 2).
+    "g24_copurchase" -> ((s, d) =>
+      graft.operators.CoOccurrence.projectPairs(
+        tbl(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 5, minWeight = 2L)),
+
     // Strongly connected components (FW-BW coloring) on a synthetic cyclic
     // graph over the first 300 customers: 30 ten-cycles plus pseudo-random
     // chords from every third vertex — chords weld some cycles into larger
@@ -1873,6 +1880,16 @@ object SparkEntry {
     // neighbors via the adjacency self-join, peel below k-2, recompute on
     // the survivors; output the round-2 survivors with round-2 support.
     // MATERIALIZED: e/a CTEs are each read twice downstream.
+    // The capped projection replayed: distinct membership, group sizes,
+    // self-join under the cap, canonical pair, weight filter.
+    "g24_copurchase" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |sz AS (SELECT g, count(*) AS n FROM m GROUP BY 1),
+        |k AS (SELECT m.g, m.i FROM m JOIN sz USING (g) WHERE sz.n <= 5)
+        |SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS weight
+        |FROM k a JOIN k b ON a.g = b.g AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
     // Ground truth from the closure: scc_id(u) = max over u and all
     // mutually-reachable v — the same canonical representative the
     // coloring algorithm's roots produce. (Explicit DISTINCT subquery for

@@ -286,6 +286,17 @@ object ScaleBench {
         println(f"SCALE-OK zorder m=$m files=64 write=$tWrite%.1f sec " +
           f"avgSpanX=${spans.getDouble(0)}%.3f avgSpanY=${spans.getDouble(1)}%.3f (1.0 = unclustered)")
 
+      case "scc" =>
+        // FW-BW coloring on the random DIGRAPH (directed edges as drawn):
+        // at m/n = 4 a giant SCC exists, plus a periphery of singletons —
+        // the realistic decomposition shape. Reports components and the
+        // giant SCC's size.
+        val r = graft.algorithms.StronglyConnectedComponents.run(edges, 500)
+        val comps = r.select(countDistinct("scc_id")).head.getLong(0)
+        val giant = r.groupBy("scc_id").count().agg(max("count")).head.getLong(0)
+        println(f"SCALE-OK scc n=$n m=$m sccs=$comps giant=$giant " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "walks" =>
         // Deep-walk probe: 32 steps from n/64 starts over the ER graph —
         // exercises the per-8-step stats-free checkpoint cadence and the
