@@ -127,6 +127,53 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("co-occurrence: weights count shared groups; cap drops and audits") {
+    val m = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L),
+      (40L, 1L), (40L, 2L), (40L, 3L), (40L, 4L), (40L, 5L), // size 5 > cap 4
+      (50L, 9L)).toDF("g", "i")
+    val pairs = CoOccurrence.projectPairs(m, "g", "i", maxGroupSize = 4, minWeight = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Group 40 excluded: (1,2) from groups 10/20/30 only; (1,3),(2,3) from 10.
+    assert(pairs == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), s"got $pairs")
+    val dropped = CoOccurrence.droppedGroups(m, "g", "i", maxGroupSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped == Set((40L, 5L)))
+    // Duplicate membership rows must not inflate weights.
+    val dup = m.unionAll(m)
+    val pairs2 = CoOccurrence.projectPairs(dup, "g", "i", 4, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs2 == pairs)
+  }
+
+  test("power iteration finds the dominant axis; projection ranks by it") {
+    // 20 vectors along e0 (values ±large), 3 along e1 (small): the top
+    // eigenvector must align with dimension 0 (component ~±1000, others
+    // tiny), and pcaScores must rank the e0-aligned vectors at the
+    // extremes.
+    val dim = 4
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq(if (i % 2 == 0) 0.4 else -0.4, 0.01, 0.0, 0.0))) ++
+      (20 until 23).map(i => (i.toLong, Seq(0.0, 0.05, 0.01, 0.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val eig = graft.operators.Spectral.topEigenvector(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The renormalized max component lands in [1000, 1001] (u div
+    // (max|u| div 1000) for the argmax component).
+    assert(math.abs(eig(0L)) >= 1000L && math.abs(eig(0L)) <= 1001L,
+      s"dominant axis not found: $eig")
+    assert((1 until dim).forall(i => math.abs(eig(i.toLong)) < 200), s"got $eig")
+    val scores = graft.operators.Spectral.pcaScores(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // e0-aligned vectors project to ~±400k micros; e1 cluster near zero.
+    assert(math.abs(scores(0L)) > 300000L && math.abs(scores(22L)) < 50000L,
+      s"got $scores")
+    // Opposite-sign e0 vectors land on opposite ends.
+    assert(math.signum(scores(0L)) == -math.signum(scores(1L)))
+  }
+
   test("mergeApply: upsert/insert/delete semantics, loud on ambiguity") {
     val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
       .toDF("k", "v", "tag")
