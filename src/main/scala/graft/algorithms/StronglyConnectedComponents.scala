@@ -34,7 +34,77 @@ import org.apache.spark.sql.graft.checkpointing
   */
 object StronglyConnectedComponents {
 
-  def run(edges: DataFrame, maxFixpointIter: Int = 200): DataFrame = {
+  /** Hybrid entry point, matching every other iterative algorithm here:
+    * at or below `smallGraphThreshold` edges the graph is collected and
+    * decomposed with an ITERATIVE driver Tarjan (exact, one pass, no
+    * per-round scheduling latency — the FW-BW loop's many small jobs cost
+    * ~40x more than the work below ~10^5 edges); above it, the
+    * distributed FW-BW peel. Identical results by construction
+    * (equivalence spec on random digraphs); same canonical
+    * `scc_id = max member`.
+    */
+  def run(edges: DataFrame, maxFixpointIter: Int = 200,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
+    val e0 = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
+      .filter(col("src") =!= col("dst")).distinct()
+    if (e0.count() <= smallGraphThreshold) runOnDriver(e0)
+    else runDistributed(e0, maxFixpointIter)
+  }
+
+  /** Iterative (explicit-stack) Tarjan on collected edges. */
+  private def runOnDriver(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    val edgeArr = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edgeArr.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val verts = (edgeArr.map(_._1) ++ edgeArr.map(_._2)).distinct
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayDeque.empty[Long]
+    val sccOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- verts if !index.contains(root)) {
+      // frames: (vertex, iterator over its out-neighbours)
+      val work = scala.collection.mutable.ArrayDeque(
+        (root, adj.getOrElse(root, Array.empty[Long]).iterator))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack.prepend(root); onStack += root
+      while (work.nonEmpty) {
+        val (v, it) = work.head
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack.prepend(w); onStack += w
+            work.prepend((w, adj.getOrElse(w, Array.empty[Long]).iterator))
+          } else if (onStack(w)) {
+            low(v) = math.min(low(v), index(w))
+          }
+        } else {
+          work.removeHead()
+          work.headOption.foreach { case (p, _) =>
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.Buffer.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.removeHead(); onStack -= w
+              members += w
+              done = w == v
+            }
+            val rep = members.max
+            members.foreach(m => sccOf(m) = rep)
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    sccOf.toSeq.toDF("id", "scc_id")
+  }
+
+  private[algorithms] def runDistributed(edges: DataFrame,
+      maxFixpointIter: Int = 200): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
       .filter(col("src") =!= col("dst")).distinct()

@@ -53,17 +53,35 @@ class RandomWalksSpec extends AnyFunSuite with SparkTestHarness {
       (3L, 4L),
       (7L, 1L),
       (8L, 1L), (2L, 9L), (9L, 8L)).toDF("src", "dst")
-    val got = StronglyConnectedComponents.run(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val want = Map(
       1L -> 9L, 2L -> 9L, 3L -> 9L, 8L -> 9L, 9L -> 9L,
       4L -> 6L, 5L -> 6L, 6L -> 6L,
-      7L -> 7L), s"got $got")
+      7L -> 7L)
+    // BOTH arms: driver Tarjan (default threshold) and forced FW-BW.
+    val tarjan = StronglyConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tarjan == want, s"tarjan got $tarjan")
+    val fwbw = StronglyConnectedComponents.run(edges, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fwbw == want, s"fwbw got $fwbw")
     // Pure DAG: every vertex is its own SCC.
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     val dagGot = StronglyConnectedComponents.run(dag)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dagGot == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("scc: driver Tarjan == distributed FW-BW on a random digraph") {
+    val edges = spark.range(400).selectExpr(
+      "abs(CAST(xxhash64(id, 21) % 80 AS BIGINT)) AS src",
+      "abs(CAST(xxhash64(id, 22) % 80 AS BIGINT)) AS dst")
+      .localCheckpoint(true)
+    val a = StronglyConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = StronglyConnectedComponents.run(edges, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"arms diverge: ${a.toSet.diff(b.toSet)}")
+    assert(a.nonEmpty)
   }
 
   test("duplicate edges don't bias the draw; reruns are identical") {
