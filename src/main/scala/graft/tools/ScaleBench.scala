@@ -286,6 +286,35 @@ object ScaleBench {
         println(f"SCALE-OK zorder m=$m files=64 write=$tWrite%.1f sec " +
           f"avgSpanX=${spans.getDouble(0)}%.3f avgSpanY=${spans.getDouble(1)}%.3f (1.0 = unclustered)")
 
+      case "skewjoin" =>
+        // One hot key holding 30% of an m-row fact against an n-row dim,
+        // dim forced non-broadcast (merge hint): the regime where a plain
+        // shuffle join serializes the hot key through one task. Compare
+        // AQE's skew split (on by default) against explicit salting.
+        val factS = spark.range(m).selectExpr(
+          s"CASE WHEN id % 10 < 3 THEN 7 ELSE abs(CAST(xxhash64(id, 5) % $n AS BIGINT)) END AS fk",
+          "id AS payload")
+        val dimS = spark.range(n).selectExpr("id AS dk", "id % 97 AS attr")
+        var t1 = System.nanoTime()
+        val plainCnt2 = factS.join(dimS.hint("merge"), col("fk") === col("dk"))
+          .count()
+        val tAqe = (System.nanoTime() - t1) / 1e9
+        t1 = System.nanoTime()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val noAqeCnt = factS.join(dimS.hint("merge"), col("fk") === col("dk"))
+          .count()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val tNoAqe = (System.nanoTime() - t1) / 1e9
+        t1 = System.nanoTime()
+        val saltCnt = graft.operators.SkewJoin.saltedJoin(
+          factS, "fk", dimS, "dk", saltBy = Seq("payload"), nSalts = 8)
+          .count()
+        val tSalt = (System.nanoTime() - t1) / 1e9
+        assert(plainCnt2 == saltCnt && noAqeCnt == saltCnt,
+          s"arms diverged: $saltCnt / $noAqeCnt vs $plainCnt2")
+        println(f"SCALE-OK skewjoin m=$m dim=$n matched=$plainCnt2 " +
+          f"aqeSkewOn=$tAqe%.1f aqeSkewOff=$tNoAqe%.1f salted8=$tSalt%.1f sec")
+
       case "scc" =>
         // FW-BW coloring on the random DIGRAPH (directed edges as drawn):
         // at m/n = 4 a giant SCC exists, plus a periphery of singletons —
