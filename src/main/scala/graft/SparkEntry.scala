@@ -1280,6 +1280,21 @@ object SparkEntry {
           sum(cents(col("l_extendedprice"))).as("price_cents"))
     }),
 
+    // CSV round trip with explicit schema + header: the interchange
+    // format corpora actually arrive in. Quoting/escaping must survive
+    // (documents text carries arbitrary punctuation); the reader declares
+    // the schema — no inference, the same discipline as the JSONL source.
+    "b07_csv_roundtrip" -> ((s, d) => {
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/b07_documents_csv"
+      val docs = tbl(s, d, "documents")
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"),
+          sum(length(col("text"))).cast(LongType).as("text_chars"))
+    }),
+
     // ORC round trip: the second columnar format Spark ships a native
     // vectorized reader for — a corpus archived as ORC must re-enter the
     // pipeline losslessly. The aggregate runs over the READ-BACK ORC and
@@ -2716,6 +2731,14 @@ object SparkEntry {
         |FROM lineitem, mm
         |WHERE l_partkey >= mm.mnp AND l_partkey <= mm.mnp + (mm.mxp - mm.mnp) // 8
         |GROUP BY 1""".stripMargin,
+
+    // The CSV round trip must agree with the ORIGINAL table — text length
+    // totals catch any quoting/escaping loss.
+    "b07_csv_roundtrip" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // The ORC round trip must agree with the ORIGINAL table.
     "b05_orc_roundtrip" ->
