@@ -942,6 +942,19 @@ object SparkEntry {
     "p07_interleave" -> ((s, d) =>
       Sampling.mixtureInterleaveKeys(tbl(s, d, "documents"), "lang", "doc_id")),
 
+    // Cohort retention: users bucketed by first-activity week, distinct
+    // actives per (cohort, weeks-since) — two map-side-combinable
+    // aggregates sharing the user_id partitioning, no window.
+    "q25_cohort_retention" -> ((s, d) => {
+      val wk = eventsNanos(s, d)
+        .select(col("user_id"), expr("ts div 604800000000000").as("w"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("w").as("c0"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("c0").as("cohort_week"), (col("w") - col("c0")).as("offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
     // CDC MERGE apply: a deterministic change set (every 17th key deleted,
     // every remaining 5th updated, every 13th key re-inserted shifted)
     // against the orders snapshot — one full-outer join, projection-only
@@ -2991,6 +3004,16 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // Same week lattice off epoch_ns; // matches Spark's div on the
+    // non-negative nanos domain.
+    "q25_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS c0 FROM wk GROUP BY 1)
+        |SELECT c.c0 AS cohort_week, CAST(wk.w - c.c0 AS BIGINT) AS offset,
+        |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // MERGE resolved set-wise: base minus deletes, updates override via
     // left join, inserts append.
