@@ -1628,6 +1628,15 @@ object SparkEntry {
         "doc_id", "text", n = 5, mBits = 1 << 16, kHashes = 3)
     }),
 
+    // Quality-aware near-dup removal: each Jaccard cluster keeps its
+    // argmax-quality member (ties to the smaller id), not the min id —
+    // the keep-the-cleanest-copy curation rule.
+    "d14_keep_best" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Dedup.keepBestNearDuplicates(docs, "doc_id", "text",
+        TextFunctions.qualityScore(col("text")))
+    }),
+
     // SemDeDup: k-means cells (k01's deterministic init, nIter=0) bound
     // the quadratic term; within each cell the greedy keep-lowest-id rule
     // drops any vector with a lower-id cell-mate at rounded cosine >= 0.45
@@ -2055,6 +2064,36 @@ object SparkEntry {
         |comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id)
         |SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
+
+    // d06's cluster closure + t02's quality formula + per-cluster argmax
+    // (quality DESC, id ASC) — the window replay of max(struct(score,-id)).
+    "d14_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracle),
+        |ud AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |r(id, lab) AS (
+        |  SELECT DISTINCT src, src FROM ud
+        |  UNION
+        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst),
+        |comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id),
+        |cl AS (SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+        |st AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum,
+        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT) AS hits_en
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(0.4 * (CASE WHEN n_chars > 0 THEN CAST(alnum AS DOUBLE)/n_chars ELSE 0.0 END)
+        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN CAST(hits_en AS DOUBLE)/n_tok ELSE 0.0 END) * 5.0, 1.0)
+        |      + 0.3 * least(CAST(n_chars AS DOUBLE)/500.0, 1.0), 6) AS quality
+        |  FROM st)
+        |SELECT cluster, doc_id, score6 FROM (
+        |  SELECT cl.cluster, cl.id AS doc_id, q.quality AS score6,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |      ORDER BY q.quality DESC, cl.id) AS rn
+        |  FROM cl JOIN q ON q.doc_id = cl.id) WHERE rn = 1""".stripMargin,
 
     "d08_drop_neardups" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),

@@ -490,6 +490,30 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Quality-aware near-duplicate removal — keep the BEST member of each
+    * near-dup cluster (argmax `score`, ties to the smaller id) instead of
+    * [[dropNearDuplicates]]' min-id representative: production curation
+    * keeps the cleanest copy of a duplicated page, not the one that
+    * happened to be crawled first. One `max(struct(score, -id))` per
+    * cluster — map-side combinable, no window. `score` must be an
+    * engine-exact column (rounded quality, integer cents, ...) or the
+    * argmax is not oracle-replayable. Output `[cluster, <idCol>, score6]`,
+    * one row per kept representative.
+    */
+  def keepBestNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      score: Column,
+      n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), score.as("score"))
+    val clusters = nearDupClusters(docs, idCol, textCol, n, threshold,
+      numHashes, bands)
+    scored.join(clusters, Seq("id"))
+      .groupBy("cluster")
+      .agg(max(struct(col("score"), negate(col("id")).as("negid"))).as("w"))
+      .select(col("cluster"), negate(col("w.negid")).as(idCol),
+        col("w.score").as("score6"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
     * embedding space, then de-duplicate ONLY within clusters — the
     * clustering bounds the quadratic term, turning the O(n^2) semantic

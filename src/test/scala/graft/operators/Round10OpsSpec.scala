@@ -127,6 +127,25 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("keep-best dedup: argmax quality wins the cluster, not the min id") {
+    // Docs 1 and 2 are near-identical; doc 2 is longer (higher quality
+    // via the length term), so keep-best must keep 2 while the min-id
+    // rule would keep 1. Doc 9 is unrelated, its own cluster.
+    val dupA = "the data pipeline processes documents and the query engine scans tables quickly"
+    val docs = Seq(
+      (1L, dupA),
+      (2L, dupA + " extra details follow"),
+      (9L, "completely different content about graphs and vertices and edges here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepBestNearDuplicates(docs, "doc_id", "text",
+      graft.text.TextFunctions.qualityScore(col("text")), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 2L, 9L -> 9L), s"got $kept")
+    val minId = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 9L), "min-id rule diverged from its contract")
+  }
+
   test("co-occurrence: weights count shared groups; cap drops and audits") {
     val m = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L),
