@@ -125,6 +125,23 @@ object ScaleBench {
             i => pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / lit(1000000.0) - lit(0.5)).as("v"))
         val cents = graft.operators.KMeans.fitCentroids(pts, "id", "v", k = 64, nIter = iters)
         println(f"SCALE-OK kmeans n=$n dim=$dim k=64 iters=$iters cells=${cents.length} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "semdedup" =>
+        // SemDeDup at its documented operating point (k growing with n):
+        // probes whether the literal-centroid codegen assignment survives
+        // k in the hundreds (when-chain size) and what the within-cell
+        // pair stage costs. 4th arg = k.
+        val dim = 64
+        val kk = args.lift(3).map(_.toInt).getOrElse(256)
+        val pts = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
+              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+        val out = graft.operators.Dedup.semanticDedup(
+          pts, "vec_id", "embedding", k = kk, threshold = 0.95)
+        val dropped = out.filter(!col("keep")).count()
+        println(f"SCALE-OK semdedup n=$n k=$kk dropped=$dropped " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "bm25" =>
         // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
         // picks), 16 query docs: unlike the tiny-vocab gate corpus, query
