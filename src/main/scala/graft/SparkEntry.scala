@@ -3071,8 +3071,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, price_cents, prio FROM ins""".stripMargin,
 
-    // The Gram chain + 3 unrolled integer power-iteration rounds; // is
-    // floor division, matching the plan's floorDiv renormalization.
+    // The Gram chain + 3 unrolled integer power-iteration rounds.
+    // DuckDB's BIGINT // TRUNCATES toward zero (probed: (-7)//2 = -3) —
+    // matching the plan's Java `/`; do NOT "fix" either side to floorDiv,
+    // negative components would then diverge by one.
     "e03_top_eigenvector" -> {
       val rounds = (1 to 3).map { t =>
         s"""u$t AS (SELECT g.i, CAST(sum(g.gv * v${t - 1}.v) AS BIGINT) AS u
@@ -3126,10 +3128,12 @@ object SparkEntry {
         |FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
         |WHERE i.i <= j.j GROUP BY 1, 2""".stripMargin,
 
-    // Midpoint-rule interleave keys off the same (hash, id) category rank.
+    // Midpoint-rule interleave keys off the same (hash, id) category rank;
+    // same overflow-free quotient/remainder decomposition as the plan.
     "p07_interleave" ->
       """SELECT lang, doc_id, cat_rank,
-        |  ((2 * cat_rank - 1) * 1000000000000) // (2 * cnt) AS interleave_key
+        |  (2 * cat_rank - 1) * (1000000000000 // (2 * cnt))
+        |    + ((2 * cat_rank - 1) * (1000000000000 % (2 * cnt))) // (2 * cnt) AS interleave_key
         |FROM (
         |  SELECT lang, doc_id,
         |    CAST(row_number() OVER (PARTITION BY lang

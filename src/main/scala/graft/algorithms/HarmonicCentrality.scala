@@ -28,6 +28,8 @@ object HarmonicCentrality {
 
   def run(edges: DataFrame, landmarks: Seq[Long], maxIter: Int): DataFrame = {
     require(landmarks.nonEmpty, "at least one landmark")
+    require(landmarks.distinct == landmarks,
+      s"duplicate landmarks double-count their reciprocal terms: $landmarks")
     val sp = GraphFrame.fromEdges(edges)
       .shortestPaths(landmarks).maxIterations(maxIter).run()
       .vertices

@@ -103,11 +103,13 @@ object StronglyConnectedComponents {
     sccOf.toSeq.toDF("id", "scc_id")
   }
 
-  private[algorithms] def runDistributed(edges: DataFrame,
+  /** Expects edges ALREADY canonicalized (cast, self-loop-free,
+    * distinct) — [[run]] does that once; re-deduping here would pay a
+    * second full-graph shuffle per invocation.
+    */
+  private[algorithms] def runDistributed(e0: DataFrame,
       maxFixpointIter: Int = 200): DataFrame = {
-    val spark = edges.sparkSession
-    val e0 = edges.select(col("src").cast(LongType), col("dst").cast(LongType))
-      .filter(col("src") =!= col("dst")).distinct()
+    val spark = e0.sparkSession
     var remEdges = checkpointing.localCheckpointNoStats(e0)
     var remaining = checkpointing.localCheckpointNoStats(
       e0.select(col("src").as("id")).unionAll(e0.select(col("dst").as("id")))
@@ -143,14 +145,17 @@ object StronglyConnectedComponents {
       // 2. Backward walk from roots inside each color class.
       var reached = checkpointing.localCheckpointNoStats(
         colors.filter(col("id") === col("color")).select("id", "color"))
-      // reverse edges restricted to same-color endpoints
-      val sameColor = remEdges
+      // Reverse edges restricted to same-color endpoints — CHECKPOINTED
+      // once per outer round: the backward fixpoint scans it every
+      // iteration, and re-deriving the double color join per step would
+      // multiply the round's most expensive plan by the walk depth.
+      val sameColor = checkpointing.localCheckpointNoStats(remEdges
         .join(colors.withColumnRenamed("id", "src"), Seq("src"))
         .withColumnRenamed("color", "src_color")
         .join(colors.withColumnRenamed("id", "dst")
           .withColumnRenamed("color", "dst_color"), Seq("dst"))
         .filter(col("src_color") === col("dst_color"))
-        .select(col("src"), col("dst"), col("src_color").as("ecolor"))
+        .select(col("src"), col("dst"), col("src_color").as("ecolor")))
       changed = 1L
       it = 0
       while (changed > 0) {

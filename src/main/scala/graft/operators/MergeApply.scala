@@ -42,6 +42,12 @@ object MergeApply {
         when(col("__mrg_n") > 1,
           raise_error(concat(lit("mergeApply: multiple changes for key "),
             col(keyCol).cast("string"))))
+          // A NULL op would slip through BOTH downstream guards (the
+          // delete filter keeps NULLs, the unknown-op check requires
+          // isNotNull) and silently apply — fail it here instead.
+          .when(col("op").isNull,
+            raise_error(concat(lit("mergeApply: NULL op for key "),
+              col(keyCol).cast("string"))))
           .otherwise(col("op")))
       .drop("__mrg_n")
     val b = base.select(col(keyCol).as("__mrg_key"),

@@ -249,12 +249,23 @@ object Sampling {
       keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(catCol).orderBy(keyHash60(col(keyCol)), col(keyCol))
+    // floor(x*S/b) computed as x*(S div b) + (x*(S mod b)) div b — exact
+    // (S = qb + r identity) and overflow-free where the naive x*S product
+    // wraps past 2^63 once a category exceeds ~4.6M rows. The remainder
+    // product x*(S mod b) < b^2 bounds validity at b = 2*cnt <= ~3e9,
+    // i.e. 1.5e9 rows per category; the guard keeps failure loud.
     df.select(col(catCol), col(keyCol))
       .withColumn("cat_rank", row_number().over(w).cast(LongType))
       .withColumn("__cnt", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(catCol)))
+      .withColumn("__cnt",
+        when(col("__cnt") > 1500000000L,
+          raise_error(lit("mixtureInterleaveKeys: category exceeds the " +
+            "1.5e9-row exact-arithmetic bound")))
+          .otherwise(col("__cnt")))
       .select(col(catCol), col(keyCol), col("cat_rank"),
-        expr("((2 * cat_rank - 1) * 1000000000000) div (2 * __cnt)")
+        expr("""(2 * cat_rank - 1) * (1000000000000 div (2 * __cnt))
+               + ((2 * cat_rank - 1) * (1000000000000 % (2 * __cnt))) div (2 * __cnt)""")
           .as("interleave_key"))
   }
 }

@@ -150,11 +150,16 @@ object Sketches {
     val seen = df.select(col(groupCol).as("__hll_grp"), reg.as("register"),
         rank.as("rank"))
       .groupBy("__hll_grp", "register").agg(max(col("rank")).as("max_rank"))
-    seen.select("__hll_grp").distinct()
+    // NULL is a legitimate slice: the zero-fill join must be NULL-SAFE on
+    // the group key or a NULL group's observations silently vanish into
+    // an all-zero grid (plain = never matches NULL).
+    val grid = seen.select("__hll_grp").distinct()
       .crossJoin(df.sparkSession.range(m).select(col("id").as("register")))
-      .join(seen, Seq("__hll_grp", "register"), "left")
-      .select(col("__hll_grp").as(groupCol), col("register"),
-        coalesce(col("max_rank"), lit(0L)).as("max_rank"))
+    grid.as("g").join(seen.as("s"),
+        col("g.__hll_grp") <=> col("s.__hll_grp")
+          && col("g.register") === col("s.register"), "left")
+      .select(col("g.__hll_grp").as(groupCol), col("g.register").as("register"),
+        coalesce(col("s.max_rank"), lit(0L)).as("max_rank"))
   }
 
   /** Per-group estimates off a [[hllGroupedRegisters]] table — the same
@@ -345,11 +350,14 @@ object Sketches {
     val seen = df.filter(v.isNotNull)
       .select(col(groupCol).as("__h_grp"), bin.as("bin"))
       .groupBy("__h_grp", "bin").agg(count(lit(1)).as("cnt"))
-    seen.select("__h_grp").distinct()
+    // NULL-safe on the group key — see hllGroupedRegisters.
+    val grid = seen.select("__h_grp").distinct()
       .crossJoin(df.sparkSession.range(binCount).select(col("id").as("bin")))
-      .join(seen, Seq("__h_grp", "bin"), "left")
-      .select(col("__h_grp").as(groupCol), col("bin"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    grid.as("g").join(seen.as("s"),
+        col("g.__h_grp") <=> col("s.__h_grp") && col("g.bin") === col("s.bin"),
+        "left")
+      .select(col("g.__h_grp").as(groupCol), col("g.bin").as("bin"),
+        coalesce(col("s.cnt"), lit(0L)).as("cnt"))
   }
 
   /** Per-group quantile estimates off a [[histGroupedRegisters]] table —
@@ -420,12 +428,16 @@ object Sketches {
           concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
           lit(width.toLong)).as("col"))
       .groupBy("__cms_grp", "row", "col").agg(count(lit(1)).as("cnt"))
-    seen.select("__cms_grp").distinct()
+    // NULL-safe on the group key — see hllGroupedRegisters.
+    val grid = seen.select("__cms_grp").distinct()
       .crossJoin(spark.range(depth).select(col("id").as("row")))
       .crossJoin(spark.range(width).select(col("id").as("col")))
-      .join(seen, Seq("__cms_grp", "row", "col"), "left")
-      .select(col("__cms_grp").as(groupCol), col("row"), col("col"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    grid.as("g").join(seen.as("s"),
+        col("g.__cms_grp") <=> col("s.__cms_grp")
+          && col("g.row") === col("s.row") && col("g.col") === col("s.col"),
+        "left")
+      .select(col("g.__cms_grp").as(groupCol), col("g.row").as("row"),
+        col("g.col").as("col"), coalesce(col("s.cnt"), lit(0L)).as("cnt"))
   }
 
   /** Point estimates off a [[cmsGroupedRegisters]] grid for probe rows
@@ -449,9 +461,13 @@ object Sketches {
         lit(width.toLong)))
     val regs = registers.select(col(groupCol), col("row").as("__cms_row"),
       col("col").as("__cms_col"), col("cnt").as("__cms_cnt"))
-    hashed.join(broadcast(regs), Seq(groupCol, "__cms_row", "__cms_col"))
+    // LEFT join: a probe group with no grid (never observed) estimates 0
+    // — the empty-sketch truth — instead of silently vanishing from the
+    // output (the inner-join behavior diverged from cmsEstimates, whose
+    // full grid answers every probe).
+    hashed.join(broadcast(regs), Seq(groupCol, "__cms_row", "__cms_col"), "left")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min("__cms_cnt").as("est_cnt"))
+      .agg(coalesce(min("__cms_cnt"), lit(0L)).as("est_cnt"))
   }
 
   def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,

@@ -218,6 +218,13 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
       MergeApply.mergeApply(base, bad, "k").collect()
     }
     assert(e2.getMessage.contains("unknown op"), e2.getMessage)
+    // NULL op: would slip through both downstream guards — loud failure.
+    val nullOp = Seq((2L, null.asInstanceOf[String], 1L, "x"))
+      .toDF("k", "op", "v", "tag")
+    val e3 = intercept[Exception] {
+      MergeApply.mergeApply(base, nullOp, "k").collect()
+    }
+    assert(e3.getMessage.contains("NULL op"), e3.getMessage)
     // Schema mismatch rejected before any job runs.
     intercept[IllegalArgumentException] {
       MergeApply.mergeApply(base, Seq((1L, "upsert")).toDF("k", "op"), "k")
@@ -294,6 +301,32 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
     assert(plan.contains("Generate explode") || plan.contains("explode"),
       s"dim replication missing:\n$plan")
+  }
+
+  test("grouped sketches: a NULL group is a real slice, not an all-zero grid") {
+    val df = Seq((null.asInstanceOf[String], 5L), ("a", 5L), (null.asInstanceOf[String], 9L))
+      .toDF("g", "v")
+    val hist = Sketches.histGroupedRegisters(df, "g", "v", 0L, 2L, 8)
+      .filter(col("g").isNull)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hist(2L) == 1L && hist(4L) == 1L && hist.values.sum == 2L,
+      s"NULL slice lost its counts: $hist")
+    val cms = Sketches.cmsGroupedRegisters(df, "g", "v", depth = 2, width = 16)
+      .filter(col("g").isNull)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(cms == 4L, s"NULL slice CMS mass: $cms (want 2 rows x 2 depth)")
+    val hll = Sketches.hllGroupedRegisters(df, "g", "v", p = 4)
+      .filter(col("g").isNull).filter(col("max_rank") > 0).count()
+    assert(hll == 2L, s"NULL slice HLL registers: $hll")
+  }
+
+  test("grouped CMS estimates: unseen-group probes answer 0, never vanish") {
+    val regs = Sketches.cmsGroupedRegisters(
+      Seq(("a", 1L), ("a", 1L)).toDF("g", "k"), "g", "k", depth = 2, width = 16)
+    val probes = Seq(("a", 1L), ("zz", 1L)).toDF("g", "k")
+    val est = Sketches.cmsGroupedEstimates(regs, probes, "g", "k", 2, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est == Map("a" -> 2L, "zz" -> 0L), s"got $est")
   }
 
   test("grouped histogram: each slice equals the global sketch on that slice") {
