@@ -1301,8 +1301,16 @@ object SparkEntry {
       val base = s.conf.get("spark.sql.warehouse.dir")
       val path = s"$base/b07_documents_csv"
       val docs = tbl(s, d, "documents")
-      docs.write.mode("overwrite").option("header", "true").csv(path)
-      s.read.schema(docs.schema).option("header", "true").csv(path)
+      // multiLine + a nullValue sentinel: document text may carry embedded
+      // newlines (default multiLine=false would split rows), and "" must
+      // round-trip as "" rather than NULL (the default nullValue="" cannot
+      // tell them apart). The defaults only happen to hold on corpora with
+      // neither, which is not a property of the format.
+      docs.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\u0000NULL\u0000").csv(path)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("multiLine", "true")
+        .option("nullValue", "\u0000NULL\u0000").csv(path)
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"),
           sum(length(col("text"))).cast(LongType).as("text_chars"))
@@ -3362,7 +3370,7 @@ object SparkEntry {
         |n AS (SELECT e.vec_id, a.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
         |  FROM e JOIN a USING (vec_id)),
         |rm AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b ON a.cell = b.cell
-        |  AND a.vec_id < b.vec_id
+        |  AND a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
         |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45)
         |SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
         |  (rm.vec_id IS NULL) AS keep

@@ -545,6 +545,7 @@ object Dedup {
         .join(asg, "id"))
     val removed = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          col("a.nrm") > 0d && col("b.nrm") > 0d &&
           round(array_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
             >= threshold)
       .select(col("b.id").as("rid")).distinct()

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Composes with [[ZOrderedTables]]: z-clustering is WHAT makes per-file
   * spans narrow; the manifest is what turns narrow spans into files never
   * opened. The manifest is file-count-sized (a 100 TB table at 1 GB files
-  * is a 10^5-row manifest — driver-trivial), rebuilt atomically with each
-  * overwrite, and consulted with one small scan before the main plan.
+  * is a 10^5-row manifest — driver-trivial), rebuilt with each overwrite
+  * (staged to a temp dir, then renamed into place — single-writer
+  * assumed, as with any non-transactional table layout), and consulted
+  * with one small scan before the main plan.
   *
   * The predicate re-applies on the scan (`readPruned` returns the filter
   * too), so manifest pruning can only SKIP work, never change results —
@@ -39,10 +41,21 @@ object ManifestTables {
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
+    // Stage the manifest beside its final path, then rename into place:
+    // a crash mid-build leaves the OLD manifest intact (stale-but-valid
+    // file list) instead of a manifest pointing at deleted files. Rename
+    // is the strongest swap a plain filesystem offers; concurrent writers
+    // still need external coordination (single-writer assumption).
+    val mPath = manifestPath(path)
+    val tmp = s"${mPath}__staging"
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(manifestPath(path))
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(mPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(mPath))
     path
   }
 

@@ -299,7 +299,12 @@ object Streams {
     import spark.implicits._
     stream.select(col(idCol).cast("long").as("_id"),
         col(catCol).cast("string").as("_c"),
-        size(graft.text.TextFunctions.tokens(col(textCol))).cast("long").as("_t"))
+        // NULL text must contribute 0 tokens: size(NULL) is -1 under the
+        // legacy sizeOfNull default (and NULL under ANSI), either of which
+        // would corrupt the running total — clamp both ways.
+        greatest(coalesce(
+          size(graft.text.TextFunctions.tokens(col(textCol))).cast("long"),
+          lit(0L)), lit(0L)).as("_t"))
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[BudgetAcc, BudgetOut](

@@ -317,10 +317,18 @@ object ScaleBench {
           .count()
         val tAqe = (System.nanoTime() - t1) / 1e9
         t1 = System.nanoTime()
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        val noAqeCnt = factS.join(dimS.hint("merge"), col("fk") === col("dk"))
-          .count()
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // Restore the session's PRIOR setting, not a literal "true" — the
+        // probe must not clobber a session that had skew-join disabled.
+        val priorSkew =
+          spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled")
+        val noAqeCnt =
+          try {
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            factS.join(dimS.hint("merge"), col("fk") === col("dk")).count()
+          } finally priorSkew match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.skewJoin.enabled", v)
+            case None    => spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+          }
         val tNoAqe = (System.nanoTime() - t1) / 1e9
         t1 = System.nanoTime()
         val saltCnt = graft.operators.SkewJoin.saltedJoin(
