@@ -1526,6 +1526,32 @@ object SparkEntry {
         "st05_sink", "append")
     }),
 
+    // st05's SCALE PATH: the same decontamination as a per-micro-batch
+    // exploded equi-join in foreachBatch — the held-out hash side stays a
+    // distributed relation (persisted, never driver-collected), so the
+    // operator has no driver-memory ceiling. Same oracle flag set as st05.
+    "st05b_stream_decon_join" -> ((s, d) => {
+      val stream = streamTbl(s, d, "documents").filter(col("doc_id") % 10 =!= 7)
+      val heldOut = tbl(s, d, "documents").filter(col("doc_id") % 10 === 7)
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/st05b_flagged"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      val (writer, release) =
+        graft.streaming.Streams.streamingDecontaminateJoin(
+          stream, heldOut, "doc_id", "text", n = 5) { (flagged, batchId) =>
+          // Batch-id-keyed subdir = idempotent under micro-batch retry.
+          flagged.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        }
+      val q = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      release()
+      s.read.parquet(path).select("doc_id").distinct()
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -3390,6 +3416,16 @@ object SparkEntry {
 
     // The streaming semi-join flags the same documents, without counts.
     "st05_stream_decon" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),
+        |ex AS (SELECT doc_id, unnest(h) AS g FROM hs),
+        |test AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
+        |SELECT DISTINCT ex.doc_id
+        |FROM ex JOIN test USING (g) WHERE ex.doc_id % 10 <> 7""".stripMargin,
+
+    // The scale-path equi-join flags the identical document set.
+    "st05b_stream_decon_join" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
         |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT)) AS h FROM toks),

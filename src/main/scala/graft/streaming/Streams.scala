@@ -77,8 +77,9 @@ object Streams {
     * (a document is not its own contamination). The portable-hash family
     * keeps the flag set oracle-checkable ([[graft.operators.Dedup
     * .decontaminate]] is the batch twin with per-doc overlap counts).
-    * For a held-out set too large for one broadcast set, use the batch
-    * twin's exploded equi-join shape in a foreachBatch sink instead.
+    * For a held-out set too large for one broadcast set, use
+    * [[streamingDecontaminateJoin]] — the batch twin's exploded equi-join
+    * shape in a foreachBatch sink, held-out side never driver-collected.
     */
   def streamingDecontaminate(
       stream: DataFrame, heldOut: DataFrame,
@@ -94,6 +95,56 @@ object Streams {
         .portableNgramHashes(col(textCol), n, distinct = true).as("__h"))
       .filter(contaminated(col("__h")))
       .select(idCol)
+  }
+
+  /** SCALE-PATH streaming decontamination: per micro-batch EXPLODED
+    * EQUI-JOIN against the held-out n-gram hash RELATION. Unlike
+    * [[streamingDecontaminate]] (driver-collected broadcast set — bounded
+    * by driver memory), the held-out side here stays a distributed
+    * DataFrame end to end: hashed, deduplicated, and PERSISTED across
+    * micro-batches, never collected. A 100 TB-era held-out corpus (every
+    * benchmark suite ever published) decontaminates at ingest with the
+    * same plan the batch twin ([[graft.operators.Dedup.decontaminate]],
+    * the d09 gate) uses — Catalyst picks broadcast vs shuffle hash join
+    * per batch from the relation's actual size.
+    *
+    * Why foreachBatch and not a stream-static join in the main query: the
+    * corpus side must explode into n-gram hashes and re-aggregate to
+    * per-doc flags; explode+distinct-aggregate downstream of a streaming
+    * join is a stateful shape the streaming planner rejects or would grow
+    * state for, while inside foreachBatch each micro-batch is a plain
+    * batch frame and the join/aggregate plan is the ordinary stateless
+    * one, re-planned per batch.
+    *
+    * `sink` receives the flagged-id frame `[<idCol>]` (distinct within the
+    * batch) plus the batch id; it owns cross-retry idempotence (write to a
+    * batch-id-keyed path, or an idempotent MERGE). Returns the configured
+    * writer — caller sets trigger/checkpoint and starts — and a release
+    * handle for the persisted held-out hash relation.
+    */
+  def streamingDecontaminateJoin(
+      stream: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      broadcastHeldOut: Boolean = false)(sink: (DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         () => Unit) = {
+    val hashes = heldOut.select(explode(graft.functions.PortableHashes
+        .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A benchmark-sized held-out set may still broadcast (caller's call);
+    // the default leaves the strategy to Catalyst per micro-batch.
+    val probe = if (broadcastHeldOut) broadcast(hashes) else hashes
+    val writer = stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val flagged = batch.select(col(idCol),
+            explode(graft.functions.PortableHashes
+              .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+          .join(probe, "h")
+          .select(col(idCol)).distinct()
+        sink(flagged, batchId)
+    }
+    (writer, () => { hashes.unpersist(blocking = false); () })
   }
 
   /** STREAM-STREAM inner join with watermarks: attribute each `toType`

@@ -30,6 +30,47 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingDecontaminateJoin flags the batch decon set via a relation " +
+      "join — held-out side never a driver set") {
+    implicit val sqlCtx = spark.sqlContext
+    val heldOut = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val d1 = 1L -> "xx alpha beta gamma delta epsilon yy"   // shares gram 1
+    val d2 = 2L -> "one two three four five six"            // clean
+    val d3 = 3L -> "pp qq beta gamma delta epsilon zeta"    // shares gram 2
+    val d4 = 4L -> "seven eight nine ten eleven twelve"     // clean
+    val input = MemoryStream[(Long, String)]
+    val plans = scala.collection.mutable.Buffer.empty[String]
+    val flaggedIds = scala.collection.mutable.Set.empty[Long]
+    var batches = 0
+    val (writer, release) = Streams.streamingDecontaminateJoin(
+      input.toDF().toDF("doc_id", "text"), heldOut, "doc_id", "text", n = 5) {
+      (flagged, _) =>
+        batches += 1
+        plans += flagged.queryExecution.optimizedPlan.toString
+        flaggedIds ++= flagged.collect().map(_.getLong(0))
+    }
+    val q = writer.start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3, d4)
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+    val batch = graft.operators.Dedup.decontaminate(
+      Seq(d1, d2, d3, d4).toDF("doc_id", "text"), heldOut,
+      "doc_id", "text", n = 5, broadcastHeldOut = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(1L, 3L), s"batch twin sanity: $batch")
+    assert(flaggedIds.toSet == batch, s"stream $flaggedIds vs batch $batch")
+    assert(batches >= 2, "multi-micro-batch drain expected")
+    // The scale contract: the probe is a JOIN against the hash relation,
+    // not a collected-set UDF probe (st05's stateless shape).
+    assert(plans.forall(_.contains("Join")), plans.mkString("\n---\n"))
+    assert(plans.forall(p => !p.toLowerCase.contains("udf")),
+      "held-out probe must not be a driver-set UDF")
+  }
+
   test("streamingHllRegisters merges register state across micro-batches") {
     // The st07 drain delivers one batch; THIS is where the cross-batch
     // state merge is forced: two disjoint key batches must leave exactly
