@@ -150,16 +150,24 @@ object Sketches {
     val seen = df.select(col(groupCol).as("__hll_grp"), reg.as("register"),
         rank.as("rank"))
       .groupBy("__hll_grp", "register").agg(max(col("rank")).as("max_rank"))
-    // NULL is a legitimate slice: the zero-fill join must be NULL-SAFE on
-    // the group key or a NULL group's observations silently vanish into
-    // an all-zero grid (plain = never matches NULL).
-    val grid = seen.select("__hll_grp").distinct()
-      .crossJoin(df.sparkSession.range(m).select(col("id").as("register")))
-    grid.as("g").join(seen.as("s"),
-        col("g.__hll_grp") <=> col("s.__hll_grp")
-          && col("g.register") === col("s.register"), "left")
-      .select(col("g.__hll_grp").as(groupCol), col("g.register").as("register"),
-        coalesce(col("s.max_rank"), lit(0L)).as("max_rank"))
+    // Dense zero-fill WITHOUT a join: pack each group's sparse registers
+    // into a map, then generate the full 2^p grid per group with
+    // sequence+transform. One corpus scan (the old grid join re-scanned
+    // the corpus for its DISTINCT group list and outer-joined against it),
+    // and NULL groups are correct by construction — groupBy keeps NULL as
+    // a key, so no null-safe join machinery is needed. Registers never
+    // observed read 0 via the map miss; a group whose every key hashed
+    // NULL packs an empty map and emits an all-zero grid, matching the
+    // old join's behavior.
+    val packed = seen.groupBy("__hll_grp").agg(
+      map_from_entries(collect_list(when(col("register").isNotNull,
+        struct(col("register"), col("max_rank"))))).as("__mp"))
+    packed.select(col("__hll_grp"),
+        posexplode(transform(sequence(lit(0L), lit(m - 1)),
+          r => coalesce(element_at(col("__mp"), r), lit(0L))))
+          .as(Seq("__pos", "max_rank")))
+      .select(col("__hll_grp").as(groupCol),
+        col("__pos").cast(LongType).as("register"), col("max_rank"))
   }
 
   /** Per-group estimates off a [[hllGroupedRegisters]] table — the same
@@ -227,13 +235,15 @@ object Sketches {
 
   def cmsRegisters(df: DataFrame, keyCol: String, depth: Int,
       width: Int): DataFrame = {
-    val spark = df.sparkSession
-    val seen = cmsObservations(df, keyCol, depth, width)
-      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
-    spark.range(depth).select(col("id").as("row"))
-      .crossJoin(spark.range(width).select(col("id").as("col")))
-      .join(seen, Seq("row", "col"), "left")
-      .select(col("row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    // Per-KEY pre-count before the depth unpivot: the depth explode runs
+    // over the vocabulary-sized count table, not depth× the corpus — the
+    // identical grid by construction ([[cmsRegistersFromCounts]] salts the
+    // same "row:key" hash; each cell sums pre-counted weights). The
+    // corpus-facing stage is one map-side-combinable groupBy on the key.
+    cmsRegistersFromCounts(
+      df.select(col(keyCol).cast("string").as("__cms_k0"))
+        .groupBy("__cms_k0").agg(count(lit(1)).as("__cms_n0")),
+      "__cms_k0", "__cms_n0", depth, width)
   }
 
   /** [[cmsRegisters]] ingesting a PRE-AGGREGATED `(key, count)` table:
@@ -350,14 +360,16 @@ object Sketches {
     val seen = df.filter(v.isNotNull)
       .select(col(groupCol).as("__h_grp"), bin.as("bin"))
       .groupBy("__h_grp", "bin").agg(count(lit(1)).as("cnt"))
-    // NULL-safe on the group key — see hllGroupedRegisters.
-    val grid = seen.select("__h_grp").distinct()
-      .crossJoin(df.sparkSession.range(binCount).select(col("id").as("bin")))
-    grid.as("g").join(seen.as("s"),
-        col("g.__h_grp") <=> col("s.__h_grp") && col("g.bin") === col("s.bin"),
-        "left")
-      .select(col("g.__h_grp").as(groupCol), col("g.bin").as("bin"),
-        coalesce(col("s.cnt"), lit(0L)).as("cnt"))
+    // Joinless dense zero-fill; NULL groups correct by construction — see
+    // hllGroupedRegisters. (bin is never NULL: v is filtered non-NULL.)
+    val packed = seen.groupBy("__h_grp").agg(
+      map_from_entries(collect_list(struct(col("bin"), col("cnt")))).as("__mp"))
+    packed.select(col("__h_grp"),
+        posexplode(transform(sequence(lit(0L), lit(binCount - 1L)),
+          b => coalesce(element_at(col("__mp"), b), lit(0L))))
+          .as(Seq("__pos", "cnt")))
+      .select(col("__h_grp").as(groupCol),
+        col("__pos").cast(LongType).as("bin"), col("cnt"))
   }
 
   /** Per-group quantile estimates off a [[histGroupedRegisters]] table —
@@ -417,27 +429,44 @@ object Sketches {
     require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
     require(width >= 16 && width <= (1 << 20),
       s"cms width must be in [16, 2^20], got $width")
-    val spark = df.sparkSession
-    val seen = df
+    // Per-KEY pre-aggregation BEFORE the depth unpivot: the old shape
+    // exploded every corpus row depth× before its partial aggregate —
+    // map-side combine bounded the shuffle, but the scan side still
+    // streamed depth×|corpus| rows through the hash projection. Counting
+    // per distinct (group, key) first (map-side-combinable, vocabulary-
+    // sized result) makes the depth explode run over |vocab| rows, and
+    // each cell sums pre-counted weights — the identical grid by
+    // construction (same "row:key" salted hash), at 1/depth the scan work.
+    val keyCnt = df
       .select(col(groupCol).as("__cms_grp"),
         col(keyCol).cast("string").as("__cms_k"))
-      .select(col("__cms_grp"),
-        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("__cms_k"))
-      .select(col("__cms_grp"), col("row").cast(LongType).as("row"),
-        pmod(Sampling.keyHash60(
-          concat(col("row").cast("string"), lit(":"), col("__cms_k"))),
-          lit(width.toLong)).as("col"))
-      .groupBy("__cms_grp", "row", "col").agg(count(lit(1)).as("cnt"))
-    // NULL-safe on the group key — see hllGroupedRegisters.
-    val grid = seen.select("__cms_grp").distinct()
-      .crossJoin(spark.range(depth).select(col("id").as("row")))
-      .crossJoin(spark.range(width).select(col("id").as("col")))
-    grid.as("g").join(seen.as("s"),
-        col("g.__cms_grp") <=> col("s.__cms_grp")
-          && col("g.row") === col("s.row") && col("g.col") === col("s.col"),
-        "left")
-      .select(col("g.__cms_grp").as(groupCol), col("g.row").as("row"),
-        col("g.col").as("col"), coalesce(col("s.cnt"), lit(0L)).as("cnt"))
+      .groupBy("__cms_grp", "__cms_k").agg(count(lit(1)).as("__cms_c"))
+    // Flattened cell index row*width+col, all depth hashes in ONE
+    // projection; a NULL key hashes NULL (dropped from the map below, as
+    // the old NULL cell never matched the grid join).
+    val posCols = (0 until depth).map { r =>
+      lit(r.toLong * width) + pmod(Sampling.keyHash60(
+        concat(lit(s"$r:"), col("__cms_k"))), lit(width.toLong))
+    }
+    val cells = keyCnt
+      .select(col("__cms_grp"), col("__cms_c"),
+        explode(array(posCols: _*)).as("__cms_idx"))
+      .groupBy("__cms_grp", "__cms_idx").agg(sum("__cms_c").as("cnt"))
+    // Joinless dense zero-fill; NULL groups correct by construction — see
+    // hllGroupedRegisters.
+    val packed = cells.groupBy("__cms_grp").agg(
+      map_from_entries(collect_list(when(col("__cms_idx").isNotNull,
+        struct(col("__cms_idx"), col("cnt"))))).as("__mp"))
+    packed
+      .select(col("__cms_grp"), col("__mp"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("row"))
+      .select(col("__cms_grp"), col("row"),
+        posexplode(transform(sequence(lit(0L), lit(width - 1L)),
+          c => coalesce(
+            element_at(col("__mp"), col("row") * lit(width.toLong) + c),
+            lit(0L)))).as(Seq("__pos", "cnt")))
+      .select(col("__cms_grp").as(groupCol), col("row"),
+        col("__pos").cast(LongType).as("col"), col("cnt"))
   }
 
   /** Point estimates off a [[cmsGroupedRegisters]] grid for probe rows
