@@ -1022,14 +1022,20 @@ object SparkEntry {
     // their group's sketch — est_cnt >= cnt by construction, equality
     // exactness both engines replay.
     "q17d_cms_grouped_est" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val li = tbl(s, d, "lineitem").select("l_returnflag", "l_partkey")
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("cnt").desc, col("l_partkey"))
+      // Bounded-heap top-5 per flag (cnt DESC, key ASC == the aggregate's
+      // score-DESC/id-ASC order) — groups x 5 rows shuffled, no per-group
+      // sort of the counted vocabulary (the p02/s01 discipline; a
+      // row_number window would SortExec every group's full key set).
       val top = li.groupBy("l_returnflag", "l_partkey")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 5)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.TopKByScore.top_k_by_score(
+          col("cnt").cast("double"), col("l_partkey"), 5).as("tk"))
+        .select(col("l_returnflag"), posexplode(col("tk")))
+        .select(col("l_returnflag"), col("col.id").as("l_partkey"),
+          col("col.score").cast(LongType).as("cnt"),
+          (col("pos") + 1).cast(LongType).as("rnk"))
       graft.operators.Sketches.cmsGroupedEstimates(
         graft.operators.Sketches.cmsGroupedRegisters(
           li, "l_returnflag", "l_partkey", depth = 4, width = 64),

@@ -286,6 +286,15 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"expected no SortExec:\n$plan")
   }
 
+  test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {
+    val plan = SparkEntry.queries("q17d_cms_grouped_est")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), s"expected heap top-k:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in q17d plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) == 0,
+      s"expected no SortExec:\n$plan")
+  }
+
   test("bloom prune: codegen filter on the scan — no join, no exchange") {
     // The probe must be a predicate directly above the fact scan, inside
     // whole-stage codegen — a 16 MB bitset riding as a codegen reference,
