@@ -491,6 +491,21 @@ object SparkEntry {
       graft.algorithms.StronglyConnectedComponents.run(cyc.unionAll(chord))
     }),
 
+    // The FW-BW DISTRIBUTED arm of SCC, forced at gate scale
+    // (smallGraphThreshold = 0 — the g09b/g10b discipline): every
+    // iterative loop's distributed path carries its own oracle gate, not
+    // just an equivalence spec against the driver arm.
+    "g23b_scc_dist" -> ((s, d) => {
+      val ks = tbl(s, d, "customer").select(col("c_custkey").as("k"))
+        .filter(col("k") <= 300)
+      val cyc = ks.select(col("k").as("src"),
+        when(col("k") % 10 === 0, col("k") - 9).otherwise(col("k") + 1).as("dst"))
+      val chord = ks.filter(col("k") % 3 === 0)
+        .select(col("k").as("src"), ((col("k") * 7) % 300 + 1).as("dst"))
+      graft.algorithms.StronglyConnectedComponents.run(
+        cyc.unionAll(chord), smallGraphThreshold = 0L)
+    }),
+
     // Local clustering coefficient on g19's mixed graph (every third
     // customer closes a cust-nation-region triangle): per-vertex
     // triangles over (d choose 2) on the micro lattice —
@@ -1972,6 +1987,23 @@ object SparkEntry {
     // coloring algorithm's roots produce. (Explicit DISTINCT subquery for
     // v: see g21's WITH RECURSIVE UNION note.)
     "g23_scc" ->
+      """WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 300),
+        |e AS (
+        |  SELECT k AS src, CASE WHEN k % 10 = 0 THEN k - 9 ELSE k + 1 END AS dst FROM ks
+        |  UNION ALL
+        |  SELECT k, ((k * 7) % 300) + 1 FROM ks WHERE k % 3 = 0),
+        |r(s, d) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d),
+        |vv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |m AS (SELECT a.s AS u, max(a.d) AS mx FROM r a JOIN r b ON b.s = a.d AND b.d = a.s
+        |      GROUP BY 1)
+        |SELECT vv.id, CAST(greatest(vv.id, coalesce(m.mx, vv.id)) AS BIGINT) AS scc_id
+        |FROM vv LEFT JOIN m ON m.u = vv.id""".stripMargin,
+
+    // Same ground truth for the forced-distributed FW-BW arm.
+    "g23b_scc_dist" ->
       """WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 300),
         |e AS (
         |  SELECT k AS src, CASE WHEN k % 10 = 0 THEN k - 9 ELSE k + 1 END AS dst FROM ks
