@@ -127,4 +127,37 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
       assert(runAll() === baseline, "AQE-off + partitions=5 changed results")
     }
   }
+
+  // Round-8..10 surface: grouped sketches (integer register grids), the
+  // as-of join (declared-partitioning mapPartitions pass), MERGE (anti +
+  // union + dedup), and both SCC arms must survive the same matrix — these
+  // are exactly the operators whose plans lean on partitioning/ordering
+  // contracts a config change could silently break.
+  private def runLateRounds(): Map[String, Seq[String]] = {
+    val sf = "/root/testdata/sf0.001"
+    Seq("q17c_cms_grouped", "q17d_cms_grouped_est", "q17e_hist_grouped",
+        "q17f_hist_grouped_q", "q17_hll_grouped", "q17b_hll_grouped_est",
+        "q20_asof_join", "q24_merge_apply", "g23_scc", "g23b_scc_dist")
+      .map { n =>
+        n -> graft.SparkEntry.queries(n)(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+      }.toMap
+  }
+
+  test("grouped sketches, as-of join, MERGE, and SCC are config-invariant") {
+    val baseline = runLateRounds()
+    assert(baseline.values.forall(_.nonEmpty), "all queries must return rows")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      assert(runLateRounds() === baseline, "AQE-off changed results")
+    }
+    withConf("spark.sql.shuffle.partitions" -> "7") {
+      assert(runLateRounds() === baseline, "shuffle.partitions=7 changed results")
+    }
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "5",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      assert(runLateRounds() === baseline,
+        "AQE-off + partitions=5 + bucketed-ordering flag changed results")
+    }
+  }
 }
