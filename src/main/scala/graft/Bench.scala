@@ -46,9 +46,40 @@ object Bench {
     val errs = jmap { case (k, _, _, e) => e.map(x => s"\"" + k + "\":\"" + x + "\"") }
     val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
+    // Round-over-round regression tracking: against the newest BENCH_r*.json
+    // in the cwd, emit per-query steady deltas (this - prev, seconds) so a
+    // single-query 5x move surfaces in the round's own artifact instead of a
+    // judge diff. Prev values are scraped as the LAST "name":number
+    // occurrence in the file (the steady map follows the single-shot map in
+    // this format, and the driver may keep only the stdout tail). Placed at
+    // the END of the JSON line so it survives that tail truncation too.
+    val deltas: String = try {
+      val dir = new java.io.File(".")
+      val prevFile = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+        .lastOption
+      prevFile match {
+        case None => "{}"
+        case Some(f) =>
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          val entries = results.flatMap { case (name, _, cur, _) =>
+            // \\? : the driver wraps Bench's stdout inside a quoted JSON
+            // string field, so quotes arrive escaped (\"name\":1.2).
+            val re = ("\\\\?\"" + java.util.regex.Pattern.quote(name) +
+              "\\\\?\":([0-9.eE+-]+)").r
+            re.findAllMatchIn(text).toSeq.lastOption.map { m =>
+              val prev = m.group(1).toDouble
+              f""""$name":${(cur - prev).formatted("%.3f")}"""
+            }
+          }
+          entries.mkString("{", ",", "}")
+      }
+    } catch { case _: Throwable => "{}" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_steady":$steady,"steady_total":$steadyTotal,""" +
-      s""""reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+      s""""reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
+      s""""deltas_vs_prev":$deltas}""")
     spark.stop()
   }
 }
