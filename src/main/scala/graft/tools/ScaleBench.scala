@@ -12,6 +12,28 @@ import graft.graph.GraphFrame
   * `runMain graft.tools.ScaleBench [nVertices] [nEdges] [algo]`.
   */
 object ScaleBench {
+
+  /** Seeded synthetic edge set shared by the CLI probes and the recorded
+    * scale gate ([[graft.algorithms.ScaleRecordSpec]]): uniform
+    * Erdos-Renyi-ish xxhash64 endpoints; `skew` draws the dst from a
+    * power-law-ish transform (u^4 concentrates mass near 0, so low-id
+    * vertices become hubs — top degree ≈ m·n^(-1/4), ~370 k at the 16.8 M
+    * default): the adversarial shape for per-vertex aggregation state and
+    * wedge enumeration. Fully deterministic — the pinned component counts
+    * in SCALE_RECORD.md are a property of (n, m) alone.
+    */
+  def syntheticEdges(spark: SparkSession, n: Long, m: Long,
+      skew: Boolean): org.apache.spark.sql.DataFrame = {
+    val u = pmod(xxhash64(col("id"), lit(2)), lit(1000000L)).cast("double") /
+      lit(1000000.0)
+    val dstCol =
+      if (skew) (pow(u, 4.0) * n).cast("long")
+      else pmod(xxhash64(col("id"), lit(2)), lit(n))
+    spark.range(m).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      dstCol.as("dst"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(1L << 22)  // 4.2M vertices
     val m = args.lift(1).map(_.toLong).getOrElse(1L << 24)  // 16.8M edges
@@ -23,19 +45,8 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Uniform Erdos-Renyi-ish endpoints; `-skew` algo variants draw the
-    // dst from a power-law-ish transform (u^4 concentrates mass near 0, so
-    // low-id vertices become hubs — top vertex degree ≈ m·n^(-1/4), ~370 k
-    // at the defaults): the adversarial shape for per-vertex aggregation
-    // state and wedge enumeration.
     val skew = algo.endsWith("-skew")
-    val u = pmod(xxhash64(col("id"), lit(2)), lit(1000000L)).cast("double") / lit(1000000.0)
-    val dstCol =
-      if (skew) (pow(u, 4.0) * n).cast("long")
-      else pmod(xxhash64(col("id"), lit(2)), lit(n))
-    val edges = spark.range(m).select(
-      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
-      dstCol.as("dst"))
+    val edges = syntheticEdges(spark, n, m, skew)
     val vertices = spark.range(n).select(col("id"))
     val g = GraphFrame(vertices, edges)
 
