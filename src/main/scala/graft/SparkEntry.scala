@@ -1127,6 +1127,16 @@ object SparkEntry {
     // DECODED pixels. The oracle computes the same histogram from the
     // synthesis formula in pure SQL — raw deflate bytes look nothing like
     // the pixel distribution, so only a correct decode matches.
+    // MP4 container metadata tier: synthesize deterministic ISO BMFF
+    // boxes per doc, then recover brand/timescale/duration via the REAL
+    // box-tree walk (big-endian u32 sizes, moov>mvhd descent) — the
+    // metadata pass a video-curation pipeline runs before any frame
+    // decode is scheduled.
+    "m09_mp4_meta" -> ((s, d) =>
+      Multimodal.extractMp4Meta(
+        Multimodal.synthesizeMp4Media(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
     "m04_png_decode" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.synthesizePngMedia(
@@ -2755,6 +2765,18 @@ object SparkEntry {
         |       WHEN hits_fr > 0 THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // Every mvhd field is a pure function of the id (see synthesizeMp4),
+    // so the oracle replays the box-walk's OUTPUT in closed form — the
+    // engine only matches if the big-endian box parse actually recovers
+    // the fields it wrote.
+    "m09_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand, CAST(3 AS BIGINT) AS n_top_boxes,
+        |  CAST(600 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        |  CAST((doc_id * 37) % 100000 + 600 AS BIGINT) AS duration,
+        |  CAST(((doc_id * 37) % 100000 + 600) * 1000
+        |    // (600 + (doc_id % 10) * 100) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * Spark-side design is real and tested (schema, batched partition-level
   * processing, deterministic output). PNG decode/resize (`javax.imageio`)
   * and WAV PCM decode (`javax.sound.sampled`) are REAL pure-JDK codec
-  * paths; ONLY video decode remains stubbed — this container has no video
-  * libraries, so `decodeStub` derives features from the raw bytes
-  * deterministically where a real implementation would call the decoder.
-  * Swap points are marked `REAL-CODEC`.
+  * paths, and the VIDEO CONTAINER metadata tier is a real ISO BMFF box
+  * parse ([[extractMp4Meta]] — the pruning pass a curation pipeline runs
+  * before scheduling any decode). ONLY video frame decode remains stubbed
+  * — this container has no video codec libraries, so `decodeStub` derives
+  * features from the raw bytes deterministically where a real
+  * implementation would call the decoder. Swap points are marked
+  * `REAL-CODEC`.
   */
 object Multimodal {
 
@@ -470,5 +473,132 @@ object Multimodal {
         col("content")
           .substr((col("frame_idx") * col("stride") + 1).cast("int"), lit(frameBytes))
           .as("frame"))
+  }
+
+  /** Synthesize a deterministic minimal ISO BMFF (MP4) container: `ftyp`
+    * (major brand `isom`) + `moov`>`mvhd` v0 carrying
+    * `timescale = 600 + (id mod 10)*100` and
+    * `duration = (id*37) mod 100000 + 600` + an `mdat` of
+    * `(id mod 32) + 4` filler bytes (`(7i + id) mod 256`). Every byte is
+    * a pure function of `id`, so the m09 oracle replays the extracted
+    * metadata in plain SQL — while the engine must actually walk the box
+    * tree and big-endian-decode the mvhd fields to recover it.
+    */
+  def synthesizeMp4(id: Long): Array[Byte] = {
+    val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
+    val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
+    val mdatLen = (java.lang.Math.floorMod(id, 32L)).toInt + 4
+    val buf = java.nio.ByteBuffer.allocate(16 + 116 + 8 + mdatLen)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)           // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(ts).putInt(dur)
+      .putInt(0x00010000)  // rate 1.0
+      .putShort(0x0100.toShort) // volume 1.0
+      .putShort(0).putInt(0).putInt(0) // reserved 2+8
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined
+      .putInt(2)           // next_track_id
+    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
+    var i = 0
+    while (i < mdatLen) {
+      buf.put((java.lang.Math.floorMod(7L * i + id, 256L)).toByte); i += 1
+    }
+    buf.array()
+  }
+
+  /** A media-schema frame of synthesized MP4 containers — the video
+    * analogue of [[synthesizePngMedia]]; encoding runs per partition.
+    */
+  def synthesizeMp4Media(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mp4 = synthesizeMp4(id)
+        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
+          .map("%02x".format(_)).mkString
+        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
+      }
+    }(encoder)
+  }
+
+  /** REAL container parse (the video path's metadata tier): walk the ISO
+    * BMFF box tree — big-endian u32 size + 4CC per box, recursing into
+    * `moov` — and decode `mvhd` (v0 AND v1 layouts) for timescale/
+    * duration. This is what a 100 TB video-curation pass runs FIRST:
+    * container metadata (duration, timescale, brand, box census) costs a
+    * few hundred header bytes per file and prunes the corpus before any
+    * frame decode is scheduled; the decode tier proper stays REAL-CODEC
+    * (no video codec library in this container). Malformed payloads
+    * (truncated box, no moov/mvhd, 64-bit largesize) yield NULL fields,
+    * never a task failure. Output `[media_id, brand, n_top_boxes,
+    * timescale, duration, duration_ms]`.
+    */
+  def extractMp4Meta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = true),
+      StructField("n_top_boxes", LongType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        parseMp4(bytes) match {
+          case Some((brand, nBoxes, ts, dur)) =>
+            Row(r.getLong(0), brand, nBoxes, ts, dur,
+              if (ts > 0) java.lang.Long.valueOf(dur * 1000L / ts) else null)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Box walk: returns (major brand, top-level box count, mvhd timescale,
+    * mvhd duration) or None when the container is unparseable.
+    */
+  private[graft] def parseMp4(
+      bytes: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def fourCC(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    // Walk the sibling boxes in [from, to); returns (count, offsets by type).
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      var off = from
+      val found = Seq.newBuilder[(String, Int, Int)]
+      while (off < to) {
+        if (off + 8 > to) return None
+        val size = u32(off)
+        if (size == 1 || size < 8 || off + size > to) return None // largesize unsupported / malformed
+        found += ((fourCC(off + 4), off, size.toInt))
+        off += size.toInt
+      }
+      Some(found.result())
+    }
+    for {
+      top <- walk(0, bytes.length)
+      ftyp <- top.find(_._1 == "ftyp")
+      moov <- top.find(_._1 == "moov")
+      kids <- walk(moov._2 + 8, moov._2 + moov._3)
+      mvhd <- kids.find(_._1 == "mvhd")
+      body = mvhd._2 + 8
+      if mvhd._3 >= 8 + 4
+      version = bytes(body) & 0xff
+      tsdur <- version match {
+        case 0 if mvhd._3 >= 8 + 20 => Some((u32(body + 12), u32(body + 16)))
+        case 1 if mvhd._3 >= 8 + 32 => Some((u32(body + 20), bb.getLong(body + 24)))
+        case _ => None
+      }
+    } yield (fourCC(ftyp._2 + 8), top.size.toLong, tsdur._1, tsdur._2)
   }
 }
