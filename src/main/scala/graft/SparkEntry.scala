@@ -476,6 +476,33 @@ object SparkEntry {
         tbl(s, d, "lineitem"), "l_orderkey", "l_partkey",
         maxGroupSize = 5, minWeight = 2L)),
 
+    // Motif search (find() surface, beyond-reference): 2-hop paths on the
+    // customer->order->part DAG, aggregated per customer. Named edge
+    // structs feed the aggregate (e2.dst is the part endpoint), proving
+    // the struct plumbing, while the join spine moves only id pairs.
+    "g25_motif_2hop" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.find("(a)-[e]->(b); (b)-[e2]->(c)")
+        .groupBy(col("a.id").as("cust"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("e2.dst") - 1000000L).as("n_parts"))
+    }),
+
+    // Negated-term motif: OPEN 2-paths (a->b->c with NO a->c edge) on a
+    // chain+skip-link graph where the negation genuinely excludes rows
+    // (every third chain wedge is closed by its skip link).
+    "g25b_motif_negated" -> ((s, d) => {
+      val ks = tbl(s, d, "customer").select(col("c_custkey").as("k"))
+        .filter(col("k") <= 100)
+      val chain = ks.filter(col("k") < 100)
+        .select(col("k").as("src"), (col("k") + 1L).as("dst"))
+      val skip = ks.filter(col("k") % 3 === 0 && col("k") <= 98)
+        .select(col("k").as("src"), (col("k") + 2L).as("dst"))
+      GraphFrame.fromEdges(chain.unionAll(skip))
+        .find("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .select(col("a.id").as("a"), col("b.id").as("b"), col("c.id").as("c"))
+    }),
+
     // Strongly connected components (FW-BW coloring) on a synthetic cyclic
     // graph over the first 300 customers: 30 ten-cycles plus pseudo-random
     // chords from every third vertex — chords weld some cycles into larger
@@ -1991,6 +2018,23 @@ object SparkEntry {
         |SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS weight
         |FROM k a JOIN k b ON a.g = b.g AND a.i < b.i
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // Motif 2-hop replay: every path is one (order, lineitem) pair.
+    "g25_motif_2hop" ->
+      """SELECT o.o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_paths,
+        |  CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // Open-wedge replay with NOT EXISTS for the negated term.
+    "g25b_motif_negated" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 100),
+        |e AS (SELECT k AS src, k + 1 AS dst FROM ks WHERE k < 100
+        |      UNION ALL SELECT k, k + 2 FROM ks WHERE k % 3 = 0 AND k <= 98)
+        |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
 
     // Ground truth from the closure: scc_id(u) = max over u and all
     // mutually-reachable v — the same canonical representative the

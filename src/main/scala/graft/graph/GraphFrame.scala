@@ -68,6 +68,13 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
       .select(col("src_vertex"), col("edge"), col("dst_vertex"))
   }
 
+  /** Motif (structural pattern) search — `find("(a)-[e]->(b); (b)-[]->(c)")`
+    * returns one row per match with a struct column per named vertex/edge.
+    * See [[Motifs]] for the grammar, negation, and the self-join execution
+    * plan.
+    */
+  def find(pattern: String): DataFrame = Motifs.find(vertices, edges, pattern)
+
   /** One round of message passing (the GraphFrames `aggregateMessages`
     * primitive; the reference covers this ground only through its Pregel
     * loop — exposed here directly because single-round neighborhood
