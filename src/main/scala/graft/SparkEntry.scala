@@ -1365,10 +1365,10 @@ object SparkEntry {
       // tell them apart). The defaults only happen to hold on corpora with
       // neither, which is not a property of the format.
       docs.write.mode("overwrite").option("header", "true")
-        .option("nullValue", "\u0000NULL\u0000").csv(path)
+        .option("nullValue", "\\N").csv(path)
       s.read.schema(docs.schema).option("header", "true")
         .option("multiLine", "true")
-        .option("nullValue", "\u0000NULL\u0000").csv(path)
+        .option("nullValue", "\\N").csv(path)
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"),
           sum(length(col("text"))).cast(LongType).as("text_chars"))

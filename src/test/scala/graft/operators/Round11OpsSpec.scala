@@ -39,6 +39,65 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestHarness {
       .contains(("avc1", 2L, ts.toLong, dur)))
   }
 
+  test("semanticDedup keeps zero-magnitude embeddings (no NaN cosine)") {
+    // A zero vector's cosine is 0/0 = NaN; engines disagree on NaN
+    // ordering (Spark treats `NaN >= t` as false, DuckDB sorts NaN high),
+    // so the pair join guards nrm > 0 on both sides: a zero vector can
+    // never be removed nor remove anything, in either engine.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), // exact dups: 2 removed
+      (3L, Seq(0.0f, 0.0f)),                        // zero vector
+      (4L, Seq(0.0f, 0.0f))                         // second zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 1, threshold = 0.99)
+      .select(col("vec_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("csv round trip survives embedded newlines and preserves empty vs NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("b07spec").toString
+    val docs = Seq(
+      (1L, "line one\nline two\r\nthree"), // embedded newlines
+      (2L, ""),                            // empty string, not NULL
+      (3L, null),                          // true NULL
+      (4L, "quotes \" and, commas")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").option("header", "true")
+      .option("nullValue", "\\N").csv(dir)
+    val back = spark.read.schema(docs.schema).option("header", "true")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N").csv(dir)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back(1L).contains("line one\nline two\r\nthree"))
+    assert(back(2L).contains(""), s"empty string became ${back(2L)}")
+    assert(back(3L).isEmpty, "NULL must stay NULL")
+    assert(back(4L).contains("quotes \" and, commas"))
+  }
+
+  test("streaming token budget: NULL text contributes 0 tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.Streams.streamingTokenBudget(
+      input.toDF().toDF("doc_id", "cat", "text"), "doc_id", "cat", "text",
+      budget = 5L)
+    val q = out.writeStream.format("memory").queryName("budget_null_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "x", "one two three"), (2L, "x", null),
+        (3L, "x", "four five"))
+      q.processAllAvailable()
+      val rows = spark.table("budget_null_out")
+        .select("doc_id", "toks", "cum").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      // doc 1: 3 toks (cum 3); doc 2: NULL text -> 0 toks, admitted at
+      // cum 3 (NOT -1, which would admit doc 3 at cum 2); doc 3: 2 toks
+      // lands exactly at the budget edge cum 5.
+      assert(rows == Seq((1L, 3L, 3L), (2L, 0L, 3L), (3L, 2L, 5L)), rows)
+    } finally q.stop()
+  }
+
   test("mp4 parse yields None on malformed containers, NULL rows downstream") {
     assert(Multimodal.parseMp4(null).isEmpty)
     assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
