@@ -647,6 +647,26 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Product-quantization codes (m=4 subspaces x 8 centroids): 12 bits
+    // per vector — the compression tier below int8 (s06). Flattened to
+    // (vec_id, s, code) rows so the oracle replays the per-subspace
+    // integer-lattice argmin directly.
+    "s10_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(tbl(s, d, "embeddings"), "vec_id", "embedding",
+          m = 4, kCent = 8)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("vec_id"), col("s").cast(LongType).as("s"),
+          col("code").cast(LongType).as("code"))),
+
+    // ADC search over the PQ codes: per-query distance TABLE + m lookups
+    // per candidate, exact integer lattice distances end to end.
+    "s11_pq_adc" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") <= 3), "vec_id", "embedding",
+          k = 5, m = 4, kCent = 8)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Late-interaction MaxSim: embeddings grouped by label are the
     // multi-vector "documents"; a query scores a group by its best-
     // matching member, top-3 groups per query. Shuffle is bounded at
@@ -2289,6 +2309,49 @@ object SparkEntry {
         |rk AS (SELECT *, CAST(row_number() OVER
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM sc)
         |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // PQ code replay: micro-lattice quantize, first-8 codebook, per-
+    // (vector, subspace) integer argmin with the smaller-code tiebreak.
+    "s10_pq_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd AS (SELECT e.vec_id, r.s, c0.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i])
+        |       * (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i]))) AS d2
+        |  FROM e CROSS JOIN range(0, 4) r(s) CROSS JOIN c0)
+        |SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(j AS BIGINT) AS code
+        |FROM (SELECT vec_id, s, j, row_number() OVER
+        |  (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM dd)
+        |WHERE rn = 1""".stripMargin,
+
+    // ADC replay: the same dd table doubles as the query distance tables;
+    // approx distance = sum over subspaces of dd(q, s, code(v, s)).
+    "s11_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd AS (SELECT e.vec_id, r.s, c0.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i])
+        |       * (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i]))) AS d2
+        |  FROM e CROSS JOIN range(0, 4) r(s) CROSS JOIN c0),
+        |code AS (SELECT vec_id, s, j AS code
+        |  FROM (SELECT vec_id, s, j, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM dd)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, s, j, d2 FROM dd WHERE vec_id <= 3),
+        |appr AS (SELECT qd.qid, code.vec_id AS nid, CAST(sum(qd.d2) AS BIGINT) AS d2
+        |  FROM code JOIN qd ON qd.s = code.s AND qd.j = code.code
+        |  WHERE code.vec_id <> qd.qid
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
 
     // MaxSim replay: per-(query, label) max of the rounded cosines, then
     // the per-query top-3 window with the (max DESC, label ASC) tiebreak.

@@ -264,4 +264,115 @@ object Similarity {
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Product-quantization codes — the memory tier BELOW [[int8CosineTopK]]:
+    * a d-dim vector stores as `m` sub-codes of `log2(kCent)` bits each
+    * (m=4, kCent=8 → 12 BITS per vector vs 64 bytes of int8), the
+    * compression that keeps a 10^11-vector corpus in cluster memory at
+    * 100 TB. The vector splits into `m` contiguous subvectors; each
+    * encodes as the id of its nearest codebook centroid.
+    *
+    * Codebook convention mirrors [[ivfCosineTopK]]'s default index and
+    * [[KMeans]]'s init: per subspace, the centroids are the `kCent`
+    * smallest-id corpus vectors' subvectors on the integer MICRO lattice
+    * (`round(x*1e6)`) — deterministic and SQL-replayable, which is what
+    * lets the s10 oracle re-derive codes and distances in closed form
+    * (production would train per-subspace k-means offline and pass it via
+    * `codebookOf`). Distances are exact integer squared-L2 on the lattice
+    * (< 2^53 — double arithmetic exact), ties to the smaller code.
+    *
+    * SHAPE: the codebook folds into ONE codegen projection as literals
+    * (m × kCent × subdim longs on the driver — bounded); encoding is a
+    * single corpus scan with NO shuffle and NO join. Output
+    * `[<idCol>, codes array<int>]`.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCent: Int,
+      codebookOf: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    val q = KMeans.quantize(corpus, idCol, vecCol)
+    val book = codebookOf.getOrElse(defaultCodebook(q, m, kCent))
+    require(book.length == m && book.forall(_.length == kCent),
+      s"codebook shape must be $m x $kCent")
+    val sd = book.head.head.length
+    // Per subspace: sort (d2, code) structs ascending — distance ASC with
+    // the smaller code on ties; element 1 is the argmin (the ivf pattern).
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("vq"), s * sd + 1, sd).cast("array<double>")
+      val ranked = array_sort(array(book(s).zipWithIndex.map { case (cv, j) =>
+        val c2 = cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x)))
+        val d2 = array_dot(sub, sub) - lit(2.0) * array_dot(sub,
+          typedLit(cv.map(_.toDouble).toSeq)) + lit(c2.toDouble)
+        struct(d2.as("d"), lit(j).as("c"))
+      }.toIndexedSeq: _*))
+      element_at(ranked, 1).getField("c")
+    }
+    q.select(col("id").as(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Default deterministic per-subspace codebook off the quantized corpus:
+    * `book(s)(j)` = subvector `s` of the j-th smallest-id vector, micros.
+    */
+  private def defaultCodebook(q: DataFrame, m: Int,
+      kCent: Int): Array[Array[Array[Long]]] = {
+    val seed = q.orderBy(col("id")).limit(kCent).select(col("vq"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(seed.length == kCent, s"corpus smaller than kCent=$kCent")
+    val d = seed.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sd = d / m
+    Array.tabulate(m, kCent)((s, j) => seed(j).slice(s * sd, s * sd + sd))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its m × kCent table of exact integer squared distances to every
+    * centroid ONCE; a corpus vector's approximate distance is then `m`
+    * table lookups summed — no vector arithmetic per candidate at all,
+    * the property that makes PQ scan 10-100× faster than float scoring.
+    *
+    * SHAPE: codes are computed (or passed in) once; the query tables ride
+    * a BROADCAST cross join onto the code scan (corpus scanned once, zero
+    * corpus shuffle — the s01/s06 discipline) and the per-pair score is a
+    * `zip_with` + `aggregate` over the m codes. Top-k per query via the
+    * bounded-heap aggregate on (-d2, id) — approximate distance ASC, id
+    * tiebreak. Output `[query_id, neighbor_id, d2, rank]` with d2 the
+    * exact integer lattice distance (oracle-replayable in SQL).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, kCent: Int,
+      codesOf: Option[DataFrame] = None): DataFrame = {
+    val cq = KMeans.quantize(corpus, idCol, vecCol)
+    val book = defaultCodebook(cq, m, kCent)
+    val sd = book.head.head.length
+    val codes = codesOf.getOrElse(
+      pqCodes(corpus, idCol, vecCol, m, kCent, Some(book)))
+      .select(col(idCol).as("id"), col("codes"))
+    // Literal [m][kCent] distance-table EXPRESSION evaluated on the query
+    // side: tables(s)(j) = ||q_s - c_{s,j}||^2, integer-exact.
+    val qTables = KMeans.quantize(queries, idCol, vecCol)
+      .select(col("id").as("qid"), array((0 until m).map { s =>
+        val sub = slice(col("vq"), s * sd + 1, sd).cast("array<double>")
+        array(book(s).map { cv =>
+          val c2 = cv.foldLeft(0L)((a, x) =>
+            Math.addExact(a, Math.multiplyExact(x, x)))
+          (array_dot(sub, sub) - lit(2.0) * array_dot(sub,
+            typedLit(cv.map(_.toDouble).toSeq)) + lit(c2.toDouble))
+            .cast("long")
+        }.toIndexedSeq: _*)
+      }: _*).as("qtab"))
+    val scored = codes.crossJoin(broadcast(qTables))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), col("qtab"),
+            (code, row) => element_at(row, code + 1)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        negate(col("d2").cast("double")), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("d2"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+  }
 }

@@ -286,6 +286,21 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"expected no SortExec:\n$plan")
   }
 
+  test("pq adc: query tables broadcast, heap top-k, no corpus shuffle before scoring") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.pqTopK(e, e.filter(col("vec_id") <= 3),
+        "vec_id", "embedding", k = 5, m = 4, kCent = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"query tables not broadcast:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    // The only Exchange allowed is the broadcast + the queries x k heap
+    // shuffle — never a corpus-sized hash partitioning before scoring.
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"corpus shuffled before scoring:\n$plan")
+  }
+
   test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {
     val plan = SparkEntry.queries("q17d_cms_grouped_est")(spark, sf)
       .queryExecution.executedPlan.toString
