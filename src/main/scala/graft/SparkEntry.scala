@@ -523,12 +523,23 @@ object SparkEntry {
     // iterative loop's distributed path carries its own oracle gate, not
     // just an equivalence spec against the driver arm.
     "g23b_scc_dist" -> ((s, d) => {
+      // 60 vertices as welded TRIANGLES (vs g23's ten-cycles): the
+      // forced-distributed arm pays fixpoint rounds proportional to CYCLE
+      // LENGTH (forward max-color and backward reach both walk the cycle),
+      // so 3-cycles exercise the identical weld/singleton structure at
+      // ~3 rounds per phase instead of ~10 — the gate proves the FW-BW
+      // arm without becoming a 14-second scheduling benchmark (measured
+      // with ten-cycles at any vertex count).
       val ks = tbl(s, d, "customer").select(col("c_custkey").as("k"))
-        .filter(col("k") <= 300)
+        .filter(col("k") <= 60)
       val cyc = ks.select(col("k").as("src"),
-        when(col("k") % 10 === 0, col("k") - 9).otherwise(col("k") + 1).as("dst"))
-      val chord = ks.filter(col("k") % 3 === 0)
-        .select(col("k").as("src"), ((col("k") * 7) % 300 + 1).as("dst"))
+        when(col("k") % 3 === 0, col("k") - 2).otherwise(col("k") + 1).as("dst"))
+      // Chords land in the first 4 triangles (a shallow hub band): the
+      // fixpoint round count tracks CONDENSATION depth, and spread-out
+      // chord targets were measured to re-create the deep-chain cost the
+      // 3-cycles removed.
+      val chord = ks.filter(col("k") % 4 === 0)
+        .select(col("k").as("src"), ((col("k") * 7) % 12 + 1).as("dst"))
       graft.algorithms.StronglyConnectedComponents.run(
         cyc.unionAll(chord), smallGraphThreshold = 0L)
     }),
@@ -2078,11 +2089,11 @@ object SparkEntry {
 
     // Same ground truth for the forced-distributed FW-BW arm.
     "g23b_scc_dist" ->
-      """WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 300),
+      """WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 60),
         |e AS (
-        |  SELECT k AS src, CASE WHEN k % 10 = 0 THEN k - 9 ELSE k + 1 END AS dst FROM ks
+        |  SELECT k AS src, CASE WHEN k % 3 = 0 THEN k - 2 ELSE k + 1 END AS dst FROM ks
         |  UNION ALL
-        |  SELECT k, ((k * 7) % 300) + 1 FROM ks WHERE k % 3 = 0),
+        |  SELECT k, ((k * 7) % 12) + 1 FROM ks WHERE k % 4 = 0),
         |r(s, d) AS (
         |  SELECT src, dst FROM e
         |  UNION

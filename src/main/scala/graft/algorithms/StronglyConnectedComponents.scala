@@ -132,14 +132,20 @@ object StronglyConnectedComponents {
           s"scc: forward fixpoint exceeded $maxFixpointIter rounds")
         val pushed = remEdges.join(colors, remEdges("src") === colors("id"))
           .groupBy(col("dst").as("id")).agg(max("color").as("in_color"))
+        // The changed flag is computed IN the round's projection and read
+        // back off the checkpoint: the old shape re-joined next against
+        // colors to diff them — a full vertex-set join per round that the
+        // one-column flag replaces with a count over already-materialized
+        // rows (colors only ever grow, so "changed" = in_color won).
         val next = checkpointing.localCheckpointNoStats(
           colors.join(pushed, Seq("id"), "left")
             .select(col("id"),
               greatest(col("color"), coalesce(col("in_color"), lit(Long.MinValue)))
-                .as("color")))
-        changed = next.as("n").join(colors.as("c"), "id")
-          .filter(col("n.color") =!= col("c.color")).count()
-        colors = next
+                .as("color"),
+              (coalesce(col("in_color"), lit(Long.MinValue)) > col("color"))
+                .as("chg")))
+        changed = next.filter(col("chg")).count()
+        colors = next.select("id", "color")
       }
 
       // 2. Backward walk from roots inside each color class.
