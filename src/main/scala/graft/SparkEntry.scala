@@ -488,6 +488,21 @@ object SparkEntry {
           countDistinct(col("e2.dst") - 1000000L).as("n_parts"))
     }),
 
+    // BFS with materialized paths (find() finds fixed shapes; bfs finds
+    // the shortest connection of unknown length): customers 1-5 to
+    // round-hundred parts on the cust->order->part DAG — global minimal
+    // level 2, one row per (order, lineitem) path instance.
+    "g26_bfs_paths" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.bfs(
+          col("id") <= 50L,
+          col("id") >= 1000000L && col("id") < 4000000L &&
+            (col("id") - 1000000L) % 10 === 0,
+          maxPathLength = 4)
+        .select(col("from.id").as("from_id"), col("v1.id").as("order_id"),
+          col("to.id").as("to_id"))
+    }),
+
     // Negated-term motif: OPEN 2-paths (a->b->c with NO a->c edge) on a
     // chain+skip-link graph where the negation genuinely excludes rows
     // (every third chain wedge is closed by its skip link).
@@ -2049,6 +2064,15 @@ object SparkEntry {
         |SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS weight
         |FROM k a JOIN k b ON a.g = b.g AND a.i < b.i
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // BFS replay: minimal level is 2 by construction (customer ids and
+    // part ids are disjoint bands), so paths = order x lineitem joins.
+    "g26_bfs_paths" ->
+      """SELECT o.o_custkey AS from_id,
+        |  CAST(o.o_orderkey + 4000000 AS BIGINT) AS order_id,
+        |  CAST(l.l_partkey + 1000000 AS BIGINT) AS to_id
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey <= 50 AND l.l_partkey % 10 = 0""".stripMargin,
 
     // Motif 2-hop replay: every path is one (order, lineitem) pair.
     "g25_motif_2hop" ->

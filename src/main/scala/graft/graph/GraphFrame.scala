@@ -75,6 +75,16 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     */
   def find(pattern: String): DataFrame = Motifs.find(vertices, edges, pattern)
 
+  /** Shortest-path search with materialized paths —
+    * `bfs(col("id") === 1, col("id") > 100)` returns `[from, e0, v1, ...,
+    * to]` struct rows at the first level any target is reached. See
+    * [[Bfs]] for semantics and the per-level join shape.
+    */
+  def bfs(fromExpr: org.apache.spark.sql.Column,
+      toExpr: org.apache.spark.sql.Column,
+      maxPathLength: Int = 10): DataFrame =
+    Bfs.run(this, fromExpr, toExpr, maxPathLength)
+
   /** One round of message passing (the GraphFrames `aggregateMessages`
     * primitive; the reference covers this ground only through its Pregel
     * loop — exposed here directly because single-round neighborhood
