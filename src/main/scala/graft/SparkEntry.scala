@@ -644,6 +644,24 @@ object SparkEntry {
     "d06_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
 
+    // Corpus-level k-minwise signature + THE MERGE LAW in one gate: the
+    // whole-corpus signature must equal the per-position least() of the
+    // two half-corpus signatures — the fold that licenses per-partition
+    // resemblance sketching at 100 TB (q19's law for the dedup family).
+    "d15_minhash_union" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val whole = Dedup.corpusMinhash(docs, "text", n = 3, k = 16)
+      val h1 = Dedup.corpusMinhash(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3, k = 16)
+        .withColumnRenamed("sig", "s1")
+      val h2 = Dedup.corpusMinhash(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", n = 3, k = 16)
+        .withColumnRenamed("sig", "s2")
+      whole.join(h1, "pos").join(h2, "pos")
+        .select(col("pos"), col("sig").as("sig_all"),
+          least(col("s1"), col("s2")).as("sig_merged"))
+    }),
+
     // Corpus-level removal: survivors of the d06 clustering (one min-id
     // representative per near-dup cluster).
     "d08_drop_neardups" -> ((s, d) =>
@@ -2233,6 +2251,21 @@ object SparkEntry {
 
     "d02_ngram_jaccard" -> jaccardOracle,
     "d03_minhash_lsh" -> jaccardOracle,
+
+    // Corpus k-minwise replay: per-doc distinct 3-gram hashes, 16 salted
+    // positions, min per position over the whole corpus and each half.
+    "d15_minhash_union" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS h FROM toks),
+        |sal AS (SELECT doc_id, r.p,
+        |  ('0x' || substr(md5(CAST(r.p AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15))::BIGINT AS sh
+        |  FROM hs CROSS JOIN range(0, 16) r(p)),
+        |allm AS (SELECT p AS pos, min(sh) AS sig_all FROM sal GROUP BY 1),
+        |h1 AS (SELECT p AS pos, min(sh) AS s1 FROM sal WHERE doc_id % 2 = 0 GROUP BY 1),
+        |h2 AS (SELECT p AS pos, min(sh) AS s2 FROM sal WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(allm.pos AS BIGINT) AS pos, sig_all, least(s1, s2) AS sig_merged
+        |FROM allm JOIN h1 USING (pos) JOIN h2 USING (pos)""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),

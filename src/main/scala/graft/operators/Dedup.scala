@@ -552,4 +552,33 @@ object Dedup {
     e.join(removed, col("id") === col("rid"), "left")
       .select(col("id").as(idCol), col("cell"), col("rid").isNull.as("keep"))
   }
+
+  /** CORPUS-level k-minwise signature: `sig[i] = min over all shingle
+    * hashes h in the corpus of hash60(i ":" h)` — one `[pos, sig]` row per
+    * position. Two corpora's signatures MERGE by per-position `least`,
+    * exactly the HLL/CMS merge law (q19) for the resemblance family: a
+    * 100 TB corpus sketches per partition/day and folds k longs, and
+    * `|sig_A ∩ sig_B| / k` estimates the shingle-set resemblance of two
+    * corpora (dataset-overlap audit before mixing). Per-document MinHash
+    * ([[minHashLsh]]) uses the wrapping-affine kernel for speed; this
+    * corpus fold uses the PORTABLE salted-md5 family so the d15 oracle
+    * replays every draw — min over a multiset equals min over its set, so
+    * no distinct is needed and the aggregate is fully map-side-combining
+    * (shuffle = k longs per partition at any corpus size).
+    */
+  def corpusMinhash(docs: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1,256], got $k")
+    val grams = docs.select(explode(graft.functions.PortableHashes
+      .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+    val mins = grams.agg(
+      min(Sampling.keyHash60(concat(lit("0:"), col("h").cast("string"))))
+        .as("m0"),
+      (1 until k).map(i =>
+        min(Sampling.keyHash60(concat(lit(s"$i:"), col("h").cast("string"))))
+          .as(s"m$i")): _*)
+    mins.select(posexplode(array((0 until k).map(i => col(s"m$i")): _*))
+        .as(Seq("pos", "sig")))
+      .select(col("pos").cast(LongType).as("pos"), col("sig"))
+  }
 }

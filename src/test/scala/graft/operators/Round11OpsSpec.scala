@@ -39,6 +39,31 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestHarness {
       .contains(("avc1", 2L, ts.toLong, dur)))
   }
 
+  test("corpusMinhash: whole-corpus signature == per-position least of split signatures") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma zeta eta"),
+      (4L, "seven eight nine ten eleven")).toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.corpusMinhash(df, "text", n = 3, k = 8)
+        .as[(Long, Long)].collect().toMap
+    val whole = sig(docs)
+    val a = sig(docs.filter(col("doc_id") <= 2))
+    val b = sig(docs.filter(col("doc_id") > 2))
+    assert(whole.keySet == (0L until 8L).toSet)
+    (0L until 8L).foreach { p =>
+      assert(whole(p) == math.min(a(p), b(p)), s"merge law broken at pos $p")
+    }
+    // Any 3-way split folds to the same signature (associativity).
+    val c = Seq(sig(docs.filter(col("doc_id") === 1L)),
+      sig(docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)),
+      sig(docs.filter(col("doc_id") === 4L)))
+    (0L until 8L).foreach { p =>
+      assert(whole(p) == c.map(_(p)).min)
+    }
+  }
+
   test("semanticDedup keeps zero-magnitude embeddings (no NaN cosine)") {
     // A zero vector's cosine is 0/0 = NaN; engines disagree on NaN
     // ordering (Spark treats `NaN >= t` as false, DuckDB sorts NaN high),
