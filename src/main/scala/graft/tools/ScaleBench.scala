@@ -351,6 +351,21 @@ object ScaleBench {
         println(f"SCALE-OK skewjoin m=$m dim=$n matched=$plainCnt2 " +
           f"aqeSkewOn=$tAqe%.1f aqeSkewOff=$tNoAqe%.1f salted8=$tSalt%.1f sec")
 
+      case "motif" | "motif-skew" =>
+        // 2-hop motif (the find() join spine) at probe scale: the
+        // wedge-count problem every motif query degenerates to. Uniform
+        // endpoints keep the self-join linear (count ~ m * avg-degree);
+        // the skew variant routes edges into power-law hubs, where the
+        // 2-hop count through a hub is d_in * d_out — the plan survives
+        // because the spine shuffles only (src, dst) id pairs and AQE
+        // splits the hub partitions; the count aggregate never
+        // materializes the paths.
+        val gg = GraphFrame.fromEdges(edges)
+        val paths = gg.find("(a)-[]->(b); (b)-[]->(c)")
+          .agg(count(lit(1)).as("n")).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m twoHopPaths=$paths " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "scc" =>
         // FW-BW coloring on the random DIGRAPH (directed edges as drawn):
         // at m/n = 4 a giant SCC exists, plus a periphery of singletons —
