@@ -1218,6 +1218,15 @@ object SparkEntry {
     // DECODED pixels. The oracle computes the same histogram from the
     // synthesis formula in pure SQL — raw deflate bytes look nothing like
     // the pixel distribution, so only a correct decode matches.
+    // PNG container metadata tier (m09's image twin): per-id-sized
+    // synthesized PNGs, IHDR recovered via the real chunk walk — the
+    // dimensions/pixel-format prune that runs before any pixel decode.
+    "m10_png_meta" -> ((s, d) =>
+      Multimodal.extractPngMeta(
+        Multimodal.synthesizePngMediaDyn(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id",
+          lit(16) + col("doc_id") % 16, lit(12) + col("doc_id") % 8))),
+
     // MP4 container metadata tier: synthesize deterministic ISO BMFF
     // boxes per doc, then recover brand/timescale/duration via the REAL
     // box-tree walk (big-endian u32 sizes, moov>mvhd descent) — the
@@ -2940,6 +2949,15 @@ object SparkEntry {
         |       WHEN hits_fr > 0 THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // IHDR fields are the synthesis parameters; grayscale 8-bit is PNG
+    // color type 0, bit depth 8.
+    "m10_png_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(12 + doc_id % 8 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type
+        |FROM documents""".stripMargin,
 
     // Every mvhd field is a pure function of the id (see synthesizeMp4),
     // so the oracle replays the box-walk's OUTPUT in closed form — the

@@ -475,6 +475,82 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** [[synthesizePngMedia]] with PER-ROW dimensions (w/h as Columns): the
+    * m10 gate varies image size by id so the IHDR parse has non-constant
+    * fields to recover.
+    */
+  def synthesizePngMediaDyn(df: DataFrame, idCol: String,
+      wCol: org.apache.spark.sql.Column,
+      hCol: org.apache.spark.sql.Column): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType), wCol.cast("int"), hCol.cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = synthesizeGrayPng(id, r.getInt(1), r.getInt(2))
+          val md5hex = java.security.MessageDigest.getInstance("MD5").digest(png)
+            .map("%02x".format(_)).mkString
+          Row(id, png, Row("image/png", png.length.toLong, md5hex))
+        }
+      }(encoder)
+  }
+
+  /** REAL container parse, image side (the [[extractMp4Meta]] twin): walk
+    * the PNG chunk list — 8-byte signature, then length/type/data/CRC
+    * frames — and big-endian-decode IHDR for width/height/bit depth/color
+    * type. The metadata tier of an image-curation pass: dimensions and
+    * pixel format cost ~33 header bytes per file and prune (thumbnails,
+    * monochrome, absurd aspect ratios) before any pixel decode is
+    * scheduled. Malformed payloads yield NULL fields. Output
+    * `[media_id, width, height, bit_depth, color_type]`.
+    */
+  def extractPngMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("bit_depth", LongType, nullable = true),
+      StructField("color_type", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        parsePngIhdr(bytes) match {
+          case Some((w, h, bd, ct)) => Row(r.getLong(0), w, h, bd, ct)
+          case None => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Chunk walk: the signature must match, every chunk frame must fit, and
+    * the FIRST chunk must be IHDR (the PNG spec's requirement) — returns
+    * (width, height, bitDepth, colorType) or None.
+    */
+  private[graft] def parsePngIhdr(
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 8 + 25) return None
+    if (!bytes.take(8).sameElements(PngSig)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    // Validate the whole chunk list: each frame is 4 len + 4 type + data
+    // + 4 crc; the stream must end exactly at a boundary.
+    var off = 8
+    var first: String = null
+    while (off < bytes.length) {
+      if (off + 8 > bytes.length) return None
+      val len = u32(off)
+      if (off + 12 + len > bytes.length) return None
+      if (first == null) first = new String(bytes, off + 4, 4, "US-ASCII")
+      off += 12 + len.toInt
+    }
+    if (first != "IHDR" || u32(8) < 13) return None
+    Some((u32(16), u32(20), (bytes(24) & 0xff).toLong, (bytes(25) & 0xff).toLong))
+  }
+
   /** Synthesize a deterministic minimal ISO BMFF (MP4) container: `ftyp`
     * (major brand `isom`) + `moov`>`mvhd` v0 carrying
     * `timescale = 600 + (id mod 10)*100` and

@@ -123,6 +123,18 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("png chunk walk recovers IHDR from real encoder output; malformed rejected") {
+    val png = Multimodal.synthesizeGrayPng(5L, 48, 20)
+    assert(Multimodal.parsePngIhdr(png).contains((48L, 20L, 8L, 0L)))
+    assert(Multimodal.parsePngIhdr(null).isEmpty)
+    assert(Multimodal.parsePngIhdr("clearly not a png at all, no sig".getBytes).isEmpty)
+    assert(Multimodal.parsePngIhdr(png.take(30)).isEmpty)  // truncated IHDR frame
+    val corrupted = png.clone(); corrupted(0) = 0x42       // broken signature
+    assert(Multimodal.parsePngIhdr(corrupted).isEmpty)
+    // A WAV is a valid RIFF container but not a PNG.
+    assert(Multimodal.parsePngIhdr(Multimodal.synthesizeWav(1L, 64)).isEmpty)
+  }
+
   test("mp4 parse yields None on malformed containers, NULL rows downstream") {
     assert(Multimodal.parseMp4(null).isEmpty)
     assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
