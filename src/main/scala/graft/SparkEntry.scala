@@ -711,6 +711,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // PQ shortlist + EXACT rerank (the production ANN shape): ADC@50
+    // shortlists at table-lookup cost, the 50 survivors per query pay an
+    // exact lattice L2, top-5 by exact distance. Candidate-sized rerank
+    // join, never corpus-sized.
+    "s12_pq_rerank" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.pqTopKReranked(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, m = 8, kCent = 16, shortlist = 50)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Late-interaction MaxSim: embeddings grouped by label are the
     // multi-vector "documents"; a query scores a group by its best-
     // matching member, top-3 groups per query. Shuffle is bounded at
@@ -2427,6 +2438,38 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
         |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Rerank replay: the s11 chain at (m=8, kCent=16) shortlists 50 by
+    // approximate distance, then exact 64-dim lattice L2 re-ranks.
+    "s12_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |dd AS (SELECT e.vec_id, r.s, c0.j,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (e.vq[r.s*8 + i] - c0.cv[r.s*8 + i])
+        |       * (e.vq[r.s*8 + i] - c0.cv[r.s*8 + i]))) AS d2
+        |  FROM e CROSS JOIN range(0, 8) r(s) CROSS JOIN c0),
+        |code AS (SELECT vec_id, s, j AS code
+        |  FROM (SELECT vec_id, s, j, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM dd)
+        |  WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, s, j, d2 FROM dd WHERE vec_id <= 3),
+        |appr AS (SELECT qd.qid, code.vec_id AS nid, sum(qd.d2) AS ad2
+        |  FROM code JOIN qd ON qd.s = code.s AND qd.j = code.code
+        |  WHERE code.vec_id <> qd.qid
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY ad2, nid) AS rn FROM appr) WHERE rn <= 50),
+        |ex AS (SELECT sl.qid, sl.nid,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (c.vq[i] - q.vq[i]) * (c.vq[i] - q.vq[i]))) AS BIGINT) AS d2
+        |  FROM sl JOIN e c ON c.vec_id = sl.nid JOIN e q ON q.vec_id = sl.qid),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM ex)
         |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
         |FROM rk WHERE rnk <= 5""".stripMargin,
 

@@ -123,6 +123,41 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("pqTopK recall@5 vs exact L2 on the sf0.001 embeddings") {
+    // An approximate operator without a recall pin is unfalsifiable (the
+    // annCosineTopK discipline). ADC approximates SQUARED L2 through m=4
+    // codebook cells, so the baseline is the exact L2 top-5 (driver brute
+    // force over the same micro lattice the operator quantizes to).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" <= 3)
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x * 1e6).toDouble).toArray)
+    val qs = vecs.filter(_._1 <= 3L)
+    val exact = qs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) =>
+        val d2 = v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, id, d2)
+      }.sortBy(t => (t._3, t._2)).take(5).map(t => (qid, t._2))
+    }.toSet
+    // The shortlist's job is CONTAINMENT: ADC@50 must hold most of the
+    // exact top-5 even though raw ADC@5 ordering is weak on these
+    // near-random vectors (measured 0.20).
+    val short = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 50,
+        m = 8, kCent = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val containment = (short intersect exact).size.toDouble / exact.size
+    assert(containment >= 0.8,
+      s"ADC@50 containment of exact top-5 = $containment")
+    // ...and the exact rerank turns containment into recall.
+    val rr = Similarity.pqTopKReranked(e, q, "vec_id", "embedding", k = 5,
+        m = 8, kCent = 16, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (rr intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"PQ+rerank recall@5 = $recall (hits=${(rr intersect exact).size}/${exact.size})")
+  }
+
   test("png chunk walk recovers IHDR from real encoder output; malformed rejected") {
     val png = Multimodal.synthesizeGrayPng(5L, 48, 20)
     assert(Multimodal.parsePngIhdr(png).contains((48L, 20L, 8L, 0L)))
