@@ -1206,6 +1206,24 @@ object SparkEntry {
           length(col("chunk")).cast(LongType).as("chunk_len"),
           md5(col("chunk")).as("chunk_md5"))),
 
+    // Language CONSISTENCY per doc (mixed-language docs hurt training):
+    // the t04 chunking x the t02 language ID, rolled up to per-doc
+    // distinct-language count and majority share on the ppm lattice —
+    // two map-side-combinable aggregates, chunk rows never shuffled
+    // beyond (doc, lang) pairs.
+    "t17_mixed_language" -> ((s, d) => {
+      val lab = TextFunctions.chunkDocs(tbl(s, d, "documents"),
+          "doc_id", "text", chunkChars = 512, overlapChars = 64)
+        .select(col("doc_id"), TextFunctions.langId(col("chunk")).as("lg"))
+      lab.groupBy("doc_id", "lg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_chunks"), count(lit(1)).as("n_langs"),
+          max("c").as("max_c"))
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          expr("max_c * 1000000 div n_chunks").as("majority_ppm"),
+          (col("n_langs") > 1).as("mixed"))
+    }),
+
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
       Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain")
@@ -3167,6 +3185,32 @@ object SparkEntry {
 
     "st01_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+
+    // t04's chunk CTE x t02's language decision tree, rolled up per doc.
+    "t17_mixed_language" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(1, (length(text) - 64 + 447) // 448) AS nc FROM documents),
+        |c AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, text FROM d),
+        |ch AS (SELECT doc_id,
+        |  substr(text, CAST(1 + chunk_idx * 448 AS BIGINT), 512) AS chunk FROM c),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(chunk), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS hits_en,
+        |  CAST(len(regexp_extract_all(lower(chunk), '\b(el|la|de|y|que|los|en|un|una|es)\b')) AS BIGINT) AS hits_es,
+        |  CAST(len(regexp_extract_all(lower(chunk), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS BIGINT) AS hits_de,
+        |  CAST(len(regexp_extract_all(lower(chunk), '\b(le|la|et|les|des|un|une|est|dans|que)\b')) AS BIGINT) AS hits_fr,
+        |  CAST(len(regexp_extract_all(chunk, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cjk
+        |  FROM ch),
+        |lid AS (SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh'
+        |  WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+        |  WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+        |  WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+        |  WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS lg FROM sc),
+        |per AS (SELECT doc_id, lg, count(*) AS c FROM lid GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS majority_ppm,
+        |  count(*) > 1 AS mixed
+        |FROM per GROUP BY 1""".stripMargin,
 
     // Streaming phash dedup gate: first-seen-per-hash == DISTINCT hash;
     // the hash bits replay from the synthesis formula (m07's CTEs).
