@@ -62,7 +62,14 @@ object Bench {
       prevFile match {
         case None => "{}"
         case Some(f) =>
-          val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          val raw = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          // Truncate at the prev round's own deltas block: otherwise the
+          // LAST "name":number occurrence IS last round's delta and the
+          // scrape would feed on its own output from round N+1 onward.
+          val text = raw.indexOf("deltas_vs_prev") match {
+            case -1 => raw
+            case i  => raw.substring(0, i)
+          }
           val entries = results.flatMap { case (name, _, cur, _) =>
             // \\? : the driver wraps Bench's stdout inside a quoted JSON
             // string field, so quotes arrive escaped (\"name\":1.2).
@@ -70,7 +77,11 @@ object Bench {
               "\\\\?\":([0-9.eE+-]+)").r
             re.findAllMatchIn(text).toSeq.lastOption.map { m =>
               val prev = m.group(1).toDouble
-              f""""$name":${(cur - prev).formatted("%.3f")}"""
+              // Locale.ROOT: a comma-decimal default locale would emit
+              // invalid JSON ("q01":-0,300).
+              val d = String.format(java.util.Locale.ROOT, "%.3f",
+                Double.box(cur - prev))
+              s""""$name":$d"""
             }
           }
           entries.mkString("{", ",", "}")

@@ -82,8 +82,9 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     */
   def bfs(fromExpr: org.apache.spark.sql.Column,
       toExpr: org.apache.spark.sql.Column,
-      maxPathLength: Int = 10): DataFrame =
-    Bfs.run(this, fromExpr, toExpr, maxPathLength)
+      maxPathLength: Int = 10,
+      edgeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    Bfs.run(this, fromExpr, toExpr, maxPathLength, edgeFilter)
 
   /** One round of message passing (the GraphFrames `aggregateMessages`
     * primitive; the reference covers this ground only through its Pregel

@@ -46,6 +46,13 @@ object Motifs {
     def fresh(): String = { anon += 1; s"__anon_$anon" }
     terms.map {
       case TermRe(neg, src, edge, dst) =>
+        // The __anon_ prefix is reserved for generator-produced fresh
+        // names: a user variable spelled that way would silently alias an
+        // anonymous slot (joined to an unrelated term, dropped from the
+        // output) instead of erroring.
+        Seq(src, edge, dst).filter(_ != null).foreach(v =>
+          require(!v.startsWith("__anon_"),
+            s"variable names may not start with __anon_ (reserved): '$pattern'"))
         val t = Term(
           Option(src).getOrElse(fresh()),
           Option(edge).getOrElse(fresh()),
@@ -97,9 +104,15 @@ object Motifs {
       val (sc, dc) = (s"__v_${t.src}", s"__v_${t.dst}")
       require(spine.columns.contains(sc) && spine.columns.contains(dc),
         s"negated term endpoints must be bound by positive terms: '$pattern'")
-      spine = spine.join(
-        edges.select(col(GraphFrame.SRC).as(sc), col(GraphFrame.DST).as(dc)),
-        Seq(sc, dc), "left_anti")
+      spine =
+        if (t.src == t.dst) // !(a)-[]->(a): no self-loop on a
+          spine.join(
+            edges.filter(col(GraphFrame.SRC) === col(GraphFrame.DST))
+              .select(col(GraphFrame.SRC).as(sc)),
+            Seq(sc), "left_anti")
+        else spine.join(
+          edges.select(col(GraphFrame.SRC).as(sc), col(GraphFrame.DST).as(dc)),
+          Seq(sc, dc), "left_anti")
     }
     // Attach vertex structs for named vertices (joins on the id spine only).
     val namedVerts = terms.flatMap(t => Seq(t.src, t.dst))

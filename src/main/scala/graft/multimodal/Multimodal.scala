@@ -213,18 +213,8 @@ object Multimodal {
     * the PNG analogue of [[asMedia]]; encoding runs per partition (one
     * ImageIO context per task, no driver loop).
     */
-  def synthesizePngMedia(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
-    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val png = synthesizeGrayPng(id, w, h)
-        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(png)
-          .map("%02x".format(_)).mkString
-        Row(id, png, Row("image/png", png.length.toLong, md5hex))
-      }
-    }(encoder)
-  }
+  def synthesizePngMedia(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame =
+    synthesizePngMediaDyn(df, idCol, lit(w), lit(h))
 
   /** REAL resize: decode the PNG, nearest-neighbour resample to `w`×`h`,
     * re-encode — a full decode→transform→encode chain through the actual
@@ -663,7 +653,9 @@ object Multimodal {
     }
     for {
       top <- walk(0, bytes.length)
-      ftyp <- top.find(_._1 == "ftyp")
+      // brand lives at ftyp+8..11: an 8-byte (body-less) ftyp is
+      // malformed, and reading past it would throw out of mapPartitions.
+      ftyp <- top.find(b => b._1 == "ftyp" && b._3 >= 12)
       moov <- top.find(_._1 == "moov")
       kids <- walk(moov._2 + 8, moov._2 + moov._3)
       mvhd <- kids.find(_._1 == "mvhd")

@@ -41,11 +41,15 @@ object ManifestTables {
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
-    // Stage the manifest beside its final path, then rename into place:
-    // a crash mid-build leaves the OLD manifest intact (stale-but-valid
-    // file list) instead of a manifest pointing at deleted files. Rename
-    // is the strongest swap a plain filesystem offers; concurrent writers
-    // still need external coordination (single-writer assumption).
+    // Stage the manifest beside its final path, then swap via renames: a
+    // crash DURING the staging build leaves the old manifest intact, and
+    // a crash inside the swap window leaves a recoverable __old copy
+    // rather than a manifest pointing at deleted files. Every rename is
+    // CHECKED — Hadoop FileSystems report most failures by returning
+    // false, not throwing, and a silent false here would surface later as
+    // a missing-manifest read error with no trace of the cause. Renames
+    // are the strongest swap a plain filesystem offers; concurrent
+    // writers still need external coordination (single-writer assumed).
     val mPath = manifestPath(path)
     val tmp = s"${mPath}__staging"
     spark.read.parquet(path)
@@ -54,8 +58,16 @@ object ManifestTables {
       .write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(mPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(mPath))
+    def mv(from: String, to: String): Unit =
+      require(fs.rename(new org.apache.hadoop.fs.Path(from),
+        new org.apache.hadoop.fs.Path(to)),
+        s"manifest swap failed: rename $from -> $to returned false")
+    val old = s"${mPath}__old"
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    val hadPrev = fs.exists(new org.apache.hadoop.fs.Path(mPath))
+    if (hadPrev) mv(mPath, old)
+    mv(tmp, mPath)
+    if (hadPrev) fs.delete(new org.apache.hadoop.fs.Path(old), true)
     path
   }
 

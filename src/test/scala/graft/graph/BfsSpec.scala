@@ -48,6 +48,18 @@ class BfsSpec extends AnyFunSuite with SparkTestHarness {
       .count() == 0)
   }
 
+  test("bfs edgeFilter restricts the traversable edges") {
+    // Block the 1->5 shortcut: the shortest 1~>4 path becomes the 3-hop
+    // chain via 2 and 3.
+    val paths = g.bfs(col("id") === 1L, col("id") === 4L,
+      edgeFilter = Some(!(col("src") === 1L && col("dst") === 5L)))
+    assert(paths.columns.toSeq ==
+      Seq("from", "e0", "v1", "e1", "v2", "e2", "to"))
+    val rows = paths.select(col("v1.id"), col("v2.id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((2L, 3L)))
+  }
+
   test("bfs vertex attributes ride the structs") {
     val r = g.bfs(col("name") === "a", col("name") === "c")
       .select(col("from.name"), col("v1.name"), col("to.name"))

@@ -88,6 +88,20 @@ class MotifsSpec extends AnyFunSuite with SparkTestHarness {
       g.find("(a)-[e]->(b); (b)-[e]->(c)")) // edge var reuse
   }
 
+  test("negated self-loop term filters vertices carrying a self-loop") {
+    val gl = GraphFrame(g.vertices,
+      g.edges.unionByName(Seq((2L, 2L, 0L)).toDF("src", "dst", "w")))
+    // a->b where a has NO self-loop: drops the rows with a=2.
+    val rows = gl.find("(a)-[]->(b); !(a)-[]->(a)")
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(!rows.exists(_._1 == 2L))
+    assert(rows.contains((1L, 2L)) && rows.contains((3L, 4L)))
+  }
+
+  test("reserved __anon_ variable names are rejected") {
+    intercept[IllegalArgumentException](g.find("(__anon_1)-[]->(b)"))
+  }
+
   test("disconnected pattern components cross-join") {
     val rows = g.find("(a)-[]->(b); (c)-[]->(d)")
     assert(rows.count() == 25) // 5 edges x 5 edges

@@ -170,6 +170,16 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(Multimodal.parsePngIhdr(Multimodal.synthesizeWav(1L, 64)).isEmpty)
   }
 
+  test("mp4 parse rejects a body-less ftyp box instead of reading past it") {
+    // [moov with valid mvhd][8-byte box typed 'ftyp' at the buffer end]:
+    // the brand bytes would be past the array — must be None, not a throw.
+    val good = Multimodal.synthesizeMp4(3L)
+    val moov = good.slice(16, 16 + 116)
+    val buf = java.nio.ByteBuffer.allocate(116 + 8)
+    buf.put(moov).putInt(8).put("ftyp".getBytes("US-ASCII"))
+    assert(Multimodal.parseMp4(buf.array()).isEmpty)
+  }
+
   test("mp4 parse yields None on malformed containers, NULL rows downstream") {
     assert(Multimodal.parseMp4(null).isEmpty)
     assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
