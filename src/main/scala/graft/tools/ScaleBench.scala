@@ -153,6 +153,31 @@ object ScaleBench {
         println(f"SCALE-OK semdedup n=$n k=$kk dropped=$dropped " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "pq" =>
+        // PQ at corpus scale: encode n 64-dim vectors (m=8 x kCent=16
+        // codebook folded into one codegen projection — the per-row cost
+        // is kCent*dim multiplies, same as scalar k-means assignment),
+        // then ADC+exact-rerank search for 16 queries. Probes that the
+        // code scan, the broadcast distance tables, and the candidate-
+        // sized rerank hold when the corpus is millions of vectors.
+        val dim = 64
+        val pts = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
+              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+        val codes = graft.operators.Similarity.pqCodes(
+          pts, "vec_id", "embedding", m = 8, kCent = 16)
+        val nCodes = codes.count()
+        val tEnc = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.operators.Similarity.pqTopKReranked(
+          pts, pts.filter(col("vec_id") % (n / 16) === 0),
+          "vec_id", "embedding", k = 10, m = 8, kCent = 16, shortlist = 100)
+          .count()
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-OK pq n=$n dim=$dim codes=$nCodes encode=$tEnc%.1f " +
+          f"search16q=$tSearch%.1f sec")
+
       case "bm25" =>
         // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
         // picks), 16 query docs: unlike the tiny-vocab gate corpus, query
