@@ -178,6 +178,24 @@ object ScaleBench {
         println(f"SCALE-OK pq n=$n dim=$dim codes=$nCodes encode=$tEnc%.1f " +
           f"search16q=$tSearch%.1f sec")
 
+      case "ivf" =>
+        // IVF-FLAT at corpus scale (the pq probe's coarse-quantization
+        // sibling): assign n 64-dim vectors to 64 cells via the codegen
+        // two-stage argmax, probe 8 cells per query — exercises the
+        // corpus-side assignment path that previously ran the interpreted
+        // array_sort comparator per vector.
+        val dim = 64
+        val pts = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
+              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+        val hits = graft.operators.Similarity.ivfCosineTopK(
+          pts, pts.filter(col("vec_id") % (n / 16) === 0),
+          "vec_id", "embedding", k = 10, nCells = 64, nProbe = 8)
+          .count()
+        println(f"SCALE-OK ivf n=$n dim=$dim hits=$hits " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "bm25" =>
         // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
         // picks), 16 query docs: unlike the tiny-vocab gate corpus, query
