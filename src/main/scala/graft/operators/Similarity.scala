@@ -125,12 +125,15 @@ object Similarity {
       s"need 1 <= bands <= nBits <= 64 with bands | nBits, got nBits=$nBits bands=$bands")
     val r = nBits / bands
     val mask = (1L << r) - 1L
+    // Plain expression array, not a transform lambda: higher-order
+    // functions evaluate interpreted per element, and this projection
+    // runs once per CORPUS row (the pqCodes/ivf codegen discipline).
     def bandsOf(sig: Column): Column =
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            call_function("shiftrightunsigned", sig, b * r)
-              .bitwiseAND(lit(mask)).as("bh"))))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftrightunsigned", sig, lit(b * r))
+            .bitwiseAND(lit(mask)).as("bh"))
+      }.toIndexedSeq: _*))
 
     // Corpus side: cached — scanned once to band, once to score candidates.
     val c = scope.cache(withNorm(corpus, idCol, vecCol)
