@@ -99,9 +99,12 @@ object Dedup {
     // expensive map stage in the operator.
     val buckets = scope.cache(sig.select(
       col("id"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+      // Plain expression array, not a transform lambda: HOFs evaluate
+      // interpreted per element, and this runs once per CORPUS row.
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+      }.toIndexedSeq: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -159,10 +162,10 @@ object Dedup {
       df.select(col(idCol).as("id"),
         TextHashes.minhashSignature(
           TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
-        .select(col("id"), explode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+        .select(col("id"), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+        }.toIndexedSeq: _*)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val testIds = heldOut.select(col(idCol)).distinct()
     val train = corpus.join(testIds, Seq(idCol), "left_anti")
@@ -251,11 +254,11 @@ object Dedup {
         .as("sh"))
     val chunked = scope.cache(sh).select(
       col("id"), col("sh"),
-      explode(
-        transform(sequence(lit(0), lit(3)),
-          c => struct(c.as("chunk"),
-            call_function("shiftrightunsigned", col("sh"), c * 16)
-              .bitwiseAND(lit(0xffffL)).as("ck")))).as("cc"))
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          call_function("shiftrightunsigned", col("sh"), lit(c * 16))
+            .bitwiseAND(lit(0xffffL)).as("ck"))
+      }.toIndexedSeq: _*)).as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
     // First-matching-chunk predicate (see [[embeddingNearDupLsh]]): a pair
     // sharing k intact chunks is emitted once, from the lowest one — no
@@ -334,11 +337,11 @@ object Dedup {
       .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits)))
     val buckets = e.select(
       col("id"), col("sig"),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            call_function("shiftrightunsigned", col("sig"), b * r)
-              .bitwiseAND(lit(mask)).as("bh")))).as("bb"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftrightunsigned", col("sig"), lit(b * r))
+            .bitwiseAND(lit(mask)).as("bh"))
+      }.toIndexedSeq: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // A pair colliding in k bands would be emitted k times; keeping only the
     // FIRST colliding band (cheapest bits-only predicate, evaluated inside
