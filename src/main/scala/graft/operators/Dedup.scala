@@ -99,12 +99,8 @@ object Dedup {
     // expensive map stage in the operator.
     val buckets = scope.cache(sig.select(
       col("id"),
-      // Plain expression array, not a transform lambda: HOFs evaluate
-      // interpreted per element, and this runs once per CORPUS row.
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
-      }.toIndexedSeq: _*)).as("bb"))
+      ColumnKernels.bandStructs(bands)(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -162,10 +158,8 @@ object Dedup {
       df.select(col(idCol).as("id"),
         TextHashes.minhashSignature(
           TextFunctions.shingleHashes(col(textCol), n), numHashes).as("sig"))
-        .select(col("id"), explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
-        }.toIndexedSeq: _*)).as("bb"))
+        .select(col("id"), ColumnKernels.bandStructs(bands)(b =>
+          xxhash64(slice(col("sig"), b * r + 1, r))).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val testIds = heldOut.select(col(idCol)).distinct()
     val train = corpus.join(testIds, Seq(idCol), "left_anti")
@@ -254,12 +248,10 @@ object Dedup {
         .as("sh"))
     val chunked = scope.cache(sh).select(
       col("id"), col("sh"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          call_function("shiftrightunsigned", col("sh"), lit(c * 16))
-            .bitwiseAND(lit(0xffffL)).as("ck"))
-      }.toIndexedSeq: _*)).as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+      ColumnKernels.bandStructs(4)(c =>
+        call_function("shiftrightunsigned", col("sh"), lit(c * 16))
+          .bitwiseAND(lit(0xffffL))).as("cc"))
+      .select(col("id"), col("sh"), col("cc.band").as("chunk"), col("cc.bh").as("ck"))
     // First-matching-chunk predicate (see [[embeddingNearDupLsh]]): a pair
     // sharing k intact chunks is emitted once, from the lowest one — no
     // post-join distinct.
@@ -337,11 +329,9 @@ object Dedup {
       .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits)))
     val buckets = e.select(
       col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          call_function("shiftrightunsigned", col("sig"), lit(b * r))
-            .bitwiseAND(lit(mask)).as("bh"))
-      }.toIndexedSeq: _*)).as("bb"))
+      ColumnKernels.bandStructs(bands)(b =>
+        call_function("shiftrightunsigned", col("sig"), lit(b * r))
+          .bitwiseAND(lit(mask))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // A pair colliding in k bands would be emitted k times; keeping only the
     // FIRST colliding band (cheapest bits-only predicate, evaluated inside
@@ -582,6 +572,11 @@ object Dedup {
           .as(s"m$i")): _*)
     mins.select(posexplode(array((0 until k).map(i => col(s"m$i")): _*))
         .as(Seq("pos", "sig")))
+      // An EMPTY corpus yields no rows, not k null-signature rows: the
+      // global aggregate always emits one row, but a SQL GROUP BY replay
+      // (the d15/d16 oracles) emits zero — and a null signature would
+      // read as a real draw downstream.
+      .filter(col("sig").isNotNull)
       .select(col("pos").cast(LongType).as("pos"), col("sig"))
   }
 }

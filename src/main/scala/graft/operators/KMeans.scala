@@ -86,13 +86,8 @@ object KMeans {
         centroids.zipWithIndex.map { case (cv, i) =>
           dist2(col("vqd"), col("vq2"), cv).as(dNames(i))
         }.toIndexedSeq: _*)
-    val dmin =
-      if (k == 1) col(dNames.head)
-      else least(dNames.map(col): _*)
-    val cell = dNames.init.zipWithIndex
-      .foldLeft(when(lit(false), -1)) { case (acc, (d, i)) =>
-        acc.when(col(d) === col("_dmin"), i)
-      }.otherwise(k - 1)
+    val dmin = ColumnKernels.leastOf(dNames.map(col))
+    val cell = ColumnKernels.firstMatchIndex(dNames.map(col), col("_dmin"))
     distances.withColumn("_dmin", dmin)
       .select(col("id") +: carried ++: Seq(
         cell.as("cell"), col("_dmin").cast(LongType).as("d2")): _*)

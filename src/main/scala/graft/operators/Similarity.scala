@@ -125,15 +125,10 @@ object Similarity {
       s"need 1 <= bands <= nBits <= 64 with bands | nBits, got nBits=$nBits bands=$bands")
     val r = nBits / bands
     val mask = (1L << r) - 1L
-    // Plain expression array, not a transform lambda: higher-order
-    // functions evaluate interpreted per element, and this projection
-    // runs once per CORPUS row (the pqCodes/ivf codegen discipline).
     def bandsOf(sig: Column): Column =
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          call_function("shiftrightunsigned", sig, lit(b * r))
-            .bitwiseAND(lit(mask)).as("bh"))
-      }.toIndexedSeq: _*))
+      ColumnKernels.bandStructs(bands)(b =>
+        call_function("shiftrightunsigned", sig, lit(b * r))
+          .bitwiseAND(lit(mask)))
 
     // Corpus side: cached — scanned once to band, once to score candidates.
     val c = scope.cache(withNorm(corpus, idCol, vecCol)
@@ -266,13 +261,9 @@ object Similarity {
       centroids.map { case (cid, cv, cn) =>
         centroidScore(cv, cn).as(s"__ivf_s$cid")
       }.toIndexedSeq: _*)
-    val smax =
-      if (centroids.length == 1) col(scoreNames.head)
-      else greatest(scoreNames.map(col).toIndexedSeq: _*)
-    val bestCell = scoreNames.init.zipWithIndex
-      .foldLeft(when(lit(false), -1)) { case (acc, (s, i)) =>
-        acc.when(col(s) === col("__ivf_smax"), i)
-      }.otherwise(centroids.length - 1)
+    val smax = ColumnKernels.greatestOf(scoreNames.map(col).toIndexedSeq)
+    val bestCell = ColumnKernels.firstMatchIndex(
+      scoreNames.map(col).toIndexedSeq, col("__ivf_smax"))
     val cells = cScored.withColumn("__ivf_smax", smax)
       .withColumn("cell", bestCell)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
@@ -303,9 +294,10 @@ object Similarity {
     * `codebookOf`). Distances are exact integer squared-L2 on the lattice
     * (< 2^53 — double arithmetic exact), ties to the smaller code.
     *
-    * SHAPE: the codebook folds into ONE codegen projection as literals
-    * (m × kCent × subdim longs on the driver — bounded); encoding is a
-    * single corpus scan with NO shuffle and NO join. Output
+    * SHAPE: the codebook folds in as literals (m × kCent × subdim longs
+    * on the driver — bounded) across TWO stacked codegen projections
+    * (distance columns, then the argmin when-chain); encoding is a single
+    * corpus scan with NO shuffle and NO join. Output
     * `[<idCol>, codes array<int>]`.
     */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
@@ -338,11 +330,7 @@ object Similarity {
     val staged = q.select(col("id") +: distCols: _*)
     val codeCols = (0 until m).map { s =>
       val ds = (0 until kCent).map(j => col(d2Name(s, j)))
-      val dmin = least(ds: _*)
-      ds.init.zipWithIndex
-        .foldLeft(when(lit(false), -1)) { case (acc, (d, j)) =>
-          acc.when(d === dmin, j)
-        }.otherwise(kCent - 1)
+      ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
     }
     staged.select(col("id").as(idCol), array(codeCols: _*).as("codes"))
   }
@@ -395,7 +383,7 @@ object Similarity {
     * SHAPE: codes are computed (or passed in) once; the query tables ride
     * a BROADCAST cross join onto the code scan (corpus scanned once, zero
     * corpus shuffle — the s01/s06 discipline) and the per-pair score is a
-    * `zip_with` + `aggregate` over the m codes. Top-k per query via the
+    * static chain of m `element_at` lookups. Top-k per query via the
     * bounded-heap aggregate on (-d2, id) — approximate distance ASC, id
     * tiebreak. Output `[query_id, neighbor_id, d2, rank]` with d2 the
     * exact integer lattice distance (oracle-replayable in SQL).
@@ -409,13 +397,14 @@ object Similarity {
     val book = codebookOf.getOrElse(defaultCodebook(cq, m, kCent))
     val sd = book.head.head.length
     // Self-computed codes are CHECKPOINTED before the per-query fan-out:
-    // the code expression carries array_sort (CodegenFallback), so fusing
-    // its construction under the per-query partial aggregate drops the
-    // whole stage out of codegen and interprets the 16-struct argmin per
+    // without the cut, the optimizer collapses the whole encode chain
+    // into the per-query scored projection and re-evaluates it per
     // (corpus x query) row — measured 75 s vs 2.8 s at 1 M x 16 on
-    // local[32]. Materializing is also the right shape per se: codes are
-    // the INDEX artifact, encoded once and probed by every query batch
-    // (at scale they live in a table and arrive via codesOf).
+    // local[32] (with the then-interpreted argmin; the blowup is
+    // multiplicative regardless of codegen). Materializing is also the
+    // right shape per se: codes are the INDEX artifact, encoded once and
+    // probed by every query batch (at scale they live in a table and
+    // arrive via codesOf).
     val codes = codesOf.getOrElse(
       org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
         pqCodes(corpus, idCol, vecCol, m, kCent, Some(book))))
@@ -435,8 +424,8 @@ object Similarity {
       }: _*).as("qtab"))
     // The lookup sum is a STATIC chain of m element_at pairs, not a
     // zip_with+aggregate lambda: higher-order functions evaluate
-    // interpreted per element, measured 20x slower than the unrolled
-    // expression on a 1M-vector scan (75 s -> 3.6 s at m=8).
+    // interpreted per element (the ColumnKernels discipline), and this
+    // projection runs once per (corpus x query) candidate row.
     val lookupSum = (0 until m).map { s =>
       element_at(element_at(col("qtab"), s + 1),
         (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
@@ -465,9 +454,11 @@ object Similarity {
     */
   def pqTopKReranked(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int, kCent: Int, shortlist: Int): DataFrame = {
+      m: Int, kCent: Int, shortlist: Int,
+      codesOf: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
-    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, kCent)
+    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, kCent,
+        codesOf = codesOf)
       .select(col("query_id"), col("neighbor_id"))
     val cq = KMeans.quantize(corpus, idCol, vecCol)
       .select(col("id"), col("vq").cast("array<double>").as("cv"))

@@ -13,6 +13,17 @@ import graft.graph.GraphFrame
   */
 object ScaleBench {
 
+  /** Seeded synthetic float vectors shared by the vector probes (kmeans
+    * keeps its unquantized variant): `vec[i] = hash(id, i)/1e6 - 0.5` —
+    * deterministic, so probe results are reproducible across runs/hosts.
+    */
+  def syntheticVectors(spark: SparkSession, n: Long,
+      dim: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
+          / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+
   /** Seeded synthetic edge set shared by the CLI probes and the recorded
     * scale gate ([[graft.algorithms.ScaleRecordSpec]]): uniform
     * Erdos-Renyi-ish xxhash64 endpoints; `skew` draws the dst from a
@@ -143,10 +154,7 @@ object ScaleBench {
         // pair stage costs. 4th arg = k.
         val dim = 64
         val kk = args.lift(3).map(_.toInt).getOrElse(256)
-        val pts = spark.range(n).select(col("id").as("vec_id"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
-              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+        val pts = syntheticVectors(spark, n, dim)
         val out = graft.operators.Dedup.semanticDedup(
           pts, "vec_id", "embedding", k = kk, threshold = 0.95)
         val dropped = out.filter(!col("keep")).count()
@@ -161,18 +169,22 @@ object ScaleBench {
         // code scan, the broadcast distance tables, and the candidate-
         // sized rerank hold when the corpus is millions of vectors.
         val dim = 64
-        val pts = spark.range(n).select(col("id").as("vec_id"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
-              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
-        val codes = graft.operators.Similarity.pqCodes(
-          pts, "vec_id", "embedding", m = 8, kCent = 16)
+        val pts = syntheticVectors(spark, n, dim)
+        // max(1, ...): a tiny smoke n must not divide by zero (ANSI mod)
+        // or turn every vector into a query.
+        val stride = math.max(1L, n / 16)
+        val codes = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointNoStats(graft.operators.Similarity.pqCodes(
+            pts, "vec_id", "embedding", m = 8, kCent = 16))
         val nCodes = codes.count()
         val tEnc = (System.nanoTime() - t0) / 1e9
+        // The encoded table is PASSED to the search (codesOf) so the
+        // search figure measures query cost, not a hidden re-encode.
         val t1 = System.nanoTime()
         val hits = graft.operators.Similarity.pqTopKReranked(
-          pts, pts.filter(col("vec_id") % (n / 16) === 0),
-          "vec_id", "embedding", k = 10, m = 8, kCent = 16, shortlist = 100)
+          pts, pts.filter(col("vec_id") % stride === 0),
+          "vec_id", "embedding", k = 10, m = 8, kCent = 16, shortlist = 100,
+          codesOf = Some(codes))
           .count()
         val tSearch = (System.nanoTime() - t1) / 1e9
         println(f"SCALE-OK pq n=$n dim=$dim codes=$nCodes encode=$tEnc%.1f " +
@@ -185,12 +197,9 @@ object ScaleBench {
         // corpus-side assignment path that previously ran the interpreted
         // array_sort comparator per vector.
         val dim = 64
-        val pts = spark.range(n).select(col("id").as("vec_id"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
-              / lit(1000000.0) - lit(0.5)).cast("float")).as("embedding"))
+        val pts = syntheticVectors(spark, n, dim)
         val hits = graft.operators.Similarity.ivfCosineTopK(
-          pts, pts.filter(col("vec_id") % (n / 16) === 0),
+          pts, pts.filter(col("vec_id") % math.max(1L, n / 16) === 0),
           "vec_id", "embedding", k = 10, nCells = 64, nProbe = 8)
           .count()
         println(f"SCALE-OK ivf n=$n dim=$dim hits=$hits " +
