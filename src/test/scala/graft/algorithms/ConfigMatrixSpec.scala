@@ -138,9 +138,12 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
     Seq("q17c_cms_grouped", "q17d_cms_grouped_est", "q17e_hist_grouped",
         "q17f_hist_grouped_q", "q17_hll_grouped", "q17b_hll_grouped_est",
         "q20_asof_join", "q24_merge_apply", "g23_scc", "g23b_scc_dist",
-        // round-11 surface: motifs, BFS paths, PQ, corpus minhash, MP4.
+        // round-11 surface: motifs, BFS paths, PQ (+rerank), corpus
+        // minhash (+resemblance), container metadata, language consistency.
         "g25_motif_2hop", "g25b_motif_negated", "g26_bfs_paths",
-        "s10_pq_codes", "s11_pq_adc", "d15_minhash_union", "m09_mp4_meta")
+        "s10_pq_codes", "s11_pq_adc", "s12_pq_rerank",
+        "d15_minhash_union", "d16_corpus_resemblance",
+        "m09_mp4_meta", "m10_png_meta", "t17_mixed_language")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq
