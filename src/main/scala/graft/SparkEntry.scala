@@ -1731,6 +1731,25 @@ object SparkEntry {
       s.read.parquet(path).select("doc_id").distinct()
     }),
 
+    // Stateless streaming PQ ENCODING at ingest — the vector-family
+    // member of the batch/stream operator symmetry (st03 = quality
+    // formula, st13 = the s10 code projection): the codebook trains on
+    // the static corpus and folds into the streaming projection as
+    // literals; each arriving vector encodes with zero state. Oracle =
+    // s10's SQL verbatim.
+    "st13_stream_pq_codes" -> ((s, d) => {
+      val book = Similarity.pqTrain(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", m = 4, kCent = 8,
+        nIter = 0)
+      drainStream(
+        Similarity.pqCodes(streamTbl(s, d, "embeddings"),
+            "vec_id", "embedding", m = 4, kCent = 8, Some(book))
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+          .select(col("vec_id"), col("s").cast(LongType).as("s"),
+            col("code").cast(LongType).as("code")),
+        "st13_sink", "append")
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -2453,6 +2472,24 @@ object SparkEntry {
     // PQ code replay: micro-lattice quantize, first-8 codebook, per-
     // (vector, subspace) integer argmin with the smaller-code tiebreak.
     "s10_pq_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd AS (SELECT e.vec_id, r.s, c0.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i])
+        |       * (e.vq[r.s*16 + i] - c0.cv[r.s*16 + i]))) AS d2
+        |  FROM e CROSS JOIN range(0, 4) r(s) CROSS JOIN c0)
+        |SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(j AS BIGINT) AS code
+        |FROM (SELECT vec_id, s, j, row_number() OVER
+        |  (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM dd)
+        |WHERE rn = 1""".stripMargin,
+
+    // Streaming twin: identical code projection, AvailableNow drain.
+    // PQ code replay: micro-lattice quantize, first-8 codebook, per-
+    // (vector, subspace) integer argmin with the smaller-code tiebreak.
+    "st13_stream_pq_codes" ->
       """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
