@@ -741,6 +741,33 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // IVF-PQ composed index (4 coarse cells, probe 2; residual PQ at
+    // m=4 x 8): coarse cells prune the scan to ~nProbe/nCells, residual
+    // codes score survivors with m table lookups — the production layout
+    // for a 10^11-vector corpus. Exact integer lattice end to end.
+    "s13_ivfpq" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // Trainer -> PQ wiring: one per-subspace Lloyd iteration refines the
+    // first-kCent init codebook, then codes re-derive against the TRAINED
+    // book (vs s10's init book) — gating the pqTrain -> pqCodes path
+    // production PQ depends on, the s05 discipline applied to PQ.
+    "s14_pq_trained_codes" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val book = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, kCent = 8, nIter = 1)
+      Similarity.pqCodes(e, "vec_id", "embedding", m = 4, kCent = 8,
+          codebookOf = Some(book))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("vec_id"), col("s").cast(LongType).as("s"),
+          col("code").cast(LongType).as("code"))
+    }),
+
     // Late-interaction MaxSim: embeddings grouped by label are the
     // multi-vector "documents"; a query scores a group by its best-
     // matching member, top-3 groups per query. Shuffle is bounded at
@@ -2561,6 +2588,95 @@ object SparkEntry {
         |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM ex)
         |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
         |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // IVF-PQ replay: coarse assignment (first-4 centroids, integer L2
+    // argmin, ties to the smaller cell), residual = vq - coarse(cell),
+    // residual codebook = residuals of the first-8 vectors, per-subspace
+    // code argmin, then per-(query, probed-cell) ADC tables summed over
+    // the m lookup rows — candidates restricted to probed cells by the
+    // cell equi-join, exactly the Spark plan's pruning.
+    "s13_ivfpq" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN cc c),
+        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS rv
+        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+        |  FROM res ORDER BY vec_id LIMIT 8),
+        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |code AS (SELECT vec_id, cell, s, j AS code
+        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS qr
+        |  FROM probes p JOIN e ON e.vec_id = p.qid
+        |  JOIN cc c ON c.cell = p.cell),
+        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+        |    AND qt.j = code.code
+        |  WHERE code.vec_id <> qt.qid
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Trained-PQ replay: per subspace, ONE unrolled Lloyd iteration from
+    // the first-8 init (integer argmin assignment with smaller-cell ties,
+    // floor-divided centroid update, empty-cell carryover via LEFT JOIN +
+    // coalesce — the k01 discipline per subspace), then the code argmin
+    // against the TRAINED book.
+    "s14_pq_trained_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |sub AS (SELECT e.vec_id, sj.s, list_transform(range(1, 17),
+        |  i -> e.vq[sj.s*16 + i]) AS sv
+        |  FROM e CROSS JOIN range(0, 4) sj(s)),
+        |c0 AS (SELECT s, j, cv FROM (SELECT s, sv AS cv, row_number() OVER
+        |  (PARTITION BY s ORDER BY vec_id) - 1 AS j FROM sub) WHERE j < 8),
+        |d1 AS (SELECT sub.vec_id, sub.s, c.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))) AS d2
+        |  FROM sub JOIN c0 c ON c.s = sub.s),
+        |a1 AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.s, a.j, i.i,
+        |  CAST(floor(CAST(sum(sub.sv[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a1 a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+        |  CROSS JOIN range(1, 17) i(i) GROUP BY 1, 2, 3),
+        |u1 AS (SELECT s, j, list(cd ORDER BY i) AS cv FROM s1 GROUP BY 1, 2),
+        |c1 AS (SELECT c0.s, c0.j, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 ON u1.s = c0.s AND u1.j = c0.j),
+        |d2t AS (SELECT sub.vec_id, sub.s, c.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))) AS d2
+        |  FROM sub JOIN c1 c ON c.s = sub.s)
+        |SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(j AS BIGINT) AS code
+        |FROM (SELECT vec_id, s, j, row_number() OVER
+        |  (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d2t)
+        |WHERE rn = 1""".stripMargin,
 
     // MaxSim replay: per-(query, label) max of the rounded cosines, then
     // the per-query top-3 window with the (max DESC, label ASC) tiebreak.

@@ -303,6 +303,8 @@ object Similarity {
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, kCent: Int,
       codebookOf: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    require(m >= 1 && kCent >= 1,
+      s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
     val q = KMeans.quantize(corpus, idCol, vecCol)
     val book = codebookOf.getOrElse(defaultCodebook(q, m, kCent))
     require(book.length == m && book.forall(_.length == kCent),
@@ -393,6 +395,8 @@ object Similarity {
       m: Int, kCent: Int,
       codesOf: Option[DataFrame] = None,
       codebookOf: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    require(m >= 1 && kCent >= 1,
+      s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
     val cq = KMeans.quantize(corpus, idCol, vecCol)
     val book = codebookOf.getOrElse(defaultCodebook(cq, m, kCent))
     val sd = book.head.head.length
@@ -473,6 +477,184 @@ object Similarity {
     exact.groupBy("query_id")
       .agg(graft.functions.TopKByScore.top_k_by_score(
         negate(col("d2")), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("d2"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+  }
+
+  /** IVF-PQ composed index — the production shape for a 10^11-vector
+    * corpus: [[ivfCosineTopK]]'s coarse cells partition the corpus, and
+    * within each cell vectors store as PQ codes of the RESIDUAL
+    * `v - coarse(cell)` (residuals cluster far tighter than raw vectors,
+    * so the same code budget buys much lower quantization error — the
+    * classic IVFADC layout). Search probes `nProbe` cells per query,
+    * builds ONE ADC distance table per (query, probed cell) against the
+    * query's residual in that cell, and scores only the vectors living in
+    * probed cells with `m` table lookups each. Scanned fraction
+    * ~`nProbe/nCells`, per-candidate cost O(m) — both knobs independent.
+    *
+    * Everything runs on the integer micro lattice ([[KMeans.quantize]]):
+    * coarse assignment is exact integer squared-L2 (ties to the smaller
+    * cell), residuals are exact integer differences, and the PQ codebook
+    * is the residual subvectors of the `kCent` smallest-id corpus vectors
+    * (the [[pqCodes]] init convention lifted to residual space) — fully
+    * deterministic and SQL-replayable, which is what the s13 oracle
+    * replays end to end (production trains both levels offline and the
+    * plan shape is identical).
+    *
+    * SHAPE: coarse centroids and the residual codebook are driver-resident
+    * literals (nCells + m·kCent small vectors). The corpus encodes in a
+    * single scan — coarse argmin (two stacked codegen projections, the
+    * [[KMeans]] discipline), then the residual array via a per-cell
+    * CASE chain (only the matched branch evaluates), then the PQ argmin —
+    * NO join and NO shuffle, checkpointed once as the index artifact
+    * `[id, cell, codes]`. Queries broadcast their per-probe distance
+    * tables onto the code scan joined BY CELL (an equi-join, so only
+    * probed cells' codes are read); the per-candidate score is a static
+    * chain of m `element_at` lookups. Output `[query_id, neighbor_id, d2,
+    * rank]`, d2 the exact integer ADC distance, rank by (d2 ASC, id ASC).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int, nProbe: Int, m: Int, kCent: Int): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
+    require(m >= 1 && kCent >= 1,
+      s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
+    val cq = KMeans.quantize(corpus, idCol, vecCol)
+
+    // One driver collect covers both levels: the nCells coarse centroids
+    // and the kCent codebook seeds are the max(nCells, kCent) smallest-id
+    // quantized vectors (bounded, index-sized — the coarse-quantizer
+    // contract).
+    val seedRows = cq.orderBy(col("id")).limit(math.max(nCells, kCent))
+      .select(col("vq")).collect().map(_.getSeq[Long](0).toArray)
+    require(seedRows.length >= math.max(nCells, kCent),
+      s"corpus smaller than max(nCells=$nCells, kCent=$kCent)")
+    val coarse: Array[Array[Long]] = seedRows.take(nCells)
+    val d = coarse.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sd = d / m
+
+    // Exact integer argmin on the driver (ties to the smaller cell) —
+    // the same rule the distributed assignment below applies.
+    def coarseCellOf(v: Array[Long]): Int = {
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < nCells) {
+        var s = 0L; var i = 0
+        while (i < d) { val t = v(i) - coarse(c)(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    // Residual codebook: book(s)(j) = subvector s of (seed_j - its coarse
+    // centroid), exact Long arithmetic.
+    val book: Array[Array[Array[Long]]] = {
+      val res = seedRows.take(kCent).map { v =>
+        val cc = coarse(coarseCellOf(v))
+        Array.tabulate(d)(i => v(i) - cc(i))
+      }
+      Array.tabulate(m, kCent)((s, j) => res(j).slice(s * sd, s * sd + sd))
+    }
+
+    def sq(cv: Array[Long]): Double =
+      cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x))).toDouble
+
+    // CORPUS ENCODE — one scan, no shuffle. Stage 1: coarse distances as
+    // materialized columns; stage 2: least + first-match argmin (cell);
+    // stage 3: residual array via a CASE chain over cells (element_at
+    // minus literal per dim — only the matched branch evaluates, all
+    // codegen); stage 4/5: PQ distances + argmin, the pqCodes discipline.
+    val cNames = (0 until nCells).map(i => s"__ivfpq_c$i")
+    val st1 = cq.withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+      .select(col("id") +: col("vq") +:
+        coarse.zipWithIndex.map { case (cv, i) =>
+          (col("vq2") - lit(2.0) * array_dot(col("vqd"),
+            typedLit(cv.map(_.toDouble).toSeq)) + lit(sq(cv))).as(cNames(i))
+        }.toIndexedSeq: _*)
+    val withCell = st1
+      .withColumn("__ivfpq_dmin", ColumnKernels.leastOf(cNames.map(col)))
+      .select(col("id"), col("vq"),
+        ColumnKernels.firstMatchIndex(cNames.map(col), col("__ivfpq_dmin"))
+          .as("cell"))
+    def residualOf(vqc: Column, cellc: Column): Column = {
+      val arms = (0 until nCells).map { c =>
+        array((1 to d).map(i =>
+          element_at(vqc, i) - lit(coarse(c)(i - 1))): _*)
+      }
+      if (nCells == 1) arms(0)
+      else (1 until nCells - 1)
+        .foldLeft(when(cellc === 0, arms(0)))((acc, c) =>
+          acc.when(cellc === c, arms(c)))
+        .otherwise(arms(nCells - 1))
+    }
+    val withRes = withCell.select(col("id"), col("cell"),
+      residualOf(col("vq"), col("cell")).cast("array<double>").as("rv"))
+    def dName(s: Int, j: Int) = s"__ivfpq_d_${s}_$j"
+    val distCols = (0 until m).flatMap { s =>
+      val sub = slice(col("rv"), s * sd + 1, sd)
+      val s2 = array_dot(sub, sub)
+      (0 until kCent).map { j =>
+        val bv = book(s)(j)
+        (s2 - lit(2.0) * array_dot(sub, typedLit(bv.map(_.toDouble).toSeq))
+          + lit(sq(bv))).as(dName(s, j))
+      }
+    }
+    val staged = withRes.select(col("id") +: col("cell") +: distCols: _*)
+    val codeCols = (0 until m).map { s =>
+      val ds = (0 until kCent).map(j => col(dName(s, j)))
+      ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
+    }
+    // The index artifact, checkpointed before the per-query fan-out (the
+    // pqTopK lesson: without the cut the optimizer re-derives the encode
+    // chain per (candidate x query) row).
+    val codes = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+      staged.select(col("id"), col("cell"), array(codeCols: _*).as("codes")))
+
+    // QUERY SIDE (query-sized frames throughout): rank coarse cells by
+    // exact integer distance — (d2, cell) struct sort, ties to the
+    // smaller cell — take nProbe, then per probe build the residual and
+    // its m x kCent ADC table as literal-expanded exact expressions.
+    val qq = KMeans.quantize(queries, idCol, vecCol)
+      .withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+    val rankedCells = array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
+      struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
+        typedLit(cv.map(_.toDouble).toSeq)) + lit(sq(cv))).as("d"),
+        lit(i).as("c"))
+    }.toIndexedSeq: _*))
+    val probes = qq
+      .select(col("id").as("qid"), col("vq").as("qvq"),
+        explode(slice(rankedCells, 1, nProbe)).as("p"))
+      .select(col("qid"), col("qvq"), col("p.c").as("cell"))
+    val withQr = probes.select(col("qid"), col("cell"),
+      residualOf(col("qvq"), col("cell")).cast("array<double>").as("qr"))
+    val qTables = withQr.select(col("qid"), col("cell"),
+      array((0 until m).map { s =>
+        val sub = slice(col("qr"), s * sd + 1, sd)
+        array(book(s).map { bv =>
+          (array_dot(sub, sub) - lit(2.0) * array_dot(sub,
+            typedLit(bv.map(_.toDouble).toSeq)) + lit(sq(bv))).cast("long")
+        }.toIndexedSeq: _*)
+      }: _*).as("qtab"))
+
+    // ADC: equi-join on cell (only probed cells' codes are read), m
+    // static element_at lookups per candidate, bounded-heap top-k.
+    val lookupSum = (0 until m).map { s =>
+      element_at(element_at(col("qtab"), s + 1),
+        (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(qTables), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        lookupSum.as("d2"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        negate(col("d2").cast("double")), col("neighbor_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         negate(col("col.score")).cast("long").as("d2"),

@@ -301,6 +301,24 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"corpus shuffled before scoring:\n$plan")
   }
 
+  test("ivf-pq: probe tables broadcast onto the code scan, no corpus shuffle") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+        "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2, m = 4, kCent = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"probe tables not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell join must be broadcast-hash (equi-join on cell):\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"top-k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    // The only shuffle allowed is the queries x k heap aggregate — the
+    // checkpointed code table and the broadcast join never repartition
+    // the corpus.
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"corpus shuffled before scoring:\n$plan")
+  }
+
   test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {
     val plan = SparkEntry.queries("q17d_cms_grouped_est")(spark, sf)
       .queryExecution.executedPlan.toString
