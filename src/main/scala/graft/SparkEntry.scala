@@ -1312,6 +1312,15 @@ object SparkEntry {
         Multimodal.synthesizeMp4Media(
           tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
 
+    // MP4 sample-table tier (m09's next level down): walk moov>trak>mdia>
+    // minf>stbl and decode stsz/stco/stts — the per-track sample census
+    // (counts, byte totals, chunk offsets, tick spans) that turns frame
+    // sampling into exact preads before any codec is scheduled.
+    "m11_mp4_stbl" -> ((s, d) =>
+      Multimodal.extractMp4SampleTable(
+        Multimodal.synthesizeMp4TrackMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
     "m04_png_decode" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.synthesizePngMedia(
@@ -3217,6 +3226,21 @@ object SparkEntry {
         |  CAST((doc_id * 37) % 100000 + 600 AS BIGINT) AS duration,
         |  CAST(((doc_id * 37) % 100000 + 600) * 1000
         |    // (600 + (doc_id % 10) * 100) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // Sample-table fields are pure functions of the id (synthesizeMp4Track):
+    // nSamples = id%7+2 sizes (id*13+5i)%200+50, chunks id%3+1 from
+    // 1000+id%100, ticks = (nSamples-1)*(id%5+1) + 100 — closed-form
+    // replay; the engine only matches if the stbl walk actually decodes
+    // the three big-endian tables it wrote.
+    "m11_mp4_stbl" ->
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
+        |  CAST(doc_id % 7 + 2 AS BIGINT) AS sample_count,
+        |  CAST(list_sum(list_transform(range(0, CAST(doc_id % 7 + 2 AS BIGINT)),
+        |    i -> (doc_id * 13 + 5 * i) % 200 + 50)) AS BIGINT) AS total_sample_bytes,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_chunks,
+        |  CAST(1000 + doc_id % 100 AS BIGINT) AS first_chunk_offset,
+        |  CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) + 100 AS BIGINT) AS total_ticks
         |FROM documents""".stripMargin,
 
     "m01_media_meta" ->

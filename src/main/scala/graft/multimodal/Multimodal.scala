@@ -669,4 +669,205 @@ object Multimodal {
       }
     } yield (fourCC(ftyp._2 + 8), top.size.toLong, tsdur._1, tsdur._2)
   }
+
+  /** Synthesize an MP4 like [[synthesizeMp4]] but with a full
+    * `moov`>`trak`>`mdia`>`minf`>`stbl` chain carrying the three sample
+    * tables a frame-sampling pass indexes on:
+    * `stts` (decode deltas: `nSamples-1` samples at `(id mod 5)+1` ticks +
+    * one tail sample at 100), `stsz` (per-sample sizes
+    * `(id*13 + 5i) mod 200 + 50`, `nSamples = (id mod 7)+2`) and `stco`
+    * (`(id mod 3)+1` chunk offsets `1000 + 512j + id mod 100`). Every
+    * field is a pure function of `id` for closed-form oracle replay; the
+    * mvhd is [[synthesizeMp4]]'s, so the m09 metadata walk still parses
+    * these containers unchanged.
+    */
+  def synthesizeMp4Track(id: Long): Array[Byte] = {
+    val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
+    val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
+    val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
+    val nc = (java.lang.Math.floorMod(id, 3L)).toInt + 1
+    val delta = (java.lang.Math.floorMod(id, 5L)).toInt + 1
+    val sttsSz = 16 + 2 * 8
+    val stszSz = 20 + n * 4
+    val stcoSz = 16 + nc * 4
+    val stblSz = 8 + sttsSz + stszSz + stcoSz
+    val trakSz = stblSz + 24 // + minf/mdia/trak headers
+    val moovSz = 8 + 108 + trakSz
+    val mdatLen = (java.lang.Math.floorMod(id, 32L)).toInt + 4
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatLen)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)
+      .putInt(0).putInt(0)
+      .putInt(ts).putInt(dur)
+      .putInt(0x00010000)
+      .putShort(0x0100.toShort)
+      .putShort(0).putInt(0).putInt(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(2)
+    buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+    buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
+    buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
+    buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+    buf.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+      .putInt(0).putInt(2)
+      .putInt(n - 1).putInt(delta)
+      .putInt(1).putInt(100)
+    buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(n)
+    var i = 0
+    while (i < n) {
+      buf.putInt((java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
+      i += 1
+    }
+    buf.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
+      .putInt(0).putInt(nc)
+    var j = 0
+    while (j < nc) {
+      buf.putInt(1000 + 512 * j + (java.lang.Math.floorMod(id, 100L)).toInt)
+      j += 1
+    }
+    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
+    i = 0
+    while (i < mdatLen) {
+      buf.put((java.lang.Math.floorMod(7L * i + id, 256L)).toByte); i += 1
+    }
+    buf.array()
+  }
+
+  /** Media frame of track-bearing MP4s ([[synthesizeMp4Track]]). */
+  def synthesizeMp4TrackMedia(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mp4 = synthesizeMp4Track(id)
+        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
+          .map("%02x".format(_)).mkString
+        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
+      }
+    }(encoder)
+  }
+
+  /** Sample-table tier (m09's next level down): per track, the census a
+    * frame-sampling pass needs BEFORE any codec runs — how many samples
+    * (stsz), how many bytes they occupy, where the chunks start (stco),
+    * and how many timescale ticks they span (stts). Reading these three
+    * tables costs a few hundred bytes per file and turns "sample frame at
+    * t=30 s" into an exact (chunk offset, byte range) seek plan — the
+    * index that makes distributed video ingest a pread, not a scan.
+    * Output `[media_id, track, sample_count, total_sample_bytes,
+    * n_chunks, first_chunk_offset, total_ticks]`; malformed containers
+    * yield ONE row of NULL fields (the m09 discipline), traks without a
+    * complete stbl chain are skipped.
+    */
+  def extractMp4SampleTable(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track", LongType, nullable = true),
+      StructField("sample_count", LongType, nullable = true),
+      StructField("total_sample_bytes", LongType, nullable = true),
+      StructField("n_chunks", LongType, nullable = true),
+      StructField("first_chunk_offset", LongType, nullable = true),
+      StructField("total_ticks", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        parseMp4SampleTables(bytes) match {
+          case Some(tracks) if tracks.nonEmpty => tracks.map { t =>
+            Row(r.getLong(0), t.track, t.sampleCount, t.totalBytes,
+              t.nChunks, t.firstChunkOffset.map(java.lang.Long.valueOf).orNull,
+              t.totalTicks)
+          }
+          case _ => Seq(Row(r.getLong(0), null, null, null, null, null, null))
+        }
+      }
+    }(encoder)
+  }
+
+  private[graft] final case class TrackSampleTable(
+      track: Long, sampleCount: Long, totalBytes: Long, nChunks: Long,
+      firstChunkOffset: Option[Long], totalTicks: Long)
+
+  /** Walk moov>trak>mdia>minf>stbl and decode stsz/stco/stts per track.
+    * Pure big-endian box arithmetic with the [[parseMp4]] bounds
+    * discipline: any size overrun or truncated table returns None (the
+    * caller emits a NULL row); a trak that simply lacks the chain is
+    * skipped, not an error.
+    */
+  private[graft] def parseMp4SampleTables(
+      bytes: Array[Byte]): Option[Seq[TrackSampleTable]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def fourCC(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      var off = from
+      val found = Seq.newBuilder[(String, Int, Int)]
+      while (off < to) {
+        if (off + 8 > to) return None
+        val size = u32(off)
+        if (size == 1 || size < 8 || off + size > to) return None
+        found += ((fourCC(off + 4), off, size.toInt))
+        off += size.toInt
+      }
+      Some(found.result())
+    }
+    def child(parent: (String, Int, Int), name: String): Option[(String, Int, Int)] =
+      walk(parent._2 + 8, parent._2 + parent._3).flatMap(_.find(_._1 == name))
+    // Full-box body start + remaining payload length after version/flags.
+    def fullBody(b: (String, Int, Int)): Option[Int] =
+      if (b._3 >= 12) Some(b._2 + 12) else None
+    def parseStbl(stbl: (String, Int, Int)): Option[TrackSampleTable] = for {
+      kids <- walk(stbl._2 + 8, stbl._2 + stbl._3)
+      stsz <- kids.find(_._1 == "stsz"); stszB <- fullBody(stsz)
+      stco <- kids.find(_._1 == "stco"); stcoB <- fullBody(stco)
+      stts <- kids.find(_._1 == "stts"); sttsB <- fullBody(stts)
+      // stsz: fixed sample_size, or 0 -> per-sample u32 table.
+      if stsz._3 >= 20
+      fixedSize = u32(stszB)
+      nSamples = u32(stszB + 4)
+      totalBytes <- if (fixedSize != 0) Some(fixedSize * nSamples)
+        else if (stsz._3 >= 20 + nSamples * 4) Some(
+          (0L until nSamples).foldLeft(0L)((a, i) => a + u32(stszB + 8 + i.toInt * 4)))
+        else None
+      // stco: u32 chunk offsets.
+      if stco._3 >= 16
+      nChunks = u32(stcoB)
+      _ <- if (stco._3 >= 16 + nChunks * 4) Some(()) else None
+      firstOff = if (nChunks > 0) Some(u32(stcoB + 4)) else None
+      // stts: (sample_count, delta) runs; ticks = sum count*delta.
+      if stts._3 >= 16
+      nRuns = u32(sttsB)
+      totalTicks <- if (stts._3 >= 16 + nRuns * 8) Some(
+        (0L until nRuns).foldLeft(0L)((a, i) =>
+          a + u32(sttsB + 4 + i.toInt * 8) * u32(sttsB + 8 + i.toInt * 8)))
+        else None
+    } yield TrackSampleTable(0L, nSamples, totalBytes, nChunks, firstOff, totalTicks)
+    for {
+      top <- walk(0, bytes.length)
+      ftyp <- top.find(b => b._1 == "ftyp" && b._3 >= 12)
+      moov <- top.find(_._1 == "moov")
+      kids <- walk(moov._2 + 8, moov._2 + moov._3)
+      tracks <- kids.filter(_._1 == "trak").zipWithIndex
+        .foldLeft(Option(Seq.empty[TrackSampleTable])) { case (acc, (trak, i)) =>
+          acc.flatMap { seq =>
+            // trak without the full chain: skipped. Chain present but a
+            // table malformed: the whole parse fails (bounds discipline).
+            child(trak, "mdia").flatMap(child(_, "minf"))
+              .flatMap(child(_, "stbl")) match {
+              case None => Some(seq)
+              case Some(stbl) =>
+                parseStbl(stbl).map(t => seq :+ t.copy(track = i + 1L))
+            }
+          }
+        }
+    } yield tracks
+  }
 }

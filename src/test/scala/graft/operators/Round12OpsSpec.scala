@@ -95,6 +95,64 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(trained > 0.0)
   }
 
+  test("mp4 stbl walk recovers the synthesized sample tables exactly") {
+    import graft.multimodal.Multimodal
+    (0L to 50L).foreach { id =>
+      val n = (id % 7) + 2
+      val expected = Multimodal.TrackSampleTable(
+        track = 1L,
+        sampleCount = n,
+        totalBytes = (0L until n).map(i => (id * 13 + 5 * i) % 200 + 50).sum,
+        nChunks = id % 3 + 1,
+        firstChunkOffset = Some(1000 + id % 100),
+        totalTicks = (n - 1) * (id % 5 + 1) + 100)
+      val got = Multimodal.parseMp4SampleTables(Multimodal.synthesizeMp4Track(id))
+      assert(got.contains(Seq(expected)), s"id=$id got $got")
+      // The mvhd tier still parses the track-bearing container unchanged.
+      val ts = 600L + (id % 10) * 100
+      val dur = (id * 37) % 100000 + 600
+      assert(Multimodal.parseMp4(Multimodal.synthesizeMp4Track(id))
+        .contains(("isom", 3L, ts, dur)))
+    }
+  }
+
+  test("mp4 stbl walk: fixed-size stsz, truncated tables, absent chains") {
+    import graft.multimodal.Multimodal
+    val good = Multimodal.synthesizeMp4Track(9L)
+    // Garbage and truncation: NULL-row path, never a throw.
+    assert(Multimodal.parseMp4SampleTables(null).isEmpty)
+    assert(Multimodal.parseMp4SampleTables("junk bytes not mp4".getBytes).isEmpty)
+    assert(Multimodal.parseMp4SampleTables(good.take(60)).isEmpty)
+    // stsz with a non-zero fixed sample_size has NO per-sample table:
+    // total bytes = fixed * count. Patch the synthesized stsz in place
+    // (body starts after ftyp 16 + moov hdr 8 + mvhd 108 + trak/mdia/minf
+    // hdrs 24 + stbl hdr 8 + stts 32 + stsz hdr+verflags 12).
+    val stszBody = 16 + 8 + 108 + 24 + 8 + 32 + 12
+    val fixed = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(fixed)
+    assert(new String(fixed, stszBody - 8, 4, "US-ASCII") == "stsz")
+    bb.putInt(stszBody, 777) // fixed sample_size; count stays (9%7)+2 = 4
+    val t = Multimodal.parseMp4SampleTables(fixed).get.head
+    assert(t.sampleCount == 4L && t.totalBytes == 777L * 4)
+    // Corrupt the stsz count so the per-sample table overruns its box.
+    val overrun = good.clone()
+    java.nio.ByteBuffer.wrap(overrun).putInt(stszBody + 4, 100000)
+    assert(Multimodal.parseMp4SampleTables(overrun).isEmpty)
+    // A trak lacking the mdia chain is skipped -> parse succeeds with no
+    // tracks; the extractor then emits the NULL row.
+    val bare = Multimodal.synthesizeMp4(5L)
+    assert(Multimodal.parseMp4SampleTables(bare).contains(Seq.empty))
+    import org.apache.spark.sql.Row
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "garbage".getBytes, Row("video/mp4", 7L, "x")),
+        Row(2L, bare, Row("video/mp4", bare.length.toLong, "y")))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractMp4SampleTable(junk).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+
   test("PQ-family operators reject degenerate shape arguments loudly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 3)
