@@ -681,6 +681,15 @@ object SparkEntry {
           expr("matches * 1000000 div k").as("resemblance_ppm"))
     }),
 
+    // ...and the N-way form: the pairwise resemblance MATRIX over 3
+    // corpus slices from ONE grouped sketching pass — the dataset-level
+    // overlap triage a mixing pipeline runs before any doc-level dedup.
+    "d17_resemblance_matrix" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("slice", col("doc_id") % 3)
+      Dedup.corpusResemblanceMatrix(docs, "slice", "text", n = 3, k = 16)
+    }),
+
     // Corpus-level removal: survivors of the d06 clustering (one min-id
     // representative per near-dup cluster).
     "d08_drop_neardups" -> ((s, d) =>
@@ -2393,6 +2402,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
         |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS resemblance_ppm
         |FROM h1 JOIN h2 USING (pos)""".stripMargin,
+
+    // The d16 chain sliced 3 ways (slice = doc_id % 3), every unordered
+    // pair's position-agreement estimate.
+    "d17_resemblance_matrix" ->
+      """WITH toks AS (SELECT doc_id % 3 AS slice,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |hs AS (SELECT slice, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS h FROM toks),
+        |sal AS (SELECT slice, r.p,
+        |  ('0x' || substr(md5(CAST(r.p AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15))::BIGINT AS sh
+        |  FROM hs CROSS JOIN range(0, 16) r(p)),
+        |sig AS (SELECT CAST(slice AS BIGINT) AS slice, p AS pos, min(sh) AS sig
+        |  FROM sal GROUP BY 1, 2)
+        |SELECT a.slice AS slice_a, b.slice AS slice_b,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+        |  CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS resemblance_ppm
+        |FROM sig a JOIN sig b ON a.pos = b.pos AND a.slice < b.slice
+        |GROUP BY 1, 2""".stripMargin,
 
     "d06_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardOracle),

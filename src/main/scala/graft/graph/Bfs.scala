@@ -68,11 +68,23 @@ object Bfs {
               col("__bfs_dst") === vStruct("__bfs_id"))
             .drop("__bfs_last", "__bfs_src", "__bfs_id")
             .withColumnRenamed("__bfs_dst", "__bfs_last"))
-      if (expanded.limit(1).count() == 0) // frontier died: no path at all
+      // ONE action decides both continue/stop questions: total expanded
+      // rows (frontier died?) and arrived rows (target reached?) from a
+      // single aggregate over the checkpointed level — to-ids are unique
+      // (vertex contract), so the left join replicates nothing and
+      // count(__bfs_to) counts exactly the arrived paths. Two separate
+      // limit(1).count() probes cost a driver round-trip each; on deep
+      // searches the per-level scheduling floor is the dominant cost
+      // (the g23b lesson).
+      val stats = expanded
+        .join(toIds, col("__bfs_last") === col("__bfs_to"), "left_outer")
+        .agg(count(lit(1)).as("n"), count(col("__bfs_to")).as("nArrived"))
+        .head()
+      if (stats.getLong(0) == 0) // frontier died: no path at all
         return level0.limit(0)
-      val arrived = expanded
-        .join(toIds, col("__bfs_last") === col("__bfs_to"), "left_semi")
-      if (arrived.limit(1).count() > 0) {
+      if (stats.getLong(1) > 0) {
+        val arrived = expanded
+          .join(toIds, col("__bfs_last") === col("__bfs_to"), "left_semi")
         // Rename the terminal vertex struct to `to` and order columns
         // from, e0, v1, ..., e_{L-1}, to.
         val mids = (1 until level).map(i => Seq(col(s"e${i - 1}"), col(s"v$i")))

@@ -579,4 +579,55 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .select(col("pos").cast(LongType).as("pos"), col("sig"))
   }
+
+  /** [[corpusMinhash]] grouped by a slice key: one k-minwise signature
+    * PER CORPUS SLICE — `[slice, pos, sig]`, same salted-md5 draws, so a
+    * slice's signature is bit-identical to running [[corpusMinhash]] on
+    * that slice alone (spec-pinned). The aggregate is map-side combining
+    * with `nSlices x k` longs of reduce state — at 100 TB each
+    * source/dump/day sketches in the same single pass that ingests it.
+    * A slice whose documents produce no n-grams emits no rows (the
+    * empty-corpus convention).
+    */
+  def corpusMinhashBy(docs: DataFrame, sliceCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1,256], got $k")
+    val grams = docs.select(col(sliceCol).cast(LongType).as("slice"),
+      explode(graft.functions.PortableHashes
+        .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+    val mins = grams.groupBy("slice").agg(
+      min(Sampling.keyHash60(concat(lit("0:"), col("h").cast("string"))))
+        .as("m0"),
+      (1 until k).map(i =>
+        min(Sampling.keyHash60(concat(lit(s"$i:"), col("h").cast("string"))))
+          .as(s"m$i")): _*)
+    mins.select(col("slice"),
+        posexplode(array((0 until k).map(i => col(s"m$i")): _*))
+          .as(Seq("pos", "sig")))
+      .filter(col("sig").isNotNull)
+      .select(col("slice"), col("pos").cast(LongType).as("pos"), col("sig"))
+  }
+
+  /** Pairwise resemblance MATRIX over N corpus slices — the dataset-level
+    * triage a mixing pipeline runs before any doc-level dedup pass: which
+    * dumps/sources overlap enough to deserve a cross-pass at all. One
+    * d16-style estimate per unordered slice pair, from the
+    * [[corpusMinhashBy]] signatures alone: the signature table is
+    * `nSlices x k` longs, so the pair join and agree-count cost nothing
+    * at any corpus size — the corpus itself is scanned exactly once.
+    * Output `[slice_a, slice_b, k, matches, resemblance_ppm]` with
+    * `slice_a < slice_b`.
+    */
+  def corpusResemblanceMatrix(docs: DataFrame, sliceCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    val sig = corpusMinhashBy(docs, sliceCol, textCol, n, k)
+    sig.as("a").join(sig.as("b"),
+        col("a.pos") === col("b.pos") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("a.sig") === col("b.sig"), 1L).otherwise(0L))
+          .as("matches"))
+      .select(col("slice_a"), col("slice_b"), col("k"), col("matches"),
+        expr("matches * 1000000 div k").as("resemblance_ppm"))
+  }
 }

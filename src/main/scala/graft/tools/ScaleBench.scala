@@ -418,6 +418,23 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n m=$m twoHopPaths=$paths " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "bfs" =>
+        // All-shortest-paths BFS at probe scale: 1024 sources (id % 4096
+        // == 0) to ~42 targets (id % 100000 == 77777) over the ER graph —
+        // a genuinely wide frontier (sources x 4^level path rows, each
+        // carrying its struct chain) joined against the 16.8 M-edge table
+        // once per level, with the per-level driver cost now ONE combined
+        // count/arrival aggregate. Deterministic, so the path count and
+        // level pin across runs (SCALE_RECORD.md).
+        val gg = GraphFrame(vertices, edges)
+        val res = graft.graph.Bfs.run(gg,
+          col("id") % 4096 === 0, col("id") % 100000 === 77777,
+          maxPathLength = 10)
+        val cnt = res.count()
+        val lvl = (res.columns.length - 1) / 2
+        println(f"SCALE-OK bfs n=$n m=$m paths=$cnt level=$lvl " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "scc" =>
         // FW-BW coloring on the random DIGRAPH (directed edges as drawn):
         // at m/n = 4 a giant SCC exists, plus a periphery of singletons —

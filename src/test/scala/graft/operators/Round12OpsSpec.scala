@@ -153,6 +153,38 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out == Map(1L -> true, 2L -> true))
   }
 
+  test("corpusMinhashBy slices == corpusMinhash per slice; matrix replays d16 pairwise") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "seven eight nine ten eleven"),
+      (4L, "one two three four nine ten"),
+      (5L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .withColumn("slice", col("doc_id") % 3)
+    val grouped = Dedup.corpusMinhashBy(docs, "slice", "text", n = 3, k = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    (0L until 3L).foreach { s =>
+      val alone = Dedup.corpusMinhash(docs.filter(col("slice") === s),
+        "text", n = 3, k = 8).as[(Long, Long)].collect().toMap
+      assert(grouped(s) == alone, s"slice $s signature diverges")
+    }
+    // Matrix = the d16 agree-count on each unordered pair of signatures.
+    val m = Dedup.corpusResemblanceMatrix(docs, "slice", "text", n = 3, k = 8)
+      .select("slice_a", "slice_b", "k", "matches")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    val expected = (for {
+      a <- 0L until 3L; b <- (a + 1) until 3L
+    } yield (a, b) -> ((8L,
+      (0L until 8L).count(p => grouped(a)(p) == grouped(b)(p)).toLong))).toMap
+    assert(m == expected)
+    // An all-duplicate pair of slices would agree everywhere; these
+    // distinct slices must not.
+    assert(m.values.forall(_._2 < 8L))
+  }
+
   test("PQ-family operators reject degenerate shape arguments loudly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 3)
