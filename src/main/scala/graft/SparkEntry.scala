@@ -503,6 +503,19 @@ object SparkEntry {
           col("to.id").as("to_id"))
     }),
 
+    // Predicate-pushdown motif: the g25 2-hop spine on the WEIGHTED DAG,
+    // keeping only line edges pricier than 5000000 cents — the predicate
+    // prunes e2's edge SCAN before the join (plan-spec'd), not the
+    // assembled paths.
+    "g25c_motif_pred" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(weightedDagEdges(s, d))
+      g.find("(a)-[e]->(b); (b)-[e2]->(c)",
+          Map("e2" -> (col("weight") > 5000000L)))
+        .groupBy(col("a.id").as("cust"))
+        .agg(count(lit(1)).as("n_paths"),
+          sum(col("e2.weight")).as("sum_cents"))
+    }),
+
     // Negated-term motif: OPEN 2-paths (a->b->c with NO a->c edge) on a
     // chain+skip-link graph where the negation genuinely excludes rows
     // (every third chain wedge is closed by its skip link).
@@ -2218,6 +2231,15 @@ object SparkEntry {
       """SELECT o.o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_paths,
         |  CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // Predicate-pushdown replay: same 2-hop join, line edges filtered on
+    // the integer-cents weight (the g17/g18 cents lattice).
+    "g25c_motif_pred" ->
+      """SELECT o.o_custkey AS cust, CAST(count(*) AS BIGINT) AS n_paths,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE round(l.l_extendedprice * 100, 0) > 5000000
         |GROUP BY 1""".stripMargin,
 
     // Open-wedge replay with NOT EXISTS for the negated term.

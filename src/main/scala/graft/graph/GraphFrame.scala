@@ -75,6 +75,14 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     */
   def find(pattern: String): DataFrame = Motifs.find(vertices, edges, pattern)
 
+  /** [[find]] with per-edge-variable predicates pushed below the join
+    * spine (see [[Motifs.find]]): `find("(a)-[e]->(b)", Map("e" ->
+    * col("weight") > 500))` prunes the edge SCAN before any join.
+    */
+  def find(pattern: String,
+      edgePredicates: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    Motifs.find(vertices, edges, pattern, edgePredicates)
+
   /** Shortest-path search with materialized paths —
     * `bfs(col("id") === 1, col("id") > 100)` returns `[from, e0, v1, ...,
     * to]` struct rows at the first level any target is reached. See

@@ -70,25 +70,48 @@ object Motifs {
 
   /** See object scaladoc. `vertices`/`edges` are the graph tables with the
     * canonical `id` / `src`,`dst` long columns.
+    *
+    * `edgePredicates` maps a NAMED edge variable to a predicate over the
+    * edge table's own columns (e.g. `"e2" -> col("weight") > 500`),
+    * applied to that term's edge scan BEFORE the join spine — a selective
+    * motif then prunes at the scan (parquet pushdown and all) instead of
+    * filtering assembled paths, which at 100 TB is the difference between
+    * joining a sliver and joining everything. Semantically identical to
+    * `find(p).filter(col("e2.weight") > 500)`; Catalyst cannot derive
+    * that rewrite itself because the struct is built before the join.
     */
-  def find(vertices: DataFrame, edges: DataFrame, pattern: String): DataFrame = {
+  def find(vertices: DataFrame, edges: DataFrame, pattern: String,
+      edgePredicates: Map[String, Column] = Map.empty): DataFrame = {
     val terms = parse(pattern)
     val (negative, positive) = terms.partition(_.negated)
     require(positive.nonEmpty, s"motif needs at least one positive term: '$pattern'")
     val edgeNames = positive.map(_.edge).filter(isNamed)
     require(edgeNames.distinct.size == edgeNames.size,
       s"edge variable reused across terms: '$pattern'")
+    // A vertex and an edge sharing a name would emit two columns both
+    // named that way (vertex struct + edge struct), making downstream
+    // col("x") ambiguous — GraphFrames rejects the reuse too.
+    val vertexNames = terms.flatMap(t => Seq(t.src, t.dst)).filter(isNamed)
+    val nameClash = vertexNames.toSet.intersect(edgeNames.toSet)
+    require(nameClash.isEmpty,
+      s"name(s) used for both a vertex and an edge: ${nameClash.mkString(", ")} in '$pattern'")
+    val unknownPreds = edgePredicates.keySet.diff(edgeNames.toSet)
+    require(unknownPreds.isEmpty,
+      s"edgePredicates for variable(s) not naming a positive-term edge: " +
+        s"${unknownPreds.mkString(", ")} in '$pattern'")
 
     // Join spine over id columns __v_<var>; named edges ride as structs.
+    // A term's predicate filters its edge scan before anything joins.
     def termFrame(t: Term): DataFrame = {
-      val base = edges.select(
+      val te = edgePredicates.get(t.edge).map(edges.filter).getOrElse(edges)
+      val base = te.select(
         col(GraphFrame.SRC).as(s"__v_${t.src}"),
         col(GraphFrame.DST).as(s"__v_${t.dst}"),
-        struct(edges.columns.map(col).toIndexedSeq: _*).as(s"__e_${t.edge}"))
+        struct(te.columns.map(col).toIndexedSeq: _*).as(s"__e_${t.edge}"))
       if (t.src == t.dst) // self-loop term: both endpoints one variable
-        edges.filter(col(GraphFrame.SRC) === col(GraphFrame.DST)).select(
+        te.filter(col(GraphFrame.SRC) === col(GraphFrame.DST)).select(
           col(GraphFrame.SRC).as(s"__v_${t.src}"),
-          struct(edges.columns.map(col).toIndexedSeq: _*).as(s"__e_${t.edge}"))
+          struct(te.columns.map(col).toIndexedSeq: _*).as(s"__e_${t.edge}"))
       else base
     }
     var spine = termFrame(positive.head)

@@ -76,10 +76,25 @@ object ManifestTables {
     * result equals the unpruned read + filter regardless of manifest
     * contents. Empty file list short-circuits to an empty frame with the
     * table's schema.
+    *
+    * RECOVERY: the writer's swap has a window between `mv(mPath, old)`
+    * and `mv(tmp, mPath)` where no manifest sits at the final path — a
+    * crash there, or a reader racing the swap, would otherwise die with a
+    * missing-manifest error. The reader falls back to the UNPRUNED scan
+    * with the predicate: exact by the re-apply invariant, merely without
+    * skipping. (The `__old` copy is NOT a valid fallback — it describes
+    * the pre-overwrite data files, which the data overwrite already
+    * deleted; its file list points at nothing.)
     */
   def readPruned(spark: SparkSession, path: String, statsCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val keep = spark.read.parquet(manifestPath(path))
+    val mPath = manifestPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(mPath).getFileSystem(conf)
+    val predicateOnly: Column = col(statsCol) >= lo && col(statsCol) <= hi
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mPath)))
+      return spark.read.parquet(path).filter(predicateOnly)
+    val keep = spark.read.parquet(mPath)
       .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
       .select("file").collect().map(_.getString(0))
     val predicate: Column = col(statsCol) >= lo && col(statsCol) <= hi

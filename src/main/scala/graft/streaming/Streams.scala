@@ -83,11 +83,26 @@ object Streams {
     */
   def streamingDecontaminate(
       stream: DataFrame, heldOut: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      maxHeldOutHashes: Long = 50000000L): DataFrame = {
     val spark = stream.sparkSession
-    val hashSet = heldOut.select(explode(graft.functions.PortableHashes
+    val heldOutHashes = heldOut.select(explode(graft.functions.PortableHashes
         .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
-      .distinct().collect().map(_.getLong(0)).toSet
+      .distinct().persist()
+    // Fail LOUDLY before the collect, not with a driver OOM after it:
+    // this is the small-set variant by contract. The guard count runs on
+    // the persisted frame the collect reads next (one extra cheap job,
+    // no recompute); 50 M longs ≈ 2-3 GB as a boxed Scala Set, the edge
+    // of a default driver. Past that, the join variant is the same
+    // operator without the driver bottleneck.
+    val hashSet = try {
+      val nHashes = heldOutHashes.count()
+      require(nHashes <= maxHeldOutHashes,
+        s"held-out set has $nHashes distinct n-gram hashes > " +
+          s"maxHeldOutHashes=$maxHeldOutHashes; use streamingDecontaminateJoin " +
+          "(distributed held-out relation) instead of the broadcast-set variant")
+      heldOutHashes.collect().map(_.getLong(0)).toSet
+    } finally heldOutHashes.unpersist()
     val bc = spark.sparkContext.broadcast(hashSet)
     val contaminated = udf((hs: Seq[Long]) =>
       hs != null && hs.exists(bc.value.contains))

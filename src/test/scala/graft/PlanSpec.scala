@@ -319,6 +319,25 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"corpus shuffled before scoring:\n$plan")
   }
 
+  test("motif edge predicate reaches the parquet scan below the join spine") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = li.select(col("l_orderkey").as("src"),
+      col("l_partkey").as("dst"), col("l_quantity").as("weight"))
+    val vertices = edges.select(col("src").as("id")).union(
+      edges.select(col("dst").as("id"))).distinct()
+    val plan = graft.graph.Motifs.find(
+        vertices, edges, "(a)-[e]->(b); (b)-[e2]->(c)",
+        Map("e2" -> (col("weight") > 30.0)))
+      .queryExecution.executedPlan.toString
+    // The predicate must be pushed through the alias into e2's SCAN —
+    // visible as a parquet pushed filter on the SOURCE column (cast-free
+    // predicates push all the way into the reader; a cast would stop at
+    // a scan-level DataFilter, still below the join) — never applied to
+    // assembled paths above the join.
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"weight predicate not pushed into the parquet scan:\n$plan")
+  }
+
   test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {
     val plan = SparkEntry.queries("q17d_cms_grouped_est")(spark, sf)
       .queryExecution.executedPlan.toString

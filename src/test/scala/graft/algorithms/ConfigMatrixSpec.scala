@@ -143,7 +143,11 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "g25_motif_2hop", "g25b_motif_negated", "g26_bfs_paths",
         "s10_pq_codes", "s11_pq_adc", "s12_pq_rerank",
         "d15_minhash_union", "d16_corpus_resemblance",
-        "m09_mp4_meta", "m10_png_meta", "t17_mixed_language")
+        "m09_mp4_meta", "m10_png_meta", "t17_mixed_language",
+        // round-12 surface: IVF-PQ, trained-PQ codes, resemblance matrix,
+        // predicate-pushdown motif, MP4 sample tables.
+        "s13_ivfpq", "s14_pq_trained_codes", "d17_resemblance_matrix",
+        "g25c_motif_pred", "m11_mp4_stbl")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

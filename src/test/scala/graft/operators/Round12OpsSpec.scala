@@ -185,6 +185,75 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(m.values.forall(_._2 < 8L))
   }
 
+  test("motif edge predicates match post-hoc filtering; bad names rejected") {
+    import graft.graph.GraphFrame
+    val edges = Seq(
+      (1L, 2L, 10L), (2L, 3L, 50L), (2L, 4L, 5L),
+      (1L, 3L, 99L), (3L, 4L, 50L)).toDF("src", "dst", "weight")
+    val g = GraphFrame.fromEdges(edges)
+    val pattern = "(a)-[e]->(b); (b)-[e2]->(c)"
+    val pushed = g.find(pattern, Map("e2" -> (col("weight") >= 50L)))
+      .select(col("a.id"), col("b.id"), col("c.id"), col("e2.weight"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val filtered = g.find(pattern).filter(col("e2.weight") >= 50L)
+      .select(col("a.id"), col("b.id"), col("c.id"), col("e2.weight"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(pushed == filtered && pushed.nonEmpty, s"pushed=$pushed")
+    // A vertex and an edge sharing a name would emit two ambiguous
+    // columns — rejected at parse, as is a predicate for an unknown or
+    // anonymous edge variable.
+    intercept[IllegalArgumentException] {
+      g.find("(a)-[b]->(c); (b)-[]->(d)")
+    }
+    intercept[IllegalArgumentException] {
+      g.find(pattern, Map("nope" -> (col("weight") > 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      // Negated terms have anonymous edges; predicates cannot target them.
+      g.find("(a)-[e]->(b); !(a)-[]->(b)", Map("__anon_1" -> lit(true)))
+    }
+  }
+
+  test("streamingDecontaminate size guard fails loudly past the threshold") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val held = Seq((10L, "alpha beta gamma epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // Guard fires BEFORE the driver collect; the message routes to the
+    // distributed variant.
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.streamingDecontaminate(
+        docs, held, "doc_id", "text", n = 3, maxHeldOutHashes = 2L)
+    }
+    assert(e.getMessage.contains("streamingDecontaminateJoin"), e.getMessage)
+    // Under the threshold the small-set variant still works (batch frame
+    // exercises the same projection/filter the streaming plan runs).
+    val flagged = graft.streaming.Streams.streamingDecontaminate(
+      docs, held, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
+
+  test("manifest reader falls back to an unpruned exact scan when the manifest is missing") {
+    import graft.sources.ManifestTables
+    val data = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "grp")
+      .repartition(4, col("k"))
+    val path = ManifestTables.writeWithManifest(data, "r12_manifest_fallback",
+      Seq("k"))
+    val expected = data.filter(col("k") >= 100L && col("k") <= 200L)
+      .select("k").as[Long].collect().sorted.toSeq
+    def readBack() = ManifestTables
+      .readPruned(spark, path, "k", 100L, 200L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(readBack() == expected)
+    // Simulate the swap window: no manifest at the final path.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${path}__manifest"),
+      new org.apache.hadoop.fs.Path(s"${path}__manifest__old")))
+    assert(readBack() == expected, "fallback scan must stay exact")
+  }
+
   test("PQ-family operators reject degenerate shape arguments loudly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 3)
