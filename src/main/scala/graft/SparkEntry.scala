@@ -1343,6 +1343,16 @@ object SparkEntry {
         Multimodal.synthesizeMp4TrackMedia(
           tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
 
+    // ...and the index CASHED IN: per-sample byte extraction — seek
+    // stco[0], walk the stsz prefix sums, slice and checksum each
+    // sample's actual payload bytes. The containers carry REAL in-file
+    // offsets; the oracle replays every byte from the synthesis formula,
+    // so only a correct seek+slice matches.
+    "m12_mp4_samples" -> ((s, d) =>
+      Multimodal.extractMp4Samples(
+        Multimodal.synthesizeMp4FramesMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
     "m04_png_decode" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.synthesizePngMedia(
@@ -3293,6 +3303,22 @@ object SparkEntry {
         |  CAST(1000 + doc_id % 100 AS BIGINT) AS first_chunk_offset,
         |  CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) + 100 AS BIGINT) AS total_ticks
         |FROM documents""".stripMargin,
+
+    // Sample-extraction replay: sample i spans payload positions
+    // [P_i, P_i + s_i) with P_i the stsz prefix sum; payload byte p is
+    // (7p + id) mod 256 by synthesis — byte sums in closed form.
+    "m12_mp4_samples" ->
+      """WITH s AS (SELECT doc_id, r.i,
+        |  (doc_id * 13 + 5 * r.i) % 200 + 50 AS sz,
+        |  CAST(coalesce(list_sum(list_transform(range(0, r.i),
+        |    j -> (doc_id * 13 + 5 * j) % 200 + 50)), 0) AS BIGINT) AS p0
+        |  FROM documents CROSS JOIN range(0, 8) r(i)
+        |  WHERE r.i < doc_id % 7 + 2)
+        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
+        |  CAST(i AS BIGINT) AS sample, CAST(sz AS BIGINT) AS nbytes,
+        |  CAST(list_sum(list_transform(range(p0, p0 + sz),
+        |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
+        |FROM s""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,

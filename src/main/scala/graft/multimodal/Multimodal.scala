@@ -754,6 +754,188 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Synthesize an MP4 whose sample tables index REAL payload bytes: one
+    * chunk at the true in-file mdat payload offset, `nSamples = (id mod
+    * 7)+2` samples of `(id*13 + 5i) mod 200 + 50` bytes laid out
+    * consecutively, payload byte at position p = `(7p + id) mod 256`.
+    * Unlike [[synthesizeMp4Track]] (whose stco carries formula offsets
+    * for the m11 census oracle), this container supports actual
+    * extraction: seeking stco[0] + stsz prefix sums lands on the exact
+    * sample bytes — what [[extractMp4Samples]] gates (m12).
+    */
+  def synthesizeMp4Frames(id: Long): Array[Byte] = {
+    val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
+    val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
+    val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
+    val delta = (java.lang.Math.floorMod(id, 5L)).toInt + 1
+    val sizes = Array.tabulate(n)(i =>
+      (java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
+    val mdatLen = sizes.sum
+    val sttsSz = 16 + 2 * 8
+    val stszSz = 20 + n * 4
+    val stcoSz = 16 + 4 // one chunk
+    val stblSz = 8 + sttsSz + stszSz + stcoSz
+    val trakSz = stblSz + 24
+    val moovSz = 8 + 108 + trakSz
+    val payloadOff = 16 + moovSz + 8 // ftyp + moov + mdat header
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatLen)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)
+      .putInt(0).putInt(0)
+      .putInt(ts).putInt(dur)
+      .putInt(0x00010000)
+      .putShort(0x0100.toShort)
+      .putShort(0).putInt(0).putInt(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(2)
+    buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+    buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
+    buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
+    buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+    buf.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+      .putInt(0).putInt(2)
+      .putInt(n - 1).putInt(delta)
+      .putInt(1).putInt(100)
+    buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(n)
+    sizes.foreach(buf.putInt)
+    buf.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(payloadOff)
+    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
+    var p = 0
+    while (p < mdatLen) {
+      buf.put((java.lang.Math.floorMod(7L * p + id, 256L)).toByte); p += 1
+    }
+    buf.array()
+  }
+
+  /** Media frame of extraction-ready MP4s ([[synthesizeMp4Frames]]). */
+  def synthesizeMp4FramesMedia(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mp4 = synthesizeMp4Frames(id)
+        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
+          .map("%02x".format(_)).mkString
+        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
+      }
+    }(encoder)
+  }
+
+  /** Sample EXTRACTION through the stbl index (m11's tier cashed in):
+    * seek `stco[0]`, walk the stsz prefix sums, and slice each sample's
+    * actual bytes out of the container — the pread a frame-sampling
+    * pipeline issues once the index told it where to look; no codec
+    * involved, and none needed to prove the byte arithmetic. Restricted
+    * to SINGLE-CHUNK tracks (the common faststart layout): multi-chunk
+    * placement needs the stsc run map, and guessing it would silently
+    * read wrong bytes — those tracks yield NULL rows instead. Output one
+    * row per (track, sample): `[media_id, track, sample, nbytes,
+    * byte_sum]` with `byte_sum` the sum of the sample's unsigned bytes
+    * (a closed-form content witness the m12 oracle replays; a decoder
+    * would take the slice itself). Malformed containers or out-of-bounds
+    * sample ranges yield one NULL row per media, never a task failure.
+    */
+  def extractMp4Samples(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track", LongType, nullable = true),
+      StructField("sample", LongType, nullable = true),
+      StructField("nbytes", LongType, nullable = true),
+      StructField("byte_sum", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val id = r.getLong(0)
+        val nullRow = Seq(Row(id, null, null, null, null))
+        parseMp4SampleTablesWithSizes(bytes) match {
+          case Some(tracks) if tracks.nonEmpty =>
+            val out = tracks.flatMap { case (t, sizes) =>
+              t.firstChunkOffset match {
+                case Some(off) if t.nChunks == 1 && sizes.nonEmpty =>
+                  // Prefix-sum walk from the chunk offset; ANY sample
+                  // range escaping the buffer poisons the whole track
+                  // (an index lying about its own file).
+                  var acc = off
+                  val walked = sizes.zipWithIndex.map { case (sz, i) =>
+                    val start = acc; acc += sz
+                    if (start < 0 || sz < 0 || start + sz > bytes.length) null
+                    else {
+                      var s = 0L; var p = start.toInt
+                      val end = (start + sz).toInt
+                      while (p < end) { s += bytes(p) & 0xff; p += 1 }
+                      Row(id, t.track, i.toLong, sz, s)
+                    }
+                  }
+                  if (walked.contains(null)) Seq.empty else walked
+                case _ => Seq.empty // multi-chunk / chunk-less: no rows
+              }
+            }
+            if (out.nonEmpty) out else nullRow
+          case _ => nullRow
+        }
+      }
+    }(encoder)
+  }
+
+  /** [[parseMp4SampleTables]] plus each track's per-sample size list
+    * (empty for the fixed-size stsz form, where sizes are implicit).
+    */
+  private[graft] def parseMp4SampleTablesWithSizes(
+      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, Seq[Long])]] = {
+    parseMp4SampleTables(bytes).map { tracks =>
+      // Re-walk stsz per track to surface the size entries; bounds were
+      // already validated by parseMp4SampleTables.
+      tracks.map { t => (t, sampleSizesOf(bytes, t.track)) }
+    }
+  }
+
+  /** Per-sample sizes of the i-th (1-based) trak's stsz; fixed-size form
+    * expands to `count` copies. Assumes [[parseMp4SampleTables]] already
+    * validated the layout.
+    */
+  private def sampleSizesOf(bytes: Array[Byte], track: Long): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def fourCC(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def walk(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      var off = from
+      val found = Seq.newBuilder[(String, Int, Int)]
+      while (off + 8 <= to) {
+        val size = u32(off)
+        if (size == 1 || size < 8 || off + size > to) return found.result()
+        found += ((fourCC(off + 4), off, size.toInt))
+        off += size.toInt
+      }
+      found.result()
+    }
+    val top = walk(0, bytes.length)
+    val stsz = for {
+      moov <- top.find(_._1 == "moov").toSeq
+      trak <- walk(moov._2 + 8, moov._2 + moov._3).filter(_._1 == "trak")
+        .zipWithIndex.collect { case (b, i) if i + 1L == track => b }
+      mdia <- walk(trak._2 + 8, trak._2 + trak._3).find(_._1 == "mdia")
+      minf <- walk(mdia._2 + 8, mdia._2 + mdia._3).find(_._1 == "minf")
+      stbl <- walk(minf._2 + 8, minf._2 + minf._3).find(_._1 == "stbl")
+      sz <- walk(stbl._2 + 8, stbl._2 + stbl._3).find(_._1 == "stsz")
+    } yield sz
+    stsz.headOption.map { b =>
+      val body = b._2 + 12
+      val fixed = u32(body)
+      val count = u32(body + 4)
+      if (fixed != 0) Seq.fill(count.toInt)(fixed)
+      else (0L until count).map(i => u32(body + 8 + i.toInt * 4))
+    }.getOrElse(Seq.empty)
+  }
+
   /** Sample-table tier (m09's next level down): per track, the census a
     * frame-sampling pass needs BEFORE any codec runs — how many samples
     * (stsz), how many bytes they occupy, where the chunks start (stco),

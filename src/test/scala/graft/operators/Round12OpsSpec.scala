@@ -254,6 +254,51 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(readBack() == expected, "fallback scan must stay exact")
   }
 
+  test("mp4 sample extraction recovers exact payload bytes through the index") {
+    import graft.multimodal.Multimodal
+    (0L to 30L).foreach { id =>
+      val n = ((id % 7) + 2).toInt
+      val sizes = Array.tabulate(n)(i => (id * 13 + 5 * i) % 200 + 50)
+      val starts = sizes.scanLeft(0L)(_ + _)
+      val expected = (0 until n).map { i =>
+        val sum = (starts(i) until starts(i) + sizes(i))
+          .map(p => (7 * p + id) % 256).sum
+        (id, 1L, i.toLong, sizes(i), sum)
+      }
+      val mp4 = Multimodal.synthesizeMp4Frames(id)
+      val sink = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          id, mp4, org.apache.spark.sql.Row("video/mp4", mp4.length.toLong, "x")))),
+        Multimodal.mediaSchema)
+      val got = Multimodal.extractMp4Samples(sink)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+      assert(got == expected, s"id=$id")
+      // The extraction container still parses under the m09/m11 tiers.
+      assert(Multimodal.parseMp4(mp4).isDefined)
+      assert(Multimodal.parseMp4SampleTables(mp4).exists(_.length == 1))
+    }
+  }
+
+  test("mp4 sample extraction refuses layouts it cannot honestly read") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.Row
+    // synthesizeMp4Track's stco offsets are formula values, not real file
+    // positions: id=0 has one chunk whose offset points past the buffer
+    // (poisoned track -> NULL row); id=1 has two chunks (stsc-less
+    // multi-chunk -> refused, NULL row); plus plain garbage.
+    val cases = Seq(
+      (0L, Multimodal.synthesizeMp4Track(0L)),
+      (1L, Multimodal.synthesizeMp4Track(1L)),
+      (2L, "not an mp4".getBytes))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (id, b) =>
+        Row(id, b, Row("video/mp4", b.length.toLong, "x")) }),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractMp4Samples(df).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(0L -> true, 1L -> true, 2L -> true))
+  }
+
   test("PQ-family operators reject degenerate shape arguments loudly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 3)
