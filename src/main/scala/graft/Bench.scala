@@ -123,16 +123,18 @@ object Bench {
       s""""queries_steady":$steady,"steady_total":$steadyTotal,""" +
       s""""reps":$reps,"errors":$errs,"sf":"$sfDir",""" +
       s""""deltas_vs_prev":$deltas}"""
-    // Stop Spark BEFORE printing: the async state-store maintenance
-    // thread's benign RpcEnvStoppedException stack trace during shutdown
-    // flooded the driver's stdout tail capture in round 11 and destroyed
-    // the artifact's payload (BENCH_r11.json parsed: null). Printing after
-    // stop() puts the JSON line last on stdout; the BENCH_LAST.json file
-    // is the belt-and-suspenders copy the tail capture can never lose.
-    spark.stop()
+    // BENCH_LAST.json is written BEFORE spark.stop(): the file belt must
+    // not depend on a clean shutdown (a wedged or throwing stop() would
+    // otherwise lose both channels). The stdout line prints AFTER stop():
+    // the async state-store maintenance thread's benign
+    // RpcEnvStoppedException stack trace during shutdown flooded the
+    // driver's stdout tail capture in round 11 and destroyed the
+    // artifact's payload (BENCH_r11.json parsed: null) — printing last
+    // keeps the JSON line at the tail the driver captures.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
+    spark.stop()
     println(line)
   }
 }

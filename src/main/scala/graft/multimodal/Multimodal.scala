@@ -193,21 +193,30 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** A media-schema frame of synthesized WAVs, one per input id — the audio
-    * analogue of [[synthesizePngMedia]]; encoding runs per partition.
+  /** One media-schema frame of per-id synthesized payloads — the shared
+    * wrapper behind every `synthesize*Media` (synthesis + MD5 run per
+    * partition, no driver loop). ONE copy on purpose: the Row framing and
+    * checksum convention must not drift between media types.
     */
-  def synthesizeWavMedia(df: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+  private def synthMedia(df: DataFrame, idCol: String, mime: String)(
+      synth: Long => Array[Byte]): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
     df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val wav = synthesizeWav(id, nSamples)
-        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(wav)
-          .map("%02x".format(_)).mkString
-        Row(id, wav, Row("audio/wav", wav.length.toLong, md5hex))
+        val payload = synth(id)
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+        Row(id, payload, Row(mime, payload.length.toLong, md5hex))
       }
     }(encoder)
   }
+
+  /** A media-schema frame of synthesized WAVs, one per input id — the audio
+    * analogue of [[synthesizePngMedia]]; encoding runs per partition.
+    */
+  def synthesizeWavMedia(df: DataFrame, idCol: String, nSamples: Int): DataFrame =
+    synthMedia(df, idCol, "audio/wav")(synthesizeWav(_, nSamples))
 
   /** A media-schema frame of synthesized grayscale PNGs, one per input id —
     * the PNG analogue of [[asMedia]]; encoding runs per partition (one
@@ -550,14 +559,39 @@ object Multimodal {
     * metadata in plain SQL — while the engine must actually walk the box
     * tree and big-endian-decode the mvhd fields to recover it.
     */
-  def synthesizeMp4(id: Long): Array[Byte] = {
+  def synthesizeMp4(id: Long): Array[Byte] =
+    buildMp4(id, trak = None, mdat = mp4Filler(id, mdatFillerLen(id)))
+
+  private def mdatFillerLen(id: Long): Int =
+    (java.lang.Math.floorMod(id, 32L)).toInt + 4
+
+  /** `(7p + id) mod 256` filler — the byte formula every MP4 oracle
+    * replays (m09's mdat, m12's per-sample sums).
+    */
+  private def mp4Filler(id: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(p =>
+      (java.lang.Math.floorMod(7L * p + id, 256L)).toByte)
+
+  /** ONE writer for the synthetic ISO BMFF layout (ftyp + moov>mvhd v0
+    * [+ trak>mdia>minf>stbl] + mdat) shared by all three MP4
+    * synthesizers — the byte layout is spec-pinned (m09/m11/m12 parse
+    * round-trips index into fixed offsets), so it must not drift between
+    * variants. `trak` carries (sampleSizes, chunkOffsets); stts always
+    * writes the two-run form `(n-1) x delta, 1 x 100` with
+    * `delta = (id mod 5)+1`.
+    */
+  private def buildMp4(id: Long, trak: Option[(Array[Int], Array[Int])],
+      mdat: Array[Byte]): Array[Byte] = {
     val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
     val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
-    val mdatLen = (java.lang.Math.floorMod(id, 32L)).toInt + 4
-    val buf = java.nio.ByteBuffer.allocate(16 + 116 + 8 + mdatLen)
+    val trakSz = trak.map { case (sizes, offsets) =>
+      100 + 4 * sizes.length + 4 * offsets.length
+    }.getOrElse(0)
+    val moovSz = 8 + 108 + trakSz
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdat.length)
     buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
       .put("isom".getBytes("US-ASCII")).putInt(0x200)
-    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
     buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
       .putInt(0)           // version 0 + flags
       .putInt(0).putInt(0) // creation, modification
@@ -570,29 +604,37 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0x40000000)
       .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined
       .putInt(2)           // next_track_id
-    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
-    var i = 0
-    while (i < mdatLen) {
-      buf.put((java.lang.Math.floorMod(7L * i + id, 256L)).toByte); i += 1
+    trak.foreach { case (sizes, offsets) =>
+      val n = sizes.length
+      val delta = (java.lang.Math.floorMod(id, 5L)).toInt + 1
+      val sttsSz = 16 + 2 * 8
+      val stszSz = 20 + n * 4
+      val stcoSz = 16 + offsets.length * 4
+      val stblSz = 8 + sttsSz + stszSz + stcoSz
+      buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+      buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
+      buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
+      buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
+      buf.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
+        .putInt(0).putInt(2)
+        .putInt(n - 1).putInt(delta)
+        .putInt(1).putInt(100)
+      buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(n)
+      sizes.foreach(buf.putInt)
+      buf.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
+        .putInt(0).putInt(offsets.length)
+      offsets.foreach(buf.putInt)
     }
+    buf.putInt(8 + mdat.length).put("mdat".getBytes("US-ASCII")).put(mdat)
     buf.array()
   }
 
   /** A media-schema frame of synthesized MP4 containers — the video
     * analogue of [[synthesizePngMedia]]; encoding runs per partition.
     */
-  def synthesizeMp4Media(df: DataFrame, idCol: String): DataFrame = {
-    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val mp4 = synthesizeMp4(id)
-        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
-          .map("%02x".format(_)).mkString
-        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
-      }
-    }(encoder)
-  }
+  def synthesizeMp4Media(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "video/mp4")(synthesizeMp4)
 
   /** REAL container parse (the video path's metadata tier): walk the ISO
     * BMFF box tree — big-endian u32 size + 4CC per box, recursing into
@@ -682,77 +724,18 @@ object Multimodal {
     * these containers unchanged.
     */
   def synthesizeMp4Track(id: Long): Array[Byte] = {
-    val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
-    val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
     val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
     val nc = (java.lang.Math.floorMod(id, 3L)).toInt + 1
-    val delta = (java.lang.Math.floorMod(id, 5L)).toInt + 1
-    val sttsSz = 16 + 2 * 8
-    val stszSz = 20 + n * 4
-    val stcoSz = 16 + nc * 4
-    val stblSz = 8 + sttsSz + stszSz + stcoSz
-    val trakSz = stblSz + 24 // + minf/mdia/trak headers
-    val moovSz = 8 + 108 + trakSz
-    val mdatLen = (java.lang.Math.floorMod(id, 32L)).toInt + 4
-    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatLen)
-    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
-      .put("isom".getBytes("US-ASCII")).putInt(0x200)
-    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
-    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
-      .putInt(0)
-      .putInt(0).putInt(0)
-      .putInt(ts).putInt(dur)
-      .putInt(0x00010000)
-      .putShort(0x0100.toShort)
-      .putShort(0).putInt(0).putInt(0)
-      .putInt(0x00010000).putInt(0).putInt(0)
-      .putInt(0).putInt(0x00010000).putInt(0)
-      .putInt(0).putInt(0).putInt(0x40000000)
-      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
-      .putInt(2)
-    buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
-    buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
-    buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
-    buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
-    buf.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
-      .putInt(0).putInt(2)
-      .putInt(n - 1).putInt(delta)
-      .putInt(1).putInt(100)
-    buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
-      .putInt(0).putInt(0).putInt(n)
-    var i = 0
-    while (i < n) {
-      buf.putInt((java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
-      i += 1
-    }
-    buf.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
-      .putInt(0).putInt(nc)
-    var j = 0
-    while (j < nc) {
-      buf.putInt(1000 + 512 * j + (java.lang.Math.floorMod(id, 100L)).toInt)
-      j += 1
-    }
-    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
-    i = 0
-    while (i < mdatLen) {
-      buf.put((java.lang.Math.floorMod(7L * i + id, 256L)).toByte); i += 1
-    }
-    buf.array()
+    val sizes = Array.tabulate(n)(i =>
+      (java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
+    val offsets = Array.tabulate(nc)(j =>
+      1000 + 512 * j + (java.lang.Math.floorMod(id, 100L)).toInt)
+    buildMp4(id, Some((sizes, offsets)), mp4Filler(id, mdatFillerLen(id)))
   }
 
   /** Media frame of track-bearing MP4s ([[synthesizeMp4Track]]). */
-  def synthesizeMp4TrackMedia(df: DataFrame, idCol: String): DataFrame = {
-    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val mp4 = synthesizeMp4Track(id)
-        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
-          .map("%02x".format(_)).mkString
-        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
-      }
-    }(encoder)
-  }
+  def synthesizeMp4TrackMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "video/mp4")(synthesizeMp4Track)
 
   /** Synthesize an MP4 whose sample tables index REAL payload bytes: one
     * chunk at the true in-file mdat payload offset, `nSamples = (id mod
@@ -764,70 +747,19 @@ object Multimodal {
     * sample bytes — what [[extractMp4Samples]] gates (m12).
     */
   def synthesizeMp4Frames(id: Long): Array[Byte] = {
-    val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
-    val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
     val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
-    val delta = (java.lang.Math.floorMod(id, 5L)).toInt + 1
     val sizes = Array.tabulate(n)(i =>
       (java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
-    val mdatLen = sizes.sum
-    val sttsSz = 16 + 2 * 8
-    val stszSz = 20 + n * 4
-    val stcoSz = 16 + 4 // one chunk
-    val stblSz = 8 + sttsSz + stszSz + stcoSz
-    val trakSz = stblSz + 24
-    val moovSz = 8 + 108 + trakSz
-    val payloadOff = 16 + moovSz + 8 // ftyp + moov + mdat header
-    val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatLen)
-    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
-      .put("isom".getBytes("US-ASCII")).putInt(0x200)
-    buf.putInt(moovSz).put("moov".getBytes("US-ASCII"))
-    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
-      .putInt(0)
-      .putInt(0).putInt(0)
-      .putInt(ts).putInt(dur)
-      .putInt(0x00010000)
-      .putShort(0x0100.toShort)
-      .putShort(0).putInt(0).putInt(0)
-      .putInt(0x00010000).putInt(0).putInt(0)
-      .putInt(0).putInt(0x00010000).putInt(0)
-      .putInt(0).putInt(0).putInt(0x40000000)
-      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
-      .putInt(2)
-    buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
-    buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
-    buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
-    buf.putInt(stblSz).put("stbl".getBytes("US-ASCII"))
-    buf.putInt(sttsSz).put("stts".getBytes("US-ASCII"))
-      .putInt(0).putInt(2)
-      .putInt(n - 1).putInt(delta)
-      .putInt(1).putInt(100)
-    buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
-      .putInt(0).putInt(0).putInt(n)
-    sizes.foreach(buf.putInt)
-    buf.putInt(stcoSz).put("stco".getBytes("US-ASCII"))
-      .putInt(0).putInt(1).putInt(payloadOff)
-    buf.putInt(8 + mdatLen).put("mdat".getBytes("US-ASCII"))
-    var p = 0
-    while (p < mdatLen) {
-      buf.put((java.lang.Math.floorMod(7L * p + id, 256L)).toByte); p += 1
-    }
-    buf.array()
+    // True in-file payload offset: ftyp + moov (mvhd + trak with n sizes
+    // and ONE chunk offset) + mdat header.
+    val trakSz = 100 + 4 * n + 4
+    val payloadOff = 16 + (8 + 108 + trakSz) + 8
+    buildMp4(id, Some((sizes, Array(payloadOff))), mp4Filler(id, sizes.sum))
   }
 
   /** Media frame of extraction-ready MP4s ([[synthesizeMp4Frames]]). */
-  def synthesizeMp4FramesMedia(df: DataFrame, idCol: String): DataFrame = {
-    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val mp4 = synthesizeMp4Frames(id)
-        val md5hex = java.security.MessageDigest.getInstance("MD5").digest(mp4)
-          .map("%02x".format(_)).mkString
-        Row(id, mp4, Row("video/mp4", mp4.length.toLong, md5hex))
-      }
-    }(encoder)
-  }
+  def synthesizeMp4FramesMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "video/mp4")(synthesizeMp4Frames)
 
   /** Sample EXTRACTION through the stbl index (m11's tier cashed in):
     * seek `stco[0]`, walk the stsz prefix sums, and slice each sample's
@@ -886,55 +818,26 @@ object Multimodal {
     }(encoder)
   }
 
-  /** [[parseMp4SampleTables]] plus each track's per-sample size list
-    * (empty for the fixed-size stsz form, where sizes are implicit).
+  /** [[parseMp4SampleTables]] plus each track's per-sample size list —
+    * surfaced by the SAME walk, not a re-parse. The fixed-size stsz form
+    * expands to `count` copies ONLY when `fixed * count <= bytes.length`
+    * (each sample must physically fit in the file; an index claiming more
+    * would poison the extraction walk anyway, and an unbounded u32 count
+    * must never size an allocation) — infeasible tables surface as an
+    * empty size list, which the extractor refuses with a NULL row.
     */
   private[graft] def parseMp4SampleTablesWithSizes(
-      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, Seq[Long])]] = {
-    parseMp4SampleTables(bytes).map { tracks =>
-      // Re-walk stsz per track to surface the size entries; bounds were
-      // already validated by parseMp4SampleTables.
-      tracks.map { t => (t, sampleSizesOf(bytes, t.track)) }
-    }
-  }
-
-  /** Per-sample sizes of the i-th (1-based) trak's stsz; fixed-size form
-    * expands to `count` copies. Assumes [[parseMp4SampleTables]] already
-    * validated the layout.
-    */
-  private def sampleSizesOf(bytes: Array[Byte], track: Long): Seq[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
-    def fourCC(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    def walk(from: Int, to: Int): Seq[(String, Int, Int)] = {
-      var off = from
-      val found = Seq.newBuilder[(String, Int, Int)]
-      while (off + 8 <= to) {
-        val size = u32(off)
-        if (size == 1 || size < 8 || off + size > to) return found.result()
-        found += ((fourCC(off + 4), off, size.toInt))
-        off += size.toInt
+      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, Seq[Long])]] =
+    parseMp4SampleTablesImpl(bytes).map(_.map { case (t, spec) =>
+      val sizes = spec match {
+        case Right(entries) => entries
+        case Left((fixed, count)) =>
+          if (count > 0 && fixed > 0 && count <= bytes.length / fixed)
+            Seq.fill(count.toInt)(fixed)
+          else Seq.empty
       }
-      found.result()
-    }
-    val top = walk(0, bytes.length)
-    val stsz = for {
-      moov <- top.find(_._1 == "moov").toSeq
-      trak <- walk(moov._2 + 8, moov._2 + moov._3).filter(_._1 == "trak")
-        .zipWithIndex.collect { case (b, i) if i + 1L == track => b }
-      mdia <- walk(trak._2 + 8, trak._2 + trak._3).find(_._1 == "mdia")
-      minf <- walk(mdia._2 + 8, mdia._2 + mdia._3).find(_._1 == "minf")
-      stbl <- walk(minf._2 + 8, minf._2 + minf._3).find(_._1 == "stbl")
-      sz <- walk(stbl._2 + 8, stbl._2 + stbl._3).find(_._1 == "stsz")
-    } yield sz
-    stsz.headOption.map { b =>
-      val body = b._2 + 12
-      val fixed = u32(body)
-      val count = u32(body + 4)
-      if (fixed != 0) Seq.fill(count.toInt)(fixed)
-      else (0L until count).map(i => u32(body + 8 + i.toInt * 4))
-    }.getOrElse(Seq.empty)
-  }
+      (t, sizes)
+    })
 
   /** Sample-table tier (m09's next level down): per track, the census a
     * frame-sampling pass needs BEFORE any codec runs — how many samples
@@ -984,7 +887,17 @@ object Multimodal {
     * skipped, not an error.
     */
   private[graft] def parseMp4SampleTables(
-      bytes: Array[Byte]): Option[Seq[TrackSampleTable]] = {
+      bytes: Array[Byte]): Option[Seq[TrackSampleTable]] =
+    parseMp4SampleTablesImpl(bytes).map(_.map(_._1))
+
+  /** Per-sample sizes as decoded (Right) or the fixed-size form's
+    * `(fixed, count)` left unexpanded (Left) — expansion is the caller's
+    * bounded decision, never this parser's allocation.
+    */
+  private type SizeSpec = Either[(Long, Long), IndexedSeq[Long]]
+
+  private def parseMp4SampleTablesImpl(
+      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, SizeSpec)]] = {
     if (bytes == null || bytes.length < 8) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
     def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
@@ -1006,19 +919,28 @@ object Multimodal {
     // Full-box body start + remaining payload length after version/flags.
     def fullBody(b: (String, Int, Int)): Option[Int] =
       if (b._3 >= 12) Some(b._2 + 12) else None
-    def parseStbl(stbl: (String, Int, Int)): Option[TrackSampleTable] = for {
+    // addExact/multiplyExact throughout: all fields are attacker-supplied
+    // u32s, and a wrapped Long (e.g. fixed_size x count ~ 1.8e19) would
+    // emit garbage as a valid census row instead of the malformed-None
+    // path — the ArithmeticException funnels there via the outer catch.
+    def parseStbl(stbl: (String, Int, Int)): Option[(TrackSampleTable, SizeSpec)] = for {
       kids <- walk(stbl._2 + 8, stbl._2 + stbl._3)
       stsz <- kids.find(_._1 == "stsz"); stszB <- fullBody(stsz)
       stco <- kids.find(_._1 == "stco"); stcoB <- fullBody(stco)
       stts <- kids.find(_._1 == "stts"); sttsB <- fullBody(stts)
-      // stsz: fixed sample_size, or 0 -> per-sample u32 table.
+      // stsz: fixed sample_size, or 0 -> per-sample u32 table (whose
+      // count is bounded by the box size, so materializing it is safe).
       if stsz._3 >= 20
       fixedSize = u32(stszB)
       nSamples = u32(stszB + 4)
-      totalBytes <- if (fixedSize != 0) Some(fixedSize * nSamples)
-        else if (stsz._3 >= 20 + nSamples * 4) Some(
-          (0L until nSamples).foldLeft(0L)((a, i) => a + u32(stszB + 8 + i.toInt * 4)))
-        else None
+      sized <- if (fixedSize != 0)
+        Some((Math.multiplyExact(fixedSize, nSamples),
+          Left((fixedSize, nSamples)): SizeSpec))
+      else if (stsz._3 >= 20 + nSamples * 4) {
+        val entries = (0L until nSamples)
+          .map(i => u32(stszB + 8 + i.toInt * 4)).toIndexedSeq
+        Some((entries.foldLeft(0L)(Math.addExact), Right(entries): SizeSpec))
+      } else None
       // stco: u32 chunk offsets.
       if stco._3 >= 16
       nChunks = u32(stcoB)
@@ -1029,27 +951,35 @@ object Multimodal {
       nRuns = u32(sttsB)
       totalTicks <- if (stts._3 >= 16 + nRuns * 8) Some(
         (0L until nRuns).foldLeft(0L)((a, i) =>
-          a + u32(sttsB + 4 + i.toInt * 8) * u32(sttsB + 8 + i.toInt * 8)))
+          Math.addExact(a, Math.multiplyExact(
+            u32(sttsB + 4 + i.toInt * 8), u32(sttsB + 8 + i.toInt * 8)))))
         else None
-    } yield TrackSampleTable(0L, nSamples, totalBytes, nChunks, firstOff, totalTicks)
-    for {
-      top <- walk(0, bytes.length)
-      ftyp <- top.find(b => b._1 == "ftyp" && b._3 >= 12)
-      moov <- top.find(_._1 == "moov")
-      kids <- walk(moov._2 + 8, moov._2 + moov._3)
-      tracks <- kids.filter(_._1 == "trak").zipWithIndex
-        .foldLeft(Option(Seq.empty[TrackSampleTable])) { case (acc, (trak, i)) =>
-          acc.flatMap { seq =>
-            // trak without the full chain: skipped. Chain present but a
-            // table malformed: the whole parse fails (bounds discipline).
-            child(trak, "mdia").flatMap(child(_, "minf"))
-              .flatMap(child(_, "stbl")) match {
-              case None => Some(seq)
-              case Some(stbl) =>
-                parseStbl(stbl).map(t => seq :+ t.copy(track = i + 1L))
-            }
+    } yield (TrackSampleTable(0L, nSamples, sized._1, nChunks, firstOff,
+      totalTicks), sized._2)
+    try {
+      for {
+        top <- walk(0, bytes.length)
+        ftyp <- top.find(b => b._1 == "ftyp" && b._3 >= 12)
+        moov <- top.find(_._1 == "moov")
+        kids <- walk(moov._2 + 8, moov._2 + moov._3)
+        tracks <- kids.filter(_._1 == "trak").zipWithIndex
+          .foldLeft(Option(Seq.empty[(TrackSampleTable, SizeSpec)])) {
+            case (acc, (trak, i)) =>
+              acc.flatMap { seq =>
+                // trak without the full chain: skipped. Chain present but
+                // a table malformed: the whole parse fails (bounds
+                // discipline).
+                child(trak, "mdia").flatMap(child(_, "minf"))
+                  .flatMap(child(_, "stbl")) match {
+                  case None => Some(seq)
+                  case Some(stbl) =>
+                    parseStbl(stbl).map { case (t, s) =>
+                      seq :+ ((t.copy(track = i + 1L), s))
+                    }
+                }
+              }
           }
-        }
-    } yield tracks
+      } yield tracks
+    } catch { case _: ArithmeticException => None }
   }
 }

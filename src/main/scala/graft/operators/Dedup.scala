@@ -560,34 +560,27 @@ object Dedup {
     * (shuffle = k longs per partition at any corpus size).
     */
   def corpusMinhash(docs: DataFrame, textCol: String, n: Int,
-      k: Int): DataFrame = {
-    require(k >= 1 && k <= 256, s"k must be in [1,256], got $k")
-    val grams = docs.select(explode(graft.functions.PortableHashes
-      .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
-    val mins = grams.agg(
-      min(Sampling.keyHash60(concat(lit("0:"), col("h").cast("string"))))
-        .as("m0"),
-      (1 until k).map(i =>
-        min(Sampling.keyHash60(concat(lit(s"$i:"), col("h").cast("string"))))
-          .as(s"m$i")): _*)
-    mins.select(posexplode(array((0 until k).map(i => col(s"m$i")): _*))
-        .as(Seq("pos", "sig")))
-      // An EMPTY corpus yields no rows, not k null-signature rows: the
-      // global aggregate always emits one row, but a SQL GROUP BY replay
-      // (the d15/d16 oracles) emits zero — and a null signature would
-      // read as a real draw downstream.
-      .filter(col("sig").isNotNull)
-      .select(col("pos").cast(LongType).as("pos"), col("sig"))
-  }
+      k: Int): DataFrame =
+    // The whole corpus is one slice of itself: delegate so the draw
+    // formula and null convention exist in exactly ONE place (a drifted
+    // copy would silently break the spec-pinned slice==standalone
+    // bit-identity). GroupBy-on-a-constant vs global agg only differ in
+    // the zero-row case, where both emit nothing — the documented
+    // empty-corpus convention.
+    corpusMinhashBy(docs.withColumn("__cmh_slice", lit(0L)),
+      "__cmh_slice", textCol, n, k).drop("slice")
 
-  /** [[corpusMinhash]] grouped by a slice key: one k-minwise signature
-    * PER CORPUS SLICE — `[slice, pos, sig]`, same salted-md5 draws, so a
-    * slice's signature is bit-identical to running [[corpusMinhash]] on
-    * that slice alone (spec-pinned). The aggregate is map-side combining
-    * with `nSlices x k` longs of reduce state — at 100 TB each
-    * source/dump/day sketches in the same single pass that ingests it.
-    * A slice whose documents produce no n-grams emits no rows (the
-    * empty-corpus convention).
+  /** CORPUS-slice k-minwise signatures: one signature PER SLICE —
+    * `[slice, pos, sig]` with `sig[pos] = min over the slice's shingle
+    * hashes h of hash60(pos ":" h)`, the portable salted-md5 family so
+    * every draw replays in SQL (min over a multiset = min over its set,
+    * so no distinct is needed and the aggregate is fully map-side
+    * combining: `nSlices x k` longs of reduce state at any corpus size —
+    * at 100 TB each source/dump/day sketches in the same single pass
+    * that ingests it). A slice whose documents produce no n-grams emits
+    * no rows, and an EMPTY corpus emits zero rows, not k null-signature
+    * rows (a null signature would read as a real draw downstream; the
+    * d15/d16 GROUP BY oracles emit zero the same way).
     */
   def corpusMinhashBy(docs: DataFrame, sliceCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {

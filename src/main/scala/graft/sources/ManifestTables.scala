@@ -89,14 +89,23 @@ object ManifestTables {
   def readPruned(spark: SparkSession, path: String, statsCol: String,
       lo: Long, hi: Long): DataFrame = {
     val mPath = manifestPath(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(mPath).getFileSystem(conf)
     val predicateOnly: Column = col(statsCol) >= lo && col(statsCol) <= hi
-    if (!fs.exists(new org.apache.hadoop.fs.Path(mPath)))
-      return spark.read.parquet(path).filter(predicateOnly)
-    val keep = spark.read.parquet(mPath)
-      .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
-      .select("file").collect().map(_.getString(0))
+    // try/catch, not exists-then-read: a writer can swap the manifest
+    // away between the check and the read (the exists probe alone would
+    // leave exactly the race the fallback is for). Any failure to read
+    // the manifest — absent, mid-swap, torn — degrades to the unpruned
+    // exact scan.
+    val keepOpt = try {
+      Some(spark.read.parquet(mPath)
+        .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
+        .select("file").collect().map(_.getString(0)))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+    val keep = keepOpt match {
+      case None => return spark.read.parquet(path).filter(predicateOnly)
+      case Some(k) => k
+    }
     val predicate: Column = col(statsCol) >= lo && col(statsCol) <= hi
     if (keep.isEmpty)
       spark.read.parquet(path).filter(predicate).limit(0)
