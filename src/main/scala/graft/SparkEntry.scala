@@ -1353,6 +1353,15 @@ object SparkEntry {
         Multimodal.synthesizeMp4FramesMedia(
           tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
 
+    // Multi-chunk extraction: the same sample stream split across chunks
+    // by a REAL stsc run map, with junk bytes between chunks — a reader
+    // ignoring stsc/stco reads gap bytes into samples and fails the
+    // oracle; only honest chunk resolution recovers the byte formula.
+    "m13_mp4_chunked" -> ((s, d) =>
+      Multimodal.extractMp4Samples(
+        Multimodal.synthesizeMp4ChunksMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
     "m04_png_decode" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.synthesizePngMedia(
@@ -3315,7 +3324,29 @@ object SparkEntry {
         |  FROM documents CROSS JOIN range(0, 8) r(i)
         |  WHERE r.i < doc_id % 7 + 2)
         |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
-        |  CAST(i AS BIGINT) AS sample, CAST(sz AS BIGINT) AS nbytes,
+        |  CAST(i AS BIGINT) AS sample, CAST(0 AS BIGINT) AS chunk,
+        |  CAST(sz AS BIGINT) AS nbytes,
+        |  CAST(list_sum(list_transform(range(p0, p0 + sz),
+        |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
+        |FROM s""".stripMargin,
+
+    // Chunked replay: sample content is chunk-layout-invariant (the
+    // synthesizer lays the sample stream out chunk-by-chunk and the gaps
+    // are junk), so byte sums reuse the m12 prefix-sum formula; chunk =
+    // min(i div (n div nc), nc-1) replays the stsc run expansion.
+    "m13_mp4_chunked" ->
+      """WITH s AS (SELECT doc_id, r.i,
+        |  (doc_id * 13 + 5 * r.i) % 200 + 50 AS sz,
+        |  CAST(coalesce(list_sum(list_transform(range(0, r.i),
+        |    j -> (doc_id * 13 + 5 * j) % 200 + 50)), 0) AS BIGINT) AS p0,
+        |  doc_id % 7 + 2 AS n,
+        |  least(doc_id % 3 + 1, doc_id % 7 + 2) AS nc
+        |  FROM documents CROSS JOIN range(0, 8) r(i)
+        |  WHERE r.i < doc_id % 7 + 2)
+        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
+        |  CAST(i AS BIGINT) AS sample,
+        |  CAST(least(i // (n // nc), nc - 1) AS BIGINT) AS chunk,
+        |  CAST(sz AS BIGINT) AS nbytes,
         |  CAST(list_sum(list_transform(range(p0, p0 + sz),
         |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
         |FROM s""".stripMargin,

@@ -573,19 +573,22 @@ object Multimodal {
       (java.lang.Math.floorMod(7L * p + id, 256L)).toByte)
 
   /** ONE writer for the synthetic ISO BMFF layout (ftyp + moov>mvhd v0
-    * [+ trak>mdia>minf>stbl] + mdat) shared by all three MP4
-    * synthesizers — the byte layout is spec-pinned (m09/m11/m12 parse
-    * round-trips index into fixed offsets), so it must not drift between
-    * variants. `trak` carries (sampleSizes, chunkOffsets); stts always
-    * writes the two-run form `(n-1) x delta, 1 x 100` with
-    * `delta = (id mod 5)+1`.
+    * [+ trak>mdia>minf>stbl] + mdat) shared by every MP4 synthesizer —
+    * the byte layout is spec-pinned (m09/m11/m12/m13 parse round-trips
+    * index into fixed offsets), so it must not drift between variants.
+    * `trak` carries (sampleSizes, chunkOffsets); `stsc` optionally adds
+    * a sample-to-chunk run table (first_chunk, samples_per_chunk) after
+    * stts; stts always writes the two-run form `(n-1) x delta, 1 x 100`
+    * with `delta = (id mod 5)+1`.
     */
   private def buildMp4(id: Long, trak: Option[(Array[Int], Array[Int])],
-      mdat: Array[Byte]): Array[Byte] = {
+      mdat: Array[Byte],
+      stsc: Option[Array[(Int, Int)]] = None): Array[Byte] = {
     val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
     val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
+    val stscSz = stsc.map(runs => 16 + 12 * runs.length).getOrElse(0)
     val trakSz = trak.map { case (sizes, offsets) =>
-      100 + 4 * sizes.length + 4 * offsets.length
+      100 + 4 * sizes.length + 4 * offsets.length + stscSz
     }.getOrElse(0)
     val moovSz = 8 + 108 + trakSz
     val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdat.length)
@@ -610,7 +613,7 @@ object Multimodal {
       val sttsSz = 16 + 2 * 8
       val stszSz = 20 + n * 4
       val stcoSz = 16 + offsets.length * 4
-      val stblSz = 8 + sttsSz + stszSz + stcoSz
+      val stblSz = 8 + sttsSz + stscSz + stszSz + stcoSz
       buf.putInt(trakSz).put("trak".getBytes("US-ASCII"))
       buf.putInt(trakSz - 8).put("mdia".getBytes("US-ASCII"))
       buf.putInt(trakSz - 16).put("minf".getBytes("US-ASCII"))
@@ -619,6 +622,13 @@ object Multimodal {
         .putInt(0).putInt(2)
         .putInt(n - 1).putInt(delta)
         .putInt(1).putInt(100)
+      stsc.foreach { runs =>
+        buf.putInt(stscSz).put("stsc".getBytes("US-ASCII"))
+          .putInt(0).putInt(runs.length)
+        runs.foreach { case (first, spc) =>
+          buf.putInt(first).putInt(spc).putInt(1) // sample_description_index
+        }
+      }
       buf.putInt(stszSz).put("stsz".getBytes("US-ASCII"))
         .putInt(0).putInt(0).putInt(n)
       sizes.foreach(buf.putInt)
@@ -761,18 +771,85 @@ object Multimodal {
   def synthesizeMp4FramesMedia(df: DataFrame, idCol: String): DataFrame =
     synthMedia(df, idCol, "video/mp4")(synthesizeMp4Frames)
 
+  /** Multi-chunk extraction container: the [[synthesizeMp4Frames]] sample
+    * stream split across `nc = min((id mod 3)+1, n)` chunks via a REAL
+    * stsc run map (`spc = n/nc` samples per chunk, remainder in the
+    * last), with `(id mod 5)` bytes of 0xAA junk BETWEEN chunks — so a
+    * reader that ignores stsc/stco and walks the payload linearly reads
+    * gap bytes into samples and fails the oracle; only honest chunk
+    * resolution recovers the m12 byte formula (sample content is chunk-
+    * layout-invariant by construction, which is what lets m13 share it).
+    */
+  def synthesizeMp4Chunks(id: Long): Array[Byte] = {
+    val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
+    val nc = math.min((java.lang.Math.floorMod(id, 3L)).toInt + 1, n)
+    val sizes = Array.tabulate(n)(i =>
+      (java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
+    val spc = n / nc
+    val lastCnt = n - spc * (nc - 1)
+    val runs: Array[(Int, Int)] =
+      if (nc == 1) Array((1, n))
+      else if (lastCnt == spc) Array((1, spc))
+      else Array((1, spc), (nc, lastCnt))
+    val gap = (java.lang.Math.floorMod(id, 5L)).toInt
+    val counts = Array.tabulate(nc)(c => if (c < nc - 1) spc else lastCnt)
+    val chunkBytes = {
+      var si = 0
+      counts.map { cnt =>
+        var b = 0; var k = 0
+        while (k < cnt) { b += sizes(si); si += 1; k += 1 }
+        b
+      }
+    }
+    val stscSz = 16 + 12 * runs.length
+    val trakSz = 100 + 4 * n + 4 * nc + stscSz
+    val payloadOff = 16 + (8 + 108 + trakSz) + 8
+    val offsets = new Array[Int](nc)
+    var off = payloadOff
+    var c = 0
+    while (c < nc) {
+      offsets(c) = off
+      off += chunkBytes(c) + (if (c < nc - 1) gap else 0)
+      c += 1
+    }
+    // mdat: per chunk, its slice of the SAMPLE stream (global position p
+    // over sample bytes only), then the junk gap.
+    val mdat = new Array[Byte](chunkBytes.sum + gap * (nc - 1))
+    var p = 0L; var mp = 0; c = 0
+    while (c < nc) {
+      var q = 0
+      while (q < chunkBytes(c)) {
+        mdat(mp) = (java.lang.Math.floorMod(7L * p + id, 256L)).toByte
+        p += 1; mp += 1; q += 1
+      }
+      if (c < nc - 1) {
+        var g = 0
+        while (g < gap) { mdat(mp) = 0xAA.toByte; mp += 1; g += 1 }
+      }
+      c += 1
+    }
+    buildMp4(id, Some((sizes, offsets)), mdat, Some(runs))
+  }
+
+  /** Media frame of multi-chunk extraction MP4s ([[synthesizeMp4Chunks]]). */
+  def synthesizeMp4ChunksMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "video/mp4")(synthesizeMp4Chunks)
+
   /** Sample EXTRACTION through the stbl index (m11's tier cashed in):
-    * seek `stco[0]`, walk the stsz prefix sums, and slice each sample's
-    * actual bytes out of the container — the pread a frame-sampling
-    * pipeline issues once the index told it where to look; no codec
-    * involved, and none needed to prove the byte arithmetic. Restricted
-    * to SINGLE-CHUNK tracks (the common faststart layout): multi-chunk
-    * placement needs the stsc run map, and guessing it would silently
-    * read wrong bytes — those tracks yield NULL rows instead. Output one
-    * row per (track, sample): `[media_id, track, sample, nbytes,
-    * byte_sum]` with `byte_sum` the sum of the sample's unsigned bytes
-    * (a closed-form content witness the m12 oracle replays; a decoder
-    * would take the slice itself). Malformed containers or out-of-bounds
+    * resolve each sample's chunk via the stsc run map, seek that chunk's
+    * stco offset, walk the stsz sizes, and slice each sample's actual
+    * bytes out of the container — the pread a frame-sampling pipeline
+    * issues once the index told it where to look; no codec involved, and
+    * none needed to prove the byte arithmetic. A track WITHOUT an stsc
+    * box is honored only in the single-chunk (faststart) layout — for a
+    * multi-chunk track the run map is the only honest placement source,
+    * and guessing would silently read wrong bytes, so stsc-less
+    * multi-chunk tracks yield NULL rows. Output one row per (track,
+    * sample): `[media_id, track, sample, chunk, nbytes, byte_sum]` with
+    * `chunk` the 0-based chunk the sample lives in and `byte_sum` the
+    * sum of its unsigned bytes (a closed-form content witness the
+    * m12/m13 oracles replay; a decoder would take the slice itself).
+    * Malformed containers, inconsistent stsc totals, or out-of-bounds
     * sample ranges yield one NULL row per media, never a task failure.
     */
   def extractMp4Samples(media: DataFrame): DataFrame = {
@@ -780,6 +857,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("track", LongType, nullable = true),
       StructField("sample", LongType, nullable = true),
+      StructField("chunk", LongType, nullable = true),
       StructField("nbytes", LongType, nullable = true),
       StructField("byte_sum", LongType, nullable = true)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
@@ -787,29 +865,26 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
         val id = r.getLong(0)
-        val nullRow = Seq(Row(id, null, null, null, null))
+        val nullRow = Seq(Row(id, null, null, null, null, null))
         parseMp4SampleTablesWithSizes(bytes) match {
           case Some(tracks) if tracks.nonEmpty =>
-            val out = tracks.flatMap { case (t, sizes) =>
-              t.firstChunkOffset match {
-                case Some(off) if t.nChunks == 1 && sizes.nonEmpty =>
-                  // Prefix-sum walk from the chunk offset; ANY sample
-                  // range escaping the buffer poisons the whole track
-                  // (an index lying about its own file).
-                  var acc = off
-                  val walked = sizes.zipWithIndex.map { case (sz, i) =>
-                    val start = acc; acc += sz
+            val out = tracks.flatMap { t =>
+              samplePlacement(t).map { placement =>
+                // (chunk, start) per sample; ANY range escaping the
+                // buffer poisons the whole track (an index lying about
+                // its own file).
+                val walked = placement.zip(t.sizes).zipWithIndex.map {
+                  case (((chunk, start), sz), i) =>
                     if (start < 0 || sz < 0 || start + sz > bytes.length) null
                     else {
                       var s = 0L; var p = start.toInt
                       val end = (start + sz).toInt
                       while (p < end) { s += bytes(p) & 0xff; p += 1 }
-                      Row(id, t.track, i.toLong, sz, s)
+                      Row(id, t.table.track, i.toLong, chunk, sz, s)
                     }
-                  }
-                  if (walked.contains(null)) Seq.empty else walked
-                case _ => Seq.empty // multi-chunk / chunk-less: no rows
-              }
+                }
+                if (walked.contains(null)) Seq.empty else walked
+              }.getOrElse(Seq.empty)
             }
             if (out.nonEmpty) out else nullRow
           case _ => nullRow
@@ -818,25 +893,77 @@ object Multimodal {
     }(encoder)
   }
 
-  /** [[parseMp4SampleTables]] plus each track's per-sample size list —
-    * surfaced by the SAME walk, not a re-parse. The fixed-size stsz form
+  /** Per-sample `(chunk0, startByte)` from the track's stsc/stco/stsz:
+    * None when placement cannot be honestly derived (no samples, no
+    * chunks, stsc-less multi-chunk, malformed runs, or run totals
+    * disagreeing with the sample count).
+    */
+  private def samplePlacement(t: TrackTables): Option[Seq[(Long, Long)]] = {
+    val nChunks = t.chunkOffsets.length
+    if (t.sizes.isEmpty || nChunks == 0) return None
+    // Samples-per-chunk vector: stsc runs expanded over chunk indices, or
+    // the implicit single-chunk layout when the box is absent.
+    val perChunk: Option[IndexedSeq[Int]] =
+      if (t.stscRuns.isEmpty) {
+        if (nChunks == 1) Some(IndexedSeq(t.sizes.length)) else None
+      } else {
+        val runs = t.stscRuns
+        val wellFormed = runs.headOption.exists(_._1 == 1L) &&
+          runs.zip(runs.drop(1)).forall { case (a, b) => a._1 < b._1 } &&
+          runs.forall { case (first, spc) =>
+            first >= 1L && first <= nChunks && spc >= 1L && spc <= t.sizes.length
+          }
+        if (!wellFormed) None
+        else Some((1 to nChunks).map { c =>
+          runs.takeWhile(_._1 <= c).last._2.toInt
+        }.toIndexedSeq)
+      }
+    perChunk.flatMap { counts =>
+      if (counts.map(_.toLong).sum != t.sizes.length.toLong) None
+      else {
+        val placement = Seq.newBuilder[(Long, Long)]
+        var sample = 0
+        var c = 0
+        while (c < nChunks) {
+          var start = t.chunkOffsets(c)
+          var k = 0
+          while (k < counts(c)) {
+            placement += ((c.toLong, start))
+            start += t.sizes(sample)
+            sample += 1
+            k += 1
+          }
+          c += 1
+        }
+        Some(placement.result())
+      }
+    }
+  }
+
+  /** Everything the SAME walk decodes per track: the census row, the
+    * per-sample sizes, the stsc sample-to-chunk runs (empty when the box
+    * is absent), and the full stco offset list. The fixed-size stsz form
     * expands to `count` copies ONLY when `fixed * count <= bytes.length`
     * (each sample must physically fit in the file; an index claiming more
     * would poison the extraction walk anyway, and an unbounded u32 count
     * must never size an allocation) — infeasible tables surface as an
     * empty size list, which the extractor refuses with a NULL row.
     */
+  private[graft] final case class TrackTables(
+      table: TrackSampleTable, sizes: Seq[Long],
+      stscRuns: IndexedSeq[(Long, Long)], chunkOffsets: IndexedSeq[Long])
+
   private[graft] def parseMp4SampleTablesWithSizes(
-      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, Seq[Long])]] =
-    parseMp4SampleTablesImpl(bytes).map(_.map { case (t, spec) =>
-      val sizes = spec match {
+      bytes: Array[Byte]): Option[Seq[TrackTables]] =
+    parseMp4SampleTablesImpl(bytes).map(_.map { raw =>
+      val sizes = raw.sizesSpec match {
         case Right(entries) => entries
         case Left((fixed, count)) =>
           if (count > 0 && fixed > 0 && count <= bytes.length / fixed)
             Seq.fill(count.toInt)(fixed)
           else Seq.empty
       }
-      (t, sizes)
+      TrackTables(raw.table, sizes, raw.stscRuns, raw.chunkOffsets)
     })
 
   /** Sample-table tier (m09's next level down): per track, the census a
@@ -888,7 +1015,7 @@ object Multimodal {
     */
   private[graft] def parseMp4SampleTables(
       bytes: Array[Byte]): Option[Seq[TrackSampleTable]] =
-    parseMp4SampleTablesImpl(bytes).map(_.map(_._1))
+    parseMp4SampleTablesImpl(bytes).map(_.map(_.table))
 
   /** Per-sample sizes as decoded (Right) or the fixed-size form's
     * `(fixed, count)` left unexpanded (Left) — expansion is the caller's
@@ -896,8 +1023,12 @@ object Multimodal {
     */
   private type SizeSpec = Either[(Long, Long), IndexedSeq[Long]]
 
+  private final case class RawTrackTables(
+      table: TrackSampleTable, sizesSpec: SizeSpec,
+      stscRuns: IndexedSeq[(Long, Long)], chunkOffsets: IndexedSeq[Long])
+
   private def parseMp4SampleTablesImpl(
-      bytes: Array[Byte]): Option[Seq[(TrackSampleTable, SizeSpec)]] = {
+      bytes: Array[Byte]): Option[Seq[RawTrackTables]] = {
     if (bytes == null || bytes.length < 8) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
     def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
@@ -923,7 +1054,7 @@ object Multimodal {
     // u32s, and a wrapped Long (e.g. fixed_size x count ~ 1.8e19) would
     // emit garbage as a valid census row instead of the malformed-None
     // path — the ArithmeticException funnels there via the outer catch.
-    def parseStbl(stbl: (String, Int, Int)): Option[(TrackSampleTable, SizeSpec)] = for {
+    def parseStbl(stbl: (String, Int, Int)): Option[RawTrackTables] = for {
       kids <- walk(stbl._2 + 8, stbl._2 + stbl._3)
       stsz <- kids.find(_._1 == "stsz"); stszB <- fullBody(stsz)
       stco <- kids.find(_._1 == "stco"); stcoB <- fullBody(stco)
@@ -941,11 +1072,28 @@ object Multimodal {
           .map(i => u32(stszB + 8 + i.toInt * 4)).toIndexedSeq
         Some((entries.foldLeft(0L)(Math.addExact), Right(entries): SizeSpec))
       } else None
-      // stco: u32 chunk offsets.
+      // stco: u32 chunk offsets (count bounded by the box size).
       if stco._3 >= 16
       nChunks = u32(stcoB)
       _ <- if (stco._3 >= 16 + nChunks * 4) Some(()) else None
-      firstOff = if (nChunks > 0) Some(u32(stcoB + 4)) else None
+      offsets = (0L until nChunks).map(c => u32(stcoB + 4 + c.toInt * 4))
+        .toIndexedSeq
+      // stsc (optional): (first_chunk, samples_per_chunk) runs; a PRESENT
+      // but malformed stsc fails the parse like any other table.
+      stscRuns <- kids.find(_._1 == "stsc") match {
+        case None => Some(IndexedSeq.empty[(Long, Long)])
+        case Some(sc) => fullBody(sc).flatMap { scB =>
+          if (sc._3 < 16) None
+          else {
+            val nRuns = u32(scB)
+            if (sc._3 >= 16 + nRuns * 12)
+              Some((0L until nRuns).map(i =>
+                (u32(scB + 4 + i.toInt * 12), u32(scB + 8 + i.toInt * 12)))
+                .toIndexedSeq)
+            else None
+          }
+        }
+      }
       // stts: (sample_count, delta) runs; ticks = sum count*delta.
       if stts._3 >= 16
       nRuns = u32(sttsB)
@@ -954,8 +1102,10 @@ object Multimodal {
           Math.addExact(a, Math.multiplyExact(
             u32(sttsB + 4 + i.toInt * 8), u32(sttsB + 8 + i.toInt * 8)))))
         else None
-    } yield (TrackSampleTable(0L, nSamples, sized._1, nChunks, firstOff,
-      totalTicks), sized._2)
+    } yield RawTrackTables(
+      TrackSampleTable(0L, nSamples, sized._1, nChunks, offsets.headOption,
+        totalTicks),
+      sized._2, stscRuns, offsets)
     try {
       for {
         top <- walk(0, bytes.length)
@@ -963,7 +1113,7 @@ object Multimodal {
         moov <- top.find(_._1 == "moov")
         kids <- walk(moov._2 + 8, moov._2 + moov._3)
         tracks <- kids.filter(_._1 == "trak").zipWithIndex
-          .foldLeft(Option(Seq.empty[(TrackSampleTable, SizeSpec)])) {
+          .foldLeft(Option(Seq.empty[RawTrackTables])) {
             case (acc, (trak, i)) =>
               acc.flatMap { seq =>
                 // trak without the full chain: skipped. Chain present but
@@ -973,8 +1123,8 @@ object Multimodal {
                   .flatMap(child(_, "stbl")) match {
                   case None => Some(seq)
                   case Some(stbl) =>
-                    parseStbl(stbl).map { case (t, s) =>
-                      seq :+ ((t.copy(track = i + 1L), s))
+                    parseStbl(stbl).map { r =>
+                      seq :+ r.copy(table = r.table.copy(track = i + 1L))
                     }
                 }
               }

@@ -205,6 +205,24 @@ object ScaleBench {
         println(f"SCALE-OK ivf n=$n dim=$dim hits=$hits " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "ivfpq" =>
+        // IVF-PQ at corpus scale — the composed index's cost story next
+        // to the flat `pq` and `ivf` probes: encode n 64-dim vectors into
+        // (cell, residual codes) in one scan (coarse argmin + CASE-chain
+        // residual + PQ argmin, all codegen), then search 16 queries
+        // probing 8 of 64 cells with m=8 x 16 residual ADC tables. The
+        // cell equi-join means only ~nProbe/nCells of the code table is
+        // scored per query — the pruning `pq` alone cannot do.
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val hits = graft.operators.Similarity.ivfPqTopK(
+          pts, pts.filter(col("vec_id") % math.max(1L, n / 16) === 0),
+          "vec_id", "embedding", k = 10, nCells = 64, nProbe = 8,
+          m = 8, kCent = 16)
+          .count()
+        println(f"SCALE-OK ivfpq n=$n dim=$dim cells=64 probe=8 m=8 " +
+          f"hits=$hits sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "bm25" =>
         // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
         // picks), 16 query docs: unlike the tiny-vocab gate corpus, query

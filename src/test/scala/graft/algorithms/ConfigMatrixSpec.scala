@@ -147,7 +147,8 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // round-12 surface: IVF-PQ, trained-PQ codes, resemblance matrix,
         // predicate-pushdown motif, MP4 sample tables.
         "s13_ivfpq", "s14_pq_trained_codes", "d17_resemblance_matrix",
-        "g25c_motif_pred", "m11_mp4_stbl", "m12_mp4_samples")
+        "g25c_motif_pred", "m11_mp4_stbl", "m12_mp4_samples",
+        "m13_mp4_chunked")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -260,22 +260,32 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
       val n = ((id % 7) + 2).toInt
       val sizes = Array.tabulate(n)(i => (id * 13 + 5 * i) % 200 + 50)
       val starts = sizes.scanLeft(0L)(_ + _)
-      val expected = (0 until n).map { i =>
-        val sum = (starts(i) until starts(i) + sizes(i))
-          .map(p => (7 * p + id) % 256).sum
-        (id, 1L, i.toLong, sizes(i), sum)
+      def sums(i: Int): Long = (starts(i) until starts(i) + sizes(i))
+        .map(p => (7 * p + id) % 256).sum
+      def extract(mp4: Array[Byte]) = {
+        val sink = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+            id, mp4, org.apache.spark.sql.Row("video/mp4", mp4.length.toLong, "x")))),
+          Multimodal.mediaSchema)
+        Multimodal.extractMp4Samples(sink)
+          .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
       }
+      // Single-chunk (faststart) layout: every sample in chunk 0.
+      val expected = (0 until n).map(i => (id, 1L, i.toLong, 0L, sizes(i), sums(i)))
       val mp4 = Multimodal.synthesizeMp4Frames(id)
-      val sink = spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
-          id, mp4, org.apache.spark.sql.Row("video/mp4", mp4.length.toLong, "x")))),
-        Multimodal.mediaSchema)
-      val got = Multimodal.extractMp4Samples(sink)
-        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
-      assert(got == expected, s"id=$id")
+      assert(extract(mp4) == expected, s"id=$id")
       // The extraction container still parses under the m09/m11 tiers.
       assert(Multimodal.parseMp4(mp4).isDefined)
       assert(Multimodal.parseMp4SampleTables(mp4).exists(_.length == 1))
+      // Multi-chunk via stsc, junk gaps between chunks: SAME byte sums
+      // (sample content is chunk-layout-invariant by construction), the
+      // stsc-resolved chunk index attached — a reader walking linearly
+      // past the gaps would differ.
+      val nc = math.min(((id % 3) + 1).toInt, n)
+      val spc = n / nc
+      val chunked = (0 until n).map(i =>
+        (id, 1L, i.toLong, math.min(i / spc, nc - 1).toLong, sizes(i), sums(i)))
+      assert(extract(Multimodal.synthesizeMp4Chunks(id)) == chunked, s"id=$id chunked")
     }
   }
 
@@ -286,17 +296,25 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     // positions: id=0 has one chunk whose offset points past the buffer
     // (poisoned track -> NULL row); id=1 has two chunks (stsc-less
     // multi-chunk -> refused, NULL row); plus plain garbage.
+    // ...and an stsc whose expanded run totals disagree with the stsz
+    // sample count (id=1: n=3, nc=2, runs [(1,1),(2,2)]; patching the
+    // first run's samples_per_chunk — stsc box start + 8 hdr + 4 verflags
+    // + 4 entry_count + 4 first_chunk — to 3 claims 5 samples).
+    val badStsc = Multimodal.synthesizeMp4Chunks(1L)
+    java.nio.ByteBuffer.wrap(badStsc)
+      .putInt(16 + 8 + 108 + 24 + 8 + 32 + 20, 3)
     val cases = Seq(
       (0L, Multimodal.synthesizeMp4Track(0L)),
       (1L, Multimodal.synthesizeMp4Track(1L)),
-      (2L, "not an mp4".getBytes))
+      (2L, "not an mp4".getBytes),
+      (3L, badStsc))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(cases.map { case (id, b) =>
         Row(id, b, Row("video/mp4", b.length.toLong, "x")) }),
       Multimodal.mediaSchema)
     val out = Multimodal.extractMp4Samples(df).collect()
       .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
-    assert(out == Map(0L -> true, 1L -> true, 2L -> true))
+    assert(out == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true))
   }
 
   test("PQ-family operators reject degenerate shape arguments loudly") {
