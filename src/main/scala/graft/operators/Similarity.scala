@@ -515,11 +515,17 @@ object Similarity {
     * chain of m `element_at` lookups. Output `[query_id, neighbor_id, d2,
     * rank]`, d2 the exact integer ADC distance, rank by (d2 ASC, id ASC).
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCells: Int, nProbe: Int, m: Int, kCent: Int): DataFrame = {
-    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
-      s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
+  /** Build the IVF-PQ index artifact `[id, cell, codes]` plus the two
+    * driver-resident codebooks — encode ONCE, probe with every query
+    * batch via [[ivfPqTopK]]'s `indexOf` (at scale the frame persists as
+    * a table; the codebooks are nCells + m·kCent small vectors and ride
+    * along trivially). [[ivfPqTopK]] without `indexOf` composes the two
+    * for the self-contained gate shape.
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, kCent: Int)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    require(nCells >= 1, s"need nCells >= 1, got $nCells")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
     val cq = KMeans.quantize(corpus, idCol, vecCol)
@@ -560,9 +566,6 @@ object Similarity {
       Array.tabulate(m, kCent)((s, j) => res(j).slice(s * sd, s * sd + sd))
     }
 
-    def sq(cv: Array[Long]): Double =
-      cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x))).toDouble
-
     // CORPUS ENCODE — one scan, no shuffle. Stage 1: coarse distances as
     // materialized columns; stage 2: least + first-match argmin (cell);
     // stage 3: residual array via a CASE chain over cells (element_at
@@ -574,26 +577,16 @@ object Similarity {
       .select(col("id") +: col("vq") +:
         coarse.zipWithIndex.map { case (cv, i) =>
           (col("vq2") - lit(2.0) * array_dot(col("vqd"),
-            typedLit(cv.map(_.toDouble).toSeq)) + lit(sq(cv))).as(cNames(i))
+            typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as(cNames(i))
         }.toIndexedSeq: _*)
     val withCell = st1
       .withColumn("__ivfpq_dmin", ColumnKernels.leastOf(cNames.map(col)))
       .select(col("id"), col("vq"),
         ColumnKernels.firstMatchIndex(cNames.map(col), col("__ivfpq_dmin"))
           .as("cell"))
-    def residualOf(vqc: Column, cellc: Column): Column = {
-      val arms = (0 until nCells).map { c =>
-        array((1 to d).map(i =>
-          element_at(vqc, i) - lit(coarse(c)(i - 1))): _*)
-      }
-      if (nCells == 1) arms(0)
-      else (1 until nCells - 1)
-        .foldLeft(when(cellc === 0, arms(0)))((acc, c) =>
-          acc.when(cellc === c, arms(c)))
-        .otherwise(arms(nCells - 1))
-    }
     val withRes = withCell.select(col("id"), col("cell"),
-      residualOf(col("vq"), col("cell")).cast("array<double>").as("rv"))
+      residualCase(coarse, col("vq"), col("cell"))
+        .cast("array<double>").as("rv"))
     def dName(s: Int, j: Int) = s"__ivfpq_d_${s}_$j"
     val distCols = (0 until m).flatMap { s =>
       val sub = slice(col("rv"), s * sd + 1, sd)
@@ -601,7 +594,7 @@ object Similarity {
       (0 until kCent).map { j =>
         val bv = book(s)(j)
         (s2 - lit(2.0) * array_dot(sub, typedLit(bv.map(_.toDouble).toSeq))
-          + lit(sq(bv))).as(dName(s, j))
+          + lit(sqSum(bv))).as(dName(s, j))
       }
     }
     val staged = withRes.select(col("id") +: col("cell") +: distCols: _*)
@@ -609,11 +602,59 @@ object Similarity {
       val ds = (0 until kCent).map(j => col(dName(s, j)))
       ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
     }
-    // The index artifact, checkpointed before the per-query fan-out (the
+    // The index artifact, checkpointed before any per-query fan-out (the
     // pqTopK lesson: without the cut the optimizer re-derives the encode
     // chain per (candidate x query) row).
     val codes = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
       staged.select(col("id"), col("cell"), array(codeCols: _*).as("codes")))
+    (codes, coarse, book)
+  }
+
+  /** Exact integer |cv|^2 as a double literal (codebook vectors only —
+    * bounded, overflow-checked).
+    */
+  private def sqSum(cv: Array[Long]): Double =
+    cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x))).toDouble
+
+  /** `vq - coarse(cell)` as a plan-time CASE chain over cells: only the
+    * matched arm evaluates (d element_at's per row), all codegen — the
+    * shape that avoids both a join and an interpreted zip_with on the
+    * corpus hot path.
+    */
+  private def residualCase(coarse: Array[Array[Long]], vqc: Column,
+      cellc: Column): Column = {
+    val nCells = coarse.length
+    val d = coarse.head.length
+    val arms = (0 until nCells).map { c =>
+      array((1 to d).map(i =>
+        element_at(vqc, i) - lit(coarse(c)(i - 1))): _*)
+    }
+    if (nCells == 1) arms(0)
+    else (1 until nCells - 1)
+      .foldLeft(when(cellc === 0, arms(0)))((acc, c) =>
+        acc.when(cellc === c, arms(c)))
+      .otherwise(arms(nCells - 1))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int, nProbe: Int, m: Int, kCent: Int,
+      indexOf: Option[(DataFrame, Array[Array[Long]], Array[Array[Array[Long]]])] = None)
+      : DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
+    require(m >= 1 && kCent >= 1,
+      s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
+    val (codes, coarse, book) = indexOf.getOrElse(
+      ivfPqIndex(corpus, idCol, vecCol, nCells, m, kCent))
+    require(coarse.length == nCells && book.length == m &&
+      book.forall(_.length == kCent),
+      s"index shape mismatch: got ${coarse.length} cells, " +
+        s"${book.length} x ${book.headOption.map(_.length).getOrElse(0)} codebook " +
+        s"for nCells=$nCells m=$m kCent=$kCent")
+    val d = coarse.head.length
+    val sd = d / m
+    def sq(cv: Array[Long]): Double = sqSum(cv)
 
     // QUERY SIDE (query-sized frames throughout): rank coarse cells by
     // exact integer distance — (d2, cell) struct sort, ties to the
@@ -632,7 +673,7 @@ object Similarity {
         explode(slice(rankedCells, 1, nProbe)).as("p"))
       .select(col("qid"), col("qvq"), col("p.c").as("cell"))
     val withQr = probes.select(col("qid"), col("cell"),
-      residualOf(col("qvq"), col("cell")).cast("array<double>").as("qr"))
+      residualCase(coarse, col("qvq"), col("cell")).cast("array<double>").as("qr"))
     val qTables = withQr.select(col("qid"), col("cell"),
       array((0 until m).map { s =>
         val sub = slice(col("qr"), s * sd + 1, sd)

@@ -317,6 +317,26 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true))
   }
 
+  test("ivfPqTopK with a prebuilt index equals the self-contained search") {
+    // Encode once, probe many — the production index lifecycle. The
+    // prebuilt artifact must reproduce the gate result bit-for-bit, and
+    // a shape-mismatched index must be rejected, not silently mis-probed.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" <= 3)
+    def run(idx: Option[(org.apache.spark.sql.DataFrame,
+        Array[Array[Long]], Array[Array[Array[Long]]])]) =
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+          nCells = 4, nProbe = 2, m = 4, kCent = 8, indexOf = idx)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    assert(run(Some(idx)) == run(None))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 2, m = 4, kCent = 8, indexOf = Some(idx))
+    }
+  }
+
   test("PQ-family operators reject degenerate shape arguments loudly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 3)
