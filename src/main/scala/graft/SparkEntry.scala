@@ -1827,6 +1827,17 @@ object SparkEntry {
         "st13_sink", "append")
     }),
 
+    // Streaming twin of m12: container synthesis + the stbl-indexed
+    // sample extraction running STATELESS at ingest (mapPartitions over
+    // each micro-batch, no state store) — the shape a video ingest
+    // pipeline uses to index samples as files arrive.
+    "st14_stream_mp4_samples" -> ((s, d) =>
+      drainStream(
+        Multimodal.extractMp4Samples(
+          Multimodal.synthesizeMp4FramesMedia(
+            streamTbl(s, d, "documents").select(col("doc_id")), "doc_id")),
+        "st14_sink", "append")),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -3346,6 +3357,21 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
         |  CAST(i AS BIGINT) AS sample,
         |  CAST(least(i // (n // nc), nc - 1) AS BIGINT) AS chunk,
+        |  CAST(sz AS BIGINT) AS nbytes,
+        |  CAST(list_sum(list_transform(range(p0, p0 + sz),
+        |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
+        |FROM s""".stripMargin,
+
+    // Streaming twin: identical extraction, AvailableNow drain.
+    "st14_stream_mp4_samples" ->
+      """WITH s AS (SELECT doc_id, r.i,
+        |  (doc_id * 13 + 5 * r.i) % 200 + 50 AS sz,
+        |  CAST(coalesce(list_sum(list_transform(range(0, r.i),
+        |    j -> (doc_id * 13 + 5 * j) % 200 + 50)), 0) AS BIGINT) AS p0
+        |  FROM documents CROSS JOIN range(0, 8) r(i)
+        |  WHERE r.i < doc_id % 7 + 2)
+        |SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS track,
+        |  CAST(i AS BIGINT) AS sample, CAST(0 AS BIGINT) AS chunk,
         |  CAST(sz AS BIGINT) AS nbytes,
         |  CAST(list_sum(list_transform(range(p0, p0 + sz),
         |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
