@@ -525,6 +525,23 @@ object Similarity {
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, m: Int, kCent: Int)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val (encoded, coarse, book) =
+      ivfPqEncode(corpus, idCol, vecCol, nCells, m, kCent)
+    // The index artifact, checkpointed before any per-query fan-out (the
+    // pqTopK lesson: without the cut the optimizer re-derives the encode
+    // chain per (candidate x query) row).
+    (org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(encoded),
+      coarse, book)
+  }
+
+  /** The un-checkpointed encode plan behind [[ivfPqIndex]] — exposed so
+    * PlanSpec can pin that the whole chain (coarse argmin, residual CASE,
+    * PQ argmin) stays inside whole-stage codegen at production arity; the
+    * checkpoint in [[ivfPqIndex]] would hide it behind a scanned RDD.
+    */
+  private[graft] def ivfPqEncode(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, m: Int, kCent: Int)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
@@ -602,12 +619,8 @@ object Similarity {
       val ds = (0 until kCent).map(j => col(dName(s, j)))
       ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
     }
-    // The index artifact, checkpointed before any per-query fan-out (the
-    // pqTopK lesson: without the cut the optimizer re-derives the encode
-    // chain per (candidate x query) row).
-    val codes = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
-      staged.select(col("id"), col("cell"), array(codeCols: _*).as("codes")))
-    (codes, coarse, book)
+    (staged.select(col("id"), col("cell"), array(codeCols: _*).as("codes")),
+      coarse, book)
   }
 
   /** Exact integer |cv|^2 as a double literal (codebook vectors only —

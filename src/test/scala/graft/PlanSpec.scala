@@ -338,6 +338,22 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"weight predicate not pushed into the parquet scan:\n$plan")
   }
 
+  test("ivf-pq encode stays in whole-stage codegen at production arity") {
+    // The residual CASE chain at nCells=32 is a ~2k-node expression tree
+    // (32 arms x 64 element_at each) — this pin catches it falling out of
+    // codegen (the interpreted-execution cliff class measured at 15x on
+    // the PQ argmin) before a corpus-scale run would. The un-checkpointed
+    // encode frame is probed directly; the public ivfPqIndex wraps it in
+    // a local checkpoint that would hide the plan behind a scanned RDD.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (encoded, _, _) = Similarity.ivfPqEncode(e, "vec_id", "embedding",
+      nCells = 32, m = 8, kCent = 16)
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+    assert(plan.contains("*(1)"), s"encode fell out of codegen:\n$plan")
+  }
+
   test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {
     val plan = SparkEntry.queries("q17d_cms_grouped_est")(spark, sf)
       .queryExecution.executedPlan.toString
