@@ -581,14 +581,28 @@ object Multimodal {
     * stts; stts always writes the two-run form `(n-1) x delta, 1 x 100`
     * with `delta = (id mod 5)+1`.
     */
+  /** The spec-pinned layout constants in ONE place: box sizes of the
+    * synthetic trak chain and the resulting in-file mdat payload offset —
+    * shared by [[buildMp4]] (which writes them) and the synthesizers that
+    * must pre-compute real stco offsets ([[synthesizeMp4Frames]],
+    * [[synthesizeMp4Chunks]]); a drifted copy would write stco pointing
+    * at the wrong mdat bytes and fail only at oracle time.
+    */
+  private def mp4StscSz(nRuns: Int): Int =
+    if (nRuns > 0) 16 + 12 * nRuns else 0
+  private def mp4TrakSz(n: Int, nc: Int, nRuns: Int): Int =
+    100 + 4 * n + 4 * nc + mp4StscSz(nRuns)
+  private def mp4PayloadOffset(n: Int, nc: Int, nRuns: Int): Int =
+    16 + (8 + 108 + mp4TrakSz(n, nc, nRuns)) + 8
+
   private def buildMp4(id: Long, trak: Option[(Array[Int], Array[Int])],
       mdat: Array[Byte],
       stsc: Option[Array[(Int, Int)]] = None): Array[Byte] = {
     val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
     val dur = (java.lang.Math.floorMod(id * 37L, 100000L)).toInt + 600
-    val stscSz = stsc.map(runs => 16 + 12 * runs.length).getOrElse(0)
+    val stscSz = mp4StscSz(stsc.map(_.length).getOrElse(0))
     val trakSz = trak.map { case (sizes, offsets) =>
-      100 + 4 * sizes.length + 4 * offsets.length + stscSz
+      mp4TrakSz(sizes.length, offsets.length, stsc.map(_.length).getOrElse(0))
     }.getOrElse(0)
     val moovSz = 8 + 108 + trakSz
     val buf = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdat.length)
@@ -760,10 +774,7 @@ object Multimodal {
     val n = (java.lang.Math.floorMod(id, 7L)).toInt + 2
     val sizes = Array.tabulate(n)(i =>
       (java.lang.Math.floorMod(id * 13L + 5L * i, 200L)).toInt + 50)
-    // True in-file payload offset: ftyp + moov (mvhd + trak with n sizes
-    // and ONE chunk offset) + mdat header.
-    val trakSz = 100 + 4 * n + 4
-    val payloadOff = 16 + (8 + 108 + trakSz) + 8
+    val payloadOff = mp4PayloadOffset(n, nc = 1, nRuns = 0)
     buildMp4(id, Some((sizes, Array(payloadOff))), mp4Filler(id, sizes.sum))
   }
 
@@ -801,9 +812,7 @@ object Multimodal {
         b
       }
     }
-    val stscSz = 16 + 12 * runs.length
-    val trakSz = 100 + 4 * n + 4 * nc + stscSz
-    val payloadOff = 16 + (8 + 108 + trakSz) + 8
+    val payloadOff = mp4PayloadOffset(n, nc, runs.length)
     val offsets = new Array[Int](nc)
     var off = payloadOff
     var c = 0
@@ -914,9 +923,23 @@ object Multimodal {
             first >= 1L && first <= nChunks && spc >= 1L && spc <= t.sizes.length
           }
         if (!wellFormed) None
-        else Some((1 to nChunks).map { c =>
-          runs.takeWhile(_._1 <= c).last._2.toInt
-        }.toIndexedSeq)
+        else {
+          // LINEAR merge over the sorted runs (one pointer each): a
+          // per-chunk scan of the run list would be O(nChunks x nRuns) —
+          // a crafted stsc/stco pair with both counts in the 10^5 range
+          // pins a core for hours before the totals check can refuse it,
+          // exactly the attacker-input class this parser is hardened
+          // against.
+          val counts = new Array[Int](nChunks)
+          var r = 0
+          var c = 1
+          while (c <= nChunks) {
+            while (r + 1 < runs.length && runs(r + 1)._1 <= c) r += 1
+            counts(c - 1) = runs(r)._2.toInt
+            c += 1
+          }
+          Some(counts.toIndexedSeq)
+        }
       }
     perChunk.flatMap { counts =>
       if (counts.map(_.toLong).sum != t.sizes.length.toLong) None
@@ -1072,12 +1095,18 @@ object Multimodal {
           .map(i => u32(stszB + 8 + i.toInt * 4)).toIndexedSeq
         Some((entries.foldLeft(0L)(Math.addExact), Right(entries): SizeSpec))
       } else None
-      // stco: u32 chunk offsets (count bounded by the box size).
+      // stco: u32 chunk offsets (count bounded by the box size). Decoded
+      // LAZILY — the census tier (m11) reads only the first offset, and
+      // eagerly boxing up to file/4 longs per media would tax the
+      // "few hundred header bytes per file" contract; the extraction
+      // tier walks them all, each an O(1) big-endian read.
       if stco._3 >= 16
       nChunks = u32(stcoB)
       _ <- if (stco._3 >= 16 + nChunks * 4) Some(()) else None
-      offsets = (0L until nChunks).map(c => u32(stcoB + 4 + c.toInt * 4))
-        .toIndexedSeq
+      offsets = new scala.collection.immutable.IndexedSeq[Long] {
+        def length: Int = nChunks.toInt
+        def apply(i: Int): Long = u32(stcoB + 4 + i * 4)
+      }
       // stsc (optional): (first_chunk, samples_per_chunk) runs; a PRESENT
       // but malformed stsc fails the parse like any other table.
       stscRuns <- kids.find(_._1 == "stsc") match {

@@ -666,8 +666,13 @@ object Similarity {
         s"${book.length} x ${book.headOption.map(_.length).getOrElse(0)} codebook " +
         s"for nCells=$nCells m=$m kCent=$kCent")
     val d = coarse.head.length
+    // Dimension discipline on a HAND-BUILT index tuple (ivfPqEncode
+    // enforces its own): a mismatched subvector width would flow into
+    // residualCase/slice and score garbage silently, not loudly.
+    require(d % m == 0, s"index dim $d not divisible by m=$m subspaces")
+    require(book.forall(_.forall(_.length == d / m)),
+      s"codebook subvector width != ${d / m} (index dim $d / m=$m)")
     val sd = d / m
-    def sq(cv: Array[Long]): Double = sqSum(cv)
 
     // QUERY SIDE (query-sized frames throughout): rank coarse cells by
     // exact integer distance — (d2, cell) struct sort, ties to the
@@ -678,7 +683,7 @@ object Similarity {
       .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
     val rankedCells = array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
       struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
-        typedLit(cv.map(_.toDouble).toSeq)) + lit(sq(cv))).as("d"),
+        typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as("d"),
         lit(i).as("c"))
     }.toIndexedSeq: _*))
     val probes = qq
@@ -692,7 +697,7 @@ object Similarity {
         val sub = slice(col("qr"), s * sd + 1, sd)
         array(book(s).map { bv =>
           (array_dot(sub, sub) - lit(2.0) * array_dot(sub,
-            typedLit(bv.map(_.toDouble).toSeq)) + lit(sq(bv))).cast("long")
+            typedLit(bv.map(_.toDouble).toSeq)) + lit(sqSum(bv))).cast("long")
         }.toIndexedSeq: _*)
       }: _*).as("qtab"))
 
