@@ -775,6 +775,22 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Trainer -> composed index: IVF-PQ probing a KMEANS-TRAINED coarse
+    // quantizer (one Lloyd iteration on the micro lattice) — the s05
+    // trained-IVF wiring lifted to the composed layout; the residual
+    // codebook re-derives against the TRAINED cells.
+    "s15_ivfpq_trained" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val coarse = KMeans.fitCentroids(e, "vec_id", "embedding",
+        k = 4, nIter = 1)
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8, coarseOf = Some(coarse))
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8, indexOf = Some(idx))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Trainer -> PQ wiring: one per-subspace Lloyd iteration refines the
     // first-kCent init codebook, then codes re-derive against the TRAINED
     // book (vs s10's init book) — gating the pqTrain -> pqCodes path
@@ -2690,6 +2706,71 @@ object SparkEntry {
         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
         |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
         |  FROM e ORDER BY vec_id LIMIT 4),
+        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN cc c),
+        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS rv
+        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+        |  FROM res ORDER BY vec_id LIMIT 8),
+        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |code AS (SELECT vec_id, cell, s, j AS code
+        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS qr
+        |  FROM probes p JOIN e ON e.vec_id = p.qid
+        |  JOIN cc c ON c.cell = p.cell),
+        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+        |    AND qt.j = code.code
+        |  WHERE code.vec_id <> qt.qid
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Trained-coarse IVF-PQ replay: the k01 chain at k=4 for ONE Lloyd
+    // iteration (integer argmin assignment, floor-div update, empty-cell
+    // carryover) produces the trained coarse table cc, then the s13
+    // chain runs verbatim against it — residuals, residual codebook,
+    // codes, probes, ADC — all on the integer lattice.
+    "s15_ivfpq_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |dd1 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM dd1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, i.i,
+        |  CAST(floor(CAST(sum(e.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i)
+        |  GROUP BY 1, 2),
+        |u1 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s1 GROUP BY 1),
+        |cc AS (SELECT c0.cell, coalesce(u1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u1 USING (cell)),
         |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
         |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
         |  FROM e CROSS JOIN cc c),

@@ -523,10 +523,11 @@ object Similarity {
     * for the self-contained gate shape.
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, m: Int, kCent: Int)
+      nCells: Int, m: Int, kCent: Int,
+      coarseOf: Option[Array[Array[Long]]] = None)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val (encoded, coarse, book) =
-      ivfPqEncode(corpus, idCol, vecCol, nCells, m, kCent)
+      ivfPqEncode(corpus, idCol, vecCol, nCells, m, kCent, coarseOf)
     // The index artifact, checkpointed before any per-query fan-out (the
     // pqTopK lesson: without the cut the optimizer re-derives the encode
     // chain per (candidate x query) row).
@@ -540,24 +541,31 @@ object Similarity {
     * checkpoint in [[ivfPqIndex]] would hide it behind a scanned RDD.
     */
   private[graft] def ivfPqEncode(corpus: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, m: Int, kCent: Int)
+      vecCol: String, nCells: Int, m: Int, kCent: Int,
+      coarseOf: Option[Array[Array[Long]]] = None)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
     val cq = KMeans.quantize(corpus, idCol, vecCol)
 
-    // One driver collect covers both levels: the nCells coarse centroids
-    // and the kCent codebook seeds are the max(nCells, kCent) smallest-id
-    // quantized vectors (bounded, index-sized — the coarse-quantizer
-    // contract).
+    // One driver collect covers both levels: the residual codebook seeds
+    // are the kCent smallest-id quantized vectors, and — absent a TRAINED
+    // coarse quantizer via `coarseOf` (micro-lattice centroids, e.g.
+    // [[KMeans.fitCentroids]]'s output, the s15 wiring) — the nCells
+    // coarse centroids default to the smallest-id vectors too (bounded,
+    // index-sized — the coarse-quantizer contract).
     val seedRows = cq.orderBy(col("id")).limit(math.max(nCells, kCent))
       .select(col("vq")).collect().map(_.getSeq[Long](0).toArray)
     require(seedRows.length >= math.max(nCells, kCent),
       s"corpus smaller than max(nCells=$nCells, kCent=$kCent)")
-    val coarse: Array[Array[Long]] = seedRows.take(nCells)
+    val coarse: Array[Array[Long]] = coarseOf.getOrElse(seedRows.take(nCells))
+    require(coarse.length == nCells,
+      s"coarseOf carries ${coarse.length} centroids, expected nCells=$nCells")
     val d = coarse.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    require(seedRows.head.length == d,
+      s"coarseOf dim ${d} != corpus dim ${seedRows.head.length}")
     val sd = d / m
 
     // Exact integer argmin on the driver (ties to the smaller cell) —
