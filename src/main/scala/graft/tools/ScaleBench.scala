@@ -223,6 +223,26 @@ object ScaleBench {
         println(f"SCALE-OK ivfpq n=$n dim=$dim cells=64 probe=8 m=8 " +
           f"hits=$hits sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "minhash" =>
+        // Corpus k-minwise sketching at probe scale: n synthetic 20-token
+        // docs over a 10k-word vocabulary, 4 slices, k=16 draws — the
+        // d15/d17 machinery where the claim under test is that the
+        // grouped fold shuffles only slices x k longs per partition
+        // regardless of corpus size (the map-side-combining law). Also
+        // folds the pairwise matrix to prove the signature-only join adds
+        // nothing.
+        val words = (0 until 20).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000L))))
+        val docs = spark.range(n).select(col("id"),
+          (col("id") % 4).as("slice"),
+          concat_ws(" ", words: _*).as("text")).localCheckpoint(true)
+        docs.count() // materialize outside the timed region
+        val s0 = System.nanoTime()
+        val m0 = graft.operators.Dedup.corpusResemblanceMatrix(
+          docs, "slice", "text", n = 3, k = 16).collect()
+        println(f"SCALE-OK minhash n=$n slices=4 k=16 pairs=${m0.length} " +
+          f"sec=${(System.nanoTime() - s0) / 1e9}%.1f")
+
       case "bm25" =>
         // n synthetic 20-token docs over a 10k-word vocabulary (xxhash
         // picks), 16 query docs: unlike the tiny-vocab gate corpus, query
