@@ -75,7 +75,12 @@ object Bench {
     // judge re-runs that predate the new verdict); files from that round on
     // are excluded. SPARK_GRAFT_BENCH_ROUND overrides the derivation.
     val deltas: String = try {
-      val currentRound: Int = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+      // No VERDICT.md and no env override => the current round is UNKNOWN,
+      // and an Int.MaxValue fallback would treat this round's own
+      // BENCH_r{N}.json (if already on disk from a re-run) as prior — the
+      // self-comparison (~0 deltas) this derivation exists to prevent.
+      // Unknown round => no deltas, honestly.
+      val roundOpt: Option[Int] = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
         .map(_.toInt)
         .orElse {
           val v = new java.io.File("VERDICT.md")
@@ -84,7 +89,8 @@ object Bench {
             .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(v.toPath)))
             .map(_.group(1).toInt + 1)
         }
-        .getOrElse(Int.MaxValue)
+      if (roundOpt.isEmpty) throw new IllegalStateException("round unknown")
+      val currentRound: Int = roundOpt.get
       val dir = new java.io.File(".")
       // Newest-first over PRIOR rounds; a file whose payload was lost to
       // tail truncation (the r11 parsed-null artifact) yields zero scraped
@@ -135,6 +141,13 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    // Two stdout channels + the file belt: the bare line LAST (the
+    // documented one-JSON-line contract — kept at the very tail so the
+    // driver's tail capture sees it), and a greppable "BENCH-JSON: "
+    // prefixed copy just above it for parsers that scan by marker instead
+    // of position (sbt appends its own "[success]" line after main
+    // returns, which broke position-based parsing of BENCH_r12.json).
+    println("BENCH-JSON: " + line)
     println(line)
   }
 }

@@ -179,6 +179,15 @@ object GraphFrame {
 
   /** Validating constructor (reference `src/lib.rs:67-89`): `id`/`src`/`dst`
     * must exist with LongType.
+    *
+    * Vertex-id UNIQUENESS is assumed, not enforced (matching the
+    * reference, and because a distributed uniqueness check costs a full
+    * shuffle on every construction). Algorithms join on `id` as a key:
+    * duplicates inflate join fan-out and counts (e.g. Bfs's folded
+    * frontier stats) but never flip their zero/nonzero decisions. Callers
+    * building frames from raw data can dedup with
+    * `vertices.dropDuplicates("id")` first; [[fromEdges]] is
+    * distinct-by-construction.
     */
   def apply(vertices: DataFrame, edges: DataFrame): GraphFrame = {
     def fieldType(df: DataFrame, name: String, side: String) =

@@ -676,7 +676,14 @@ object Similarity {
     val d = coarse.head.length
     // Dimension discipline on a HAND-BUILT index tuple (ivfPqEncode
     // enforces its own): a mismatched subvector width would flow into
-    // residualCase/slice and score garbage silently, not loudly.
+    // residualCase/slice and score garbage silently, not loudly. Every
+    // coarse centroid must match d, not just the head — a LONGER ragged
+    // centroid would silently drop its trailing dims in residualCase
+    // (wrong residuals, no error); a shorter one would surface as a raw
+    // ArrayIndexOutOfBounds rather than a contract error.
+    require(coarse.forall(_.length == d),
+      s"ragged coarse centroids: expected every length == $d, got " +
+        coarse.map(_.length).distinct.mkString("{", ",", "}"))
     require(d % m == 0, s"index dim $d not divisible by m=$m subspaces")
     require(book.forall(_.forall(_.length == d / m)),
       s"codebook subvector width != ${d / m} (index dim $d / m=$m)")

@@ -94,13 +94,17 @@ object ManifestTables {
     // away between the check and the read (the exists probe alone would
     // leave exactly the race the fallback is for). Any failure to read
     // the manifest — absent, mid-swap, torn — degrades to the unpruned
-    // exact scan.
+    // exact scan. NonFatal, not just AnalysisException: a manifest absent
+    // at RESOLUTION time raises AnalysisException, but a reader racing the
+    // swap can pass analysis (files listed) and then lose the files during
+    // the collect() job — that surfaces as a FileNotFoundException wrapped
+    // in SparkException, which must take the same fallback.
     val keepOpt = try {
       Some(spark.read.parquet(mPath)
         .filter(col(s"max_$statsCol") >= lo && col(s"min_$statsCol") <= hi)
         .select("file").collect().map(_.getString(0)))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
+      case scala.util.control.NonFatal(_) => None
     }
     val keep = keepOpt match {
       case None => return spark.read.parquet(path).filter(predicateOnly)
