@@ -1378,6 +1378,21 @@ object SparkEntry {
         Multimodal.synthesizeMp4ChunksMedia(
           tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
 
+    // REAL frame decode, end to end: the mdat samples are actual PNG
+    // images (pixel(x,y) of frame i = (7x+13y+doc_id+31i) mod 256), so
+    // the chain is container walk -> per-sample pread -> javax.imageio
+    // decode -> pixel histogram. The stsz sizes are deflate-dependent
+    // (never replayable), but the DECODED pixels are a closed-form
+    // function of (id, i) — only a correct walk + pread + decode matches.
+    "m14_mp4_frame_decode" -> ((s, d) =>
+      Multimodal.decodeMp4Frames(
+        Multimodal.synthesizeMp4PngMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))
+        .select(col("media_id"), col("sample"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 6).as("b0"),
+          round(element_at(col("features"), 8), 6).as("b7"),
+          round(element_at(col("features"), 16), 6).as("b15"))),
+
     "m04_png_decode" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.synthesizePngMedia(
@@ -3442,6 +3457,23 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(p0, p0 + sz),
         |    p -> (7 * p + doc_id) % 256)) AS BIGINT) AS byte_sum
         |FROM s""".stripMargin,
+
+    // Frame-decode replay: frame i of doc d is a 16x12 gray PNG with
+    // pixel (7x+13y+d+31i) mod 256; the oracle histograms that formula
+    // directly — it never sees the PNG bytes, so agreement proves the
+    // engine's container walk + pread + image decode are all correct.
+    "m14_mp4_frame_decode" ->
+      """WITH f AS (SELECT doc_id, r.i FROM documents CROSS JOIN range(0, 4) r(i)
+        |  WHERE r.i < doc_id % 3 + 2),
+        |px AS (SELECT doc_id, i,
+        |  (gx.x * 7 + gy.y * 13 + doc_id + 31 * i) % 256 AS v
+        |  FROM f, generate_series(0, 15) gx(x), generate_series(0, 11) gy(y))
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  round(CAST(sum(CASE WHEN v // 16 = 0  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b0,
+        |  round(CAST(sum(CASE WHEN v // 16 = 7  THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b7,
+        |  round(CAST(sum(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS DOUBLE) / 192.0, 6) AS b15
+        |FROM px GROUP BY doc_id, i""".stripMargin,
 
     // Streaming twin: identical extraction, AvailableNow drain.
     "st14_stream_mp4_samples" ->

@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * Spark-side design is real and tested (schema, batched partition-level
   * processing, deterministic output). PNG decode/resize (`javax.imageio`)
   * and WAV PCM decode (`javax.sound.sampled`) are REAL pure-JDK codec
-  * paths, and the VIDEO CONTAINER metadata tier is a real ISO BMFF box
-  * parse ([[extractMp4Meta]] — the pruning pass a curation pipeline runs
-  * before scheduling any decode). ONLY video frame decode remains stubbed
-  * — this container has no video codec libraries, so `decodeStub` derives
-  * features from the raw bytes deterministically where a real
-  * implementation would call the decoder. Swap points are marked
-  * `REAL-CODEC`.
+  * paths; the VIDEO tier is real end to end for MP4 with image-codec
+  * frames: ISO BMFF box parse ([[extractMp4Meta]]), sample-table seek
+  * plan ([[extractMp4SampleTable]]), per-sample pread
+  * ([[extractMp4Samples]]) and frame decode ([[decodeMp4Frames]], the
+  * MJPEG shape — `javax.imageio` standing in for the video codec this
+  * container lacks). Only NON-image video codecs (H.264 et al.) remain
+  * stubbed: `decodeStub` derives features from raw bytes
+  * deterministically where a real implementation would call the decoder.
+  * Swap points are marked `REAL-CODEC`.
   */
 object Multimodal {
 
@@ -44,13 +46,15 @@ object Multimodal {
 
   private val histBins = 16
 
-  /** REAL-CODEC (video mimes only): replace with an actual video decode +
-    * model feature extractor. The stub computes a 16-bin byte histogram
-    * normalized to sum 1 — deterministic, shape-identical to a real
-    * feature vector. `image/png` does NOT take this path — it gets a real
-    * `javax.imageio` decode in [[pngPixelHistogram]] — and neither does
-    * `audio/wav`, which gets a real `javax.sound.sampled` decode in
-    * [[wavSampleHistogram]].
+  /** REAL-CODEC (non-MP4 video mimes and unknown payloads only): replace
+    * with an actual decode + model feature extractor. The stub computes a
+    * 16-bin byte histogram normalized to sum 1 — deterministic,
+    * shape-identical to a real feature vector. `image/png` does NOT take
+    * this path — it gets a real `javax.imageio` decode in
+    * [[pngPixelHistogram]] — nor does `audio/wav` (`javax.sound.sampled`
+    * in [[wavSampleHistogram]]), nor `video/mp4`, whose frames go through
+    * the full container-walk → pread → image-decode chain in
+    * [[mp4FramePixelHistogram]] (m14).
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val h = new Array[Double](histBins)
@@ -76,6 +80,20 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) return h
     val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (decoded == null) return h
+    val n = grayCounts(decoded, h)
+    var j = 0
+    while (j < histBins) { h(j) /= n.toDouble; j += 1 }
+    h
+  }
+
+  /** Accumulate the UNNORMALIZED grayscale-pixel bin counts of a decoded
+    * image into `h`; returns the pixel count. Shared by the single-image
+    * normalizer ([[pngPixelHistogram]]) and the multi-frame video
+    * aggregate ([[mp4FramePixelHistogram]]), which must accumulate counts
+    * across frames before normalizing once.
+    */
+  private def grayCounts(decoded: java.awt.image.BufferedImage,
+      h: Array[Double]): Long = {
     val img = toByteGray(decoded)
     val raster = img.getRaster
     val (w, ht) = (img.getWidth, img.getHeight)
@@ -88,10 +106,7 @@ object Multimodal {
       }
       y += 1
     }
-    val n = (w.toLong * ht).toDouble
-    var j = 0
-    while (j < histBins) { h(j) /= n; j += 1 }
-    h
+    w.toLong * ht
   }
 
   /** Synthesize a deterministic 8-bit grayscale PNG: pixel(x,y) =
@@ -448,6 +463,7 @@ object Multimodal {
           val feats =
             if (!r.isNullAt(2) && r.getString(2) == "image/png") pngPixelHistogram(bytes)
             else if (!r.isNullAt(2) && r.getString(2) == "audio/wav") wavSampleHistogram(bytes)
+            else if (!r.isNullAt(2) && r.getString(2) == "video/mp4") mp4FramePixelHistogram(bytes)
             else decodeStub(bytes)
           Row(r.getLong(0), feats.toSeq, bytes.length.toLong)
         }
@@ -595,7 +611,7 @@ object Multimodal {
   private def mp4PayloadOffset(n: Int, nc: Int, nRuns: Int): Int =
     16 + (8 + 108 + mp4TrakSz(n, nc, nRuns)) + 8
 
-  private def buildMp4(id: Long, trak: Option[(Array[Int], Array[Int])],
+  private[graft] def buildMp4(id: Long, trak: Option[(Array[Int], Array[Int])],
       mdat: Array[Byte],
       stsc: Option[Array[(Int, Int)]] = None): Array[Byte] = {
     val ts = 600 + (java.lang.Math.floorMod(id, 10L)).toInt * 100
@@ -844,6 +860,139 @@ object Multimodal {
   def synthesizeMp4ChunksMedia(df: DataFrame, idCol: String): DataFrame =
     synthMedia(df, idCol, "video/mp4")(synthesizeMp4Chunks)
 
+  private[multimodal] val mp4PngW = 16
+  private[multimodal] val mp4PngH = 12
+
+  /** Synthesize an MP4 whose mdat samples are REAL PNG images: frame `i`
+    * of `n = (id mod 3)+2` is [[synthesizeGrayPng]]`(id + 31 i, 16, 12)`
+    * — so each frame's pixel(x,y) is `(7x + 13y + id + 31 i) mod 256`, a
+    * pure function of (id, i) the m14 oracle replays in SQL. The stsz
+    * sizes are the ACTUAL encoded PNG byte lengths (deflate-dependent,
+    * NOT closed-form — the oracle never sees them; only the decoded
+    * pixels are checkable, which is exactly the point: the engine must
+    * walk the container, pread each sample, and really decode it to
+    * agree). Single-chunk faststart layout at the true payload offset,
+    * same as [[synthesizeMp4Frames]]. This is the MJPEG shape with the
+    * sandbox's available image codec standing in for a video codec.
+    */
+  def synthesizeMp4Png(id: Long): Array[Byte] = {
+    val n = (java.lang.Math.floorMod(id, 3L)).toInt + 2
+    val frames = Array.tabulate(n)(i =>
+      synthesizeGrayPng(id + 31L * i, mp4PngW, mp4PngH))
+    val sizes = frames.map(_.length)
+    val payloadOff = mp4PayloadOffset(n, nc = 1, nRuns = 0)
+    buildMp4(id, Some((sizes, Array(payloadOff))), frames.flatten)
+  }
+
+  /** Media frame of PNG-frame MP4s ([[synthesizeMp4Png]]). */
+  def synthesizeMp4PngMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "video/mp4")(synthesizeMp4Png)
+
+  /** REAL video-frame decode, end to end: container walk
+    * ([[parseMp4SampleTablesWithSizes]]) → per-sample pread
+    * ([[samplePlacement]] + bounds-checked slice) → image decode
+    * (`javax.imageio`) → pixel histogram. The codec tier a frame-level
+    * curation pass runs AFTER the metadata tiers (m09/m11) pruned the
+    * corpus; on a cluster each task decodes only its partition's
+    * containers, one ImageIO context per task. Output one row per
+    * (track, sample): `[media_id, track, sample, width, height,
+    * features]`.
+    *
+    * Degradation tiers mirror [[extractMp4Samples]]: a malformed
+    * container / no honest placement yields ONE all-NULL row per media;
+    * a sample RANGE escaping the file poisons its whole track (an index
+    * lying about its own file); a sample whose bytes are in range but do
+    * not decode as an image yields NULL width/height/features for THAT
+    * row only — per-frame degradation, the corrupted-sample refusal the
+    * m14 spec pins.
+    */
+  def decodeMp4Frames(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track", LongType, nullable = true),
+      StructField("sample", LongType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("features", ArrayType(DoubleType, containsNull = false),
+        nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val id = r.getLong(0)
+        val nullRow = Iterator.single(Row(id, null, null, null, null, null))
+        parseMp4SampleTablesWithSizes(bytes) match {
+          case Some(tracks) if tracks.nonEmpty =>
+            val live = tracks.flatMap(t =>
+              sampleWalk(t, bytes.length).map(gen => (t.table.track, gen)))
+            if (live.isEmpty) nullRow
+            else live.iterator.flatMap { case (track, gen) =>
+              gen().map { case (_, sample, start, sz) =>
+                decodeFrameRow(id, track, sample, bytes, start.toInt, sz.toInt)
+              }
+            }
+          case _ => nullRow
+        }
+      }
+    }(encoder)
+  }
+
+  /** Decode one in-range sample slice; undecodable bytes degrade to NULL
+    * decode fields on the row, never a task failure.
+    */
+  private def decodeFrameRow(id: Long, track: Long, sample: Long,
+      bytes: Array[Byte], start: Int, sz: Int): Row = {
+    val frame = java.util.Arrays.copyOfRange(bytes, start, start + sz)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) Row(id, track, sample, null, null, null)
+    else {
+      val h = new Array[Double](histBins)
+      val n = grayCounts(img, h)
+      var j = 0
+      while (j < histBins) { h(j) /= n.toDouble; j += 1 }
+      Row(id, track, sample, img.getWidth.toLong, img.getHeight.toLong,
+        h.toSeq)
+    }
+  }
+
+  /** Whole-file feature path for `video/mp4` in [[extractFeatures]]: the
+    * per-frame decode aggregated into ONE normalized pixel histogram —
+    * counts accumulate across every decodable frame of every track
+    * (frames weighted by their pixel counts), normalized once at the
+    * end. Undecodable frames are skipped; a container with NO decodable
+    * frame (including the codec-less filler-mdat containers m09
+    * synthesizes) yields the zero vector, matching the PNG/WAV
+    * undecodable behavior.
+    */
+  private[multimodal] def mp4FramePixelHistogram(bytes: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](histBins)
+    if (bytes == null || bytes.isEmpty) return h
+    var total = 0L
+    parseMp4SampleTablesWithSizes(bytes).foreach { tracks =>
+      tracks.foreach { t =>
+        sampleWalk(t, bytes.length).foreach { gen =>
+          gen().foreach { case (_, _, start, sz) =>
+            if (sz > 0) {
+              val frame = java.util.Arrays.copyOfRange(
+                bytes, start.toInt, (start + sz).toInt)
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img != null) total += grayCounts(img, h)
+            }
+          }
+        }
+      }
+    }
+    if (total > 0) {
+      var j = 0
+      while (j < histBins) { h(j) /= total.toDouble; j += 1 }
+    }
+    h
+  }
+
   /** Sample EXTRACTION through the stbl index (m11's tier cashed in):
     * resolve each sample's chunk via the stsc run map, seek that chunk's
     * stco offset, walk the stsz sizes, and slice each sample's actual
@@ -874,47 +1023,41 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
         val id = r.getLong(0)
-        val nullRow = Seq(Row(id, null, null, null, null, null))
+        val nullRow = Iterator.single(Row(id, null, null, null, null, null))
         parseMp4SampleTablesWithSizes(bytes) match {
           case Some(tracks) if tracks.nonEmpty =>
-            val out = tracks.flatMap { t =>
-              samplePlacement(t).map { placement =>
-                // (chunk, start) per sample; ANY range escaping the
-                // buffer poisons the whole track (an index lying about
-                // its own file).
-                val walked = placement.zip(t.sizes).zipWithIndex.map {
-                  case (((chunk, start), sz), i) =>
-                    if (start < 0 || sz < 0 || start + sz > bytes.length) null
-                    else {
-                      var s = 0L; var p = start.toInt
-                      val end = (start + sz).toInt
-                      while (p < end) { s += bytes(p) & 0xff; p += 1 }
-                      Row(id, t.table.track, i.toLong, chunk, sz, s)
-                    }
-                }
-                if (walked.contains(null)) Seq.empty else walked
-              }.getOrElse(Seq.empty)
+            // Survivor generators are picked EAGERLY (bounds pre-pass per
+            // track, constant memory); rows stream LAZILY — no per-sample
+            // collection is ever held (the many-tiny-samples hardening).
+            val live = tracks.flatMap(t =>
+              sampleWalk(t, bytes.length).map(gen => (t.table.track, gen)))
+            if (live.isEmpty) nullRow
+            else live.iterator.flatMap { case (track, gen) =>
+              gen().map { case (chunk, sample, start, sz) =>
+                var s = 0L; var p = start.toInt
+                val end = (start + sz).toInt
+                while (p < end) { s += bytes(p) & 0xff; p += 1 }
+                Row(id, track, sample, chunk, sz, s)
+              }
             }
-            if (out.nonEmpty) out else nullRow
           case _ => nullRow
         }
       }
     }(encoder)
   }
 
-  /** Per-sample `(chunk0, startByte)` from the track's stsc/stco/stsz:
-    * None when placement cannot be honestly derived (no samples, no
-    * chunks, stsc-less multi-chunk, malformed runs, or run totals
-    * disagreeing with the sample count).
+  /** Samples-per-chunk vector from the track's stsc/stco/stsz: stsc runs
+    * expanded over chunk indices, or the implicit single-chunk layout
+    * when the box is absent. None when placement cannot be honestly
+    * derived (no samples, no chunks, stsc-less multi-chunk, malformed
+    * runs, or run totals disagreeing with the sample count).
     */
-  private def samplePlacement(t: TrackTables): Option[Seq[(Long, Long)]] = {
+  private def chunkCounts(t: TrackTables): Option[Array[Int]] = {
     val nChunks = t.chunkOffsets.length
     if (t.sizes.isEmpty || nChunks == 0) return None
-    // Samples-per-chunk vector: stsc runs expanded over chunk indices, or
-    // the implicit single-chunk layout when the box is absent.
-    val perChunk: Option[IndexedSeq[Int]] =
+    val perChunk: Option[Array[Int]] =
       if (t.stscRuns.isEmpty) {
-        if (nChunks == 1) Some(IndexedSeq(t.sizes.length)) else None
+        if (nChunks == 1) Some(Array(t.sizes.length)) else None
       } else {
         val runs = t.stscRuns
         val wellFormed = runs.headOption.exists(_._1 == 1L) &&
@@ -938,30 +1081,49 @@ object Multimodal {
             counts(c - 1) = runs(r)._2.toInt
             c += 1
           }
-          Some(counts.toIndexedSeq)
+          Some(counts)
         }
       }
-    perChunk.flatMap { counts =>
-      if (counts.map(_.toLong).sum != t.sizes.length.toLong) None
-      else {
-        val placement = Seq.newBuilder[(Long, Long)]
-        var sample = 0
-        var c = 0
-        while (c < nChunks) {
-          var start = t.chunkOffsets(c)
-          var k = 0
-          while (k < counts(c)) {
-            placement += ((c.toLong, start))
-            start += t.sizes(sample)
-            sample += 1
-            k += 1
-          }
-          c += 1
-        }
-        Some(placement.result())
-      }
-    }
+    perChunk.filter(_.map(_.toLong).sum == t.sizes.length.toLong)
   }
+
+  /** Validated LAZY sample walk: `Some(generator)` yielding
+    * `(chunk0, sample0, startByte, size)` tuples in sample order when the
+    * track's placement is honest AND every sample range fits inside
+    * `fileLen`; `None` when the track must be refused (no honest
+    * placement — the [[chunkCounts]] cases — or ANY range escaping the
+    * buffer: an index lying about its own file poisons its whole track).
+    *
+    * ITERATOR DISCIPLINE: nothing sample-count-sized is materialized
+    * beyond the stsz table itself (which the parse already holds) — the
+    * bounds pre-pass streams the placement once in constant extra memory,
+    * and each call of the generator re-derives positions on the fly. A
+    * pathological single file claiming millions of tiny samples therefore
+    * costs per-sample ITERATION, never a per-sample tuple+Row allocation
+    * held live at once; consumers decide what (if anything) to retain.
+    */
+  private def sampleWalk(t: TrackTables,
+      fileLen: Int): Option[() => Iterator[(Long, Long, Long, Long)]] =
+    chunkCounts(t).flatMap { counts =>
+      val sizes: Array[Long] = t.sizes.toArray
+      val offsets = t.chunkOffsets
+      def gen(): Iterator[(Long, Long, Long, Long)] = {
+        var sample = 0
+        counts.indices.iterator.flatMap { c =>
+          var start = offsets(c)
+          Iterator.fill(counts(c)) {
+            val out = (c.toLong, sample.toLong, start, sizes(sample))
+            start += sizes(sample)
+            sample += 1
+            out
+          }
+        }
+      }
+      val inBounds = gen().forall { case (_, _, start, sz) =>
+        start >= 0 && sz >= 0 && start + sz <= fileLen.toLong
+      }
+      if (inBounds) Some(() => gen()) else None
+    }
 
   /** Everything the SAME walk decodes per track: the census row, the
     * per-sample sizes, the stsc sample-to-chunk runs (empty when the box
