@@ -1946,6 +1946,14 @@ object SparkEntry {
       Dedup.firstOccurrenceChunks(tbl(s, d, "documents"), "doc_id", "text",
         chunkChars = 512, overlapChars = 64)),
 
+    // Sliding-window exact substring dedup (the Lee-et-al rule d10's
+    // aligned chunks approximate): every overlapping 5-gram anchors,
+    // non-first occurrences mark their token window, islands merge, and
+    // the output is the kept-span complement per document.
+    "d18_substring_spans" -> ((s, d) =>
+      Dedup.exactSubstringSpans(tbl(s, d, "documents"), "doc_id", "text",
+        n = 5)),
+
     "d09_decontaminate" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 10 === 7),
@@ -4135,6 +4143,48 @@ object SparkEntry {
         |r AS (SELECT doc_id, chunk_idx, chunk_md5, row_number() OVER
         |  (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM ch)
         |SELECT doc_id, chunk_idx, chunk_md5 FROM r WHERE rn = 1""".stripMargin,
+
+    // Windowed-SQL replay of anchor + merge: overlapping 5-gram md5s,
+    // row_number per hash ordered (doc_id, pos) — rn=1 IS min(struct) —
+    // dup windows [pos, pos+4], gaps-and-islands merge (running max end),
+    // kept spans = island complement + full spans for dup-free docs.
+    "d18_substring_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |tc AS (SELECT doc_id, len(w) AS nt, w FROM toks WHERE len(w) > 0),
+        |ah AS (SELECT doc_id, pos,
+        |  md5(array_to_string(w[pos+1:pos+5], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(0, nt - 4)) AS pos
+        |        FROM tc WHERE nt >= 5)),
+        |d AS (SELECT doc_id, pos AS s, pos + 4 AS e
+        |  FROM (SELECT doc_id, pos, row_number() OVER
+        |          (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM ah)
+        |  WHERE rn > 1),
+        |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM d),
+        |fl AS (SELECT doc_id, s, e,
+        |  CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS nf FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |  sum(nf) OVER (PARTITION BY doc_id ORDER BY s) AS iid FROM fl),
+        |ia AS (SELECT doc_id, iid, min(s) AS is_, max(e) AS ie
+        |  FROM isl GROUP BY 1, 2),
+        |gaps AS (SELECT doc_id,
+        |  lag(ie, 1, -1) OVER (PARTITION BY doc_id ORDER BY is_) + 1 AS start_tok,
+        |  is_ - 1 AS end_tok FROM ia),
+        |tails AS (SELECT ia.doc_id, max(ie) + 1 AS start_tok,
+        |  any_value(nt) - 1 AS end_tok FROM ia JOIN tc USING (doc_id)
+        |  GROUP BY ia.doc_id),
+        |fulls AS (SELECT doc_id, 0 AS start_tok, nt - 1 AS end_tok FROM tc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM ia)),
+        |k AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails
+        |  UNION ALL SELECT * FROM fulls)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+        |    AS BIGINT) AS span_idx,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(end_tok AS BIGINT) AS end_tok,
+        |  CAST(end_tok - start_tok + 1 AS BIGINT) AS n_kept
+        |FROM k WHERE start_tok <= end_tok""".stripMargin,
 
     // Distinct portable 5-gram hashes per doc; train docs (id % 10 <> 7)
     // counted by distinct hashes shared with the held-out side.

@@ -623,4 +623,87 @@ object Dedup {
       .select(col("slice_a"), col("slice_b"), col("k"), col("matches"),
         expr("matches * 1000000 div k").as("resemblance_ppm"))
   }
+
+  /** Sliding-window exact substring dedup (the Lee et al. 2022 rule the
+    * aligned-chunk pass d10 approximates): remove EVERY duplicated span of
+    * >= `n` tokens, wherever it starts. [[firstOccurrenceChunks]] hashes
+    * fixed 512-char chunks, so a duplicate copied at an unaligned offset
+    * hashes differently in each document and survives; here every
+    * OVERLAPPING token n-gram is an anchor, so a duplicated span of length
+    * L >= n contributes L-n+1 duplicate anchors whose union covers it
+    * exactly — alignment cannot hide it.
+    *
+    * Semantics: tokens are [[TextFunctions.tokens]] (the portable corpus
+    * tokenization); the FIRST occurrence of each distinct n-gram —
+    * `min(struct(id, pos))`, deterministic under any partitioning — stays;
+    * every other occurrence marks its `[pos, pos+n-1]` token window as
+    * duplicated; per document the duplicated windows merge into maximal
+    * islands and the output is the COMPLEMENT: the kept spans, `[<idCol>,
+    * span_idx, start_tok, end_tok, n_kept]` (token positions 0-based,
+    * inclusive). A document with no duplicated window keeps one full span;
+    * a fully-duplicated document emits no rows (everything removed);
+    * a token-less document likewise emits nothing.
+    *
+    * SHAPE (the honest cost of occurrence-level dedup, same asymptotic as
+    * the MapReduce formulation of the paper): anchors ~= one row per
+    * corpus token. first-occurrence is ONE map-side-combining aggregate on
+    * the n-gram hash (`min(struct)` — O(1) state per distinct n-gram, the
+    * d10 partial); anchors then re-join their hash's first to classify
+    * (shuffle of anchor rows on 16-byte keys — boilerplate-degenerate
+    * hashes skew this join, which is exactly what AQE skew-join splits).
+    * Everything after operates on DUPLICATE anchors only — typically a
+    * small fraction of the corpus — with per-document windows (shuffle
+    * keyed by doc) for the island merge, and the no-dup documents take a
+    * single anti-join + per-doc count, never a window.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val toks = docs
+      .select(id, TextFunctions.tokens(col(textCol)).as("w"))
+      .withColumn("nt", size(col("w")).cast(LongType))
+    val counts = toks.select(id, col("nt")).filter(col("nt") > 0)
+    val anchors = toks.filter(col("nt") >= n)
+      .select(id, posexplode(transform(
+        sequence(lit(0L), col("nt") - n),
+        p => md5(concat_ws(" ", slice(col("w"), p.cast("int") + 1, lit(n)))))))
+      .select(id, col("pos").cast(LongType).as("pos"), col("col").as("h"))
+    val firsts = anchors.groupBy("h")
+      .agg(min(struct(id, col("pos"))).as("first"))
+    val dups = anchors.join(firsts, "h")
+      .filter(!(id === col(s"first.$idCol") && col("pos") === col("first.pos")))
+      .select(id, col("pos").as("s"), (col("pos") + n - 1).as("e"))
+    // Island merge: a window starts a new island when it begins past the
+    // running max end + 1 (adjacency merges — the complement is identical
+    // either way, but merged islands keep span_idx deterministic).
+    val byS = Window.partitionBy(id).orderBy("s")
+    val islands = dups
+      .withColumn("pmax", max(col("e")).over(
+        byS.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nf",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("iid", sum(col("nf")).over(byS))
+      .groupBy(id, col("iid"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+    val gaps = islands
+      .withColumn("prev_e", lag(col("ie"), 1, -1L).over(
+        Window.partitionBy(id).orderBy("is")))
+      .select(id, (col("prev_e") + 1).as("start_tok"), (col("is") - 1).as("end_tok"))
+    val tails = islands.groupBy(id).agg(max(col("ie")).as("maxe"))
+      .join(counts, idCol)
+      .select(id, (col("maxe") + 1).as("start_tok"), (col("nt") - 1).as("end_tok"))
+    val fulls = counts.join(islands.select(id).distinct(), Seq(idCol), "left_anti")
+      .select(id, lit(0L).as("start_tok"), (col("nt") - 1).as("end_tok"))
+    gaps.unionByName(tails).unionByName(fulls)
+      .filter(col("start_tok") <= col("end_tok"))
+      .withColumn("span_idx",
+        (row_number().over(Window.partitionBy(id).orderBy("start_tok")) - 1)
+          .cast(LongType))
+      .select(id, col("span_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        col("end_tok").cast(LongType).as("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast(LongType).as("n_kept"))
+  }
 }

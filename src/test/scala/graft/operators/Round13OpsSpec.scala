@@ -112,6 +112,51 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out == expected)
   }
 
+  test("exactSubstringSpans catches the unaligned duplicate d10 misses") {
+    // doc 1 is the source; doc 2 embeds the SAME 8-token span at an
+    // arbitrary character offset (no chunk alignment). d10's fixed
+    // 512-char chunks hash the copy differently in each doc, so BOTH
+    // docs keep every chunk; d18's overlapping 5-gram anchors mark the
+    // copied span in doc 2 regardless of where it starts.
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"intro one two $span outro nine ten"),
+      (2L, s"zz $span trailing words here for padding and more")
+    ).toDF("doc_id", "text")
+
+    // d10 (aligned chunks) sees zero duplicate chunks: all rows survive.
+    val d10 = Dedup.firstOccurrenceChunks(docs, "doc_id", "text",
+      chunkChars = 512, overlapChars = 64)
+    assert(d10.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.values.forall(_ >= 1))
+    assert(d10.count() == docs.count(), "each doc is one <512-char chunk, none deduped")
+
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    // doc 1: first occurrence — one full span of its 14 tokens.
+    assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 13L, 14L)))
+    // doc 2 tokens: zz(0) alpha..hotel(1..8) trailing(9) ... more(15).
+    // Duplicate anchors cover tokens 1..8; kept = [0,0] and [9,15].
+    assert(spans.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 0L, 1L), (2L, 1L, 9L, 15L, 7L)))
+  }
+
+  test("exactSubstringSpans: fully-duplicated doc removed, dup-free doc kept whole") {
+    val docs = Seq(
+      (10L, "one two three four five six"),
+      (11L, "one two three four five six"), // exact clone -> zero kept rows
+      (12L, "totally unrelated words in this document"),
+      (13L, "") // token-less -> no rows
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(spans.count(_._1 == 11L) == 0, "clone fully removed")
+    assert(spans.count(_._1 == 13L) == 0, "empty doc emits nothing")
+    assert(spans.filter(_._1 == 10L).toSeq == Seq((10L, 0L, 5L)))
+    assert(spans.filter(_._1 == 12L).toSeq == Seq((12L, 0L, 5L)))
+  }
+
   test("ivfPqTopK rejects a ragged hand-built coarse quantizer") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 1)
