@@ -688,4 +688,81 @@ object TextFunctions {
               .cast(LongType)),
           lit(0L), (a, x) => a + x).as("bpe_len"))
   }
+
+  /** HTML → text extraction patterns (the web-crawl ingest transform
+    * upstream of the quality/dedup passes). Same portability discipline as
+    * [[EmailRe]]: no lookarounds, no backreferences — the SAME strings run
+    * in Java regex (Spark) and RE2 (DuckDB) with identical semantics.
+    * `(?is)` + non-greedy `.*?` are common to both engines.
+    */
+  val HtmlCommentRe = "(?is)<!--.*?-->"
+  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlAnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>"
+  val HtmlTagRe = "<[^>]*>"
+  // No \n (lines are already split) and no \s (Java's \s includes \x0B,
+  // RE2's does not — the one whitespace-class portability trap).
+  private val HtmlWsRe = "[ \\t\\r]+"
+
+  /** Comment/script/style blocks dropped (dotall — blocks span lines),
+    * then split into lines: the unit the boilerplate rule judges.
+    * An unclosed `<script>`/`<style>` never matches its block pattern, so
+    * its TAG is stripped like any other and its body survives as text —
+    * the documented degenerate-markup behavior (never an error).
+    */
+  private def htmlLines(html: Column): Column =
+    split(regexp_replace(regexp_replace(regexp_replace(
+      coalesce(html, lit("")),
+      HtmlCommentRe, " "), HtmlScriptRe, " "), HtmlStyleRe, " "), "\n")
+
+  /** A line's visible text: tags → space, runs of space/tab/CR squeezed,
+    * trimmed. Entities are NOT decoded here — decode happens once on the
+    * assembled document so the line-level length arithmetic stays cheap.
+    */
+  private def htmlVisible(line: Column): Column =
+    trim(regexp_replace(regexp_replace(line, HtmlTagRe, " "), HtmlWsRe, " "))
+
+  /** Link-density boilerplate rule (the jusText/Readability heuristic):
+    * a line whose anchor text is more than half its visible text is
+    * navigation chrome, not content. Anchor text is group 1 of every
+    * `<a ...>...</a>` on the line, joined and normalized the same way as
+    * the visible text so the two lengths are commensurable.
+    */
+  private def htmlAnchorLen(line: Column): Column =
+    length(htmlVisible(
+      array_join(regexp_extract_all(line, lit(HtmlAnchorRe), lit(1)), " ")))
+
+  private def htmlKeep(line: Column): Column = {
+    val v = length(htmlVisible(line))
+    v > 0 && lit(2) * htmlAnchorLen(line) <= v
+  }
+
+  /** The six entities every crawler decodes (post tag-strip, `&amp;`
+    * LAST so `&amp;lt;` decodes to the literal `&lt;`, never twice).
+    */
+  private def htmlDecodeEntities(c: Column): Column =
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+
+  /** Extract the content text of an HTML document: drop comment/script/
+    * style blocks, drop boilerplate lines by link density, strip tags,
+    * decode entities, squeeze whitespace. A pure per-row `Column` formula
+    * over higher-order array functions — NO explode, NO shuffle, NO UDF:
+    * at 100 TB this is a map-only pass that rides the document scan, and
+    * every regex is RE2-portable so the oracle replays it verbatim.
+    */
+  def htmlToText(html: Column): Column =
+    trim(regexp_replace(htmlDecodeEntities(
+      array_join(transform(filter(htmlLines(html), htmlKeep _),
+        (l: Column) => htmlVisible(l)), " ")), HtmlWsRe, " "))
+
+  /** Lines kept by the boilerplate rule (BIGINT) — the audit signal. */
+  def htmlKeptLines(html: Column): Column =
+    size(filter(htmlLines(html), htmlKeep _)).cast(LongType)
+
+  /** Non-blank lines dropped as link-dense boilerplate (BIGINT). */
+  def htmlDroppedLines(html: Column): Column =
+    size(filter(htmlLines(html),
+      (l: Column) => length(htmlVisible(l)) > 0 && !htmlKeep(l))).cast(LongType)
 }

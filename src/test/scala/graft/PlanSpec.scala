@@ -31,6 +31,14 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"scan reads more than the projection needs:\n$plan")
   }
 
+  test("html extraction is map-only: no exchange, scan reads only doc_id+text") {
+    val plan = graft.SparkEntry.queries("t18_html_extract")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"html extraction must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan reads more than doc_id+text:\n$plan")
+  }
+
   test("group-by aggregation is partial (map-side combine) before the shuffle") {
     val plan = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag").agg(sum("l_quantity"))

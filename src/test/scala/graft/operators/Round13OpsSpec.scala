@@ -157,6 +157,63 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(spans.filter(_._1 == 12L).toSeq == Seq((12L, 0L, 5L)))
   }
 
+  test("htmlToText: boilerplate dropped by link density, content and entities kept") {
+    import graft.text.TextFunctions._
+    val html =
+      """<html><head><title>My Page</title>
+        |<style>
+        |p { color: red; }
+        |</style>
+        |<script>
+        |var x = 1; if (x < 2) { x = 3; }
+        |</script>
+        |</head><body>
+        |<!-- nav comment
+        |spans two lines -->
+        |<div><a href="/a">Home</a> | <a href="/b">About</a> | <a href="/c">Contact</a></div>
+        |<p>Real content with an M&amp;M &lt;brand&gt; mention.</p>
+        |<div>See <a href="/next">the next page</a> for much longer surrounding article text.</div>
+        |</body></html>""".stripMargin
+    val out = Seq(html).toDF("h").select(
+      htmlToText($"h").as("t"), htmlKeptLines($"h").as("k"),
+      htmlDroppedLines($"h").as("d")).collect().head
+    assert(out.getString(0) ==
+      "My Page Real content with an M&M <brand> mention. " +
+      "See the next page for much longer surrounding article text.")
+    assert(out.getLong(1) == 3L, "title + content + low-density link line kept")
+    assert(out.getLong(2) == 1L, "the all-links nav line dropped")
+  }
+
+  test("htmlToText: malformed markup degrades, never errors") {
+    import graft.text.TextFunctions._
+    val cases = Seq(
+      // Unclosed script: block pattern can't match, tag stripped, body
+      // survives as text — the documented degenerate behavior.
+      (1L, "<script>var y = 9;\nreal text after unclosed script"),
+      // Stray '<' with no '>': no tag match, the '<' survives as text.
+      (2L, "before < after\nnext line stays"),
+      // Unclosed anchor: no </a>, so no anchor text — line kept.
+      (3L, "<div><a href=\"/x\">dangling link text and words</div>"),
+      // Nested/a-in-comment: comment drop wins (applied first).
+      (4L, "<!-- <a href=\"/x\">hidden</a> -->visible tail"),
+      (5L, ""))
+    val out = cases.toDF("id", "h")
+      .select($"id", htmlToText($"h").as("t"), htmlKeptLines($"h").as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("var y = 9; real text after unclosed script", 2L)))
+    assert(out(2L) == (("before < after next line stays", 2L)))
+    assert(out(3L) == (("dangling link text and words", 1L)))
+    assert(out(4L) == (("visible tail", 1L)))
+    assert(out(5L) == (("", 0L)))
+  }
+
+  test("htmlToText entity decode: &amp;lt; decodes once, not twice") {
+    import graft.text.TextFunctions._
+    val out = Seq("<p>literal &amp;lt; stays encoded-once</p>").toDF("h")
+      .select(htmlToText($"h")).collect().head.getString(0)
+    assert(out == "literal &lt; stays encoded-once")
+  }
+
   test("ivfPqTopK rejects a ragged hand-built coarse quantizer") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" <= 1)
