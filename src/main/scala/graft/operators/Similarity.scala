@@ -524,10 +524,11 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, m: Int, kCent: Int,
-      coarseOf: Option[Array[Array[Long]]] = None)
+      coarseOf: Option[Array[Array[Long]]] = None,
+      metaCols: Seq[String] = Nil)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val (encoded, coarse, book) =
-      ivfPqEncode(corpus, idCol, vecCol, nCells, m, kCent, coarseOf)
+      ivfPqEncode(corpus, idCol, vecCol, nCells, m, kCent, coarseOf, metaCols)
     // The index artifact, checkpointed before any per-query fan-out (the
     // pqTopK lesson: without the cut the optimizer re-derives the encode
     // chain per (candidate x query) row).
@@ -542,12 +543,23 @@ object Similarity {
     */
   private[graft] def ivfPqEncode(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, m: Int, kCent: Int,
-      coarseOf: Option[Array[Array[Long]]] = None)
+      coarseOf: Option[Array[Array[Long]]] = None,
+      metaCols: Seq[String] = Nil)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
-    val cq = KMeans.quantize(corpus, idCol, vecCol)
+    val reserved = Set("id", "cell", "codes", "vq", "vqd", "vq2", "rv")
+    require(metaCols.forall(c => !reserved.contains(c)),
+      s"metaCols ${metaCols.mkString(",")} collide with index schema " +
+        s"names ${reserved.mkString("{", ",", "}")}")
+    // Payload columns ride the encode scan into the artifact so a search-
+    // time predicate prunes WITH the index scan (no join back to the
+    // corpus at query time — the filtered-ANN layout).
+    val meta = metaCols.map(corpus(_))
+    val cq = corpus.select(col(idCol).as("id") +:
+      graft.functions.QuantizeMicros.quantize_micros(
+        col(vecCol).cast("array<double>")).as("vq") +: meta: _*)
 
     // One driver collect covers both levels: the residual codebook seeds
     // are the kCent smallest-id quantized vectors, and — absent a TRAINED
@@ -596,22 +608,23 @@ object Similarity {
     // stage 3: residual array via a CASE chain over cells (element_at
     // minus literal per dim — only the matched branch evaluates, all
     // codegen); stage 4/5: PQ distances + argmin, the pqCodes discipline.
+    val mPass = metaCols.map(col)
     val cNames = (0 until nCells).map(i => s"__ivfpq_c$i")
     val st1 = cq.withColumn("vqd", col("vq").cast("array<double>"))
       .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
       .select(col("id") +: col("vq") +:
-        coarse.zipWithIndex.map { case (cv, i) =>
+        (coarse.zipWithIndex.map { case (cv, i) =>
           (col("vq2") - lit(2.0) * array_dot(col("vqd"),
             typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as(cNames(i))
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq ++ mPass): _*)
     val withCell = st1
       .withColumn("__ivfpq_dmin", ColumnKernels.leastOf(cNames.map(col)))
-      .select(col("id"), col("vq"),
+      .select(col("id") +: col("vq") +:
         ColumnKernels.firstMatchIndex(cNames.map(col), col("__ivfpq_dmin"))
-          .as("cell"))
-    val withRes = withCell.select(col("id"), col("cell"),
+          .as("cell") +: mPass: _*)
+    val withRes = withCell.select(col("id") +: col("cell") +:
       residualCase(coarse, col("vq"), col("cell"))
-        .cast("array<double>").as("rv"))
+        .cast("array<double>").as("rv") +: mPass: _*)
     def dName(s: Int, j: Int) = s"__ivfpq_d_${s}_$j"
     val distCols = (0 until m).flatMap { s =>
       val sub = slice(col("rv"), s * sd + 1, sd)
@@ -622,12 +635,14 @@ object Similarity {
           + lit(sqSum(bv))).as(dName(s, j))
       }
     }
-    val staged = withRes.select(col("id") +: col("cell") +: distCols: _*)
+    val staged = withRes.select(col("id") +: col("cell") +:
+      (distCols ++ mPass): _*)
     val codeCols = (0 until m).map { s =>
       val ds = (0 until kCent).map(j => col(dName(s, j)))
       ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
     }
-    (staged.select(col("id"), col("cell"), array(codeCols: _*).as("codes")),
+    (staged.select(col("id") +: col("cell") +:
+      array(codeCols: _*).as("codes") +: mPass: _*),
       coarse, book)
   }
 
@@ -657,17 +672,35 @@ object Similarity {
       .otherwise(arms(nCells - 1))
   }
 
+  /** IVF-PQ search, optionally FILTERED (s16): `indexFilter` is a corpus
+    * predicate over `metaCols` payload columns carried in the index
+    * artifact (see [[ivfPqIndex]]'s `metaCols`), applied to the INDEX
+    * side BEFORE the cell equi-join and ADC scoring — so the predicate
+    * prunes with the index scan and top-k is computed over SURVIVORS.
+    * Post-filtering a ranked unfiltered top-k is NOT equivalent: it
+    * returns fewer than k (or the wrong k) whenever a filtered-out
+    * vector occupied a top-k slot — the production RAG shape (metadata
+    * predicate + vector search in one plan) needs the filter on the
+    * candidate stream, which is what this does. When `indexOf` is absent
+    * the self-contained build threads `metaCols` into the encode scan.
+    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int, nProbe: Int, m: Int, kCent: Int,
-      indexOf: Option[(DataFrame, Array[Array[Long]], Array[Array[Array[Long]]])] = None)
+      indexOf: Option[(DataFrame, Array[Array[Long]], Array[Array[Array[Long]]])] = None,
+      indexFilter: Option[Column] = None,
+      metaCols: Seq[String] = Nil)
       : DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells, got nCells=$nCells nProbe=$nProbe")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
-    val (codes, coarse, book) = indexOf.getOrElse(
-      ivfPqIndex(corpus, idCol, vecCol, nCells, m, kCent))
+    val (codesAll, coarse, book) = indexOf.getOrElse(
+      ivfPqIndex(corpus, idCol, vecCol, nCells, m, kCent,
+        metaCols = metaCols))
+    // The filtered-ANN cut: predicate lands on the index scan, upstream
+    // of the broadcast cell join — ADC never scores a filtered-out row.
+    val codes = indexFilter.map(codesAll.filter).getOrElse(codesAll)
     require(coarse.length == nCells && book.length == m &&
       book.forall(_.length == kCent),
       s"index shape mismatch: got ${coarse.length} cells, " +

@@ -327,6 +327,32 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
       s"corpus shuffled before scoring:\n$plan")
   }
 
+  test("filtered ivf-pq: predicate prunes the index side BELOW the cell join") {
+    // The s16 contract: the metadata predicate must land on the index
+    // scan (the streamed side of the broadcast cell join), upstream of
+    // ADC scoring — never as a post-filter above the ranked top-k, which
+    // would break top-k semantics. In the plan tree the Filter therefore
+    // prints BELOW (after) the BroadcastHashJoin line, and no label
+    // predicate appears above the top-k aggregate.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+        "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2, m = 4, kCent = 8,
+        indexFilter = Some(col("label") % 2 === 0), metaCols = Seq("label"))
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    val joinAt = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val filterAt = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("label") && l.contains("% 2"))
+    assert(joinAt >= 0, s"expected a broadcast cell join:\n$plan")
+    assert(filterAt >= 0, s"label predicate missing from the plan:\n$plan")
+    assert(filterAt > joinAt,
+      s"predicate must sit on the join's input (index side), not above it:\n$plan")
+    val aggAt = lines.indexWhere(_.contains("top_k_by_score"))
+    assert(aggAt >= 0 && !lines.take(aggAt).exists(l =>
+        l.contains("Filter") && l.contains("label")),
+      s"predicate must never post-filter the ranked top-k:\n$plan")
+  }
+
   test("motif edge predicate reaches the parquet scan below the join spine") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val edges = li.select(col("l_orderkey").as("src"),
