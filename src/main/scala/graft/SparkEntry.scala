@@ -151,6 +151,42 @@ object SparkEntry {
     df.sparkSession.table(name)
   }
 
+  /** The t18/st15 HTML→text gate body — HTML is SYNTHESIZED per doc
+    * around the raw text (a multi-line template with a style block, a
+    * script block containing a bare '<' that would wreck naive
+    * tag-stripping, a multi-line comment, an all-links nav line dropped
+    * by link density, a low-density content link kept, and
+    * entity-bearing lines — so every kernel stage bites), then the
+    * extraction kernel. Map-only: no shuffle, no UDF — which is exactly
+    * why the SAME body runs batch (t18) and at streaming ingest (st15)
+    * with the t18 oracle verbatim.
+    */
+  private def htmlExtract(docs: DataFrame): DataFrame = {
+    val nl = "\n"
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title>" + nl +
+        "<style>" + nl + "p { color: red; }" + nl + "</style>" + nl +
+        "<script>" + nl + "var x = 1; if (x < 2) { x = 3; }" + nl +
+        "</script>" + nl +
+        "</head><body>" + nl +
+        "<!-- boilerplate" + nl + "nav comment -->" + nl +
+        "<div><a href=\"/home\">Home</a> | <a href=\"/about\">About us</a>" +
+        " | <a href=\"/contact\">Contact</a></div>" + nl +
+        "<h1>Title &amp; subtitle "), col("doc_id").cast("string"),
+      lit("</h1>" + nl + "<p>"), col("text"),
+      lit("</p>" + nl +
+        "<p>Footer &nbsp;entities&nbsp; stay &lt;escaped&gt;" +
+        " &quot;quoted&quot;</p>" + nl +
+        "<div>Read more: <a href=\"/next\">next page</a>" +
+        " and other stories follow here</div>" + nl +
+        "</body></html>"))
+    docs.select(col("doc_id"),
+      TextFunctions.htmlToText(html).as("clean_text"),
+      TextFunctions.htmlKeptLines(html).as("n_kept_lines"),
+      TextFunctions.htmlDroppedLines(html).as("n_boiler_lines"))
+  }
+
   // ---- graph builders over the relational tables ----
 
   /** part(+1e6) -> supplier multigraph, one edge per lineitem row. */
@@ -1330,31 +1366,8 @@ object SparkEntry {
     // nav line that is ALL links (boilerplate: dropped by link density), a
     // content line with a low-density link (kept), and entity-bearing
     // lines — so every kernel stage bites. Map-only: no shuffle, no UDF.
-    "t18_html_extract" -> ((s, d) => {
-      val nl = "\n"
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title>" + nl +
-          "<style>" + nl + "p { color: red; }" + nl + "</style>" + nl +
-          "<script>" + nl + "var x = 1; if (x < 2) { x = 3; }" + nl +
-          "</script>" + nl +
-          "</head><body>" + nl +
-          "<!-- boilerplate" + nl + "nav comment -->" + nl +
-          "<div><a href=\"/home\">Home</a> | <a href=\"/about\">About us</a>" +
-          " | <a href=\"/contact\">Contact</a></div>" + nl +
-          "<h1>Title &amp; subtitle "), col("doc_id").cast("string"),
-        lit("</h1>" + nl + "<p>"), col("text"),
-        lit("</p>" + nl +
-          "<p>Footer &nbsp;entities&nbsp; stay &lt;escaped&gt;" +
-          " &quot;quoted&quot;</p>" + nl +
-          "<div>Read more: <a href=\"/next\">next page</a>" +
-          " and other stories follow here</div>" + nl +
-          "</body></html>"))
-      tbl(s, d, "documents").select(col("doc_id"),
-        TextFunctions.htmlToText(html).as("clean_text"),
-        TextFunctions.htmlKeptLines(html).as("n_kept_lines"),
-        TextFunctions.htmlDroppedLines(html).as("n_boiler_lines"))
-    }),
+    "t18_html_extract" -> ((s, d) =>
+      htmlExtract(tbl(s, d, "documents"))),
 
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
@@ -1917,6 +1930,15 @@ object SparkEntry {
             streamTbl(s, d, "documents").select(col("doc_id")), "doc_id")),
         "st14_sink", "append")),
 
+    // Stateless streaming HTML → text extraction at ingest — the t18
+    // kernel running on each arriving micro-batch (the st03/st13/st14
+    // discipline: a pure per-row Column formula needs no state store, so
+    // the web-crawl ingest tier cleans HTML as files land). Oracle = the
+    // t18 batch SQL verbatim; stream==batch IS the contract.
+    "st15_stream_html_extract" -> ((s, d) =>
+      drainStream(htmlExtract(streamTbl(s, d, "documents")),
+        "st15_sink", "append")),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -2112,6 +2134,51 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text"))).as("tokens"))
     })
   )
+
+  /** The t18 HTML->text replay (see the comment above the gate): the
+    * synthesis template verbatim, then the kernel in RE2 — block drops
+    * (dotall), per-line link-density filter, tag strip, entity decode
+    * (&amp; last), whitespace squeeze. Shared verbatim by the st15
+    * streaming-ingest twin.
+    */
+  private val t18OracleSql: String =
+    """WITH h AS (SELECT doc_id,
+          |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
+          |  '<style>' || chr(10) || 'p { color: red; }' || chr(10) || '</style>' || chr(10) ||
+          |  '<script>' || chr(10) || 'var x = 1; if (x < 2) { x = 3; }' || chr(10) || '</script>' || chr(10) ||
+          |  '</head><body>' || chr(10) ||
+          |  '<!-- boilerplate' || chr(10) || 'nav comment -->' || chr(10) ||
+          |  '<div><a href="/home">Home</a> | <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' || chr(10) ||
+          |  '<h1>Title &amp; subtitle ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+          |  '<p>' || text || '</p>' || chr(10) ||
+          |  '<p>Footer &nbsp;entities&nbsp; stay &lt;escaped&gt; &quot;quoted&quot;</p>' || chr(10) ||
+          |  '<div>Read more: <a href="/next">next page</a> and other stories follow here</div>' || chr(10) ||
+          |  '</body></html>' AS html FROM documents),
+          |nb AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+          |  '(?is)<!--.*?-->', ' ', 'g'),
+          |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS s FROM h),
+          |ls AS (SELECT doc_id, string_split(s, chr(10)) AS lines FROM nb),
+          |kd AS (SELECT doc_id,
+          |  list_filter(lines, l ->
+          |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
+          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
+          |      <= length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS kept,
+          |  list_filter(lines, l ->
+          |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
+          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
+          |      > length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS dropped
+          |  FROM ls)
+          |SELECT doc_id,
+          |  trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      coalesce(array_to_string(list_transform(kept, l ->
+          |        trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))), ' '), ''),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          |    '[ \t\r]+', ' ', 'g')) AS clean_text,
+          |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |  CAST(len(dropped) AS BIGINT) AS n_boiler_lines
+          |FROM kd""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_groupby_agg" ->
@@ -3783,44 +3850,11 @@ object SparkEntry {
     // block drops (dotall), per-line link-density filter (list_filter
     // lambdas — the same visible/anchor length arithmetic), tag strip,
     // entity decode (&amp; last), whitespace squeeze.
-    "t18_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
-        |  '<style>' || chr(10) || 'p { color: red; }' || chr(10) || '</style>' || chr(10) ||
-        |  '<script>' || chr(10) || 'var x = 1; if (x < 2) { x = 3; }' || chr(10) || '</script>' || chr(10) ||
-        |  '</head><body>' || chr(10) ||
-        |  '<!-- boilerplate' || chr(10) || 'nav comment -->' || chr(10) ||
-        |  '<div><a href="/home">Home</a> | <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' || chr(10) ||
-        |  '<h1>Title &amp; subtitle ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
-        |  '<p>' || text || '</p>' || chr(10) ||
-        |  '<p>Footer &nbsp;entities&nbsp; stay &lt;escaped&gt; &quot;quoted&quot;</p>' || chr(10) ||
-        |  '<div>Read more: <a href="/next">next page</a> and other stories follow here</div>' || chr(10) ||
-        |  '</body></html>' AS html FROM documents),
-        |nb AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-        |  '(?is)<!--.*?-->', ' ', 'g'),
-        |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS s FROM h),
-        |ls AS (SELECT doc_id, string_split(s, chr(10)) AS lines FROM nb),
-        |kd AS (SELECT doc_id,
-        |  list_filter(lines, l ->
-        |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
-        |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
-        |      <= length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS kept,
-        |  list_filter(lines, l ->
-        |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
-        |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
-        |      > length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS dropped
-        |  FROM ls)
-        |SELECT doc_id,
-        |  trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      coalesce(array_to_string(list_transform(kept, l ->
-        |        trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))), ' '), ''),
-        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-        |    '[ \t\r]+', ' ', 'g')) AS clean_text,
-        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
-        |  CAST(len(dropped) AS BIGINT) AS n_boiler_lines
-        |FROM kd""".stripMargin,
+    "t18_html_extract" -> t18OracleSql,
+
+    // Streaming ingest twin (st15): the same kernel per micro-batch —
+    // stream==batch is the contract, so the oracle IS the t18 SQL.
+    "st15_stream_html_extract" -> t18OracleSql,
 
     // Streaming phash dedup gate: first-seen-per-hash == DISTINCT hash;
     // the hash bits replay from the synthesis formula (m07's CTEs).

@@ -151,8 +151,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "m13_mp4_chunked", "s15_ivfpq_trained",
         // round-13 surface: real MP4 frame decode, substring-span dedup.
         "m14_mp4_frame_decode", "d18_substring_spans", "t18_html_extract",
-        // round-14 surface: filtered IVF-PQ (index-side predicate).
-        "s16_ivfpq_filtered")
+        // round-14 surface: filtered IVF-PQ (index-side predicate),
+        // streaming HTML extraction at ingest.
+        "s16_ivfpq_filtered", "st15_stream_html_extract")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

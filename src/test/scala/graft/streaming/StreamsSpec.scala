@@ -301,6 +301,11 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // st09 shares q16's batch query verbatim).
     val st09 = graft.SparkEntry.queries("st09_stream_hist")(spark, sf)
     sym(st09, graft.SparkEntry.queries("q16_hist_registers")(spark, sf))
+
+    // Streaming HTML extraction at ingest shares t18's batch body — the
+    // stateless ingest-transform symmetry (st03/st13/st14 discipline).
+    val st15 = graft.SparkEntry.queries("st15_stream_html_extract")(spark, sf)
+    sym(st15, graft.SparkEntry.queries("t18_html_extract")(spark, sf))
   }
 
   test("streamingLatestVersion: upserts on newer, silent on stale, idempotent replay") {
