@@ -2156,24 +2156,24 @@ object SparkEntry {
           |  '</body></html>' AS html FROM documents),
           |nb AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
           |  '(?is)<!--.*?-->', ' ', 'g'),
-          |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-          |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS s FROM h),
+          |  '(?is)<script\b[^>"]*(?:"[^"]*"[^>"]*)*>.*?</script>', ' ', 'g'),
+          |  '(?is)<style\b[^>"]*(?:"[^"]*"[^>"]*)*>.*?</style>', ' ', 'g') AS s FROM h),
           |ls AS (SELECT doc_id, string_split(s, chr(10)) AS lines FROM nb),
           |kd AS (SELECT doc_id,
           |  list_filter(lines, l ->
-          |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
-          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
-          |      <= length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS kept,
+          |    length(trim(regexp_replace(regexp_replace(l, '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
+          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>"]*(?:"[^"]*"[^>"]*)*>(.*?)</a>', 1), ' '), ''), '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
+          |      <= length(trim(regexp_replace(regexp_replace(l, '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS kept,
           |  list_filter(lines, l ->
-          |    length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
-          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
-          |      > length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS dropped
+          |    length(trim(regexp_replace(regexp_replace(l, '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))) > 0
+          |    AND 2 * length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a\b[^>"]*(?:"[^"]*"[^>"]*)*>(.*?)</a>', 1), ' '), ''), '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))
+          |      > length(trim(regexp_replace(regexp_replace(l, '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g')))) AS dropped
           |  FROM ls)
           |SELECT doc_id,
           |  trim(regexp_replace(
           |    replace(replace(replace(replace(replace(replace(
           |      coalesce(array_to_string(list_transform(kept, l ->
-          |        trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))), ' '), ''),
+          |        trim(regexp_replace(regexp_replace(l, '<[^>"]*(?:"[^"]*"[^>"]*)*>', ' ', 'g'), '[ \t\r]+', ' ', 'g'))), ' '), ''),
           |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
           |    '[ \t\r]+', ' ', 'g')) AS clean_text,
           |  CAST(len(kept) AS BIGINT) AS n_kept_lines,

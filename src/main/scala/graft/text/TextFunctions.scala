@@ -696,10 +696,22 @@ object TextFunctions {
     * `(?is)` + non-greedy `.*?` are common to both engines.
     */
   val HtmlCommentRe = "(?is)<!--.*?-->"
-  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
-  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
-  val HtmlAnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>"
-  val HtmlTagRe = "<[^>]*>"
+  /** Tag interior, DOUBLE-QUOTE aware: a `>` inside a quoted attribute
+    * value (`<a href="/x?a>b">`) must not terminate the tag — runs of
+    * non-`>`/non-`"` chars interleave with complete `"..."` strings
+    * (which MAY contain `>`), non-capturing so [[HtmlAnchorRe]]'s group
+    * numbering is stable. Degenerate-markup contract: an UNPAIRED `"`
+    * inside a tag makes that tag unmatched on its line (it survives as
+    * text), and single-quoted attributes are treated as plain chars —
+    * an unpaired apostrophe (`<p title=don't>`) is far more common in
+    * crawl text than a single-quoted `>`, so `'`-awareness would hurt
+    * more than it helps.
+    */
+  private val HtmlTagGuts = "[^>\"]*(?:\"[^\"]*\"[^>\"]*)*"
+  val HtmlScriptRe = s"(?is)<script\\b$HtmlTagGuts>.*?</script>"
+  val HtmlStyleRe = s"(?is)<style\\b$HtmlTagGuts>.*?</style>"
+  val HtmlAnchorRe = s"(?is)<a\\b$HtmlTagGuts>(.*?)</a>"
+  val HtmlTagRe = s"<$HtmlTagGuts>"
   // No \n (lines are already split) and no \s (Java's \s includes \x0B,
   // RE2's does not — the one whitespace-class portability trap).
   private val HtmlWsRe = "[ \\t\\r]+"

@@ -79,6 +79,32 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(a === b, "carrying payload columns must not perturb the encode")
   }
 
+  test("htmlToText: '>' inside a quoted attribute does not terminate the tag") {
+    import graft.text.TextFunctions._
+    val cases = Seq(
+      // Quoted '>' in href: the whole tag must strip, nothing leaks.
+      (1L, "<p class=\"x\">keep <a href=\"/x?a>b\">link</a> tail</p>"),
+      // Quoted '>' in the ANCHOR open tag: link-density arithmetic must
+      // still see exactly the anchor text (an all-links line drops).
+      (2L, "<div><a href=\"/p?a>b\">Home</a> <a href=\"/q?c>d\">About</a></div>"),
+      // Script open tag with a quoted '>' still drops its whole block.
+      (3L, "<script type=\"a>b\">var x = 1;</script>after script"),
+      // UNPAIRED quote in a tag: tag unmatched, survives as text — the
+      // documented degenerate (bounded to its line by the line split).
+      (4L, "<p title=\"oops>broken tag line\nclean next line"),
+      // Unquoted apostrophe stays plain-char: the tag still strips.
+      (5L, "<p title=don't>apostrophe attr text</p>"))
+    val out = cases.toDF("id", "h")
+      .select($"id", htmlToText($"h").as("t"), htmlKeptLines($"h").as("k"),
+        htmlDroppedLines($"h").as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep link tail", 1L, 0L)))
+    assert(out(2L) == (("", 0L, 1L)), "all-links line must drop by density")
+    assert(out(3L) == (("after script", 1L, 0L)))
+    assert(out(4L) == (("<p title=\"oops>broken tag line clean next line", 2L, 0L)))
+    assert(out(5L) == (("apostrophe attr text", 1L, 0L)))
+  }
+
   test("ivfPqEncode rejects metaCols colliding with index schema names") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val ex = intercept[IllegalArgumentException] {
