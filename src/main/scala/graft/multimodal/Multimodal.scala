@@ -23,6 +23,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // Keep every ImageIO.read(InputStream) in memory: with the default
+  // use-cache=true each call wraps the stream in a FileCacheImageInputStream
+  // — a temp FILE created and deleted per frame. The many-tiny-samples
+  // containers the lazy sampleWalk is hardened against would churn executor
+  // disk per sample (and fail outright on an unwritable tmp dir); decode
+  // inputs here are already in-heap byte arrays, so the file cache buys
+  // nothing. JVM-global, set once per executor at class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media schema: `[media_id, content binary, meta struct]`. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

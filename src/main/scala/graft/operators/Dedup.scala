@@ -665,11 +665,16 @@ object Dedup {
       .select(id, TextFunctions.tokens(col(textCol)).as("w"))
       .withColumn("nt", size(col("w")).cast(LongType))
     val counts = toks.select(id, col("nt")).filter(col("nt") > 0)
+    // Positions explode FIRST and the md5 computes per exploded row
+    // (fused into the same codegen stage as the generate): the per-doc
+    // peak is the token array plus an 8-byte-per-token position sequence,
+    // never a tokens-sized array of 32-char hash strings — a
+    // million-token document costs MBs here, not hundreds of MBs.
     val anchors = toks.filter(col("nt") >= n)
-      .select(id, posexplode(transform(
-        sequence(lit(0L), col("nt") - n),
-        p => md5(concat_ws(" ", slice(col("w"), p.cast("int") + 1, lit(n)))))))
-      .select(id, col("pos").cast(LongType).as("pos"), col("col").as("h"))
+      .select(id, col("w"), explode(sequence(lit(0L), col("nt") - n)).as("pos"))
+      .select(id, col("pos").cast(LongType).as("pos"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("pos").cast("int") + 1, lit(n)))).as("h"))
     val firsts = anchors.groupBy("h")
       .agg(min(struct(id, col("pos"))).as("first"))
     val dups = anchors.join(firsts, "h")
