@@ -1939,6 +1939,28 @@ object SparkEntry {
       drainStream(htmlExtract(streamTbl(s, d, "documents")),
         "st15_sink", "append")),
 
+    // Streaming FILTERED vector search — the RAG serving shape end to
+    // end: the IVF-PQ index (with its label payload) builds ONCE from
+    // the static corpus; arriving queries probe it per micro-batch
+    // through a stream-static cell equi-join with the metadata predicate
+    // pruning the index side, and the per-query top-k aggregates in
+    // complete mode (state = queries x k, bounded). Oracle = the s16
+    // batch SQL verbatim; stream==batch IS the contract.
+    "st16_stream_filtered_ann" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8, metaCols = Seq("label"))
+      drainStream(
+        Similarity.ivfPqTopK(e,
+            streamTbl(s, d, "embeddings").filter(col("vec_id") <= 3),
+            "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+            m = 4, kCent = 8, indexOf = Some(idx),
+            indexFilter = Some(col("label") % 2 === 0),
+            metaCols = Seq("label"))
+          .withColumnRenamed("rank", "rnk"),
+        "st16_sink", "complete")
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -2179,6 +2201,58 @@ object SparkEntry {
           |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
           |  CAST(len(dropped) AS BIGINT) AS n_boiler_lines
           |FROM kd""".stripMargin
+
+  /** The s16 filtered IVF-PQ replay (see the comment above the gate):
+    * the s13 chain with the label predicate folded into the candidate
+    * join. Shared verbatim by the st16 streaming twin.
+    */
+  private val s16OracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+          |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+          |  FROM e ORDER BY vec_id LIMIT 4),
+          |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+          |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+          |  FROM e CROSS JOIN cc c),
+          |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          |  FROM cd) WHERE rn = 1),
+          |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+          |  i -> e.vq[i] - c.cv[i]) AS rv
+          |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+          |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+          |  FROM res ORDER BY vec_id LIMIT 8),
+          |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+          |  list_sum(list_transform(range(1, 17),
+          |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+          |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+          |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+          |code AS (SELECT vec_id, cell, s, j AS code
+          |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+          |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+          |  WHERE rn = 1),
+          |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+          |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+          |  i -> e.vq[i] - c.cv[i]) AS qr
+          |  FROM probes p JOIN e ON e.vec_id = p.qid
+          |  JOIN cc c ON c.cell = p.cell),
+          |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+          |  list_sum(list_transform(range(1, 17),
+          |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+          |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+          |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+          |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+          |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+          |    AND qt.j = code.code
+          |  JOIN embeddings fe ON fe.vec_id = code.vec_id
+          |  WHERE code.vec_id <> qt.qid AND fe.label % 2 = 0
+          |  GROUP BY 1, 2),
+          |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+          |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+          |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+          |FROM rk WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_groupby_agg" ->
@@ -2891,53 +2965,7 @@ object SparkEntry {
     // query batch) — with the label predicate folded into the candidate
     // join, so ranks recompute over survivors (filter-then-rank, the
     // semantics post-filtering a ranked list cannot reproduce).
-    "s16_ivfpq_filtered" ->
-      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
-        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
-        |  FROM e ORDER BY vec_id LIMIT 4),
-        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
-        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
-        |  FROM e CROSS JOIN cc c),
-        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd) WHERE rn = 1),
-        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS rv
-        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
-        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
-        |  FROM res ORDER BY vec_id LIMIT 8),
-        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |code AS (SELECT vec_id, cell, s, j AS code
-        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
-        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS qr
-        |  FROM probes p JOIN e ON e.vec_id = p.qid
-        |  JOIN cc c ON c.cell = p.cell),
-        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
-        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
-        |    AND qt.j = code.code
-        |  JOIN embeddings fe ON fe.vec_id = code.vec_id
-        |  WHERE code.vec_id <> qt.qid AND fe.label % 2 = 0
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
-        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
-        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
-        |FROM rk WHERE rnk <= 5""".stripMargin,
+    "s16_ivfpq_filtered" -> s16OracleSql,
 
     // Trained-coarse IVF-PQ replay: the k01 chain at k=4 for ONE Lloyd
     // iteration (integer argmin assignment, floor-div update, empty-cell
@@ -3855,6 +3883,10 @@ object SparkEntry {
     // Streaming ingest twin (st15): the same kernel per micro-batch —
     // stream==batch is the contract, so the oracle IS the t18 SQL.
     "st15_stream_html_extract" -> t18OracleSql,
+
+    // Streaming filtered-ANN twin (st16): same index, same predicate,
+    // same top-k — the oracle IS the s16 SQL (stream==batch contract).
+    "st16_stream_filtered_ann" -> s16OracleSql,
 
     // Streaming phash dedup gate: first-seen-per-hash == DISTINCT hash;
     // the hash bits replay from the synthesis formula (m07's CTEs).

@@ -751,11 +751,18 @@ object Similarity {
 
     // ADC: equi-join on cell (only probed cells' codes are read), m
     // static element_at lookups per candidate, bounded-heap top-k.
+    // STREAMING queries (st16, the RAG serving shape): a stream side
+    // cannot be broadcast, so the hint flips — the per-batch probe
+    // tables join the STATIC code table as a stream-static equi-join
+    // and the planner broadcasts the bounded static build instead.
     val lookupSum = (0 until m).map { s =>
       element_at(element_at(col("qtab"), s + 1),
         (element_at(col("codes"), s + 1) + lit(1)).cast("int"))
     }.reduce(_ + _)
-    val scored = codes.join(broadcast(qTables), "cell")
+    val joined =
+      if (queries.isStreaming) qTables.join(codes, "cell")
+      else codes.join(broadcast(qTables), "cell")
+    val scored = joined
       .filter(col("id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         lookupSum.as("d2"))

@@ -152,8 +152,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // round-13 surface: real MP4 frame decode, substring-span dedup.
         "m14_mp4_frame_decode", "d18_substring_spans", "t18_html_extract",
         // round-14 surface: filtered IVF-PQ (index-side predicate),
-        // streaming HTML extraction at ingest.
-        "s16_ivfpq_filtered", "st15_stream_html_extract")
+        // streaming HTML extraction, streaming filtered ANN.
+        "s16_ivfpq_filtered", "st15_stream_html_extract",
+        "st16_stream_filtered_ann")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

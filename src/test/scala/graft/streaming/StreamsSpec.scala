@@ -306,6 +306,12 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // stateless ingest-transform symmetry (st03/st13/st14 discipline).
     val st15 = graft.SparkEntry.queries("st15_stream_html_extract")(spark, sf)
     sym(st15, graft.SparkEntry.queries("t18_html_extract")(spark, sf))
+
+    // Streaming filtered ANN serves the s16 batch result: same index,
+    // same predicate, same top-k — the stream-static cell join plus the
+    // complete-mode bounded top-k state must reproduce batch exactly.
+    val st16 = graft.SparkEntry.queries("st16_stream_filtered_ann")(spark, sf)
+    sym(st16, graft.SparkEntry.queries("s16_ivfpq_filtered")(spark, sf))
   }
 
   test("streamingLatestVersion: upserts on newer, silent on stale, idempotent replay") {
