@@ -646,15 +646,31 @@ object Dedup {
     *
     * SHAPE (the honest cost of occurrence-level dedup, same asymptotic as
     * the MapReduce formulation of the paper): anchors ~= one row per
-    * corpus token. first-occurrence is ONE map-side-combining aggregate on
-    * the n-gram hash (`min(struct)` — O(1) state per distinct n-gram, the
-    * d10 partial); anchors then re-join their hash's first to classify
-    * (shuffle of anchor rows on 16-byte keys — boilerplate-degenerate
-    * hashes skew this join, which is exactly what AQE skew-join splits).
-    * Everything after operates on DUPLICATE anchors only — typically a
-    * small fraction of the corpus — with per-document windows (shuffle
-    * keyed by doc) for the island merge, and the no-dup documents take a
-    * single anti-join + per-doc count, never a window.
+    * corpus token. first-occurrence (plus the occurrence count) is ONE
+    * map-side-combining aggregate on the n-gram hash (`min(struct)` —
+    * O(1) state per distinct n-gram, the d10 partial); anchors then
+    * re-join their hash's first to classify (shuffle of anchor rows on
+    * 16-byte keys). Boilerplate-degenerate hashes skew that join;
+    * measured at the 1 M-doc probe (three hashes repeating 262 k times
+    * each) the penalty is NOISE — the hot partition's excess amortizes
+    * across the other cores — and at production partition sizes Spark's
+    * own AQE skew split applies (the join feeds a differently-keyed
+    * exchange, so the split is legal). A broadcast-hot-hash
+    * differentiation was prototyped and REJECTED on measurement: hot
+    * detection needs an extra action over a corpus-distinct-gram-sized
+    * aggregate whose materialization cost exceeded the skew penalty it
+    * removed. The cost that DID matter (probe-measured executed plan):
+    * the kept-span complement assembles as a three-branch union, and
+    * Spark shares no common subplan across union branches — without a
+    * cut each branch re-ran the anchor scan, the first-occurrence
+    * aggregate, the classify join and the island windows, tripling the
+    * operator (fixed by checkpointing the island and per-doc-count
+    * frames; 1 M-doc probe 66 s -> 35 s, skewed 99 s -> 27 s).
+    * Everything after operates on DUPLICATE
+    * anchors only — typically a small fraction of the corpus — with
+    * per-document windows (shuffle keyed by doc) for the island merge,
+    * and the no-dup documents take a single anti-join + per-doc count,
+    * never a window.
     */
   def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -684,7 +700,7 @@ object Dedup {
     // running max end + 1 (adjacency merges — the complement is identical
     // either way, but merged islands keep span_idx deterministic).
     val byS = Window.partitionBy(id).orderBy("s")
-    val islands = dups
+    val islandsPlan = dups
       .withColumn("pmax", max(col("e")).over(
         byS.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("nf",
@@ -692,14 +708,26 @@ object Dedup {
       .withColumn("iid", sum(col("nf")).over(byS))
       .groupBy(id, col("iid"))
       .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+    // CHECKPOINT the islands (and the per-doc token counts below): the
+    // complement assembles as a THREE-branch union (gaps, tails, fulls),
+    // and Spark shares no common subplan across union branches — without
+    // the cut, each branch re-runs the anchor scan, the first-occurrence
+    // aggregate, the classify join and the island windows, tripling the
+    // operator's whole cost (measured in the executed probe plan). The
+    // islands frame is duplicate-island-sized — orders of magnitude
+    // smaller than the corpus — and counts is one (id, nt) row per doc.
+    val islands =
+      org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(islandsPlan)
+    val countsCk =
+      org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(counts)
     val gaps = islands
       .withColumn("prev_e", lag(col("ie"), 1, -1L).over(
         Window.partitionBy(id).orderBy("is")))
       .select(id, (col("prev_e") + 1).as("start_tok"), (col("is") - 1).as("end_tok"))
     val tails = islands.groupBy(id).agg(max(col("ie")).as("maxe"))
-      .join(counts, idCol)
+      .join(countsCk, idCol)
       .select(id, (col("maxe") + 1).as("start_tok"), (col("nt") - 1).as("end_tok"))
-    val fulls = counts.join(islands.select(id).distinct(), Seq(idCol), "left_anti")
+    val fulls = countsCk.join(islands.select(id).distinct(), Seq(idCol), "left_anti")
       .select(id, lit(0L).as("start_tok"), (col("nt") - 1).as("end_tok"))
     gaps.unionByName(tails).unionByName(fulls)
       .filter(col("start_tok") <= col("end_tok"))

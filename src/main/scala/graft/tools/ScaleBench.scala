@@ -494,6 +494,119 @@ object ScaleBench {
         val maxStep = out.agg(max("step")).head.getLong(0)
         println(f"SCALE-OK walks n=$n m=$m starts=${n / 64} steps=32 rows=$cnt " +
           f"maxStep=$maxStep sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "pipeline" =>
+        // End-to-end p03 composition at probe scale — quality filter ->
+        // near-dup removal -> hash split -> per-split token stats — with
+        // per-stage wall attribution (each stage checkpointed so its cost
+        // is its own). The synthetic corpus makes every stage bite AND
+        // the final doc count an exact pin: per 8-id block, one junk doc
+        // (quality-filtered), three docs sharing IDENTICAL text (the
+        // minhash-LSH/WCC chain must collapse them to the min-id
+        // survivor), four unique keepers => kept = 5n/8 exactly.
+        require(n % 8 == 0, s"pipeline probe needs n % 8 == 0, got $n")
+        val stops = "the and is of a"
+        val uniq = (0 until 15).map(j =>
+          concat(lit(" u"), col("id"), lit("x"), lit(j),
+            pmod(xxhash64(col("id"), lit(j)), lit(100000L))))
+        val gid = expr("id div 8")
+        val grp = (0 until 15).map(j =>
+          concat(lit(" g"), gid, lit("x"), lit(j),
+            pmod(xxhash64(gid, lit(j)), lit(100000L))))
+        val text = when(col("id") % 8 === 7, lit("#@! %^& *() {}| #@! %^& *() {}|"))
+          .when(col("id") % 8 >= 1 && col("id") % 8 <= 3,
+            concat(lit(stops), concat(grp: _*)))
+          .otherwise(concat(lit(stops), concat(uniq: _*)))
+        val docs = spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+          .localCheckpoint(true)
+        docs.count() // corpus materialized outside the timed region
+        val tq0 = System.nanoTime()
+        val clean = docs
+          .filter(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+          .localCheckpoint(true)
+        val nClean = clean.count()
+        val tq = (System.nanoTime() - tq0) / 1e9
+        val td0 = System.nanoTime()
+        val unique = graft.operators.Dedup
+          .dropNearDuplicates(clean, "doc_id", "text", n = 3, threshold = 0.8)
+          .localCheckpoint(true)
+        val nUnique = unique.count()
+        val td = (System.nanoTime() - td0) / 1e9
+        val ts0 = System.nanoTime()
+        val stats = graft.operators.Sampling.hashSplit(unique, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("docs"),
+            sum(graft.text.TextFunctions.tokenCount(col("text"))).as("tokens"))
+          .collect().sortBy(_.getString(0))
+        val ts = (System.nanoTime() - ts0) / 1e9
+        val expectKept = 5L * n / 8
+        require(nClean == 7L * n / 8, s"quality kept $nClean, expected ${7L * n / 8}")
+        require(nUnique == expectKept, s"dedup kept $nUnique, expected $expectKept")
+        val statsStr = stats.map(r =>
+          s"${r.getString(0)}=${r.getLong(1)}d/${r.getLong(2)}t").mkString(" ")
+        println(f"SCALE-OK pipeline n=$n clean=$nClean kept=$nUnique " +
+          f"[$statsStr] qualitySec=$tq%.1f dedupSec=$td%.1f splitSec=$ts%.1f " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "substring" | "substring-skew" =>
+        // d18 exactSubstringSpans at probe scale with PLANTED structure:
+        // per 8-id block, ids 8g+1 / 8g+2 share a 12-token span at
+        // UNALIGNED offsets (5 vs 11) — the second doc must lose exactly
+        // its [11,22] window; the -skew variant additionally gives every
+        // id%4==0 doc the SAME 10-token boilerplate prefix, so three
+        // 8-gram anchor hashes each repeat n/4 times — the degenerate
+        // anchor-hash skew the d18 scaladoc names on the classify
+        // re-join. Pins are exact: spans = 9n/8 rows, kept tokens =
+        // 268n/8 (+10 for doc 0, the boilerplate first occurrence, when
+        // skewed). Reports whether AQE split the skewed join.
+        require(n % 8 == 0, s"substring probe needs n % 8 == 0, got $n")
+        val ngram = 8
+        val boiler = (0 until 10).map(j => lit(s" b$j")) // shared verbatim
+        val body = (0 until 32).map(j => concat(lit(s" u${j}i"), col("id")))
+        val span = (0 until 12).map(j => concat(lit(s" s${j}y"), expr("id div 8")))
+        def cat(parts: Seq[org.apache.spark.sql.Column]) = concat(parts: _*)
+        val m8 = col("id") % 8
+        val textCol =
+          when(m8 === 1, cat(body.take(5) ++ span ++ body.drop(5)))
+            .when(m8 === 2, cat(body.take(11) ++ span ++ body.drop(11)))
+            .otherwise(when(col("id") % 4 === 0 && lit(algo.endsWith("-skew")),
+              cat(boiler ++ body)).otherwise(cat(body)))
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"), trim(textCol).as("text"))
+          .localCheckpoint(true)
+        docs.count() // corpus materialized outside the timed region
+        // Stage-level attribution: aggregate executor run time per stage
+        // so "which stage eats the skew delta" is measured, not guessed.
+        val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stageTimes.put(si.stageId,
+              (si.name.takeWhile(_ != '\n').take(60),
+                si.taskMetrics.executorRunTime))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val ts0 = System.nanoTime()
+        val spans = graft.operators.Dedup
+          .exactSubstringSpans(docs, "doc_id", "text", n = ngram)
+        val agg = spans.agg(count(lit(1)), sum("n_kept")).head
+        val sec = (System.nanoTime() - ts0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        stageTimes.asScala.toSeq.sortBy(-_._2._2).take(8).foreach {
+          case (sid, (name, ms)) =>
+            println(f"SCALE-STAGE $sid%5d ${ms / 1000.0}%8.1fs  $name")
+        }
+        val (nSpans, kept) = (agg.getLong(0), agg.getLong(1))
+        val expSpans = 9L * n / 8
+        val expKept = 268L * n / 8 + (if (algo.endsWith("-skew")) 10L else 0L)
+        require(nSpans == expSpans, s"spans $nSpans, expected $expSpans")
+        require(kept == expKept, s"kept tokens $kept, expected $expKept")
+        println(f"SCALE-OK $algo n=$n ngram=$ngram spans=$nSpans kept=$kept " +
+          f"sec=$sec%.1f")
     }
     spark.stop()
   }

@@ -105,6 +105,34 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out(5L) == (("apostrophe attr text", 1L, 0L)))
   }
 
+  test("exactSubstringSpans: invariant under AQE skew-split thresholds") {
+    // The classify join's skew remedy at production scale is Spark's own
+    // AQE skew split (ScaleBench substring-skew demonstrates it engaging
+    // once partitions cross the size thresholds); this pins that the
+    // operator's results cannot move under those thresholds — the split
+    // is a pure execution-strategy choice. Corpus mixes cross-doc spans,
+    // within-doc repeats and shared boilerplate.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tail one"),
+      (2L, "intro words the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog and more padding here"),
+      (4L, "all rights reserved all rights reserved all rights reserved"),
+      (5L, "completely unique content with no duplicated window at all"),
+      (6L, "all rights reserved plus trailing unique material here now")
+    ).toDF("doc_id", "text")
+    def run() = Dedup.exactSubstringSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = run()
+    assert(plain.nonEmpty)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try assert(run() === plain)
+    finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("ivfPqEncode rejects metaCols colliding with index schema names") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val ex = intercept[IllegalArgumentException] {
