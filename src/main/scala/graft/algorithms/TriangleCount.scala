@@ -57,9 +57,13 @@ class TriangleCount(graph: GraphFrame) {
       .join(oriented.as("e3"), col("b") === col("e3.src") && col("c") === col("e3.dst"))
       .select("a", "b", "c")
 
-    val perCorner = triangles.select(col("a").as(ID))
-      .unionAll(triangles.select(col("b").as(ID)))
-      .unionAll(triangles.select(col("c").as(ID)))
+    // One generate, not a 3-branch union: Spark shares no common subplan
+    // across union branches, so the union form re-ran the O(m^1.5) wedge
+    // enumeration once PER CORNER (the d18 probe's union lesson). The
+    // explode credits all three corners inside the same codegen stage as
+    // the closing join, and the groupBy combines map-side.
+    val perCorner = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as(ID))
       .groupBy(ID).agg(count(lit(1)).as("triangles"))
 
     val out = graph.vertices.select(col(ID))

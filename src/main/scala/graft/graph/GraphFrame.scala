@@ -117,11 +117,25 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     val t = triplets
     // Targets come from the EDGE struct, not the joined vertex structs —
     // a dangling endpoint has a NULL vertex struct but must still receive.
-    val sent = Seq(
-      sendToDst.map(m => t.select(col("edge." + DST).as(ID), m.as("msg"))),
-      sendToSrc.map(m => t.select(col("edge." + SRC).as(ID), m.as("msg")))
-    ).flatten
-    sent.reduce(_.unionAll(_))
+    // Both directions emit from ONE generate over the triplet join when
+    // the message types line up — a two-branch union would re-run the
+    // triplet joins once per direction (no common-subplan sharing across
+    // union branches); mismatched types keep the union form (the explode
+    // array needs one element type).
+    val targeted = Seq(
+      sendToDst.map(m => (col("edge." + DST), m)),
+      sendToSrc.map(m => (col("edge." + SRC), m))).flatten
+    val sent =
+      if (targeted.size == 2 &&
+          t.select(targeted(0)._2).schema.head.dataType ==
+            t.select(targeted(1)._2).schema.head.dataType)
+        t.select(explode(array(targeted.map { case (tgt, m) =>
+            struct(tgt.as(ID), m.as("msg")) }: _*)).as("__am"))
+          .select(col("__am.*"))
+      else targeted
+        .map { case (tgt, m) => t.select(tgt.as(ID), m.as("msg")) }
+        .reduce(_.unionAll(_))
+    sent
       .filter(col("msg").isNotNull)
       .groupBy(ID).agg(aggExprs.head, aggExprs.tail: _*)
   }

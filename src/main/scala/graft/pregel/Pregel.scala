@@ -248,8 +248,31 @@ class Pregel(graph: GraphFrame) extends Serializable {
       val messagesDf = (dstTargeted.nonEmpty, srcTargeted.nonEmpty) match {
         case (true, false) => emit(edge(GraphFrame.DST), dstTargeted)
         case (false, true) => emit(edge(GraphFrame.SRC), srcTargeted)
-        case _ => emit(edge(GraphFrame.DST), dstTargeted)
-          .unionByName(emit(edge(GraphFrame.SRC), srcTargeted), allowMissingColumns = true)
+        case _ =>
+          // BOTH directions: ONE generate over the triplet join, not a
+          // two-branch union — Spark shares no common subplan across
+          // union branches, so the union form re-ran the state⋈edges
+          // join (the most expensive per-iteration stage) once per
+          // direction, every iteration. Field layout is the unionByName
+          // semantics verbatim: the union of message names in
+          // dst-then-src-first-seen order, a direction missing a name
+          // contributes a typed NULL.
+          val all = (dstTargeted ++ srcTargeted.filterNot(m =>
+            dstTargeted.exists(_.name == m.name))).map(_.name)
+          val typeOf = (dstTargeted ++ srcTargeted)
+            .map(m => m.name -> triplets.select(m.expr).schema.head.dataType)
+            .toMap
+          def rowFor(target: Column, group: Vector[Msg]): Column = {
+            val present = group.map(m => m.name -> m.expr).toMap
+            struct(target.as(ID) +: all.map(n =>
+              present.getOrElse(n, lit(null).cast(typeOf(n)))
+                .as(s"${MSG}_$n")): _*)
+          }
+          triplets
+            .select(explode(array(
+              rowFor(edge(GraphFrame.DST), dstTargeted),
+              rowFor(edge(GraphFrame.SRC), srcTargeted))).as("__pregel_m"))
+            .select(col("__pregel_m.*"))
       }
 
       val aggregated =
