@@ -111,8 +111,11 @@ object StronglyConnectedComponents {
       maxFixpointIter: Int = 200): DataFrame = {
     val spark = e0.sparkSession
     var remEdges = checkpointing.localCheckpointNoStats(e0)
+    // Endpoints derive from the CHECKPOINTED edges with one generate —
+    // the union form re-ran e0's (arbitrarily expensive) lineage once
+    // per endpoint side.
     var remaining = checkpointing.localCheckpointNoStats(
-      e0.select(col("src").as("id")).unionAll(e0.select(col("dst").as("id")))
+      remEdges.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct())
     var assigned: DataFrame = null
 

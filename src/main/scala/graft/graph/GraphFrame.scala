@@ -39,13 +39,21 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
     * does at `src/lib.rs:245-278`).
     */
   def symmetrize: GraphFrame = {
+    // One generate, not a two-branch union: Spark shares no common
+    // subplan across union branches, so the union form scanned the edge
+    // lineage twice. Field order/names match the reference's positional
+    // contract (`src/lib.rs:245-278`) — the reverse struct lists the
+    // SAME field names in the SAME order with src/dst values swapped.
     val cols = edges.columns.toSeq
-    val swapped = edges.select(cols.map {
-      case SRC => col(SRC).as(DST)
-      case DST => col(DST).as(SRC)
+    val fwd = struct(cols.map(col): _*)
+    val rev = struct(cols.map {
+      case SRC => col(DST).as(SRC)
+      case DST => col(SRC).as(DST)
       case c   => col(c)
-    }: _*).select(cols.map(col): _*)
-    new GraphFrame(vertices, edges.union(swapped))
+    }: _*)
+    val both = edges.select(explode(array(fwd, rev)).as("__sym"))
+      .select(cols.map(c => col(s"__sym.$c")): _*)
+    new GraphFrame(vertices, both)
   }
 
   /** `[src_vertex: struct, edge: struct, dst_vertex: struct]`, each struct
@@ -215,10 +223,13 @@ object GraphFrame {
     new GraphFrame(vertices, edges)
   }
 
-  /** Derives vertices from the edge endpoints (distinct union of src/dst). */
+  /** Derives vertices from the edge endpoints (distinct endpoints; one
+    * generate over one edge scan, not a two-branch union re-scanning the
+    * edge lineage per endpoint).
+    */
   def fromEdges(edges: DataFrame): GraphFrame = {
-    val vertices = edges.select(col(SRC).as(ID))
-      .union(edges.select(col(DST).as(ID))).distinct()
+    val vertices = edges
+      .select(explode(array(col(SRC), col(DST))).as(ID)).distinct()
     apply(vertices, edges)
   }
 
@@ -227,9 +238,13 @@ object GraphFrame {
     * Expects a 2-column `[src, dst]` frame.
     */
   private[graft] def symmetrizeEdges(edges: DataFrame, doDistinct: Boolean): DataFrame = {
-    val noLoops = edges.filter(col(SRC) =!= col(DST))
-    val reversed = noLoops.select(col(DST).as(SRC), col(SRC).as(DST))
-    val unioned = noLoops.union(reversed)
+    // Same one-generate shape as [[symmetrize]] — the union form scanned
+    // the (possibly expensive) edge lineage once per direction.
+    val unioned = edges.filter(col(SRC) =!= col(DST))
+      .select(explode(array(
+        struct(col(SRC), col(DST)),
+        struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__sym"))
+      .select(col(s"__sym.$SRC").as(SRC), col(s"__sym.$DST").as(DST))
     if (doDistinct) unioned.distinct() else unioned
   }
 }
