@@ -97,7 +97,12 @@ object TextFunctions {
     * reproduces the same labels bit-for-bit.
     */
   def langId(text: Column): Column = {
-    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
+    // Count via length-diff, not regexp_extract_all: extracting per-CHAR
+    // matches materializes an array of one-char strings per row (the
+    // pipeline probe's quality stage was 2x the whole dedup chain); the
+    // replace form builds one output string and the same integer.
+    val cjk = (length(text) -
+      length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))).cast(LongType)
     val en = stopwordHits(text, "en")
     val es = stopwordHits(text, "es")
     val de = stopwordHits(text, "de")
@@ -118,7 +123,10 @@ object TextFunctions {
     */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast(LongType)
-    val alnum = size(regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))).cast(LongType)
+    // Length-diff count (see languageId's cjk note): same integer, no
+    // per-char match array.
+    val alnum = (nChars -
+      length(regexp_replace(lower(text), "[a-z0-9]", ""))).cast(LongType)
     val nTok = tokenCount(text)
     val stops = stopwordHits(text, "en")
     val alnumRatio = when(nChars > 0, alnum.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
