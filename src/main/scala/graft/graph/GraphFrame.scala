@@ -240,11 +240,29 @@ object GraphFrame {
   private[graft] def symmetrizeEdges(edges: DataFrame, doDistinct: Boolean): DataFrame = {
     // Same one-generate shape as [[symmetrize]] — the union form scanned
     // the (possibly expensive) edge lineage once per direction.
-    val unioned = edges.filter(col(SRC) =!= col(DST))
-      .select(explode(array(
-        struct(col(SRC), col(DST)),
-        struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__sym"))
-      .select(col(s"__sym.$SRC").as(SRC), col(s"__sym.$DST").as(DST))
-    if (doDistinct) unioned.distinct() else unioned
+    val noLoops = edges.filter(col(SRC) =!= col(DST))
+    if (doDistinct) {
+      // Dedup BEFORE the generate, on the canonical (least, greatest)
+      // form: (a,b) and (b,a) collapse to one row, so the aggregate
+      // processes m rows instead of the 2m a post-explode distinct
+      // would — and the explode of the deduped set is duplicate-free by
+      // construction (each undirected edge emits exactly its two
+      // directions). The 2m-row post-explode distinct doubled every
+      // task's partial hash-agg state and OOM'd the 67 M-edge probe.
+      noLoops
+        .select(least(col(SRC), col(DST)).as(SRC),
+          greatest(col(SRC), col(DST)).as(DST))
+        .distinct()
+        .select(explode(array(
+          struct(col(SRC), col(DST)),
+          struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__sym"))
+        .select(col(s"__sym.$SRC").as(SRC), col(s"__sym.$DST").as(DST))
+    } else {
+      noLoops
+        .select(explode(array(
+          struct(col(SRC), col(DST)),
+          struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__sym"))
+        .select(col(s"__sym.$SRC").as(SRC), col(s"__sym.$DST").as(DST))
+    }
   }
 }
