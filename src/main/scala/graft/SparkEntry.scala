@@ -1194,6 +1194,17 @@ object SparkEntry {
     "p07_interleave" -> ((s, d) =>
       Sampling.mixtureInterleaveKeys(tbl(s, d, "documents"), "lang", "doc_id")),
 
+    // GPT-style concat-and-chop sequence packing: each document's
+    // coordinates on the chopped global token axis (seq_id/seq_off of its
+    // first token, sequences spanned) via the two-level distributed
+    // prefix sum — one window per hash shard plus a driver prefix over
+    // the 32 shard totals; shard boundaries may legally fall mid-sequence.
+    "p08_sequence_pack" -> ((s, d) =>
+      Sampling.packSequences(
+        tbl(s, d, "documents")
+          .withColumn("n_toks", TextFunctions.tokenCount(col("text"))),
+        "doc_id", "n_toks", seqLen = 1024L)),
+
     // Cohort retention: users bucketed by first-activity week, distinct
     // actives per (cohort, weeks-since) — two map-side-combinable
     // aggregates sharing the user_id partitioning, no window.

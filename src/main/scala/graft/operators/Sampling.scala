@@ -228,6 +228,72 @@ object Sampling {
             .as("share6"))
     }
 
+  /** GPT-style sequence packing (concat-and-chop): lay every document out
+    * on one global token axis in deterministic (shard, hash, key) order,
+    * then cut the axis every `seqLen` tokens into training sequences. Each
+    * document gets the sequence coordinates a sequential packer would
+    * assign — `seq_id`/`seq_off` of its first token and the number of
+    * sequences it spans — without any sequential pass: offsets are a
+    * distributed prefix sum. No `rand()`, no epoch state; a re-run (or an
+    * auditing engine) reproduces the exact same layout from the keys
+    * alone, which is what makes an exact SQL oracle possible.
+    *
+    * Execution is the two-level prefix-sum: rows hash into `nShards`
+    * packing shards (`hash60 % nShards`); ONE window per shard computes
+    * the intra-shard running mass (the only corpus-wide exchange —
+    * hash-partitioned on the shard id, `nShards` is the parallelism
+    * knob, so at 100 TB you raise it and every shard still sorts only
+    * `corpus/nShards` rows); a map-side-combined aggregate reduces each
+    * shard to its total (`nShards` rows), the driver prefix-scans those
+    * into per-shard base offsets, and a broadcast join adds the bases
+    * back. Global offset arithmetic is all BIGINT `div`/`%` — exact, no
+    * double rounding — and a sequence may legally straddle a shard
+    * boundary (the shards are an implementation detail of the prefix
+    * sum, not packing domains).
+    *
+    * Weights (token counts) must be >= 1 — a zero-length document has no
+    * position on the token axis, and silently placing it would make two
+    * engines disagree on ties; the guard fails loud instead.
+    *
+    * Output `[<keyCol>, shard, seq_id, seq_off, n_seqs]`.
+    */
+  def packSequences(df: DataFrame, keyCol: String, weightCol: String,
+      seqLen: Long, nShards: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nShards >= 1 && nShards <= (1 << 16),
+      s"nShards must be in [1, 65536], got $nShards")
+    val base = df.select(col(keyCol).as("__sp_key"),
+        col(weightCol).cast(LongType).as("__sp_w"),
+        keyHash60(col(keyCol)).as("__sp_h"))
+      .withColumn("__sp_w",
+        when(col("__sp_w") >= 1L, col("__sp_w"))
+          .otherwise(raise_error(lit(
+            "packSequences: weights must be >= 1 tokens"))))
+      .withColumn("__sp_s", col("__sp_h") % nShards.toLong)
+    // Per-shard totals -> driver prefix scan -> base offsets. The
+    // aggregate re-reads only [key, weight] (column-pruned); reduce side
+    // is nShards rows. Shards are dense 0..nShards-1 with empties at 0.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = base.groupBy("__sp_s").agg(sum("__sp_w").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bases = (0 until nShards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s.toLong, 0L)
+    }.init.zipWithIndex.map { case (b, s) => (s.toLong, b) }
+      .toDF("__sp_s", "__sp_base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__sp_s").orderBy(col("__sp_h"), col("__sp_key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.join(broadcast(bases), Seq("__sp_s"))
+      .withColumn("__sp_g",
+        col("__sp_base") + sum("__sp_w").over(w) - col("__sp_w"))
+      .select(col("__sp_key").as(keyCol), col("__sp_s").as("shard"),
+        expr(s"__sp_g div $seqLen").as("seq_id"),
+        (col("__sp_g") % seqLen).as("seq_off"),
+        (expr(s"(__sp_g + __sp_w - 1) div $seqLen")
+          - expr(s"__sp_g div $seqLen") + lit(1L)).as("n_seqs"))
+  }
+
   /** Deterministic mixture-interleave keys — the data-LOADER ordering
     * primitive the mixture selectors (p04/p05) stop short of: reading the
     * corpus in ascending `interleave_key` order visits every category at
