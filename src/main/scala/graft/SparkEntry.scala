@@ -1197,8 +1197,10 @@ object SparkEntry {
     // GPT-style concat-and-chop sequence packing: each document's
     // coordinates on the chopped global token axis (seq_id/seq_off of its
     // first token, sequences spanned) via the two-level distributed
-    // prefix sum — one window per hash shard plus a driver prefix over
-    // the 32 shard totals; shard boundaries may legally fall mid-sequence.
+    // prefix sum — one window per hash-RANGE shard plus a driver prefix
+    // over the 32 shard totals; shard boundaries may legally fall
+    // mid-sequence and the coordinates are nShards-invariant (the oracle
+    // replays the single global (hash, key)-ordered running sum).
     "p08_sequence_pack" -> ((s, d) =>
       Sampling.packSequences(
         tbl(s, d, "documents")
@@ -4202,6 +4204,27 @@ object SparkEntry {
         |      AS BIGINT) AS cat_rank,
         |    count(*) OVER (PARTITION BY lang) AS cnt
         |  FROM documents)""".stripMargin,
+
+    // Sequence-packing replay: the engine's two-level prefix sum (one
+    // window per hash-range shard + driver prefix over shard totals) must
+    // equal ONE global running sum over the (hash, key) order — range
+    // shards concatenate in hash order, so the equality is exact. g0 =
+    // tokens strictly before the doc; the div/% coordinate math mirrors
+    // the BIGINT expressions verbatim. shard = h div ceil(2^60/32).
+    "p08_sequence_pack" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |FROM documents),
+         |g AS (SELECT doc_id, h, w,
+         |  CAST(COALESCE(sum(w) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+         |FROM c)
+         |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
+         |  CAST(g0 // 1024 AS BIGINT) AS seq_id,
+         |  CAST(g0 % 1024 AS BIGINT) AS seq_off,
+         |  CAST((g0 + w - 1) // 1024 - g0 // 1024 + 1 AS BIGINT) AS n_seqs
+         |FROM g""".stripMargin,
 
     // Salting is invisible to semantics: the oracle is the plain join.
     "q22_salted_join" ->

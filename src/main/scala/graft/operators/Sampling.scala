@@ -229,8 +229,8 @@ object Sampling {
     }
 
   /** GPT-style sequence packing (concat-and-chop): lay every document out
-    * on one global token axis in deterministic (shard, hash, key) order,
-    * then cut the axis every `seqLen` tokens into training sequences. Each
+    * on one global token axis in deterministic (hash, key) order, then cut
+    * the axis every `seqLen` tokens into training sequences. Each
     * document gets the sequence coordinates a sequential packer would
     * assign — `seq_id`/`seq_off` of its first token and the number of
     * sequences it spans — without any sequential pass: offsets are a
@@ -238,30 +238,46 @@ object Sampling {
     * auditing engine) reproduces the exact same layout from the keys
     * alone, which is what makes an exact SQL oracle possible.
     *
-    * Execution is the two-level prefix-sum: rows hash into `nShards`
-    * packing shards (`hash60 % nShards`); ONE window per shard computes
-    * the intra-shard running mass (the only corpus-wide exchange —
-    * hash-partitioned on the shard id, `nShards` is the parallelism
-    * knob, so at 100 TB you raise it and every shard still sorts only
-    * `corpus/nShards` rows); a map-side-combined aggregate reduces each
-    * shard to its total (`nShards` rows), the driver prefix-scans those
-    * into per-shard base offsets, and a broadcast join adds the bases
-    * back. Global offset arithmetic is all BIGINT `div`/`%` — exact, no
-    * double rounding — and a sequence may legally straddle a shard
-    * boundary (the shards are an implementation detail of the prefix
-    * sum, not packing domains).
+    * Execution is the two-level prefix-sum: rows RANGE-shard into
+    * `nShards` contiguous slices of the 60-bit hash axis (`hash60 div
+    * ceil(2^60/nShards)` — the md5 hash is uniform, so slices are
+    * balanced); ONE window per shard computes the intra-shard running
+    * mass (the only corpus-wide exchange — hash-partitioned on the shard
+    * id, `nShards` is the parallelism knob, so at 100 TB you raise it and
+    * every shard still sorts only `corpus/nShards` rows); a
+    * map-side-combined aggregate reduces each shard to its total
+    * (`nShards` rows), the driver prefix-scans those into per-shard base
+    * offsets, and a broadcast join adds the bases back. Because shards
+    * are contiguous hash RANGES (not `hash % nShards` residues), the
+    * concatenated per-shard orders equal the single global (hash, key)
+    * order — the `seq_id`/`seq_off`/`n_seqs` coordinates are therefore
+    * invariant in `nShards`, which really is just an implementation
+    * detail of the prefix sum (spec-pinned). Global offset arithmetic is
+    * all BIGINT `div`/`%` — exact, no double rounding — and a sequence
+    * may legally straddle a shard boundary.
     *
     * Weights (token counts) must be >= 1 — a zero-length document has no
     * position on the token axis, and silently placing it would make two
     * engines disagree on ties; the guard fails loud instead.
     *
-    * Output `[<keyCol>, shard, seq_id, seq_off, n_seqs]`.
+    * Determinism assumes DISTINCT keys: ties break on (hash, key), so two
+    * rows sharing a key (necessarily also a hash) are interchangeable in
+    * the layout — if they carry different weights, their offsets swap
+    * freely between runs. Keys are row identifiers by contract (as in
+    * [[hashSplit]]); pre-dedup or disambiguate the key if yours are not.
+    *
+    * Output `[<keyCol>, shard, seq_id, seq_off, n_seqs]` — `shard` is the
+    * one nShards-DEPENDENT column (kept so callers can write the layout
+    * partitioned by it); the three coordinates are nShards-invariant.
     */
   def packSequences(df: DataFrame, keyCol: String, weightCol: String,
       seqLen: Long, nShards: Int = 32): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(nShards >= 1 && nShards <= (1 << 16),
       s"nShards must be in [1, 65536], got $nShards")
+    // ceil(2^60 / nShards): shard = h div width stays < nShards for every
+    // h in [0, 2^60) even when nShards does not divide 2^60.
+    val shardWidth = ((1L << 60) + nShards - 1) / nShards
     val base = df.select(col(keyCol).as("__sp_key"),
         col(weightCol).cast(LongType).as("__sp_w"),
         keyHash60(col(keyCol)).as("__sp_h"))
@@ -269,7 +285,7 @@ object Sampling {
         when(col("__sp_w") >= 1L, col("__sp_w"))
           .otherwise(raise_error(lit(
             "packSequences: weights must be >= 1 tokens"))))
-      .withColumn("__sp_s", col("__sp_h") % nShards.toLong)
+      .withColumn("__sp_s", expr(s"__sp_h div ${shardWidth}L"))
     // Per-shard totals -> driver prefix scan -> base offsets. The
     // aggregate re-reads only [key, weight] (column-pruned); reduce side
     // is nShards rows. Shards are dense 0..nShards-1 with empties at 0.

@@ -154,7 +154,10 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // round-14 surface: filtered IVF-PQ (index-side predicate),
         // streaming HTML extraction, streaming filtered ANN.
         "s16_ivfpq_filtered", "st15_stream_html_extract",
-        "st16_stream_filtered_ann")
+        "st16_stream_filtered_ann",
+        // round-15 surface: sequence packing (two-level prefix sum whose
+        // window/base-join layout leans on the shard partitioning).
+        "p08_sequence_pack")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -49,4 +49,70 @@ class SamplingSpec extends AnyFunSuite with SparkTestHarness {
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("source", "doc_id")
     assert(Sampling.stratifiedTakeK(tiny, "source", "doc_id", 4).count() == 3)
   }
+
+  // --- packSequences (p08) ---------------------------------------------
+
+  private def weighted = (0L until 200L).map(i => (i, (i % 5) + 1L))
+    .toDF("doc_id", "n_toks")
+
+  /** Independent replay: sort by (hash60, key) on the driver, running
+    * prefix over weights, then the same div/% coordinate math. */
+  private def replay(rows: Seq[(Long, Long, Long)], seqLen: Long)
+      : Map[Long, (Long, Long, Long)] = {
+    var acc = 0L
+    rows.sortBy { case (id, _, h) => (h, id) }
+      .map { case (id, w, _) =>
+        val g = acc; acc += w
+        id -> (g / seqLen, g % seqLen, (g + w - 1) / seqLen - g / seqLen + 1)
+      }.toMap
+  }
+
+  test("packSequences: coordinates equal the sequential (hash, key) replay") {
+    val seqLen = 7L
+    val hashed = weighted
+      .withColumn("h", Sampling.keyHash60(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = replay(hashed, seqLen)
+    val got = Sampling.packSequences(weighted, "doc_id", "n_toks", seqLen)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expected)
+    // The layout is dense: total mass = 200 docs * avg weight 3 = 600
+    // tokens; the last sequence id is (600-1)/7 and some doc straddles a
+    // sequence boundary (n_seqs > 1 exists since weights reach 5 > 7-off).
+    assert(got.values.map(_._1).max == (600L - 1) / seqLen)
+    assert(got.values.exists(_._3 > 1L), "some doc must straddle a sequence")
+  }
+
+  test("packSequences: coordinates are nShards-invariant and shard boundaries straddle") {
+    val seqLen = 64L
+    def coords(nShards: Int): Map[Long, (Long, Long, Long)] =
+      Sampling.packSequences(weighted, "doc_id", "n_toks", seqLen, nShards)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val one = coords(1)
+    // nShards is an implementation detail of the prefix sum: 1 shard (a
+    // single global window), 3 (does not divide 2^60 — exercises the ceil
+    // width), and the default 32 must agree coordinate-for-coordinate.
+    assert(coords(3) == one, "nShards=3 moved coordinates")
+    assert(coords(32) == one, "nShards=32 moved coordinates")
+    // Straddle: with 3 shards and seqLen 64 the per-shard masses (~200
+    // tokens) are not multiples of 64, so the first doc of shards 1 and 2
+    // starts mid-sequence — the layout is continuous ACROSS shards.
+    val withShard = Sampling.packSequences(weighted, "doc_id", "n_toks", seqLen, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val firstOfLaterShards = withShard.groupBy(_._1).filter(_._1 > 0L)
+      .values.map(_.minBy(t => (t._2, t._3)))
+    assert(firstOfLaterShards.exists(t => t._3 != 0L),
+      "a later shard must start mid-sequence (boundary straddle)")
+  }
+
+  test("packSequences fails loud on zero-weight rows") {
+    val bad = Seq((1L, 3L), (2L, 0L)).toDF("doc_id", "n_toks")
+    val e = intercept[Exception] {
+      Sampling.packSequences(bad, "doc_id", "n_toks", 8L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("weights must be >= 1")
+      || (e.getCause != null && e.getCause.getMessage.contains("weights must be >= 1")))
+  }
 }
