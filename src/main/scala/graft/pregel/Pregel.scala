@@ -259,20 +259,39 @@ class Pregel(graph: GraphFrame) extends Serializable {
           // contributes a typed NULL.
           val all = (dstTargeted ++ srcTargeted.filterNot(m =>
             dstTargeted.exists(_.name == m.name))).map(_.name)
-          val typeOf = (dstTargeted ++ srcTargeted)
+          val dstTypes = dstTargeted
             .map(m => m.name -> triplets.select(m.expr).schema.head.dataType)
             .toMap
-          def rowFor(target: Column, group: Vector[Msg]): Column = {
-            val present = group.map(m => m.name -> m.expr).toMap
-            struct(target.as(ID) +: all.map(n =>
-              present.getOrElse(n, lit(null).cast(typeOf(n)))
-                .as(s"${MSG}_$n")): _*)
+          val srcTypes = srcTargeted
+            .map(m => m.name -> triplets.select(m.expr).schema.head.dataType)
+            .toMap
+          val typesDiffer = dstTypes.keySet.intersect(srcTypes.keySet)
+            .exists(n => dstTypes(n) != srcTypes(n))
+          if (typesDiffer) {
+            // A name emitted in both directions with DIFFERENT types:
+            // the explode array needs one element type, and relying on
+            // CreateArray's struct coercion would silently cast one
+            // side. Keep the two-branch unionByName form here — its
+            // coercion is the DEFINED behavior (mirrors
+            // GraphFrame.aggregateMessages' identical fallback); the
+            // join re-run is the price of the unusual schema.
+            emit(edge(GraphFrame.DST), dstTargeted).unionByName(
+              emit(edge(GraphFrame.SRC), srcTargeted),
+              allowMissingColumns = true)
+          } else {
+            val typeOf = dstTypes ++ srcTypes
+            def rowFor(target: Column, group: Vector[Msg]): Column = {
+              val present = group.map(m => m.name -> m.expr).toMap
+              struct(target.as(ID) +: all.map(n =>
+                present.getOrElse(n, lit(null).cast(typeOf(n)))
+                  .as(s"${MSG}_$n")): _*)
+            }
+            triplets
+              .select(explode(array(
+                rowFor(edge(GraphFrame.DST), dstTargeted),
+                rowFor(edge(GraphFrame.SRC), srcTargeted))).as("__pregel_m"))
+              .select(col("__pregel_m.*"))
           }
-          triplets
-            .select(explode(array(
-              rowFor(edge(GraphFrame.DST), dstTargeted),
-              rowFor(edge(GraphFrame.SRC), srcTargeted))).as("__pregel_m"))
-            .select(col("__pregel_m.*"))
       }
 
       val aggregated =

@@ -234,6 +234,26 @@ class PregelSpec extends AnyFunSuite with SparkTestHarness {
     assert(valuesById(res.vertices, "value").values.toSet === Set(160L))
   }
 
+  test("both-direction message with MISMATCHED types falls back to unionByName coercion") {
+    // The one-generate both-direction path packs rows into one explode
+    // array, which needs a single element type; a name emitted in both
+    // directions with different types must take the two-branch unionByName
+    // form instead, whose coercion (long + double -> double here) is the
+    // defined behavior (mirrors GraphFrame.aggregateMessages' fallback).
+    val g = graph(Seq(1L, 2L), Seq((1L, 2L)))
+    val res = g.pregel
+      .maxIterations(1)
+      .addVertexColumn("value", lit(0.0),
+        col("value") + coalesce(msg("m"), lit(0.0)))
+      .addNamedMessage("m", lit(1L), MessageDirection.SrcToDst)
+      .addNamedMessage("m", lit(0.5), MessageDirection.DstToSrc)
+      .addNamedAggregateExpr("m", sum(msg("m")))
+      .run()
+    val got = res.vertices.select("id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.5, 2L -> 1.0))
+  }
+
   test("validation: messages required; aggregate required for multi-message") {
     val g = graph(Seq(1L), Seq.empty)
     intercept[IllegalArgumentException] {
