@@ -57,6 +57,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
   private var votingCond: Option[Column] = None
   private var participation: Option[VertexCol] = None
   private var useDestState = true
+  private var unionMessages = false
   private var ckptInterval = 1
   private var reliableDir: Option[String] = None
   private var coPartitionState = false
@@ -112,6 +113,17 @@ class Pregel(graph: GraphFrame) extends Serializable {
   /** Truncate state lineage every `n` iterations (default 1). */
   def checkpointInterval(n: Int): this.type = {
     require(n >= 1, "checkpointInterval must be >= 1"); ckptInterval = n; this
+  }
+
+  /** MEASUREMENT ONLY (package-private): force the pre-r14 two-branch
+    * unionByName form for both-direction messages instead of the
+    * one-generate explode, so `ScaleBench pregel-bidi[-union]` can compare
+    * the forms side by side on identical semantics. Never set by
+    * algorithms — the type-mismatch fallback picks the union form
+    * automatically when it is the only correct one.
+    */
+  private[graft] def forceUnionMessages(): this.type = {
+    unionMessages = true; this
   }
 
   /** Declare that `graph.edges` is ALREADY hash-partitioned by `src` into
@@ -267,7 +279,7 @@ class Pregel(graph: GraphFrame) extends Serializable {
             .toMap
           val typesDiffer = dstTypes.keySet.intersect(srcTypes.keySet)
             .exists(n => dstTypes(n) != srcTypes(n))
-          if (typesDiffer) {
+          if (typesDiffer || unionMessages) {
             // A name emitted in both directions with DIFFERENT types:
             // the explode array needs one element type, and relying on
             // CreateArray's struct coercion would silently cast one

@@ -79,6 +79,26 @@ object ScaleBench {
         val r = g.pageRank.maxIterations(10).run()
         val cnt = r.ranks.count()
         println(f"SCALE-OK pagerank n=$n m=$m iters=${r.iterations} rows=$cnt sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "pregel-bidi" | "pregel-bidi-union" =>
+        // Both-direction message scale probe — the r14 one-generate-vs-
+        // union question measured on the ONE path that actually runs it
+        // (no shipped algorithm is bidirectional; g16 HITS has its own
+        // direction-alternating loop and never touched Pregel). 4 rounds
+        // of neighbor-count diffusion both ways; the checksum pins the
+        // two forms to identical semantics.
+        import graft.pregel.{MessageDirection, Pregel}
+        val builder = g.pregel
+          .maxIterations(4)
+          .checkpointInterval(2)
+          .addVertexColumn("value", lit(1L),
+            col("value") + coalesce(Pregel.msg("m"), lit(0L)))
+          .addNamedMessage("m", Pregel.src("value"), MessageDirection.Bidirectional)
+          .addNamedAggregateExpr("m", org.apache.spark.sql.functions.sum(Pregel.msg("m")))
+          .skipDestState()
+        if (algo.endsWith("-union")) builder.forceUnionMessages()
+        val r = builder.run()
+        val checksum = r.vertices.select(sum(col("value"))).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m iters=${r.iterations} checksum=$checksum sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "lpa" | "lpa-skew" =>
         // 4 synchronous rounds, forced distributed. The -skew variant's
         // ~370 k-degree hub is the label_mode aggregate's stress shape:

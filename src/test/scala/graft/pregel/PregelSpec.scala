@@ -254,6 +254,23 @@ class PregelSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === Map(1L -> 0.5, 2L -> 1.0))
   }
 
+  test("forceUnionMessages (measurement switch) is result-identical to the one-generate form") {
+    val n = 20L
+    val edges = (0L until n).map(i => (i, (i + 1) % n))
+    def run(union: Boolean) = {
+      val b = graph(0L until n, edges).pregel
+        .maxIterations(3)
+        .addVertexColumn("value", lit(1L),
+          col("value") + coalesce(msg("m"), lit(0L)))
+        .addNamedMessage("m", src("value"), MessageDirection.Bidirectional)
+        .addNamedAggregateExpr("m", sum(msg("m")))
+        .skipDestState()
+      if (union) b.forceUnionMessages()
+      valuesById(b.run().vertices, "value")
+    }
+    assert(run(union = true) === run(union = false))
+  }
+
   test("validation: messages required; aggregate required for multi-message") {
     val g = graph(Seq(1L), Seq.empty)
     intercept[IllegalArgumentException] {
