@@ -847,6 +847,26 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // INCREMENTAL INDEX ADD (index maintenance): the corpus splits into
+    // an "existing" part (vec_id % 4 != 0) that builds the index — so the
+    // frozen coarse/book seeds come from IT, not the full corpus — and a
+    // "delta" (vec_id % 4 == 0) that appends via a pure encode-under-
+    // frozen-books scan (no retrain, no seed collect). Search probes the
+    // MERGED artifact; the oracle replays encode-all-rows under the
+    // old-subset seeds, which equals build+append iff the append really
+    // froze the books.
+    "s17_ivfpq_add" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+      val merged = Similarity.ivfPqAdd(idx,
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8, indexOf = Some(merged))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Trainer -> PQ wiring: one per-subspace Lloyd iteration refines the
     // first-kCent init codebook, then codes re-derive against the TRAINED
     // book (vs s10's init book) — gating the pqTrain -> pqCodes path
@@ -3019,6 +3039,60 @@ object SparkEntry {
         |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
         |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
         |  FROM res ORDER BY vec_id LIMIT 8),
+        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |code AS (SELECT vec_id, cell, s, j AS code
+        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS qr
+        |  FROM probes p JOIN e ON e.vec_id = p.qid
+        |  JOIN cc c ON c.cell = p.cell),
+        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+        |  list_sum(list_transform(range(1, 17),
+        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+        |    AND qt.j = code.code
+        |  WHERE code.vec_id <> qt.qid
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Incremental-add replay: the s13 chain with BOTH seed CTEs (coarse
+    // centroids cc, residual codebook bk) restricted to the "existing"
+    // subset (vec_id % 4 <> 0) — the books the index was trained on —
+    // while the encode (asg/res/ed/code) covers ALL rows. Per-row encode
+    // under frozen books is order-free, so build-then-append == encode-
+    // everything-under-old-books; a drifted book (full-corpus seeds)
+    // would produce different codes and fail the hash.
+    "s17_ivfpq_add" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+        |  FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 4),
+        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+        |  FROM e CROSS JOIN cc c),
+        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM cd) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+        |  i -> e.vq[i] - c.cv[i]) AS rv
+        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+        |  FROM res WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
         |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
         |  list_sum(list_transform(range(1, 17),
         |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])

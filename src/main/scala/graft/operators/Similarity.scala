@@ -549,7 +549,7 @@ object Similarity {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     require(m >= 1 && kCent >= 1,
       s"need m >= 1 and kCent >= 1, got m=$m kCent=$kCent")
-    val reserved = Set("id", "cell", "codes", "vq", "vqd", "vq2", "rv")
+    val reserved = Set("id", "cell", "codes", "vq", "vqd", "vq2", "rv", "dist")
     require(metaCols.forall(c => !reserved.contains(c)),
       s"metaCols ${metaCols.mkString(",")} collide with index schema " +
         s"names ${reserved.mkString("{", ",", "}")}")
@@ -603,11 +603,31 @@ object Similarity {
       Array.tabulate(m, kCent)((s, j) => res(j).slice(s * sd, s * sd + sd))
     }
 
-    // CORPUS ENCODE — one scan, no shuffle. Stage 1: coarse distances as
-    // materialized columns; stage 2: least + first-match argmin (cell);
-    // stage 3: residual array via a CASE chain over cells (element_at
-    // minus literal per dim — only the matched branch evaluates, all
-    // codegen); stage 4/5: PQ distances + argmin, the pqCodes discipline.
+    (encodeAgainst(cq, coarse, book, metaCols), coarse, book)
+  }
+
+  /** The encode core against FROZEN artifacts — one scan, no shuffle, no
+    * driver collect (the seed derivation lives in [[ivfPqEncode]]; this
+    * half only needs the finished coarse/book literals, so it also
+    * serves [[ivfPqAppend]]'s incremental path on a delta of ANY size,
+    * including one row). Stage 1: coarse distances as materialized
+    * columns; stage 2: least + first-match argmin (cell); stage 3:
+    * residual array via a CASE chain over cells (element_at minus
+    * literal per dim — only the matched branch evaluates, all codegen);
+    * stage 4/5: PQ distances + argmin, the pqCodes discipline. With
+    * `withDistortion`, the per-subspace argmin MINIMA (already computed
+    * for the code selection) also sum into a `dist` column — the exact
+    * ADC quantization error of the row under these books, free at encode
+    * time and the staleness signal [[ivfPqStaleness]] aggregates.
+    */
+  private def encodeAgainst(cq: DataFrame, coarse: Array[Array[Long]],
+      book: Array[Array[Array[Long]]], metaCols: Seq[String],
+      withDistortion: Boolean = false): DataFrame = {
+    val nCells = coarse.length
+    val m = book.length
+    val kCent = book.head.length
+    val d = coarse.head.length
+    val sd = d / m
     val mPass = metaCols.map(col)
     val cNames = (0 until nCells).map(i => s"__ivfpq_c$i")
     val st1 = cq.withColumn("vqd", col("vq").cast("array<double>"))
@@ -637,13 +657,111 @@ object Similarity {
     }
     val staged = withRes.select(col("id") +: col("cell") +:
       (distCols ++ mPass): _*)
+    def subDists(s: Int) = (0 until kCent).map(j => col(dName(s, j)))
     val codeCols = (0 until m).map { s =>
-      val ds = (0 until kCent).map(j => col(dName(s, j)))
-      ColumnKernels.firstMatchIndex(ds, ColumnKernels.leastOf(ds))
+      ColumnKernels.firstMatchIndex(subDists(s), ColumnKernels.leastOf(subDists(s)))
     }
-    (staged.select(col("id") +: col("cell") +:
-      array(codeCols: _*).as("codes") +: mPass: _*),
-      coarse, book)
+    val distCol =
+      if (withDistortion)
+        Seq((0 until m).map(s => ColumnKernels.leastOf(subDists(s)))
+          .reduce(_ + _).as("dist"))
+      else Seq.empty
+    staged.select(col("id") +: col("cell") +:
+      array(codeCols: _*).as("codes") +: (distCol ++ mPass): _*)
+  }
+
+  /** Validate a hand-supplied (coarse, book) pair the way [[ivfPqTopK]]
+    * validates a hand-built index tuple — ragged or mis-sized artifacts
+    * must fail loudly, never score garbage.
+    */
+  private def requireBooks(coarse: Array[Array[Long]],
+      book: Array[Array[Array[Long]]]): Unit = {
+    require(coarse.nonEmpty && book.nonEmpty && book.head.nonEmpty,
+      "need non-empty coarse centroids and codebook")
+    val d = coarse.head.length
+    require(coarse.forall(_.length == d),
+      s"ragged coarse centroids: expected every length == $d, got " +
+        coarse.map(_.length).distinct.mkString("{", ",", "}"))
+    val m = book.length
+    require(d % m == 0, s"index dim $d not divisible by m=$m subspaces")
+    val kCent = book.head.length
+    require(book.forall(_.length == kCent),
+      s"ragged codebook: expected $kCent centroids per subspace, got " +
+        book.map(_.length).distinct.mkString("{", ",", "}"))
+    require(book.forall(_.forall(_.length == d / m)),
+      s"codebook subvector width != ${d / m} (index dim $d / m=$m)")
+  }
+
+  /** INCREMENTAL ENCODE (s17) — encode NEW rows against an EXISTING
+    * trained index's frozen coarse quantizer + residual codebook, without
+    * retraining and without the seed scan: a pure one-pass projection
+    * (no collect, no shuffle, no corpus-size floor — a 1-row delta
+    * encodes fine). This is what a growing vector corpus needs after the
+    * initial [[ivfPqIndex]] build: the book stays frozen so OLD codes
+    * stay valid, and the delta's `[id, cell, codes]` rows append to the
+    * artifact ([[ivfPqAdd]] composes the two; upsert = `left_anti` on id
+    * + append). The price of freezing is quantization drift when the
+    * delta's distribution wanders from the training one — measure it
+    * with `withDistortion` + [[ivfPqStaleness]] and retrain when the
+    * ratio says so.
+    */
+  def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Long]], book: Array[Array[Array[Long]]],
+      metaCols: Seq[String] = Nil, withDistortion: Boolean = false)
+      : DataFrame = {
+    requireBooks(coarse, book)
+    val reserved = Set("id", "cell", "codes", "vq", "vqd", "vq2", "rv", "dist")
+    require(metaCols.forall(c => !reserved.contains(c)),
+      s"metaCols ${metaCols.mkString(",")} collide with index schema " +
+        s"names ${reserved.mkString("{", ",", "}")}")
+    val meta = metaCols.map(delta(_))
+    val cq = delta.select(col(idCol).as("id") +:
+      graft.functions.QuantizeMicros.quantize_micros(
+        col(vecCol).cast("array<double>")).as("vq") +: meta: _*)
+    encodeAgainst(cq, coarse, book, metaCols, withDistortion)
+  }
+
+  /** Append a delta to an existing IVF-PQ index artifact: encode the new
+    * rows under the index's FROZEN books ([[ivfPqAppend]]) and union the
+    * result onto the artifact — the books pass through unchanged, so the
+    * result tuple plugs straight back into [[ivfPqTopK]]'s `indexOf`.
+    * Append-only by design (the 100 TB shape: the old artifact is an
+    * immutable table, the delta a small new partition — no shuffle of
+    * the existing index, no re-encode of old rows); id-level upsert
+    * composes as `index.join(deltaEncoded, Seq("id"), "left_anti")`
+    * before the union when the caller needs replace semantics.
+    */
+  def ivfPqAdd(
+      index: (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]),
+      delta: DataFrame, idCol: String, vecCol: String,
+      metaCols: Seq[String] = Nil)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val (artifact, coarse, book) = index
+    val enc = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+      ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols))
+    (artifact.unionByName(enc), coarse, book)
+  }
+
+  /** Staleness of a frozen IVF-PQ index vs a delta (s17's retrain
+    * signal): mean ADC quantization distortion of the delta rows over
+    * that of the training rows, both under the SAME frozen books (the
+    * `dist` column from `withDistortion = true`). Near 1 = the delta
+    * still looks like the training distribution; growing ratio = the
+    * frozen books quantize new data increasingly badly — retrain. One
+    * row `[train_mean_dist, delta_mean_dist, staleness]`; two scalar
+    * aggregates + a 1x1 cross join, nothing corpus-sized moves.
+    */
+  def ivfPqStaleness(trainEncoded: DataFrame, deltaEncoded: DataFrame)
+      : DataFrame = {
+    Seq(trainEncoded, deltaEncoded).foreach(df =>
+      require(df.columns.contains("dist"),
+        "ivfPqStaleness needs the `dist` column — encode with " +
+          "withDistortion = true"))
+    trainEncoded.agg(avg(col("dist")).as("train_mean_dist"))
+      .crossJoin(deltaEncoded.agg(avg(col("dist")).as("delta_mean_dist")))
+      .select(col("train_mean_dist"), col("delta_mean_dist"),
+        (col("delta_mean_dist") /
+          nullif(col("train_mean_dist"), lit(0.0))).as("staleness"))
   }
 
   /** Exact integer |cv|^2 as a double literal (codebook vectors only —

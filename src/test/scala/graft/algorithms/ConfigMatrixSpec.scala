@@ -156,8 +156,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "s16_ivfpq_filtered", "st15_stream_html_extract",
         "st16_stream_filtered_ann",
         // round-15 surface: sequence packing (two-level prefix sum whose
-        // window/base-join layout leans on the shard partitioning).
-        "p08_sequence_pack")
+        // window/base-join layout leans on the shard partitioning) and
+        // incremental IVF-PQ add (frozen-book delta encode + union).
+        "p08_sequence_pack", "s17_ivfpq_add")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+/** Round-15 operator specs: IVF-PQ index maintenance (s17) — incremental
+  * add under frozen books, the staleness signal, and the scan-only plan
+  * discipline of the append path.
+  */
+class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def artifactRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+
+  test("ivfPqAdd == full re-encode under the SAME frozen books (the s17 oracle claim)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter($"vec_id" % 4 =!= 0)
+    val delta = e.filter($"vec_id" % 4 === 0)
+    val idx @ (_, coarse, book) = Similarity.ivfPqIndex(old,
+      "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    val (merged, mCoarse, mBook) = Similarity.ivfPqAdd(idx, delta,
+      "vec_id", "embedding")
+    // Books pass through untouched (same arrays, not equal copies).
+    assert(mCoarse.eq(coarse) && mBook.eq(book))
+    val full = Similarity.ivfPqAppend(e, "vec_id", "embedding", coarse, book)
+    assert(artifactRows(merged) === artifactRows(full),
+      "build-on-old + append-delta must equal encoding the full corpus " +
+        "under the old books")
+    assert(merged.count() === e.count())
+  }
+
+  test("ivfPqAdd freezes the books: a fresh full-corpus rebuild derives different ones") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def flat(b: Array[Array[Array[Long]]]) =
+      b.map(_.map(_.toSeq).toSeq).toSeq
+    val (_, _, oldBook) = Similarity.ivfPqIndex(
+      e.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    val (_, _, freshBook) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    // Seeds are the smallest-id vectors: the old subset excludes vec_id
+    // 0/4/8, so its seed set — hence its residual codebook — differs.
+    // This is WHY the s17 oracle discriminates: encoding under the wrong
+    // (fresh) books would change codes and fail the hash.
+    assert(flat(oldBook) !== flat(freshBook),
+      "old-subset and full-corpus codebooks must differ for the add " +
+        "path to be distinguishable from a rebuild")
+  }
+
+  test("withDistortion: re-encoding a codebook seed vector gives dist == 0 exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter($"vec_id" % 4 =!= 0)
+    val (_, coarse, book) = Similarity.ivfPqIndex(old, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    // vec_id=1 is the smallest old id => its residual IS codebook entry 0
+    // in every subspace; re-encoding the same vector under a new id must
+    // quantize with zero ADC error (exact integer lattice — 0.0, not
+    // epsilon).
+    val clone = old.filter($"vec_id" === 1L)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val enc = Similarity.ivfPqAppend(clone, "vec_id", "embedding",
+      coarse, book, withDistortion = true)
+    val Array(row) = enc.select($"dist").as[Double].collect()
+    assert(row === 0.0)
+  }
+
+  test("ivfPqStaleness: a shifted delta reads > 1; dist column is required") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter($"vec_id" % 4 =!= 0)
+    val (_, coarse, book) = Similarity.ivfPqIndex(old, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    val train = Similarity.ivfPqAppend(old, "vec_id", "embedding",
+      coarse, book, withDistortion = true)
+    // A delta drawn from a shifted distribution: +10 on every dim (the
+    // corpus lives in [-1, 1], so residuals blow up against books that
+    // never saw this region) — the retrain signal must fire.
+    val shifted = e.filter($"vec_id" % 4 === 0)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"), x => x + lit(10.0))
+          .as("embedding"))
+    val drifted = Similarity.ivfPqAppend(shifted, "vec_id", "embedding",
+      coarse, book, withDistortion = true)
+    val Array((tr, dl, st)) = Similarity.ivfPqStaleness(train, drifted)
+      .as[(Double, Double, Double)].collect()
+    assert(tr > 0.0 && dl > tr && st > 1.0,
+      s"shifted delta must read stale: train=$tr delta=$dl staleness=$st")
+    // In-distribution delta reads ~1 (same generator, different rows).
+    val Array(stIn) = Similarity.ivfPqStaleness(train,
+      Similarity.ivfPqAppend(e.filter($"vec_id" % 4 === 0),
+        "vec_id", "embedding", coarse, book, withDistortion = true))
+      .select($"staleness").as[Double].collect()
+    assert(stIn > 0.2 && stIn < 5.0,
+      s"in-distribution staleness should sit near 1, got $stIn")
+    assert(st > stIn, "drift must read staler than in-distribution data")
+
+    val noDist = Similarity.ivfPqAppend(old, "vec_id", "embedding",
+      coarse, book)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqStaleness(noDist, drifted)
+    }
+    assert(err.getMessage.contains("withDistortion"))
+  }
+
+  test("ivfPqAppend validates hand-supplied books (ragged coarse rejected)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (_, coarse, book) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    val ragged = coarse.zipWithIndex.map { case (cv, i) =>
+      if (i == 2) cv ++ Array(0L) else cv
+    }
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(e, "vec_id", "embedding", ragged, book)
+    }
+    assert(err.getMessage.contains("ragged coarse"))
+    val badBook = book.map(_.map(_.clone())); badBook(1) = badBook(1).take(3)
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(e, "vec_id", "embedding", coarse, badBook)
+    }
+    assert(err2.getMessage.contains("ragged codebook"))
+  }
+
+  test("ivfPqAppend plan: one scan, no shuffle, no join, stays in codegen") {
+    // The incremental path's whole point at 100 TB: encoding a delta
+    // against frozen books must not touch the existing index and must
+    // not shuffle the delta — a pure projection pipeline.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (_, coarse, book) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    val plan = Similarity.ivfPqAppend(e, "vec_id", "embedding",
+      coarse, book, withDistortion = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"append must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"append must not join:\n$plan")
+    assert(plan.contains("*(1)"), s"append fell out of codegen:\n$plan")
+  }
+}
