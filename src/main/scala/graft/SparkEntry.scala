@@ -1999,6 +1999,23 @@ object SparkEntry {
         "st16_sink", "complete")
     }),
 
+    // Streaming sequence packing: the p08 two-level prefix sum with its
+    // per-shard running totals as streaming state (ONE long per shard,
+    // the st11 discipline) — sequences continue across micro-batches
+    // where the previous epoch's totals ended. The drained offsets
+    // finalize through Sampling.packCoords (driver prefix over the 32
+    // shard totals + div/% coordinates). Oracle = the p08 batch SQL
+    // verbatim; stream==batch IS the contract.
+    "st17_stream_seq_pack" -> ((s, d) => {
+      val docs = streamTbl(s, d, "documents")
+        .withColumn("n_toks", TextFunctions.tokenCount(col("text")))
+      val offsets = drainStream(
+        graft.streaming.Streams.streamingSequenceOffsets(
+          docs, "doc_id", "n_toks").toDF(),
+        "st17_sink", "append")
+      Sampling.packCoords(offsets, "doc_id", seqLen = 1024L)
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -2291,6 +2308,24 @@ object SparkEntry {
           |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
           |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
           |FROM rk WHERE rnk <= 5""".stripMargin
+
+  // Shared by p08 (batch) and st17 (streaming): ONE global running sum
+  // over the (hash, key) order, then the div/% coordinate math — both
+  // engines' two-level layouts must collapse to exactly this.
+  private val p08OracleSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |FROM documents),
+       |g AS (SELECT doc_id, h, w,
+       |  CAST(COALESCE(sum(w) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+       |FROM c)
+       |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
+       |  CAST(g0 // 1024 AS BIGINT) AS seq_id,
+       |  CAST(g0 % 1024 AS BIGINT) AS seq_off,
+       |  CAST((g0 + w - 1) // 1024 - g0 // 1024 + 1 AS BIGINT) AS n_seqs
+       |FROM g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_groupby_agg" ->
@@ -4290,20 +4325,12 @@ object SparkEntry {
     // shards concatenate in hash order, so the equality is exact. g0 =
     // tokens strictly before the doc; the div/% coordinate math mirrors
     // the BIGINT expressions verbatim. shard = h div ceil(2^60/32).
-    "p08_sequence_pack" ->
-      s"""WITH c AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
-         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-         |FROM documents),
-         |g AS (SELECT doc_id, h, w,
-         |  CAST(COALESCE(sum(w) OVER (ORDER BY h, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
-         |FROM c)
-         |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
-         |  CAST(g0 // 1024 AS BIGINT) AS seq_id,
-         |  CAST(g0 % 1024 AS BIGINT) AS seq_off,
-         |  CAST((g0 + w - 1) // 1024 - g0 // 1024 + 1 AS BIGINT) AS n_seqs
-         |FROM g""".stripMargin,
+    "p08_sequence_pack" -> p08OracleSql,
+
+    // Streaming sequence packing: p08's SQL verbatim — the per-shard
+    // running totals live as streaming state, the finalize replays the
+    // same base prefix + coordinates, so stream==batch is the gate.
+    "st17_stream_seq_pack" -> p08OracleSql,
 
     // Salting is invisible to semantics: the oracle is the plain join.
     "q22_salted_join" ->

@@ -310,6 +310,41 @@ object Sampling {
           - expr(s"__sp_g div $seqLen") + lit(1L)).as("n_seqs"))
   }
 
+  /** Finalize a drained [[graft.streaming.Streams.streamingSequenceOffsets]]
+    * frame `[key, shard, w, cum]` into the [[packSequences]] coordinates
+    * `[<keyCol>, shard, seq_id, seq_off, n_seqs]`: shard totals (the max
+    * running sum per shard = sum of w) prefix on the driver into base
+    * offsets — nShards longs, the p08 discipline — then the BIGINT
+    * `div`/`%` coordinate math verbatim. Batch [[packSequences]] keeps its
+    * own tail on purpose: there the totals aggregate over the pre-window
+    * scan (column-pruned, window runs once); here the offsets frame is an
+    * already-drained sink table, so aggregating it is free.
+    */
+  def packCoords(offsets: DataFrame, keyCol: String, seqLen: Long,
+      nShards: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nShards >= 1 && nShards <= (1 << 16),
+      s"nShards must be in [1, 65536], got $nShards")
+    val spark = offsets.sparkSession
+    import spark.implicits._
+    val totals = offsets.groupBy("shard").agg(sum("w").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(totals.keys.forall(s => s >= 0 && s < nShards),
+      s"offsets carry shard ids outside [0, $nShards) — was the frame " +
+        "produced with a different nShards?")
+    val bases = (0 until nShards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s.toLong, 0L)
+    }.init.zipWithIndex.map { case (b, s) => (s.toLong, b) }
+      .toDF("shard", "__sp_base")
+    offsets.join(broadcast(bases), Seq("shard"))
+      .withColumn("__sp_g", col("__sp_base") + col("cum") - col("w"))
+      .select(col("key").as(keyCol), col("shard"),
+        expr(s"__sp_g div $seqLen").as("seq_id"),
+        (col("__sp_g") % seqLen).as("seq_off"),
+        (expr(s"(__sp_g + w - 1) div $seqLen")
+          - expr(s"__sp_g div $seqLen") + lit(1L)).as("n_seqs"))
+  }
+
   /** Deterministic mixture-interleave keys — the data-LOADER ordering
     * primitive the mixture selectors (p04/p05) stop short of: reading the
     * corpus in ascending `interleave_key` order visits every category at

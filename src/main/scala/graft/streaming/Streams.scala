@@ -386,4 +386,64 @@ object Streams {
           out.result().iterator
       }
   }
+
+  case class PackAcc(cum: Long)
+  case class PackPos(key: Long, shard: Long, w: Long, cum: Long)
+
+  /** Streaming sequence packing, running-offset half (st17): the
+    * [[graft.operators.Sampling.packSequences]] hash-range shard design is
+    * stateless per shard GIVEN the shard's running token total — so the
+    * total is the entire streaming state: ONE long per shard under
+    * `flatMapGroupsWithState` (the st11 discipline — nShards bounds state,
+    * not stream length; no watermark, no eviction). Each document emits
+    * `[key, shard, w, cum]` with `cum` the inclusive within-shard running
+    * total at that document; sequences legally CONTINUE across
+    * micro-batches (an epoch's packing picks up exactly where the
+    * previous epoch's totals ended — the ingest-pipeline semantics).
+    *
+    * Equality with the batch layout holds under the same contract st11
+    * documents: within a batch the group's rows sort by (hash, key)
+    * before folding (group iterators carry no order), and across batches
+    * the (hash, key)-ordered contract holds under any drain delivering
+    * batches in that order — AvailableNow over one source file = one
+    * batch, the gate's drain. Weights must be >= 1 (the loud guard,
+    * verbatim from the batch operator).
+    *
+    * Global `seq_id`/`seq_off`/`n_seqs` coordinates need the cross-shard
+    * base prefix, which only exists once the shard totals are final —
+    * [[graft.operators.Sampling.packCoords]] finalizes a drained offsets
+    * frame (nShards longs to the driver, the p08 tail verbatim).
+    */
+  def streamingSequenceOffsets(stream: DataFrame, keyCol: String,
+      weightCol: String, nShards: Int = 32)
+      : org.apache.spark.sql.Dataset[PackPos] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(nShards >= 1 && nShards <= (1 << 16),
+      s"nShards must be in [1, 65536], got $nShards")
+    val shardWidth = ((1L << 60) + nShards - 1) / nShards
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long").as("_k"),
+        graft.operators.Sampling.keyHash60(col(keyCol)).as("_h"),
+        col(weightCol).cast("long").as("_w"))
+      .withColumn("_w",
+        when(col("_w") >= 1L, col("_w"))
+          .otherwise(raise_error(lit(
+            "streamingSequenceOffsets: weights must be >= 1 tokens"))))
+      .withColumn("_s", expr(s"_h div ${shardWidth}L"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PackAcc, PackPos](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = Seq.newBuilder[PackPos]
+          rows.toSeq.sortBy(r => (r._2, r._1)).foreach { case (k, _, w, _) =>
+            cum += w
+            out += PackPos(k, shard, w, cum)
+          }
+          state.update(PackAcc(cum))
+          out.result().iterator
+      }
+  }
 }

@@ -157,8 +157,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "st16_stream_filtered_ann",
         // round-15 surface: sequence packing (two-level prefix sum whose
         // window/base-join layout leans on the shard partitioning) and
-        // incremental IVF-PQ add (frozen-book delta encode + union).
-        "p08_sequence_pack", "s17_ivfpq_add")
+        // incremental IVF-PQ add (frozen-book delta encode + union) and
+        // streaming sequence packing (per-shard state + finalize).
+        "p08_sequence_pack", "s17_ivfpq_add", "st17_stream_seq_pack")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

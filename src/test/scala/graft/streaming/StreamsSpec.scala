@@ -312,6 +312,75 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // complete-mode bounded top-k state must reproduce batch exactly.
     val st16 = graft.SparkEntry.queries("st16_stream_filtered_ann")(spark, sf)
     sym(st16, graft.SparkEntry.queries("s16_ivfpq_filtered")(spark, sf))
+
+    // Streaming sequence packing reproduces p08's coordinates exactly:
+    // per-shard running totals as state + the packCoords finalize ==
+    // the batch two-level prefix sum.
+    val st17 = graft.SparkEntry.queries("st17_stream_seq_pack")(spark, sf)
+    sym(st17, graft.SparkEntry.queries("p08_sequence_pack")(spark, sf))
+  }
+
+  test("streamingSequenceOffsets carries per-shard running totals across batches") {
+    // nShards=1 so every key lands in one shard and the cross-batch
+    // continuation is observable. Keys feed in HASH order split across
+    // two batches — the delivery contract under which stream == batch —
+    // with DISTINCT weights so any offset swap would be visible.
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1L to 8L)
+    val weights = keys.map(k => k -> (k + 2L)).toMap
+    val hashOrder = Seq(keys.map(k => (k, weights(k))): _*)
+      .toDF("doc_id", "w")
+      .withColumn("h", graft.operators.Sampling.keyHash60(col("doc_id")))
+      .orderBy("h").select("doc_id").as[Long].collect().toSeq
+    val (b1, b2) = hashOrder.splitAt(4)
+
+    val input = MemoryStream[(Long, Long)]
+    val out = Streams.streamingSequenceOffsets(
+      input.toDF().toDF("doc_id", "w"), "doc_id", "w", nShards = 1)
+    val q = out.toDF().writeStream.format("memory").queryName("seqpack_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.map(k => (k, weights(k))): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("seqpack_out")
+        .agg(max(col("cum"))).head.getLong(0)
+      assert(afterB1 === b1.map(weights).sum,
+        "batch-1 running total must equal its weight sum")
+      input.addData(b2.map(k => (k, weights(k))): _*)
+      q.processAllAvailable()
+      val drained = spark.table("seqpack_out")
+      // Batch 2 CONTINUED from batch 1's total (no state reset): its
+      // first row's cum strictly exceeds the whole of batch 1.
+      val b2first = drained.filter(col("key") === b2.head)
+        .select(col("cum"), col("w")).head
+      assert(b2first.getLong(0) === afterB1 + b2first.getLong(1))
+
+      // Finalized coordinates == the batch operator on the same rows.
+      val batch = graft.operators.Sampling.packSequences(
+        keys.map(k => (k, weights(k))).toDF("doc_id", "w"),
+        "doc_id", "w", seqLen = 5L, nShards = 1)
+        .collect().map(_.toString).sorted.toSeq
+      val streamed = graft.operators.Sampling.packCoords(
+        drained, "doc_id", seqLen = 5L, nShards = 1)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streamingSequenceOffsets: zero-weight rows fail loud (the p08 guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Streams.streamingSequenceOffsets(
+      input.toDF().toDF("doc_id", "w"), "doc_id", "w", nShards = 1)
+    val q = out.toDF().writeStream.format("memory").queryName("seqpack_bad")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 3L), (2L, 0L))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("weights must be >= 1"))
+    } finally q.stop()
   }
 
   test("streamingLatestVersion: upserts on newer, silent on stale, idempotent replay") {
