@@ -2016,6 +2016,29 @@ object SparkEntry {
       Sampling.packCoords(offsets, "doc_id", seqLen = 1024L)
     }),
 
+    // Streaming INDEX INGEST — the write side of the RAG pair (st16 is
+    // the read side): new embedding rows arriving on a stream encode per
+    // micro-batch against the FROZEN trained books (ivfPqAppend is a pure
+    // stateless projection, so it runs as a narrow streaming transform),
+    // the drained delta unions onto the static artifact, and search
+    // probes the merged index. Oracle = the s17 batch SQL verbatim.
+    "st18_stream_index_add" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val (artifact, coarse, book) = Similarity.ivfPqIndex(
+        e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      val deltaEnc = drainStream(
+        Similarity.ivfPqAppend(
+          streamTbl(s, d, "embeddings").filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", coarse, book),
+        "st18_sink", "append")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8,
+          indexOf = Some((artifact.unionByName(deltaEnc), coarse, book)))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Stateless streaming filter: the batch quality formula at ingest.
     "st03_stream_quality" -> ((s, d) =>
       drainStream(
@@ -2308,6 +2331,59 @@ object SparkEntry {
           |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
           |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
           |FROM rk WHERE rnk <= 5""".stripMargin
+
+  // Shared by s17 (batch add) and st18 (streaming ingest): the s13 chain
+  // with BOTH seed CTEs (coarse cc, residual codebook bk) restricted to
+  // the "existing" subset (vec_id % 4 <> 0) — the books the index was
+  // trained on — while the encode covers ALL rows. Per-row encode under
+  // frozen books is order- and batching-free, so build+append (batch) and
+  // build+per-micro-batch-encode (stream) both equal it exactly.
+  private val s17OracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+      |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+      |  FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 4),
+      |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+      |  FROM e CROSS JOIN cc c),
+      |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd) WHERE rn = 1),
+      |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS rv
+      |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+      |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+      |  FROM res WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+      |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |code AS (SELECT vec_id, cell, s, j AS code
+      |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+      |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS qr
+      |  FROM probes p JOIN e ON e.vec_id = p.qid
+      |  JOIN cc c ON c.cell = p.cell),
+      |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+      |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+      |    AND qt.j = code.code
+      |  WHERE code.vec_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+      |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+      |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+      |FROM rk WHERE rnk <= 5""".stripMargin
 
   // Shared by p08 (batch) and st17 (streaming): ONE global running sum
   // over the (hash, key) order, then the div/% coordinate math — both
@@ -3112,52 +3188,12 @@ object SparkEntry {
     // under frozen books is order-free, so build-then-append == encode-
     // everything-under-old-books; a drifted book (full-corpus seeds)
     // would produce different codes and fail the hash.
-    "s17_ivfpq_add" ->
-      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
-        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
-        |  FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 4),
-        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
-        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
-        |  FROM e CROSS JOIN cc c),
-        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd) WHERE rn = 1),
-        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS rv
-        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
-        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
-        |  FROM res WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
-        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |code AS (SELECT vec_id, cell, s, j AS code
-        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
-        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS qr
-        |  FROM probes p JOIN e ON e.vec_id = p.qid
-        |  JOIN cc c ON c.cell = p.cell),
-        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
-        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
-        |    AND qt.j = code.code
-        |  WHERE code.vec_id <> qt.qid
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
-        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
-        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
-        |FROM rk WHERE rnk <= 5""".stripMargin,
+    "s17_ivfpq_add" -> s17OracleSql,
+
+    // Streaming index ingest: the s17 batch SQL verbatim — per-micro-batch
+    // frozen-book encode is per-row deterministic, so stream==batch IS
+    // the contract (the st15/st16 discipline applied to the WRITE side).
+    "st18_stream_index_add" -> s17OracleSql,
 
     // Trained-PQ replay: per subspace, ONE unrolled Lloyd iteration from
     // the first-8 init (integer argmin assignment with smaller-cell ties,

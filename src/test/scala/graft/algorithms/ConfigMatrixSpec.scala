@@ -157,9 +157,11 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "st16_stream_filtered_ann",
         // round-15 surface: sequence packing (two-level prefix sum whose
         // window/base-join layout leans on the shard partitioning) and
-        // incremental IVF-PQ add (frozen-book delta encode + union) and
-        // streaming sequence packing (per-shard state + finalize).
-        "p08_sequence_pack", "s17_ivfpq_add", "st17_stream_seq_pack")
+        // incremental IVF-PQ add (frozen-book delta encode + union), and
+        // the streaming twins of both (per-shard state + finalize;
+        // per-micro-batch frozen-book index ingest).
+        "p08_sequence_pack", "s17_ivfpq_add", "st17_stream_seq_pack",
+        "st18_stream_index_add")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

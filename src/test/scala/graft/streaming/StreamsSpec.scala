@@ -318,6 +318,45 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // the batch two-level prefix sum.
     val st17 = graft.SparkEntry.queries("st17_stream_seq_pack")(spark, sf)
     sym(st17, graft.SparkEntry.queries("p08_sequence_pack")(spark, sf))
+
+    // Streaming index ingest == batch incremental add: per-micro-batch
+    // frozen-book encode + union must serve the same search results.
+    val st18 = graft.SparkEntry.queries("st18_stream_index_add")(spark, sf)
+    sym(st18, graft.SparkEntry.queries("s17_ivfpq_add")(spark, sf))
+  }
+
+  test("streaming ivfPqAppend: per-batch encode is order- and batching-independent") {
+    // Frozen-book encode is a pure per-row function, so HOW the delta is
+    // micro-batched must not matter: two scrambled batches == one batch
+    // == the batch operator on the union.
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 8L).map(i =>
+      (i, Seq(i.toFloat, (i % 3).toFloat, (i % 5).toFloat, (i % 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (_, coarse, book) = graft.operators.Similarity.ivfPqIndex(
+      corpus, "vec_id", "embedding", nCells = 2, m = 2, kCent = 2)
+    val delta = (101L to 108L).map(i =>
+      (i, Seq((i % 7).toFloat, i.toFloat / 2, (i % 4).toFloat, 1.0f)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = graft.operators.Similarity.ivfPqAppend(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, book)
+    val q = out.writeStream.format("memory").queryName("idxadd_out")
+      .outputMode("append").start()
+    try {
+      val scrambled = delta.sortBy(_._1.toString.reverse)
+      input.addData(scrambled.take(3): _*)
+      q.processAllAvailable()
+      input.addData(scrambled.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("idxadd_out")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+      val batch = graft.operators.Similarity.ivfPqAppend(
+        delta.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        coarse, book).as[(Long, Int, Seq[Int])].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size === 8)
+    } finally q.stop()
   }
 
   test("streamingSequenceOffsets carries per-shard running totals across batches") {
