@@ -48,6 +48,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Per-stage codegen fallback when a generated method would exceed
+      // HotSpot's ~8K-bytecode JIT cap (else it runs in the raw bytecode
+      // interpreter — the wide-encode cliff, SCALE_RECORD.md r15; 6x on
+      // the 4.2 M-row IVF-PQ encode, noise-level elsewhere).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-bench-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")

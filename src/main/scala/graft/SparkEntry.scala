@@ -867,6 +867,30 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // UPSERT (the re-embedded-document case): the delta carries NEW ids
+    // (vec_id % 4 == 0, original vectors) AND CHANGED vectors for ids
+    // already indexed (vec_id % 8 == 1, every dim + 1.0 — exact on the
+    // micro lattice: vq' = vq + 1e6, so the oracle replays it as integer
+    // arithmetic). Existing artifact rows for changed ids are REPLACED
+    // by encodes of the new vectors under the SAME frozen books; search
+    // runs over the upserted artifact with the ORIGINAL query vectors.
+    "s18_ivfpq_upsert" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+      val delta = e.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 8 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"), x => x + lit(1.0))
+              .as("embedding")))
+      val merged = Similarity.ivfPqUpsert(idx, delta, "vec_id", "embedding")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8, indexOf = Some(merged))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Trainer -> PQ wiring: one per-subspace Lloyd iteration refines the
     // first-kCent init codebook, then codes re-derive against the TRAINED
     // book (vs s10's init book) — gating the pqTrain -> pqCodes path
@@ -2385,6 +2409,71 @@ object SparkEntry {
       |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
       |FROM rk WHERE rnk <= 5""".stripMargin
 
+  // s18 upsert replay: books train on the ORIGINAL old subset (cc/bk via
+  // the e/res0 chain, exactly s17's derivation), but the ENCODE runs over
+  // the UPSERTED corpus em — vec_id % 8 = 1 rows carry vq + 1e6 per dim
+  // (the +1.0 re-embedding is exact integer arithmetic on the micro
+  // lattice, so DuckDB replays it without float math). Queries keep their
+  // ORIGINAL vectors (probes/qres from e): a changed corpus row must be
+  // found at its NEW position, by its OLD query.
+  private val s18OracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+      |em AS (SELECT vec_id, CASE WHEN vec_id % 8 = 1
+      |  THEN list_transform(vq, v -> v + 1000000) ELSE vq END AS vq FROM e),
+      |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+      |  FROM e WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 4),
+      |cd0 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+      |  FROM e CROSS JOIN cc c),
+      |asg0 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd0) WHERE rn = 1),
+      |res0 AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS rv
+      |  FROM e JOIN asg0 a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+      |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+      |  FROM res0 WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+      |cdm AS (SELECT em.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (em.vq[i] - c.cv[i]) * (em.vq[i] - c.cv[i]))) AS d2
+      |  FROM em CROSS JOIN cc c),
+      |asgm AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cdm) WHERE rn = 1),
+      |resm AS (SELECT em.vec_id, a.cell, list_transform(range(1, 65),
+      |  i -> em.vq[i] - c.cv[i]) AS rv
+      |  FROM em JOIN asgm a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+      |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM resm r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |code AS (SELECT vec_id, cell, s, j AS code
+      |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd0 WHERE vec_id <= 3) WHERE rn <= 2),
+      |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS qr
+      |  FROM probes p JOIN e ON e.vec_id = p.qid
+      |  JOIN cc c ON c.cell = p.cell),
+      |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+      |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+      |    AND qt.j = code.code
+      |  WHERE code.vec_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+      |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+      |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+      |FROM rk WHERE rnk <= 5""".stripMargin
+
   // Shared by p08 (batch) and st17 (streaming): ONE global running sum
   // over the (hash, key) order, then the div/% coordinate math — both
   // engines' two-level layouts must collapse to exactly this.
@@ -3189,6 +3278,10 @@ object SparkEntry {
     // everything-under-old-books; a drifted book (full-corpus seeds)
     // would produce different codes and fail the hash.
     "s17_ivfpq_add" -> s17OracleSql,
+
+    // Upsert: books from the original old subset, encode over the
+    // upserted corpus, original queries — see s18OracleSql.
+    "s18_ivfpq_upsert" -> s18OracleSql,
 
     // Streaming index ingest: the s17 batch SQL verbatim — per-micro-batch
     // frozen-book encode is per-row deterministic, so stream==batch IS

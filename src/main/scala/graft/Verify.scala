@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Per-stage codegen fallback when a generated method would exceed
+      // HotSpot's ~8K-bytecode JIT cap (else it runs in the raw bytecode
+      // interpreter — the wide-encode cliff, SCALE_RECORD.md r15).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-verify-warehouse-${ProcessHandle.current().pid()}")

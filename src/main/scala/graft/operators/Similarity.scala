@@ -642,9 +642,28 @@ object Similarity {
       .select(col("id") +: col("vq") +:
         ColumnKernels.firstMatchIndex(cNames.map(col), col("__ivfpq_dmin"))
           .as("cell") +: mPass: _*)
-    val withRes = withCell.select(col("id") +: col("cell") +:
-      residualCase(coarse, col("vq"), col("cell"))
-        .cast("array<double>").as("rv") +: mPass: _*)
+    // Residual as d PER-DIM expressions assembled into the array in a
+    // second projection — NOT one monolithic array expression. Codegen
+    // splits a projection into one small method per expression, but it
+    // cannot split INSIDE one expression tree: the one-expression forms
+    // (per-cell CASE, or a single indexed CreateArray) generate a method
+    // that either breaks janino's 64 KB limit at nCells=64 (whole stage
+    // silently interpreted) or passes janino while exceeding HotSpot's
+    // ~8 KB-bytecode JIT threshold (runs in the RAW bytecode interpreter
+    // — measured 16.6 s -> 60.1 s on the 4.2 M-row rebuild). The matched
+    // centroid row projects once (`__cv`), then each dim is a tiny
+    // element_at-minus-element_at method. (r15, ivfpq-add probe.)
+    val cvLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val withCv = withCell.select(col("id") +: col("cell") +: col("vq") +:
+      element_at(cvLit, (col("cell") + lit(1)).cast("int")).as("__cv") +:
+      mPass: _*)
+    val rNames = (1 to d).map(i => s"__ivfpq_r_$i")
+    val withR = withCv.select(col("id") +: col("cell") +:
+      ((1 to d).map(i => (element_at(col("vq"), i) -
+        element_at(col("__cv"), i)).cast("double").as(rNames(i - 1)))
+        ++ mPass): _*)
+    val withRes = withR.select(col("id") +: col("cell") +:
+      array(rNames.map(col): _*).as("rv") +: mPass: _*)
     def dName(s: Int, j: Int) = s"__ivfpq_d_${s}_$j"
     val distCols = (0 until m).flatMap { s =>
       val sub = slice(col("rv"), s * sd + 1, sd)
@@ -699,8 +718,8 @@ object Similarity {
     * encodes fine). This is what a growing vector corpus needs after the
     * initial [[ivfPqIndex]] build: the book stays frozen so OLD codes
     * stay valid, and the delta's `[id, cell, codes]` rows append to the
-    * artifact ([[ivfPqAdd]] composes the two; upsert = `left_anti` on id
-    * + append). The price of freezing is quantization drift when the
+    * artifact ([[ivfPqAdd]] appends known-fresh ids; [[ivfPqUpsert]]
+    * replaces existing ones). The price of freezing is quantization drift when the
     * delta's distribution wanders from the training one — measure it
     * with `withDistortion` + [[ivfPqStaleness]] and retrain when the
     * ratio says so.
@@ -742,6 +761,32 @@ object Similarity {
     (artifact.unionByName(enc), coarse, book)
   }
 
+  /** UPSERT a delta into an existing IVF-PQ index artifact (s18): delta
+    * rows encode under the FROZEN books ([[ivfPqAppend]]); ids already in
+    * the artifact are REPLACED (the re-embedded-document case — a doc
+    * changed, its vector changed, its codes must follow), new ids append.
+    * Equivalent to a full re-encode of the id-deduped corpus (delta wins)
+    * under the same books — the s18 oracle's claim.
+    *
+    * COST vs [[ivfPqAdd]]: the replace needs a `left_anti` on id, which
+    * shuffles the EXISTING artifact — at 10^11 rows that is the expensive
+    * half, so production keeps upserts batched and rare (or persists the
+    * artifact bucketed by id, making the anti join co-located and
+    * shuffle-free — the [[graft.sources.BucketedTables]] layout). Append
+    * stays the cheap path when ids are known-fresh.
+    */
+  def ivfPqUpsert(
+      index: (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]),
+      delta: DataFrame, idCol: String, vecCol: String,
+      metaCols: Seq[String] = Nil)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val (artifact, coarse, book) = index
+    val enc = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+      ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols))
+    (artifact.join(enc.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(enc), coarse, book)
+  }
+
   /** Staleness of a frozen IVF-PQ index vs a delta (s17's retrain
     * signal): mean ADC quantization distortion of the delta rows over
     * that of the training rows, both under the SAME frozen books (the
@@ -770,24 +815,24 @@ object Similarity {
   private def sqSum(cv: Array[Long]): Double =
     cv.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x))).toDouble
 
-  /** `vq - coarse(cell)` as a plan-time CASE chain over cells: only the
-    * matched arm evaluates (d element_at's per row), all codegen — the
-    * shape that avoids both a join and an interpreted zip_with on the
-    * corpus hot path.
+  /** `vq - coarse(cell)` by INDEXING a 2-D centroid literal: the matched
+    * centroid row is `element_at(<literal array-of-arrays>, cell + 1)`
+    * (hoisted once by codegen subexpression elimination), then d
+    * element_at-minus-element_at nodes build the residual — code size
+    * O(d), INDEPENDENT of nCells. The original per-cell CASE chain
+    * (every centroid inlined as literals in its own arm) was O(nCells·d)
+    * generated code and blew the JVM's 64 KB method limit at nCells=64 ·
+    * d=64, silently dropping the whole encode stage to interpreted
+    * execution — the `ivfpq-add` scale probe caught it (r15); the
+    * codegen plan spec now pins the 64-cell arity too. Still no join and
+    * no higher-order function on the corpus hot path.
     */
   private def residualCase(coarse: Array[Array[Long]], vqc: Column,
       cellc: Column): Column = {
-    val nCells = coarse.length
     val d = coarse.head.length
-    val arms = (0 until nCells).map { c =>
-      array((1 to d).map(i =>
-        element_at(vqc, i) - lit(coarse(c)(i - 1))): _*)
-    }
-    if (nCells == 1) arms(0)
-    else (1 until nCells - 1)
-      .foldLeft(when(cellc === 0, arms(0)))((acc, c) =>
-        acc.when(cellc === c, arms(c)))
-      .otherwise(arms(nCells - 1))
+    val cv = element_at(typedLit(coarse.map(_.toSeq).toSeq),
+      (cellc + lit(1)).cast("int"))
+    array((1 to d).map(i => element_at(vqc, i) - element_at(cv, i)): _*)
   }
 
   /** IVF-PQ search, optionally FILTERED (s16): `indexFilter` is a corpus

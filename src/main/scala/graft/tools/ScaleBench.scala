@@ -52,6 +52,9 @@ object ScaleBench {
     val threshold = args.lift(3).map(_.toLong).getOrElse(0L) // 0 = force distributed
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      // Per-stage codegen fallback below HotSpot's JIT cap — the probe
+      // that discovered the cliff (ivfpq-add, SCALE_RECORD.md r15).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -242,6 +245,60 @@ object ScaleBench {
           .count()
         println(f"SCALE-OK ivfpq n=$n dim=$dim cells=64 probe=8 m=8 " +
           f"hits=$hits sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "seqpack" | "seqpack-1shard" =>
+        // p08 sequence packing at corpus scale: n docs with deterministic
+        // token counts in [1, 2048]. The sharded two-level prefix sum vs
+        // the nShards=1 degenerate (ONE global window partition = a
+        // single-reducer sort — the plan the shard design exists to
+        // avoid; identical output by the invariance contract). Pins:
+        // row count, total token conservation ((last seq_id, seq_off+w)
+        // via max over (g0+w) == sum(w)), and first coordinate at 0.
+        val toks = spark.range(n).select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(2048L)) + 1L).as("n_toks"))
+        val shards = if (algo.endsWith("-1shard")) 1 else 32
+        val out = graft.operators.Sampling.packSequences(
+          toks, "doc_id", "n_toks", seqLen = 2048L, nShards = shards)
+        val got = out.agg(count(lit(1)), max(col("seq_id"))).head
+        val totalToks = toks.agg(sum(col("n_toks"))).head.getLong(0)
+        require(got.getLong(0) == n, s"rows ${got.getLong(0)} != $n")
+        require(got.getLong(1) == (totalToks - 1) / 2048L,
+          s"max seq_id ${got.getLong(1)} != ${(totalToks - 1) / 2048L}")
+        println(f"SCALE-OK $algo n=$n shards=$shards toks=$totalToks " +
+          f"maxSeq=${got.getLong(1)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "ivfpq-add" =>
+        // Index MAINTENANCE at corpus scale (s17): build on 7n/8, append
+        // the n/8 delta under the frozen books, and rebuild from scratch
+        // for the comparison — the capacity-plan number for "what does
+        // keeping the index fresh cost". The append must price like a
+        // delta-sized encode scan (no retrain, no seed collect, no
+        // shuffle), NOT like the build; row pins make the three artifacts
+        // mutually consistent.
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val old = pts.filter(col("vec_id") % 8 =!= 0)
+        val delta = pts.filter(col("vec_id") % 8 === 0)
+        val tb0 = System.nanoTime()
+        val idx = graft.operators.Similarity.ivfPqIndex(
+          old, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
+        val oldRows = idx._1.count()
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val ta0 = System.nanoTime()
+        val merged = graft.operators.Similarity.ivfPqAdd(
+          idx, delta, "vec_id", "embedding")
+        val mergedRows = merged._1.count()
+        val appendSec = (System.nanoTime() - ta0) / 1e9
+        val tr0 = System.nanoTime()
+        val rebuiltRows = graft.operators.Similarity.ivfPqIndex(
+          pts, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
+          ._1.count()
+        val rebuildSec = (System.nanoTime() - tr0) / 1e9
+        require(oldRows == n - n / 8 && mergedRows == n && rebuiltRows == n,
+          s"row pins: old=$oldRows merged=$mergedRows rebuilt=$rebuiltRows n=$n")
+        println(f"SCALE-OK ivfpq-add n=$n dim=$dim cells=64 m=8 " +
+          f"build7of8=$buildSec%.1f append1of8=$appendSec%.1f " +
+          f"rebuild=$rebuildSec%.1f")
 
       case "minhash" =>
         // Corpus k-minwise sketching at probe scale: n synthetic 20-token

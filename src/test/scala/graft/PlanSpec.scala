@@ -388,12 +388,24 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     // encode frame is probed directly; the public ivfPqIndex wraps it in
     // a local checkpoint that would hide the plan behind a scanned RDD.
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val (encoded, _, _) = Similarity.ivfPqEncode(e, "vec_id", "embedding",
-      nCells = 32, m = 8, kCent = 16)
-    val plan = encoded.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
-    assert(plan.contains("*(1)"), s"encode fell out of codegen:\n$plan")
+    // 32 cells AND 64 cells: the 64-arity pin is the r15 regression
+    // guard — the per-cell CASE residual blew the 64 KB generated-method
+    // limit there and the whole stage silently ran interpreted (caught
+    // by the ivfpq-add probe); the indexed-literal residual keeps code
+    // size O(d) regardless of nCells.
+    for (nCells <- Seq(32, 64)) {
+      val (encoded, _, _) = Similarity.ivfPqEncode(e, "vec_id", "embedding",
+        nCells = nCells, m = 8, kCent = 16)
+      val plan = encoded.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+      assert(plan.contains("*(1)"),
+        s"encode fell out of codegen at nCells=$nCells:\n$plan")
+      // The executed stage must actually COMPILE — a janino 64 KB
+      // failure logs an error and silently interprets, which the plan
+      // string alone cannot distinguish.
+      org.apache.spark.sql.graft.TestCodegenProbe.assertCompiles(encoded)
+    }
   }
 
   test("q17d heavy-hitter probe: heap top-k per group, no window, no sort") {

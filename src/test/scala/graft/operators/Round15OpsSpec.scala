@@ -107,6 +107,56 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(err.getMessage.contains("withDistortion"))
   }
 
+  test("ivfPqUpsert: changed ids replaced, new ids appended, the rest untouched") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter($"vec_id" % 4 =!= 0)
+    val idx @ (artifact, coarse, book) = Similarity.ivfPqIndex(old,
+      "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    val changed = e.filter($"vec_id" % 8 === 1)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"), x => x + lit(1.0))
+          .as("embedding"))
+    val fresh = e.filter($"vec_id" % 4 === 0)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (merged, _, _) = Similarity.ivfPqUpsert(idx,
+      fresh.unionByName(changed), "vec_id", "embedding")
+
+    // One row per id over old ∪ new; nothing dropped, nothing doubled.
+    assert(merged.count() === e.count())
+    assert(merged.select("id").distinct().count() === e.count())
+    // Changed ids carry the NEW vector's codes (== a direct frozen-book
+    // encode of the modified rows), not the original artifact's.
+    val want = artifactRows(Similarity.ivfPqAppend(changed,
+      "vec_id", "embedding", coarse, book))
+    val gotChanged = artifactRows(merged.join(
+      changed.select($"vec_id".as("id")), Seq("id")))
+    assert(gotChanged === want)
+    assert(gotChanged.nonEmpty)
+    val origChanged = artifactRows(artifact.join(
+      changed.select($"vec_id".as("id")), Seq("id")))
+    assert(gotChanged !== origChanged,
+      "the +1.0 re-embedding must move codes, or the spec checks nothing")
+    // Untouched ids keep their original artifact rows bit-for-bit.
+    val untouched = artifactRows(merged
+      .join(changed.select($"vec_id".as("id")), Seq("id"), "left_anti")
+      .join(fresh.select($"vec_id".as("id")), Seq("id"), "left_anti"))
+    val origUntouched = artifactRows(artifact.join(
+      changed.select($"vec_id".as("id")), Seq("id"), "left_anti"))
+    assert(untouched === origUntouched)
+  }
+
+  test("ivfPqUpsert with a disjoint delta equals ivfPqAdd") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    val delta = e.filter($"vec_id" % 4 === 0)
+    val up = artifactRows(Similarity.ivfPqUpsert(idx, delta,
+      "vec_id", "embedding")._1)
+    val add = artifactRows(Similarity.ivfPqAdd(idx, delta,
+      "vec_id", "embedding")._1)
+    assert(up === add)
+  }
+
   test("ivfPqAppend validates hand-supplied books (ragged coarse rejected)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val (_, coarse, book) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
