@@ -259,11 +259,17 @@ object ScaleBench {
         val shards = if (algo.endsWith("-1shard")) 1 else 32
         val out = graft.operators.Sampling.packSequences(
           toks, "doc_id", "n_toks", seqLen = 2048L, nShards = shards)
-        val got = out.agg(count(lit(1)), max(col("seq_id"))).head
+        // Token-conservation pin: the highest END coordinate (a doc's
+        // last spanned sequence, seq_id + n_seqs - 1) must land exactly
+        // on the global axis's last sequence (T-1) div seqLen. max of
+        // seq_id alone would under-read when the last doc STARTS in the
+        // previous sequence and straddles the boundary.
+        val got = out.agg(count(lit(1)),
+          max(col("seq_id") + col("n_seqs") - 1L)).head
         val totalToks = toks.agg(sum(col("n_toks"))).head.getLong(0)
         require(got.getLong(0) == n, s"rows ${got.getLong(0)} != $n")
         require(got.getLong(1) == (totalToks - 1) / 2048L,
-          s"max seq_id ${got.getLong(1)} != ${(totalToks - 1) / 2048L}")
+          s"max end seq ${got.getLong(1)} != ${(totalToks - 1) / 2048L}")
         println(f"SCALE-OK $algo n=$n shards=$shards toks=$totalToks " +
           f"maxSeq=${got.getLong(1)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
