@@ -102,6 +102,14 @@ object ScaleBench {
         val r = builder.run()
         val checksum = r.vertices.select(sum(col("value"))).head.getLong(0)
         println(f"SCALE-OK $algo n=$n m=$m iters=${r.iterations} checksum=$checksum sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "hits" =>
+        // HITS at probe scale — the record the g16 gate class lacked (the
+        // r14 commit misattributed a Pregel change to it; this pins what
+        // the direction-alternating two-join loop actually costs). 2
+        // integer-exact iterations; checksum pins the path counts.
+        val r = g.hits.iterations(2).run()
+        val cs = r.select(sum(col("auth") + col("hub"))).head.getLong(0)
+        println(f"SCALE-OK hits n=$n m=$m iters=2 checksum=$cs sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "lpa" | "lpa-skew" =>
         // 4 synchronous rounds, forced distributed. The -skew variant's
         // ~370 k-degree hub is the label_mode aggregate's stress shape:
