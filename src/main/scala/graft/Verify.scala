@@ -18,6 +18,14 @@ object Verify {
       // HotSpot's ~8K-bytecode JIT cap (else it runs in the raw bytecode
       // interpreter — the wide-encode cliff, SCALE_RECORD.md r15).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // Our TypedImperative aggregates keep BOUNDED-SMALL per-group state
+      // (top-k heaps, label/h-index histograms); big-state aggregates
+      // (gram matrix, vector sums, grouped sketches) run at low group
+      // cardinality. The 128-key default forces per-vertex and per-query
+      // aggregation into sort-based fallback, whose spill machinery is
+      // what actually OOMed the 16k-query ADC probe — hash aggregation
+      // is both faster and safer for this state shape (SCALE_RECORD.md r15).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-verify-warehouse-${ProcessHandle.current().pid()}")

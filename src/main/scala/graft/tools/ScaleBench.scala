@@ -55,6 +55,14 @@ object ScaleBench {
       // Per-stage codegen fallback below HotSpot's JIT cap — the probe
       // that discovered the cliff (ivfpq-add, SCALE_RECORD.md r15).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // Our TypedImperative aggregates keep BOUNDED-SMALL per-group state
+      // (top-k heaps, label/h-index histograms); big-state aggregates
+      // (gram matrix, vector sums, grouped sketches) run at low group
+      // cardinality. The 128-key default forces per-vertex and per-query
+      // aggregation into sort-based fallback, whose spill machinery is
+      // what actually OOMed the 16k-query ADC probe — hash aggregation
+      // is both faster and safer for this state shape (SCALE_RECORD.md r15).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -280,6 +288,26 @@ object ScaleBench {
           s"max end seq ${got.getLong(1)} != ${(totalToks - 1) / 2048L}")
         println(f"SCALE-OK $algo n=$n shards=$shards toks=$totalToks " +
           f"maxSeq=${got.getLong(1)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "ivfpq-qbatch" =>
+        // Query-BATCH scaling of the ADC search (the second arg is the
+        // query count): per-query cost is ~(nProbe/nCells) x corpus, so
+        // a batch of Q queries scores ~Q x nProbe/nCells x n candidate
+        // pairs — the law this probe pins, and a check that the
+        // broadcast of Q x nProbe per-probe distance tables (the
+        // query-side build) has no cliff at serving-realistic sizes.
+        // Corpus-scale batches should stream st16-style micro-batches
+        // instead; see the ivfPqTopK scaladoc.
+        val dim = 64
+        val qn = math.max(1L, m)
+        val pts = syntheticVectors(spark, n, dim)
+        val hits = graft.operators.Similarity.ivfPqTopK(
+          pts, pts.filter(col("vec_id") < qn),
+          "vec_id", "embedding", k = 10, nCells = 64, nProbe = 8,
+          m = 8, kCent = 16)
+          .count()
+        println(f"SCALE-OK ivfpq-qbatch n=$n dim=$dim q=$qn cells=64 " +
+          f"probe=8 hits=$hits sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
       case "ivfpq-add" =>
         // Index MAINTENANCE at corpus scale (s17): build on 7n/8, append
