@@ -846,6 +846,20 @@ object Similarity {
     * predicate + vector search in one plan) needs the filter on the
     * candidate stream, which is what this does. When `indexOf` is absent
     * the self-contained build threads `metaCols` into the encode scan.
+    *
+    * QUERY-BATCH scaling (`ScaleBench ivfpq-qbatch`): cost is linear in
+    * the batch — each query scores ~(nProbe/nCells) x corpus candidates
+    * at O(m) lookups each, and the per-query top-k is a bounded heap, so
+    * 16x the queries ≈ 16x the scoring wall (measured 1 M corpus:
+    * q=1024 -> 31.5 s, q=16384 -> 140 s). The query side rides a
+    * broadcast (Q x nProbe rows of m x kCent tables), fine at
+    * serving-realistic sizes; corpus-scale batches should stream through
+    * st16-style micro-batches instead of growing the broadcast. Needs
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` above
+    * the per-task query-group count (set to 65536 in this repo's session
+    * builders) — the 128-key default pushes the scored stream into
+    * sort-based aggregation whose spill machinery OOMs long before hash
+    * aggregation feels the batch (SCALE_RECORD.md r15).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
