@@ -1431,6 +1431,31 @@ object SparkEntry {
     "t18_html_extract" -> ((s, d) =>
       htmlExtract(tbl(s, d, "documents"))),
 
+    // PII scrub (C4/Dolma-style): deterministic PII synthesized from
+    // doc_id (emails on %3, dotted-quad IPs on %4, +CC phones on %5 —
+    // the corpus text itself carries none) so detection and redaction
+    // are non-trivially exercised; counts per class on the raw text,
+    // md5 of the sequentially-redacted text pins the rewrite
+    // byte-exactly. Map-only; the oracle replays every regex verbatim.
+    "t19_pii_redact" -> ((s, d) => {
+      val aug = tbl(s, d, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(".4"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+          (lit(1000L) + col("doc_id") % 9000).cast("string"))).otherwise(lit("")))
+        .as("t"))
+      aug.select(col("doc_id"), TextFunctions.piiCounts(col("t")).as("pii"),
+          md5(TextFunctions.piiRedact(col("t"))).as("red_md5"))
+        .select(col("doc_id"), col("pii.emails").as("emails"),
+          col("pii.ips").as("ips"), col("pii.phones").as("phones"),
+          col("red_md5"))
+    }),
+
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
       Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain")
@@ -4135,6 +4160,26 @@ object SparkEntry {
     // lambdas — the same visible/anchor length arithmetic), tag strip,
     // entity decode (&amp; last), whitespace squeeze.
     "t18_html_extract" -> t18OracleSql,
+
+    // PII replay: the same synthesis CASEs, then each class counted on
+    // the raw augmented text and the same email -> ip -> phone
+    // sequential redaction ('g' = DuckDB's global flag; Spark's
+    // regexp_replace is global by default).
+    "t19_pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.4' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || (1000 + doc_id % 9000) ELSE '' END AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+        |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b')) AS BIGINT) AS phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b', '[PHONE]', 'g')) AS red_md5
+        |FROM aug""".stripMargin,
 
     // Streaming ingest twin (st15): the same kernel per micro-batch —
     // stream==batch is the contract, so the oracle IS the t18 SQL.

@@ -777,6 +777,33 @@ object TextFunctions {
       array_join(transform(filter(htmlLines(html), htmlKeep _),
         (l: Column) => htmlVisible(l)), " ")), HtmlWsRe, " "))
 
+  // ---- PII detection/redaction (t19). Three conservative RE2-portable
+  // classes — emails, dotted-quad IPs, +CC-prefixed phone numbers — the
+  // pre-training scrub pass (C4/Dolma-style). Counts are per-class over
+  // the RAW text; the classes are DISJOINT by construction (the email
+  // pattern requires an alphabetic TLD, so a dotted-quad "domain" is not
+  // an email — spec-pinned), and redaction applies sequentially
+  // email -> ip -> phone, deterministic either way. Pure per-row Column
+  // formulas: a map-only pass that rides the document scan at 100 TB,
+  // and the oracle replays every regex verbatim in DuckDB (RE2 — no
+  // lookarounds, no backrefs; Java and RE2 agree on everything used).
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val PiiPhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\\b"
+
+  /** `[emails, ips, phones]` BIGINT match counts on the raw text. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(PiiEmailRe)).cast(LongType).as("emails"),
+    regexp_count(text, lit(PiiIpv4Re)).cast(LongType).as("ips"),
+    regexp_count(text, lit(PiiPhoneRe)).cast(LongType).as("phones"))
+
+  /** Text with each PII class replaced by its tag, applied
+    * email -> ip -> phone.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmailRe, "[EMAIL]"), PiiIpv4Re, "[IP]"), PiiPhoneRe, "[PHONE]")
+
   /** Lines kept by the boilerplate rule (BIGINT) — the audit signal. */
   def htmlKeptLines(html: Column): Column =
     size(filter(htmlLines(html), htmlKeep _)).cast(LongType)

@@ -175,6 +175,30 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(err2.getMessage.contains("ragged codebook"))
   }
 
+  test("piiCounts / piiRedact: hand-computed counts, class disjointness, boundaries") {
+    import graft.text.TextFunctions
+    def run(s: String): (Long, Long, Long, String) = {
+      val Array(r) = Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.piiCounts($"t").as("c"),
+          TextFunctions.piiRedact($"t").as("r"))
+        .select($"c.emails", $"c.ips", $"c.phones", $"r")
+        .as[(Long, Long, Long, String)].collect()
+      r
+    }
+    // Two emails, one IP, one phone, mixed punctuation.
+    assert(run("mail a.b+c@x-y.org or d@e.io, ip 10.0.255.4, tel +44-201-55555.") ===
+      ((2L, 1L, 1L, "mail [EMAIL] or [EMAIL], ip [IP], tel [PHONE].")))
+    // No PII: zeros, text byte-identical.
+    assert(run("plain text with @ sign alone and 1.2 version") ===
+      ((0L, 0L, 0L, "plain text with @ sign alone and 1.2 version")))
+    // DISJOINTNESS: the email pattern requires an ALPHABETIC TLD, so a
+    // dotted-quad "domain" is not an email — the classes cannot overlap
+    // and the user@ prefix survives while the quad redacts as [IP].
+    assert(run("u@1.2.3.4 end") === ((0L, 1L, 0L, "u@[IP] end")))
+    // Phone \b: a trailing word char breaks the boundary -> no match.
+    assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
+  }
+
   test("ivfPqAppend plan: one scan, no shuffle, no join, stays in codegen") {
     // The incremental path's whole point at 100 TB: encoding a delta
     // against frozen books must not touch the existing index and must
