@@ -161,6 +161,30 @@ object SparkEntry {
     * why the SAME body runs batch (t18) and at streaming ingest (st15)
     * with the t18 oracle verbatim.
     */
+  /** Shared t19/st19 body: synthesize deterministic PII from doc_id,
+    * count per class on the raw text, and pin the sequential redaction
+    * byte-exactly via md5 — a stateless per-row transform, so the
+    * streaming twin is the same plan per micro-batch.
+    */
+  private def piiExtract(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
+        col("doc_id").cast("string"), lit("@ex"),
+        (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(".4"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+        (lit(1000L) + col("doc_id") % 9000).cast("string"))).otherwise(lit("")))
+      .as("t"))
+    aug.select(col("doc_id"), TextFunctions.piiCounts(col("t")).as("pii"),
+        md5(TextFunctions.piiRedact(col("t"))).as("red_md5"))
+      .select(col("doc_id"), col("pii.emails").as("emails"),
+        col("pii.ips").as("ips"), col("pii.phones").as("phones"),
+        col("red_md5"))
+  }
+
   private def htmlExtract(docs: DataFrame): DataFrame = {
     val nl = "\n"
     val html = concat(
@@ -1437,24 +1461,7 @@ object SparkEntry {
     // are non-trivially exercised; counts per class on the raw text,
     // md5 of the sequentially-redacted text pins the rewrite
     // byte-exactly. Map-only; the oracle replays every regex verbatim.
-    "t19_pii_redact" -> ((s, d) => {
-      val aug = tbl(s, d, "documents").select(col("doc_id"), concat(
-        col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
-          col("doc_id").cast("string"), lit("@ex"),
-          (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          ((col("doc_id") * 7) % 256).cast("string"), lit(".4"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
-          (lit(1000L) + col("doc_id") % 9000).cast("string"))).otherwise(lit("")))
-        .as("t"))
-      aug.select(col("doc_id"), TextFunctions.piiCounts(col("t")).as("pii"),
-          md5(TextFunctions.piiRedact(col("t"))).as("red_md5"))
-        .select(col("doc_id"), col("pii.emails").as("emails"),
-          col("pii.ips").as("ips"), col("pii.phones").as("phones"),
-          col("red_md5"))
-    }),
+    "t19_pii_redact" -> ((s, d) => piiExtract(tbl(s, d, "documents"))),
 
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
@@ -2026,6 +2033,13 @@ object SparkEntry {
       drainStream(htmlExtract(streamTbl(s, d, "documents")),
         "st15_sink", "append")),
 
+    // Streaming PII scrub at ingest — the t19 body per micro-batch (the
+    // st15/t18 stateless ingest-transform discipline). Oracle = t19 SQL
+    // verbatim.
+    "st19_stream_pii_redact" -> ((s, d) =>
+      drainStream(piiExtract(streamTbl(s, d, "documents")),
+        "st19_sink", "append")),
+
     // Streaming FILTERED vector search — the RAG serving shape end to
     // end: the IVF-PQ index (with its label payload) builds ONCE from
     // the static corpus; arriving queries probe it per micro-batch
@@ -2380,6 +2394,26 @@ object SparkEntry {
           |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
           |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
           |FROM rk WHERE rnk <= 5""".stripMargin
+
+  // Shared by t19 (batch) and st19 (streaming): synthesis CASEs +
+  // per-class counts on the raw augmented text + the sequential
+  // email -> ip -> phone redaction, md5-pinned ('g' = DuckDB's global
+  // flag; Spark's regexp_replace is global by default).
+  private val t19OracleSql: String =
+    """WITH aug AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.4' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || (1000 + doc_id % 9000) ELSE '' END AS t
+      |FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+      |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips,
+      |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b')) AS BIGINT) AS phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b', '[PHONE]', 'g')) AS red_md5
+      |FROM aug""".stripMargin
 
   // Shared by s17 (batch add) and st18 (streaming ingest): the s13 chain
   // with BOTH seed CTEs (coarse cc, residual codebook bk) restricted to
@@ -4165,21 +4199,10 @@ object SparkEntry {
     // the raw augmented text and the same email -> ip -> phone
     // sequential redaction ('g' = DuckDB's global flag; Spark's
     // regexp_replace is global by default).
-    "t19_pii_redact" ->
-      """WITH aug AS (SELECT doc_id, text ||
-        |  CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||
-        |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.4' ELSE '' END ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || (1000 + doc_id % 9000) ELSE '' END AS t
-        |FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
-        |  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ips,
-        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b')) AS BIGINT) AS phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,6}\b', '[PHONE]', 'g')) AS red_md5
-        |FROM aug""".stripMargin,
+    "t19_pii_redact" -> t19OracleSql,
+
+    // Streaming PII at ingest: t19's SQL verbatim (stateless transform).
+    "st19_stream_pii_redact" -> t19OracleSql,
 
     // Streaming ingest twin (st15): the same kernel per micro-batch —
     // stream==batch is the contract, so the oracle IS the t18 SQL.

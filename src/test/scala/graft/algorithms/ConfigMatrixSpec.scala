@@ -161,7 +161,8 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // the streaming twins of both (per-shard state + finalize;
         // per-micro-batch frozen-book index ingest).
         "p08_sequence_pack", "s17_ivfpq_add", "s18_ivfpq_upsert",
-        "st17_stream_seq_pack", "st18_stream_index_add", "t19_pii_redact")
+        "st17_stream_seq_pack", "st18_stream_index_add", "t19_pii_redact",
+        "st19_stream_pii_redact")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -323,6 +323,11 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     // frozen-book encode + union must serve the same search results.
     val st18 = graft.SparkEntry.queries("st18_stream_index_add")(spark, sf)
     sym(st18, graft.SparkEntry.queries("s17_ivfpq_add")(spark, sf))
+
+    // Streaming PII scrub shares t19's body — the stateless
+    // ingest-transform symmetry (st15/t18 discipline).
+    val st19 = graft.SparkEntry.queries("st19_stream_pii_redact")(spark, sf)
+    sym(st19, graft.SparkEntry.queries("t19_pii_redact")(spark, sf))
   }
 
   test("streaming ivfPqAppend: per-batch encode is order- and batching-independent") {
