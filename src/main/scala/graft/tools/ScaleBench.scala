@@ -262,6 +262,30 @@ object ScaleBench {
         println(f"SCALE-OK ivfpq n=$n dim=$dim cells=64 probe=8 m=8 " +
           f"hits=$hits sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "pii" =>
+        // t19 scrub-rate anchor: 3-regex count + sequential redaction
+        // over n synthetic docs (~220 chars each, PII planted at the
+        // t19 rates). Map-only — the number is regex throughput per
+        // core, the capacity-plan unit for scan-bound scrub passes.
+        import graft.text.TextFunctions
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("the quick brown fox jumps over the lazy dog and " * 4),
+            when(col("id") % 3 === 0, concat(lit(" u"), col("id").cast("string"),
+              lit("@ex.com"))).otherwise(lit("")),
+            when(col("id") % 4 === 0, concat(lit(" 10.1."),
+              (col("id") % 256).cast("string"), lit(".9"))).otherwise(lit("")),
+            when(col("id") % 5 === 0, lit(" +1-555-1234")).otherwise(lit("")))
+            .as("text"))
+        val out = docs.select(TextFunctions.piiCounts(col("text")).as("c"),
+          length(TextFunctions.piiRedact(col("text"))).as("l"))
+        val r = out.agg(sum(col("c.emails")), sum(col("c.ips")),
+          sum(col("c.phones")), sum(col("l"))).head
+        require(r.getLong(0) == (n + 2) / 3 && r.getLong(1) == (n + 3) / 4 &&
+          r.getLong(2) == (n + 4) / 5,
+          s"pins: ${r.getLong(0)}/${r.getLong(1)}/${r.getLong(2)} for n=$n")
+        println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
+          f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "seqpack" | "seqpack-1shard" =>
         // p08 sequence packing at corpus scale: n docs with deterministic
         // token counts in [1, 2048]. The sharded two-level prefix sum vs
