@@ -915,6 +915,26 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Binary (1-bit sign) quantization + Hamming scan: the memory tier
+    // below int8/PQ — 64 dims pack into two 32-bit long words, Hamming
+    // distance = XOR + POPCNT per word, ties to the smaller id.
+    "s19_binary_hamming" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.binaryHammingTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // Two-stage binary search: Hamming shortlist of 50 on the 1-bit
+    // codes, exact integer micro-lattice L2 re-rank of only those rows
+    // (the s12 rerank discipline on the binary candidate generator).
+    "s19b_binary_rerank" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.binaryHammingTopKReranked(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Trainer -> PQ wiring: one per-subspace Lloyd iteration refines the
     // first-kCent init codebook, then codes re-derive against the TRAINED
     // book (vs s10's init book) — gating the pqTrain -> pqCodes path
@@ -3346,6 +3366,53 @@ object SparkEntry {
     // frozen-book encode is per-row deterministic, so stream==batch IS
     // the contract (the st15/st16 discipline applied to the WRITE side).
     "st18_stream_index_add" -> s17OracleSql,
+
+    // Binary-quantization replay: pack the sign bit of each of the 64
+    // dims into two 32-bit words (bit i of word w = [v[32w+i] > 0]),
+    // Hamming = popcount of the per-word XOR, rank (ham ASC, id ASC).
+    "s19_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bc AS (SELECT vec_id, list_transform(range(0, 2), w ->
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      i -> CASE WHEN v[w*32 + i + 1] > 0 THEN 1::BIGINT << i
+        |           ELSE 0::BIGINT END)) AS BIGINT)) AS code
+        |  FROM e),
+        |hm AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  CAST(bit_count(xor(c.code[1], q.code[1]))
+        |     + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS ham
+        |  FROM bc c JOIN (SELECT * FROM bc WHERE vec_id <= 3) q
+        |    ON c.vec_id <> q.vec_id),
+        |rk AS (SELECT qid, nid, ham, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY ham, nid) AS BIGINT) AS rnk FROM hm)
+        |SELECT qid AS query_id, nid AS neighbor_id, ham, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // Binary rerank replay: the s19 Hamming chain shortlists 50, then
+    // exact 64-dim micro-lattice L2 re-ranks (the s12 tail verbatim).
+    "s19b_binary_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eq AS (SELECT vec_id, list_transform(v,
+        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM e),
+        |bc AS (SELECT vec_id, list_transform(range(0, 2), w ->
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      i -> CASE WHEN v[w*32 + i + 1] > 0 THEN 1::BIGINT << i
+        |           ELSE 0::BIGINT END)) AS BIGINT)) AS code
+        |  FROM e),
+        |hm AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  CAST(bit_count(xor(c.code[1], q.code[1]))
+        |     + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS ham
+        |  FROM bc c JOIN (SELECT * FROM bc WHERE vec_id <= 3) q
+        |    ON c.vec_id <> q.vec_id),
+        |sl AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER
+        |  (PARTITION BY qid ORDER BY ham, nid) AS rn FROM hm) WHERE rn <= 50),
+        |ex AS (SELECT sl.qid, sl.nid,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (c.vq[i] - q.vq[i]) * (c.vq[i] - q.vq[i]))) AS BIGINT) AS d2
+        |  FROM sl JOIN eq c ON c.vec_id = sl.nid JOIN eq q ON q.vec_id = sl.qid),
+        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM ex)
+        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
 
     // Trained-PQ replay: per subspace, ONE unrolled Lloyd iteration from
     // the first-8 init (integer argmin assignment with smaller-cell ties,

@@ -99,6 +99,107 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sign-bit binary quantization — the 1-bit memory tier below
+    * [[int8CosineTopK]] and PQ: dimension `i` of a vector stores as the
+    * single bit `[v_i > 0]`, packed `bitsPerWord` bits per long word
+    * (bit `b` of word `w` covers dimension `w*bitsPerWord + b`). At the
+    * default 32 bits/word a 64-dim float32 vector shrinks 256 B → 16 B
+    * (two longs) — the difference between a spilling and an in-memory
+    * scan at a 10^11-vector corpus. `bitsPerWord` caps at 62 so the SQL
+    * replay's `1::BIGINT << i` partial sums stay inside signed-64 (the
+    * packing itself is engine-portable integer arithmetic — no float in
+    * the code path beyond the sign test, and `v > 0` is exact on any
+    * IEEE engine). Output `[id, code: array<long>]`.
+    */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerWord: Int = 32): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(bitsPerWord >= 1 && bitsPerWord <= 62,
+      s"bitsPerWord must be in [1, 62], got $bitsPerWord")
+    val nWords = (dim + bitsPerWord - 1) / bitsPerWord
+    val v = col(vecCol).cast("array<double>")
+    val words = (0 until nWords).map { w =>
+      (0 until bitsPerWord).filter(b => w * bitsPerWord + b < dim).map { b =>
+        when(v(w * bitsPerWord + b) > 0d, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol).as("id"), array(words: _*).as("code"))
+  }
+
+  /** Hamming top-k over [[binaryCodes]] — the 1-bit ANN scan: per query,
+    * the k corpus vectors with the fewest disagreeing sign bits (ties to
+    * the smaller id). Under the random-hyperplane bound Hamming distance
+    * is a monotone proxy for angle, so this is the recall-cheap candidate
+    * generator a binary index serves; [[binaryHammingTopKReranked]] is
+    * the production composition (shortlist here, exact re-rank after).
+    *
+    * SHAPE: both sides reduce to their code words in one codegen
+    * projection; query codes broadcast onto the corpus scan (the
+    * [[cosineTopK]] discipline — zero corpus shuffle) and the score is a
+    * static chain of `xor` + `bit_count` per word — branchless integer
+    * ops, no float math, whole-stage-codegen'd. Ranking is the bounded-
+    * heap aggregate (queries × k rows shuffled, no sort of the scored
+    * set). Output `[query_id, neighbor_id, ham, rank]`, rank by
+    * (ham ASC, neighbor_id ASC).
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int,
+      bitsPerWord: Int = 32): DataFrame = {
+    val nWords = (dim + bitsPerWord - 1) / bitsPerWord
+    val c = binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord)
+    val q = binaryCodes(queries, idCol, vecCol, dim, bitsPerWord)
+      .select(col("id").as("qid"), col("code").as("qcode"))
+    val ham = (0 until nWords)
+      .map(w => bit_count(col("code")(w).bitwiseXOR(col("qcode")(w))))
+      .reduce(_ + _).cast("long")
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        ham.as("ham"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        (lit(dim.toLong) - col("ham")).cast("double"), col("neighbor_id"), k)
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (lit(dim.toLong) - col("col.score").cast("long")).as("ham"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+  }
+
+  /** Binary shortlist + exact re-rank — the production two-stage binary
+    * search: [[binaryHammingTopK]] shortlists `shortlist` candidates per
+    * query on the 1-bit codes (XOR+POPCNT scan of the 16 B/vector
+    * artifact), then ONLY those rows pay the full-precision distance —
+    * exact integer squared-L2 on the [[KMeans.quantize]] micro lattice,
+    * the [[pqTopKReranked]] tail verbatim. Raw vectors are touched for
+    * `queries × shortlist` rows instead of the whole corpus. Output
+    * `[query_id, neighbor_id, d2, rank]`, rank by (d2 ASC, id ASC).
+    */
+  def binaryHammingTopKReranked(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, shortlist: Int,
+      bitsPerWord: Int = 32): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val cand = binaryHammingTopK(corpus, queries, idCol, vecCol, dim,
+        shortlist, bitsPerWord)
+      .select(col("query_id"), col("neighbor_id"))
+    val cq = KMeans.quantize(corpus, idCol, vecCol)
+      .select(col("id"), col("vq").cast("array<double>").as("cv"))
+    val qq = KMeans.quantize(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("vq").cast("array<double>").as("qv"))
+    val exact = cand
+      .join(cq, cand("neighbor_id") === cq("id"))
+      .join(broadcast(qq), cand("query_id") === qq("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        (array_dot(col("cv"), col("cv")) - lit(2.0) * array_dot(col("cv"), col("qv"))
+          + array_dot(col("qv"), col("qv"))).as("d2"))
+    exact.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.top_k_by_score(
+        negate(col("d2")), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("d2"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+  }
+
   /** LSH-bucketed approximate cosine top-k, band-OR structured (the same
     * shape as [[Dedup.embeddingNearDupLsh]]): `nBits` hyperplane sign bits
     * split into `bands` bands of `r = nBits/bands` bits; a corpus vector is

@@ -162,7 +162,10 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // per-micro-batch frozen-book index ingest).
         "p08_sequence_pack", "s17_ivfpq_add", "s18_ivfpq_upsert",
         "st17_stream_seq_pack", "st18_stream_index_add", "t19_pii_redact",
-        "st19_stream_pii_redact")
+        "st19_stream_pii_redact",
+        // binary quantization: the broadcast Hamming scan + bounded-heap
+        // ranking, and the shortlist-then-exact-rerank composition.
+        "s19_binary_hamming", "s19b_binary_rerank")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -199,6 +199,95 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- s19 binary (sign-bit) quantization --------------------------------
+
+  test("binaryCodes: hand-computed packing, zero is a 0 bit, ragged tail word") {
+    val df = Seq(
+      (1L, Seq(0.1, -0.2, 0.0, 2.0, -0.5)), // bits 1,0,0,1,0
+      (2L, Seq(-1.0, 3.0, 4.0, -1.0, 1.0)), // bits 0,1,1,0,1
+      (3L, Seq(0.0, 0.0, 0.0, 0.0, 0.0))    // all zero -> all-zero words
+    ).toDF("id", "v")
+    val got = Similarity.binaryCodes(df, "id", "v", dim = 5, bitsPerWord = 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    // Word 0 packs dims 0-2 (bit b = dim 3w+b), word 1 packs dims 3-4.
+    assert(got(1L) === Seq(1L, 1L))
+    assert(got(2L) === Seq(6L, 2L))
+    assert(got(3L) === Seq(0L, 0L))
+    intercept[IllegalArgumentException] {
+      Similarity.binaryCodes(df, "id", "v", dim = 5, bitsPerWord = 63)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binaryCodes(df, "id", "v", dim = 5, bitsPerWord = 0)
+    }
+  }
+
+  test("binaryHammingTopK matches brute-force sign-bit Hamming; bitsPerWord-invariant") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" <= 3)
+    val got = Similarity.binaryHammingTopK(e, queries, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Brute force: sign bits in Scala, per-query sort (ham, id), top 5.
+    val vecs = e.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val bits = vecs.map { case (id, v) => id -> v.map(_ > 0d).toArray }.toMap
+    val expected = (for {
+      q <- vecs.filter(_._1 <= 3L)
+      ranked = vecs.filter(_._1 != q._1)
+        .map { case (id, _) =>
+          (id, bits(q._1).zip(bits(id)).count { case (a, b) => a != b }.toLong) }
+        .sortBy { case (id, h) => (h, id) }.take(5)
+      ((id, h), i) <- ranked.zipWithIndex
+    } yield (q._1, id, h, i + 1L)).toSet
+    assert(got === expected)
+    // The word width is an implementation detail of the packing: any
+    // legal bitsPerWord yields the same Hamming surface.
+    for (bpw <- Seq(7, 62)) {
+      val alt = Similarity.binaryHammingTopK(e, queries, "vec_id",
+          "embedding", dim = 64, k = 5, bitsPerWord = bpw)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(alt === expected, s"bitsPerWord=$bpw changed the output")
+    }
+  }
+
+  test("binaryHammingTopKReranked with shortlist = corpus equals exact lattice-L2 top-k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count().toInt
+    val got = Similarity.binaryHammingTopKReranked(e,
+        e.filter($"vec_id" <= 1), "vec_id", "embedding",
+        dim = 64, k = 5, shortlist = n)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Shortlisting everything leaves pure exact re-rank: micro-lattice
+    // integer squared-L2, ties to the smaller id.
+    val vq = e.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        id -> v.map(graft.functions.QuantizeMicros.roundMicros) }
+    val expected = (for {
+      q <- vq.filter(_._1 <= 1L)
+      ranked = vq.filter(_._1 != q._1)
+        .map { case (id, v) =>
+          (id, q._2.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      ((id, d), i) <- ranked.zipWithIndex
+    } yield (q._1, id, d, i + 1L)).toSet
+    assert(got === expected)
+    intercept[IllegalArgumentException] {
+      Similarity.binaryHammingTopKReranked(e, e.filter($"vec_id" <= 1),
+        "vec_id", "embedding", dim = 64, k = 5, shortlist = 4)
+    }
+  }
+
+  test("binaryHammingTopK plan: query codes broadcast, corpus never shuffled pre-score") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.binaryHammingTopK(e, e.filter($"vec_id" <= 3),
+        "vec_id", "embedding", dim = 64, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"queries must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle into a merge join:\n$plan")
+  }
+
   test("ivfPqAppend plan: one scan, no shuffle, no join, stays in codegen") {
     // The incremental path's whole point at 100 TB: encoding a delta
     // against frozen books must not touch the existing index and must
