@@ -144,9 +144,15 @@ object Similarity {
     */
   def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int,
-      bitsPerWord: Int = 32): DataFrame = {
+      bitsPerWord: Int = 32,
+      codesOf: Option[DataFrame] = None): DataFrame = {
     val nWords = (dim + bitsPerWord - 1) / bitsPerWord
-    val c = binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord)
+    // codesOf: a pre-encoded (and typically checkpointed) [id, code]
+    // artifact — encode once, search every query batch against it (the
+    // pqTopK `codesOf` discipline; at scale the 16 B/vector artifact is
+    // the table that persists, not the raw vectors).
+    val c = codesOf.getOrElse(
+      binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord))
     val q = binaryCodes(queries, idCol, vecCol, dim, bitsPerWord)
       .select(col("id").as("qid"), col("code").as("qcode"))
     val ham = (0 until nWords)
@@ -176,10 +182,11 @@ object Similarity {
     */
   def binaryHammingTopKReranked(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int, shortlist: Int,
-      bitsPerWord: Int = 32): DataFrame = {
+      bitsPerWord: Int = 32,
+      codesOf: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
     val cand = binaryHammingTopK(corpus, queries, idCol, vecCol, dim,
-        shortlist, bitsPerWord)
+        shortlist, bitsPerWord, codesOf)
       .select(col("query_id"), col("neighbor_id"))
     val cq = KMeans.quantize(corpus, idCol, vecCol)
       .select(col("id"), col("vq").cast("array<double>").as("cv"))

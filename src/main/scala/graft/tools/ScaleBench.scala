@@ -313,6 +313,37 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n shards=$shards toks=$totalToks " +
           f"maxSeq=${got.getLong(1)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "binary" =>
+        // s19 binary quantization at corpus scale: pack n 64-dim vectors
+        // into 2x32-bit sign words (16 B/vector — the whole 4.2 M-vector
+        // artifact is ~67 MB, trivially cache-resident where float32
+        // would be 1 GB), then the two-stage search for 16 queries:
+        // XOR+POPCNT Hamming shortlist of 100 over ALL n (the 1-bit scan
+        // IS the brute force — no cell pruning, the cost being probed),
+        // exact micro-lattice rerank of 16x100. Encode and search are
+        // timed apart like the pq probe. Pins: code rows == n, every
+        // query returns exactly k hits.
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val codes = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointNoStats(graft.operators.Similarity.binaryCodes(
+            pts, "vec_id", "embedding", dim))
+        val nCodes = codes.count()
+        val tEnc = (System.nanoTime() - t0) / 1e9
+        require(nCodes == n, s"code rows $nCodes != $n")
+        val stride = math.max(1L, n / 16)
+        val t1 = System.nanoTime()
+        val hits = graft.operators.Similarity.binaryHammingTopKReranked(
+          pts, pts.filter(col("vec_id") % stride === 0),
+          "vec_id", "embedding", dim, k = 10, shortlist = 100,
+          codesOf = Some(codes))
+          .count()
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        val nq = (n + stride - 1) / stride
+        require(hits == nq * 10, s"hits $hits != ${nq * 10}")
+        println(f"SCALE-OK binary n=$n dim=$dim codes=$nCodes " +
+          f"encode=$tEnc%.1f search16q=$tSearch%.1f sec")
+
       case "ivfpq-qbatch" =>
         // Query-BATCH scaling of the ADC search (the second arg is the
         // query count): per-query cost is ~(nProbe/nCells) x corpus, so

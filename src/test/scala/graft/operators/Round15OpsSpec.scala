@@ -278,6 +278,19 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("binaryHammingTopK with a pre-encoded codesOf artifact equals inline encode") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" <= 3)
+    val inline = Similarity.binaryHammingTopK(e, q, "vec_id", "embedding",
+      dim = 64, k = 5).collect().map(_.toString).sorted.toSeq
+    val codes = Similarity.binaryCodes(e, "vec_id", "embedding", dim = 64)
+      .localCheckpoint(true)
+    val viaArtifact = Similarity.binaryHammingTopK(e, q, "vec_id",
+        "embedding", dim = 64, k = 5, codesOf = Some(codes))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaArtifact === inline)
+  }
+
   test("binaryHammingTopK plan: query codes broadcast, corpus never shuffled pre-score") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = Similarity.binaryHammingTopK(e, e.filter($"vec_id" <= 3),
