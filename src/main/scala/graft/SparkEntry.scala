@@ -1300,6 +1300,15 @@ object SparkEntry {
           .withColumn("n_toks", TextFunctions.tokenCount(col("text"))),
         "doc_id", "n_toks", seqLen = 1024L)),
 
+    // Deterministic contrastive negatives: every vector (anchor) pairs
+    // with k=4 rows at seeded cyclic offsets on the hash-rank axis —
+    // balanced permutation pairing, no randomness — and pairs sharing
+    // the anchor's label drop (the false-negative guard, slots not
+    // refilled).
+    "p09_negative_pairs" -> ((s, d) =>
+      Sampling.negativePairs(tbl(s, d, "embeddings"), "vec_id", k = 4,
+        seed = "p09", excludeCol = Some("label"))),
+
     // Cohort retention: users bucketed by first-activity week, distinct
     // actives per (cohort, weeks-since) — two map-side-combinable
     // aggregates sharing the user_id partitioning, no window.
@@ -4590,6 +4599,26 @@ object SparkEntry {
     // tokens strictly before the doc; the div/% coordinate math mirrors
     // the BIGINT expressions verbatim. shard = h div ceil(2^60/32).
     "p08_sequence_pack" -> p08OracleSql,
+
+    // Negative-sampling replay: ranks on the (md5-hash60, key) axis,
+    // h0 = hash60('p09') mod (n-1), slot j's partner at rank
+    // (r + 1 + (h0 + j) mod (n-1)) mod n, same-label pairs dropped
+    // NULL-safely (IS DISTINCT FROM == Spark's !(a <=> b)).
+    "p09_negative_pairs" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |rk AS (SELECT vec_id, label,
+        |  row_number() OVER (ORDER BY h, vec_id) - 1 AS r FROM e),
+        |p AS (SELECT a.vec_id, a.label, j.j AS slot,
+        |    (a.r + 1 + ((('0x' || substr(md5('p09'), 1, 15))::BIGINT
+        |      % (nn.n - 1)) + j.j) % (nn.n - 1)) % nn.n AS t
+        |  FROM rk a CROSS JOIN range(0, 4) j(j) CROSS JOIN nn)
+        |SELECT p.vec_id, CAST(p.slot AS BIGINT) AS slot,
+        |  b.vec_id AS neg_vec_id, b.label AS neg_label
+        |FROM p JOIN rk b ON b.r = p.t
+        |WHERE b.label IS DISTINCT FROM p.label""".stripMargin,
 
     // Streaming sequence packing: p08's SQL verbatim — the per-shard
     // running totals live as streaming state, the finalize replays the

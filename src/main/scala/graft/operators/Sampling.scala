@@ -345,6 +345,107 @@ object Sampling {
           - expr(s"__sp_g div $seqLen") + lit(1L)).as("n_seqs"))
   }
 
+  /** Driver-side twin of [[keyHash60]] for a literal string (the seed):
+    * first 15 hex digits of the md5, parsed base-16 — bit-identical to
+    * the engine column and to the oracle's
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    */
+  def hash60OfString(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Deterministic negative sampling for contrastive training: every row
+    * (anchor) gets `k` "negative" partners drawn ~uniformly from the rest
+    * of the corpus with ZERO randomness — rerun-identical, resume-stable,
+    * SQL-replayable, the property every selector in this family holds.
+    *
+    * Construction: rank each row on the 60-bit key-hash axis (rank r in
+    * [0, n), order (hash, key) — pseudo-random relative to content), then
+    * pair anchor r's slot j with the row at rank `(r + off_j) mod n`,
+    * where the k shared offsets `off_j = 1 + ((hash60(seed) + j) mod
+    * (n-1))` are a contiguous run in [1, n-1]. Each offset induces a
+    * cyclic PERMUTATION: no self-pairs (off > 0), per-anchor negatives
+    * distinct (offsets distinct for k <= n-1), and every row serves as a
+    * negative exactly k times — a balanced pairing, where hash-argmin
+    * schemes concentrate load. A contiguous run of hash-ranked rows IS a
+    * uniform-ish sample because hash order scrambles content order; the
+    * seed shifts the whole offset window, giving fresh negatives per
+    * epoch (`seed = s"epoch-$i"`).
+    *
+    * `excludeCol`: drop pairs whose anchor and negative agree on the
+    * column (same label/source/document — the false-negative guard).
+    * Dropped slots are NOT refilled — an anchor may keep fewer than k
+    * negatives; refilling would need data-dependent probing that breaks
+    * both the permutation balance and the closed-form replay. At the
+    * usual regime (k ≪ distinct exclude values, collision rate ~1/cats)
+    * the loss is a few percent; raise k to compensate.
+    *
+    * SHAPE at 100 TB: ranks come from the [[packSequences]] two-level
+    * prefix sum with weight 1 (one exchange on the hash-RANGE shard id,
+    * each shard sorts corpus/nShards rows, driver sees nShards longs —
+    * ranks are nShards-invariant because shards are contiguous hash
+    * ranges); the k-slot fan-out is a map-side posexplode of a k-literal
+    * array; the pairing is ONE hash-partitioned equi-join on the dense
+    * integer rank (balanced by construction). No window over the whole
+    * corpus, no quadratic term, no driver data beyond the shard counts.
+    *
+    * Output `[<keyCol>, slot, neg_<keyCol>]` (+ `neg_<excludeCol>` when
+    * excluding, so callers can audit the guard).
+    */
+  def negativePairs(df: DataFrame, keyCol: String, k: Int, seed: String,
+      excludeCol: Option[String] = None, nShards: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nShards >= 1 && nShards <= (1 << 16),
+      s"nShards must be in [1, 65536], got $nShards")
+    val shardWidth = ((1L << 60) + nShards - 1) / nShards
+    val exCols = excludeCol.map(c => col(c).as("__np_ex")).toSeq
+    val base = df.select(col(keyCol).as("__np_key") +: exCols: _*)
+      .withColumn("__np_h", keyHash60(col("__np_key")))
+      .withColumn("__np_s", expr(s"__np_h div ${shardWidth}L"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = base.groupBy("__np_s").agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    require(n >= 2, s"negativePairs needs >= 2 rows, got $n")
+    require(k <= n - 1,
+      s"k=$k exceeds n-1=${n - 1}: cannot draw k distinct negatives")
+    val bases = (0 until nShards).scanLeft(0L) { (acc, s) =>
+      acc + counts.getOrElse(s.toLong, 0L)
+    }.init.zipWithIndex.map { case (b, s) => (s.toLong, b) }
+      .toDF("__np_s", "__np_base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__np_s").orderBy(col("__np_h"), col("__np_key"))
+    val ranked = base.join(broadcast(bases), Seq("__np_s"))
+      .withColumn("__np_r",
+        col("__np_base") + row_number().over(w) - lit(1L))
+      .drop("__np_s", "__np_base", "__np_h")
+    val h0 = java.lang.Math.floorMod(hash60OfString(seed), n - 1)
+    val offsets = (0 until k).map(j => 1L + (h0 + j) % (n - 1))
+    val anchorCols = Seq(col("__np_key"), col("__np_r"),
+      posexplode(typedLit(offsets)).as(Seq("slot", "__np_off"))) ++
+      exCols.map(_ => col("__np_ex"))
+    val anchors = ranked.select(anchorCols: _*)
+      .withColumn("__np_t", pmod(col("__np_r") + col("__np_off"), lit(n)))
+    val negs = ranked.select(
+      col("__np_key").as("__np_nkey") +:
+        col("__np_r").as("__np_nr") +:
+        exCols.map(_ => col("__np_ex").as("__np_nex")): _*)
+    val joined = anchors.join(negs, col("__np_t") === col("__np_nr"))
+    val kept = excludeCol match {
+      case Some(_) => joined.filter(!(col("__np_ex") <=> col("__np_nex")))
+      case None => joined
+    }
+    val out = col("__np_key").as(keyCol) +:
+      col("slot").cast(LongType).as("slot") +:
+      col("__np_nkey").as(s"neg_$keyCol") +:
+      excludeCol.map(c => col("__np_nex").as(s"neg_$c")).toSeq
+    kept.select(out: _*)
+  }
+
   /** Deterministic mixture-interleave keys — the data-LOADER ordering
     * primitive the mixture selectors (p04/p05) stop short of: reading the
     * corpus in ascending `interleave_key` order visits every category at

@@ -165,7 +165,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "st19_stream_pii_redact",
         // binary quantization: the broadcast Hamming scan + bounded-heap
         // ranking, and the shortlist-then-exact-rerank composition.
-        "s19_binary_hamming", "s19b_binary_rerank")
+        "s19_binary_hamming", "s19b_binary_rerank",
+        // negative sampling: sharded rank window + rank equi-join.
+        "p09_negative_pairs")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

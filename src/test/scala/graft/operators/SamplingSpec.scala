@@ -115,4 +115,74 @@ class SamplingSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage != null && e.getMessage.contains("weights must be >= 1")
       || (e.getCause != null && e.getCause.getMessage.contains("weights must be >= 1")))
   }
+
+  // --- negativePairs (p09) ----------------------------------------------
+
+  test("negativePairs: pairs equal the cyclic-offset replay on hash ranks") {
+    val df = (0L until 37L).toDF("doc_id")
+    val got = Sampling.negativePairs(df, "doc_id", k = 3, seed = "spec")
+      .as[(Long, Long, Long)].collect().toSet
+    // Independent replay: md5-hash60 ranks, contiguous seeded offsets.
+    val n = 37L
+    val ranked = (0L until n).map(id => (id, Sampling.hash60OfString(id.toString)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    val rankOf = ranked.zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    val h0 = Sampling.hash60OfString("spec") % (n - 1)
+    val expected = (for {
+      id <- 0L until n
+      j <- 0 until 3
+      off = 1L + (h0 + j) % (n - 1)
+    } yield (id, j.toLong, ranked(((rankOf(id) + off) % n).toInt))).toSet
+    assert(got === expected)
+  }
+
+  test("negativePairs: permutation balance, no self-pairs, nShards-invariant") {
+    val df = (0L until 200L).toDF("doc_id")
+    val got = Sampling.negativePairs(df, "doc_id", k = 4, seed = "e1")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size === 200 * 4)
+    assert(got.forall { case (a, _, b) => a != b }, "self-pair leaked")
+    // Per-anchor negatives distinct; every row serves as negative exactly k
+    // times (each offset is a cyclic permutation — the balance guarantee).
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).distinct.size == 4))
+    val asNeg = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(asNeg.values.forall(_ == 4), "pairing not balanced")
+    for (shards <- Seq(1, 5)) {
+      val alt = Sampling.negativePairs(df, "doc_id", k = 4, seed = "e1",
+        nShards = shards).as[(Long, Long, Long)].collect().toSet
+      assert(alt === got.toSet, s"nShards=$shards changed the pairing")
+    }
+    // A different seed shifts the offset window: some pair differs.
+    val other = Sampling.negativePairs(df, "doc_id", k = 4, seed = "e2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(other !== got.toSet, "seed had no effect")
+  }
+
+  test("negativePairs: excludeCol drops exactly the same-value pairs, no refill") {
+    val df = (0L until 60L).map(i => (i, (i % 3).toInt)).toDF("doc_id", "grp")
+    val bare = Sampling.negativePairs(df, "doc_id", k = 2, seed = "x")
+      .as[(Long, Long, Long)].collect().toSet
+    val grpOf = (0L until 60L).map(i => i -> (i % 3).toInt).toMap
+    val excluded = Sampling.negativePairs(df, "doc_id", k = 2, seed = "x",
+        excludeCol = Some("grp"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // Exclusion == the bare pairing minus same-group rows; neg_grp audits.
+    val expected = bare.filter { case (a, _, b) => grpOf(a) != grpOf(b) }
+      .map { case (a, j, b) => (a, j, b, grpOf(b)) }
+    assert(excluded === expected)
+    assert(excluded.size < bare.size, "exclusion dropped nothing")
+  }
+
+  test("negativePairs: loud guards on k and corpus size") {
+    val tiny = Seq(1L, 2L, 3L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(tiny, "doc_id", k = 3, seed = "s") // k > n-1
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(Seq(1L).toDF("doc_id"), "doc_id", 1, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(tiny, "doc_id", k = 0, seed = "s")
+    }
+  }
 }
