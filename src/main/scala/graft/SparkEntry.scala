@@ -185,6 +185,29 @@ object SparkEntry {
         col("red_md5"))
   }
 
+  /** Shared t20/d19 body: synthesize a deterministically MESSY URL from
+    * doc_id — mixed-case scheme/host, default vs explicit ports, trailing
+    * slashes, tracking params, fragments — one branch per
+    * canonicalization rule; the oracle rebuilds the same string and
+    * replays the rules with the same RE2-portable decomposition.
+    */
+  private def urlSynth(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HtTpS")).otherwise(lit("hTtP")),
+    lit("://WwW.ExAmPlE"), (id % 7).cast("string"), lit(".CoM"),
+    when(id % 3 === 0,
+      when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+    lit("/Dir/Page"), (id % 5).cast("string"),
+    when(id % 4 === 0, lit("/")).otherwise(lit("")),
+    when(id % 5 === 0,
+      concat(lit("?utm_source=feed&id="), (id % 11).cast("string")))
+      .when(id % 5 === 1,
+        concat(lit("?id="), (id % 11).cast("string"), lit("&gclid=abc&q=x")))
+      .when(id % 5 === 2, lit("?fbclid=zz"))
+      .when(id % 5 === 4, lit("?a=1&utm_campaign=c&b=2"))
+      .otherwise(lit("")),
+    when(id % 6 === 0, lit("#Section2")).otherwise(lit("")))
+
   private def htmlExtract(docs: DataFrame): DataFrame = {
     val nl = "\n"
     val html = concat(
@@ -1492,6 +1515,26 @@ object SparkEntry {
     // byte-exactly. Map-only; the oracle replays every regex verbatim.
     "t19_pii_redact" -> ((s, d) => piiExtract(tbl(s, d, "documents"))),
 
+    // URL canonicalization: messy synthesized URLs -> one canonical
+    // spelling (fragment/default-port/trailing-slash/tracking-param
+    // rules) — a map-only scalar formula riding the scan.
+    "t20_url_canon" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"), urlSynth(col("doc_id")).as("url"))
+        .withColumn("canon",
+          TextFunctions.canonicalizeUrl(col("url")))),
+
+    // URL-keyed dedup over the canonical spelling: first occurrence
+    // (min doc_id) kept per canonical URL, duplicate count audited —
+    // the crawl pipeline's FIRST dedup pass, one map-side-combinable
+    // aggregate on the canon key.
+    "d19_url_dedup" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(urlSynth(col("doc_id"))).as("canon"))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
+
     // ---- multimodal plumbing ----
     "m01_media_meta" -> ((s, d) =>
       Multimodal.asMedia(tbl(s, d, "documents"), "doc_id", "text", "text/plain")
@@ -2565,6 +2608,55 @@ object SparkEntry {
   // Shared by p08 (batch) and st17 (streaming): ONE global running sum
   // over the (hash, key) order, then the div/% coordinate math — both
   // engines' two-level layouts must collapse to exactly this.
+  // Shared by t20 and d19: synthesize the messy URL from doc_id (same
+  // CASE branches as urlSynth) and replay every canonicalization rule
+  // with the SAME RE2-portable decomposition the Column formula uses —
+  // fragment strip, lowercased scheme/hostport, default-port strip, one
+  // trailing path slash, order-preserving tracking-param filter.
+  private val urlCanonCtes: String =
+    """WITH s AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END ||
+      |   '://WwW.ExAmPlE' || CAST(doc_id % 7 AS VARCHAR) || '.CoM' ||
+      |   CASE WHEN doc_id % 3 = 0 THEN
+      |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |   '/Dir/Page' || CAST(doc_id % 5 AS VARCHAR) ||
+      |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |   CASE WHEN doc_id % 5 = 0 THEN
+      |          '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+      |        WHEN doc_id % 5 = 1 THEN
+      |          '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&gclid=abc&q=x'
+      |        WHEN doc_id % 5 = 2 THEN '?fbclid=zz'
+      |        WHEN doc_id % 5 = 4 THEN '?a=1&utm_campaign=c&b=2'
+      |        ELSE '' END ||
+      |   CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM s),
+      |x AS (SELECT doc_id, url,
+      |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(u,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |  regexp_replace(regexp_extract(u,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+      |  regexp_extract(u, '\?([^#]*)', 1) AS query
+      |  FROM c),
+      |y AS (SELECT doc_id, url, scheme,
+      |  regexp_extract(hostport, '^([^:]*)', 1) AS host,
+      |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, query,
+      |  COALESCE(array_to_string(list_filter(string_split(query, '&'),
+      |    p -> NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 7) = 'fbclid='
+      |           OR substr(p, 1, 6) = 'gclid=')), '&'), '') AS keptq
+      |  FROM x),
+      |z AS (SELECT doc_id, url,
+      |  scheme || '://' || host ||
+      |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |        AND NOT (scheme = 'https' AND port = '443')
+      |       THEN ':' || port ELSE '' END ||
+      |  path ||
+      |  CASE WHEN query = '' OR keptq = '' THEN '' ELSE '?' || keptq END
+      |    AS canon
+      |  FROM y)""".stripMargin
+
   private val p08OracleSql: String =
     s"""WITH c AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
@@ -4276,6 +4368,15 @@ object SparkEntry {
     // sequential redaction ('g' = DuckDB's global flag; Spark's
     // regexp_replace is global by default).
     "t19_pii_redact" -> t19OracleSql,
+
+    // URL canonicalization replay: see urlCanonCtes.
+    "t20_url_canon" ->
+      (urlCanonCtes + "\nSELECT doc_id, url, canon FROM z"),
+
+    // Canonical-URL dedup: first occurrence + duplicate count per canon.
+    "d19_url_dedup" ->
+      (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
+        "count(*) AS n_dups FROM z GROUP BY 1"),
 
     // Streaming PII at ingest: t19's SQL verbatim (stateless transform).
     "st19_stream_pii_redact" -> t19OracleSql,

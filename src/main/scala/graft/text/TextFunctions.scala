@@ -852,4 +852,54 @@ object TextFunctions {
   def htmlDroppedFromAux(aux: Column): Column =
     size(filter(aux,
       x => length(x.getField("v")) > 0 && !auxKeep(x))).cast(LongType)
+
+  /** URL canonicalization — the FIRST dedup key any crawl pipeline
+    * computes (CommonCrawl/C4 discipline): two spellings of the same
+    * resource must map to one string BEFORE content-level dedup ever
+    * runs, or every mirror/tracking-link copy inflates the corpus.
+    * Rules (all engine-portable — RE2-safe patterns, no lookahead, no
+    * replacement backrefs; the URL is DECOMPOSED with `regexp_extract`
+    * and reassembled, so the oracle replays rule-for-rule):
+    *   1. fragment dropped (`#...` is client-side only);
+    *   2. scheme and host[:port] lowercased (path/query case KEPT —
+    *      paths are case-sensitive per RFC 3986);
+    *   3. default ports stripped (`http…:80`, `https…:443`); any other
+    *      explicit port kept;
+    *   4. ONE trailing path slash stripped (`/a/b/` == `/a/b`, `/` ==
+    *      empty) — the C4 join rule;
+    *   5. tracking params removed, order of the survivors KEPT (no
+    *      param sort — `?a=1&b=2` vs `?b=2&a=1` are left distinct,
+    *      reordering is not semantics-preserving for all endpoints):
+    *      `utm_*`, `fbclid=*`, `gclid=*`; an emptied query drops its
+    *      `?`.
+    * Pure scalar Column formula — rides the corpus scan map-only, no
+    * UDF, codegen'd. Non-URL input degrades safely: no `://` means
+    * scheme/host extract empty and the string passes through minus
+    * fragment/trailing-slash handling.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "") // 1. fragment
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_extract(hostport, "^([^:]*)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/$", "") // 4. one trailing slash
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      !(substring(p, 1, 4) === "utm_") &&
+        !(substring(p, 1, 7) === "fbclid=") &&
+        !(substring(p, 1, 6) === "gclid="))
+    val qtail = when(query === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(scheme === "", // not scheme://host shaped: pass through sans #
+      regexp_replace(u, "/$", ""))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path, qtail))
+  }
 }

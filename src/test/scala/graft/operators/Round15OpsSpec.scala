@@ -199,6 +199,49 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- t20/d19 URL canonicalization --------------------------------------
+
+  test("canonicalizeUrl: every rule hand-computed, case kept where RFC says so") {
+    import graft.text.TextFunctions
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextFunctions.canonicalizeUrl($"u")).head.getString(0)
+    // Fragment dropped; scheme+host lowercased; PATH case kept.
+    assert(canon("HTTP://Ex.COM/PaTh#Frag") === "http://ex.com/PaTh")
+    // Default ports stripped per scheme; non-default and cross-scheme kept.
+    assert(canon("http://a.com:80/x") === "http://a.com/x")
+    assert(canon("https://a.com:443/x") === "https://a.com/x")
+    assert(canon("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(canon("http://a.com:443/x") === "http://a.com:443/x")
+    // ONE trailing slash; root slash collapses to bare host.
+    assert(canon("http://a.com/a/b/") === "http://a.com/a/b")
+    assert(canon("http://a.com/") === "http://a.com")
+    // Tracking params out, survivor ORDER kept, emptied query drops '?';
+    // 'utm' without the underscore is NOT a tracking prefix.
+    assert(canon("http://a.com/x?b=2&utm_source=s&a=1") === "http://a.com/x?b=2&a=1")
+    assert(canon("http://a.com/x?fbclid=f&gclid=g") === "http://a.com/x")
+    assert(canon("http://a.com/x?utmx=1") === "http://a.com/x?utmx=1")
+    // Query value case kept.
+    assert(canon("http://a.com/x?Q=Vv") === "http://a.com/x?Q=Vv")
+    // Not scheme://host shaped: passthrough minus fragment/trailing slash.
+    assert(canon("mailto:a@b.c") === "mailto:a@b.c")
+    assert(canon("not a url#frag") === "not a url")
+  }
+
+  test("canonicalizeUrl is idempotent over the t20 synthesized family") {
+    val out = graft.SparkEntry.queries("t20_url_canon")(spark, sf)
+    import graft.text.TextFunctions
+    val twice = out.withColumn("canon2",
+      TextFunctions.canonicalizeUrl($"canon"))
+    assert(twice.filter(!($"canon" <=> $"canon2")).count() === 0L,
+      "canonical form must be a fixpoint")
+    // The dedup gate actually deduplicates: fewer canons than docs.
+    val d = graft.SparkEntry.queries("d19_url_dedup")(spark, sf)
+    val (groups, docs) = (d.count(), out.count())
+    assert(groups < docs, s"no collapsing: $groups groups for $docs docs")
+    assert(d.agg(sum("n_dups")).head.getLong(0) === docs)
+  }
+
   // --- s19 binary (sign-bit) quantization --------------------------------
 
   test("binaryCodes: hand-computed packing, zero is a 0 bit, ragged tail word") {
