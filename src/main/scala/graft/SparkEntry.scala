@@ -2151,6 +2151,23 @@ object SparkEntry {
       Sampling.packCoords(offsets, "doc_id", seqLen = 1024L)
     }),
 
+    // Streaming URL dedup at ingest: canonicalize arriving documents'
+    // URLs (map-only, the t20 kernel) and fold per-canon (min doc_id,
+    // count) state — both order-free, so the drained sink finalizes to
+    // the batch d19 aggregate exactly whatever the arrival order or
+    // micro-batch split. Oracle = the d19 batch SQL verbatim.
+    "st20_stream_url_dedup" -> ((s, d) => {
+      val docs = streamTbl(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(urlSynth(col("doc_id"))).as("canon"))
+      val sink = drainStream(
+        graft.streaming.Streams.streamingFirstSeen(docs, "doc_id", "canon")
+          .toDF(),
+        "st20_sink", "append")
+      sink.groupBy(col("key").as("canon"))
+        .agg(min("min_id").as("keep_id"), max("cnt").as("n_dups"))
+    }),
+
     // Streaming INDEX INGEST — the write side of the RAG pair (st16 is
     // the read side): new embedding rows arriving on a stream encode per
     // micro-batch against the FROZEN trained books (ivfPqAppend is a pure
@@ -4375,6 +4392,12 @@ object SparkEntry {
 
     // Canonical-URL dedup: first occurrence + duplicate count per canon.
     "d19_url_dedup" ->
+      (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
+        "count(*) AS n_dups FROM z GROUP BY 1"),
+
+    // Streaming URL dedup: the d19 SQL verbatim — per-canon (min, count)
+    // state is order-free, so stream==batch IS the contract.
+    "st20_stream_url_dedup" ->
       (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
         "count(*) AS n_dups FROM z GROUP BY 1"),
 

@@ -390,6 +390,50 @@ object Streams {
   case class PackAcc(cum: Long)
   case class PackPos(key: Long, shard: Long, w: Long, cum: Long)
 
+  case class FirstSeenAcc(minId: Long, cnt: Long)
+  case class FirstSeenOut(key: String, min_id: Long, cnt: Long)
+
+  /** Streaming first-occurrence stats per key — the ORDER-FREE dedup
+    * state (st20's engine, applied to canonical URLs): per key, state is
+    * `(min id so far, running count)` under `flatMapGroupsWithState` —
+    * both folds are commutative+associative, so the drained result is
+    * deterministic under ANY arrival order and ANY micro-batch split,
+    * where `dropDuplicates`' first-ARRIVAL winner races within a batch
+    * (partition order is not a contract). One updated `[key, min_id,
+    * cnt]` row emits per touched key per micro-batch; finalize the
+    * drained sink with `groupBy(key).agg(min(min_id), max(cnt))` — min
+    * is monotone down, cnt monotone up, so the aggregate reads the final
+    * state whatever prefix of emissions the sink holds. That finalize
+    * equals the batch first-occurrence aggregate (d19) exactly.
+    *
+    * State size = distinct keys inside the run — the admission-set
+    * cardinality (canonical URLs of the crawl slice), NOT stream length;
+    * an unbounded multi-day crawl pairs this with state TTL/eviction the
+    * same way the st11/st17 accumulators would.
+    */
+  def streamingFirstSeen(stream: DataFrame, idCol: String,
+      keyCol: String): org.apache.spark.sql.Dataset[FirstSeenOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("string").as("_k"),
+        col(idCol).cast("long").as("_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeenAcc, FirstSeenOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var minId = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
+          var cnt = state.getOption.map(_.cnt).getOrElse(0L)
+          rows.foreach { case (_, id) =>
+            if (id < minId) minId = id
+            cnt += 1L
+          }
+          state.update(FirstSeenAcc(minId, cnt))
+          Iterator.single(FirstSeenOut(key, minId, cnt))
+      }
+  }
+
   /** Streaming sequence packing, running-offset half (st17): the
     * [[graft.operators.Sampling.packSequences]] hash-range shard design is
     * stateless per shard GIVEN the shard's running token total — so the

@@ -286,6 +286,29 @@ object ScaleBench {
         println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
           f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "negpairs" =>
+        // p09 negative sampling at corpus scale: k=4 seeded cyclic-offset
+        // partners for each of n rows — the sharded rank prefix sum, the
+        // map-side k-slot fan-out, and ONE dense-integer rank equi-join
+        // moving n*k rows. Pins are the permutation-balance law: exactly
+        // n*k pairs, no self-pairs (count of anchor==negative is 0),
+        // and every row appears as a negative exactly k times (checked
+        // via min==max==k over the per-negative counts).
+        val ids = spark.range(n).select(col("id").as("doc_id"))
+        val pairs = graft.operators.Sampling.negativePairs(
+          ids, "doc_id", k = 4, seed = "probe")
+        val agg = pairs.agg(count(lit(1)).as("c"),
+          sum(when(col("doc_id") === col("neg_doc_id"), 1L)
+            .otherwise(0L)).as("selfp")).head
+        val bal = pairs.groupBy("neg_doc_id").agg(count(lit(1)).as("m"))
+          .agg(min("m"), max("m"), count(lit(1))).head
+        require(agg.getLong(0) == n * 4, s"pairs ${agg.getLong(0)} != ${n * 4}")
+        require(agg.getLong(1) == 0L, s"${agg.getLong(1)} self-pairs")
+        require(bal.getLong(0) == 4L && bal.getLong(1) == 4L &&
+          bal.getLong(2) == n, "pairing not a balanced 4-regular cover")
+        println(f"SCALE-OK negpairs n=$n k=4 pairs=${agg.getLong(0)} " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "seqpack" | "seqpack-1shard" =>
         // p08 sequence packing at corpus scale: n docs with deterministic
         // token counts in [1, 2048]. The sharded two-level prefix sum vs

@@ -168,8 +168,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "s19_binary_hamming", "s19b_binary_rerank",
         // negative sampling: sharded rank window + rank equi-join.
         "p09_negative_pairs",
-        // URL canonicalization + canon-keyed dedup aggregate.
-        "t20_url_canon", "d19_url_dedup")
+        // URL canonicalization + canon-keyed dedup aggregate, and its
+        // streaming first-seen twin (order-free state + drain finalize).
+        "t20_url_canon", "d19_url_dedup", "st20_stream_url_dedup")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

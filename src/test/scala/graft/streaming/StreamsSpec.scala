@@ -411,6 +411,46 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingFirstSeen: order-free state — adversarial arrival equals batch") {
+    // Ids arrive DESCENDING and split mid-key across two batches: the
+    // first ARRIVAL per key is the largest id, so a dropDuplicates-style
+    // first-arrival winner would differ — the (min, count) fold must not.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((9L, "a"), (8L, "b"), (7L, "a"), (6L, "c"),
+      (5L, "b"), (4L, "a"), (3L, "c"), (2L, "b"), (1L, "a"))
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.streamingFirstSeen(
+      input.toDF().toDF("doc_id", "canon"), "doc_id", "canon")
+    val q = out.toDF().writeStream.format("memory").queryName("fs_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(4)
+      input.addData(b1: _*); q.processAllAvailable()
+      // Mid-run state is already the fold of batch 1.
+      val mid = spark.table("fs_out").groupBy("key")
+        .agg(min("min_id"), max("cnt")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(mid("a") === ((7L, 2L)) && mid("b") === ((8L, 1L)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val fin = spark.table("fs_out").groupBy("key")
+        .agg(min("min_id").as("keep"), max("cnt").as("n")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // == the batch first-occurrence aggregate on the same rows.
+      assert(fin === Map("a" -> ((1L, 4L)), "b" -> ((2L, 3L)),
+        "c" -> ((3L, 2L))))
+    } finally q.stop()
+  }
+
+  test("st20 gate == d19 gate row-for-row (stream==batch on the URL dedup)") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("st20_stream_url_dedup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.SparkEntry.queries("d19_url_dedup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingSequenceOffsets: zero-weight rows fail loud (the p08 guard)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
