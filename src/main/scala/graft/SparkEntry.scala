@@ -1567,6 +1567,15 @@ object SparkEntry {
           tbl(s, d, "documents").select(col("doc_id")), "doc_id",
           lit(16) + col("doc_id") % 16, lit(12) + col("doc_id") % 8))),
 
+    // JPEG container metadata tier (m10's twin for the web's dominant
+    // image format): deterministic baseline JPEGs per doc — varying
+    // dims, component count, COM-segment census — recovered via the
+    // REAL marker-segment walk with the SOS entropy stuffing rule.
+    "m15_jpeg_meta" -> ((s, d) =>
+      Multimodal.extractJpegMeta(
+        Multimodal.synthesizeJpegMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
     // MP4 container metadata tier: synthesize deterministic ISO BMFF
     // boxes per doc, then recover brand/timescale/duration via the REAL
     // box-tree walk (big-endian u32 sizes, moov>mvhd descent) — the
@@ -4095,6 +4104,18 @@ object SparkEntry {
         |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
         |  CAST(12 + doc_id % 8 AS BIGINT) AS height,
         |  CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type
+        |FROM documents""".stripMargin,
+
+    // Every SOF0/segment field is a pure function of the id (see
+    // synthesizeJpeg): segments = APP0 + (id mod 3) COMs + DQT + SOF0 +
+    // SOS. The engine only matches by really walking the marker frames.
+    "m15_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(64 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(48 + doc_id % 32 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_comp,
+        |  CAST(8 AS BIGINT) AS precision,
+        |  CAST(4 + doc_id % 3 AS BIGINT) AS n_segments
         |FROM documents""".stripMargin,
 
     // Every mvhd field is a pure function of the id (see synthesizeMp4),

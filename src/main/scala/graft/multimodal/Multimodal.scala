@@ -1332,4 +1332,132 @@ object Multimodal {
       } yield tracks
     } catch { case _: ArithmeticException => None }
   }
+
+  // --- JPEG (m15): the web's dominant image container -------------------
+
+  /** Synthesize a deterministic, structurally valid baseline JPEG:
+    * SOI, JFIF APP0, `id mod 3` COM segments, one DQT, SOF0 carrying
+    * `precision 8, h = 48 + id mod 32, w = 64 + id mod 64, nComp = 3`
+    * (even ids) `or 1` (odd), SOS with `(id mod 32) + 4` entropy bytes
+    * (filler avoids 0xFF so no marker aliasing), EOI. Every byte is a
+    * pure function of id — the m09/m10 discipline: the oracle states the
+    * planted fields in closed form, the engine only matches if the
+    * marker-segment walk actually recovers them.
+    */
+  def synthesizeJpeg(id: Long): Array[Byte] = {
+    val w = 64 + (id % 64).toInt
+    val h = 48 + (id % 32).toInt
+    val nComp = if (id % 2 == 0) 3 else 1
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { out.write(0xff); out.write(b) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)                                   // SOI
+    m(0xe0); u16(16)                          // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)                // version 1.1
+    out.write(0); u16(1); u16(1)              // units dpi 1x1
+    out.write(0); out.write(0)                // no thumbnail
+    (0 until (id % 3).toInt).foreach { k =>   // COM segments
+      val txt = s"c$id-$k".getBytes("US-ASCII")
+      m(0xfe); u16(2 + txt.length); out.write(txt)
+    }
+    m(0xdb); u16(67); out.write(0)            // DQT, table 0
+    (0 until 64).foreach(i => out.write(((id + 3 * i) % 255).toInt))
+    m(0xc0); u16(8 + 3 * nComp)               // SOF0
+    out.write(8); u16(h); u16(w); out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1); out.write(0x11); out.write(0)
+    }
+    m(0xda); u16(6 + 2 * nComp)               // SOS
+    out.write(nComp)
+    (0 until nComp).foreach { c => out.write(c + 1); out.write(0) }
+    out.write(0); out.write(0x3f); out.write(0)
+    (0 until (id % 32).toInt + 4)             // entropy filler, no 0xFF
+      .foreach(i => out.write(((5 * i + id) % 255).toInt))
+    m(0xd9)                                   // EOI
+    out.toByteArray
+  }
+
+  /** A media-schema frame of synthesized JPEGs, one per input id. */
+  def synthesizeJpegMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "image/jpeg")(synthesizeJpeg)
+
+  /** REAL JPEG marker-segment walk (the [[extractPngMeta]] twin for the
+    * web's dominant image format): SOI, then length-framed segments,
+    * SOFn (C0–CF minus C4/C8/CC) big-endian-decoded for precision/
+    * height/width/components, SOS entropy data skipped by the stuffing
+    * rule (0xFF00 is a literal, 0xFFD0–D7 are restart markers, anything
+    * else ends the scan), EOI must close the stream exactly. Handles
+    * real encoder output (javax.imageio JPEGs parse — spec-pinned), and
+    * malformed payloads yield NULL fields, never a task failure. Output
+    * `[media_id, width, height, n_comp, precision, n_segments]`.
+    */
+  def extractJpegMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_comp", LongType, nullable = true),
+      StructField("precision", LongType, nullable = true),
+      StructField("n_segments", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        parseJpegMeta(bytes) match {
+          case Some((w, h, nc, prec, nseg)) =>
+            Row(r.getLong(0), w, h, nc, prec, nseg)
+          case None => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
+  private def isSof(marker: Int): Boolean =
+    marker >= 0xc0 && marker <= 0xcf &&
+      marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+
+  private[graft] def parseJpegMeta(
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (b(i) << 8) | b(i + 1)
+    if (b(0) != 0xff || b(1) != 0xd8) return None
+    var off = 2
+    var sof: Option[(Long, Long, Long, Long)] = None
+    var nSeg = 0L
+    while (off < bytes.length) {
+      if (off + 2 > bytes.length || b(off) != 0xff) return None
+      val marker = b(off + 1)
+      if (marker == 0xd9) {                       // EOI closes exactly
+        return if (off + 2 == bytes.length)
+          sof.map { case (w, h, nc, p) => (w, h, nc, p, nSeg) } else None
+      } else if (marker == 0xd8 ||
+          (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        off += 2                                  // standalone marker
+      } else {
+        if (off + 4 > bytes.length) return None
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        nSeg += 1L
+        if (isSof(marker)) {
+          if (len < 8) return None
+          sof = Some((u16(off + 7).toLong, u16(off + 5).toLong,
+            b(off + 9).toLong, b(off + 4).toLong))
+        }
+        off += 2 + len
+        if (marker == 0xda) {                     // skip entropy data
+          var done = false
+          while (!done) {
+            if (off + 1 >= bytes.length) return None
+            if (b(off) == 0xff && b(off + 1) != 0x00 &&
+              !(b(off + 1) >= 0xd0 && b(off + 1) <= 0xd7)) done = true
+            else off += 1
+          }
+        }
+      }
+    }
+    None                                          // ran out before EOI
+  }
 }

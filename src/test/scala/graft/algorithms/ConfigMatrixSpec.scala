@@ -170,7 +170,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "p09_negative_pairs",
         // URL canonicalization + canon-keyed dedup aggregate, and its
         // streaming first-seen twin (order-free state + drain finalize).
-        "t20_url_canon", "d19_url_dedup", "st20_stream_url_dedup")
+        "t20_url_canon", "d19_url_dedup", "st20_stream_url_dedup",
+        // JPEG marker-segment walk (m10's twin for JPEG).
+        "m15_jpeg_meta")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

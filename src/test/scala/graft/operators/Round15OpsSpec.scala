@@ -199,6 +199,57 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- m15 JPEG container metadata ---------------------------------------
+
+  test("jpeg marker walk: synthesized fields recovered; REAL ImageIO output parses") {
+    import graft.multimodal.Multimodal
+    // id=10: w 74, h 58, 3 components, 1 COM -> 5 segments.
+    assert(Multimodal.parseJpegMeta(Multimodal.synthesizeJpeg(10L))
+      .contains((74L, 58L, 3L, 8L, 5L)))
+    // id=3: w 67, h 51, 1 component, 0 COMs -> 4 segments.
+    assert(Multimodal.parseJpegMeta(Multimodal.synthesizeJpeg(3L))
+      .contains((67L, 51L, 1L, 8L, 4L)))
+    // A REAL encoder's JPEG (javax.imageio, RGB 31x17): the walk must
+    // cross true DHT segments and entropy data with byte stuffing and
+    // still land on SOF0's dims — the parser is not synth-shaped.
+    val bi = new java.awt.image.BufferedImage(31, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 17).foreach(y => (0 until 31).foreach(x =>
+      bi.setRGB(x, y, (x * 31 + y * 7) << 8)))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", baos))
+    val parsed = Multimodal.parseJpegMeta(baos.toByteArray)
+    assert(parsed.isDefined, "real JPEG failed to parse")
+    val (w, h, nc, prec, nseg) = parsed.get
+    assert((w, h, prec) === ((31L, 17L, 8L)))
+    assert(nc === 3L && nseg >= 4L)
+  }
+
+  test("jpeg parse: malformed payloads yield None, NULL rows downstream") {
+    import graft.multimodal.Multimodal
+    val good = Multimodal.synthesizeJpeg(7L)
+    assert(Multimodal.parseJpegMeta(null).isEmpty)
+    assert(Multimodal.parseJpegMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseJpegMeta("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.parseJpegMeta(good.take(20)).isEmpty)    // truncated
+    assert(Multimodal.parseJpegMeta(good.dropRight(2)).isEmpty) // no EOI
+    assert(Multimodal.parseJpegMeta(good :+ 0x00.toByte).isEmpty,
+      "trailing junk after EOI must reject")
+    // A PNG is not a JPEG.
+    assert(Multimodal.parseJpegMeta(
+      Multimodal.synthesizeGrayPng(1L, 8, 8)).isEmpty)
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "garbage".getBytes,
+          org.apache.spark.sql.Row("image/jpeg", 7L, "x")),
+        org.apache.spark.sql.Row(2L, null,
+          org.apache.spark.sql.Row("image/jpeg", 0L, null)))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractJpegMeta(junk).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out === Map(1L -> true, 2L -> true))
+  }
+
   // --- t20/d19 URL canonicalization --------------------------------------
 
   test("canonicalizeUrl: every rule hand-computed, case kept where RFC says so") {
