@@ -2225,6 +2225,14 @@ object SparkEntry {
       g.hits.iterations(2).run()
     }),
 
+    // Katz centrality on the same DAG: integer-lattice attenuated
+    // walk mass, 3 exact rounds (α = 1/2 as one truncating div of the
+    // message sum per round — strict-equality gate, no float drift).
+    "g27_katz" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.katz.iterations(3).run()
+    }),
+
     // L2-normalized HITS (the user-facing form, scores in (0,1]): same
     // integer-exact rounds as g16, one normalization aggregate at the end.
     "g16b_hits_norm" -> ((s, d) => {
@@ -2891,6 +2899,7 @@ object SparkEntry {
     "g12_labelprop" -> lpaOracle,
     "g15_ppr" -> pprOracle(3),
     "g16_hits" -> hitsOracle(2),
+    "g27_katz" -> katzOracle(3),
     "g16b_hits_norm" -> hitsOracleImpl(2, normalized = true),
     "g17_wsssp" -> wssspOracle(4),
     "g18_wpagerank" -> wprOracle(3),
@@ -5378,6 +5387,29 @@ object SparkEntry {
     * messages coalesce to 0.
     */
   private def hitsOracle(iters: Int): String = hitsOracleImpl(iters, normalized = false)
+
+  /** Unrolled integer-lattice Katz rounds on the cust->order->part DAG:
+    * k_{t+1}(v) = 1e6 + (Σ_{u→v} k_t(u)) // 2 — `//` is DuckDB's
+    * truncating integer division, identical to the engine's `div` on the
+    * non-negative domain, so the gate is strict BIGINT equality.
+    */
+  private def katzOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT o_custkey AS src, CAST(4000000 + o_orderkey AS BIGINT) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4000000 + l_orderkey AS BIGINT), CAST(1000000 + l_partkey AS BIGINT) FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS katz FROM v)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS id, CAST(sum(s.katz) AS BIGINT) AS ms
+         |  FROM e JOIN s${k - 1} s ON s.id = e.src GROUP BY 1),
+         |s$k AS (SELECT s.id,
+         |  CAST(1000000 + coalesce(m$k.ms, 0) // 2 AS BIGINT) AS katz
+         |  FROM s${k - 1} s LEFT JOIN m$k ON m$k.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT id, katz FROM s$iters"
+  }
 
   /** Same unrolled integer HITS rounds; `normalized` divides the final
     * exact counts by their L2 norms (squares in DOUBLE — a large count

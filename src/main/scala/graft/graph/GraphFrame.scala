@@ -190,6 +190,9 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
 
   def hits: graft.algorithms.Hits = new graft.algorithms.Hits(this)
 
+  def katz: graft.algorithms.KatzCentrality =
+    new graft.algorithms.KatzCentrality(this)
+
   def labelPropagation: graft.algorithms.LabelPropagation =
     new graft.algorithms.LabelPropagation(this)
 }

@@ -172,7 +172,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // streaming first-seen twin (order-free state + drain finalize).
         "t20_url_canon", "d19_url_dedup", "st20_stream_url_dedup",
         // JPEG marker-segment walk (m10's twin for JPEG).
-        "m15_jpeg_meta")
+        "m15_jpeg_meta",
+        // Katz: the per-round aggregateMessages join + left-join update.
+        "g27_katz")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq
