@@ -421,6 +421,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
 
+    // PIVOT: long->wide on an explicit value list (the only scale-safe
+    // form — an unlisted pivot collects the distinct values to plan the
+    // schema; listed, it is ONE pass of conditional aggregates).
+    "q26_pivot" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_extendedprice"))))
+        .withColumnRenamed("F", "f_cents").withColumnRenamed("O", "o_cents")),
+
+    // UNPIVOT (melt): the wide frame back to long [flag, status, cents]
+    // rows — a pure per-row expand, no shuffle beyond the pivot's own.
+    "q26b_unpivot" -> ((s, d) => {
+      val wide = tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_extendedprice"))))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("F"), col("O")), "l_linestatus", "cents")
+        .filter(col("cents").isNotNull)
+    }),
+
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
     // integer rank arithmetic over NON-NULL values, so any engine lands
@@ -2810,6 +2832,30 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Pivot replay: the listed-value form IS conditional aggregation.
+    "q26_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Unpivot replay: melt = UNION ALL of one arm per value column,
+    // NULL cells dropped (the engine filter mirrors it).
+    "q26b_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS f,
+        |  sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS o
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'F' AS l_linestatus, CAST(f AS BIGINT) AS cents
+        |FROM w WHERE f IS NOT NULL
+        |UNION ALL
+        |SELECT l_returnflag, 'O', CAST(o AS BIGINT) FROM w
+        |WHERE o IS NOT NULL""".stripMargin,
 
     // Same integer rank arithmetic: ties in the row_number order cannot
     // change the SELECTED VALUE at a rank boundary.

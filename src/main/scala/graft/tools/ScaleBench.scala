@@ -118,6 +118,16 @@ object ScaleBench {
         val r = g.hits.iterations(2).run()
         val cs = r.select(sum(col("auth") + col("hub"))).head.getLong(0)
         println(f"SCALE-OK hits n=$n m=$m iters=2 checksum=$cs sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "katz" | "katz-skew" =>
+        // Katz at probe scale: 3 integer-lattice rounds of the one-join
+        // aggregateMessages loop (half the per-round join count of hits).
+        // aDen=4 keeps the skewed hub's geometric growth inside Long at
+        // 16.8 M edges. Checksum pins the exact lattice masses.
+        val r = g.katz.iterations(3).alphaDenominator(4).run()
+        val cs = r.select(sum(col("katz"))).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m iters=3 checksum=$cs " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "lpa" | "lpa-skew" =>
         // 4 synchronous rounds, forced distributed. The -skew variant's
         // ~370 k-degree hub is the label_mode aggregate's stress shape:

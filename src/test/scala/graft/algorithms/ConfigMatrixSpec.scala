@@ -174,7 +174,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // JPEG marker-segment walk (m10's twin for JPEG).
         "m15_jpeg_meta",
         // Katz: the per-round aggregateMessages join + left-join update.
-        "g27_katz")
+        "g27_katz",
+        // pivot/unpivot: the two-level pivotfirst aggregate + melt.
+        "q26_pivot", "q26b_unpivot")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

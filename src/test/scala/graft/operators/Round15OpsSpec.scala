@@ -199,6 +199,32 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- q26 pivot / unpivot -----------------------------------------------
+
+  test("pivot == conditional aggregation; unpivot(pivot) round-trips to long form") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cents = round($"l_extendedprice" * 100).cast("long")
+    val wide = li.groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O")).agg(sum(cents))
+    val cond = li.groupBy("l_returnflag").agg(
+      sum(when($"l_linestatus" === "F", cents)).as("F"),
+      sum(when($"l_linestatus" === "O", cents)).as("O"))
+    assert(wide.collect().map(_.toString).sorted.toSeq ===
+      cond.collect().map(_.toString).sorted.toSeq)
+    // Melt back: equals the plain long-form aggregate (NULL cells drop).
+    val long = wide.unpivot(Array(col("l_returnflag")),
+        Array(col("F"), col("O")), "l_linestatus", "cents")
+      .filter($"cents".isNotNull)
+    val direct = li.groupBy("l_returnflag", "l_linestatus").agg(sum(cents).as("cents"))
+    assert(long.collect().map(_.toString).sorted.toSeq ===
+      direct.collect().map(_.toString).sorted.toSeq)
+    // Listed pivot plans as the two-level pivotfirst aggregate (the
+    // value list fixes the schema at plan time — no distinct-values
+    // collect job, which is the unlisted form's scale hazard).
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("pivotfirst"), s"expected pivotfirst agg:\n$plan")
+  }
+
   // --- m15 JPEG container metadata ---------------------------------------
 
   test("jpeg marker walk: synthesized fields recovered; REAL ImageIO output parses") {
