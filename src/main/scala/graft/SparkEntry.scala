@@ -443,6 +443,24 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Binned point-in-interval join: purchases landing inside a 2-hour
+    // click window of the same user — the range join as an equi-join on
+    // (user, time bucket) with bounded interval replication, never the
+    // O(n*m) nested-loop a raw theta-join plans.
+    "q27_interval_join" -> ((s, d) => {
+      val e = eventsNanos(s, d)
+      val iv = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("w_start"),
+          (col("ts") + lit(7200000000000L)).as("w_end"))
+      val pts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"))
+      operators.IntervalJoin.pointInInterval(pts, iv, "ts", "w_start",
+          "w_end", binWidth = 3600000000000L, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
     // integer rank arithmetic over NON-NULL values, so any engine lands
@@ -4693,6 +4711,19 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // Interval-join replay: the plain theta-join — the binning is an
+    // execution strategy, not a semantics change.
+    "q27_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS ws,
+        |  ts + 7200000000000 AS we FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, c.click_id, p.purchase_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ws <= p.ts AND p.ts < c.we""".stripMargin,
 
     // Same week lattice off epoch_ns; // matches Spark's div on the
     // non-negative nanos domain.

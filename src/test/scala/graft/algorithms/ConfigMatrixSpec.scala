@@ -176,7 +176,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // Katz: the per-round aggregateMessages join + left-join update.
         "g27_katz",
         // pivot/unpivot: the two-level pivotfirst aggregate + melt.
-        "q26_pivot", "q26b_unpivot")
+        "q26_pivot", "q26b_unpivot",
+        // binned interval join: bucket equi-join + exact refine.
+        "q27_interval_join")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

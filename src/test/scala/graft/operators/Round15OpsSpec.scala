@@ -199,6 +199,57 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- q27 binned interval join ------------------------------------------
+
+  test("pointInInterval: half-open bounds, one row per pair across bin spans") {
+    import org.apache.spark.sql.functions.col
+    val iv = Seq((10L, 0L, 30L), (20L, 25L, 26L), (30L, 40L, 40L))
+      .toDF("iv_id", "s", "e") // [0,30) spans 4 bins at w=8; [40,40) empty
+    val pts = Seq((1L, 0L), (2L, 29L), (3L, 30L), (4L, 25L), (5L, 40L))
+      .toDF("p_id", "t")
+    val got = IntervalJoin.pointInInterval(pts, iv, "t", "s", "e",
+        binWidth = 8L)
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSeq
+    // t==start IN, t==end OUT, empty interval matches nothing, and the
+    // 4-bin interval yields each pair exactly ONCE (no dedup pass).
+    assert(got.sorted === Seq((1L, 10L), (2L, 10L), (4L, 10L), (4L, 20L)))
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(pts, iv, "t", "s", "e", binWidth = 0L)
+    }
+  }
+
+  test("pointInInterval == brute-force theta join; NULLs drop; plan is equi-join") {
+    val rnd = new scala.util.Random(7)
+    val iv = (1L to 60L).map(i =>
+        (i, rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .map { case (i, a, b) => (i, math.min(a, b), math.max(a, b) + 1) }
+      .toDF("iv_id", "s", "e")
+    val pts = (1L to 200L).map(i => (i, rnd.nextInt(520).toLong))
+      .toDF("p_id", "t")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = IntervalJoin.pointInInterval(pts, iv, "t", "s", "e", w)
+        .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      val brute = pts.crossJoin(iv)
+        .filter($"s" <= $"t" && $"t" < $"e")
+        .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got === brute, s"binWidth=$w diverged from the theta join")
+    }
+    // NULL bounds/times drop silently.
+    val nulls = IntervalJoin.pointInInterval(
+      Seq((1L, Some(5L)), (2L, None)).toDF("p_id", "t"),
+      Seq((9L, Some(0L), Some(10L)), (8L, None, Some(10L))).toDF("iv_id", "s", "e"),
+      "t", "s", "e", 4L)
+    assert(nulls.select("p_id", "iv_id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 9L)))
+    // The plan must be an equi-join on the bucket — never the
+    // nested-loop/cartesian a raw range predicate plans.
+    val plan = IntervalJoin.pointInInterval(pts, iv, "t", "s", "e", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to nested loop:\n$plan")
+  }
+
   // --- q26 pivot / unpivot -----------------------------------------------
 
   test("pivot == conditional aggregation; unpivot(pivot) round-trips to long form") {
