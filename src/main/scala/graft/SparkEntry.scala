@@ -461,6 +461,22 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // Trailing RANGE-frame window: per event_type, each event's count
+    // and cents-sum over the PRECEDING hour on the nanos lattice —
+    // value-based frames (RANGE BETWEEN n PRECEDING), the frame class
+    // the rows-based gates don't cover. One exchange on event_type.
+    "q28_trailing_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts")
+        .rangeBetween(-3600000000000L, 0L)
+      eventsNanos(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          cents(col("value")).as("v"))
+        .select(col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("v")).over(w).as("cents_1h"))
+    }),
+
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
     // integer rank arithmetic over NON-NULL values, so any engine lands
@@ -4711,6 +4727,18 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // RANGE-frame replay: value-based trailing hour; RANGE includes
+    // equal-ts peers identically in both engines, so ties are safe.
+    "q28_trailing_window" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS ts,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_id, event_type,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(v) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Interval-join replay: the plain theta-join — the binning is an
     // execution strategy, not a semantics change.

@@ -178,7 +178,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // pivot/unpivot: the two-level pivotfirst aggregate + melt.
         "q26_pivot", "q26b_unpivot",
         // binned interval join: bucket equi-join + exact refine.
-        "q27_interval_join")
+        "q27_interval_join",
+        // value-based RANGE window frame.
+        "q28_trailing_window")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -199,6 +199,25 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- q28 trailing RANGE-frame window ------------------------------------
+
+  test("trailing range frame: inclusive horizon boundary, equal-ts peers counted") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("t").rangeBetween(-10L, 0L)
+    val df = Seq(("a", 0L, 1L), ("a", 10L, 2L), ("a", 21L, 4L),
+        ("a", 21L, 8L), ("b", 21L, 16L))
+      .toDF("k", "t", "v")
+      .select($"k", $"t", $"v", sum($"v").over(w).as("s"),
+        count(lit(1)).over(w).as("n"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(df(("a", 10L, 2L, 3L, 2L)),  // t=0 is EXACTLY 10 back: included
+      s"horizon boundary must be inclusive: $df")
+    // Equal-ts rows are frame PEERS: both see both (sum 12 = 4+8), and
+    // partitions do not leak (b's row ignores a's).
+    assert(df(("a", 21L, 4L, 12L, 2L)) && df(("a", 21L, 8L, 12L, 2L)))
+    assert(df(("b", 21L, 16L, 16L, 1L)))
+  }
+
   // --- q27 binned interval join ------------------------------------------
 
   test("pointInInterval: half-open bounds, one row per pair across bin spans") {
