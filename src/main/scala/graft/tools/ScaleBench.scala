@@ -296,6 +296,41 @@ object ScaleBench {
         println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
           f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "ivjoin" | "ivjoin-skew" =>
+        // q27 binned interval join at corpus scale: n points x n/4
+        // intervals on a 2^48-wide axis, interval lengths up to 2^32
+        // (avg ~2^31). PIN: the match count is binWidth-INVARIANT —
+        // binning is an execution strategy, so w=2^32 (replication <= 2)
+        // and w=2^30 (<= 5) must count identically. The skew variant
+        // drops half the points AND all interval starts into the first
+        // 2^36 slice of the axis (hot buckets on both sides — the
+        // shape AQE's skew split exists for).
+        val T = 1L << 48
+        val hot = 1L << 36
+        val ptT = if (skew)
+          when(col("id") % 2 === 0,
+            pmod(xxhash64(col("id"), lit(11)), lit(hot)))
+            .otherwise(pmod(xxhash64(col("id"), lit(11)), lit(T)))
+        else pmod(xxhash64(col("id"), lit(11)), lit(T))
+        val pts = spark.range(n).select(col("id").as("p_id"), ptT.as("t"))
+        val ivStart = if (skew) pmod(xxhash64(col("id"), lit(12)), lit(hot))
+          else pmod(xxhash64(col("id"), lit(12)), lit(T))
+        val ivs = spark.range(n / 4).select(col("id").as("iv_id"),
+          ivStart.as("s"),
+          (ivStart + pmod(xxhash64(col("id"), lit(13)), lit(1L << 32)) + 1L)
+            .as("e"))
+        val c1 = graft.operators.IntervalJoin.pointInInterval(
+          pts, ivs, "t", "s", "e", binWidth = 1L << 32).count()
+        val tW1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val c2 = graft.operators.IntervalJoin.pointInInterval(
+          pts, ivs, "t", "s", "e", binWidth = 1L << 30).count()
+        val tW2 = (System.nanoTime() - t1) / 1e9
+        require(c1 == c2, s"binWidth changed the match count: $c1 vs $c2")
+        require(c1 > 0L, "degenerate probe: no matches")
+        println(f"SCALE-OK $algo n=$n iv=${n / 4} matches=$c1 " +
+          f"w32=$tW1%.1f w30=$tW2%.1f sec")
+
       case "negpairs" =>
         // p09 negative sampling at corpus scale: k=4 seeded cyclic-offset
         // partners for each of n rows — the sharded rank prefix sum, the
