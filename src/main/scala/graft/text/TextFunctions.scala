@@ -880,7 +880,12 @@ object TextFunctions {
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "") // 1. fragment
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // Userinfo (user:pass@) is STRIPPED — crawl pipelines never keep
+    // credentials, and an unstripped '@' would corrupt the host/port
+    // split ('user:pass@host' reads 'user' as host, 'pass@host' as junk).
+    val hostport = regexp_extract(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "([^@]*)$", 1)
     val host = regexp_extract(hostport, "^([^:]*)", 1)
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&

@@ -370,6 +370,10 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(canon("http://a.com/x?utmx=1") === "http://a.com/x?utmx=1")
     // Query value case kept.
     assert(canon("http://a.com/x?Q=Vv") === "http://a.com/x?Q=Vv")
+    // Userinfo stripped — credentials never survive canonicalization,
+    // and the '@' must not corrupt the host/port split.
+    assert(canon("http://User:Pw@A.com:8080/x") === "http://a.com:8080/x")
+    assert(canon("https://u@A.com:443/x") === "https://a.com/x")
     // Not scheme://host shaped: passthrough minus fragment/trailing slash.
     assert(canon("mailto:a@b.c") === "mailto:a@b.c")
     assert(canon("not a url#frag") === "not a url")
