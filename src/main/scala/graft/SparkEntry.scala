@@ -461,6 +461,24 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // Native session_window aggregation (the BUILT-IN gap-session
+    // operator — st04 gates the custom flatMapGroupsWithState form;
+    // this gates Spark's own session merge path, which also serves
+    // batch): per user, 30-min-gap sessions with count + cents-sum,
+    // window bounds surfaced as exact epoch micros.
+    "q29_session_window" -> ((s, d) => {
+      val e = eventsNanos(s, d)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"),
+          cents(col("value")).as("v"))
+      e.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum("v").as("cents"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"),
+          col("n_events"), col("cents"))
+    }),
+
     // Trailing RANGE-frame window: per event_type, each event's count
     // and cents-sum over the PRECEDING hour on the nanos lattice —
     // value-based frames (RANGE BETWEEN n PRECEDING), the frame class
@@ -4727,6 +4745,25 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // session_window replay: the gap-session rule on the micros
+    // lattice — an interval of EXACTLY the gap still MERGES (Spark
+    // merges touching event windows, inclusive; spec-pinned), so a new
+    // session starts only STRICTLY past the gap; end = last event + gap.
+    "q29_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |x AS (SELECT user_id, us, v, lag(us) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM e),
+        |sn AS (SELECT user_id, us, v,
+        |  sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS s_us,
+        |  CAST(max(us) + 1800000000 AS BIGINT) AS e_us,
+        |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS cents
+        |FROM sn GROUP BY user_id, sid""".stripMargin,
 
     // RANGE-frame replay: value-based trailing hour; RANGE includes
     // equal-ts peers identically in both engines, so ties are safe.

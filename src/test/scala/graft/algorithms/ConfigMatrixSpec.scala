@@ -179,8 +179,8 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "q26_pivot", "q26b_unpivot",
         // binned interval join: bucket equi-join + exact refine.
         "q27_interval_join",
-        // value-based RANGE window frame.
-        "q28_trailing_window")
+        // value-based RANGE window frame; native session_window merge.
+        "q28_trailing_window", "q29_session_window")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -199,6 +199,28 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(run("call +1-555-123456x") === ((0L, 0L, 0L, "call +1-555-123456x")))
   }
 
+  // --- q29 native session_window ------------------------------------------
+
+  test("session_window: exact-gap interval MERGES (inclusive touch); one past it splits") {
+    import org.apache.spark.sql.functions.{session_window, unix_micros, timestamp_micros}
+    val gapUs = 1800000000L // 30 min in micros
+    val df = Seq(
+      (1L, 0L), (1L, gapUs),              // EXACTLY gap apart: merged
+      (1L, 2 * gapUs + 1L),               // one micro PAST the gap: new
+      (2L, 5L))                           // other user isolated
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("t"))
+    val got = df.groupBy($"user_id", session_window($"t", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_micros($"session_window.start").as("s"),
+        unix_micros($"session_window.end").as("e"), $"n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 2 * gapUs, 2L),            // end = last event + gap
+      (1L, 2 * gapUs + 1L, 3 * gapUs + 1L, 1L),
+      (2L, 5L, 5L + gapUs, 1L)))
+  }
+
   // --- q28 trailing RANGE-frame window ------------------------------------
 
   test("trailing range frame: inclusive horizon boundary, equal-ts peers counted") {
