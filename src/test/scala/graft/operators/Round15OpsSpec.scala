@@ -5,9 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestHarness
 
-/** Round-15 operator specs: IVF-PQ index maintenance (s17) — incremental
-  * add under frozen books, the staleness signal, and the scan-only plan
-  * discipline of the append path.
+/** Round-15 operator specs: IVF-PQ index maintenance (s17/s18 —
+  * incremental add/upsert under frozen books, staleness, the scan-only
+  * append plan), PII scrub (t19), binary sign-bit quantization (s19),
+  * URL canonicalization (t20/d19), JPEG container metadata (m15), the
+  * native session_window merge (q29), the trailing RANGE frame (q28),
+  * the binned interval join (q27), and pivot/unpivot (q26).
   */
 class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
