@@ -296,6 +296,49 @@ object ScaleBench {
         println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
           f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "sesswin" =>
+        // q29's native session_window merge at corpus scale, CROSS-
+        // CHECKED against the q18-style lag-replay sessionization —
+        // two independent implementations (native merge state vs
+        // window-function running sum) must produce the identical
+        // session table over 4.2 M events / ~4 k users (~1 k
+        // events/user, gap tuned for ~double-digit sessions/user).
+        val users = math.max(1L, n / 1024)
+        val span = 1L << 40 // ~12.7 days in micros
+        val gap = "30 minutes"
+        val gapUs = 1800000000L
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id"), lit(21)), lit(users)).as("u"),
+          pmod(xxhash64(col("id"), lit(22)), lit(span)).as("us"))
+        val native = ev
+          .select(col("u"), timestamp_micros(col("us")).as("t"))
+          .groupBy(col("u"), session_window(col("t"), gap))
+          .agg(count(lit(1)).as("n"))
+          .select(col("u"), unix_micros(col("session_window.start")).as("s"),
+            unix_micros(col("session_window.end")).as("e"), col("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy("us")
+        val replay = ev
+          .withColumn("brk", when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .groupBy("u", "sid")
+          .agg(min(col("us")).as("s"), (max(col("us")) + gapUs).as("e"),
+            count(lit(1)).as("n"))
+          .select(col("u"), col("s"), col("e"), col("n"))
+        val nNative = native.count()
+        val tNat = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val diff = native.unionAll(replay)
+          .groupBy("u", "s", "e", "n").agg(count(lit(1)).as("c"))
+          .filter(col("c") =!= 2).count()
+        val tChk = (System.nanoTime() - t1) / 1e9
+        require(diff == 0L, s"native vs replay disagree on $diff sessions")
+        println(f"SCALE-OK sesswin n=$n users=$users sessions=$nNative " +
+          f"native=$tNat%.1f check=$tChk%.1f sec")
+
       case "ivjoin" | "ivjoin-skew" =>
         // q27 binned interval join at corpus scale: n points x n/4
         // intervals on a 2^48-wide axis, interval lengths up to 2^32
