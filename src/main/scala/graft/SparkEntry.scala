@@ -2742,10 +2742,10 @@ object SparkEntry {
       |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM s),
       |x AS (SELECT doc_id, url,
       |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |  lower(regexp_extract(u,
-      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |  regexp_extract(lower(regexp_extract(u,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '([^@]*)$', 1) AS hostport,
       |  regexp_replace(regexp_extract(u,
-      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
       |  regexp_extract(u, '\?([^#]*)', 1) AS query
       |  FROM c),
       |y AS (SELECT doc_id, url, scheme,
@@ -2764,6 +2764,22 @@ object SparkEntry {
       |  CASE WHEN query = '' OR keptq = '' THEN '' ELSE '?' || keptq END
       |    AS canon
       |  FROM y)""".stripMargin
+
+  // Shared by s19/s19b: sign-bit packing (two 32-bit words) + pairwise
+  // XOR-popcount Hamming against the vec_id <= 3 query set — ONE text so
+  // a packing fix can never drift between the two gates.
+  private val binaryHammingCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bc AS (SELECT vec_id, list_transform(range(0, 2), w ->
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN v[w*32 + i + 1] > 0 THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)) AS BIGINT)) AS code
+      |  FROM e),
+      |hm AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  CAST(bit_count(xor(c.code[1], q.code[1]))
+      |     + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS ham
+      |  FROM bc c JOIN (SELECT * FROM bc WHERE vec_id <= 3) q
+      |    ON c.vec_id <> q.vec_id)""".stripMargin
 
   private val p08OracleSql: String =
     s"""WITH c AS (SELECT doc_id,
@@ -3605,38 +3621,21 @@ object SparkEntry {
     // dims into two 32-bit words (bit i of word w = [v[32w+i] > 0]),
     // Hamming = popcount of the per-word XOR, rank (ham ASC, id ASC).
     "s19_binary_hamming" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bc AS (SELECT vec_id, list_transform(range(0, 2), w ->
-        |    CAST(list_sum(list_transform(range(0, 32),
-        |      i -> CASE WHEN v[w*32 + i + 1] > 0 THEN 1::BIGINT << i
-        |           ELSE 0::BIGINT END)) AS BIGINT)) AS code
-        |  FROM e),
-        |hm AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |  CAST(bit_count(xor(c.code[1], q.code[1]))
-        |     + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS ham
-        |  FROM bc c JOIN (SELECT * FROM bc WHERE vec_id <= 3) q
-        |    ON c.vec_id <> q.vec_id),
+      (binaryHammingCtes +
+        """,
         |rk AS (SELECT qid, nid, ham, CAST(row_number() OVER
         |  (PARTITION BY qid ORDER BY ham, nid) AS BIGINT) AS rnk FROM hm)
         |SELECT qid AS query_id, nid AS neighbor_id, ham, rnk
-        |FROM rk WHERE rnk <= 5""".stripMargin,
+        |FROM rk WHERE rnk <= 5""".stripMargin),
 
-    // Binary rerank replay: the s19 Hamming chain shortlists 50, then
-    // exact 64-dim micro-lattice L2 re-ranks (the s12 tail verbatim).
+    // Binary rerank replay: the s19 Hamming chain (shared CTEs above)
+    // shortlists 50, then exact 64-dim micro-lattice L2 re-ranks (the
+    // s12 tail verbatim).
     "s19b_binary_rerank" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      (binaryHammingCtes +
+        """,
         |eq AS (SELECT vec_id, list_transform(v,
         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM e),
-        |bc AS (SELECT vec_id, list_transform(range(0, 2), w ->
-        |    CAST(list_sum(list_transform(range(0, 32),
-        |      i -> CASE WHEN v[w*32 + i + 1] > 0 THEN 1::BIGINT << i
-        |           ELSE 0::BIGINT END)) AS BIGINT)) AS code
-        |  FROM e),
-        |hm AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |  CAST(bit_count(xor(c.code[1], q.code[1]))
-        |     + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS ham
-        |  FROM bc c JOIN (SELECT * FROM bc WHERE vec_id <= 3) q
-        |    ON c.vec_id <> q.vec_id),
         |sl AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER
         |  (PARTITION BY qid ORDER BY ham, nid) AS rn FROM hm) WHERE rn <= 50),
         |ex AS (SELECT sl.qid, sl.nid,
@@ -3646,7 +3645,7 @@ object SparkEntry {
         |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
         |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM ex)
         |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
-        |FROM rk WHERE rnk <= 5""".stripMargin,
+        |FROM rk WHERE rnk <= 5""".stripMargin),
 
     // Trained-PQ replay: per subspace, ONE unrolled Lloyd iteration from
     // the first-8 init (integer argmin assignment with smaller-cell ties,

@@ -1429,6 +1429,10 @@ object Multimodal {
     var nSeg = 0L
     while (off < bytes.length) {
       if (off + 2 > bytes.length || b(off) != 0xff) return None
+      // ITU T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a
+      // marker — consume it (some real encoders emit padding; without
+      // this the 0xFF would parse as a length-framed marker byte).
+      while (off + 2 < bytes.length && b(off + 1) == 0xff) off += 1
       val marker = b(off + 1)
       if (marker == 0xd9) {                       // EOI closes exactly
         return if (off + 2 == bytes.length)

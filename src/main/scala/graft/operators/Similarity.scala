@@ -150,9 +150,17 @@ object Similarity {
     // codesOf: a pre-encoded (and typically checkpointed) [id, code]
     // artifact — encode once, search every query batch against it (the
     // pqTopK `codesOf` discipline; at scale the 16 B/vector artifact is
-    // the table that persists, not the raw vectors).
-    val c = codesOf.getOrElse(
-      binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord))
+    // the table that persists, not the raw vectors). A dim/bitsPerWord
+    // mismatch would make the word lookups NULL and every score a
+    // silently-skipped NULL — the guard fails loud instead.
+    val c = codesOf.map(_.withColumn("code",
+        when(size(col("code")) === nWords, col("code"))
+          .otherwise(raise_error(concat(lit(
+            s"binaryHammingTopK: codesOf artifact has "),
+            size(col("code")).cast("string"),
+            lit(s" words but dim=$dim/bitsPerWord=$bitsPerWord needs " +
+              s"$nWords — re-encode or pass the artifact's parameters"))))))
+      .getOrElse(binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord))
     val q = binaryCodes(queries, idCol, vecCol, dim, bitsPerWord)
       .select(col("id").as("qid"), col("code").as("qcode"))
     val ham = (0 until nWords)

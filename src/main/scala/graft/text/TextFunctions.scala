@@ -893,7 +893,7 @@ object TextFunctions {
       !(scheme === "https" && port === "443")
     val path = regexp_replace(
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
-      "/$", "") // 4. one trailing slash
+      "/+$", "") // 4. trailing slash RUN ('/a//' -> '/a' — one-pass fixpoint)
     val query = regexp_extract(u, "\\?([^#]*)", 1)
     val kept = filter(split(query, "&"), p =>
       !(substring(p, 1, 4) === "utm_") &&
@@ -902,7 +902,7 @@ object TextFunctions {
     val qtail = when(query === "" || size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(kept, "&")))
     when(scheme === "", // not scheme://host shaped: pass through sans #
-      regexp_replace(u, "/$", ""))
+      regexp_replace(u, "/+$", ""))
       .otherwise(concat(scheme, lit("://"), host,
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
         path, qtail))

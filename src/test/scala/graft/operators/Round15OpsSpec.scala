@@ -359,6 +359,14 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     // A PNG is not a JPEG.
     assert(Multimodal.parseJpegMeta(
       Multimodal.synthesizeGrayPng(1L, 8, 8)).isEmpty)
+    // ITU T.81 B.1.1.2 fill bytes: a 0xFF padding run before a marker is
+    // spec-legal and must not parse as a length-framed segment.
+    val soi = good.take(2)
+    val rest = good.drop(2)
+    val padded = soi ++ Array(0xff.toByte, 0xff.toByte) ++
+      Array(0xff.toByte) ++ rest.drop(1) // re-use rest's own leading 0xff
+    assert(Multimodal.parseJpegMeta(padded) ===
+      Multimodal.parseJpegMeta(good), "fill bytes changed the parse")
     val junk = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         org.apache.spark.sql.Row(1L, "garbage".getBytes,
@@ -395,6 +403,10 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(canon("http://a.com/x?utmx=1") === "http://a.com/x?utmx=1")
     // Query value case kept.
     assert(canon("http://a.com/x?Q=Vv") === "http://a.com/x?Q=Vv")
+    // A trailing slash RUN strips in ONE pass (fixpoint — '/a//' must
+    // not need two canonicalization rounds to reach '/a').
+    assert(canon("http://a.com/a//") === "http://a.com/a")
+    assert(canon("http://a.com///") === "http://a.com")
     // Userinfo stripped — credentials never survive canonicalization,
     // and the '@' must not corrupt the host/port split.
     assert(canon("http://User:Pw@A.com:8080/x") === "http://a.com:8080/x")
@@ -508,6 +520,15 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
         "embedding", dim = 64, k = 5, codesOf = Some(codes))
       .collect().map(_.toString).sorted.toSeq
     assert(viaArtifact === inline)
+    // A dim/bitsPerWord mismatch against the artifact fails LOUD — a
+    // silent NULL-score path would return empty results instead.
+    val err = intercept[Exception] {
+      Similarity.binaryHammingTopK(e, q, "vec_id", "embedding",
+        dim = 64, k = 5, bitsPerWord = 16, codesOf = Some(codes)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("codesOf artifact")), s"got: $err")
   }
 
   test("binaryHammingTopK plan: query codes broadcast, corpus never shuffled pre-score") {

@@ -24,7 +24,7 @@ class UrlCanonFuzzSpec extends AnyFunSuite with SparkTestHarness {
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     segs <- Gen.choose(0, 3)
     path = (1 to segs).map(i => s"/Seg$i").mkString
-    slash <- Gen.oneOf("", "/")
+    slash <- Gen.oneOf("", "/", "//")
     params <- Gen.someOf(Seq("a=1", "utm_source=x", "B=2", "gclid=g",
       "fbclid=f", "utmx=9"))
     query = if (params.isEmpty) "" else "?" + params.mkString("&")
