@@ -296,6 +296,68 @@ object ScaleBench {
         println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
           f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "st-seqpack" =>
+        // The STREAMING state path at corpus scale — the st-family's
+        // 100 TB story previously rested on gate-scale runs + the
+        // config matrix: 4.2 M docs drain through
+        // streamingSequenceOffsets in REAL micro-batches (8 source
+        // files, maxFilesPerTrigger=1, so per-shard running totals must
+        // carry across ~8 state commits), then packCoords finalizes and
+        // the coordinates must EQUAL batch packSequences row-for-row
+        // (zero symmetric difference), plus the seqpack token-
+        // conservation pin.
+        // Delivery honors the operator's documented contract: across
+        // micro-batches each SHARD's rows arrive in (hash, key) order.
+        // ntile(8) over the per-shard hash order assigns every shard a
+        // slice of EVERY batch (the strong continuation shape: 32
+        // running totals each carried across all 8 commits); files are
+        // written sequentially with distinct mtimes so the source
+        // (latestFirst=false) replays them in slice order.
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-stseq").toString
+        val toks = spark.range(n).select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(2048L)) + 1L).as("n_toks"))
+        val shardW = ((1L << 60) + 31) / 32
+        val wsh = org.apache.spark.sql.expressions.Window
+          .partitionBy(expr(s"__h div ${shardW}L"))
+          .orderBy(col("__h"), col("doc_id"))
+        val sliced = toks
+          .withColumn("__h", graft.operators.Sampling.keyHash60(col("doc_id")))
+          .withColumn("__f", ntile(8).over(wsh))
+          .drop("__h")
+        (1 to 8).foreach { k =>
+          sliced.filter(col("__f") === k).drop("__f")
+            .coalesce(1).write.mode("append").parquet(s"$dir/in")
+          Thread.sleep(1100) // distinct mtimes -> deterministic replay order
+        }
+        val schema = spark.read.parquet(s"$dir/in").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        val q = graft.streaming.Streams
+          .streamingSequenceOffsets(stream, "doc_id", "n_toks").toDF()
+          .writeStream.format("memory").queryName("stseq")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        val streamed = graft.operators.Sampling.packCoords(
+          spark.table("stseq"), "doc_id", seqLen = 2048L)
+        val batch = graft.operators.Sampling.packSequences(
+          toks, "doc_id", "n_toks", seqLen = 2048L)
+        val diff = streamed.unionAll(batch)
+          .groupBy("doc_id", "shard", "seq_id", "seq_off", "n_seqs")
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+        require(diff == 0L, s"stream vs batch coordinates differ on $diff rows")
+        require(nBatches >= 2,
+          s"probe needs real micro-batches, got $nBatches")
+        val totalToks = toks.agg(sum(col("n_toks"))).head.getLong(0)
+        val maxEnd = streamed.agg(max(col("seq_id") + col("n_seqs") - 1L))
+          .head.getLong(0)
+        require(maxEnd == (totalToks - 1) / 2048L, "token conservation broke")
+        println(f"SCALE-OK st-seqpack n=$n batches=$nBatches toks=$totalToks " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "sesswin" =>
         // q29's native session_window merge at corpus scale, CROSS-
         // CHECKED against the q18-style lag-replay sessionization —
