@@ -358,6 +358,46 @@ object ScaleBench {
         println(f"SCALE-OK st-seqpack n=$n batches=$nBatches toks=$totalToks " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "st-firstseen" =>
+        // The ORDER-FREE streaming state design at corpus scale — the
+        // st-seqpack contrast: streamingFirstSeen's per-key (min, count)
+        // folds are commutative+associative, so an ARBITRARY 8-way file
+        // split with NO delivery ordering (no mtime spacing, hash-random
+        // row placement — exactly the split that diverges st-seqpack on
+        // every row) must still finalize to the batch aggregate exactly.
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-stfs").toString
+        val keys = math.max(1L, n / 8)
+        val rows = spark.range(n).select(col("id").as("doc_id"),
+          pmod(xxhash64(col("id"), lit(31)), lit(keys))
+            .cast("string").as("canon"))
+        rows.withColumn("__f", pmod(xxhash64(col("doc_id"), lit(32)), lit(8)))
+          .repartition(8, col("__f")).drop("__f")
+          .write.mode("overwrite").parquet(s"$dir/in")
+        val schema = spark.read.parquet(s"$dir/in").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        val q = graft.streaming.Streams
+          .streamingFirstSeen(stream, "doc_id", "canon").toDF()
+          .writeStream.format("memory").queryName("stfs")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        val streamed = spark.table("stfs").groupBy("key")
+          .agg(min("min_id").as("keep_id"), max("cnt").as("n_dups"))
+        val batch = rows.groupBy(col("canon").as("key"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        val diff = streamed.unionAll(batch)
+          .groupBy("key", "keep_id", "n_dups")
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+        require(diff == 0L, s"stream vs batch first-seen differ on $diff keys")
+        require(nBatches >= 2,
+          s"probe needs real micro-batches, got $nBatches")
+        println(f"SCALE-OK st-firstseen n=$n keys=$keys batches=$nBatches " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "sesswin" =>
         // q29's native session_window merge at corpus scale, CROSS-
         // CHECKED against the q18-style lag-replay sessionization —
