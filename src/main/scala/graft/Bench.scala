@@ -45,22 +45,9 @@ object Bench {
     // >> steady on UNCHANGED trivial queries indicates a starved host
     // (the round-4 ~690 s artifact), not a plan regression.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val spark = SparkSession.builder()
+    val spark = SparkDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Per-stage codegen fallback when a generated method would exceed
-      // HotSpot's ~8K-bytecode JIT cap (else it runs in the raw bytecode
-      // interpreter — the wide-encode cliff, SCALE_RECORD.md r15; 6x on
-      // the 4.2 M-row IVF-PQ encode, noise-level elsewhere).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      // Our TypedImperative aggregates keep BOUNDED-SMALL per-group state
-      // (top-k heaps, label/h-index histograms); big-state aggregates
-      // (gram matrix, vector sums, grouped sketches) run at low group
-      // cardinality. The 128-key default forces per-vertex and per-query
-      // aggregation into sort-based fallback, whose spill machinery is
-      // what actually OOMed the 16k-query ADC probe — hash aggregation
-      // is both faster and safer for this state shape (SCALE_RECORD.md r15).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-bench-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")

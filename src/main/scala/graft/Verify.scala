@@ -11,21 +11,9 @@ object Verify {
     // driver always runs the full surface with two args).
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SparkDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Per-stage codegen fallback when a generated method would exceed
-      // HotSpot's ~8K-bytecode JIT cap (else it runs in the raw bytecode
-      // interpreter — the wide-encode cliff, SCALE_RECORD.md r15).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      // Our TypedImperative aggregates keep BOUNDED-SMALL per-group state
-      // (top-k heaps, label/h-index histograms); big-state aggregates
-      // (gram matrix, vector sums, grouped sketches) run at low group
-      // cardinality. The 128-key default forces per-vertex and per-query
-      // aggregation into sort-based fallback, whose spill machinery is
-      // what actually OOMed the 16k-query ADC probe — hash aggregation
-      // is both faster and safer for this state shape (SCALE_RECORD.md r15).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-verify-warehouse-${ProcessHandle.current().pid()}")

@@ -28,6 +28,20 @@ object Sampling {
   def keyHash60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast(LongType)
 
+  /** Hash-RANGE shard width: `ceil(2^60 / nShards)` — `h div width`
+    * stays < nShards for every h in [0, 2^60) even when nShards does not
+    * divide 2^60. ONE definition shared by [[packSequences]],
+    * [[negativePairs]], and
+    * [[graft.streaming.Streams.streamingSequenceOffsets]] (and matched
+    * by the p08 oracle constant) so the batch, streaming, and replay
+    * arithmetic can never drift.
+    */
+  private[graft] def shardWidth(nShards: Int): Long = {
+    require(nShards >= 1 && nShards <= (1 << 16),
+      s"nShards must be in [1, 65536], got $nShards")
+    ((1L << 60) + nShards - 1) / nShards
+  }
+
   /** The integer hash threshold for a cumulative weight in [0, 1]: the
     * split boundary `floor(cum * 2^60)`. Public so oracle SQL can embed the
     * exact same constants the plan compares against.
@@ -273,11 +287,7 @@ object Sampling {
   def packSequences(df: DataFrame, keyCol: String, weightCol: String,
       seqLen: Long, nShards: Int = 32): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    require(nShards >= 1 && nShards <= (1 << 16),
-      s"nShards must be in [1, 65536], got $nShards")
-    // ceil(2^60 / nShards): shard = h div width stays < nShards for every
-    // h in [0, 2^60) even when nShards does not divide 2^60.
-    val shardWidth = ((1L << 60) + nShards - 1) / nShards
+    val width = shardWidth(nShards)
     val base = df.select(col(keyCol).as("__sp_key"),
         col(weightCol).cast(LongType).as("__sp_w"),
         keyHash60(col(keyCol)).as("__sp_h"))
@@ -285,7 +295,7 @@ object Sampling {
         when(col("__sp_w") >= 1L, col("__sp_w"))
           .otherwise(raise_error(lit(
             "packSequences: weights must be >= 1 tokens"))))
-      .withColumn("__sp_s", expr(s"__sp_h div ${shardWidth}L"))
+      .withColumn("__sp_s", expr(s"__sp_h div ${width}L"))
     // Per-shard totals -> driver prefix scan -> base offsets. The
     // aggregate re-reads only [key, weight] (column-pruned); reduce side
     // is nShards rows. Shards are dense 0..nShards-1 with empties at 0.
@@ -398,13 +408,11 @@ object Sampling {
   def negativePairs(df: DataFrame, keyCol: String, k: Int, seed: String,
       excludeCol: Option[String] = None, nShards: Int = 32): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(nShards >= 1 && nShards <= (1 << 16),
-      s"nShards must be in [1, 65536], got $nShards")
-    val shardWidth = ((1L << 60) + nShards - 1) / nShards
+    val width = shardWidth(nShards)
     val exCols = excludeCol.map(c => col(c).as("__np_ex")).toSeq
     val base = df.select(col(keyCol).as("__np_key") +: exCols: _*)
       .withColumn("__np_h", keyHash60(col("__np_key")))
-      .withColumn("__np_s", expr(s"__np_h div ${shardWidth}L"))
+      .withColumn("__np_s", expr(s"__np_h div ${width}L"))
     val spark = df.sparkSession
     import spark.implicits._
     val counts = base.groupBy("__np_s").agg(count(lit(1)).as("m"))

@@ -850,9 +850,19 @@ object Similarity {
       s"metaCols ${metaCols.mkString(",")} collide with index schema " +
         s"names ${reserved.mkString("{", ",", "}")}")
     val meta = metaCols.map(delta(_))
+    // A delta whose vectors do not match the index dimension would read
+    // NULL past the array end (non-ANSI element_at), land NULL cell/codes
+    // in the artifact, and never match the search's cell equi-join —
+    // "indexed" but unsearchable. The module discipline is fail-loud.
+    val d = coarse(0).length
+    val vRaw = col(vecCol).cast("array<double>")
+    val vChecked = when(size(vRaw) === d, vRaw)
+      .otherwise(raise_error(concat(
+        lit(s"ivfPqAppend: delta vector has "), size(vRaw).cast("string"),
+        lit(s" dims but the index was built at $d"))))
     val cq = delta.select(col(idCol).as("id") +:
-      graft.functions.QuantizeMicros.quantize_micros(
-        col(vecCol).cast("array<double>")).as("vq") +: meta: _*)
+      graft.functions.QuantizeMicros.quantize_micros(vChecked).as("vq") +:
+      meta: _*)
     encodeAgainst(cq, coarse, book, metaCols, withDistortion)
   }
 

@@ -462,9 +462,7 @@ object Streams {
       weightCol: String, nShards: Int = 32)
       : org.apache.spark.sql.Dataset[PackPos] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    require(nShards >= 1 && nShards <= (1 << 16),
-      s"nShards must be in [1, 65536], got $nShards")
-    val shardWidth = ((1L << 60) + nShards - 1) / nShards
+    val width = graft.operators.Sampling.shardWidth(nShards)
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(col(keyCol).cast("long").as("_k"),
@@ -474,7 +472,7 @@ object Streams {
         when(col("_w") >= 1L, col("_w"))
           .otherwise(raise_error(lit(
             "streamingSequenceOffsets: weights must be >= 1 tokens"))))
-      .withColumn("_s", expr(s"_h div ${shardWidth}L"))
+      .withColumn("_s", expr(s"_h div ${width}L"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._4)
       .flatMapGroupsWithState[PackAcc, PackPos](

@@ -50,19 +50,9 @@ object ScaleBench {
     val m = args.lift(1).map(_.toLong).getOrElse(1L << 24)  // 16.8M edges
     val algo = args.lift(2).getOrElse("wcc")
     val threshold = args.lift(3).map(_.toLong).getOrElse(0L) // 0 = force distributed
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      // Per-stage codegen fallback below HotSpot's JIT cap — the probe
-      // that discovered the cliff (ivfpq-add, SCALE_RECORD.md r15).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      // Our TypedImperative aggregates keep BOUNDED-SMALL per-group state
-      // (top-k heaps, label/h-index histograms); big-state aggregates
-      // (gram matrix, vector sums, grouped sketches) run at low group
-      // cardinality. The 128-key default forces per-vertex and per-query
-      // aggregation into sort-based fallback, whose spill machinery is
-      // what actually OOMed the 16k-query ADC probe — hash aggregation
-      // is both faster and safer for this state shape (SCALE_RECORD.md r15).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    val spark = graft.SparkDefaults(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -317,7 +307,7 @@ object ScaleBench {
           .createTempDirectory("graft-stseq").toString
         val toks = spark.range(n).select(col("id").as("doc_id"),
           (pmod(xxhash64(col("id")), lit(2048L)) + 1L).as("n_toks"))
-        val shardW = ((1L << 60) + 31) / 32
+        val shardW = graft.operators.Sampling.shardWidth(32)
         val wsh = org.apache.spark.sql.expressions.Window
           .partitionBy(expr(s"__h div ${shardW}L"))
           .orderBy(col("__h"), col("doc_id"))
@@ -604,7 +594,9 @@ object ScaleBench {
           pts, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
           ._1.count()
         val rebuildSec = (System.nanoTime() - tr0) / 1e9
-        require(oldRows == n - n / 8 && mergedRows == n && rebuiltRows == n,
+        // vec_ids are 0..n-1, so % 8 == 0 rows number ceil(n/8).
+        require(oldRows == n - (n + 7) / 8 && mergedRows == n &&
+          rebuiltRows == n,
           s"row pins: old=$oldRows merged=$mergedRows rebuilt=$rebuiltRows n=$n")
         println(f"SCALE-OK ivfpq-add n=$n dim=$dim cells=64 m=8 " +
           f"build7of8=$buildSec%.1f append1of8=$appendSec%.1f " +
