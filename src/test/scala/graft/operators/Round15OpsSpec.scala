@@ -160,6 +160,21 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(up === add)
   }
 
+  test("ivfPqAppend fails loud on a mis-dimensioned delta (no silent NULL codes)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (_, coarse, book) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    val short = e.limit(3).select($"vec_id",
+      slice($"embedding".cast("array<double>"), 1, 32).as("embedding"))
+    val err = intercept[Exception] {
+      Similarity.ivfPqAppend(short, "vec_id", "embedding", coarse, book)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("delta vector has")), s"got: $err")
+  }
+
   test("ivfPqAppend validates hand-supplied books (ragged coarse rejected)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val (_, coarse, book) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
