@@ -2749,8 +2749,9 @@ object SparkEntry {
       |  regexp_extract(u, '\?([^#]*)', 1) AS query
       |  FROM c),
       |y AS (SELECT doc_id, url, scheme,
-      |  regexp_extract(hostport, '^([^:]*)', 1) AS host,
-      |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, query,
+      |  regexp_extract(hostport, '^(\[[^\]]*\]|[^:]*)', 1) AS host,
+      |  regexp_extract(hostport, '^(\[[^\]]*\]|[^:]*):([0-9]+)$', 2) AS port,
+      |  path, query,
       |  COALESCE(array_to_string(list_filter(string_split(query, '&'),
       |    p -> NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 7) = 'fbclid='
       |           OR substr(p, 1, 6) = 'gclid=')), '&'), '') AS keptq

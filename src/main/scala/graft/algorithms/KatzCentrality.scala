@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.graph.GraphFrame
 
 /** Katz centrality, fixed-iteration integer-lattice form — beyond the
-  * reference's algorithm set (its `algorithm/community.rs` placeholder
-  * never grew a centrality family; reference surface audited at
-  * `/root/reference/src/algorithm`): every vertex counts its attenuated
+  * reference's algorithm set: its `algorithm/centrality/` module holds
+  * pagerank.rs and k_core.rs only, with no Katz / attenuated-walk member
+  * (reference surface audited at `/root/reference/src/algorithm`):
+  * every vertex counts its attenuated
   * incoming-walk mass, `katz(v) = Σ_t α^t · (walks of length t into v)`,
   * truncated at `iterations` and computed EXACTLY on the micro lattice:
   *

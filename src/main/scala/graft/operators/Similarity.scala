@@ -117,7 +117,17 @@ object Similarity {
     require(bitsPerWord >= 1 && bitsPerWord <= 62,
       s"bitsPerWord must be in [1, 62], got $bitsPerWord")
     val nWords = (dim + bitsPerWord - 1) / bitsPerWord
-    val v = col(vecCol).cast("array<double>")
+    // A vector shorter than `dim` would read NULL past the array end
+    // (non-ANSI element access), fall to the otherwise(0L) branch, and
+    // encode the missing dims as sign-bit 0 — silently wrong Hamming
+    // ranks. Mirror the ivfPqAppend discipline: dim mismatches fail loud
+    // (either direction — a LONGER vector means the caller's dim is wrong
+    // and the extra dims would be silently ignored).
+    val vRaw = col(vecCol).cast("array<double>")
+    val v = when(size(vRaw) === dim, vRaw)
+      .otherwise(raise_error(concat(
+        lit("binaryCodes: vector has "), size(vRaw).cast("string"),
+        lit(s" dims but dim=$dim was requested"))))
     val words = (0 until nWords).map { w =>
       (0 until bitsPerWord).filter(b => w * bitsPerWord + b < dim).map { b =>
         when(v(w * bitsPerWord + b) > 0d, lit(1L << b)).otherwise(lit(0L))

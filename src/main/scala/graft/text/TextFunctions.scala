@@ -780,9 +780,15 @@ object TextFunctions {
   // ---- PII detection/redaction (t19). Three conservative RE2-portable
   // classes — emails, dotted-quad IPs, +CC-prefixed phone numbers — the
   // pre-training scrub pass (C4/Dolma-style). Counts are per-class over
-  // the RAW text; the classes are DISJOINT by construction (the email
+  // the RAW text; email and IP are DISJOINT by construction (the email
   // pattern requires an alphabetic TLD, so a dotted-quad "domain" is not
-  // an email — spec-pinned), and redaction applies sequentially
+  // an email — spec-pinned). Email vs PHONE is NOT guaranteed disjoint:
+  // the email local part admits '+' and '-', so a phone-shaped substring
+  // inside a local part (e.g. "u+1-555-123456@x.com") matches BOTH
+  // regexes on the raw text — counts may double-count such spans, and
+  // the sequential redaction (email first) hides it in the redacted
+  // output. Oracle parity is unaffected: both engines replay the same
+  // regexes on the same text. Redaction applies sequentially
   // email -> ip -> phone, deterministic either way. Pure per-row Column
   // formulas: a map-only pass that rides the document scan at 100 TB,
   // and the oracle replays every regex verbatim in DuckDB (RE2 — no
@@ -872,6 +878,10 @@ object TextFunctions {
     *      reordering is not semantics-preserving for all endpoints):
     *      `utm_*`, `fbclid=*`, `gclid=*`; an emptied query drops its
     *      `?`.
+    * Bracketed IPv6 hosts (`[::1]:8080`) are handled: the host/port
+    * split matches the whole `[...]` group before looking for a port, so
+    * the colons inside the literal never split it (spec-pinned, fuzz
+    * grammar covers both literal shapes).
     * Pure scalar Column formula — rides the corpus scan map-only, no
     * UDF, codegen'd. Non-URL input degrades safely: no `://` means
     * scheme/host extract empty and the string passes through minus
@@ -886,8 +896,14 @@ object TextFunctions {
     val hostport = regexp_extract(
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       "([^@]*)$", 1)
-    val host = regexp_extract(hostport, "^([^:]*)", 1)
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    // Bracketed IPv6 literals ('[::1]:8080') must not split on the
+    // colons INSIDE the brackets: the host alternation matches the whole
+    // bracket group first, so the port regex sees only a ']'-terminated
+    // prefix and reads the real ':8080'. Plain hosts take the second arm
+    // ('first colon ends the host') exactly as before. RE2-portable
+    // alternation, replayed verbatim by the oracle.
+    val host = regexp_extract(hostport, "^(\\[[^\\]]*\\]|[^:]*)", 1)
+    val port = regexp_extract(hostport, "^(\\[[^\\]]*\\]|[^:]*):([0-9]+)$", 2)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")

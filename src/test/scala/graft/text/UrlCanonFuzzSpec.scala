@@ -20,7 +20,8 @@ class UrlCanonFuzzSpec extends AnyFunSuite with SparkTestHarness {
   private val genUrl: Gen[String] = for {
     scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
     user <- Gen.oneOf("", "u@", "User:Pw@")
-    host <- Gen.oneOf("Ex.COM", "a.b.org", "WWW.Site9.net")
+    host <- Gen.oneOf("Ex.COM", "a.b.org", "WWW.Site9.net",
+      "[::1]", "[2001:DB8::1]")
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     segs <- Gen.choose(0, 3)
     path = (1 to segs).map(i => s"/Seg$i").mkString
@@ -60,6 +61,33 @@ class UrlCanonFuzzSpec extends AnyFunSuite with SparkTestHarness {
         s"degenerate query survived: $u -> $c")
       val scheme = c.takeWhile(_ != ':')
       assert(scheme === scheme.toLowerCase, s"scheme case: $u -> $c")
+      // Bracketed IPv6 hosts must survive intact: the host/port split
+      // may not fire on the colons INSIDE the brackets (r15 ADVICE).
+      if (u.contains("[")) {
+        assert(c.contains("[") && c.contains("]"),
+          s"IPv6 brackets mangled: $u -> $c")
+        val inside = c.substring(c.indexOf('[') + 1, c.indexOf(']'))
+        assert(inside === inside.toLowerCase &&
+          u.toLowerCase.contains(s"[$inside]"),
+          s"IPv6 literal mangled: $u -> $c")
+      }
+    }
+  }
+
+  test("canonicalizeUrl: bracketed IPv6 hosts split host/port correctly") {
+    val cases = Seq(
+      // non-default port kept, colons inside brackets untouched
+      "http://[::1]:8080/p" -> "http://[::1]:8080/p",
+      // default port stripped AFTER the bracket group; host lowercased
+      "HTTPS://[2001:DB8::1]:443/A/" -> "https://[2001:db8::1]/A",
+      "http://[::1]:80/x" -> "http://[::1]/x",
+      // no port at all: the ']' tail must not read as a port
+      "http://[::1]" -> "http://[::1]")
+    val out = cases.map(_._1).toDF("u")
+      .select($"u", TextFunctions.canonicalizeUrl($"u").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(out(u) === want, s"canon($u)")
     }
   }
 }
