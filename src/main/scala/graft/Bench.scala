@@ -37,6 +37,25 @@ object Bench {
     (backwards.size >= minBackwards || inflated, backwards)
   }
 
+  /** Belt-file guard (r15 verdict): a `host_suspect: true` payload must
+    * not OVERWRITE a same-name belt file whose on-disk payload is healthy
+    * (`"host_suspect":false`) — round 15's committed `BENCH_FULL_r15.json`
+    * carried the driver's degraded 362 s window over the builder's healthy
+    * 209 s one, leaving the wrong prior for the next round's delta scrape.
+    * A suspect payload diverts to `<name>_suspect.json` instead, so the
+    * degraded window is still recorded (the detector's evidence) without
+    * destroying the healthy prior. Healthy payloads always take the
+    * default name (newer healthy > older healthy: same-code re-runs are
+    * the more current prior). Pure so the spec drives it with synthetic
+    * payloads; existing = the current on-disk content, None if absent or
+    * unreadable.
+    */
+  def fullPayloadTarget(defaultName: String, existing: Option[String],
+      newSuspect: Boolean): String =
+    if (newSuspect && existing.exists(_.contains("\"host_suspect\":false")))
+      defaultName.stripSuffix(".json") + "_suspect.json"
+    else defaultName
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -259,10 +278,21 @@ object Bench {
     // prefers — the driver's own artifact can never serve that role
     // again once tail-truncated.
     try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
-      fullName.foreach(f => java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f), line + "\n"))
+      // Both belts route through the suspect guard: a degraded window
+      // never clobbers a healthy on-disk prior (see fullPayloadTarget).
+      def write(name: String): Unit = {
+        val p = java.nio.file.Paths.get(name)
+        val existing =
+          if (java.nio.file.Files.exists(p))
+            try Some(java.nio.file.Files.readString(p))
+            catch { case _: Throwable => None }
+          else None
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fullPayloadTarget(name, existing, suspect)),
+          line + "\n")
+      }
+      write("BENCH_LAST.json")
+      fullName.foreach(write)
     } catch { case _: Throwable => () }
     spark.stop()
     // Stdout channels + the file belts: the compact line LAST (kept at

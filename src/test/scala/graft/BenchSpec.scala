@@ -71,4 +71,36 @@ class BenchSpec extends AnyFunSuite {
       prevSteadyTotal = Some(200.0), deltas = Seq.fill(100)(0.8))
     assert(!s)
   }
+
+  // ---- belt-file guard (r15 verdict task 5): a suspect payload must not
+  // overwrite a healthy same-name belt; every other combination writes to
+  // the default name.
+  private val healthyPayload =
+    Some("""{"steady_total":209.0,"host_suspect":false,"queries":{}}""")
+  private val suspectPayload =
+    Some("""{"steady_total":362.1,"host_suspect":true,"queries":{}}""")
+
+  test("fullPayloadTarget: suspect payload diverts when the on-disk belt is healthy") {
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r16.json", healthyPayload,
+      newSuspect = true) === "BENCH_FULL_r16_suspect.json")
+    assert(Bench.fullPayloadTarget("BENCH_LAST.json", healthyPayload,
+      newSuspect = true) === "BENCH_LAST_suspect.json")
+  }
+
+  test("fullPayloadTarget: healthy payloads always take the default name") {
+    // Newer healthy over older healthy (same-code re-runs are the more
+    // current prior), healthy over suspect, healthy over nothing.
+    for (existing <- Seq(healthyPayload, suspectPayload, None))
+      assert(Bench.fullPayloadTarget("BENCH_FULL_r16.json", existing,
+        newSuspect = false) === "BENCH_FULL_r16.json", s"existing=$existing")
+  }
+
+  test("fullPayloadTarget: suspect payload may overwrite a suspect or absent belt") {
+    // Nothing healthy to protect: the suspect window is still the best
+    // (only) record of the round.
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r16.json", suspectPayload,
+      newSuspect = true) === "BENCH_FULL_r16.json")
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r16.json", None,
+      newSuspect = true) === "BENCH_FULL_r16.json")
+  }
 }
