@@ -482,18 +482,24 @@ object SparkEntry {
     // Trailing RANGE-frame window: per event_type, each event's count
     // and cents-sum over the PRECEDING hour on the nanos lattice —
     // value-based frames (RANGE BETWEEN n PRECEDING), the frame class
-    // the rows-based gates don't cover. One exchange on event_type.
-    "q28_trailing_window" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("ts")
-        .rangeBetween(-3600000000000L, 0L)
-      eventsNanos(s, d)
-        .select(col("event_id"), col("event_type"), col("ts"),
-          cents(col("value")).as("v"))
-        .select(col("event_id"), col("event_type"),
-          count(lit(1)).over(w).as("n_1h"),
+    // the rows-based gates don't cover. event_type is a 5-value column,
+    // so the naive `PARTITION BY event_type` plan is a 5-task wall whose
+    // per-task sort grows with the corpus (the r15 verdict's one scale
+    // weakness) — the gate runs the CHUNKED form instead: time chunks of
+    // width >= the frame parallelize a trailing frame exactly
+    // (boundary-strip carry rows, own-row filter after the window; see
+    // ChunkedWindow), and the oracle replays the GLOBAL window, so the
+    // chunk decomposition is hash-pinned to be invisible.
+    "q28_trailing_window" -> ((s, d) =>
+      operators.ChunkedWindow.trailingRange(
+        eventsNanos(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            cents(col("value")).as("v")),
+        "ts", Seq("event_type"), frame = 3600000000000L) { w =>
+        Seq(count(lit(1)).over(w).as("n_1h"),
           sum(col("v")).over(w).as("cents_1h"))
-    }),
+      }.select(col("event_id"), col("event_type"),
+        col("n_1h"), col("cents_1h"))),
 
     // EXACT discrete percentiles per event type: value at rank
     // ceil(p*n) = (p_pct*n + 99) div 100 over the ascending sort — pure
@@ -1009,6 +1015,22 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
           "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
           m = 4, kCent = 8, indexOf = Some(merged))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // DURABLE index (the ingest-job -> serving-job handoff): build,
+    // PERSIST as a bucketed-by-cell table + books sidecar, RELOAD, and
+    // search the reloaded index with the probed-cell set pushed into the
+    // bucketed scan as a literal filter (bucket pruning — the serving
+    // job reads only probed cells' files). Oracle = the s13 SQL
+    // verbatim: persistence must be invisible to search.
+    "s20_ivfpq_persist" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s20_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s20_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
     }),
 
@@ -2523,6 +2545,59 @@ object SparkEntry {
           |  CAST(len(dropped) AS BIGINT) AS n_boiler_lines
           |FROM kd""".stripMargin
 
+  /** The s13 IVF-PQ replay: smallest-id coarse/codebook seeds, integer-
+    * lattice encode, 2-probe ADC search, rank (d2 ASC, id ASC). Shared
+    * verbatim by s20 (persist + reload must be INVISIBLE to search —
+    * the reloaded-index result hash-equals the in-session one, which is
+    * exactly what sharing the oracle text asserts).
+    */
+  private val s13OracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+      |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+      |  FROM e ORDER BY vec_id LIMIT 4),
+      |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
+      |  FROM e CROSS JOIN cc c),
+      |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd) WHERE rn = 1),
+      |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS rv
+      |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
+      |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
+      |  FROM res ORDER BY vec_id LIMIT 8),
+      |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |code AS (SELECT vec_id, cell, s, j AS code
+      |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
+      |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
+      |  i -> e.vq[i] - c.cv[i]) AS qr
+      |  FROM probes p JOIN e ON e.vec_id = p.qid
+      |  JOIN cc c ON c.cell = p.cell),
+      |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
+      |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
+      |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
+      |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
+      |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
+      |    AND qt.j = code.code
+      |  WHERE code.vec_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
+      |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
+      |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
+      |FROM rk WHERE rnk <= 5""".stripMargin
+
   /** The s16 filtered IVF-PQ replay (see the comment above the gate):
     * the s13 chain with the label predicate folded into the candidate
     * join. Shared verbatim by the st16 streaming twin.
@@ -3481,52 +3556,13 @@ object SparkEntry {
     // code argmin, then per-(query, probed-cell) ADC tables summed over
     // the m lookup rows — candidates restricted to probed cells by the
     // cell equi-join, exactly the Spark plan's pruning.
-    "s13_ivfpq" ->
-      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
-        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
-        |  FROM e ORDER BY vec_id LIMIT 4),
-        |cd AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
-        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2
-        |  FROM e CROSS JOIN cc c),
-        |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd) WHERE rn = 1),
-        |res AS (SELECT e.vec_id, a.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS rv
-        |  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.cell = a.cell),
-        |bk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, rv AS bv
-        |  FROM res ORDER BY vec_id LIMIT 8),
-        |ed AS (SELECT r.vec_id, r.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (r.rv[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM res r CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |code AS (SELECT vec_id, cell, s, j AS code
-        |  FROM (SELECT vec_id, cell, s, j, row_number() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM ed)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS qid, cell FROM (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |  FROM cd WHERE vec_id <= 3) WHERE rn <= 2),
-        |qres AS (SELECT p.qid, p.cell, list_transform(range(1, 65),
-        |  i -> e.vq[i] - c.cv[i]) AS qr
-        |  FROM probes p JOIN e ON e.vec_id = p.qid
-        |  JOIN cc c ON c.cell = p.cell),
-        |qt AS (SELECT q.qid, q.cell, sj.s, b.j,
-        |  list_sum(list_transform(range(1, 17),
-        |    i -> (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i])
-        |       * (q.qr[sj.s*16 + i] - b.bv[sj.s*16 + i]))) AS d2
-        |  FROM qres q CROSS JOIN range(0, 4) sj(s) CROSS JOIN bk b),
-        |appr AS (SELECT qt.qid, code.vec_id AS nid, CAST(sum(qt.d2) AS BIGINT) AS d2
-        |  FROM code JOIN qt ON qt.cell = code.cell AND qt.s = code.s
-        |    AND qt.j = code.code
-        |  WHERE code.vec_id <> qt.qid
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT qid, nid, d2, CAST(row_number() OVER
-        |  (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk FROM appr)
-        |SELECT qid AS query_id, nid AS neighbor_id, d2, rnk
-        |FROM rk WHERE rnk <= 5""".stripMargin,
+    "s13_ivfpq" -> s13OracleSql,
+
+    // Durable index: persist + reload must be INVISIBLE to search — the
+    // oracle IS the s13 SQL verbatim (a drifted sidecar round-trip or a
+    // bucket-pruning wrong-result would move codes/candidates and fail
+    // the hash).
+    "s20_ivfpq_persist" -> s13OracleSql,
 
     // Filtered IVF-PQ replay: the s13 chain verbatim — index built on the
     // FULL corpus (the index is filter-agnostic; predicates vary per

@@ -923,6 +923,121 @@ object Similarity {
       .unionByName(enc), coarse, book)
   }
 
+  /** PERSIST an IVF-PQ index (s20) — the missing link between the ingest
+    * job that builds/maintains the index (s17/s18/st18) and the serving
+    * job that probes it (s13/s16/st16): until now the artifact was a
+    * session-held checkpoint and the books driver-held arrays, so the
+    * index died with the session. The artifact `[id, cell, codes,
+    * meta...]` writes as a parquet table BUCKETED BY CELL
+    * ([[graft.sources.BucketedTables]]): search reads only probed cells,
+    * so the bucketed layout lets the scan PRUNE buckets under a
+    * `cell IN (probed)` predicate ([[ivfPqSearchTable]] pushes exactly
+    * that) — at nProbe ≪ nCells the serving job never reads most of the
+    * index files, the property a 10^11-vector artifact lives or dies by.
+    * The two codebooks (nCells + m·kCent small vectors — driver-resident
+    * by design) write as a tiny sidecar table `<table>_books` with rows
+    * `(kind 0=coarse/1=book, i, j, vec)`.
+    */
+  def ivfPqSave(
+      index: (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]),
+      table: String, numBuckets: Int = 32): Unit = {
+    val (artifact, coarse, book) = index
+    requireBooks(coarse, book)
+    graft.sources.BucketedTables.writeBucketed(
+      artifact, table, numBuckets, Seq("cell"))
+    val spark = artifact.sparkSession
+    import spark.implicits._
+    val rows =
+      coarse.zipWithIndex.map { case (cv, i) => (0, i, 0, cv.toSeq) } ++
+        (for { s <- book.indices; j <- book(s).indices }
+          yield (1, s, j, book(s)(j).toSeq))
+    graft.sources.BucketedTables.replaceSidecar(
+      rows.toSeq.toDF("kind", "i", "j", "vec"), s"${table}_books")
+  }
+
+  /** Load an index persisted by [[ivfPqSave]]: the artifact comes back as
+    * the bucketed-table scan (its cell hash-partitioning reported to the
+    * planner), the books re-materialize from the sidecar — the returned
+    * tuple plugs straight into [[ivfPqTopK]]'s `indexOf` /
+    * [[ivfPqAdd]] / [[ivfPqUpsert]] / [[ivfPqRemove]]. A corrupted or
+    * hand-edited sidecar (gaps in the (i, j) lattice, ragged vectors)
+    * fails loudly through the same shape validation every hand-built
+    * tuple passes.
+    */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, table: String)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val side = spark.table(s"${table}_books")
+      .select(col("kind"), col("i"), col("j"), col("vec")).collect()
+    val coarseRows = side.filter(_.getInt(0) == 0)
+    val bookRows = side.filter(_.getInt(0) == 1)
+    require(coarseRows.nonEmpty && bookRows.nonEmpty,
+      s"sidecar ${table}_books is missing coarse or codebook rows")
+    val coarse = coarseRows.sortBy(_.getInt(1))
+      .map(_.getSeq[Long](3).toArray)
+    require(coarseRows.map(_.getInt(1)).sorted.toSeq ==
+      coarse.indices.toSeq,
+      s"sidecar ${table}_books: coarse cell ids are not 0..${coarse.length - 1}")
+    val m = bookRows.map(_.getInt(1)).max + 1
+    val kCent = bookRows.map(_.getInt(2)).max + 1
+    require(bookRows.length == m * kCent,
+      s"sidecar ${table}_books: ${bookRows.length} codebook rows != " +
+        s"$m subspaces x $kCent centroids")
+    val book = Array.ofDim[Array[Long]](m, kCent)
+    bookRows.foreach(r => book(r.getInt(1))(r.getInt(2)) =
+      r.getSeq[Long](3).toArray)
+    requireBooks(coarse, book)
+    (graft.sources.BucketedTables.readBucketed(spark, table), coarse, book)
+  }
+
+  /** The DISTINCT coarse cells a (bounded, batch) query set probes at
+    * `nProbe` — the literal set [[ivfPqSearchTable]] pushes into the
+    * bucketed index scan as `cell IN (...)` so bucket pruning fires at
+    * planning time (a join key never prunes a scan; a literal predicate
+    * does). The collect is bounded by min(nCells, queries × nProbe) ints
+    * — the same serving-batch contract that already broadcasts the query
+    * tables. Batch queries only (a streaming batch is not driver-known
+    * at plan time — st16's stream-static join is the streaming shape).
+    */
+  def ivfPqProbeCells(queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Long]], nProbe: Int): Array[Int] = {
+    require(!queries.isStreaming,
+      "ivfPqProbeCells needs a driver-known batch of queries")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"need 1 <= nProbe <= nCells=${coarse.length}, got $nProbe")
+    val qq = KMeans.quantize(queries, idCol, vecCol)
+      .withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+    val ranked = array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
+      struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
+        typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as("d"),
+        lit(i).as("c"))
+    }.toIndexedSeq: _*))
+    qq.select(explode(slice(ranked, 1, nProbe)).as("p"))
+      .select(col("p.c").as("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+  }
+
+  /** Serve ANN queries off a PERSISTED index table — the s20 composition:
+    * load books from the sidecar, compute the query batch's probed-cell
+    * set, and run [[ivfPqTopK]] over the bucketed artifact scan filtered
+    * to `cell IN (probed)` — so the scan reads ONLY the probed cells'
+    * buckets (SelectedBucketsCount in the plan, spec-pinned). Results are
+    * bit-identical to the in-session search: the equi-join on cell
+    * already ignored unprobed cells; the literal filter just stops the
+    * scan from READING them.
+    */
+  def ivfPqSearchTable(queries: DataFrame, table: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      indexFilter: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val (artifact, coarse, book) = ivfPqLoad(queries.sparkSession, table)
+    val cells = ivfPqProbeCells(queries, idCol, vecCol, coarse, nProbe)
+    val pruned = artifact.filter(col("cell").isin(cells.map(c => c: Any): _*))
+    ivfPqTopK(queries, queries, idCol, vecCol, k, coarse.length, nProbe,
+      book.length, book.head.length, indexOf = Some((pruned, coarse, book)),
+      indexFilter = indexFilter, metaCols = metaCols)
+  }
+
   /** Staleness of a frozen IVF-PQ index vs a delta (s17's retrain
     * signal): mean ADC quantization distortion of the delta rows over
     * that of the training rows, both under the SAME frozen books (the

@@ -25,6 +25,20 @@ import graft.graph.GraphFrame
   */
 object BucketedTables {
 
+  /** Drop `table` from the catalog AND clear any dangling directory a
+    * previous session's in-memory catalog left behind: `mode(overwrite)`
+    * only replaces tables the CURRENT catalog knows, so a stale location
+    * would block the CTAS with LOCATION_ALREADY_EXISTS.
+    */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Save `df` as parquet table `table`, bucketed AND per-file-sorted by
     * `keys`. Overwrites any existing table of the same name.
     */
@@ -33,20 +47,21 @@ object BucketedTables {
     require(keys.nonEmpty, "at least one bucket key")
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    // `mode(overwrite)` only replaces tables the CURRENT catalog knows; a
-    // location left by an earlier session's in-memory catalog blocks the
-    // CTAS with LOCATION_ALREADY_EXISTS. Drop both the entry and any
-    // dangling directory.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropWithLocation(spark, table)
     df.repartition(numBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Replace `table` with a small UNBUCKETED parquet table — the sidecar
+    * shape (an ANN codebook, a manifest): one file, no layout contract,
+    * same stale-location discipline as [[writeBucketed]].
+    */
+  def replaceSidecar(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.coalesce(1).write.mode("overwrite").format("parquet")
       .saveAsTable(table)
   }
 

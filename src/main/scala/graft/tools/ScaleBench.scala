@@ -431,6 +431,53 @@ object ScaleBench {
         println(f"SCALE-OK sesswin n=$n users=$users sessions=$nNative " +
           f"native=$tNat%.1f check=$tChk%.1f sec")
 
+      case "trailwin" | "trailwin-naive" =>
+        // q28's trailing RANGE frame at corpus scale: n events over 5
+        // event types (the gate's real cardinality) on a ~12.7-day micros
+        // axis, 1-hour trailing frame. The CHUNKED form must (a) equal
+        // the naive global window row-for-row and (b) parallelize beyond
+        // 5 tasks — the naive variant exists to measure the 5-task wall
+        // it replaces (at n=2^22 the naive plan sorts ~840k rows per
+        // task in 5 tasks; at 100x that per-task sort is the job).
+        val span = 1L << 40 // micros
+        val frameW = 3600000000L // 1 hour in micros
+        val ev = spark.range(n).select(col("id").as("event_id"),
+          concat(lit("t"), pmod(xxhash64(col("id"), lit(31)), lit(5L))
+            .cast("string")).as("et"),
+          pmod(xxhash64(col("id"), lit(32)), lit(span)).as("ts"),
+          pmod(xxhash64(col("id"), lit(33)), lit(1000L)).as("v"))
+        def naiveW = org.apache.spark.sql.expressions.Window
+          .partitionBy("et").orderBy("ts").rangeBetween(-frameW, 0)
+        if (algo == "trailwin-naive") {
+          val c = ev.select(col("event_id"),
+              count(lit(1)).over(naiveW).as("n1h"),
+              sum(col("v")).over(naiveW).as("s1h"))
+            .agg(sum(col("n1h")), sum(col("s1h"))).head()
+          println(f"SCALE-OK trailwin-naive n=$n frames=${c.getLong(0)} " +
+            f"sec=${(System.nanoTime() - t0) / 1e9}%.1f (5-task wall)")
+        } else {
+          val chunked = graft.operators.ChunkedWindow.trailingRange(
+            ev, "ts", Seq("et"), frameW) { w =>
+            Seq(count(lit(1)).over(w).as("n1h"), sum(col("v")).over(w).as("s1h"))
+          }
+          val c = chunked.agg(sum(col("n1h")), sum(col("s1h"))).head()
+          val tChunk = (System.nanoTime() - t0) / 1e9
+          // Row-level equality vs the naive window (symmetric-difference
+          // count, the sesswin discipline).
+          val t1 = System.nanoTime()
+          val naive = ev.select(col("event_id"),
+            count(lit(1)).over(naiveW).as("n1h"),
+            sum(col("v")).over(naiveW).as("s1h"))
+          val diff = chunked.select(col("event_id"), col("n1h"), col("s1h"))
+            .unionAll(naive)
+            .groupBy("event_id", "n1h", "s1h").agg(count(lit(1)).as("c"))
+            .filter(col("c") =!= 2).count()
+          val tChk = (System.nanoTime() - t1) / 1e9
+          require(diff == 0L, s"chunked vs naive disagree on $diff rows")
+          println(f"SCALE-OK trailwin n=$n frames=${c.getLong(0)} " +
+            f"chunked=$tChunk%.1f check=$tChk%.1f sec")
+        }
+
       case "ivjoin" | "ivjoin-skew" =>
         // q27 binned interval join at corpus scale: n points x n/4
         // intervals on a 2^48-wide axis, interval lengths up to 2^32

@@ -14,6 +14,114 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def artifactRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+
+  test("ChunkedWindow.trailingRange == the global RANGE window, for every chunk width") {
+    // Adversarial lattice: duplicate timestamps (RANGE peers), rows
+    // exactly ON chunk boundaries, rows exactly frame-width apart
+    // (inclusive lower bound), negative timestamps (pmod floor-div
+    // domain), and a key whose rows straddle many chunks.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val key = s"k${i % 3}"
+      val ts = rnd.nextLong() % 4000L match { case t => t } // in [-4000, 4000)
+      (i.toLong, key, ts, (i % 17).toLong)
+    } ++ Seq( // pinned shapes on top of the fuzz
+      (90001L, "k0", 0L, 1L), (90002L, "k0", 0L, 2L),     // boundary + tie
+      (90003L, "k0", -100L, 3L), (90004L, "k0", 100L, 4L), // frame edge pair
+      (90005L, "k0", -4000L, 5L))
+    val df = rows.toDF("id", "key", "ts", "v")
+    val frame = 200L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("ts").rangeBetween(-frame, 0)
+    val want = df.select($"id",
+        count(lit(1)).over(w).as("n"), sum($"v").over(w).as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    // W = F (max replication), W = 4F (the default), W huge (one chunk —
+    // degenerates to the naive plan): all must be bit-identical.
+    for (cw <- Seq(frame, -1L, 1000000L)) {
+      val got = ChunkedWindow.trailingRange(df, "ts", Seq("key"),
+          frame, chunkWidth = cw) { spec =>
+          Seq(count(lit(1)).over(spec).as("n"), sum($"v").over(spec).as("s"))
+        }.select($"id", $"n", $"s")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"chunkWidth=$cw diverged from the global window")
+    }
+    val err = intercept[IllegalArgumentException] {
+      ChunkedWindow.trailingRange(df, "ts", Seq("key"), frame,
+        chunkWidth = frame - 1)(spec => Seq(count(lit(1)).over(spec).as("n")))
+    }
+    assert(err.getMessage.contains("chunkWidth"))
+  }
+
+  test("ivfPqSave/ivfPqLoad round-trips books exactly and the artifact row-for-row") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx @ (artifact, coarse, book) = Similarity.ivfPqIndex(
+      e, "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16_rt_idx", numBuckets = 4)
+    val (loaded, lCoarse, lBook) = Similarity.ivfPqLoad(spark, "r16_rt_idx")
+    assert(lCoarse.map(_.toSeq).toSeq === coarse.map(_.toSeq).toSeq,
+      "coarse centroids must round-trip bit-exactly")
+    assert(lBook.map(_.map(_.toSeq).toSeq).toSeq ===
+      book.map(_.map(_.toSeq).toSeq).toSeq,
+      "residual codebook must round-trip bit-exactly")
+    assert(artifactRows(loaded) === artifactRows(artifact))
+    // The loaded tuple plugs into maintenance unchanged: add a delta to
+    // the RELOADED index and to the in-session one — identical artifacts.
+    val delta = e.limit(5).select(($"vec_id" + 1000000L).as("vec_id"),
+      $"embedding")
+    assert(
+      artifactRows(Similarity.ivfPqAdd((loaded, lCoarse, lBook), delta,
+        "vec_id", "embedding")._1) ===
+      artifactRows(Similarity.ivfPqAdd(idx, delta, "vec_id", "embedding")._1))
+  }
+
+  test("ivfPqSearchTable prunes buckets: the scan reads probed cells only") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16_prune_idx", numBuckets = 4)
+    // One query at nProbe=1 probes exactly one cell; the bucketed scan
+    // must report SelectedBucketsCount < 4 (a full-artifact scan at
+    // nProbe << nCells is the failure mode the layout exists to prevent).
+    val res = Similarity.ivfPqSearchTable(e.filter($"vec_id" === 1),
+      "r16_prune_idx", "vec_id", "embedding", k = 3, nProbe = 1)
+    val plan = res.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    val (got, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(total === 4 && got < total,
+      s"expected a pruned scan, got $got out of $total buckets")
+    // And the pruned search returns the same rows as the in-session one.
+    val want = Similarity.ivfPqTopK(e, e.filter($"vec_id" === 1),
+        "vec_id", "embedding", k = 3, nCells = 4, nProbe = 1,
+        m = 4, kCent = 8, indexOf = Some(idx))
+      .collect().map(_.toString).sorted.toSeq
+    assert(res.collect().map(_.toString).sorted.toSeq === want)
+  }
+
+  test("ivfPqLoad fails loud on a corrupted books sidecar") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16_bad_idx", numBuckets = 4)
+    // Drop one codebook row: the (i, j) lattice has a gap — a silent
+    // load would score garbage against a null centroid. Materialize the
+    // filtered sidecar BEFORE the replace (which deletes the files the
+    // lazy frame would otherwise read).
+    val corrupted = spark.table("r16_bad_idx_books")
+      .filter(!($"kind" === 1 && $"i" === 2 && $"j" === 3))
+      .localCheckpoint(true)
+    graft.sources.BucketedTables.replaceSidecar(corrupted, "r16_bad_idx_books")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqLoad(spark, "r16_bad_idx")
+    }
+    assert(err.getMessage.contains("codebook rows"))
+  }
+
   test("binaryCodes fails loud on a mis-dimensioned vector (no silent sign-0 fill)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val short = e.limit(3).select($"vec_id",
