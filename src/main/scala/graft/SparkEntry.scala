@@ -1034,6 +1034,27 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // DELETE (index CRUD's last quadrant): the index builds on the FULL
+    // corpus — so the frozen books keep their full-corpus seeds — then
+    // vec_id % 5 == 2 rows are REMOVED (left_anti, books untouched) and
+    // search runs over the survivors. The oracle replays the s13 chain
+    // with only the candidate set restricted — removal must equal an
+    // index that never held those rows, WITHOUT re-deriving books from
+    // the surviving subset (a rebuild WOULD re-derive: vec_id 2 is a
+    // seed row, so rebuild-vs-remove produce different codes — exactly
+    // what the shared-seed oracle discriminates).
+    "s21_ivfpq_remove" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      val survived = Similarity.ivfPqRemove(idx,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")), "vec_id")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+          m = 4, kCent = 8, indexOf = Some(survived))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Binary (1-bit sign) quantization + Hamming scan: the memory tier
     // below int8/PQ — 64 dims pack into two 32-bit long words, Hamming
     // distance = XOR + POPCNT per word, ties to the smaller id.
@@ -3563,6 +3584,14 @@ object SparkEntry {
     // bucket-pruning wrong-result would move codes/candidates and fail
     // the hash).
     "s20_ivfpq_persist" -> s13OracleSql,
+
+    // Delete: the s13 chain verbatim — full-corpus seeds (the books a
+    // remove must NOT re-derive) — with removed ids excluded from the
+    // CANDIDATE set only. The single-site string surgery keeps every
+    // other clause bit-identical to s13's.
+    "s21_ivfpq_remove" -> s13OracleSql.replace(
+      "WHERE code.vec_id <> qt.qid",
+      "WHERE code.vec_id <> qt.qid AND code.vec_id % 5 <> 2"),
 
     // Filtered IVF-PQ replay: the s13 chain verbatim — index built on the
     // FULL corpus (the index is filter-agnostic; predicates vary per

@@ -1038,6 +1038,33 @@ object Similarity {
       indexFilter = indexFilter, metaCols = metaCols)
   }
 
+  /** REMOVE ids from an IVF-PQ index artifact (s21) — the delete half of
+    * the index CRUD (build s13, add s17, upsert s18, persist s20): a
+    * `left_anti` on id, books untouched (removal never changes how the
+    * SURVIVORS quantize — their codes were computed row-independently
+    * under the frozen books). Search over the result equals search over
+    * an index that never contained those rows (the s21 oracle's claim),
+    * and `remove(ids) then add(delta)` == `upsert(delta)` when
+    * ids = delta's ids (spec-pinned).
+    *
+    * COST: like upsert's replace half, the anti join shuffles the
+    * existing artifact unless it is persisted bucketed by id — batched,
+    * rare removals (or a tombstone side table the search anti-joins) are
+    * the production cadence. What removal DOES change is how well the
+    * frozen books still represent the corpus: the training rows keep
+    * counting in the codebook but no longer exist — pass the surviving
+    * artifact to [[ivfPqStaleness]] and the removed training mass counts
+    * toward retrain pressure.
+    */
+  def ivfPqRemove(
+      index: (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]),
+      ids: DataFrame, idCol: String)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val (artifact, coarse, book) = index
+    (artifact.join(ids.select(col(idCol).as("id")), Seq("id"), "left_anti"),
+      coarse, book)
+  }
+
   /** Staleness of a frozen IVF-PQ index vs a delta (s17's retrain
     * signal): mean ADC quantization distortion of the delta rows over
     * that of the training rows, both under the SAME frozen books (the
@@ -1046,18 +1073,42 @@ object Similarity {
     * frozen books quantize new data increasingly badly — retrain. One
     * row `[train_mean_dist, delta_mean_dist, staleness]`; two scalar
     * aggregates + a 1x1 cross join, nothing corpus-sized moves.
+    *
+    * With `currentArtifact` (s21): REMOVED TRAINING MASS also counts
+    * toward retrain pressure — training rows absent from the current
+    * artifact still shaped the frozen books but no longer exist, so the
+    * books increasingly describe a corpus that is gone. Two more
+    * columns: `removed_train_frac` (fraction of training rows whose id
+    * left the artifact) and `retrain_pressure` =
+    * `staleness / (1 - removed_train_frac)` — equal to staleness at
+    * zero removals and diverging as the training support erodes (all
+    * training rows gone = unbounded pressure: nothing the books were
+    * fit on remains). Adds one anti-join count over the training rows;
+    * still nothing corpus-sized on the driver.
     */
-  def ivfPqStaleness(trainEncoded: DataFrame, deltaEncoded: DataFrame)
-      : DataFrame = {
+  def ivfPqStaleness(trainEncoded: DataFrame, deltaEncoded: DataFrame,
+      currentArtifact: Option[DataFrame] = None): DataFrame = {
     Seq(trainEncoded, deltaEncoded).foreach(df =>
       require(df.columns.contains("dist"),
         "ivfPqStaleness needs the `dist` column — encode with " +
           "withDistortion = true"))
-    trainEncoded.agg(avg(col("dist")).as("train_mean_dist"))
+    val base = trainEncoded.agg(avg(col("dist")).as("train_mean_dist"))
       .crossJoin(deltaEncoded.agg(avg(col("dist")).as("delta_mean_dist")))
       .select(col("train_mean_dist"), col("delta_mean_dist"),
         (col("delta_mean_dist") /
           nullif(col("train_mean_dist"), lit(0.0))).as("staleness"))
+    currentArtifact.fold(base) { artifact =>
+      val removed = trainEncoded
+        .join(artifact.select(col("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_removed"))
+        .crossJoin(trainEncoded.agg(count(lit(1)).as("n_train")))
+        .select((col("n_removed").cast("double") /
+          nullif(col("n_train").cast("double"), lit(0.0)))
+          .as("removed_train_frac"))
+      base.crossJoin(removed)
+        .withColumn("retrain_pressure", col("staleness") /
+          nullif(lit(1.0) - col("removed_train_frac"), lit(0.0)))
+    }
   }
 
   /** Exact integer |cv|^2 as a double literal (codebook vectors only —

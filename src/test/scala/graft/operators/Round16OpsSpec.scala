@@ -122,6 +122,61 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(err.getMessage.contains("codebook rows"))
   }
 
+  test("ivfPqRemove: left_anti semantics, books untouched, remove-then-add == upsert") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx @ (artifact, coarse, book) = Similarity.ivfPqIndex(
+      e, "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    val victims = e.filter($"vec_id" % 5 === 2).select($"vec_id")
+    val (survived, sCoarse, sBook) = Similarity.ivfPqRemove(idx,
+      victims, "vec_id")
+    // Books pass through untouched (same arrays, not copies).
+    assert(sCoarse.eq(coarse) && sBook.eq(book))
+    // Exactly the victims' rows are gone; survivors are bit-identical.
+    assert(artifactRows(survived) ===
+      artifactRows(artifact.join(victims.select($"vec_id".as("id")),
+        Seq("id"), "left_anti")))
+    assert(survived.count() === e.count() - victims.count())
+
+    // remove(ids) then add(delta with those ids) == upsert(delta): the
+    // two CRUD compositions that express "replace" must agree.
+    val delta = e.filter($"vec_id" % 5 === 2)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"), x => x + lit(1.0))
+          .as("embedding"))
+    val removeAdd = artifactRows(Similarity.ivfPqAdd(
+      (survived, sCoarse, sBook), delta, "vec_id", "embedding")._1)
+    val upsert = artifactRows(Similarity.ivfPqUpsert(idx, delta,
+      "vec_id", "embedding")._1)
+    assert(removeAdd === upsert)
+  }
+
+  test("ivfPqStaleness: removed training mass raises retrain pressure") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx @ (_, coarse, book) = Similarity.ivfPqIndex(
+      e, "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    val train = Similarity.ivfPqAppend(e, "vec_id", "embedding",
+      coarse, book, withDistortion = true)
+    val delta = Similarity.ivfPqAppend(e.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", coarse, book, withDistortion = true)
+    // No removals: pressure == staleness, removed fraction 0.
+    val Array((st0, frac0, pr0)) =
+      Similarity.ivfPqStaleness(train, delta, Some(idx._1))
+        .select($"staleness", $"removed_train_frac", $"retrain_pressure")
+        .as[(Double, Double, Double)].collect()
+    assert(frac0 === 0.0 && math.abs(pr0 - st0) < 1e-12)
+    // Remove half the training rows: pressure == staleness / (1 - 1/2).
+    val (half, _, _) = Similarity.ivfPqRemove(idx,
+      e.filter($"vec_id" % 2 === 0).select($"vec_id"), "vec_id")
+    val Array((st1, frac1, pr1)) =
+      Similarity.ivfPqStaleness(train, delta, Some(half))
+        .select($"staleness", $"removed_train_frac", $"retrain_pressure")
+        .as[(Double, Double, Double)].collect()
+    val nEven = e.filter($"vec_id" % 2 === 0).count().toDouble
+    assert(math.abs(frac1 - nEven / e.count()) < 1e-12)
+    assert(pr1 > st1, "eroded training support must raise pressure")
+    assert(math.abs(pr1 - st1 / (1.0 - frac1)) < 1e-9)
+  }
+
   test("binaryCodes fails loud on a mis-dimensioned vector (no silent sign-0 fill)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val short = e.limit(3).select($"vec_id",
