@@ -2294,6 +2294,47 @@ object SparkEntry {
         .agg(min("min_id").as("keep_id"), max("cnt").as("n_dups"))
     }),
 
+    // Streaming URL dedup with STATE TTL — the multi-day-crawl contract:
+    // keys evict once the watermark passes ttl beyond their last
+    // occurrence, a re-seen key starts a fresh visit window, and only
+    // CLOSED windows emit (the sessionize closed-only discipline). The
+    // drive is deterministic: docs split by doc_id range into 4
+    // mtime-ordered files (one micro-batch each), key = canonical URL of
+    // doc_id % 37 (heavy recurrence — chains both continue within a
+    // batch and split across the horizon), event time = doc_id + 1000
+    // seconds (off the initial watermark, which drops equal-time rows),
+    // ttl 20 s, lateness 5 s. The oracle replays the exact semantics:
+    // split between consecutive occurrences iff the watermark AT the
+    // later batch (max sec of EARLIER batches - 5) exceeds prev + 20;
+    // closed iff the final watermark exceeds last + 20.
+    "st21_stream_firstseen_ttl" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(urlSynth(col("doc_id") % 37)).as("canon"),
+        timestamp_seconds(col("doc_id") + 1000L).as("ts"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val bSize = maxId / 4 + 1
+      val dir = java.nio.file.Files.createTempDirectory("graft-st21").toString
+      (0L until 4L).foreach { f =>
+        docs.filter(col("doc_id") >= f * bSize && col("doc_id") < (f + 1) * bSize)
+          .coalesce(1).write.parquet(s"$dir/stage$f")
+        val part = new java.io.File(s"$dir/stage$f").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + f * 60000L))
+      }
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      drainStream(
+        graft.streaming.Streams.streamingFirstSeenTtl(stream, "doc_id",
+          "canon", "ts", ttlSec = 20L, lateness = "5 seconds").toDF(),
+        "st21_sink", "append")
+    }),
+
     // Streaming INDEX INGEST — the write side of the RAG pair (st16 is
     // the read side): new embedding rows arriving on a stream encode per
     // micro-batch against the FROZEN trained books (ivfPqAppend is a pure
@@ -2817,36 +2858,40 @@ object SparkEntry {
   // with the SAME RE2-portable decomposition the Column formula uses —
   // fragment strip, lowercased scheme/hostport, default-port strip, one
   // trailing path slash, order-preserving tracking-param filter.
-  private val urlCanonCtes: String =
-    """WITH s AS (SELECT doc_id,
-      |  (CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END ||
-      |   '://WwW.ExAmPlE' || CAST(doc_id % 7 AS VARCHAR) || '.CoM' ||
-      |   CASE WHEN doc_id % 3 = 0 THEN
-      |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-      |        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
-      |   '/Dir/Page' || CAST(doc_id % 5 AS VARCHAR) ||
-      |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
-      |   CASE WHEN doc_id % 5 = 0 THEN
-      |          '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
-      |        WHEN doc_id % 5 = 1 THEN
-      |          '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&gclid=abc&q=x'
-      |        WHEN doc_id % 5 = 2 THEN '?fbclid=zz'
-      |        WHEN doc_id % 5 = 4 THEN '?a=1&utm_campaign=c&b=2'
+  // Parameterized on the SYNTH id expression: t20/d19/st20 key the URL
+  // off doc_id itself; st21 coarsens to (doc_id % 37) so canons recur
+  // within and across micro-batches (the TTL gate needs both chain
+  // continuations and horizon splits).
+  private def urlCanonCtesFor(idE: String): String =
+    raw"""WITH s AS (SELECT doc_id,
+      |  (CASE WHEN $idE % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END ||
+      |   '://WwW.ExAmPlE' || CAST($idE % 7 AS VARCHAR) || '.CoM' ||
+      |   CASE WHEN $idE % 3 = 0 THEN
+      |          (CASE WHEN $idE % 2 = 0 THEN ':443' ELSE ':80' END)
+      |        WHEN $idE % 3 = 1 THEN ':8080' ELSE '' END ||
+      |   '/Dir/Page' || CAST($idE % 5 AS VARCHAR) ||
+      |   CASE WHEN $idE % 4 = 0 THEN '/' ELSE '' END ||
+      |   CASE WHEN $idE % 5 = 0 THEN
+      |          '?utm_source=feed&id=' || CAST($idE % 11 AS VARCHAR)
+      |        WHEN $idE % 5 = 1 THEN
+      |          '?id=' || CAST($idE % 11 AS VARCHAR) || '&gclid=abc&q=x'
+      |        WHEN $idE % 5 = 2 THEN '?fbclid=zz'
+      |        WHEN $idE % 5 = 4 THEN '?a=1&utm_campaign=c&b=2'
       |        ELSE '' END ||
-      |   CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END) AS url
+      |   CASE WHEN $idE % 6 = 0 THEN '#Section2' ELSE '' END) AS url
       |  FROM documents),
-      |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM s),
+      |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u FROM s),
       |x AS (SELECT doc_id, url,
       |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |  regexp_extract(lower(regexp_extract(u,
-      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '([^@]*)$', 1) AS hostport,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '([^@]*)$$', 1) AS hostport,
       |  regexp_replace(regexp_extract(u,
-      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
       |  regexp_extract(u, '\?([^#]*)', 1) AS query
       |  FROM c),
       |y AS (SELECT doc_id, url, scheme,
       |  regexp_extract(hostport, '^(\[[^\]]*\]|[^:]*)', 1) AS host,
-      |  regexp_extract(hostport, '^(\[[^\]]*\]|[^:]*):([0-9]+)$', 2) AS port,
+      |  regexp_extract(hostport, '^(\[[^\]]*\]|[^:]*):([0-9]+)$$', 2) AS port,
       |  path, query,
       |  COALESCE(array_to_string(list_filter(string_split(query, '&'),
       |    p -> NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 7) = 'fbclid='
@@ -2861,6 +2906,8 @@ object SparkEntry {
       |  CASE WHEN query = '' OR keptq = '' THEN '' ELSE '?' || keptq END
       |    AS canon
       |  FROM y)""".stripMargin
+
+  private val urlCanonCtes: String = urlCanonCtesFor("doc_id")
 
   // Shared by s19/s19b: sign-bit packing (two 32-bit words) + pairwise
   // XOR-popcount Hamming against the vec_id <= 3 query set — ONE text so
@@ -4593,6 +4640,42 @@ object SparkEntry {
     "st20_stream_url_dedup" ->
       (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
         "count(*) AS n_dups FROM z GROUP BY 1"),
+
+    // TTL first-seen replay: the d19 aggregate RESTRICTED TO THE HORIZON.
+    // Batch b = doc_id div (max_id div 4 + 1) — the gate's file split.
+    // Watermark at batch b (wmb) = max sec over EARLIER batches - 5 (the
+    // eviction watermark Spark exposes during batch b). Consecutive
+    // occurrences of a canon split into separate visit chains iff
+    // wmb(later) > prev_sec + 20 (state evicted — by the timeout firing
+    // in an interior batch, or eagerly on the data call; both reduce to
+    // this inequality because the watermark is monotone). A chain emits
+    // iff CLOSED: final watermark (global max sec - 5) > last_sec + 20 —
+    // chains still open at end-of-stream never emit.
+    "st21_stream_firstseen_ttl" ->
+      (urlCanonCtesFor("(doc_id % 37)") + """,
+        |p AS (SELECT doc_id, canon, doc_id + 1000 AS sec,
+        |  doc_id // ((SELECT max(doc_id) FROM documents) // 4 + 1) AS b
+        |  FROM z),
+        |bm AS (SELECT b, max(sec) AS bmax FROM p GROUP BY 1),
+        |wmt AS (SELECT b, max(bmax) OVER (ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 5 AS wmb
+        |  FROM bm),
+        |o AS (SELECT p.doc_id, p.canon, p.sec, p.b,
+        |  lag(p.sec) OVER (PARTITION BY p.canon ORDER BY p.doc_id) AS psec,
+        |  lag(p.b) OVER (PARTITION BY p.canon ORDER BY p.doc_id) AS pb
+        |  FROM p),
+        |nn AS (SELECT o.*, CASE WHEN o.psec IS NULL
+        |    OR (o.b > o.pb AND COALESCE(w.wmb, -1) > o.psec + 20)
+        |  THEN 1 ELSE 0 END AS nc
+        |  FROM o LEFT JOIN wmt w ON w.b = o.b),
+        |ch AS (SELECT *, sum(nc) OVER (PARTITION BY canon ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cid FROM nn),
+        |g AS (SELECT canon, cid, CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(count(*) AS BIGINT) AS cnt, max(sec) AS last
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT canon AS key, min_id, cnt FROM g
+        |WHERE last + 20 < (SELECT max(doc_id) + 1000 - 5 FROM documents)"""
+        .stripMargin),
 
     // Streaming PII at ingest: t19's SQL verbatim (stateless transform).
     "st19_stream_pii_redact" -> t19OracleSql,

@@ -408,8 +408,9 @@ object Streams {
     *
     * State size = distinct keys inside the run — the admission-set
     * cardinality (canonical URLs of the crawl slice), NOT stream length;
-    * an unbounded multi-day crawl pairs this with state TTL/eviction the
-    * same way the st11/st17 accumulators would.
+    * an unbounded multi-day crawl uses [[streamingFirstSeenTtl]] (st21),
+    * whose event-time timeout evicts past the watermark horizon and
+    * bounds state by the ACTIVE key set.
     */
   def streamingFirstSeen(stream: DataFrame, idCol: String,
       keyCol: String): org.apache.spark.sql.Dataset[FirstSeenOut] = {
@@ -431,6 +432,94 @@ object Streams {
           }
           state.update(FirstSeenAcc(minId, cnt))
           Iterator.single(FirstSeenOut(key, minId, cnt))
+      }
+  }
+
+  case class ChainAcc(minId: Long, cnt: Long, lastSec: Long)
+  case class ChainOut(key: String, min_id: Long, cnt: Long)
+
+  /** [[streamingFirstSeen]] with STATE TTL (st21) — the multi-day-crawl
+    * contract the unbounded variant's scaladoc promises: per-key state
+    * evicts once the event-time watermark passes `ttlSec` beyond the
+    * key's last occurrence, so dedup scope becomes "within the TTL
+    * horizon" and state size is bounded by the ACTIVE key set, not the
+    * all-time distinct-key cardinality. A key re-seen after eviction
+    * starts a FRESH visit window (new min/cnt) — that is the semantics,
+    * not a loss: a crawl that re-encounters a URL a month later is a new
+    * visit.
+    *
+    * Emission contract (the [[streamingSessionize]] closed-only
+    * discipline): a chain emits exactly once, WHEN IT CLOSES — either by
+    * the state timeout firing (no data for the key while the watermark
+    * passes lastSeen + ttl; Structured Streaming runs the final
+    * no-new-data batch under AvailableNow precisely so event-time
+    * timeouts fire against the final watermark, spec-pinned), or
+    * eagerly when the key is re-seen in a batch whose watermark already
+    * passed the open chain (the timeout call would otherwise be
+    * preempted by the data call — without this check the chain would
+    * silently CONTINUE across the horizon and the semantics would
+    * depend on whether an unrelated batch happened to fire the timeout
+    * first). Chains still open when the stream ends never emit, so the
+    * output is a deterministic function of (event set, batch split,
+    * watermark lattice) — which is what lets a batch SQL oracle replay
+    * it exactly: split between consecutive occurrences iff the
+    * watermark-at-the-later-batch exceeds prev occurrence + ttl; a
+    * chain is closed iff the FINAL watermark exceeds its last
+    * occurrence + ttl.
+    *
+    * State per key is one (minId, cnt, lastSec) triple inside the
+    * horizon; `tsCol` must be the watermarked event-time column
+    * (TimestampType, whole-second lattice — the watermark arithmetic
+    * replays exactly in integer seconds).
+    */
+  def streamingFirstSeenTtl(stream: DataFrame, idCol: String,
+      keyCol: String, tsCol: String, ttlSec: Long,
+      lateness: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[ChainOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(ttlSec >= 1, s"ttlSec must be >= 1, got $ttlSec")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // The event-time column must survive INTO the stateful operator as
+    // TimestampType — a cast-to-long projection strips the watermark tag
+    // and the planner rejects EventTimeTimeout. Seconds derive in the
+    // fold instead.
+    stream
+      .select(col(keyCol).cast("string").as("_k"),
+        col(idCol).cast("long").as("_id"),
+        col(tsCol).cast("timestamp").as("_ts"))
+      .withWatermark("_ts", lateness)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ChainAcc, ChainOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(ChainOut(key, a.minId, a.cnt))
+          } else {
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            var closed = List.empty[ChainOut]
+            var acc = state.getOption
+              .getOrElse(ChainAcc(Long.MaxValue, 0L, Long.MinValue))
+            if (state.exists && wmSec > acc.lastSec + ttlSec) {
+              closed ::= ChainOut(key, acc.minId, acc.cnt)
+              acc = ChainAcc(Long.MaxValue, 0L, Long.MinValue)
+            }
+            rows.foreach { case (_, id, t) =>
+              val sec = t.getTime / 1000L
+              acc = ChainAcc(math.min(acc.minId, id), acc.cnt + 1L,
+                math.max(acc.lastSec, sec))
+            }
+            state.update(acc)
+            // Timeout fires when the watermark passes lastSeen + ttl;
+            // the max() keeps the required timestamp > current-watermark
+            // invariant when a chain is already at the horizon's edge.
+            state.setTimeoutTimestamp(math.max(
+              (acc.lastSec + ttlSec) * 1000L, (wmSec + 1) * 1000L))
+            closed.reverse.iterator
+          }
       }
   }
 

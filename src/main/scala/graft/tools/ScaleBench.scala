@@ -388,6 +388,92 @@ object ScaleBench {
         println(f"SCALE-OK st-firstseen n=$n keys=$keys batches=$nBatches " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "st-firstseen-ttl" =>
+        // st21 at corpus scale: n docs over n/256 keys (key = id mod K,
+        // so each key recurs ~every K seconds on the sec = id + 1000
+        // lattice), 8 event-time-ordered micro-batches, ttl 3600 s.
+        // Batch spans (n/8 s) dwarf the ttl, so chains fold ~256
+        // occurrences within a batch and split at (almost) every batch
+        // boundary — heavy eviction traffic. PINS: (a) emissions equal
+        // the deterministic chain replay (the st21 oracle formula run in
+        // Spark) row-for-row; (b) final state cardinality ~= the keys
+        // active in the last ttl window (~3600), NOT the all-time key
+        // count (~16 k at n=2^22) — the bounded-state claim measured.
+        val keys = math.max(1L, n / 256)
+        val ttl = 3600L
+        val bSize = n / 8 + 1
+        val dirT = java.nio.file.Files
+          .createTempDirectory("graft-stttl").toString
+        val rows = spark.range(n).select(col("id").as("doc_id"),
+          pmod(col("id"), lit(keys)).cast("string").as("k"),
+          timestamp_seconds(col("id") + 1000L).as("ts"))
+        (0L until 8L).foreach { f =>
+          rows.filter(col("doc_id") >= f * bSize &&
+              col("doc_id") < (f + 1) * bSize)
+            .coalesce(1).write.parquet(s"$dirT/stage$f")
+          val part = new java.io.File(s"$dirT/stage$f").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = java.nio.file.Paths.get(s"$dirT/in/f$f.parquet")
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1600000000000L + f * 60000L))
+        }
+        val schemaT = spark.read.parquet(s"$dirT/in").schema
+        val streamT = spark.readStream.schema(schemaT)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dirT/in")
+        val q = graft.streaming.Streams
+          .streamingFirstSeenTtl(streamT, "doc_id", "k", "ts",
+            ttlSec = ttl, lateness = "5 seconds").toDF()
+          .writeStream.format("memory").queryName("stttl")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val tStream = (System.nanoTime() - t0) / 1e9
+        val streamed = spark.table("stttl")
+        val nChains = streamed.count()
+        // Deterministic replay of the chain rule (the st21 oracle formula
+        // as Spark SQL): batch, per-batch running-max watermark, split on
+        // wm > prev + ttl, closed on final wm > last + ttl.
+        val t1 = System.nanoTime()
+        val p = rows.select(col("doc_id"), col("k"),
+          (col("doc_id") + 1000L).as("sec"),
+          expr(s"doc_id div ${bSize}L").as("b"))
+        val wmb = p.groupBy("b").agg(max("sec").as("bmax"))
+          .select(col("b"), (max(col("bmax")).over(
+            org.apache.spark.sql.expressions.Window.orderBy("b")
+              .rowsBetween(Long.MinValue, -1)) - lit(5L)).as("wmb"))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("doc_id")
+        val o = p.join(wmb, Seq("b"), "left")
+          .withColumn("psec", lag(col("sec"), 1).over(wk))
+          .withColumn("pb", lag(col("b"), 1).over(wk))
+          .withColumn("nc", when(col("psec").isNull ||
+            (col("b") > col("pb") &&
+              coalesce(col("wmb"), lit(-1L)) > col("psec") + lit(ttl)),
+            1L).otherwise(0L))
+          .withColumn("cid", sum(col("nc")).over(
+            wk.rowsBetween(Long.MinValue, 0)))
+        val finalWm = n - 1L + 1000L - 5L
+        val replay = o.groupBy("k", "cid")
+          .agg(min("doc_id").as("min_id"), count(lit(1)).as("cnt"),
+            max("sec").as("last"))
+          .filter(col("last") + lit(ttl) < lit(finalWm))
+          .select(col("k").as("key"), col("min_id"), col("cnt"))
+        val diff = streamed.select("key", "min_id", "cnt").unionAll(replay)
+          .groupBy("key", "min_id", "cnt").agg(count(lit(1)).as("c"))
+          .filter(col("c") =!= 2).count()
+        val tChk = (System.nanoTime() - t1) / 1e9
+        require(diff == 0L, s"stream vs chain replay differ on $diff rows")
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .last.numRowsTotal
+        require(stateRows < keys / 2,
+          s"TTL failed to bound state: $stateRows rows vs $keys keys")
+        println(f"SCALE-OK st-firstseen-ttl n=$n keys=$keys chains=$nChains " +
+          f"stateRows=$stateRows stream=$tStream%.1f check=$tChk%.1f sec")
+
       case "sesswin" =>
         // q29's native session_window merge at corpus scale, CROSS-
         // CHECKED against the q18-style lag-replay sessionization —

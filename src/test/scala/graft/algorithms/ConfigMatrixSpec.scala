@@ -179,8 +179,16 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "q26_pivot", "q26b_unpivot",
         // binned interval join: bucket equi-join + exact refine.
         "q27_interval_join",
-        // value-based RANGE window frame; native session_window merge.
-        "q28_trailing_window", "q29_session_window")
+        // value-based RANGE window frame (r16: the chunk-parallel form —
+        // chunk routing + carry filter must survive the matrix); native
+        // session_window merge.
+        "q28_trailing_window", "q29_session_window",
+        // round-16 surface: durable IVF-PQ persist/reload + bucket-pruned
+        // serving scan, delete (left_anti over the artifact), and the
+        // TTL first-seen stream (watermark lattice + eager-close +
+        // final-timeout-batch semantics must not move under config).
+        "s20_ivfpq_persist", "s21_ivfpq_remove",
+        "st21_stream_firstseen_ttl")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -177,6 +177,61 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(math.abs(pr1 - st1 / (1.0 - frac1)) < 1e-9)
   }
 
+  test("streamingFirstSeenTtl: chains close on eviction, re-seen keys start fresh, state shrinks") {
+    // Three hand-computed micro-batches (one file each, mtime-ordered),
+    // ttl=10s, lateness=0. Event times sit OFF zero — a row at the
+    // initial watermark (0) is dropped as late (measured):
+    //   f0: a@1000 (id 1), b@1001 (id 2)
+    //   f1: a@1050 (id 3), c@1051 (id 4)  wm=1001 -> a CONTINUES
+    //       (the wm, not the gap, decides: 1001 < 1000+10 is false... it
+    //       is 1001 > 1010 that's false — no split)
+    //   f2: b@1100 (id 5)                 wm=1051 -> b's open chain
+    //       (id 2, last 1001) is past the horizon (1051 > 1011): closes
+    //       EAGERLY in the data call, fresh chain starts at id 5
+    //   final no-data batch (fires timeouts — measured), wm=1100:
+    //       a (timeout 1060) and c (1061) evict and emit; b's fresh
+    //       chain (timeout 1110) stays open, never emits.
+    // Expected emissions: (b,2,1), (a,1,2), (c,4,1); final state = 1 row.
+    val dir = java.nio.file.Files.createTempDirectory("graft-st21spec")
+    val files = Seq(
+      Seq((1L, "a", 1000L), (2L, "b", 1001L)),
+      Seq((3L, "a", 1050L), (4L, "c", 1051L)),
+      Seq((5L, "b", 1100L)))
+    files.zipWithIndex.foreach { case (rows, f) =>
+      rows.toDF("id", "key", "sec")
+        .select($"id", $"key", timestamp_seconds($"sec").as("ts"))
+        .coalesce(1).write.parquet(s"$dir/stage$f")
+      val part = new java.io.File(s"$dir/stage$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + f * 60000L))
+    }
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = graft.streaming.Streams
+      .streamingFirstSeenTtl(stream, "id", "key", "ts",
+        ttlSec = 10L, lateness = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("st21spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("st21spec")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("b", 2L, 1L), ("a", 1L, 2L), ("c", 4L, 1L)),
+      "closed-chain emissions (incl. the final timeout batch) must match " +
+        s"the hand computation; got $got")
+    // Eviction really dropped state: only b's open chain survives.
+    val lastState = q.recentProgress.flatMap(_.stateOperators).last
+    assert(lastState.numRowsTotal === 1L,
+      s"expected 1 surviving state row, got ${lastState.numRowsTotal}")
+  }
+
   test("binaryCodes fails loud on a mis-dimensioned vector (no silent sign-0 fill)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val short = e.limit(3).select($"vec_id",
