@@ -1034,6 +1034,24 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // DURABLE APPEND (the ingest-job shape end to end): build on the
+    // "existing" subset, PERSIST, append the delta INTO the table
+    // (frozen-book encode, new bucket files — no rewrite of the
+    // existing artifact), reload, search with pruning. Oracle = the s17
+    // SQL verbatim: build-then-table-append must equal encoding
+    // everything under the OLD books, through a storage round-trip.
+    "s22_ivfpq_table_add" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s22_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqAddToTable(e.filter(col("vec_id") % 4 === 0),
+        "s22_ivfpq_idx", "vec_id", "embedding")
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s22_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DELETE (index CRUD's last quadrant): the index builds on the FULL
     // corpus — so the frozen books keep their full-corpus seeds — then
     // vec_id % 5 == 2 rows are REMOVED (left_anti, books untouched) and
@@ -3729,6 +3747,10 @@ object SparkEntry {
     // frozen-book encode is per-row deterministic, so stream==batch IS
     // the contract (the st15/st16 discipline applied to the WRITE side).
     "st18_stream_index_add" -> s17OracleSql,
+
+    // Durable append: the s17 SQL verbatim — the storage round-trip and
+    // the bucketed-append must be invisible to search.
+    "s22_ivfpq_table_add" -> s17OracleSql,
 
     // Binary-quantization replay: pack the sign bit of each of the 64
     // dims into two 32-bit words (bit i of word w = [v[32w+i] > 0]),

@@ -989,6 +989,37 @@ object Similarity {
     (graft.sources.BucketedTables.readBucketed(spark, table), coarse, book)
   }
 
+  /** Append a delta INTO a persisted index table (s22 — the durable
+    * [[ivfPqAdd]]): encode the new rows under the table's sidecar books
+    * (frozen — old files stay valid) and APPEND them to the bucketed
+    * artifact table. `saveAsTable(append)` with the table's own bucket
+    * spec keeps the layout contract, so [[ivfPqSearchTable]]'s pruning
+    * still fires; the delta lands as NEW bucket files — the existing
+    * 10^11-row artifact is never rewritten or shuffled, which is the
+    * whole point of append-only ingest (per-bucket single-file sort
+    * elision is the one thing appends forfeit; the planner detects the
+    * file count and simply keeps the sort — documented in
+    * [[graft.sources.BucketedTables.readBucketed]]).
+    */
+  def ivfPqAddToTable(delta: DataFrame, table: String,
+      idCol: String, vecCol: String, metaCols: Seq[String] = Nil): Unit = {
+    val spark = delta.sparkSession
+    // Layout check FIRST (before the sidecar read): appending into a
+    // non-bucketed table would silently forfeit serving-time pruning.
+    val bs = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"table $table has no bucket spec — not an ivfPqSave artifact"))
+    val (_, coarse, book) = ivfPqLoad(spark, table)
+    val enc = ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols)
+    enc.repartition(bs.numBuckets, col(bs.bucketColumnNames.head))
+      .write.mode("append").format("parquet")
+      .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
+        bs.bucketColumnNames.tail: _*)
+      .sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** The DISTINCT coarse cells a (bounded, batch) query set probes at
     * `nProbe` — the literal set [[ivfPqSearchTable]] pushes into the
     * bucketed index scan as `cell IN (...)` so bucket pruning fires at

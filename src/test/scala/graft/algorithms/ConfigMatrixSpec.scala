@@ -188,7 +188,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // TTL first-seen stream (watermark lattice + eager-close +
         // final-timeout-batch semantics must not move under config).
         "s20_ivfpq_persist", "s21_ivfpq_remove",
-        "st21_stream_firstseen_ttl")
+        "st21_stream_firstseen_ttl",
+        // durable append: save -> table-append -> reload -> pruned search.
+        "s22_ivfpq_table_add")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

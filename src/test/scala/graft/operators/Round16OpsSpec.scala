@@ -103,6 +103,35 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(res.collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("ivfPqAddToTable: durable append == in-session add, pruning survives the append") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = e.filter($"vec_id" % 4 =!= 0)
+    val delta = e.filter($"vec_id" % 4 === 0)
+    val idx @ (_, coarse, book) = Similarity.ivfPqIndex(old,
+      "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16_tadd_idx", numBuckets = 4)
+    Similarity.ivfPqAddToTable(delta, "r16_tadd_idx", "vec_id", "embedding")
+    val (reloaded, _, _) = Similarity.ivfPqLoad(spark, "r16_tadd_idx")
+    // Table rows == the in-session add's artifact, bit-for-bit.
+    assert(artifactRows(reloaded) ===
+      artifactRows(Similarity.ivfPqAdd(idx, delta, "vec_id", "embedding")._1))
+    // The appended table still prunes buckets at serving time (append
+    // adds files per bucket; it must not demote the scan to unbucketed).
+    val res = Similarity.ivfPqSearchTable(e.filter($"vec_id" === 1),
+      "r16_tadd_idx", "vec_id", "embedding", k = 3, nProbe = 1)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(res.queryExecution.executedPlan.toString)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "bucket pruning must survive the append")
+    // Appending to a non-bucketed table fails loud.
+    graft.sources.BucketedTables.replaceSidecar(
+      reloaded.localCheckpoint(true), "r16_tadd_flat")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAddToTable(delta, "r16_tadd_flat", "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("bucket spec"))
+  }
+
   test("ivfPqLoad fails loud on a corrupted books sidecar") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
