@@ -54,6 +54,11 @@ object ScaleBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64"))
       .config("spark.ui.enabled", "false")
+      // Probes that persist tables (ivfpq-durable) must not litter the
+      // launch directory with a spark-warehouse/.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-scalebench-warehouse-" +
+          ProcessHandle.current().pid())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -734,6 +739,49 @@ object ScaleBench {
         println(f"SCALE-OK ivfpq-add n=$n dim=$dim cells=64 m=8 " +
           f"build7of8=$buildSec%.1f append1of8=$appendSec%.1f " +
           f"rebuild=$rebuildSec%.1f")
+
+      case "ivfpq-durable" =>
+        // The DURABLE index lifecycle at corpus scale (s20/s22): build on
+        // 7n/8, PERSIST bucketed-by-cell, table-append the n/8 delta under
+        // the frozen sidecar books, then serve a 1k-query batch from the
+        // RELOADED table. The claims this anchors: (a) save prices like
+        // one bucketed shuffle-write of the artifact, (b) the append
+        // prices like the delta-sized encode (never like a table rewrite),
+        // (c) serving reads only the probed cells' buckets
+        // (SelectedBucketsCount pinned < total), which is the property a
+        // 10^11-row artifact lives or dies by.
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val old = pts.filter(col("vec_id") % 8 =!= 0)
+        val delta = pts.filter(col("vec_id") % 8 === 0)
+        val idx = graft.operators.Similarity.ivfPqIndex(
+          old, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
+        idx._1.count() // materialize the build outside the save timing
+        val ts0 = System.nanoTime()
+        graft.operators.Similarity.ivfPqSave(
+          idx, "scale_ivfpq_idx", numBuckets = 64)
+        val saveSec = (System.nanoTime() - ts0) / 1e9
+        val ta0 = System.nanoTime()
+        graft.operators.Similarity.ivfPqAddToTable(
+          delta, "scale_ivfpq_idx", "vec_id", "embedding")
+        val appendSec = (System.nanoTime() - ta0) / 1e9
+        val tableRows = spark.table("scale_ivfpq_idx").count()
+        require(tableRows == n, s"table rows $tableRows != n=$n")
+        val tq0 = System.nanoTime()
+        val res = graft.operators.Similarity.ivfPqSearchTable(
+          pts.filter(col("vec_id") < 1024), "scale_ivfpq_idx",
+          "vec_id", "embedding", k = 10, nProbe = 8)
+        val hits = res.count()
+        val searchSec = (System.nanoTime() - tq0) / 1e9
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstMatchIn(res.queryExecution.executedPlan.toString)
+        require(sel.isDefined &&
+          sel.get.group(1).toInt < sel.get.group(2).toInt,
+          "bucket pruning must fire on the reloaded table")
+        println(f"SCALE-OK ivfpq-durable n=$n dim=$dim cells=64 m=8 " +
+          f"save7of8=$saveSec%.1f tableAppend1of8=$appendSec%.1f " +
+          f"search1k=$searchSec%.1f buckets=${sel.get.group(1)}/" +
+          f"${sel.get.group(2)} hits=$hits")
 
       case "minhash" =>
         // Corpus k-minwise sketching at probe scale: n synthetic 20-token
