@@ -1052,6 +1052,26 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // COMPACT (the maintenance quadrant append-only ingest creates):
+    // build, persist, append INTO the table (new files per bucket),
+    // then COMPACT — a bucket-spec-preserving rewrite through a staging
+    // table + catalog swap that restores one file per bucket — and
+    // search. Oracle = the s17 SQL verbatim: compaction moves bytes,
+    // never codes, so build + persist + append + compact must STILL
+    // equal encoding everything under the old books.
+    "s23_ivfpq_compact" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s23_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqAddToTable(e.filter(col("vec_id") % 4 === 0),
+        "s23_ivfpq_idx", "vec_id", "embedding")
+      Similarity.ivfPqCompact(s, "s23_ivfpq_idx")
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s23_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DELETE (index CRUD's last quadrant): the index builds on the FULL
     // corpus — so the frozen books keep their full-corpus seeds — then
     // vec_id % 5 == 2 rows are REMOVED (left_anti, books untouched) and
@@ -1071,6 +1091,20 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
           m = 4, kCent = 8, indexOf = Some(survived))
         .withColumnRenamed("rank", "rnk")
+    }),
+
+    // Recall evaluation (the knob-turning loop's measurement): IVF-PQ
+    // quantized-L2 search (the s13 chain) scored per query against
+    // exact-cosine truth (the s01 brute force) on the same query set —
+    // hits, exact_n, recall = hits/exact_n, zero-hit queries kept. The
+    // oracle composes the two chains' SQL verbatim and replays the join.
+    "s24_ann_recall" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.filter(col("vec_id") <= 3)
+      val approx = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2, m = 4, kCent = 8)
+      val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      Similarity.annRecall(exact, approx, "query_id", "neighbor_id")
     }),
 
     // Binary (1-bit sign) quantization + Hamming scan: the memory tier
@@ -1466,6 +1500,15 @@ object SparkEntry {
     "p09_negative_pairs" -> ((s, d) =>
       Sampling.negativePairs(tbl(s, d, "embeddings"), "vec_id", k = 4,
         seed = "p09", excludeCol = Some("label"))),
+
+    // Epoch shuffle: a seeded deterministic permutation with CONTIGUOUS
+    // global positions — per-shard row_number windows + a driver prefix
+    // over nShards longs (the p08 two-level discipline, unit weights).
+    // The oracle is the ONE global row_number over (h, doc_id) that the
+    // sharded form must equal rank-for-rank.
+    "p10_epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(tbl(s, d, "documents"), "doc_id",
+        seed = "epoch-0")),
 
     // Cohort retention: users bucketed by first-activity week, distinct
     // actives per (cohort, weeks-since) — two map-side-combinable
@@ -2473,6 +2516,18 @@ object SparkEntry {
       val docs = tbl(s, d, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 10 === 7),
         "doc_id", "text", n = 5)
+    }),
+
+    // SEMANTIC decontamination (d20): corpus embeddings within 0.45
+    // cosine of any held-out embedding — the paraphrase-leakage scrub
+    // lexical n-gram decon (d09) can't see. Banded hyperplane-LSH
+    // candidates across the two sets, exact-cosine verify, one aggregate
+    // per corpus id; the oracle is the brute-force cross join.
+    "d20_semantic_decon" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Dedup.semanticDecontaminate(
+        e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", threshold = 0.45)
     }),
 
     // Fuzzy decontamination: near-dup pairs ACROSS the same split.
@@ -3752,6 +3807,37 @@ object SparkEntry {
     // the bucketed-append must be invisible to search.
     "s22_ivfpq_table_add" -> s17OracleSql,
 
+    // Compaction rewrites bytes, never codes: the s17 claim still holds
+    // through build + persist + append + compact.
+    "s23_ivfpq_compact" -> s17OracleSql,
+
+    // Recall eval: the s13 approximate chain (verbatim, nested CTE) and
+    // the s01 exact-cosine chain on the same query set, joined on
+    // (query, neighbor) — hits / exact_n per query, zero-hit queries
+    // kept by the left join.
+    "s24_ann_recall" ->
+      s"""WITH approx AS (
+         |$s13OracleSql
+         |), exact AS (
+         |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT * FROM n WHERE vec_id <= 3),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id FROM rk WHERE rnk <= 5
+         |), hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM exact e JOIN approx a ON a.query_id = e.query_id
+         |    AND a.neighbor_id = e.neighbor_id GROUP BY 1),
+         |ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM exact GROUP BY 1)
+         |SELECT ex.query_id, CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+         |  ex.exact_n,
+         |  round(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / ex.exact_n, 6) AS recall
+         |FROM ex LEFT JOIN hits USING (query_id)""".stripMargin,
+
     // Binary-quantization replay: pack the sign bit of each of the 64
     // dims into two 32-bit words (bit i of word w = [v[32w+i] > 0]),
     // Hamming = popcount of the per-word XOR, rank (ham ASC, id ASC).
@@ -4652,6 +4738,22 @@ object SparkEntry {
     "t20_url_canon" ->
       (urlCanonCtes + "\nSELECT doc_id, url, canon FROM z"),
 
+    // Semantic decon: brute-force corpus x held-out cosine at the 0.45
+    // threshold — the exact set the banded LSH scan must reproduce
+    // (defaults put per-pair miss probability < 3e-8; see
+    // embeddingNearDupLsh's cost model).
+    "d20_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT * FROM n WHERE vec_id % 10 <> 7),
+        |h AS (SELECT * FROM n WHERE vec_id % 10 = 7),
+        |p AS (SELECT c.vec_id,
+        |  round(list_dot_product(c.v, h.v) / (c.nrm * h.nrm), 6) AS cos
+        |  FROM c CROSS JOIN h)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_contaminating,
+        |  max(cos) AS max_cosine
+        |FROM p WHERE cos >= 0.45 GROUP BY 1""".stripMargin,
+
     // Canonical-URL dedup: first occurrence + duplicate count per canon.
     "d19_url_dedup" ->
       (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
@@ -5065,6 +5167,16 @@ object SparkEntry {
     // tokens strictly before the doc; the div/% coordinate math mirrors
     // the BIGINT expressions verbatim. shard = h div ceil(2^60/32).
     "p08_sequence_pack" -> p08OracleSql,
+
+    // Epoch-shuffle replay: seeded hash60 axis, ONE global row_number —
+    // the single-reducer form the sharded engine plan must equal.
+    "p10_epoch_shuffle" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  ('0x' || substr(md5('epoch-0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |FROM documents)
+         |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM c""".stripMargin,
 
     // Negative-sampling replay: ranks on the (md5-hash60, key) axis,
     // h0 = hash60('p09') mod (n-1), slot j's partner at rank

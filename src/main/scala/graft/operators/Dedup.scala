@@ -413,6 +413,70 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** SEMANTIC decontamination (d20) — [[decontaminate]]'s embedding-space
+    * twin: flag every corpus document whose EMBEDDING lands within
+    * `threshold` cosine of ANY held-out benchmark document. Lexical
+    * n-gram decon misses paraphrases — a benchmark item rewritten in new
+    * words shares no 8-grams but sits right next to the original in
+    * embedding space, which is exactly how modern pipelines catch
+    * test-set leakage that survived the string scrub. Output `[<idCol>,
+    * n_contaminating, max_cosine]` per flagged corpus doc: how many
+    * benchmark items it collides with, and how close the worst one is
+    * (the triage columns — a 0.99 hit is a copy, a 0.45 hit is a topic
+    * neighbor).
+    *
+    * SHAPE = [[embeddingNearDupLsh]]'s banded scan ACROSS two sets:
+    * both sides take the `nBits` hyperplane signature, candidates form
+    * inside (band, bandBits) buckets — corpus rows shuffle once on the
+    * band key, never pairwise — with the first-colliding-band predicate
+    * making each (corpus, benchmark) candidate unique by construction;
+    * exact cosine verifies candidates only, then one map-side-combining
+    * aggregate per corpus id. The benchmark side is small by nature
+    * (it's a test suite), so its banded copy behaves like a broadcast
+    * under AQE; recall follows the [[embeddingNearDupLsh]] cost model
+    * (defaults: miss < 3e-8 per qualifying pair at 0.45).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, heldOut: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 64, bands: Int = 32): DataFrame = CacheScope.scoped { scope =>
+    import graft.functions.ArrayDot.array_dot
+    require(nBits >= 2 && nBits <= 64 && bands >= 2 && nBits % bands == 0,
+      s"need 2 <= bands <= nBits <= 64 with bands | nBits, got nBits=$nBits bands=$bands")
+    val r = nBits / bands
+    val mask = (1L << r) - 1L
+    def prepared(df: DataFrame) = df.select(
+        col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(array_dot(col("v"), col("v"))))
+      .withColumn("sig", TextHashes.cosineLshBits(col("v").cast("array<float>"), nBits))
+    def banded(df: DataFrame) = df.select(
+        col("id"), col("sig"),
+        ColumnKernels.bandStructs(bands)(b =>
+          call_function("shiftrightunsigned", col("sig"), lit(b * r))
+            .bitwiseAND(lit(mask))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val c = scope.cache(prepared(corpus))
+    val h = scope.cache(prepared(heldOut))
+    val numParts = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val candidates = banded(c).repartition(numParts).as("a")
+      .join(banded(h).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          graft.functions.FirstZeroBand.first_zero_band(
+            col("a.sig").bitwiseXOR(col("b.sig")), r, bands) === col("a.band"))
+      .select(col("a.id").as("cid"), col("b.id").as("hid"))
+    candidates
+      .join(c.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")), "cid")
+      .join(h.select(col("id").as("hid"), col("v").as("hv"), col("nrm").as("hn")), "hid")
+      .select(col("cid"),
+        round(array_dot(col("cv"), col("hv")) / (col("cn") * col("hn")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_contaminating"), max(col("cosine")).as("max_cosine"))
+      .withColumnRenamed("cid", idCol)
+  }
+
   /** Bloom-filter bit set of a held-out corpus's token n-grams: the SET
     * positions of an `mBits`-slot, `kHashes`-probe bloom filter, one
     * `[pos]` row per set bit. Probe `i` of gram hash `h` is the portable

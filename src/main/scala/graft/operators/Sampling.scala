@@ -355,6 +355,55 @@ object Sampling {
           - expr(s"__sp_g div $seqLen") + lit(1L)).as("n_seqs"))
   }
 
+  /** Deterministic EPOCH SHUFFLE (p10): assign every row a global
+    * position in a seeded pseudo-random permutation of the corpus —
+    * the training-data order for one epoch. Trainers need (a) a fresh
+    * order per epoch, (b) bit-identical reruns (resume a crashed epoch,
+    * reproduce a loss curve), and (c) contiguous positions 0..n-1 (so
+    * position ranges map to files/steps) — `ORDER BY rand()` fails (b),
+    * and assigning CONTIGUOUS ranks normally costs either an RDD
+    * `zipWithIndex` (extra job, order opaque to Catalyst) or one global
+    * `row_number` window, whose single unpartitioned task is the p08
+    * scale wall this module exists to avoid.
+    *
+    * Construction = [[packSequences]]'s two-level discipline with unit
+    * weights on a SEEDED axis: rank rows by `h = hash60(seed || '|' ||
+    * key)` (md5 scrambles content order; a new seed = an independent
+    * order), shard on contiguous hash ranges `h div width` (so
+    * concatenated per-shard orders equal the global (h, key) order and
+    * positions are nShards-INVARIANT — nShards is purely a parallelism
+    * knob, spec-pinned), per-shard `row_number` windows each sort only
+    * corpus/nShards rows, and the driver prefix-scans nShards longs
+    * into base offsets. Distinct keys by contract ([[packSequences]]'s
+    * tie rule: two rows sharing a key share a hash and swap freely).
+    *
+    * Output `[<keyCol>, shard, pos]`: `pos` is a permutation of
+    * [0, n) — dense, no gaps, no collisions; `shard` is kept so callers
+    * can write the epoch layout partitioned by it (readers then stream
+    * shard files in order and get the global order for free).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: String,
+      nShards: Int = 32): DataFrame = {
+    val width = shardWidth(nShards)
+    val base = df.select(col(keyCol).as("__es_key"),
+        keyHash60(concat(lit(seed), lit("|"),
+          col(keyCol).cast("string"))).as("__es_h"))
+      .withColumn("__es_s", expr(s"__es_h div ${width}L"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = base.groupBy("__es_s").agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bases = (0 until nShards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s.toLong, 0L)
+    }.init.zipWithIndex.map { case (b, s) => (s.toLong, b) }
+      .toDF("__es_s", "__es_base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__es_s").orderBy(col("__es_h"), col("__es_key"))
+    base.join(broadcast(bases), Seq("__es_s"))
+      .select(col("__es_key").as(keyCol), col("__es_s").as("shard"),
+        (col("__es_base") + row_number().over(w) - lit(1L)).as("pos"))
+  }
+
   /** Driver-side twin of [[keyHash60]] for a literal string (the seed):
     * first 15 hex digits of the md5, parsed base-16 — bit-identical to
     * the engine column and to the oracle's

@@ -1020,6 +1020,64 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** Per-query RECALL of an approximate neighbor result against an
+    * exact one (s24) — the evaluation operator every ANN deployment
+    * runs before turning a knob: nProbe, bands, codebook size, int8 vs
+    * PQ vs binary all trade recall for cost, and the trade must be
+    * MEASURED on the deployment's own corpus (specs here have gated
+    * recall inline since round 11; this is the first-class distributed
+    * form). Inputs are two ranked result frames `[queryCol,
+    * neighborCol, ...]` (any of this module's top-k outputs — the
+    * operator is metric-agnostic, which is the point: quantized-L2
+    * search is routinely evaluated against exact-cosine truth). Output
+    * `[queryCol, hits, exact_n, recall]` per query: `hits` = shared
+    * neighbors, `recall` = hits / exact_n (the exact side's row count —
+    * so queries with fewer than k true neighbors are not penalized for
+    * the shortfall). Zero-hit queries ARE rows (recall 0), via the left
+    * join from the exact side — an evaluation that silently drops its
+    * failures isn't one.
+    *
+    * Scale: both inputs are top-k frames (queries × k rows, corpus-size
+    * independent); the equi-join and the two aggregates shuffle only
+    * those — the expensive part of an eval run is producing the exact
+    * truth, which callers bound by sampling queries, not this compare.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame,
+      queryCol: String, neighborCol: String): DataFrame = {
+    val ex = exact.select(col(queryCol).as("__ar_q"),
+      col(neighborCol).as("__ar_n"))
+    val ap = approx.select(col(queryCol).as("__ar_q"),
+      col(neighborCol).as("__ar_n"))
+    val hits = ex.join(ap, Seq("__ar_q", "__ar_n"))
+      .groupBy("__ar_q").agg(count(lit(1)).as("hits"))
+    ex.groupBy("__ar_q").agg(count(lit(1)).as("exact_n"))
+      .join(hits, Seq("__ar_q"), "left")
+      .select(col("__ar_q").as(queryCol),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("exact_n"),
+        round(coalesce(col("hits"), lit(0L)) / col("exact_n"), 6)
+          .as("recall"))
+  }
+
+  /** COMPACT a persisted index table (s23) — the maintenance quadrant
+    * append-only ingest creates: every [[ivfPqAddToTable]] lands its
+    * delta as new files per bucket, so a nightly cadence accretes
+    * N+1 files/bucket after N appends — the small-files tax on every
+    * serving scan, plus the forfeited per-bucket sort elision. One
+    * bucket-spec-preserving rewrite through a staging table + catalog
+    * swap ([[graft.sources.BucketedTables.compactTable]]); the books
+    * sidecar is untouched (compaction moves BYTES, never codes — the
+    * s23 oracle pins search-invisibility through build + persist +
+    * append + compact). Fails loud on a table that is not an
+    * [[ivfPqSave]] artifact.
+    */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    require(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_books")),
+      s"$table has no ${table}_books sidecar — not an ivfPqSave artifact")
+    graft.sources.BucketedTables.compactTable(spark, table)
+  }
+
   /** The DISTINCT coarse cells a (bounded, batch) query set probes at
     * `nProbe` — the literal set [[ivfPqSearchTable]] pushes into the
     * bucketed index scan as `cell IN (...)` so bucket pruning fires at

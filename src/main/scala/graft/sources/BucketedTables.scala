@@ -85,6 +85,71 @@ object BucketedTables {
     spark.table(table)
   }
 
+  /** COMPACT a bucketed table back to one file per bucket. Every
+    * `mode(append)` write (e.g. [[graft.operators.Similarity.ivfPqAddToTable]])
+    * lands its batch as NEW files inside each bucket — correct, and the
+    * only way to avoid rewriting a 10^11-row artifact per delta — but a
+    * nightly-ingest cadence accretes files: N appends = N+1 files per
+    * bucket, and at scale the small-files problem taxes every scan (file
+    * listing, per-file open/footer cost, one task per tiny file) AND
+    * forfeits per-bucket sort elision (the planner only reports the
+    * per-file sort order when each bucket is ONE file — see
+    * [[readBucketed]]). Compaction is the periodic repair: rewrite the
+    * table through a STAGING table with the same bucket spec (never
+    * read-and-overwrite the same location — the read must finish before
+    * the source can be dropped), then swap via catalog rename — the same
+    * write-new-version-then-flip-the-pointer discipline every table
+    * format (Hive, Iceberg, Delta) uses for rewrites. One shuffle of the
+    * full table, amortized over the appends it absorbs; semantics
+    * unchanged (the s23 oracle's claim).
+    */
+  def compactTable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val bs = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"table $table has no bucket spec — nothing to compact"))
+    val staged = s"${table}__compacting"
+    dropWithLocation(spark, staged)
+    // Read the fragmented table UNBUCKETED for the rewrite: when the
+    // scan advertises the bucket hash-partitioning, the planner elides
+    // the repartition exchange and the write degenerates to
+    // one-task-per-INPUT-FILE — each output file a byte-copy of an input
+    // file, i.e. a compaction that compacts nothing (observed on Spark
+    // 4.1: N input files -> N output files with matching sizes). With
+    // bucketing disabled for this one plan the exchange always runs and
+    // every bucket's rows land in exactly one task = one file.
+    val bucketingConf = "spark.sql.sources.bucketing.enabled"
+    val saved = spark.conf.get(bucketingConf)
+    spark.conf.set(bucketingConf, "false")
+    try {
+      val w = spark.table(table)
+        .repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
+          bs.bucketColumnNames.tail: _*)
+      (if (bs.sortColumnNames.nonEmpty)
+         w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+       else w).saveAsTable(staged)
+    } finally spark.conf.set(bucketingConf, saved)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+  }
+
+  /** Number of data files under `table`'s location — the quantity
+    * compaction exists to bound (underscore-prefixed commit markers
+    * excluded). Driver-side listing of ONE directory; diagnostic use
+    * (specs, probes), not a per-query operation.
+    */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).count(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+  }
+
   /** Persist a graph as `<name>_vertices` (bucketed by id) and
     * `<name>_edges` (bucketed by src): the layout every iterative
     * algorithm in this library wants on its first iteration.

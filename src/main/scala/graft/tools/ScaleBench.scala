@@ -783,6 +783,96 @@ object ScaleBench {
           f"search1k=$searchSec%.1f buckets=${sel.get.group(1)}/" +
           f"${sel.get.group(2)} hits=$hits")
 
+      case "ivfpq-compact" =>
+        // COMPACTION at corpus scale (s23): build on 6n/8, persist, then
+        // TWO n/8 table-appends — the nightly-ingest cadence that leaves
+        // 3 files per bucket — and serve a 1k-query batch off the
+        // fragmented table vs the compacted one. The claims this anchors:
+        // (a) fragmentation is real (file count = 3x buckets before, =
+        // buckets after), (b) compaction prices like ONE bucketed
+        // shuffle-write of the artifact (the save shape — amortized over
+        // every append it absorbs), (c) serving is never WRONG on a
+        // fragmented table, just slower per file — hit counts must match
+        // bit-for-bit across the rewrite, and bucket pruning must fire on
+        // both layouts.
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val idx = graft.operators.Similarity.ivfPqIndex(
+          pts.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+          nCells = 64, m = 8, kCent = 16)
+        idx._1.count()
+        graft.operators.Similarity.ivfPqSave(
+          idx, "scale_cmp_idx", numBuckets = 64)
+        // One file per NON-EMPTY bucket per write (cells hash into
+        // buckets, so empties are legal); at 4.2 M rows both deltas hit
+        // every occupied cell, so two appends triple the file count.
+        val fSave = graft.sources.BucketedTables
+          .dataFileCount(spark, "scale_cmp_idx")
+        graft.operators.Similarity.ivfPqAddToTable(
+          pts.filter(col("vec_id") % 8 === 0), "scale_cmp_idx",
+          "vec_id", "embedding")
+        graft.operators.Similarity.ivfPqAddToTable(
+          pts.filter(col("vec_id") % 8 === 4), "scale_cmp_idx",
+          "vec_id", "embedding")
+        val filesBefore = graft.sources.BucketedTables
+          .dataFileCount(spark, "scale_cmp_idx")
+        require(filesBefore == 3 * fSave,
+          s"expected 3 x $fSave files after two appends, got $filesBefore")
+        def serve() = {
+          val t0 = System.nanoTime()
+          val res = graft.operators.Similarity.ivfPqSearchTable(
+            pts.filter(col("vec_id") < 1024), "scale_cmp_idx",
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          val hits = res.count()
+          val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+            .findFirstMatchIn(res.queryExecution.executedPlan.toString)
+          require(sel.isDefined &&
+            sel.get.group(1).toInt < sel.get.group(2).toInt,
+            "bucket pruning must fire")
+          (hits, (System.nanoTime() - t0) / 1e9)
+        }
+        val (hitsFrag, serveFragSec) = serve()
+        val tc0 = System.nanoTime()
+        graft.operators.Similarity.ivfPqCompact(spark, "scale_cmp_idx")
+        val compactSec = (System.nanoTime() - tc0) / 1e9
+        val filesAfter = graft.sources.BucketedTables
+          .dataFileCount(spark, "scale_cmp_idx")
+        require(filesAfter == fSave,
+          s"expected the save-time count $fSave after compaction, got $filesAfter")
+        require(spark.table("scale_cmp_idx").count() == n,
+          "compaction must move bytes, not rows")
+        val (hitsCompact, serveCompactSec) = serve()
+        require(hitsFrag == hitsCompact,
+          s"serve diverged across compaction: $hitsFrag vs $hitsCompact")
+        println(f"SCALE-OK ivfpq-compact n=$n dim=$dim cells=64 " +
+          f"files=$filesBefore->$filesAfter compact=$compactSec%.1f " +
+          f"serveFrag=$serveFragSec%.1f serveCompact=$serveCompactSec%.1f " +
+          f"hits=$hitsCompact")
+
+      case "epoch-shuffle" =>
+        // Deterministic epoch shuffle at corpus scale (p10): n docs get
+        // contiguous permutation positions. The sharded form's per-shard
+        // windows each sort n/32 rows; the 1-shard run IS the naive
+        // global row_number (one unpartitioned window task sorting all n)
+        // — the wall the two-level form exists to dodge. Position sums
+        // pin both to the same permutation of [0, n).
+        val wantSum = n * (n - 1) / 2
+        val docs = spark.range(n).select(col("id").as("doc_id"))
+        val t32 = System.nanoTime()
+        val s32 = graft.operators.Sampling.epochShuffle(
+          docs, "doc_id", seed = "probe-epoch", nShards = 32)
+          .agg(sum(col("pos"))).head().getLong(0)
+        val shardedSec = (System.nanoTime() - t32) / 1e9
+        require(s32 == wantSum, s"sharded position sum $s32 != $wantSum")
+        val t1 = System.nanoTime()
+        val s1 = graft.operators.Sampling.epochShuffle(
+          docs, "doc_id", seed = "probe-epoch", nShards = 1)
+          .agg(sum(col("pos"))).head().getLong(0)
+        val globalSec = (System.nanoTime() - t1) / 1e9
+        require(s1 == wantSum, s"global position sum $s1 != $wantSum")
+        println(f"SCALE-OK epoch-shuffle n=$n sharded32=$shardedSec%.1f " +
+          f"global1=$globalSec%.1f")
+
       case "minhash" =>
         // Corpus k-minwise sketching at probe scale: n synthetic 20-token
         // docs over a 10k-word vocabulary, 4 slices, k=16 draws — the

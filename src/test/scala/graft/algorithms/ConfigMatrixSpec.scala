@@ -190,7 +190,15 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "s20_ivfpq_persist", "s21_ivfpq_remove",
         "st21_stream_firstseen_ttl",
         // durable append: save -> table-append -> reload -> pruned search.
-        "s22_ivfpq_table_add")
+        "s22_ivfpq_table_add",
+        // compaction: staging rewrite + catalog swap must move bytes only.
+        "s23_ivfpq_compact",
+        // epoch shuffle: sharded rank assembly == the global row_number.
+        "p10_epoch_shuffle",
+        // recall eval: two top-k chains + the (query, neighbor) join.
+        "s24_ann_recall",
+        // semantic decon: cross-set banded LSH + verify + aggregate.
+        "d20_semantic_decon")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

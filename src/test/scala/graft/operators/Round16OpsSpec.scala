@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestHarness
 
 /** Round-16 operator specs: durable IVF-PQ index persistence (s20),
-  * delete/tombstone (s21), the chunked trailing RANGE window (q28 scale
-  * plan), and the r15-ADVICE fail-loud guard on binary sign-bit codes.
+  * delete/tombstone (s21), bucket compaction (s23), the chunked trailing
+  * RANGE window (q28 scale plan), the deterministic epoch shuffle (p10),
+  * and the r15-ADVICE fail-loud guard on binary sign-bit codes.
   */
 class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
@@ -130,6 +131,131 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
       Similarity.ivfPqAddToTable(delta, "r16_tadd_flat", "vec_id", "embedding")
     }
     assert(err.getMessage.contains("bucket spec"))
+  }
+
+  test("ivfPqCompact: one file per bucket again, search and pruning unchanged") {
+    import graft.sources.BucketedTables
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e.filter($"vec_id" % 4 =!= 0),
+      "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16_cmp_idx", numBuckets = 4)
+    // One file per NON-EMPTY bucket per write (cells hash into buckets,
+    // so empties are legal): each append adds its own files on top.
+    val fSave = BucketedTables.dataFileCount(spark, "r16_cmp_idx")
+    assert(fSave >= 1 && fSave <= 4)
+    Similarity.ivfPqAddToTable(e.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 === 0),
+      "r16_cmp_idx", "vec_id", "embedding")
+    Similarity.ivfPqAddToTable(e.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 =!= 0),
+      "r16_cmp_idx", "vec_id", "embedding")
+    val fFragmented = BucketedTables.dataFileCount(spark, "r16_cmp_idx")
+    assert(fFragmented > fSave, "appends must land as new files")
+    val before = artifactRows(Similarity.ivfPqLoad(spark, "r16_cmp_idx")._1)
+    def search() = Similarity.ivfPqSearchTable(
+      e.filter($"vec_id" <= 3), "r16_cmp_idx", "vec_id", "embedding",
+      k = 5, nProbe = 2).collect().map(_.toString).sorted.toSeq
+    val wantSearch = search()
+    Similarity.ivfPqCompact(spark, "r16_cmp_idx")
+    // Compaction restores the one-file-per-non-empty-bucket contract:
+    // the full artifact's cell set == the build's (the build saw every
+    // seed), so the compacted file count is the save-time count again.
+    assert(BucketedTables.dataFileCount(spark, "r16_cmp_idx") === fSave)
+    // ...moves bytes, never rows or codes...
+    assert(artifactRows(Similarity.ivfPqLoad(spark, "r16_cmp_idx")._1) === before)
+    // ...search results are bit-identical, and bucket pruning still fires.
+    assert(search() === wantSearch)
+    val res = Similarity.ivfPqSearchTable(e.filter($"vec_id" === 1),
+      "r16_cmp_idx", "vec_id", "embedding", k = 3, nProbe = 1)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(res.queryExecution.executedPlan.toString)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "bucket pruning must survive compaction")
+    // Idempotent: compacting a compact table is a no-op rewrite.
+    Similarity.ivfPqCompact(spark, "r16_cmp_idx")
+    assert(BucketedTables.dataFileCount(spark, "r16_cmp_idx") === fSave)
+    // Fails loud off the artifact contract: no books sidecar / no spec.
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqCompact(spark, "r16_cmp_idx_books")
+    }.getMessage.contains("sidecar"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.BucketedTables.compactTable(spark, "r16_cmp_idx_books")
+    }.getMessage.contains("bucket spec"))
+  }
+
+  test("epochShuffle: dense permutation, nShards-invariant, seed-sensitive") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id")
+    val n = docs.count()
+    val got = Sampling.epochShuffle(docs, "doc_id", seed = "epoch-0")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    // Dense permutation of [0, n): no gaps, no collisions.
+    assert(got.values.toSeq.sorted === (0L until n))
+    // nShards is an implementation detail of the prefix sum: 1 shard
+    // (the naive global window), 7 (doesn't divide 2^60), 64 — all must
+    // place every row at the same position.
+    for (ns <- Seq(1, 7, 64)) {
+      val alt = Sampling.epochShuffle(docs, "doc_id", seed = "epoch-0", ns)
+        .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+      assert(alt === got, s"positions moved under nShards=$ns")
+    }
+    // A new seed is a fresh permutation (still dense), not a shift.
+    val e1 = Sampling.epochShuffle(docs, "doc_id", seed = "epoch-1")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(e1.values.toSeq.sorted === (0L until n))
+    assert(e1 !== got)
+    val moved = got.count { case (id, p) => e1(id) != p }
+    assert(moved > n / 2, s"only $moved of $n rows moved between epochs")
+  }
+
+  test("annRecall: hand-computed hits, zero-hit queries kept, shortfall not penalized") {
+    val exact = Seq( // q1: 3 true neighbors (shortfall vs k), q2: 2, q3: 2
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq( // q1 finds 2 of 3, q2 finds both, q3 none right
+      (1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 21L), (2L, 20L),
+      (3L, 98L), (3L, 97L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(exact, approx, "query_id", "neighbor_id")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 3L, 0.666667), (2L, 2L, 2L, 1.0),
+      (3L, 0L, 2L, 0.0)))
+    // On the real corpus: IVF-PQ at full probe depth against exact
+    // cosine — recall must land strictly between 0 and 1 exclusive of
+    // pathologies (all-zero would mean a broken join, all-one would mean
+    // the quantizer is magically lossless at m=4).
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" <= 3)
+    val r = Similarity.annRecall(
+      Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+        nCells = 4, nProbe = 2, m = 4, kCent = 8),
+      "query_id", "neighbor_id")
+      .agg(avg($"recall")).as[Double].head()
+    assert(r >= 0.0 && r <= 1.0)
+  }
+
+  test("semanticDecontaminate: planted paraphrase-neighbors flagged, orthogonal corpus clean") {
+    def vec(xs: Double*) = xs.toArray ++ Array.fill(8 - xs.length)(0.0)
+    val heldOut = Seq(
+      (900L, vec(1.0)),            // benchmark item b1
+      (901L, vec(0.0, 1.0))        // benchmark item b2
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(1.0)),              // exact copy of b1: cosine 1.0
+      (2L, vec(0.8, 0.6)),         // near both: 0.8 to b1, 0.6 to b2
+      (3L, vec(0.0, 0.0, 1.0)),    // orthogonal to the whole benchmark
+      (4L, vec(0.4, -0.9165151389911680))  // 0.4 to b1 — BELOW threshold
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(corpus, heldOut,
+        "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L, 1.0), (2L, 2L, 0.8)))
+    // Corpus and benchmark stay distinct sets: nothing self-flags, and
+    // the id spaces may legally overlap (no cross-set id assumptions).
+    val overlap = Dedup.semanticDecontaminate(
+      heldOut.withColumn("vec_id", col("vec_id") - 900L), heldOut,
+      "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(overlap === Seq((0L, 1L, 1.0), (1L, 1L, 1.0)))
   }
 
   test("ivfPqLoad fails loud on a corrupted books sidecar") {
