@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity(args, 1, "simhash64")
       SimHash64(args(0))
     }
+    register(ext, "nfc_normalize") { args =>
+      arity(args, 1, "nfc_normalize")
+      NfcNormalize(args(0))
+    }
+    register(ext, "nfkc_normalize") { args =>
+      arity(args, 1, "nfkc_normalize")
+      NfkcNormalize(args(0))
+    }
     register(ext, "cosine_lsh_bits") { args =>
       arity(args, 2, "cosine_lsh_bits")
       CosineLshBits(args(0), intArg(args(1), "cosine_lsh_bits", "nBits"))

@@ -208,6 +208,33 @@ object SparkEntry {
       .otherwise(lit("")),
     when(id % 6 === 0, lit("#Section2")).otherwise(lit("")))
 
+  /** Stage `df` into `nFiles` single-file parquets `dir/in/f{i}.parquet`
+    * split by contiguous doc_id ranges, mtimes one minute apart in file
+    * order — so a file-source drain with `maxFilesPerTrigger=1` replays
+    * them as nFiles deterministic micro-batches (st21's drive; st22
+    * additionally restarts the query between files). Returns the staging
+    * root (caller may move files out of `in/` to control visibility).
+    */
+  private def stageMtimeFiles(docs: DataFrame, tag: String,
+      nFiles: Int): String = {
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val bSize = maxId / nFiles + 1
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    (0L until nFiles.toLong).foreach { f =>
+      docs.filter(col("doc_id") >= f * bSize && col("doc_id") < (f + 1) * bSize)
+        .coalesce(1).write.parquet(s"$dir/stage$f")
+      val part = new java.io.File(s"$dir/stage$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1600000000000L + f * 60000L))
+    }
+    dir
+  }
+
   private def htmlExtract(docs: DataFrame): DataFrame = {
     val nl = "\n"
     val html = concat(
@@ -419,6 +446,21 @@ object SparkEntry {
       tbl(s, d, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
+
+    // GROUPING SETS: the explicit-slice form rollup/cube are sugar for —
+    // an ASYMMETRIC set list ((flag, status), (flag), ()) that neither
+    // sugar can express, still ONE Expand + aggregate pass. grouping_id()
+    // is gated alongside: the bitmask that disambiguates NULL-as-subtotal
+    // from NULL data, which any downstream consumer of slice frames needs.
+    "q30_grouping_sets" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
 
     // PIVOT: long->wide on an explicit value list (the only scale-safe
@@ -1702,6 +1744,28 @@ object SparkEntry {
         .withColumn("canon",
           TextFunctions.canonicalizeUrl(col("url")))),
 
+    // Unicode NFC normalization (t21): the same visible text arrives
+    // precomposed (é = U+00E9) or decomposed (e + U+0301) and every
+    // hash-keyed dedup in this library splits on the byte difference —
+    // normalize-then-hash makes the key a function of the TEXT. Native
+    // codegen expression (a UDF would fall out of whole-stage codegen
+    // on the hottest scan); ids 0/1 mod 5 and 2/3 mod 5 are planted
+    // variant PAIRS whose dedup keys must collide after NFC.
+    "t21_nfc_normalize" -> ((s, d) => {
+      val branch = when(col("doc_id") % 5 === 0, lit("cafe\u0301"))
+        .when(col("doc_id") % 5 === 1, lit("caf\u00e9"))
+        .when(col("doc_id") % 5 === 2, lit("A\u030Aberg"))
+        .when(col("doc_id") % 5 === 3, lit("\u00C5berg"))
+        .otherwise(lit("ascii"))
+      val norm = graft.functions.UnicodeNorm.nfc_normalize(col("raw"))
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 16), lit(" "), branch).as("raw"))
+        .select(col("doc_id"), norm.as("norm"),
+          (norm =!= col("raw")).as("changed"),
+          md5(norm).as("dedup_key"))
+    }),
+
     // URL-keyed dedup over the canonical spelling: first occurrence
     // (min doc_id) kept per canonical URL, duplicate count audited —
     // the crawl pipeline's FIRST dedup pass, one map-side-combinable
@@ -1752,6 +1816,18 @@ object SparkEntry {
     "m15_jpeg_meta" -> ((s, d) =>
       Multimodal.extractJpegMeta(
         Multimodal.synthesizeJpegMedia(
+          tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
+
+    // EXIF tier (m15's next level in): the APP1 TIFF walk — byte-order
+    // detection (II for even ids, MM for odd — one scan crosses
+    // endianness constantly), inline SHORT at the START of the value
+    // field (the MM padding trap), RATIONAL/ASCII at offsets from the
+    // TIFF origin, ExifIFD sub-IFD descent. Orientation is what decides
+    // whether the decode pipeline must rotate; EXIF pixel dims catch
+    // truncated re-encodes.
+    "m16_exif_meta" -> ((s, d) =>
+      Multimodal.extractExifMeta(
+        Multimodal.synthesizeExifJpegMedia(
           tbl(s, d, "documents").select(col("doc_id")), "doc_id"))),
 
     // MP4 container metadata tier: synthesize deterministic ISO BMFF
@@ -2372,21 +2448,7 @@ object SparkEntry {
       val docs = tbl(s, d, "documents").select(col("doc_id"),
         TextFunctions.canonicalizeUrl(urlSynth(col("doc_id") % 37)).as("canon"),
         timestamp_seconds(col("doc_id") + 1000L).as("ts"))
-      val maxId = docs.agg(max("doc_id")).head.getLong(0)
-      val bSize = maxId / 4 + 1
-      val dir = java.nio.file.Files.createTempDirectory("graft-st21").toString
-      (0L until 4L).foreach { f =>
-        docs.filter(col("doc_id") >= f * bSize && col("doc_id") < (f + 1) * bSize)
-          .coalesce(1).write.parquet(s"$dir/stage$f")
-        val part = new java.io.File(s"$dir/stage$f").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1600000000000L + f * 60000L))
-      }
+      val dir = stageMtimeFiles(docs, "graft-st21", nFiles = 4)
       val schema = s.read.parquet(s"$dir/in").schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
@@ -2394,6 +2456,52 @@ object SparkEntry {
         graft.streaming.Streams.streamingFirstSeenTtl(stream, "doc_id",
           "canon", "ts", ttlSec = 20L, lateness = "5 seconds").toDF(),
         "st21_sink", "append")
+    }),
+
+    // RESTART / exactly-once resume — the fault-tolerance contract every
+    // long-lived ingest leans on: the first-seen dedup runs as TWO
+    // SEPARATE queries sharing a durable checkpoint — job 1 drains the
+    // first two files and stops; files 3-4 "arrive overnight"; job 2
+    // starts fresh from the checkpoint. Recovery must (a) skip the
+    // already-committed files (source exactly-once) and (b) restore the
+    // per-key (min, cnt) state (state-store recovery) — a lost state
+    // would restart cnt at 0 for recurring keys and the max(cnt)
+    // finalize would undercount, which is exactly what the batch oracle
+    // discriminates. Keys recur across the restart boundary by
+    // construction (doc_id % 37).
+    "st22_stream_restart" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(urlSynth(col("doc_id") % 37)).as("canon"))
+      val dir = stageMtimeFiles(docs, "graft-st22", nFiles = 4)
+      // Hold files 3-4 back until after the first query stops.
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/pending"))
+      Seq(2, 3).foreach { f =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$dir/in/f$f.parquet"),
+          java.nio.file.Paths.get(s"$dir/pending/f$f.parquet"))
+      }
+      val schema = s.read.parquet(s"$dir/in").schema
+      def runJob(): Unit = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        val q = graft.streaming.Streams
+          .streamingFirstSeen(stream, "doc_id", "canon").toDF()
+          .writeStream.format("parquet").option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runJob()
+      Seq(2, 3).foreach { f =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$dir/pending/f$f.parquet"),
+          java.nio.file.Paths.get(s"$dir/in/f$f.parquet"))
+      }
+      runJob()
+      s.read.parquet(s"$dir/out").groupBy(col("key").as("canon"))
+        .agg(min("min_id").as("keep_id"), max("cnt").as("n_dups"))
     }),
 
     // Streaming INDEX INGEST — the write side of the RAG pair (st16 is
@@ -3117,6 +3225,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Grouping-sets replay: same asymmetric slice list, same bitmask.
+    "q30_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     // Pivot replay: the listed-value form IS conditional aggregation.
     "q26_pivot" ->
@@ -4445,6 +4562,21 @@ object SparkEntry {
         |  CAST(4 + doc_id % 3 AS BIGINT) AS n_segments
         |FROM documents""".stripMargin,
 
+    // Every planted EXIF field is a closed form of the id (see
+    // synthesizeExifJpeg) — the engine only matches if the TIFF walk
+    // actually resolves both endiannesses, the offset values, and the
+    // sub-IFD pointer.
+    "m16_exif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  CAST(72 + doc_id % 10 AS BIGINT) AS xres_num,
+        |  CAST(1 AS BIGINT) AS xres_den,
+        |  'sw-' || CAST(doc_id % 100 AS VARCHAR) AS software,
+        |  CAST(64 + doc_id % 64 AS BIGINT) AS pixel_x,
+        |  CAST(48 + doc_id % 32 AS BIGINT) AS pixel_y
+        |FROM documents""".stripMargin,
+
     // Every mvhd field is a pure function of the id (see synthesizeMp4),
     // so the oracle replays the box-walk's OUTPUT in closed form — the
     // engine only matches if the big-endian box parse actually recovers
@@ -4738,6 +4870,24 @@ object SparkEntry {
     "t20_url_canon" ->
       (urlCanonCtes + "\nSELECT doc_id, url, canon FROM z"),
 
+    // NFC replay: DuckDB's nfc_normalize (utf8proc) against the
+    // engine's java.text.Normalizer — both implement Unicode canonical
+    // composition; the planted variant pairs must collapse to one
+    // dedup_key. chr() builds the decomposed sequences (DuckDB string
+    // literals don't interpret \u escapes).
+    "t21_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id, substr(text, 1, 16) || ' ' ||
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'cafe' || chr(769)
+        |    WHEN 1 THEN 'caf' || chr(233)
+        |    WHEN 2 THEN 'A' || chr(778) || 'berg'
+        |    WHEN 3 THEN chr(197) || 'berg'
+        |    ELSE 'ascii' END AS raw FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  (nfc_normalize(raw) <> raw) AS changed,
+        |  md5(nfc_normalize(raw)) AS dedup_key
+        |FROM r""".stripMargin,
+
     // Semantic decon: brute-force corpus x held-out cosine at the 0.45
     // threshold — the exact set the banded LSH scan must reproduce
     // (defaults put per-pair miss probability < 3e-8; see
@@ -4763,6 +4913,15 @@ object SparkEntry {
     // state is order-free, so stream==batch IS the contract.
     "st20_stream_url_dedup" ->
       (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
+        "count(*) AS n_dups FROM z GROUP BY 1"),
+
+    // Restart resume: the d19 aggregate on the % 37 canon keys — the
+    // checkpointed two-job drive must equal the one-shot batch exactly
+    // (a lost state restarts cnt and undercounts; a re-read file
+    // double-counts; both diverge from this SQL).
+    "st22_stream_restart" ->
+      (urlCanonCtesFor("(doc_id % 37)") +
+        "\nSELECT canon, min(doc_id) AS keep_id, " +
         "count(*) AS n_dups FROM z GROUP BY 1"),
 
     // TTL first-seen replay: the d19 aggregate RESTRICTED TO THE HORIZON.

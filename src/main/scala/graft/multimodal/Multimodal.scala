@@ -1414,6 +1414,196 @@ object Multimodal {
     }(encoder)
   }
 
+  // --- EXIF / TIFF inside JPEG APP1 (m16): camera metadata ---------------
+
+  /** Synthesize a JPEG carrying a deterministic EXIF APP1 — the
+    * [[synthesizeJpeg]] stream with `Exif\0\0` + a TIFF block spliced in
+    * after APP0. The TIFF exercises every structural trap a real EXIF
+    * parser must survive: BOTH byte orders (`II` little-endian for even
+    * ids, `MM` big-endian for odd — per-id, so one corpus scan crosses
+    * endianness constantly), an inline SHORT whose 2 bytes sit at the
+    * START of the 4-byte value field (the MM padding trap), a RATIONAL
+    * and an ASCII value stored at OFFSETS from the TIFF origin (not the
+    * file origin — the classic off-by-APP1-header bug), and a sub-IFD
+    * descent via the ExifIFD pointer tag. Planted fields, closed form:
+    * orientation `1 + id%8`, XResolution `(72 + id%10)/1`, software
+    * `"sw-" + id%100`, PixelX/YDimension = the SOF0 width/height.
+    */
+  def synthesizeExifJpeg(id: Long): Array[Byte] = {
+    val w = 64 + (id % 64).toInt
+    val h = 48 + (id % 32).toInt
+    val little = id % 2 == 0
+    val tiff = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (little) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def u32(v: Int): Unit =
+      if (little) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff)
+        tiff.write((v >> 16) & 0xff); tiff.write((v >> 24) & 0xff) }
+      else { tiff.write((v >> 24) & 0xff); tiff.write((v >> 16) & 0xff)
+        tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def entry(tag: Int, typ: Int, count: Int)(value: => Unit): Unit = {
+      u16(tag); u16(typ); u32(count); value
+    }
+    val sw = s"sw-${id % 100}".getBytes("US-ASCII")
+    val ratOff = 62                 // after 8-byte header + 4 entries + next
+    val swOff = ratOff + 8
+    val exifOff = swOff + sw.length + 1
+    tiff.write(if (little) 'I' else 'M'); tiff.write(if (little) 'I' else 'M')
+    u16(42); u32(8)                 // magic, IFD0 at offset 8
+    u16(4)                          // IFD0: 4 entries
+    entry(0x0112, 3, 1) { u16(1 + (id % 8).toInt); u16(0) } // SHORT inline
+    entry(0x011a, 5, 1) { u32(ratOff) }                     // RATIONAL @off
+    entry(0x0131, 2, sw.length + 1) { u32(swOff) }          // ASCII @off
+    entry(0x8769, 4, 1) { u32(exifOff) }                    // ExifIFD ptr
+    u32(0)                          // next IFD: none
+    u32(72 + (id % 10).toInt); u32(1)                       // XRes num/den
+    tiff.write(sw); tiff.write(0)                           // software\0
+    u16(2)                          // sub-IFD: 2 entries
+    entry(0xa002, 4, 1) { u32(w) }                          // PixelXDim
+    entry(0xa003, 4, 1) { u32(h) }                          // PixelYDim
+    u32(0)
+    val t = tiff.toByteArray
+    // Splice APP1 right after the base JPEG's APP0 (SOI 2 + APP0 18).
+    val base = synthesizeJpeg(id)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 20)
+    out.write(0xff); out.write(0xe1)
+    val len = 2 + 6 + t.length
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(t)
+    out.write(base, 20, base.length - 20)
+    out.toByteArray
+  }
+
+  /** A media-schema frame of EXIF-bearing JPEGs, one per input id. */
+  def synthesizeExifJpegMedia(df: DataFrame, idCol: String): DataFrame =
+    synthMedia(df, idCol, "image/jpeg")(synthesizeExifJpeg)
+
+  /** REAL EXIF extraction: [[parseJpegMeta]]'s marker walk locates the
+    * `Exif\0\0` APP1, then a TIFF walk — byte-order detection, IFD0
+    * entry scan, inline-vs-offset value resolution (a value wider than
+    * 4 bytes lives at an offset FROM THE TIFF ORIGIN), ExifIFD sub-IFD
+    * descent — recovers orientation, X resolution, software string, and
+    * pixel dimensions. The per-pipeline reason to care: orientation
+    * decides whether a decode pipeline must rotate, and EXIF dimensions
+    * catch truncated re-encodes (they disagree with SOF). Missing EXIF
+    * or a malformed TIFF yields NULL fields, never a task failure.
+    * Output `[media_id, byte_order, orientation, xres_num, xres_den,
+    * software, pixel_x, pixel_y]`.
+    */
+  def extractExifMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("byte_order", StringType, nullable = true),
+      StructField("orientation", LongType, nullable = true),
+      StructField("xres_num", LongType, nullable = true),
+      StructField("xres_den", LongType, nullable = true),
+      StructField("software", StringType, nullable = true),
+      StructField("pixel_x", LongType, nullable = true),
+      StructField("pixel_y", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        parseExifMeta(bytes) match {
+          case Some((bo, o, xn, xd, sw, px, py)) =>
+            Row(r.getLong(0), bo, o, xn, xd, sw, px, py)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Locate the Exif APP1 payload (after `Exif\0\0`) via the marker
+    * walk; None when absent/malformed.
+    */
+  private def exifTiffBlock(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 4) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (b(i) << 8) | b(i + 1)
+    if (b(0) != 0xff || b(1) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= bytes.length && b(off) == 0xff) {
+      val marker = b(off + 1)
+      if (marker == 0xd9 || marker == 0xda) return None // image data: no EXIF
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+        marker == 0x01) { off += 2 }
+      else {
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        if (marker == 0xe1 && len >= 8 &&
+          bytes.slice(off + 4, off + 10).sameElements(
+            Array[Byte]('E', 'x', 'i', 'f', 0, 0)))
+          return Some(bytes.slice(off + 10, off + 2 + len))
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  private[graft] def parseExifMeta(bytes: Array[Byte])
+      : Option[(String, Long, Long, Long, String, Long, Long)] = {
+    val t = exifTiffBlock(bytes).getOrElse(return None)
+    if (t.length < 8) return None
+    def b(i: Int): Int = t(i) & 0xff
+    val little = b(0) == 'I' && b(1) == 'I'
+    if (!little && !(b(0) == 'M' && b(1) == 'M')) return None
+    def u16(i: Int): Int =
+      if (i + 2 > t.length) -1
+      else if (little) b(i) | (b(i + 1) << 8) else (b(i) << 8) | b(i + 1)
+    def u32(i: Int): Long =
+      if (i + 4 > t.length) -1L
+      else if (little) (b(i) | (b(i + 1) << 8) | (b(i + 2) << 16)).toLong |
+        (b(i + 3).toLong << 24)
+      else ((b(i).toLong << 24) | (b(i + 1) << 16) | (b(i + 2) << 8) |
+        b(i + 3))
+    if (u16(2) != 42) return None
+    // Collect (tag -> entry offset) maps for IFD0 and the Exif sub-IFD.
+    def ifdEntries(ifdOff: Long): Map[Int, Int] = {
+      if (ifdOff < 0 || ifdOff + 2 > t.length) return Map.empty
+      val n = u16(ifdOff.toInt)
+      if (n < 0) return Map.empty
+      (0 until n).flatMap { i =>
+        val e = ifdOff.toInt + 2 + i * 12
+        if (e + 12 > t.length) None else Some(u16(e) -> e)
+      }.toMap
+    }
+    val ifd0 = ifdEntries(u32(4))
+    if (ifd0.isEmpty) return None
+    def shortInline(e: Int): Long = u16(e + 8).toLong  // first 2 value bytes
+    def longValue(e: Int): Long = u32(e + 8)
+    def rational(e: Int): Option[(Long, Long)] = {
+      val off = u32(e + 8)
+      if (off < 0 || off + 8 > t.length) None
+      else Some((u32(off.toInt), u32(off.toInt + 4)))
+    }
+    def ascii(e: Int): Option[String] = {
+      val n = u32(e + 4)
+      if (n <= 0) return None
+      if (n <= 4) Some(new String(t, e + 8, n.toInt - 1, "US-ASCII"))
+      else {
+        val off = u32(e + 8)
+        if (off < 0 || off + n > t.length) None
+        else Some(new String(t, off.toInt, n.toInt - 1, "US-ASCII"))
+      }
+    }
+    val orientation = ifd0.get(0x0112).map(shortInline)
+    val xres = ifd0.get(0x011a).flatMap(rational)
+    val software = ifd0.get(0x0131).flatMap(ascii)
+    val sub = ifd0.get(0x8769).map(e => ifdEntries(longValue(e)))
+      .getOrElse(Map.empty)
+    Some((if (little) "II" else "MM",
+      orientation.getOrElse(-1L),
+      xres.map(_._1).getOrElse(-1L), xres.map(_._2).getOrElse(-1L),
+      software.getOrElse(""),
+      sub.get(0xa002).map(longValue).getOrElse(-1L),
+      sub.get(0xa003).map(longValue).getOrElse(-1L)))
+  }
+
   private def isSof(marker: Int): Boolean =
     marker >= 0xc0 && marker <= 0xcf &&
       marker != 0xc4 && marker != 0xc8 && marker != 0xcc

@@ -26,8 +26,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
   }
 
   test("scalar kernels resolve and match their host kernels from plain SQL") {
+    val combiningAcute = "́"
+    val compatForms = "Ａﬁ²" // fullwidth A, fi ligature, ²
     val r = ext.sql(
-      """SELECT finite_axpb(3L, 5L, 7L) AS axpb,
+      s"""SELECT nfc_normalize('cafe$combiningAcute') AS nfc,
+        |  nfkc_normalize('$compatForms') AS nfkc,
+        |  finite_axpb(3L, 5L, 7L) AS axpb,
         |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |  kcore_merge(array(3L, 1L, 3L), 2L) AS km,
         |  first_zero_band(12L, 2, 32) AS fzb,
@@ -38,6 +42,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestHarness {
         |  winnow_min(portable_ngram_hashes('a b c d e', 2, false), 3) AS wm,
         |  quantize_micros(array(0.5D, -1.25D, 0.0000025D)) AS qm
         |""".stripMargin).head()
+    assert(r.getAs[String]("nfc") == "caf\u00e9")
+    assert(r.getAs[String]("nfkc") == "Afi2")
     assert(r.getAs[Long]("axpb") == FiniteAxpb.axpb(3L, 5L, 7L))
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Long]("km") ==

@@ -198,7 +198,14 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // recall eval: two top-k chains + the (query, neighbor) join.
         "s24_ann_recall",
         // semantic decon: cross-set banded LSH + verify + aggregate.
-        "d20_semantic_decon")
+        "d20_semantic_decon",
+        // restart resume: two queries, one checkpoint, one answer.
+        "st22_stream_restart",
+        // EXIF: the APP1 TIFF walk (endianness, offsets, sub-IFD).
+        "m16_exif_meta",
+        // grouping sets (Expand + aggregate) and NFC normalization
+        // (native codegen expression over a synthesized variant lattice).
+        "q30_grouping_sets", "t21_nfc_normalize")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestHarness
 
 /** Round-16 operator specs: durable IVF-PQ index persistence (s20),
-  * delete/tombstone (s21), bucket compaction (s23), the chunked trailing
-  * RANGE window (q28 scale plan), the deterministic epoch shuffle (p10),
-  * and the r15-ADVICE fail-loud guard on binary sign-bit codes.
+  * delete/tombstone (s21), bucket compaction (s23), recall eval (s24),
+  * the chunked trailing RANGE window (q28 scale plan), the deterministic
+  * epoch shuffle (p10), semantic decontamination (d20), streaming
+  * checkpoint restart (st22), EXIF/TIFF metadata (m16), Unicode
+  * normalization (t21), and the r15-ADVICE fail-loud guard on binary
+  * sign-bit codes.
   */
 class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
@@ -256,6 +259,116 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
       "vec_id", "embedding", threshold = 0.45)
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(overlap === Seq((0L, 1L, 1.0), (1L, 1L, 1.0)))
+  }
+
+  test("streamingFirstSeen restart: checkpoint restores state; a fresh checkpoint undercounts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("r16-restart").toString
+    // Key "a" recurs across the restart boundary: 3 rows in f0, 2 in f1.
+    def stage(f: Int, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "k").coalesce(1).write.parquet(s"$dir/stage$f")
+      val part = new java.io.File(s"$dir/stage$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part, dst)
+    }
+    stage(0, Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def job(ckpt: String, out: String): Unit = {
+      val q = graft.streaming.Streams.streamingFirstSeen(
+          spark.readStream.schema(schema).parquet(s"$dir/in"), "doc_id", "k")
+        .toDF().writeStream.format("parquet").option("path", s"$dir/$out")
+        .option("checkpointLocation", s"$dir/$ckpt").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    job("ckpt", "out")           // job 1: f0 only
+    stage(1, Seq((11L, "a"), (12L, "a"), (13L, "c")))
+    job("ckpt", "out")           // job 2: resumes, sees only f1
+    val got = spark.read.parquet(s"$dir/out").groupBy($"key")
+      .agg(min($"min_id").as("m"), max($"cnt").as("c"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // State recovered: "a" counts 5 across both jobs, min from job 1.
+    assert(got === Seq(("a", 1L, 5L), ("b", 4L, 1L), ("c", 13L, 1L)))
+    // The negative: a FRESH checkpoint that only sees the new file loses
+    // "a"'s state — cnt restarts at 2, the undercount the shared
+    // checkpoint exists to prevent (and the st22 oracle would catch).
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/in/f0.parquet"),
+      java.nio.file.Paths.get(s"$dir/f0.parquet"))
+    job("ckpt2", "out2")
+    val lost = spark.read.parquet(s"$dir/out2").groupBy($"key")
+      .agg(max($"cnt").as("c")).as[(String, Long)].collect().toMap
+    assert(lost("a") === 2L)
+  }
+
+  test("parseExifMeta: both endiannesses, offset values, sub-IFD; malformed -> None") {
+    import graft.multimodal.Multimodal
+    // Even id = II (little-endian), odd = MM (big): planted closed forms.
+    for (id <- Seq(0L, 1L, 37L, 98L)) {
+      val got = Multimodal.parseExifMeta(Multimodal.synthesizeExifJpeg(id))
+      assert(got === Some((if (id % 2 == 0) "II" else "MM",
+        1 + id % 8, 72 + id % 10, 1L, s"sw-${id % 100}",
+        64 + id % 64, 48 + id % 32)), s"id=$id")
+    }
+    // The APP1 splice keeps the base JPEG valid: the m15 marker walk
+    // still parses it, with exactly one extra length-framed segment.
+    assert(Multimodal.parseJpegMeta(Multimodal.synthesizeExifJpeg(6L)) ===
+      Multimodal.parseJpegMeta(Multimodal.synthesizeJpeg(6L))
+        .map { case (w, h, nc, p, nseg) => (w, h, nc, p, nseg + 1) })
+    // No EXIF (plain JPEG, and a REAL imageio encode) -> None, no crash.
+    assert(Multimodal.parseExifMeta(Multimodal.synthesizeJpeg(3L)).isEmpty)
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.parseExifMeta(bos.toByteArray).isEmpty)
+    // Corrupted TIFF blocks -> None, never a throw: truncate the APP1
+    // payload at every length (exercises each bounds check), flip the
+    // byte-order mark, zero the magic.
+    val ok = Multimodal.synthesizeExifJpeg(4L)
+    for (cut <- 12 to 40) {
+      val t = ok.take(cut) ++ ok.drop(ok.length - 2) // keep EOI shape
+      Multimodal.parseExifMeta(t) // must not throw
+    }
+    // TIFF origin = SOI(2) + APP0(18) + marker/len(4) + "Exif\0\0"(6) = 30.
+    val badOrder = ok.clone(); badOrder(30) = 'X'.toByte
+    assert(Multimodal.parseExifMeta(badOrder).isEmpty)
+    val badMagic = ok.clone(); badMagic(32) = 9; badMagic(33) = 9
+    assert(Multimodal.parseExifMeta(badMagic).isEmpty)
+  }
+
+  test("nfc/nfkc normalize: variants collapse, NFKC folds compat forms, fast path is identity") {
+    import graft.functions.UnicodeNorm
+    import org.apache.spark.unsafe.types.UTF8String
+    // NFC: decomposed == precomposed after normalization (explicit
+    // escapes -- source-file encoding must not decide what is tested).
+    val pairs = Seq(("cafe\u0301", "caf\u00e9"),
+      ("A\u030Aberg", "\u00C5berg"))
+    for ((dec, pre) <- pairs) {
+      assert(dec != pre)
+      assert(UnicodeNorm.nfcKernel(UTF8String.fromString(dec)).toString === pre)
+      assert(UnicodeNorm.nfcKernel(UTF8String.fromString(pre)).toString === pre)
+    }
+    // NFKC additionally folds compatibility forms; NFC must NOT.
+    val compat = "\uFF21\uFB01\u00B2" // fullwidth A, fi ligature, superscript 2
+    assert(UnicodeNorm.nfkcKernel(UTF8String.fromString(compat)).toString === "Afi2")
+    assert(UnicodeNorm.nfcKernel(UTF8String.fromString(compat)).toString === compat)
+    // Fast path: already-NFC input comes back as the SAME UTF8String --
+    // no re-encode allocation on the (overwhelmingly common) clean text.
+    val clean = UTF8String.fromString("plain ascii caf\u00e9")
+    assert(UnicodeNorm.nfcKernel(clean) eq clean)
+    // Column surface agrees with the kernel, NULLs propagate.
+    val df = Seq((1L, "cafe\u0301"), (2L, "caf\u00e9"))
+      .toDF("id", "s")
+    val got = df.select($"id", UnicodeNorm.nfc_normalize($"s").as("n"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "caf\u00e9"), (2L, "caf\u00e9")))
+    val nulls = Seq((3L, null: String)).toDF("id", "s")
+      .select(UnicodeNorm.nfc_normalize($"s").as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(nulls === Seq(None))
   }
 
   test("ivfPqLoad fails loud on a corrupted books sidecar") {
