@@ -1149,6 +1149,20 @@ object SparkEntry {
       Similarity.annRecall(exact, approx, "query_id", "neighbor_id")
     }),
 
+    // nProbe auto-tune (s24's measurement loop closed into a DECISION):
+    // sweep nProbe 1..nCells, score each sweep point against exact
+    // truth, mark the smallest nProbe meeting the recall target — the
+    // number the serving job deploys with. The whole curve is kept
+    // (its knee is the retrain-vs-probe-harder signal).
+    "s25_ivfpq_tune" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqTuneNProbe(idx, e, e.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", k = 5, target = 0.6)
+        .withColumn("nprobe", col("nprobe").cast("bigint"))
+    }),
+
     // Binary (1-bit sign) quantization + Hamming scan: the memory tier
     // below int8/PQ — 64 dims pack into two 32-bit long words, Hamming
     // distance = XOR + POPCNT per word, ties to the smaller id.
@@ -3927,6 +3941,47 @@ object SparkEntry {
     // Compaction rewrites bytes, never codes: the s17 claim still holds
     // through build + persist + append + compact.
     "s23_ivfpq_compact" -> s17OracleSql,
+
+    // nProbe-tune replay: the s13 chain swept at nProbe 1..4 (the one
+    // "WHERE rn <= 2" probe-depth literal rewritten per sweep point),
+    // each joined against the exact chain for per-query recall (rounded
+    // 6 like the engine, zero-hit queries kept), averaged, and the
+    // smallest nprobe meeting the 0.6 target marked chosen (-1 sentinel
+    // when none does, so chosen is false everywhere, never NULL).
+    "s25_ivfpq_tune" -> {
+      def chainAt(p: Int) = s13OracleSql.replace(
+        "WHERE rn <= 2)", s"WHERE rn <= $p)")
+      val sweeps = (1 to 4).map { p =>
+        s"""a$p AS (
+           |${chainAt(p)}
+           |), m$p AS (SELECT $p AS nprobe, round(avg(rec), 6) AS mean_recall
+           |  FROM (SELECT ex.query_id,
+           |      round(CAST(COALESCE(h.c, 0) AS DOUBLE) / ex.n, 6) AS rec
+           |    FROM (SELECT query_id, count(*) AS n FROM exact GROUP BY 1) ex
+           |    LEFT JOIN (SELECT e2.query_id, CAST(count(*) AS BIGINT) AS c
+           |      FROM exact e2 JOIN a$p a ON a.query_id = e2.query_id
+           |        AND a.neighbor_id = e2.neighbor_id GROUP BY 1) h
+           |    USING (query_id)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH exact AS (
+         |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT * FROM n WHERE vec_id <= 3),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id FROM rk WHERE rnk <= 5
+         |),
+         |$sweeps,
+         |c AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, mean_recall,
+         |  nprobe = COALESCE(
+         |    (SELECT min(nprobe) FROM c WHERE mean_recall >= 0.6), -1) AS chosen
+         |FROM c""".stripMargin
+    },
 
     // Recall eval: the s13 approximate chain (verbatim, nested CTE) and
     // the s01 exact-cosine chain on the same query set, joined on

@@ -1058,6 +1058,47 @@ object Similarity {
           .as("recall"))
   }
 
+  /** AUTO-TUNE nProbe against a recall target (s25) — [[annRecall]]
+    * closed the measurement loop; this closes the DECISION loop: sweep
+    * nProbe = 1..nCells on a (sampled) query batch, score each against
+    * exact truth, and mark the smallest nProbe whose mean recall meets
+    * `target` — the number the serving job actually deploys with.
+    * Output `[nprobe, mean_recall, chosen]`, one row per swept value,
+    * the whole recall/cost curve kept (the curve IS the capacity-plan
+    * artifact: its knee says whether the index needs retraining or just
+    * a bigger probe). `chosen` is false everywhere when even
+    * probe-everything misses the target — surfacing that honestly
+    * beats clamping to nCells.
+    *
+    * COST: the sweep is nCells searches over the SAME index artifact +
+    * one exact brute-force pass — bounded by the query SAMPLE size
+    * (callers tune on hundreds of queries, not the corpus), and each
+    * sweep point is the serving plan itself, so the measured recall is
+    * the deployed recall, not a proxy.
+    */
+  def ivfPqTuneNProbe(
+      index: (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]),
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, target: Double): DataFrame = {
+    val (_, coarse, book) = index
+    require(target > 0.0 && target <= 1.0, s"target in (0, 1], got $target")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .localCheckpoint(true)
+    val curve = (1 to coarse.length).map { p =>
+      val approx = ivfPqTopK(corpus, queries, idCol, vecCol, k,
+        nCells = coarse.length, nProbe = p, m = book.length,
+        kCent = book.head.length, indexOf = Some(index))
+      val r = annRecall(exact, approx, "query_id", "neighbor_id")
+        .agg(round(avg(col("recall")), 6)).head().getDouble(0)
+      (p, r)
+    }
+    val best = curve.find(_._2 >= target).map(_._1)
+    curve.toDF("nprobe", "mean_recall")
+      .withColumn("chosen", col("nprobe") === lit(best.getOrElse(-1)))
+  }
+
   /** COMPACT a persisted index table (s23) — the maintenance quadrant
     * append-only ingest creates: every [[ivfPqAddToTable]] lands its
     * delta as new files per bucket, so a nightly cadence accretes

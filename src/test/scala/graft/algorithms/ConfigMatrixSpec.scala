@@ -205,7 +205,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "m16_exif_meta",
         // grouping sets (Expand + aggregate) and NFC normalization
         // (native codegen expression over a synthesized variant lattice).
-        "q30_grouping_sets", "t21_nfc_normalize")
+        "q30_grouping_sets", "t21_nfc_normalize",
+        // nProbe auto-tune: the swept recall curve + first-meeting mark.
+        "s25_ivfpq_tune")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq

@@ -371,6 +371,43 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(nulls === Seq(None))
   }
 
+  test("ivfPqTuneNProbe: full curve, chosen = first point meeting target, honest miss") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" <= 3)
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    def curve(target: Double) =
+      Similarity.ivfPqTuneNProbe(idx, e, q, "vec_id", "embedding",
+        k = 5, target = target)
+        .as[(Int, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val c = curve(1e-9)
+    assert(c.map(_._1) === (1 to 4))
+    // Every sweep point's mean recall must equal the independent
+    // annRecall computation at that nProbe (the curve IS s24 swept).
+    for ((p, r, _) <- c) {
+      val want = Similarity.annRecall(
+        Similarity.cosineTopK(e, q, "vec_id", "embedding", 5),
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+          nCells = 4, nProbe = p, m = 4, kCent = 8, indexOf = Some(idx)),
+        "query_id", "neighbor_id")
+        .agg(round(avg($"recall"), 6)).head().getDouble(0)
+      assert(r === want, s"nProbe=$p curve diverged from annRecall")
+    }
+    // Any positive recall meets the 1e-9 target at nProbe=1.
+    assert(c.head._3 === true && c.tail.forall(!_._3))
+    // Target between the p=1 and max recall: chosen moves rightward to
+    // the FIRST point meeting it.
+    val max = c.map(_._2).max
+    if (max > c.head._2) {
+      val mid = (c.head._2 + max) / 2
+      val c2 = curve(mid)
+      val firstMeeting = c2.find(_._2 >= mid).map(_._1)
+      assert(c2.filter(_._3).map(_._1) === firstMeeting.toSeq)
+    }
+    // Unreachable target: all false — surfaced honestly, not clamped.
+    assert(curve(1.0).forall(!_._3) || max >= 1.0)
+  }
+
   test("ivfPqLoad fails loud on a corrupted books sidecar") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
