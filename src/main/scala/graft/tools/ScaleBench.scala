@@ -393,6 +393,67 @@ object ScaleBench {
         println(f"SCALE-OK st-firstseen n=$n keys=$keys batches=$nBatches " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "st-restart" =>
+        // Exactly-once resume at corpus scale (st22): first-seen over n
+        // docs and n/8 keys as TWO jobs sharing a durable checkpoint —
+        // job 1 drains 4 of the 8 files and stops, the rest "arrive",
+        // job 2 resumes from the checkpoint: committed files must be
+        // skipped (source exactly-once) and ~n/8 keys of per-key state
+        // restored from the state store before the first new batch.
+        // Finalize over the durable sink must equal batch exactly —
+        // lost state undercounts cnt on the ~100% of keys that recur
+        // across the restart boundary.
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-strs").toString
+        val keys = math.max(1L, n / 8)
+        val rows = spark.range(n).select(col("id").as("doc_id"),
+          pmod(xxhash64(col("id"), lit(31)), lit(keys))
+            .cast("string").as("canon"))
+        rows.withColumn("__f", pmod(xxhash64(col("doc_id"), lit(32)), lit(8)))
+          .repartition(8, col("__f")).drop("__f")
+          .write.mode("overwrite").parquet(s"$dir/in")
+        // 8 hash values land in <= 8 partitions (hash collisions legal);
+        // hold the back HALF of whatever files exist until job 1 stops.
+        val parts = new java.io.File(s"$dir/in").listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(parts.length >= 2, s"need >= 2 part files, got ${parts.length}")
+        val held = parts.drop(parts.length / 2)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/pending"))
+        held.foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/pending/${f.getName}"))
+        }
+        val schema = spark.read.parquet(s"$dir/in").schema
+        def job(): Double = {
+          val t = System.nanoTime()
+          val q = graft.streaming.Streams.streamingFirstSeen(
+              spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+              "doc_id", "canon").toDF()
+            .writeStream.format("parquet").option("path", s"$dir/out")
+            .option("checkpointLocation", s"$dir/ckpt").outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t) / 1e9
+        }
+        val job1Sec = job()
+        held.foreach { f =>
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$dir/pending/${f.getName}"), f.toPath)
+        }
+        val job2Sec = job()
+        val streamed = spark.read.parquet(s"$dir/out").groupBy("key")
+          .agg(min("min_id").as("keep_id"), max("cnt").as("n_dups"))
+        val batch = rows.groupBy(col("canon").as("key"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        val diff = streamed.unionAll(batch).groupBy("key", "keep_id", "n_dups")
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+        require(diff == 0L, s"restart resume diverged from batch on $diff keys")
+        println(f"SCALE-OK st-restart n=$n keys=$keys job1=$job1Sec%.1f " +
+          f"job2=$job2Sec%.1f sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "st-firstseen-ttl" =>
         // st21 at corpus scale: n docs over n/256 keys (key = id mod K,
         // so each key recurs ~every K seconds on the sec = id + 1000
