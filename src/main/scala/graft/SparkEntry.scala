@@ -2411,6 +2411,29 @@ object SparkEntry {
         "st16_sink", "complete")
     }),
 
+    // Streaming serve off the PERSISTED index (st23 — the lifecycle's
+    // last seam): st18 ingests INTO the table, s20 serves a batch off
+    // it; this serves a query STREAM off it — the stream-static join
+    // where the static side is the reloaded bucketed artifact scan.
+    // Per-micro-batch queries are not driver-known at plan time, so the
+    // literal cell pruning stays batch-only (ivfPqProbeCells' contract);
+    // the cell equi-join still touches only probed cells' rows. Oracle =
+    // the s13 SQL verbatim: storage + streaming must both be invisible.
+    "st23_stream_table_ann" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "st23_ivfpq_idx", numBuckets = 4)
+      val loaded = Similarity.ivfPqLoad(s, "st23_ivfpq_idx")
+      drainStream(
+        Similarity.ivfPqTopK(e,
+            streamTbl(s, d, "embeddings").filter(col("vec_id") <= 3),
+            "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+            m = 4, kCent = 8, indexOf = Some(loaded))
+          .withColumnRenamed("rank", "rnk"),
+        "st23_sink", "complete")
+    }),
+
     // Streaming sequence packing: the p08 two-level prefix sum with its
     // per-shard running totals as streaming state (ONE long per shard,
     // the st11 discipline) — sequences continue across micro-batches
@@ -3835,6 +3858,10 @@ object SparkEntry {
     // bucket-pruning wrong-result would move codes/candidates and fail
     // the hash).
     "s20_ivfpq_persist" -> s13OracleSql,
+
+    // Streaming serve off the persisted table: the same claim through
+    // one more seam — micro-batch queries against the reloaded scan.
+    "st23_stream_table_ann" -> s13OracleSql,
 
     // Delete: the s13 chain verbatim — full-corpus seeds (the books a
     // remove must NOT re-derive) — with removed ids excluded from the

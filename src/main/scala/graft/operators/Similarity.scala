@@ -1044,10 +1044,15 @@ object Similarity {
     */
   def annRecall(exact: DataFrame, approx: DataFrame,
       queryCol: String, neighborCol: String): DataFrame = {
+    // Both sides dedupe on (query, neighbor): ranked top-k frames are
+    // duplicate-free already (the distinct folds into their aggregates),
+    // but recall must stay a SET measure in [0, 1] even on a malformed
+    // input — duplicated pairs would otherwise inflate hits past
+    // exact_n and report recall > 1.
     val ex = exact.select(col(queryCol).as("__ar_q"),
-      col(neighborCol).as("__ar_n"))
+      col(neighborCol).as("__ar_n")).distinct()
     val ap = approx.select(col(queryCol).as("__ar_q"),
-      col(neighborCol).as("__ar_n"))
+      col(neighborCol).as("__ar_n")).distinct()
     val hits = ex.join(ap, Seq("__ar_q", "__ar_n"))
       .groupBy("__ar_q").agg(count(lit(1)).as("hits"))
     ex.groupBy("__ar_q").agg(count(lit(1)).as("exact_n"))

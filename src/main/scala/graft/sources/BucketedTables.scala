@@ -102,6 +102,14 @@ object BucketedTables {
     * format (Hive, Iceberg, Delta) uses for rewrites. One shuffle of the
     * full table, amortized over the appends it absorbs; semantics
     * unchanged (the s23 oracle's claim).
+    *
+    * CRASH WINDOW: the swap is drop-then-rename, two catalog calls — a
+    * failure between them leaves `table` absent and the complete
+    * rewrite at `<table>__compacting`; recovery is the rename by hand.
+    * Real table formats make the flip one atomic pointer write; with a
+    * plain file catalog this two-call window is the honest
+    * approximation, and the staging write (the long part) is entirely
+    * inside the safe region — both tables intact until the drop.
     */
   def compactTable(spark: SparkSession, table: String): Unit = {
     import org.apache.spark.sql.functions.col

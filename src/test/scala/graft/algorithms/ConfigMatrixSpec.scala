@@ -207,7 +207,10 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         // (native codegen expression over a synthesized variant lattice).
         "q30_grouping_sets", "t21_nfc_normalize",
         // nProbe auto-tune: the swept recall curve + first-meeting mark.
-        "s25_ivfpq_tune")
+        "s25_ivfpq_tune",
+        // streaming serve off the persisted table (stream-static join
+        // against the reloaded bucketed artifact scan).
+        "st23_stream_table_ann")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq
