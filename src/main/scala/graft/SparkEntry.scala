@@ -2027,6 +2027,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // Schema EVOLUTION across ingest generations (b08): generation 1
+    // wrote [doc_id, lang]; generation 2 appended with an added n_toks
+    // column — the day-one lifecycle event of every long-lived table.
+    // The reader must see the UNION schema (mergeSchema=true — off by
+    // default because footer merging costs a metadata pass, so the gate
+    // pins the opt-in actually working) with generation-1 rows NULL in
+    // the new column; the aggregate proves both generations' rows and
+    // the NULL-vs-0 semantics survive (count(col) skips NULLs, the
+    // coalesced sum treats them as 0).
+    "b08_schema_evolution" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val path = s"${s.conf.get("spark.sql.warehouse.dir")}/b08_evolved"
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_toks"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("n_toks")).as("with_toks"),
+          sum(coalesce(col("n_toks"), lit(0L))).as("toks"))
+    }),
+
     // JSONL corpus ingestion with corrupt-record accounting: documents
     // serialized to JSONL with every 97th line TRUNCATED (cutting the
     // closing brace + tail — guaranteed-malformed JSON), then read back
@@ -4838,6 +4864,16 @@ object SparkEntry {
     // JSONL round trip: the classification (every 97th doc truncated ->
     // corrupt) replayed off the original table; good rows must carry
     // their parsed fields, corrupt rows only a count.
+    // Schema-evolution replay: generation membership is doc_id parity,
+    // so the merged-schema read's NULL lattice is a closed form — gen-1
+    // rows contribute NULL n_toks (skipped by count, 0 in the sum).
+    "b08_schema_evolution" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT) AS with_toks,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0
+        |    THEN len(regexp_extract_all(text, '\S+')) ELSE 0 END) AS BIGINT) AS toks
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "b03_jsonl_ingest" ->
       """SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt' ELSE lang END AS lang,
         |  CAST(count(*) AS BIGINT) AS cnt,

@@ -210,7 +210,9 @@ class ConfigMatrixSpec extends AnyFunSuite with SparkTestHarness {
         "s25_ivfpq_tune",
         // streaming serve off the persisted table (stream-static join
         // against the reloaded bucketed artifact scan).
-        "st23_stream_table_ann")
+        "st23_stream_table_ann",
+        // schema evolution: mergeSchema union read + NULL lattice.
+        "b08_schema_evolution")
       .map { n =>
         n -> graft.SparkEntry.queries(n)(spark, sf)
           .collect().map(_.toString).sorted.toSeq
