@@ -208,32 +208,13 @@ object SparkEntry {
       .otherwise(lit("")),
     when(id % 6 === 0, lit("#Section2")).otherwise(lit("")))
 
-  /** Stage `df` into `nFiles` single-file parquets `dir/in/f{i}.parquet`
-    * split by contiguous doc_id ranges, mtimes one minute apart in file
-    * order — so a file-source drain with `maxFilesPerTrigger=1` replays
-    * them as nFiles deterministic micro-batches (st21's drive; st22
-    * additionally restarts the query between files). Returns the staging
-    * root (caller may move files out of `in/` to control visibility).
+  /** See [[graft.sources.FileStaging.stageMtimeFiles]] — the shared
+    * deterministic micro-batch staging (st21's drive; st22 additionally
+    * restarts the query between files).
     */
   private def stageMtimeFiles(docs: DataFrame, tag: String,
-      nFiles: Int): String = {
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val bSize = maxId / nFiles + 1
-    val dir = java.nio.file.Files.createTempDirectory(tag).toString
-    (0L until nFiles.toLong).foreach { f =>
-      docs.filter(col("doc_id") >= f * bSize && col("doc_id") < (f + 1) * bSize)
-        .coalesce(1).write.parquet(s"$dir/stage$f")
-      val part = new java.io.File(s"$dir/stage$f").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
-      val dst = java.nio.file.Paths.get(s"$dir/in/f$f.parquet")
-      java.nio.file.Files.createDirectories(dst.getParent)
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          1600000000000L + f * 60000L))
-    }
-    dir
-  }
+      nFiles: Int): String =
+    graft.sources.FileStaging.stageMtimeFiles(docs, tag, nFiles)
 
   private def htmlExtract(docs: DataFrame): DataFrame = {
     val nl = "\n"

@@ -64,12 +64,16 @@ object ChunkedWindow {
     require(w >= frame, s"chunkWidth $w must be >= frame $frame " +
       "(a frame spanning 3+ chunks would need multi-hop carries)")
     val ts = col(tsCol)
-    // Integer floor-div via pmod — exact on the FULL long domain
-    // (including negative timestamps), where a double-precision divide
-    // would round nanos > 2^53. `ts - pmod(ts, W)` is an exact multiple
-    // of W, so the SQL `div` truncation can never bite.
+    // Integer floor-div via pmod + SQL `div` — exact on the long domain
+    // (including negative timestamps). Spark's `/` on longs is a DOUBLE
+    // divide: at nano-epoch magnitudes (~2^62, ulp 512) the rounded
+    // quotient can truncate to q-1 and assign a row to the wrong chunk —
+    // silent wrong frames, caught by review, now pinned by the huge-|ts|
+    // rows in the spec. `ts - pmod(ts, W)` is an exact multiple of W, so
+    // `div` truncation never bites. (Only |ts| within W of Long.MinValue
+    // could overflow the subtraction — outside any real time lattice.)
     def chunkOf(t: Column): Column =
-      ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+      call_function("div", t - pmod(t, lit(w)), lit(w))
     val own = df.withColumn("__cw_chunk", chunkOf(ts))
       .withColumn("__cw_wchunk", col("__cw_chunk"))
     // Carry copies: only the chunk's right boundary strip [Wc+W-F, Wc+W)

@@ -126,7 +126,8 @@ object Similarity {
     val vRaw = col(vecCol).cast("array<double>")
     val v = when(size(vRaw) === dim, vRaw)
       .otherwise(raise_error(concat(
-        lit("binaryCodes: vector has "), size(vRaw).cast("string"),
+        lit("binaryCodes: vector has "),
+        coalesce(size(vRaw).cast("string"), lit("NULL")),
         lit(s" dims but dim=$dim was requested"))))
     val words = (0 until nWords).map { w =>
       (0 until bitsPerWord).filter(b => w * bitsPerWord + b < dim).map { b =>
@@ -167,7 +168,7 @@ object Similarity {
         when(size(col("code")) === nWords, col("code"))
           .otherwise(raise_error(concat(lit(
             s"binaryHammingTopK: codesOf artifact has "),
-            size(col("code")).cast("string"),
+            coalesce(size(col("code")).cast("string"), lit("NULL")),
             lit(s" words but dim=$dim/bitsPerWord=$bitsPerWord needs " +
               s"$nWords — re-encode or pass the artifact's parameters"))))))
       .getOrElse(binaryCodes(corpus, idCol, vecCol, dim, bitsPerWord))
@@ -868,7 +869,8 @@ object Similarity {
     val vRaw = col(vecCol).cast("array<double>")
     val vChecked = when(size(vRaw) === d, vRaw)
       .otherwise(raise_error(concat(
-        lit(s"ivfPqAppend: delta vector has "), size(vRaw).cast("string"),
+        lit(s"ivfPqAppend: delta vector has "),
+        coalesce(size(vRaw).cast("string"), lit("NULL")),
         lit(s" dims but the index was built at $d"))))
     val cq = delta.select(col(idCol).as("id") +:
       graft.functions.QuantizeMicros.quantize_micros(vChecked).as("vq") +:
@@ -1010,6 +1012,9 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"table $table has no bucket spec — not an ivfPqSave artifact"))
+    require(bs.sortColumnNames.nonEmpty,
+      s"table $table has a bucket spec but no sort columns — " +
+        "not an ivfPqSave artifact")
     val (_, coarse, book) = ivfPqLoad(spark, table)
     val enc = ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols)
     enc.repartition(bs.numBuckets, col(bs.bucketColumnNames.head))
@@ -1091,6 +1096,11 @@ object Similarity {
     import spark.implicits._
     val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
       .localCheckpoint(true)
+    // avg(recall) over zero rows is NULL and would NPE inside the sweep
+    // with no hint the sample was empty — fail loud at the boundary.
+    require(!exact.isEmpty,
+      "ivfPqTuneNProbe: empty query sample (or empty corpus) — nothing " +
+        "to score a recall target against")
     val curve = (1 to coarse.length).map { p =>
       val approx = ivfPqTopK(corpus, queries, idCol, vecCol, k,
         nCells = coarse.length, nProbe = p, m = book.length,
@@ -1124,6 +1134,26 @@ object Similarity {
     graft.sources.BucketedTables.compactTable(spark, table)
   }
 
+  /** Quantized query frame plus `__ranked`: the coarse-cell (d2, cell)
+    * struct array sorted ascending, ties to the smaller cell — ONE
+    * definition shared by the serving path ([[ivfPqTopK]]) and the
+    * plan-time pruning path ([[ivfPqProbeCells]]). The sharing is
+    * load-bearing: if the two rankings ever diverged (tie-break,
+    * quantization, distance term), the pruned scan could exclude a cell
+    * the search then probes — candidates silently vanish from top-k.
+    */
+  private def coarseRankedQueries(queries: DataFrame, idCol: String,
+      vecCol: String, coarse: Array[Array[Long]]): DataFrame =
+    KMeans.quantize(queries, idCol, vecCol)
+      .withColumn("vqd", col("vq").cast("array<double>"))
+      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
+      .withColumn("__ranked",
+        array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
+          struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
+            typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as("d"),
+            lit(i).as("c"))
+        }.toIndexedSeq: _*)))
+
   /** The DISTINCT coarse cells a (bounded, batch) query set probes at
     * `nProbe` — the literal set [[ivfPqSearchTable]] pushes into the
     * bucketed index scan as `cell IN (...)` so bucket pruning fires at
@@ -1139,15 +1169,8 @@ object Similarity {
       "ivfPqProbeCells needs a driver-known batch of queries")
     require(nProbe >= 1 && nProbe <= coarse.length,
       s"need 1 <= nProbe <= nCells=${coarse.length}, got $nProbe")
-    val qq = KMeans.quantize(queries, idCol, vecCol)
-      .withColumn("vqd", col("vq").cast("array<double>"))
-      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
-    val ranked = array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
-      struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
-        typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as("d"),
-        lit(i).as("c"))
-    }.toIndexedSeq: _*))
-    qq.select(explode(slice(ranked, 1, nProbe)).as("p"))
+    coarseRankedQueries(queries, idCol, vecCol, coarse)
+      .select(explode(slice(col("__ranked"), 1, nProbe)).as("p"))
       .select(col("p.c").as("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
   }
@@ -1340,17 +1363,9 @@ object Similarity {
     // exact integer distance — (d2, cell) struct sort, ties to the
     // smaller cell — take nProbe, then per probe build the residual and
     // its m x kCent ADC table as literal-expanded exact expressions.
-    val qq = KMeans.quantize(queries, idCol, vecCol)
-      .withColumn("vqd", col("vq").cast("array<double>"))
-      .withColumn("vq2", array_dot(col("vqd"), col("vqd")))
-    val rankedCells = array_sort(array(coarse.zipWithIndex.map { case (cv, i) =>
-      struct((col("vq2") - lit(2.0) * array_dot(col("vqd"),
-        typedLit(cv.map(_.toDouble).toSeq)) + lit(sqSum(cv))).as("d"),
-        lit(i).as("c"))
-    }.toIndexedSeq: _*))
-    val probes = qq
+    val probes = coarseRankedQueries(queries, idCol, vecCol, coarse)
       .select(col("id").as("qid"), col("vq").as("qvq"),
-        explode(slice(rankedCells, 1, nProbe)).as("p"))
+        explode(slice(col("__ranked"), 1, nProbe)).as("p"))
       .select(col("qid"), col("qvq"), col("p.c").as("cell"))
     val withQr = probes.select(col("qid"), col("cell"),
       residualCase(coarse, col("qvq"), col("cell")).cast("array<double>").as("qr"))

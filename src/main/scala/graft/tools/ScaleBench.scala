@@ -467,25 +467,11 @@ object ScaleBench {
         // count (~16 k at n=2^22) — the bounded-state claim measured.
         val keys = math.max(1L, n / 256)
         val ttl = 3600L
-        val bSize = n / 8 + 1
-        val dirT = java.nio.file.Files
-          .createTempDirectory("graft-stttl").toString
         val rows = spark.range(n).select(col("id").as("doc_id"),
           pmod(col("id"), lit(keys)).cast("string").as("k"),
           timestamp_seconds(col("id") + 1000L).as("ts"))
-        (0L until 8L).foreach { f =>
-          rows.filter(col("doc_id") >= f * bSize &&
-              col("doc_id") < (f + 1) * bSize)
-            .coalesce(1).write.parquet(s"$dirT/stage$f")
-          val part = new java.io.File(s"$dirT/stage$f").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = java.nio.file.Paths.get(s"$dirT/in/f$f.parquet")
-          java.nio.file.Files.createDirectories(dst.getParent)
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              1600000000000L + f * 60000L))
-        }
+        val dirT = graft.sources.FileStaging.stageMtimeFiles(
+          rows, "graft-stttl", nFiles = 8)
         val schemaT = spark.read.parquet(s"$dirT/in").schema
         val streamT = spark.readStream.schema(schemaT)
           .option("maxFilesPerTrigger", "1").parquet(s"$dirT/in")
@@ -504,6 +490,8 @@ object ScaleBench {
         // as Spark SQL): batch, per-batch running-max watermark, split on
         // wm > prev + ttl, closed on final wm > last + ttl.
         val t1 = System.nanoTime()
+        // FileStaging's split: contiguous id ranges of maxId/nFiles + 1.
+        val bSize = (n - 1) / 8 + 1
         val p = rows.select(col("doc_id"), col("k"),
           (col("doc_id") + 1000L).as("sec"),
           expr(s"doc_id div ${bSize}L").as("b"))

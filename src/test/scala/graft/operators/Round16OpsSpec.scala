@@ -35,7 +35,23 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
     } ++ Seq( // pinned shapes on top of the fuzz
       (90001L, "k0", 0L, 1L), (90002L, "k0", 0L, 2L),     // boundary + tie
       (90003L, "k0", -100L, 3L), (90004L, "k0", 100L, 4L), // frame edge pair
-      (90005L, "k0", -4000L, 5L))
+      (90005L, "k0", -4000L, 5L)) ++ {
+      // Nano-epoch magnitudes: Spark's `/` on longs is a DOUBLE divide,
+      // and at ~1.7e18 (ulp 256) the rounded quotient truncates to the
+      // wrong chunk — these bases are VERIFIED double-divide failures
+      // (int(float(q*w)/w) != q) for each chunk width the loop tests
+      // (800 = 4*frame default, 200 = frame, 1e6), chosen at today's
+      // ns-since-epoch magnitude. Pairs straddle each base so a
+      // misassigned row visibly changes its neighbors' frame sums.
+      Seq(1700000000000003200L, 1700000000000000400L, 1700000000002000000L)
+        .zipWithIndex.flatMap { case (base, i) =>
+          Seq((91000L + 10 * i, "k1", base - 100L, 11L),
+            (91001L + 10 * i, "k1", base, 12L),
+            (91002L + 10 * i, "k1", base + 150L, 13L),
+            (91003L + 10 * i, "k1", base + 799L, 14L))
+        } ++ Seq((92000L, "k1", -((1L << 62) - 3L), 15L),
+          (92001L, "k1", -((1L << 62) - 3L) + 150L, 16L))
+    }
     val df = rows.toDF("id", "key", "ts", "v")
     val frame = 200L
     val w = org.apache.spark.sql.expressions.Window
