@@ -435,6 +435,20 @@ object Dedup {
     * (it's a test suite), so its banded copy behaves like a broadcast
     * under AQE; recall follows the [[embeddingNearDupLsh]] cost model
     * (defaults: miss < 3e-8 per qualifying pair at 0.45).
+    *
+    * SCALE HONESTY: candidate volume ≈ corpus × benchmark × b × m^r,
+    * and at LOW thresholds (0.45 sits inside the random-cosine bulk,
+    * m ≈ 0.5) a 64-bit signature cannot prune a 10^4-item benchmark
+    * against a 10^9-doc corpus — the same information-theoretic wall
+    * [[embeddingNearDupLsh]] documents. Wide bands fix high-threshold
+    * near-copy decon (r=8: planted 0.98 copies miss < 0.1%); for
+    * low-threshold decon at full corpus scale the production path is
+    * the library's OWN index: build/load the corpus IVF-PQ
+    * ([[Similarity.ivfPqIndex]]/[[Similarity.ivfPqSearchTable]]), run
+    * the benchmark AS THE QUERY BATCH, and flag every corpus id
+    * surfacing above threshold — 10^4 queries probing nProbe cells
+    * beats 10^13 banded candidates by construction, and every piece of
+    * that route is already oracle-gated (s13/s16/s20).
     */
   def semanticDecontaminate(
       corpus: DataFrame, heldOut: DataFrame,

@@ -268,6 +268,18 @@ class Round16OpsSpec extends AnyFunSuite with SparkTestHarness {
         "vec_id", "embedding", threshold = 0.45)
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 1L, 1.0), (2L, 2L, 0.8)))
+    // High-threshold wide-band regime (the production near-copy decon
+    // the scaladoc documents): r=8 bands catch a planted 0.98-cosine
+    // paraphrase of a benchmark item while the orthogonal row stays
+    // clean — pins the bands knob actually trading scan for recall.
+    val wideCorpus = Seq(
+      (10L, vec(0.98, 0.19899748742132397)), // 0.98 to b1
+      (11L, vec(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val wide = Dedup.semanticDecontaminate(wideCorpus, heldOut,
+        "vec_id", "embedding", threshold = 0.95, nBits = 64, bands = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(wide === Seq((10L, 1L, 0.98)))
     // Corpus and benchmark stay distinct sets: nothing self-flags, and
     // the id spaces may legally overlap (no cross-set id assumptions).
     val overlap = Dedup.semanticDecontaminate(
