@@ -444,6 +444,17 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
 
+    // EXACT weighted percentiles with NO global sort: value-axis range
+    // chunks + carry (the ChunkedWindow/p08 two-level discipline on the
+    // cumulative-weight axis); the oracle replays the ONE global
+    // cumulative window the chunked plan must equal bit-for-bit.
+    // Values = price cents, weights = quantity units.
+    "q31_weighted_pctl" -> ((s, d) =>
+      graft.operators.WeightedQuantiles.weightedPercentiles(
+        tbl(s, d, "lineitem").select(cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w")),
+        "v", "w", Seq(25, 50, 90, 99))),
+
     // PIVOT: long->wide on an explicit value list (the only scale-safe
     // form — an unlisted pivot collects the distinct values to plan the
     // schema; listed, it is ONE pass of conditional aggregates).
@@ -1547,6 +1558,30 @@ object SparkEntry {
       Sampling.epochShuffle(tbl(s, d, "documents"), "doc_id",
         seed = "epoch-0")),
 
+    // Priority sampling (Duffield–Lund–Thorup): k=64 docs weighted by
+    // n_chars, each carrying the unbiased subset-sum estimator
+    // max(w, tau). Priorities are md5-hash uniforms through two IEEE
+    // divisions (one exact by 2^60) — no rand, no libm — so priority,
+    // tau, and est_weight replay bit-exact in the oracle.
+    "p11_priority_sample" -> ((s, d) =>
+      Sampling.prioritySample(tbl(s, d, "documents"), "doc_id", "n_chars",
+        k = 64, seed = "p11e0")),
+
+    // Streaming twin of p11: per-shard monotone top-(k+1) candidate
+    // state (nShards*(k+1) entries TOTAL, stream-length-independent),
+    // candidates drained then finalized with the SHARED batch tail —
+    // order-free, so the p11 oracle gates it verbatim.
+    "st24_stream_priority_sample" -> ((s, d) => {
+      val cand = drainStream(
+        graft.streaming.Streams.streamingPriorityCandidates(
+          streamTbl(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 64, seed = "p11e0").toDF(),
+        "st24_sink", "append")
+      Sampling.priorityFinalize(
+        cand.select(col("key").as("doc_id"), col("weight"), col("priority")),
+        "doc_id", k = 64)
+    }),
+
     // Cohort retention: users bucketed by first-activity week, distinct
     // actives per (cohort, weeks-since) — two map-side-combinable
     // aggregates sharing the user_id partitioning, no window.
@@ -1760,6 +1795,14 @@ object SparkEntry {
           (norm =!= col("raw")).as("changed"),
           md5(norm).as("dedup_key"))
     }),
+
+    // Vocabulary coverage curve: what fraction of token occurrences a
+    // top-V vocab covers, at V = 5/10/20/40 (40 > the corpus vocab —
+    // the saturation row). Exact integer counts, deterministic term
+    // tiebreak, one bounded TakeOrdered over the vocabulary.
+    "t22_vocab_coverage" -> ((s, d) =>
+      TextFunctions.vocabCoverage(tbl(s, d, "documents"), "text",
+        Seq(5, 10, 20, 40))),
 
     // URL-keyed dedup over the canonical spelling: first occurrence
     // (min doc_id) kept per canonical URL, duplicate count audited —
@@ -2604,6 +2647,14 @@ object SparkEntry {
       g.katz.iterations(3).run()
     }),
 
+    // Resource-Allocation link prediction on the same DAG (undirected
+    // view): top-100 non-adjacent pairs by Σ 1/deg(z) over shared
+    // neighbors, on the 1e-12 integer lattice — strict-equality gate,
+    // no float summation order (the g27 discipline).
+    "g28_link_predict" -> ((s, d) =>
+      graft.algorithms.LinkPrediction.resourceAllocation(
+        custOrderPartEdges(s, d), topK = 100, degreeCap = 256)),
+
     // L2-normalized HITS (the user-facing form, scores in (0,1]): same
     // integer-exact rounds as g16, one normalization aggregate at the end.
     "g16b_hits_norm" -> ((s, d) => {
@@ -2831,6 +2882,27 @@ object SparkEntry {
           |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
           |  CAST(len(dropped) AS BIGINT) AS n_boiler_lines
           |FROM kd""".stripMargin
+
+  /** The p11 priority-sampling replay (Duffield–Lund–Thorup): shared
+    * verbatim by st24 — the streaming candidate path must be INVISIBLE
+    * to the final sample, which sharing the oracle text asserts.
+    * 1152921504606846976 = 2^60 (exactly representable; the division by
+    * it is an exponent shift, exact in both engines).
+    */
+  private val p11OracleSql: String =
+    """WITH s AS (SELECT doc_id, n_chars AS weight,
+      |  ('0x' || substr(md5('p11e0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS u
+      |FROM documents),
+      |q AS (SELECT doc_id, weight,
+      |  CAST(weight AS DOUBLE) / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS priority
+      |FROM s),
+      |r AS (SELECT doc_id, weight, priority,
+      |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM q),
+      |t AS (SELECT coalesce(max(CASE WHEN rn = 65 THEN priority END), 0.0) AS tau
+      |  FROM r WHERE rn <= 65)
+      |SELECT r.doc_id, r.weight, r.priority,
+      |  greatest(CAST(r.weight AS DOUBLE), t.tau) AS est_weight
+      |FROM r, t WHERE r.rn <= 64""".stripMargin
 
   /** The s13 IVF-PQ replay: smallest-id coarse/codebook seeds, integer-
     * lattice encode, 2-probe ADC search, rank (d2 ASC, id ASC). Shared
@@ -3270,6 +3342,23 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Weighted-percentile replay: ONE global cumulative window over the
+    // value-grouped weights — the chunk-parallel plan must equal it
+    // bit-for-bit. T = ceil(pct·W/100) as (pct*W + 99) // 100; the
+    // crossing predicate (cum >= T AND cum - ws < T) picks exactly the
+    // first value reaching each target.
+    "q31_weighted_pctl" ->
+      """WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT v, CAST(sum(w) AS BIGINT) AS ws FROM src GROUP BY 1),
+        |c AS (SELECT v, ws, CAST(sum(ws) OVER (ORDER BY v) AS BIGINT) AS cum_w FROM g),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM src),
+        |p AS (SELECT * FROM (VALUES (25), (50), (90), (99)) AS p(pct))
+        |SELECT p.pct, c.v AS value, c.cum_w, t.total_w
+        |FROM p, t, c
+        |WHERE c.cum_w >= (p.pct * t.total_w + 99) // 100
+        |  AND c.cum_w - c.ws < (p.pct * t.total_w + 99) // 100""".stripMargin,
+
     // Grouping-sets replay: same asymmetric slice list, same bitmask.
     "q30_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3392,6 +3481,31 @@ object SparkEntry {
     "g15_ppr" -> pprOracle(3),
     "g16_hits" -> hitsOracle(2),
     "g27_katz" -> katzOracle(3),
+
+    // Resource-Allocation replay: symmetrize (drop loops, canonical
+    // distinct, both directions), full-adjacency degrees, capped wedge
+    // centers, per-pair integer-lattice sums, known edges anti-joined
+    // out, top-100 by (score, a, b). `//` floor-div == Spark `div` on
+    // the positive domain.
+    "g28_link_predict" ->
+      """WITH e0 AS (SELECT o_custkey AS s0, o_orderkey + 4000000 AS d0 FROM orders
+        |  UNION ALL SELECT l_orderkey + 4000000, l_partkey + 1000000 FROM lineitem),
+        |canon AS (SELECT DISTINCT least(s0, d0) AS a0, greatest(s0, d0) AS b0
+        |  FROM e0 WHERE s0 <> d0),
+        |sym AS (SELECT a0 AS src, b0 AS dst FROM canon
+        |  UNION ALL SELECT b0, a0 FROM canon),
+        |deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        |adj AS (SELECT s.src AS z, s.dst AS n, deg.dg
+        |  FROM sym s JOIN deg ON deg.z = s.src WHERE deg.dg <= 256),
+        |w AS (SELECT l.n AS a, r.n AS b, l.dg
+        |  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_nbrs,
+        |  CAST(sum(1000000000000 // dg) AS BIGINT) AS ra_micros
+        |  FROM w GROUP BY 1, 2),
+        |na AS (SELECT sc.* FROM sc LEFT JOIN sym
+        |  ON sym.src = sc.a AND sym.dst = sc.b WHERE sym.src IS NULL)
+        |SELECT a, b, common_nbrs, ra_micros FROM na
+        |ORDER BY ra_micros DESC, a, b LIMIT 100""".stripMargin,
     "g16b_hits_norm" -> hitsOracleImpl(2, normalized = true),
     "g17_wsssp" -> wssspOracle(4),
     "g18_wpagerank" -> wprOracle(3),
@@ -4987,6 +5101,23 @@ object SparkEntry {
         |  md5(nfc_normalize(raw)) AS dedup_key
         |FROM r""".stripMargin,
 
+    // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
+    // per-size covered sums via the rank theta join, one rounded ratio.
+    "t22_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |tt AS (SELECT coalesce(CAST(sum(cnt) AS BIGINT), 0) AS total_occ FROM c),
+        |r AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM c),
+        |sz AS (SELECT * FROM (VALUES (5), (10), (20), (40)) AS v(v_size)),
+        |cov AS (SELECT sz.v_size, coalesce(CAST(sum(r.cnt) AS BIGINT), 0) AS covered_occ
+        |  FROM sz LEFT JOIN r ON r.rn <= sz.v_size GROUP BY 1)
+        |SELECT cov.v_size, cov.covered_occ, tt.total_occ,
+        |  CASE WHEN tt.total_occ = 0 THEN 0.0
+        |    ELSE round(CAST(cov.covered_occ AS DOUBLE) / CAST(tt.total_occ AS DOUBLE), 6)
+        |  END AS coverage
+        |FROM cov, tt""".stripMargin,
+
     // Semantic decon: brute-force corpus x held-out cosine at the 0.45
     // threshold — the exact set the banded LSH scan must reproduce
     // (defaults put per-pair miss probability < 3e-8; see
@@ -5435,6 +5566,18 @@ object SparkEntry {
          |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
          |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM c""".stripMargin,
+
+    // Priority-sampling replay: u = hash60(seed:key)+1, priority =
+    // w / (u / 2^60) — int64→double casts, an EXACT power-of-two
+    // division, one IEEE-rounded division; bit-identical in both
+    // engines, so rank, tau (the 65th priority), and est_weight =
+    // greatest(w, tau) hash-match without rounding. The st24 streaming
+    // twin shares this oracle verbatim (same seed, same k): its drained
+    // candidate union provably contains the global top-65, and the
+    // shared finalize tail makes its output the identical pure function
+    // of the document set.
+    "p11_priority_sample" -> p11OracleSql,
+    "st24_stream_priority_sample" -> p11OracleSql,
 
     // Negative-sampling replay: ranks on the (md5-hash60, key) axis,
     // h0 = hash60('p09') mod (n-1), slot j's partner at rank

@@ -1,0 +1,84 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphFrame
+
+/** Resource-Allocation link prediction (Zhou, Lü, Zhang — "Predicting
+  * missing links via local information", Eur. Phys. J. B 71, 2009) —
+  * beyond the reference's algorithm set (its `algorithm/` tree carries no
+  * link-prediction member; surface audited at
+  * `/root/reference/src/algorithm`): score every NON-adjacent vertex pair
+  * sharing at least one neighbor by
+  *
+  *   RA(a, b) = Σ_{z ∈ Γ(a) ∩ Γ(b)} 1 / deg(z)
+  *
+  * — the common-neighbors index where each shared neighbor contributes
+  * resource inversely proportional to its degree. RA is the gate-able
+  * member of the family because its per-neighbor term lands on the micro
+  * lattice as ONE truncating integer division `1e12 div deg(z)`: terms
+  * and pair sums are 64-bit-exact BIGINTs, no libm `ln` (Adamic–Adar's
+  * `1/ln deg` twin is one substitution away but its floats are
+  * engine-ordering-sensitive), so the oracle is strict equality — the
+  * g27 Katz discipline. Published benchmarks (Zhou et al. §4) rank RA at
+  * or above Adamic–Adar on common graphs.
+  *
+  * SHAPE at 100 TB: wedges are enumerated by ONE self-equi-join of the
+  * adjacency list on the center vertex — each center z of degree d emits
+  * `d·(d-1)/2` ordered pairs, so the blow-up is governed entirely by hub
+  * centers. `degreeCap` EXCLUDES high-degree centers from wedge
+  * enumeration (their per-neighbor contribution `1/deg` is negligible
+  * exactly when their wedge set is quadratic — the skew guard and the
+  * approximation knob are the same parameter; scores stay exact over the
+  * capped center set, which the oracle replays verbatim). Per-pair
+  * scores come from one map-side-combining groupBy on (a, b); known
+  * edges drop via a left_anti against the symmetrized edge set; the
+  * top-k is a `TakeOrderedAndProject` (bounded per-partition heaps, no
+  * global sort). Degrees are computed over the FULL adjacency — the cap
+  * prunes enumeration, never the formula's denominator.
+  *
+  * Overflow: a pair sharing ~1.8e7 degree-2 centers would wrap the
+  * BIGINT sum; the message sum runs as `try_sum` with a loud
+  * [[raise_error]] on NULL-with-rows (the Katz guard) where the SQL
+  * oracle would error.
+  */
+object LinkPrediction {
+  private val SRC = GraphFrame.SRC
+  private val DST = GraphFrame.DST
+
+  /** Top-`topK` non-adjacent pairs `[a, b, common_nbrs, ra_micros]`
+    * (a < b), ranked `(ra_micros DESC, a, b)`; `ra_micros` = RA score on
+    * the 1e-12 lattice, exact.
+    */
+  def resourceAllocation(edges: DataFrame, topK: Int,
+      degreeCap: Int = 256): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(degreeCap >= 2, s"degreeCap must be >= 2, got $degreeCap")
+    val sym = GraphFrame.symmetrizeEdges(edges.select(SRC, DST),
+      doDistinct = true)
+    val deg = sym.groupBy(col(SRC).as("__lp_z"))
+      .agg(count(lit(1)).as("__lp_deg"))
+    val adj = sym.select(col(SRC).as("__lp_z"), col(DST).as("__lp_n"))
+      .join(deg, "__lp_z")
+      .filter(col("__lp_deg") <= degreeCap)
+    val left = adj.select(col("__lp_z").as("__lp_zl"), col("__lp_n").as("a"),
+      col("__lp_deg"))
+    val right = adj.select(col("__lp_z").as("__lp_zr"), col("__lp_n").as("b"))
+    val wedges = left.join(right,
+      col("__lp_zl") === col("__lp_zr") && col("a") < col("b"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_nbrs"),
+        try_sum(expr("1000000000000 div __lp_deg")).as("__lp_sum"))
+      .select(col("a"), col("b"), col("common_nbrs"),
+        when(col("__lp_sum").isNull,
+          raise_error(lit("resourceAllocation: BIGINT overflow in the " +
+            "pair score sum — raise degreeCap granularity or shrink the " +
+            "lattice")))
+          .otherwise(col("__lp_sum")).as("ra_micros"))
+    scored.join(sym.select(col(SRC).as("a"), col(DST).as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micros").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+}

@@ -416,6 +416,91 @@ object Sampling {
       d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, "Priority sampling for
+    * estimating arbitrary subset sums", JACM 54(6), 2007): draw EXACTLY
+    * `k` rows weighted by `weightCol` and attach to each an estimator
+    * `est_weight` whose sum over ANY subset of the sample unbiasedly
+    * estimates that subset's true weight mass — the weighted corpus
+    * subsample that still answers "how many tokens of German legal text
+    * did I keep?" without rescanning the corpus.
+    *
+    * Construction: every row gets priority `q = w / u01` with
+    * `u01 = (hash60(seed:key) + 1) / 2^60` a deterministic uniform in
+    * (0, 1]; the k highest-priority rows are the sample; `tau` is the
+    * (k+1)-th priority and each kept row carries
+    * `est_weight = max(w, tau)` (rows with fewer than k+1 inputs keep
+    * `tau = 0`, i.e. `est_weight = w` — the sample is exhaustive).
+    *
+    * Determinism discipline (what makes the hash-exact oracle possible):
+    * NO `rand()`, NO `ln()`/`pow()` (libm-dependent across engines) —
+    * `q` is built from the portable md5 hash by an exact int64→double
+    * conversion, one EXACT division by the power-of-two 2^60, and one
+    * IEEE-rounded division; every engine rounds those identically, so
+    * ranking, `tau`, and `est_weight` replay bit-exact in DuckDB SQL.
+    *
+    * SHAPE at 100 TB: the top-(k+1) is a `TakeOrderedAndProject` —
+    * per-partition bounded heaps, one merge task over
+    * nPartitions·(k+1) rows; no global sort, no full shuffle, and `tau`
+    * comes from a window over the k+1 survivors (one task, k+1 rows).
+    * Keys must be distinct (the [[packSequences]] contract).
+    *
+    * Output `[<keyCol>, weight, priority, est_weight]`, the k sampled
+    * rows.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame =
+    priorityFinalize(priorityScores(df, keyCol, weightCol, seed), keyCol, k)
+
+  /** The scoring half of [[prioritySample]]: `[<keyCol>, weight,
+    * priority]` for every input row — map-only, codegen'd, shared
+    * verbatim by the batch operator and the streaming candidate emitter
+    * ([[graft.streaming.Streams.streamingPriorityCandidates]]) so the
+    * two paths can never drift onto different priorities.
+    */
+  def priorityScores(df: DataFrame, keyCol: String, weightCol: String,
+      seed: String): DataFrame =
+    df.select(col(keyCol), col(weightCol).cast(LongType).as("weight"))
+      .withColumn("weight",
+        when(col("weight") >= 1L, col("weight"))
+          .otherwise(raise_error(lit(
+            "prioritySample: weights must be >= 1"))))
+      .withColumn("__ps_u",
+        keyHash60(concat(lit(seed), lit(":"),
+          col(keyCol).cast("string"))) + lit(1L))
+      .withColumn("priority",
+        col("weight").cast(DoubleType) /
+          (col("__ps_u").cast(DoubleType) / lit(HashSpace)))
+      .drop("__ps_u")
+
+  /** The selection half of [[prioritySample]]: top-k of a scored frame
+    * by `(priority DESC, key)` plus the tau estimator. Separated out so
+    * the STREAMING path can run it over a drained candidate union — the
+    * candidate set a monotone per-shard top-(k+1) state emits is
+    * arrival-order-DEPENDENT, but it provably contains the global
+    * top-(k+1), so this finalize step makes the end result a pure
+    * function of the row set again (order-free, the st20 discipline).
+    */
+  def priorityFinalize(scored: DataFrame, keyCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = scored
+      .select(col(keyCol), col("weight"), col("priority"))
+      .orderBy(col("priority").desc, col(keyCol)).limit(k + 1)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col(keyCol))
+    val full = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    top.withColumn("__ps_rn", row_number().over(ord))
+      .withColumn("__ps_tau",
+        coalesce(max(when(col("__ps_rn") === k + 1, col("priority")))
+          .over(full), lit(0.0)))
+      .filter(col("__ps_rn") <= k)
+      .select(col(keyCol), col("weight"), col("priority"),
+        greatest(col("weight").cast(DoubleType), col("__ps_tau"))
+          .as("est_weight"))
+  }
+
   /** Deterministic negative sampling for contrastive training: every row
     * (anchor) gets `k` "negative" partners drawn ~uniformly from the rest
     * of the corpus with ZERO randomness — rerun-identical, resume-stable,

@@ -523,6 +523,77 @@ object Streams {
       }
   }
 
+  /** One live top-list entry: `(priority, key, weight)`. */
+  case class PriEntry(q: Double, key: Long, w: Long)
+  case class PriAcc(entries: List[PriEntry])
+  case class PriCand(key: Long, weight: Long, priority: Double)
+
+  /** Streaming priority-sample CANDIDATE emitter (st24): the monotone
+    * half of [[graft.operators.Sampling.prioritySample]] over a stream.
+    * Rows are scored with the batch operator's
+    * [[graft.operators.Sampling.priorityScores]] formula VERBATIM (one
+    * shared body — the t18/st15 discipline), hash-range sharded, and
+    * each shard keeps its running top-(k+1) by `(priority DESC, key)`
+    * as `flatMapGroupsWithState` state — at most `nShards * (k+1)`
+    * entries of state TOTAL, stream-length-independent. A row is
+    * EMITTED exactly when it enters its shard's top list (append-mode,
+    * no retraction; an evicted entry was already emitted and simply
+    * stops mattering).
+    *
+    * The emitted candidate SET depends on arrival order (ascending
+    * priorities emit more rows than descending), but it always contains
+    * the global top-(k+1): a row with at most k rows above it globally
+    * has at most k above it in its shard at processing time, so it
+    * enters the list. Downstream
+    * [[graft.operators.Sampling.priorityFinalize]] therefore recovers
+    * the EXACT batch sample and tau estimator from the drained union —
+    * the gate output is a pure function of the row set (order-free, the
+    * st20 discipline), which is what the p11-verbatim oracle pins.
+    */
+  def streamingPriorityCandidates(stream: DataFrame, keyCol: String,
+      weightCol: String, k: Int, seed: String, nShards: Int = 32)
+      : org.apache.spark.sql.Dataset[PriCand] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val width = graft.operators.Sampling.shardWidth(nShards)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // (q, key) orders BEFORE (q2, key2) when q > q2, or q == q2 and
+    // key < key2 — the finalize step's (priority DESC, key ASC).
+    def beats(q: Double, key: Long, e: PriEntry): Boolean =
+      q > e.q || (q == e.q && key < e.key)
+    graft.operators.Sampling.priorityScores(stream, keyCol, weightCol, seed)
+      .select(col(keyCol).cast("long").as("_k"), col("weight").as("_w"),
+        col("priority").as("_q"),
+        graft.operators.Sampling.keyHash60(col(keyCol)).as("_h"))
+      .withColumn("_s", expr(s"_h div ${width}L"))
+      .select(col("_k"), col("_w"), col("_q"), col("_s"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PriAcc, PriCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Seq.newBuilder[PriCand]
+          rows.foreach { case (key, w, q, _) =>
+            if (entries.size <= k) {
+              entries = (PriEntry(q, key, w) :: entries)
+                .sortBy(e => (-e.q, e.key))
+              out += PriCand(key, w, q)
+            } else {
+              val floor = entries.last
+              if (beats(q, key, floor)) {
+                entries = (PriEntry(q, key, w) :: entries.init)
+                  .sortBy(e => (-e.q, e.key))
+                out += PriCand(key, w, q)
+              }
+            }
+          }
+          state.update(PriAcc(entries))
+          out.result().iterator
+      }
+  }
+
   /** Streaming sequence packing, running-offset half (st17): the
     * [[graft.operators.Sampling.packSequences]] hash-range shard design is
     * stateless per shard GIVEN the shard's running token total — so the

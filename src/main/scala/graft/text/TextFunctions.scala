@@ -887,6 +887,50 @@ object TextFunctions {
     * scheme/host extract empty and the string passes through minus
     * fragment/trailing-slash handling.
     */
+  /** Vocabulary coverage curve (t22): for each requested vocabulary size
+    * `v`, the fraction of corpus TOKEN OCCURRENCES a top-`v` frequency
+    * vocabulary covers — the tokenizer-design question "how large a
+    * vocab covers 99% of the stream?". Rank ties break on the term
+    * string, so the top-`v` set (and the gate) is deterministic; counts
+    * are exact BIGINTs and only the final ratio is float (one division +
+    * round(6), replayed verbatim by the oracle).
+    *
+    * SHAPE at 100 TB: ONE map-side-combining token count (the t01-family
+    * exploded scan — the reduce side is vocabulary-, not corpus-sized), a
+    * `TakeOrderedAndProject` top-max(sizes) over the vocabulary (bounded
+    * heaps, no global sort), the total from the same counts frame's one
+    * scalar agg, and a bounded sizes×top theta join (both sides ≤
+    * max(sizes) rows). Sizes beyond the true vocabulary saturate at
+    * coverage 1.0 — the exhaust row is the natural curve endpoint.
+    *
+    * Output `[v_size, covered_occ, total_occ, coverage]`, one row per
+    * requested size.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be non-empty positive, got $sizes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(sizes.max)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = top.withColumn("__vc_rn", row_number().over(ord))
+    val total = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("total_occ"))
+    val sz = sizes.distinct.sorted.toDF("v_size")
+    sz.join(ranked, col("__vc_rn") <= col("v_size"), "left")
+      .groupBy("v_size")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_occ"))
+      .crossJoin(broadcast(total))
+      .select(col("v_size"), col("covered_occ"), col("total_occ"),
+        when(col("total_occ") === 0L, lit(0.0))
+          .otherwise(round(col("covered_occ").cast("double") /
+            col("total_occ").cast("double"), 6)).as("coverage"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "") // 1. fragment
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

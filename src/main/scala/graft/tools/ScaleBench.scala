@@ -703,6 +703,78 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n shards=$shards toks=$totalToks " +
           f"maxSeq=${got.getLong(1)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "psample" =>
+        // p11 priority sampling at corpus scale: k=64 over n docs with
+        // deterministic weights in [1, 4096] — the TakeOrderedAndProject
+        // path (bounded per-partition heaps, no global sort). Pins:
+        // exactly k rows; est_weight >= weight everywhere; and the DLT
+        // estimator property on the FULL sample — sum(est_weight) is a
+        // deterministic draw of an unbiased estimator of total weight
+        // with relative SE ~ 1/sqrt(k-1) ≈ 13%, so the fixed-hash value
+        // must sit inside a wide (2x) band of the true mass.
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(4096L)) + 1L).as("w"))
+        val sampled = graft.operators.Sampling.prioritySample(
+          docs, "doc_id", "w", k = 64, seed = "probe")
+        val got = sampled.agg(count(lit(1)),
+          sum(when(col("est_weight") < col("weight").cast("double"), 1L)
+            .otherwise(0L)),
+          sum(col("est_weight"))).head
+        val trueW = docs.agg(sum(col("w"))).head.getLong(0)
+        require(got.getLong(0) == 64L, s"rows ${got.getLong(0)} != 64")
+        require(got.getLong(1) == 0L, "est_weight below weight")
+        val est = got.getDouble(2)
+        require(est > trueW * 0.5 && est < trueW * 2.0,
+          s"estimator $est outside the 2x band of $trueW")
+        println(f"SCALE-OK psample n=$n k=64 est=$est%.3e trueW=$trueW " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "wpctl" | "wpctl-1chunk" =>
+        // q31 exact weighted percentiles at corpus scale: n rows,
+        // deterministic values over a ~1e6-wide lattice, weights in
+        // [1, 9]. `wpctl` = the range-chunked two-level plan (the
+        // shipped shape); `wpctl-1chunk` = chunkWidth far above the
+        // domain, collapsing to ONE within-chunk window partition — the
+        // single-reducer sort the chunk design exists to avoid, and the
+        // invariance twin (identical output required by construction).
+        val rowsW = spark.range(n).select(
+          pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("v"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(9L)) + 1L).as("w"))
+        val cw = if (algo.endsWith("-1chunk")) 1L << 60 else 1L << 14
+        val out = graft.operators.WeightedQuantiles.weightedPercentiles(
+            rowsW, "v", "w", Seq(25, 50, 90, 99), chunkWidth = cw)
+          .orderBy("pct")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        require(out.size == 4, s"expected 4 percentile rows, got $out")
+        require(out.map(_._2) == out.map(_._2).sorted,
+          "percentile values not monotone")
+        println(f"SCALE-OK $algo n=$n cw=$cw " +
+          out.map(r => s"p${r._1}=${r._2}").mkString(" ") +
+          f" sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      case "linkpred" | "linkpred-skew" =>
+        // g28 Resource-Allocation at graph scale: top-100 over the m-edge
+        // synthetic graph. Uniform: degrees ~ Poisson(2m/n), every center
+        // survives the cap, wedge count ~ m * avg-degree. Skew: the u^4
+        // hub graph whose top vertex (~370k degree at the 16.8M default)
+        // would alone emit ~7e10 wedges — degreeCap=256 excludes hub
+        // CENTERS (their per-neighbor 1/deg terms are negligible), the
+        // documented approximation/skew knob, keeping enumeration
+        // bounded by cap * capped-edge count. Pins: exactly topK rows,
+        // positive lattice scores, (score, a, b) ordering.
+        val lp = graft.algorithms.LinkPrediction.resourceAllocation(
+          edges, topK = 100, degreeCap = 256)
+        val rowsL = lp.select("a", "b", "common_nbrs", "ra_micros")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        require(rowsL.length == 100, s"rows ${rowsL.length} != 100")
+        require(rowsL.forall(r => r._4 > 0L && r._3 > 0L), "empty scores")
+        require(rowsL.sortBy(r => (-r._4, r._1, r._2)).toSeq ==
+          rowsL.toSeq, "not ranked (ra DESC, a, b)")
+        println(f"SCALE-OK $algo n=$n m=$m top=${rowsL.head._4} " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "binary" =>
         // s19 binary quantization at corpus scale: pack n 64-dim vectors
         // into 2x32-bit sign words (16 B/vector — the whole 4.2 M-vector

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+/** Round-16 back-half operator specs: priority sampling (p11) and its
+  * streaming candidate twin (st24), Resource-Allocation link prediction
+  * (g28), the vocabulary coverage curve (t22), and chunk-parallel exact
+  * weighted percentiles (q31) — hand-computed cases, the scale-knob
+  * invariances (chunkWidth, arrival order), the loud guards, and the
+  * config matrix.
+  */
+class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  // ---- p11 priority sampling ----
+
+  /** In-test replay of the operator's exact priority formula. */
+  private def prio(seed: String, key: Long, w: Long): Double = {
+    val u = Sampling.hash60OfString(s"$seed:$key") + 1L
+    w.toDouble / (u.toDouble / (1L << 60).toDouble)
+  }
+
+  test("prioritySample matches the hand-replayed DLT construction") {
+    val rows = (1L to 40L).map(i => (i, 10L + (i * 7) % 50))
+    val df = rows.toDF("doc_id", "w")
+    val k = 5
+    val got = Sampling.prioritySample(df, "doc_id", "w", k, "s16b")
+      .select("doc_id", "weight", "priority", "est_weight")
+      .as[(Long, Long, Double, Double)].collect().toSet
+
+    val scored = rows.map { case (id, w) => (id, w, prio("s16b", id, w)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val tau = scored(k)._3 // (k+1)-th priority, 0-indexed
+    val want = scored.take(k)
+      .map { case (id, w, q) => (id, w, q, math.max(w.toDouble, tau)) }
+      .toSet
+    assert(got == want)
+    // tau must actually bite for at least one kept row (est > w) —
+    // otherwise the estimator leg of the gate is vacuous.
+    assert(got.exists { case (_, w, _, est) => est > w.toDouble })
+  }
+
+  test("prioritySample with n <= k keeps everything with est_weight = w") {
+    val df = Seq((1L, 5L), (2L, 7L), (3L, 11L)).toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", "w", k = 8, "s16b")
+      .select("doc_id", "weight", "est_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5L, 5.0), (2L, 7L, 7.0), (3L, 11L, 11.0)))
+  }
+
+  test("prioritySample rejects non-positive weights loudly") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(df, "doc_id", "w", k = 1, "s16b").collect()
+    }
+    assert(e.getMessage.contains("weights must be >= 1"))
+  }
+
+  // ---- st24 streaming candidate emitter ----
+
+  test("streaming priority candidates finalize to the batch sample " +
+      "under adversarial arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 60L).map(i => (i, 10L + (i * 13) % 90))
+    val k = 6
+    val batch = Sampling.prioritySample(
+        rows.toDF("doc_id", "w"), "doc_id", "w", k, "s16c")
+      .select("doc_id", "weight", "priority", "est_weight")
+      .as[(Long, Long, Double, Double)].collect().toSet
+
+    // Ascending-priority arrival is the worst case (every improvement
+    // emits); deliver in three batches sorted ascending by the true
+    // priority so later batches keep displacing state.
+    val asc = rows.sortBy { case (id, w) => prio("s16c", id, w) }
+    for (chunks <- Seq(asc.grouped(20).toSeq, asc.reverse.grouped(25).toSeq)) {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val cand = graft.streaming.Streams.streamingPriorityCandidates(
+        input.toDF().toDF("doc_id", "w"), "doc_id", "w", k, "s16c",
+        nShards = 4)
+      val sink = s"st24_spec_${chunks.head.head._1}_${chunks.size}"
+      val q = cand.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        val drained = spark.table(sink)
+          .select(col("key").as("doc_id"), col("weight"), col("priority"))
+        // Bounded emission: at most one candidate row per input row.
+        assert(spark.table(sink).count() <= rows.size)
+        val got = Sampling.priorityFinalize(drained, "doc_id", k)
+          .select("doc_id", "weight", "priority", "est_weight")
+          .as[(Long, Long, Double, Double)].collect().toSet
+        assert(got == batch, s"order ${chunks.size}-chunk drain diverged")
+      } finally q.stop()
+    }
+  }
+
+  // ---- g28 Resource-Allocation link prediction ----
+
+  test("resourceAllocation scores the 4-cycle by hand") {
+    // 1-2-3-4-1: candidates (1,3) and (2,4), each with two degree-2
+    // shared neighbors -> ra = 2 * (1e12 div 2) = 1e12, cn = 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.algorithms.LinkPrediction
+      .resourceAllocation(edges, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1000000000000L),
+      (2L, 4L, 2L, 1000000000000L)))
+  }
+
+  test("resourceAllocation: adjacency excluded, degrees uncapped, " +
+      "hub centers pruned, self-loops dropped") {
+    // z(5) connects a(1), b(2), e(3): wedges (1,2),(1,3),(2,3) with
+    // deg(z)=3 -> term 333333333333; (1,2) is ALSO an edge -> dropped.
+    // Self-loop (5,5) must not inflate deg(z).
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 2L), (5L, 5L))
+      .toDF("src", "dst")
+    val got = graft.algorithms.LinkPrediction
+      .resourceAllocation(edges, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val t = 1000000000000L / 3
+    assert(got == Set((1L, 3L, 1L, t), (2L, 3L, 1L, t)))
+
+    // Star hub above the cap: no wedge centers survive -> empty.
+    val star = (11L to 20L).map(l => (10L, l)).toDF("src", "dst")
+    assert(graft.algorithms.LinkPrediction
+      .resourceAllocation(star, topK = 10, degreeCap = 5).isEmpty)
+    // At cap >= deg the same star yields all leaf pairs.
+    assert(graft.algorithms.LinkPrediction
+      .resourceAllocation(star, topK = 1000, degreeCap = 10).count() == 45L)
+  }
+
+  // ---- t22 vocabulary coverage ----
+
+  test("vocabCoverage hand case with saturation row") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.text.TextFunctions
+      .vocabCoverage(docs, "text", Seq(1, 2, 3, 9))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    // counts: a=2, b=2, c=1 (rank ties break on term); total 5.
+    assert(got.toSeq == Seq((1, 2L, 5L, 0.4), (2, 4L, 5L, 0.8),
+      (3, 5L, 5L, 1.0), (9, 5L, 5L, 1.0)))
+  }
+
+  test("vocabCoverage on an empty corpus emits zero-coverage rows") {
+    val docs = Seq((1L, "...!!!")).toDF("doc_id", "text")
+    val got = graft.text.TextFunctions.vocabCoverage(docs, "text", Seq(2, 5))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2, 0L, 0L, 0.0), (5, 0L, 0L, 0.0)))
+  }
+
+  // ---- q31 weighted percentiles ----
+
+  test("weightedPercentiles hand case") {
+    val df = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L)).toDF("v", "w")
+    val got = WeightedQuantiles
+      .weightedPercentiles(df, "v", "w", Seq(1, 50, 100))
+      .select("pct", "value", "cum_w", "total_w")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // W=10: T(1)=1 -> 10 (cum 1); T(50)=5 -> 30 (cum 6); T(100)=10 -> 40.
+    assert(got.toSeq == Seq((1, 10L, 1L, 10L), (50, 30L, 6L, 10L),
+      (100, 40L, 10L, 10L)))
+  }
+
+  test("weightedPercentiles is chunkWidth-invariant (incl. negatives, " +
+      "duplicates) and equals the sort-replay") {
+    val rnd = new scala.util.Random(163)
+    val rows = (1 to 3000).map { _ =>
+      (rnd.nextLong() % 5000L, 1L + rnd.nextInt(9).toLong)
+    }
+    val df = rows.toDF("v", "w")
+    val pcts = Seq(10, 25, 50, 75, 90, 99, 100)
+    // In-test reference: the one global cumulative sweep.
+    val total = rows.map(_._2).sum
+    val cums = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, c), (v, s)) => (v, c + s) }
+      .drop(1)
+    val want = pcts.map { p =>
+      val t = (p * total + 99) / 100
+      val (v, c) = cums.find(_._2 >= t).get
+      (p, v, c, total)
+    }.toSet
+    for (cw <- Seq(1L, 7L, 100L, 1L << 16, 1L << 40)) {
+      val got = WeightedQuantiles.weightedPercentiles(df, "v", "w", pcts, cw)
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(got == want, s"chunkWidth $cw diverged")
+    }
+  }
+
+  test("weightedPercentiles rejects non-positive weights loudly") {
+    val df = Seq((10L, 1L), (20L, -3L)).toDF("v", "w")
+    val e = intercept[Exception] {
+      WeightedQuantiles.weightedPercentiles(df, "v", "w", Seq(50)).collect()
+    }
+    assert(e.getMessage.contains("weights must be >= 1"))
+  }
+
+  // ---- config matrix (the standing round rule) ----
+
+  test("p11/g28/t22/q31 results are config-invariant") {
+    def runAll(): Seq[Set[String]] = {
+      val docs = (1L to 80L).map(i => (i, s"w${i % 5} w${i % 11} x$i", 10L + i % 37))
+        .toDF("doc_id", "text", "n_chars")
+      val edges = (1L to 120L).map(i => (i % 17, 100L + i % 23)).toDF("src", "dst")
+      val li = (1L to 500L).map(i => ((i * 31) % 997, 1L + i % 7)).toDF("v", "w")
+      Seq(
+        Sampling.prioritySample(docs, "doc_id", "n_chars", 10, "cfg"),
+        graft.algorithms.LinkPrediction.resourceAllocation(edges, topK = 50),
+        graft.text.TextFunctions.vocabCoverage(docs, "text", Seq(3, 10)),
+        WeightedQuantiles.weightedPercentiles(li, "v", "w", Seq(25, 50, 95)))
+        .map(_.collect().map(_.toString).toSet)
+    }
+    val baseline = runAll()
+    val olds = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try assert(runAll() == baseline, "AQE-off + partitions=5 changed results")
+    finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
