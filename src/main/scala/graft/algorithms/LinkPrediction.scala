@@ -55,30 +55,37 @@ object LinkPrediction {
       degreeCap: Int = 256): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(degreeCap >= 2, s"degreeCap must be >= 2, got $degreeCap")
-    val sym = GraphFrame.symmetrizeEdges(edges.select(SRC, DST),
-      doDistinct = true)
-    val deg = sym.groupBy(col(SRC).as("__lp_z"))
-      .agg(count(lit(1)).as("__lp_deg"))
-    val adj = sym.select(col(SRC).as("__lp_z"), col(DST).as("__lp_n"))
-      .join(deg, "__lp_z")
-      .filter(col("__lp_deg") <= degreeCap)
-    val left = adj.select(col("__lp_z").as("__lp_zl"), col("__lp_n").as("a"),
-      col("__lp_deg"))
-    val right = adj.select(col("__lp_z").as("__lp_zr"), col("__lp_n").as("b"))
-    val wedges = left.join(right,
-      col("__lp_zl") === col("__lp_zr") && col("a") < col("b"))
-    val scored = wedges.groupBy("a", "b")
-      .agg(count(lit(1)).as("common_nbrs"),
-        try_sum(expr("1000000000000 div __lp_deg")).as("__lp_sum"))
-      .select(col("a"), col("b"), col("common_nbrs"),
-        when(col("__lp_sum").isNull,
-          raise_error(lit("resourceAllocation: BIGINT overflow in the " +
-            "pair score sum — raise degreeCap granularity or shrink the " +
-            "lattice")))
-          .otherwise(col("__lp_sum")).as("ra_micros"))
-    scored.join(sym.select(col(SRC).as("a"), col(DST).as("b")),
-        Seq("a", "b"), "left_anti")
-      .orderBy(col("ra_micros").desc, col("a"), col("b"))
-      .limit(topK)
+    graft.operators.CacheScope.scoped { scope =>
+      // The symmetrize aggregate feeds degrees, both self-join sides,
+      // and the known-edge anti-join — scope-cached so the edge lineage
+      // is scanned once, not four times (the Dedup shingle discipline).
+      val sym = scope.cache(GraphFrame.symmetrizeEdges(
+        edges.select(SRC, DST), doDistinct = true))
+      val deg = sym.groupBy(col(SRC).as("__lp_z"))
+        .agg(count(lit(1)).as("__lp_deg"))
+      val adj = scope.cache(
+        sym.select(col(SRC).as("__lp_z"), col(DST).as("__lp_n"))
+          .join(deg, "__lp_z")
+          .filter(col("__lp_deg") <= degreeCap))
+      val left = adj.select(col("__lp_z").as("__lp_zl"),
+        col("__lp_n").as("a"), col("__lp_deg"))
+      val right = adj.select(col("__lp_z").as("__lp_zr"),
+        col("__lp_n").as("b"))
+      val wedges = left.join(right,
+        col("__lp_zl") === col("__lp_zr") && col("a") < col("b"))
+      val scored = wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("common_nbrs"),
+          try_sum(expr("1000000000000 div __lp_deg")).as("__lp_sum"))
+        .select(col("a"), col("b"), col("common_nbrs"),
+          when(col("__lp_sum").isNull,
+            raise_error(lit("resourceAllocation: BIGINT overflow in the " +
+              "pair score sum — raise degreeCap granularity or shrink " +
+              "the lattice")))
+            .otherwise(col("__lp_sum")).as("ra_micros"))
+      scored.join(sym.select(col(SRC).as("a"), col(DST).as("b")),
+          Seq("a", "b"), "left_anti")
+        .orderBy(col("ra_micros").desc, col("a"), col("b"))
+        .limit(topK)
+    }
   }
 }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.LongType
   * ([[ChunkedWindow]] / p08) applied to the cumulative-weight axis:
   *
   *  1. ONE map-side-combining `groupBy(value)` — the reduce side is
-  *     DISTINCT-VALUE-sized, not corpus-sized;
+  *     DISTINCT-VALUE-sized, not corpus-sized — scope-cached
+  *     ([[CacheScope]]) so the carry, the grand total, and the crossing
+  *     all ride it: the corpus is scanned exactly once;
   *  2. chunk the VALUE axis at `chunkWidth` (exact integer `div` on the
   *     lattice, the ChunkedWindow arithmetic); per-chunk weight totals
   *     feed an exclusive running carry over the chunk axis — a
@@ -47,37 +49,42 @@ object WeightedQuantiles {
     require(chunkWidth >= 1, s"chunkWidth must be >= 1, got $chunkWidth")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(valueCol).cast(LongType).as("__wq_v"),
-        col(weightCol).cast(LongType).as("__wq_w"))
-      .withColumn("__wq_w",
-        when(col("__wq_w") >= 1L, col("__wq_w"))
-          .otherwise(raise_error(lit(
-            "weightedPercentiles: weights must be >= 1"))))
-    val grouped = base.groupBy("__wq_v")
-      .agg(sum("__wq_w").as("__wq_ws"))
-      // Exact chunk id on the long domain incl. negatives — the
-      // ChunkedWindow `div`-of-an-exact-multiple form, NOT a double `/`.
-      .withColumn("__wq_s", call_function("div",
-        col("__wq_v") - pmod(col("__wq_v"), lit(chunkWidth)),
-        lit(chunkWidth)))
-    val carryW = Window.orderBy("__wq_s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = grouped.groupBy("__wq_s")
-      .agg(sum("__wq_ws").as("__wq_st"))
-      .withColumn("__wq_carry",
-        coalesce(sum("__wq_st").over(carryW), lit(0L)))
-      .select("__wq_s", "__wq_carry")
-    val innerW = Window.partitionBy("__wq_s").orderBy("__wq_v")
-    val cum = grouped.join(carries, "__wq_s")
-      .withColumn("__wq_cum",
-        col("__wq_carry") + sum("__wq_ws").over(innerW))
-    val targets = pcts.distinct.sorted.toDF("pct")
-      .crossJoin(base.agg(sum("__wq_w").as("total_w")))
-      .withColumn("__wq_t", expr("(pct * total_w + 99) div 100"))
-    cum.join(broadcast(targets),
-        col("__wq_cum") >= col("__wq_t") &&
-          col("__wq_cum") - col("__wq_ws") < col("__wq_t"))
-      .select(col("pct"), col("__wq_v").as("value"),
-        col("__wq_cum").as("cum_w"), col("total_w"))
+    CacheScope.scoped { scope =>
+      val base = df.select(col(valueCol).cast(LongType).as("__wq_v"),
+          col(weightCol).cast(LongType).as("__wq_w"))
+        .withColumn("__wq_w",
+          when(col("__wq_w") >= 1L, col("__wq_w"))
+            .otherwise(raise_error(lit(
+              "weightedPercentiles: weights must be >= 1"))))
+      // The ONLY corpus scan: everything downstream (carry, total,
+      // crossing) rides this cached distinct-value-sized frame — an
+      // uncached plan re-derived it three times from the base scan.
+      val grouped = scope.cache(base.groupBy("__wq_v")
+        .agg(sum("__wq_w").as("__wq_ws"))
+        // Exact chunk id on the long domain incl. negatives — the
+        // ChunkedWindow `div`-of-an-exact-multiple form, NOT a double `/`.
+        .withColumn("__wq_s", call_function("div",
+          col("__wq_v") - pmod(col("__wq_v"), lit(chunkWidth)),
+          lit(chunkWidth))))
+      val carryW = Window.orderBy("__wq_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = grouped.groupBy("__wq_s")
+        .agg(sum("__wq_ws").as("__wq_st"))
+        .withColumn("__wq_carry",
+          coalesce(sum("__wq_st").over(carryW), lit(0L)))
+        .select("__wq_s", "__wq_carry")
+      val innerW = Window.partitionBy("__wq_s").orderBy("__wq_v")
+      val cum = grouped.join(carries, "__wq_s")
+        .withColumn("__wq_cum",
+          col("__wq_carry") + sum("__wq_ws").over(innerW))
+      val targets = pcts.distinct.sorted.toDF("pct")
+        .crossJoin(grouped.agg(sum("__wq_ws").as("total_w")))
+        .withColumn("__wq_t", expr("(pct * total_w + 99) div 100"))
+      cum.join(broadcast(targets),
+          col("__wq_cum") >= col("__wq_t") &&
+            col("__wq_cum") - col("__wq_ws") < col("__wq_t"))
+        .select(col("pct"), col("__wq_v").as("value"),
+          col("__wq_cum").as("cum_w"), col("total_w"))
+    }
   }
 }
