@@ -1068,6 +1068,26 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // DURABLE DELETE (the tombstone shape end to end): build, PERSIST,
+    // tombstone the %5==2 ids (an O(delta) LOG append — the artifact is
+    // never rewritten), serve — the pending log anti-joins at load, so
+    // search equals an index that never contained those rows. Oracle =
+    // the s21 SQL verbatim (candidates restricted to survivors): the
+    // log, the storage round-trip, and the in-session ivfPqRemove must
+    // be indistinguishable to search.
+    "s26_ivfpq_table_remove" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s26_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqRemoveFromTable(
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        "s26_ivfpq_idx", "vec_id")
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s26_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DURABLE APPEND (the ingest-job shape end to end): build on the
     // "existing" subset, PERSIST, append the delta INTO the table
     // (frozen-book encode, new bucket files — no rewrite of the
@@ -3989,6 +4009,11 @@ object SparkEntry {
     // CANDIDATE set only. The single-site string surgery keeps every
     // other clause bit-identical to s13's.
     "s21_ivfpq_remove" -> s13OracleSql.replace(
+      "WHERE code.vec_id <> qt.qid",
+      "WHERE code.vec_id <> qt.qid AND code.vec_id % 5 <> 2"),
+    // The durable tombstone twin gates on the SAME survivor restriction:
+    // log-append + serve == in-session remove == never-indexed.
+    "s26_ivfpq_table_remove" -> s13OracleSql.replace(
       "WHERE code.vec_id <> qt.qid",
       "WHERE code.vec_id <> qt.qid AND code.vec_id % 5 <> 2"),
 

@@ -966,6 +966,46 @@ object Similarity {
     * fails loudly through the same shape validation every hand-built
     * tuple passes.
     */
+  /** Durable DELETE for a persisted index table (s26) — the tombstone
+    * half of the storage CRUD (save s20, append s22, compact s23):
+    * deleting from an immutable parquet artifact by rewrite would cost
+    * a full compaction per delete batch, so removal is a LOG — ids
+    * APPEND (O(delta), one small file per batch, the artifact untouched)
+    * to the side table `<table>_tombstones`; [[ivfPqLoad]] (and thus
+    * [[ivfPqSearchTable]] and any `indexOf =` consumer) anti-joins the
+    * log, so tombstoned rows are logically gone the moment this
+    * returns; [[ivfPqCompact]] makes it physical — survivors rewrite on
+    * the same cadence that already bounds append small-files, and the
+    * log truncates. LSM-style delete semantics: writes stay O(delta),
+    * reads carry one anti-join bounded by removals-since-last-compact,
+    * compaction restores the clean scan. Duplicate tombstones and ids
+    * absent from the artifact are no-ops (anti-join semantics), so
+    * removal is idempotent and unordered by construction — no
+    * read-modify-write of the log, ever.
+    */
+  def ivfPqRemoveFromTable(ids: DataFrame, table: String,
+      idCol: String): Unit = {
+    val spark = ids.sparkSession
+    require(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_books")),
+      s"$table has no ${table}_books sidecar — not an ivfPqSave artifact")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+  }
+
+  /** The live tombstone log of a persisted index, if any removals are
+    * pending compaction — `[id]`, deduplicated across append batches.
+    */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] = {
+    val t = org.apache.spark.sql.catalyst.TableIdentifier(
+      s"${table}_tombstones")
+    if (spark.sessionState.catalog.tableExists(t))
+      Some(spark.table(s"${table}_tombstones").select("id").distinct())
+    else None
+  }
+
   def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, table: String)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val side = spark.table(s"${table}_books")
@@ -988,7 +1028,18 @@ object Similarity {
     bookRows.foreach(r => book(r.getInt(1))(r.getInt(2)) =
       r.getSeq[Long](3).toArray)
     requireBooks(coarse, book)
-    (graft.sources.BucketedTables.readBucketed(spark, table), coarse, book)
+    // Pending tombstones (ivfPqRemoveFromTable) apply HERE, so every
+    // consumer of the loaded tuple — search, staleness, upsert — sees
+    // the index as it logically exists. The anti-join's broadcast side
+    // is the log (bounded by removals since the last compaction); scan
+    // predicates on the artifact side (the probed-cell literal filter)
+    // still push below a left_anti, so bucket pruning survives —
+    // spec-pinned with a live log.
+    val raw = graft.sources.BucketedTables.readBucketed(spark, table)
+    val artifact = tombstonesOf(spark, table)
+      .map(t => raw.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(raw)
+    (artifact, coarse, book)
   }
 
   /** Append a delta INTO a persisted index table (s22 — the durable
@@ -1016,6 +1067,20 @@ object Similarity {
       s"table $table has a bucket spec but no sort columns — " +
         "not an ivfPqSave artifact")
     val (_, coarse, book) = ivfPqLoad(spark, table)
+    // Re-adding a TOMBSTONED id before compaction cannot work — the
+    // pending log would anti-join the fresh row right back out (the log
+    // carries no sequence numbers to order a delete before a re-add).
+    // Fail loud rather than let the append silently vanish at read
+    // time; the caller compacts first (making deletes physical) or
+    // upserts on the loaded tuple instead.
+    tombstonesOf(spark, table).foreach { t =>
+      val clash = delta.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(t), Seq("id")).limit(1).count()
+      require(clash == 0L,
+        s"ivfPqAddToTable: delta contains ids tombstoned in $table — " +
+          "compact the table first (ivfPqCompact) to make deletes " +
+          "physical, then re-add")
+    }
     val enc = ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols)
     enc.repartition(bs.numBuckets, col(bs.bucketColumnNames.head))
       .write.mode("append").format("parquet")
@@ -1131,7 +1196,19 @@ object Similarity {
     require(spark.sessionState.catalog.tableExists(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_books")),
       s"$table has no ${table}_books sidecar — not an ivfPqSave artifact")
-    graft.sources.BucketedTables.compactTable(spark, table)
+    // Pending tombstones become PHYSICAL here: the anti-join rides the
+    // compaction shuffle (no extra pass), then the log truncates. Crash
+    // ordering is safe by idempotence — if the drop below never runs,
+    // the next read re-applies tombstones that now match nothing.
+    tombstonesOf(spark, table) match {
+      case Some(t) =>
+        graft.sources.BucketedTables.compactTable(spark, table,
+          _.join(broadcast(t), Seq("id"), "left_anti"))
+        graft.sources.BucketedTables.dropWithLocation(
+          spark, s"${table}_tombstones")
+      case None =>
+        graft.sources.BucketedTables.compactTable(spark, table)
+    }
   }
 
   /** Quantized query frame plus `__ranked`: the coarse-cell (d2, cell)

@@ -30,7 +30,7 @@ object BucketedTables {
     * only replaces tables the CURRENT catalog knows, so a stale location
     * would block the CTAS with LOCATION_ALREADY_EXISTS.
     */
-  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
@@ -111,8 +111,13 @@ object BucketedTables {
     * approximation, and the staging write (the long part) is entirely
     * inside the safe region — both tables intact until the drop.
     */
-  def compactTable(spark: SparkSession, table: String): Unit = {
+  def compactTable(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
+    // `transform` runs inside the staged rewrite (row filtering — e.g.
+    // applying a tombstone log — rides the compaction shuffle for free);
+    // it must preserve the bucket/sort columns or the saveAsTable below
+    // fails loudly on the missing column.
     val bs = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -131,7 +136,7 @@ object BucketedTables {
     val saved = spark.conf.get(bucketingConf)
     spark.conf.set(bucketingConf, "false")
     try {
-      val w = spark.table(table)
+      val w = transform(spark.table(table))
         .repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
         .write.mode("overwrite").format("parquet")
         .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,

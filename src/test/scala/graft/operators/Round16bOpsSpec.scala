@@ -199,6 +199,68 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("weights must be >= 1"))
   }
 
+  // ---- s26 durable tombstone delete ----
+
+  test("ivfPqRemoveFromTable: tombstone log == in-session remove; " +
+      "compaction makes it physical and truncates the log") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r16b_ts_idx", numBuckets = 4)
+    val dead = e.filter($"vec_id" % 5 === 2).select($"vec_id")
+    Similarity.ivfPqRemoveFromTable(dead, "r16b_ts_idx", "vec_id")
+    // Idempotent and unordered: duplicate batches and never-indexed ids
+    // are no-ops under anti-join semantics.
+    Similarity.ivfPqRemoveFromTable(dead, "r16b_ts_idx", "vec_id")
+    Similarity.ivfPqRemoveFromTable(Seq(999999L).toDF("vec_id"),
+      "r16b_ts_idx", "vec_id")
+
+    def search() = Similarity.ivfPqSearchTable(e.filter($"vec_id" <= 3),
+        "r16b_ts_idx", "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val got = search()
+    val want = Similarity.ivfPqTopK(e, e.filter($"vec_id" <= 3),
+        "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2,
+        m = 4, kCent = 8,
+        indexOf = Some(Similarity.ivfPqRemove(idx, dead, "vec_id")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want, "pending log must equal in-session remove")
+    // The loaded artifact is the LOGICAL index — tombstoned ids gone.
+    val loadedIds = Similarity.ivfPqLoad(spark, "r16b_ts_idx")._1
+      .select("id").as[Long].collect()
+    assert(loadedIds.nonEmpty && loadedIds.forall(_ % 5 != 2))
+    // Bucket pruning survives a LIVE log (the scan-side literal filter
+    // pushes below the anti-join).
+    val res = Similarity.ivfPqSearchTable(e.filter($"vec_id" === 1),
+      "r16b_ts_idx", "vec_id", "embedding", k = 3, nProbe = 1)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(res.queryExecution.executedPlan.toString)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "bucket pruning must survive a pending tombstone log")
+    // Re-adding a tombstoned id before compaction fails LOUD (the log
+    // cannot order a delete before a re-add).
+    val clash = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAddToTable(e.filter($"vec_id" % 5 === 2).limit(2),
+        "r16b_ts_idx", "vec_id", "embedding")
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+
+    // Compaction: rows physically drop, the log truncates, search is
+    // bit-identical, and the id is re-addable again.
+    val rawBefore = spark.table("r16b_ts_idx").count()
+    Similarity.ivfPqCompact(spark, "r16b_ts_idx")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("r16b_ts_idx_tombstones")))
+    assert(spark.table("r16b_ts_idx").count() < rawBefore,
+      "compaction must drop tombstoned rows physically")
+    assert(search() === got, "compaction must not change search results")
+    Similarity.ivfPqAddToTable(
+      e.filter($"vec_id" % 5 === 2).limit(2), "r16b_ts_idx",
+      "vec_id", "embedding")
+    assert(Similarity.ivfPqLoad(spark, "r16b_ts_idx")._1.count() ===
+      spark.table("r16b_ts_idx").count())
+  }
+
   // ---- config matrix (the standing round rule) ----
 
   test("p11/g28/t22/q31 results are config-invariant") {
