@@ -1491,6 +1491,29 @@ object SparkEntry {
         buildCols = Seq("purchase_id", "purchase_cents"))
     }),
 
+    // FORWARD as-of with a match window (pandas merge_asof
+    // direction='forward' + tolerance): each event attributed to the
+    // NEXT purchase by the same user within 2 hours — the q20 merge
+    // shape mirrored (probe-first tie order, backward first() carry),
+    // tolerance as a post-carry null-out. The oracle enumerates
+    // bounded candidates and argmins; the operator never does.
+    "q32_asof_forward" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
+          col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("purchase_id"),
+          col("w.cents").as("purchase_cents"))
+      graft.operators.AsOfJoin.firstAtOrAfter(
+        ev.select("event_id", "user_id", "ts"), build,
+        keyCol = "user_id", timeCol = "ts",
+        probeCols = Seq("event_id", "user_id", "ts"),
+        buildCols = Seq("purchase_id", "purchase_cents"),
+        tolerance = Some(7200000000000L))
+    }),
+
     // Salted skew join: lineitem x orders on orderkey with an 8-way salt
     // split (dim replicated 8x, fact rows spread within each key by a
     // payload hash). ANY salt assignment must yield the plain join —
@@ -5431,6 +5454,24 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts,
         |  b.purchase_id, b.purchase_cents, b.t AS asof_t
         |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+
+    // Forward-asof replay: bounded candidate enumeration (pairs within
+    // the 2 h window) + per-probe argmin over b.t — the naive plan the
+    // merge-shaped operator exists to avoid, which makes it the right
+    // oracle: any carry/tie/tolerance drift diverges.
+    "q32_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+        |b AS (SELECT user_id, epoch_ns(ts) AS t,
+        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY b.t) AS rn
+        |  FROM p JOIN b ON p.user_id = b.user_id AND b.t >= p.ts
+        |    AND b.t - p.ts <= 7200000000000)
+        |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
+        |  c.purchase_cents, c.t AS asof_t
+        |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin,
 
     // session_window replay: the gap-session rule on the micros
     // lattice — an interval of EXACTLY the gap still MERGES (Spark

@@ -82,4 +82,79 @@ object AsOfJoin {
           buildCols.map(c => col(s"carry.$c").as(c)) :+
           col("carry.asof_t").as("asof_t"): _*)
   }
+
+  /** [[lastAtOrBefore]] mirrored FORWARD, with an optional match window:
+    * for each probe row, attach `buildCols` from the build row with the
+    * SMALLEST `timeCol` at-or-after the probe's and equal `keyCol` —
+    * "the next purchase after this click" — and, when `tolerance` is
+    * set, only if that row lies within `tolerance` time units (pandas
+    * `merge_asof(direction='forward', tolerance=...)`; the attribution
+    * window every click→conversion pipeline needs).
+    *
+    * Same single-pass merge shape and cost model as the backward form
+    * (one hash exchange on the key, one in-partition sort, zero row
+    * replication): ascending `(t, side)` sort with PROBE rows first at
+    * equal t (side 0 < 1 keeps `b.t >= p.t` INCLUSIVE — the mirror of
+    * backward's build-first tie order), payload carried BACKWARD by
+    * `first(..., ignoreNulls)` over
+    * `rowsBetween(currentRow, unboundedFollowing)`. The tolerance is a
+    * post-carry null-out (`asof_t - t > tolerance` discards the whole
+    * match struct): the carry itself stays tolerance-free, so the
+    * window never needs a RANGE frame and a beyond-window probe gets
+    * NULLs rather than a farther match — exactly the "no match within
+    * window" semantics, replayed by the q32 oracle's bounded candidate
+    * enumeration.
+    *
+    * Build uniqueness per (key, t) and NULL semantics: the
+    * [[lastAtOrBefore]] contract verbatim (NULL-t build rows are
+    * dropped; here ascending nulls-first puts them before every probe,
+    * where the FORWARD carry would otherwise never see them — dropped
+    * all the same for symmetry and because a NULL time is not a time).
+    */
+  def firstAtOrAfter(
+      probe: DataFrame, build: DataFrame,
+      keyCol: String, timeCol: String,
+      probeCols: Seq[String], buildCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val outNames = probeCols ++ buildCols :+ "asof_t"
+    require(outNames.distinct == outNames,
+      s"as-of output columns must be disjoint (probeCols ++ buildCols ++ asof_t), got $outNames")
+    require(tolerance.forall(_ >= 0L),
+      s"tolerance must be >= 0, got $tolerance")
+    val buildKept = build.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+    val payload = struct(
+      (buildCols.map(c => col(c).as(c)) :+ col(timeCol).as("asof_t")): _*)
+    // Probe side 0, build side 1: at equal t the probe sorts FIRST, so
+    // the [current, following) frame includes the equal-t build row.
+    val b = buildKept.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), lit(1).as("side"),
+      payload.as("bpay"), lit(null).cast("bigint").as("probe_tag"))
+    val p = probe.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), lit(0).as("side"),
+      lit(null).cast(b.schema("bpay").dataType).as("bpay"),
+      lit(1L).as("probe_tag"),
+      struct(probeCols.map(col): _*).as("ppay"))
+    val bWithP = b.withColumn("ppay", lit(null).cast(p.schema("ppay").dataType))
+
+    val w = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = bWithP.unionByName(p)
+      .withColumn("carry", first(col("bpay"), ignoreNulls = true).over(w))
+      .filter(col("probe_tag").isNotNull)
+      // NULL-t probes sort FIRST ascending, where the FORWARD carry
+      // would hand them every build row — mask explicitly: a NULL time
+      // matches nothing (the SQL-engine contract the backward form gets
+      // for free from its sort direction; spec-pinned).
+      .withColumn("carry", when(col("t").isNotNull, col("carry")))
+    val inWindow = tolerance match {
+      case Some(tol) =>
+        carried.withColumn("carry",
+          when(col("carry.asof_t") - col("t") <= tol, col("carry")))
+      case None => carried
+    }
+    inWindow.select(
+      probeCols.map(c => col(s"ppay.$c").as(c)) ++
+        buildCols.map(c => col(s"carry.$c").as(c)) :+
+        col("carry.asof_t").as("asof_t"): _*)
+  }
 }

@@ -199,6 +199,71 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("weights must be >= 1"))
   }
 
+  // ---- q32 forward as-of with tolerance ----
+
+  test("firstAtOrAfter hand case: next match, inclusive tie, tolerance " +
+      "null-out, no-successor and NULL-time probes") {
+    val probe = Seq(
+      (1L, 10L, 100L),  // next build at t=100 (inclusive equal-t below)
+      (2L, 10L, 100L),  // exactly ON a build time -> matches it
+      (3L, 10L, 150L),  // next build 200, gap 50 > tol 30 -> NULLs
+      (4L, 10L, 300L),  // no successor -> NULLs
+      (5L, 99L, 100L),  // key with no build rows -> NULLs
+      (6L, 10L, -5L)    // before everything, nearest 100 beyond tol
+    ).toDF("event_id", "user_id", "ts")
+      .unionByName(Seq((7L, 10L, Option.empty[Long]))
+        .toDF("event_id", "user_id", "ts")) // NULL-t probe -> NULLs
+    val build = Seq((10L, 100L, 1000L), (10L, 200L, 2000L))
+      .toDF("user_id", "ts", "payload")
+    val got = AsOfJoin.firstAtOrAfter(probe, build, "user_id", "ts",
+        Seq("event_id", "user_id", "ts"), Seq("payload"),
+        tolerance = Some(30L))
+      .select("event_id", "payload", "asof_t")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(1000L), Some(100L)),
+      (2L, Some(1000L), Some(100L)),
+      (3L, None, None),
+      (4L, None, None),
+      (5L, None, None),
+      (6L, None, None),
+      (7L, None, None)))
+    // Without tolerance, 3 and 6 match their true successors.
+    val open = AsOfJoin.firstAtOrAfter(probe, build, "user_id", "ts",
+        Seq("event_id"), Seq("payload"))
+      .select("event_id", "payload")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(open == Seq((1L, Some(1000L)), (2L, Some(1000L)),
+      (3L, Some(2000L)), (4L, None), (5L, None), (6L, Some(1000L)),
+      (7L, None)))
+  }
+
+  test("firstAtOrAfter == lastAtOrBefore on the time-negated stream") {
+    // Mirror law: next-at-or-after over t equals last-at-or-before over
+    // -t. Fuzz with duplicate probe times, build-on-probe collisions,
+    // and multiple keys.
+    val rnd = new scala.util.Random(331)
+    val probe = (1 to 800).map(i =>
+      (i.toLong, (i % 7).toLong, (rnd.nextInt(500) - 250).toLong))
+      .toDF("pid", "k", "t")
+    val build = (1 to 300).map { i =>
+      ((i % 7).toLong, (rnd.nextInt(500) - 250).toLong, (i * 11).toLong)
+    }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "t", "v") // unique per (k, t) — the operator contract
+    val fwd = AsOfJoin.firstAtOrAfter(probe, build, "k", "t",
+        Seq("pid"), Seq("v"))
+      .select("pid", "v", "asof_t")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    val mirrored = AsOfJoin.lastAtOrBefore(
+        probe.withColumn("t", -$"t"), build.withColumn("t", -$"t"),
+        "k", "t", Seq("pid"), Seq("v"))
+      .select("pid", "v", "asof_t")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+      .map { case (p, v, at) => (p, v, at.map(-_)) }.toSeq
+    assert(fwd == mirrored)
+  }
+
   // ---- s26 durable tombstone delete ----
 
   test("ivfPqRemoveFromTable: tombstone log == in-session remove; " +
@@ -263,17 +328,24 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
 
   // ---- config matrix (the standing round rule) ----
 
-  test("p11/g28/t22/q31 results are config-invariant") {
+  test("p11/g28/t22/q31/q32 results are config-invariant") {
     def runAll(): Seq[Set[String]] = {
       val docs = (1L to 80L).map(i => (i, s"w${i % 5} w${i % 11} x$i", 10L + i % 37))
         .toDF("doc_id", "text", "n_chars")
       val edges = (1L to 120L).map(i => (i % 17, 100L + i % 23)).toDF("src", "dst")
       val li = (1L to 500L).map(i => ((i * 31) % 997, 1L + i % 7)).toDF("v", "w")
+      val probe = (1L to 90L).map(i => (i, i % 9, (i * 37) % 211))
+        .toDF("pid", "k", "t")
+      val build = (1L to 40L).map(i => (i % 9, (i * 53) % 211, i * 100))
+        .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "t", "v")
       Seq(
         Sampling.prioritySample(docs, "doc_id", "n_chars", 10, "cfg"),
         graft.algorithms.LinkPrediction.resourceAllocation(edges, topK = 50),
         graft.text.TextFunctions.vocabCoverage(docs, "text", Seq(3, 10)),
-        WeightedQuantiles.weightedPercentiles(li, "v", "w", Seq(25, 50, 95)))
+        WeightedQuantiles.weightedPercentiles(li, "v", "w", Seq(25, 50, 95)),
+        AsOfJoin.firstAtOrAfter(probe, build, "k", "t", Seq("pid"),
+          Seq("v"), tolerance = Some(40L)))
         .map(_.collect().map(_.toString).toSet)
     }
     val baseline = runAll()
