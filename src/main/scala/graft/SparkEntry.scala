@@ -2094,6 +2094,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // DYNAMIC partition overwrite (b09): generation 1 writes every
+    // event_type; generation 2 overwrites ONLY the click partition with
+    // the reprocessed slice (even event_ids, values doubled). The read
+    // must see the mix — reprocessed clicks, all other partitions'
+    // original files untouched (static mode would have truncated them;
+    // the byte-identity of untouched files is spec-pinned).
+    "b09_partition_overwrite" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val path = graft.sources.PartitionedTables.writePartitioned(
+        ev, "b09_events_parted", Seq("event_type"))
+      graft.sources.PartitionedTables.overwritePartitions(
+        ev.filter(col("event_type") === "click" && col("event_id") % 2 === 0)
+          .withColumn("value", col("value") * 2),
+        path, Seq("event_type"))
+      graft.sources.PartitionedTables.readPartitioned(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("value"))).as("value_cents"))
+    }),
+
     // Schema EVOLUTION across ingest generations (b08): generation 1
     // wrote [doc_id, lang]; generation 2 appended with an added n_toks
     // column — the day-one lifecycle event of every long-lived table.
@@ -5007,6 +5028,20 @@ object SparkEntry {
     // JSONL round trip: the classification (every 97th doc truncated ->
     // corrupt) replayed off the original table; good rows must carry
     // their parsed fields, corrupt rows only a count.
+    // Partition-overwrite replay: the expected post-overwrite mix —
+    // original rows everywhere except click, which holds exactly the
+    // reprocessed slice. Anything static-mode-shaped (truncated other
+    // partitions, click originals surviving) diverges.
+    "b09_partition_overwrite" ->
+      """WITH mixed AS (
+        |  SELECT event_type, value FROM events WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value * 2 AS value FROM events
+        |  WHERE event_type = 'click' AND event_id % 2 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM mixed GROUP BY 1""".stripMargin,
+
     // Schema-evolution replay: generation membership is doc_id parity,
     // so the merged-schema read's NULL lattice is a closed form — gen-1
     // rows contribute NULL n_toks (skipped by count, 0 in the sum).

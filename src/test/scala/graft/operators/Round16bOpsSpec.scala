@@ -326,6 +326,48 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- b09 dynamic partition overwrite ----
+
+  test("overwritePartitions rewrites only the partitions present; " +
+      "untouched files byte-identical; static mode truncates") {
+    import graft.sources.PartitionedTables
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
+      ("c", 4L, 40L)).toDF("part", "id", "v")
+    val path = PartitionedTables.writePartitioned(df, "r16b_dpo", Seq("part"))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(sub: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/part=$sub")
+      fs.listStatus(d).filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    val bBefore = listing("b"); val cBefore = listing("c")
+    PartitionedTables.overwritePartitions(
+      Seq(("a", 9L, 90L)).toDF("part", "id", "v"), path, Seq("part"))
+    // Only partition a was replaced; b and c keep their exact files.
+    assert(listing("b") == bBefore && listing("c") == cBefore,
+      "untouched partitions must keep their files")
+    val rows = PartitionedTables.readPartitioned(spark, path)
+      .select("part", "id", "v").as[(String, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(rows == Seq(("b", 3L, 30L), ("c", 4L, 40L), ("a", 9L, 90L)))
+    // Conf restored after the call (the mode flip is scoped).
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+    // Partition pruning on the reader is unaffected by the overwrite.
+    val plan = PartitionedTables.readPartitioned(spark, path)
+      .filter($"part" === "b").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part#"),
+      s"expected partition pruning in:\n$plan")
+    // The STATIC-mode contrast — the incident the operator exists to
+    // prevent: a default overwrite of one partition truncates the rest.
+    Seq(("a", 5L, 50L)).toDF("part", "id", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/part=b")),
+      "static overwrite should have truncated partition b — if it " +
+        "stopped doing so, the operator's reason-to-exist changed")
+  }
+
   // ---- config matrix (the standing round rule) ----
 
   test("p11/g28/t22/q31/q32 results are config-invariant") {
