@@ -2719,6 +2719,15 @@ object SparkEntry {
       graft.algorithms.LinkPrediction.resourceAllocation(
         custOrderPartEdges(s, d), topK = 100, degreeCap = 256)),
 
+    // HyperBall 2-hop out-ball sizes (p=4): per-vertex HLL sketches
+    // advanced by register-max merge rounds; sum_scaled/n_zero anchor
+    // on exact integers, est6 is the one rounded division — the q14
+    // sketch discipline applied per vertex.
+    "g29_hyperball" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hyperBall.radius(2).precision(4).run()
+    }),
+
     // L2-normalized HITS (the user-facing form, scores in (0,1]): same
     // integer-exact rounds as g16, one normalization aggregate at the end.
     "g16b_hits_norm" -> ((s, d) => {
@@ -3545,6 +3554,44 @@ object SparkEntry {
     "g15_ppr" -> pprOracle(3),
     "g16_hits" -> hitsOracle(2),
     "g27_katz" -> katzOracle(3),
+
+    // HyperBall replay: the register-max merge rounds in SQL — s0 =
+    // every vertex's own (register, rank) from the shared md5 formula
+    // (p=4: low 4 bits pick the register, rank = 57 - len(bin(h >> 4))),
+    // each round = self ∪ out-neighbor sketches, grouped max; absent
+    // registers contribute 2^57 to the harmonic sum (the sparse-state
+    // closed form). est6 replays the alpha_16 division ::DOUBLE in the
+    // engine's association order.
+    "g29_hyperball" ->
+      """WITH e0 AS (SELECT o_custkey AS src, o_orderkey + 4000000 AS dst FROM orders
+        |  UNION ALL SELECT l_orderkey + 4000000, l_partkey + 1000000 FROM lineitem),
+        |v AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+        |s0 AS (SELECT id, h & 15 AS register,
+        |  57 - CASE WHEN (h >> 4) = 0 THEN 0 ELSE len(bin(h >> 4)) END AS max_rank
+        |  FROM (SELECT id,
+        |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h FROM v)),
+        |s1 AS (SELECT id, register, CAST(max(max_rank) AS BIGINT) AS max_rank FROM (
+        |    SELECT * FROM s0
+        |    UNION ALL
+        |    SELECT e0.src AS id, s0.register, s0.max_rank
+        |    FROM e0 JOIN s0 ON s0.id = e0.dst)
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT id, register, CAST(max(max_rank) AS BIGINT) AS max_rank FROM (
+        |    SELECT * FROM s1
+        |    UNION ALL
+        |    SELECT e0.src AS id, s1.register, s1.max_rank
+        |    FROM e0 JOIN s1 ON s1.id = e0.dst)
+        |  GROUP BY 1, 2),
+        |est AS (SELECT id,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(57 - max_rank AS INT)) AS BIGINT)
+        |    + (16 - count(*)) * (CAST(1 AS BIGINT) << 57) AS sum_scaled,
+        |  CAST(16 - count(*) AS BIGINT) AS n_zero
+        |  FROM s2 GROUP BY 1)
+        |SELECT id, sum_scaled, n_zero,
+        |  round(0.673::DOUBLE * 16.0::DOUBLE * 16.0::DOUBLE *
+        |    144115188075855872.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+        |FROM est""".stripMargin,
 
     // Resource-Allocation replay: symmetrize (drop loops, canonical
     // distinct, both directions), full-adjacency degrees, capped wedge

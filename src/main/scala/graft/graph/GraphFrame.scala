@@ -193,6 +193,9 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame)
   def katz: graft.algorithms.KatzCentrality =
     new graft.algorithms.KatzCentrality(this)
 
+  def hyperBall: graft.algorithms.HyperBall =
+    new graft.algorithms.HyperBall(this)
+
   def labelPropagation: graft.algorithms.LabelPropagation =
     new graft.algorithms.LabelPropagation(this)
 }

@@ -61,6 +61,23 @@ object Sketches {
     df.select(reg.as("register"), rank.as("rank"))
   }
 
+  /** [[hllObservations]] with the hashed key kept alongside — the
+    * per-VERTEX sketch shape [[graft.algorithms.HyperBall]] propagates
+    * (same hash, register, and rank formulas by construction: one body).
+    */
+  private[graft] def hllObservationsKeyed(df: DataFrame, keyCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    val m = 1L << p
+    val suffixBits = HashBits - p
+    val h = Sampling.keyHash60(col(keyCol))
+    val reg = h.bitwiseAND(lit(m - 1))
+    val w = shiftrightunsigned(h, p)
+    val rank = (lit(suffixBits + 1) -
+      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
+    df.select(col(keyCol), reg.as("register"), rank.as("rank"))
+  }
+
   def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     val m = 1L << p
     val seen = hllObservations(df, keyCol, p)

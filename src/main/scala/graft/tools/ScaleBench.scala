@@ -775,6 +775,25 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n m=$m top=${rowsL.head._4} " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "hyperball" | "hyperball-skew" =>
+        // g29 at graph scale: 2-hop out-ball sketches at p=4 — state is
+        // <= V*16 (register, rank) rows; each round is ONE edge⋈state
+        // join + a max-merge aggregate whose map-side combiner collapses
+        // hub fan-in (the g27 Katz skew argument — max is idempotent, so
+        // the skew graph's 370k-degree hub merges locally). Pins: one
+        // estimate row per vertex, estimates within the sane range
+        // [1, n], and a global mean ball size that must exceed 1 (edges
+        // exist, so SOME balls grew).
+        val hb = g.hyperBall.radius(2).precision(4).run()
+        val agg = hb.agg(count(lit(1)), min(col("est6")), max(col("est6")),
+          avg(col("est6"))).head
+        require(agg.getLong(0) == n, s"rows ${agg.getLong(0)} != $n")
+        require(agg.getDouble(1) >= 0.9 && agg.getDouble(2) <= 2.0 * n,
+          s"estimates out of range: min=${agg.getDouble(1)} max=${agg.getDouble(2)}")
+        require(agg.getDouble(3) > 1.0, "mean ball size did not grow")
+        println(f"SCALE-OK $algo n=$n m=$m meanBall=${agg.getDouble(3)}%.1f " +
+          f"maxBall=${agg.getDouble(2)}%.0f sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "binary" =>
         // s19 binary quantization at corpus scale: pack n 64-dim vectors
         // into 2x32-bit sign words (16 B/vector — the whole 4.2 M-vector

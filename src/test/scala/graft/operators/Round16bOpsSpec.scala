@@ -326,6 +326,66 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- g29 HyperBall ----
+
+  test("HyperBall registers == the exact ball's own sketch (fuzz BFS " +
+      "cross-check), estimates monotone in radius") {
+    // The defining invariant: after r rounds, a vertex's registers are
+    // EXACTLY the HLL observations of its true r-ball membership set —
+    // sketch-of-ball == ball's-sketch. Verified against a driver-side
+    // BFS on a seeded random graph with hubs, cycles, and isolates.
+    val rnd = new scala.util.Random(47)
+    val n = 120
+    val edges = Seq.fill(260)(
+      (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))) ++
+      (1L to 10L).map(i => (111L, 100L + i)) // hub fan-out
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, r: Int): Set[Long] = {
+      var cur = Set(v)
+      (1 to r).foreach { _ =>
+        cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Set.empty))
+      }
+      cur
+    }
+    val vertices = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val g = graft.graph.GraphFrame(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+    val p = 4; val sBits = 60 - p + 1
+    def expectedRegs(r: Int): Set[(Long, Long, Long)] =
+      vertices.flatMap { v =>
+        ball(v, r).groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+          .map { case (reg, members) =>
+            val rk = members.map { u =>
+              val w = Sampling.hash60OfString(u.toString) >>> p
+              (sBits - (if (w == 0L) 0 else 64 - java.lang.Long
+                .numberOfLeadingZeros(w))).toLong
+            }.max
+            (v, reg.toLong, rk)
+          }
+      }.toSet
+    for (r <- Seq(1, 2)) {
+      val got = g.hyperBall.radius(r).precision(p).registers()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expectedRegs(r), s"radius $r registers diverged")
+    }
+    // Registers only grow -> per-vertex sum_scaled non-increasing with
+    // radius (estimates monotone non-decreasing).
+    def sums(r: Int): Map[Long, Long] =
+      g.hyperBall.radius(r).precision(p).run()
+        .select("id", "sum_scaled").as[(Long, Long)].collect().toMap
+    val s1 = sums(1); val s2 = sums(2)
+    assert(vertices.forall(v => s2(v) <= s1(v)))
+  }
+
+  test("HyperBall isolated vertex: ball = self, 15 empty registers") {
+    val g = graft.graph.GraphFrame(
+      Seq(1L, 2L, 3L).toDF("id"), Seq((2L, 3L)).toDF("src", "dst"))
+    val iso = g.hyperBall.radius(2).precision(4).run()
+      .filter($"id" === 1L)
+      .select("n_zero").as[Long].head()
+    assert(iso == 15L)
+  }
+
   // ---- b09 dynamic partition overwrite ----
 
   test("overwritePartitions rewrites only the partitions present; " +
