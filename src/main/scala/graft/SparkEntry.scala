@@ -856,6 +856,16 @@ object SparkEntry {
     "d03_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
 
+    // LSH band calibration (the s25 measure-then-tune loop for dedup):
+    // candidate recall of k=16 salted-md5 minhash banding vs the exact
+    // >= 0.8 Jaccard pair set, swept over b = 2/4/8 bands; deploy marks
+    // the cheapest banding meeting 95% recall. Integer ppm recalls —
+    // the d16 discipline, no float anywhere.
+    "d21_lsh_calibration" -> ((s, d) =>
+      Dedup.lshBandCalibration(tbl(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, k = 16, bandOptions = Seq(2, 4, 8),
+        recallTargetPpm = 950000L)),
+
     "d06_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
 
@@ -5264,6 +5274,8 @@ object SparkEntry {
         |  max(cos) AS max_cosine
         |FROM p WHERE cos >= 0.45 GROUP BY 1""".stripMargin,
 
+    "d21_lsh_calibration" -> d21OracleSql,
+
     // Canonical-URL dedup: first occurrence + duplicate count per canon.
     "d19_url_dedup" ->
       (urlCanonCtes + "\nSELECT canon, min(doc_id) AS keep_id, " +
@@ -6536,4 +6548,57 @@ object SparkEntry {
       |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
+
+  /** The d21 calibration replay: per-doc k=16 salted-md5 signatures (the
+    * d15 draw family sliced by doc), md5 band keys per option, candidate
+    * pair sets, the exact >= 0.8 truth, integer ppm recalls, and the
+    * min-band deploy pick — parametrized over b in {2, 4, 8}.
+    */
+  private lazy val d21OracleSql: String = {
+    val k = 16
+    def bandCtes(b: Int): String = {
+      val r = k / b
+      val keyExpr = (1 to r).map(j => s"CAST(s[gb.b * $r + $j] AS VARCHAR)")
+        .mkString("md5(concat_ws(':', ", ", ", "))")
+      s"""kb$b AS (SELECT doc_id, gb.b AS band, $keyExpr AS bkey
+         |  FROM sig CROSS JOIN range(0, $b) gb(b)),
+         |c$b AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM kb$b a JOIN kb$b b2 ON a.band = b2.band
+         |    AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+         |m$b AS (SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN ex.id1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+         |  FROM c$b LEFT JOIN ex ON ex.id1 = c$b.id1 AND ex.id2 = c$b.id2)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+       |hs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+       |  i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS h FROM toks),
+       |sal AS (SELECT doc_id, r.p,
+       |  ('0x' || substr(md5(CAST(r.p AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15))::BIGINT AS sh
+       |  FROM hs CROSS JOIN range(0, $k) r(p)),
+       |sig AS (SELECT doc_id, list(m ORDER BY p) AS s FROM
+       |  (SELECT doc_id, p, min(sh) AS m FROM sal GROUP BY 1, 2) GROUP BY 1),
+       |shg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+       |  FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ex AS (SELECT id1, id2
+       |  FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+       |  WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8),
+       |exn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+       |${bandCtes(2)},
+       |${bandCtes(4)},
+       |${bandCtes(8)},
+       |u AS (SELECT * FROM m2 UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m8),
+       |f AS (SELECT u.*, e.n AS exact_n,
+       |  CASE WHEN e.n = 0 THEN 1000000 ELSE u.hits * 1000000 // e.n END AS recall_ppm
+       |  FROM u, exn e),
+       |dd AS (SELECT min(CASE WHEN recall_ppm >= 950000 THEN bands END) AS db FROM f)
+       |SELECT f.bands, CAST(f.rows_per_band AS BIGINT) AS rows_per_band,
+       |  f.n_candidates, f.hits, f.exact_n,
+       |  CAST(f.recall_ppm AS BIGINT) AS recall_ppm,
+       |  coalesce(f.bands = dd.db, false) AS deploy
+       |FROM f, dd""".stripMargin
+  }
 }

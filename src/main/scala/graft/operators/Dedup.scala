@@ -679,6 +679,82 @@ object Dedup {
       .select(col("slice"), col("pos").cast(LongType).as("pos"), col("sig"))
   }
 
+  /** LSH band CALIBRATION (d21) — the s24/s25 measure-then-tune loop for
+    * the dedup family: banding trades candidate cost for recall on an
+    * S-curve `P(candidate) = 1 - (1 - j^r)^b`, and the trade must be
+    * MEASURED on the deployment's own corpus before anyone turns the
+    * knob. For each option `b` (bands of `r = k/b` signature positions):
+    * candidate pairs = docs agreeing on ALL positions of at least one
+    * band; recall = the fraction of the EXACT above-threshold pair set
+    * ([[ngramJaccardPairs]]) the candidate stage finds; `deploy` marks
+    * the CHEAPEST banding (fewest bands = fewest candidate pairs)
+    * meeting `recallTargetPpm`. Recall is reported in integer PPM (the
+    * d16 resemblance discipline — no float summation anywhere), and the
+    * whole sweep is built on the salted-md5 k-minwise family
+    * ([[corpusMinhashBy]] per-doc) with md5 band keys, so signatures,
+    * buckets, candidates, truth, and recalls all replay in plain SQL.
+    *
+    * Scale cadence: the exact truth is quadratic in co-occurring
+    * shingles, so at 100 TB this runs on a hash-sampled calibration
+    * slice ([[Sampling.hashSplit]]) and the chosen `b` deploys to the
+    * full-corpus [[minHashLsh]] pass — calibrate small, deploy wide.
+    * On an empty truth set every option reports 1e6 ppm (vacuous
+    * recall) and the cheapest option deploys.
+    *
+    * Output `[bands, rows_per_band, n_candidates, hits, exact_n,
+    * recall_ppm, deploy]`, one row per option, ascending bands.
+    */
+  def lshBandCalibration(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, k: Int = 16,
+      bandOptions: Seq[Int] = Seq(2, 4, 8),
+      recallTargetPpm: Long = 950000L): DataFrame = {
+    require(bandOptions.nonEmpty &&
+      bandOptions.forall(b => b >= 1 && b <= k && k % b == 0),
+      s"every band option must divide k=$k, got $bandOptions")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val measured = CacheScope.scopedValue { scope =>
+      val sigArr = scope.cache(
+        corpusMinhashBy(docs.select(col(idCol), col(textCol)),
+            idCol, textCol, n, k)
+          .groupBy(col("slice").as("id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("sig")))),
+            s => s("sig")).as("sig")))
+      val exact = scope.cache(
+        ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+          .select(col("id1"), col("id2"), lit(1L).as("__lbc_t")))
+      val exactN = exact.count()
+      bandOptions.distinct.sorted.map { b =>
+        val r = k / b
+        val keys = sigArr.select(col("id"), posexplode(
+            array((0 until b).map(i =>
+              md5(concat_ws(":", (0 until r).map(j =>
+                element_at(col("sig"), i * r + j + 1).cast("string")): _*))
+            ): _*)).as(Seq("band", "bkey")))
+        val cand = keys.as("a").join(keys.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+        val agg = cand.join(exact, Seq("id1", "id2"), "left")
+          .agg(count(lit(1)).as("nc"),
+            coalesce(sum(col("__lbc_t")), lit(0L)).as("hits")).head
+        (b, r.toLong, agg.getLong(0), agg.getLong(1), exactN)
+      }
+    }
+    val withRecall = measured.map { case (b, r, nc, hits, exactN) =>
+      val ppm = if (exactN == 0L) 1000000L else hits * 1000000L / exactN
+      (b, r, nc, hits, exactN, ppm)
+    }
+    val deployB = withRecall.collectFirst {
+      case (b, _, _, _, _, ppm) if ppm >= recallTargetPpm => b
+    }
+    withRecall.map { case (b, r, nc, hits, exactN, ppm) =>
+      (b, r, nc, hits, exactN, ppm, deployB.contains(b))
+    }.toDF("bands", "rows_per_band", "n_candidates", "hits", "exact_n",
+      "recall_ppm", "deploy")
+  }
+
   /** Pairwise resemblance MATRIX over N corpus slices — the dataset-level
     * triage a mixing pipeline runs before any doc-level dedup pass: which
     * dumps/sources overlap enough to deserve a cross-pass at all. One

@@ -326,6 +326,54 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- d21 LSH band calibration ----
+
+  test("lshBandCalibration: nested-band candidate monotonicity, recall " +
+      "ordering, cheapest-deploy pick") {
+    // Corpus with planted near-dup pairs of varying similarity: base
+    // docs plus copies with a few words swapped (high-but-not-1.0
+    // jaccard — the regime where banding actually loses pairs).
+    val words = (0 until 40).map(i => s"w$i")
+    val rnd = new scala.util.Random(59)
+    val docs = (0 until 60).flatMap { i =>
+      val base = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+      val toks = base.split(" ")
+      val mutated = toks.zipWithIndex.map { case (t, j) =>
+        if (j % 11 == (i % 11)) words(rnd.nextInt(words.size)) else t
+      }.mkString(" ")
+      Seq((i * 2L, base), (i * 2L + 1L, mutated))
+    }.toDF("doc_id", "text")
+    val cal = Dedup.lshBandCalibration(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, k = 16, bandOptions = Seq(2, 4, 8),
+        recallTargetPpm = 900000L)
+      .select("bands", "n_candidates", "hits", "exact_n", "recall_ppm",
+        "deploy")
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(cal.map(_._1).toSeq == Seq(2, 4, 8))
+    val exactN = cal.head._4
+    assert(exactN > 0L, "planted pairs must exist above threshold")
+    // 2/4/8 bands over k=16 NEST (a 4-position band agreement implies
+    // both its 2-position halves agree), so candidates and recall are
+    // monotone non-decreasing in b.
+    assert(cal.map(_._2).toSeq == cal.map(_._2).sorted.toSeq, "candidates not monotone")
+    assert(cal.map(_._5).toSeq == cal.map(_._5).sorted.toSeq, "recall not monotone")
+    // deploy = exactly the first option meeting the target (if any).
+    val firstOk = cal.find(_._5 >= 900000L).map(_._1)
+    assert(cal.filter(_._6).map(_._1).toSeq == firstOk.toSeq)
+  }
+
+  test("lshBandCalibration on a truth-free corpus: vacuous full recall, " +
+      "cheapest option deploys") {
+    val docs = (1L to 30L).map(i => (i, s"unique$i text$i body$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val cal = Dedup.lshBandCalibration(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, k = 16, bandOptions = Seq(2, 4))
+      .select("bands", "exact_n", "recall_ppm", "deploy")
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(cal.forall(_._2 == 0L) && cal.forall(_._3 == 1000000L))
+    assert(cal.filter(_._4).map(_._1).toSeq == Seq(2))
+  }
+
   // ---- g29 HyperBall ----
 
   test("HyperBall registers == the exact ball's own sketch (fuzz BFS " +
