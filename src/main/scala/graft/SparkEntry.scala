@@ -2738,6 +2738,17 @@ object SparkEntry {
       g.hyperBall.radius(2).precision(4).run()
     }),
 
+    // The neighborhood function N(t) + effective diameter (HyperANF's
+    // headline): per-radius global reach on the integer micro lattice
+    // (per-vertex estimates round to micros BEFORE the fold — no float
+    // summation order), radii 0..3 on the depth-2 DAG, so the t=3 row
+    // pins saturation (N(3) == N(2)) and the 90% threshold lands the
+    // effective diameter at t <= 2.
+    "g30_neighborhood_fn" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hyperBall.radius(3).precision(4).neighborhoodFunction()
+    }),
+
     // L2-normalized HITS (the user-facing form, scores in (0,1]): same
     // integer-exact rounds as g16, one normalization aggregate at the end.
     "g16b_hits_norm" -> ((s, d) => {
@@ -3602,6 +3613,8 @@ object SparkEntry {
         |  round(0.673::DOUBLE * 16.0::DOUBLE * 16.0::DOUBLE *
         |    144115188075855872.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
         |FROM est""".stripMargin,
+
+    "g30_neighborhood_fn" -> g30OracleSql,
 
     // Resource-Allocation replay: symmetrize (drop loops, canonical
     // distinct, both directions), full-adjacency degrees, capped wedge
@@ -6548,6 +6561,60 @@ object SparkEntry {
       |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
+
+  /** The g30 neighborhood-function replay: the g29 register rounds
+    * extended to radii 0..3, each radius folded to
+    * `sum(round(est6 * 1e6))` — integer micros, exact fold — plus the
+    * ceil-90% effective-diameter pick.
+    */
+  private lazy val g30OracleSql: String = {
+    def round(t: Int): String =
+      s"""s$t AS (SELECT id, register, CAST(max(max_rank) AS BIGINT) AS max_rank FROM (
+         |    SELECT * FROM s${t - 1}
+         |    UNION ALL
+         |    SELECT e0.src AS id, s${t - 1}.register, s${t - 1}.max_rank
+         |    FROM e0 JOIN s${t - 1} ON s${t - 1}.id = e0.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    def nf(t: Int): String =
+      s"""nf$t AS (SELECT CAST($t AS BIGINT) AS radius,
+         |  CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(sum(CAST(round(round(CASE
+         |      WHEN n_zero > 0 AND est6 <= 40.0::DOUBLE
+         |      THEN 16.0::DOUBLE * ln(16.0::DOUBLE / CAST(n_zero AS DOUBLE))
+         |      ELSE est6 END, 6)
+         |    * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS nf_micros
+         |  FROM (SELECT id, n_zero,
+         |    round(0.673::DOUBLE * 16.0::DOUBLE * 16.0::DOUBLE *
+         |      144115188075855872.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+         |    FROM (SELECT id,
+         |      CAST(sum(CAST(1 AS BIGINT) << CAST(57 - max_rank AS INT)) AS BIGINT)
+         |        + (16 - count(*)) * (CAST(1 AS BIGINT) << 57) AS sum_scaled,
+         |      CAST(16 - count(*) AS BIGINT) AS n_zero
+         |      FROM s$t GROUP BY 1)))""".stripMargin
+    s"""WITH e0 AS (SELECT o_custkey AS src, o_orderkey + 4000000 AS dst FROM orders
+       |  UNION ALL SELECT l_orderkey + 4000000, l_partkey + 1000000 FROM lineitem),
+       |v AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+       |s0 AS (SELECT id, h & 15 AS register,
+       |  57 - CASE WHEN (h >> 4) = 0 THEN 0 ELSE len(bin(h >> 4)) END AS max_rank
+       |  FROM (SELECT id,
+       |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h FROM v)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${nf(0)},
+       |${nf(1)},
+       |${nf(2)},
+       |${nf(3)},
+       |u AS (SELECT * FROM nf0 UNION ALL SELECT * FROM nf1
+       |  UNION ALL SELECT * FROM nf2 UNION ALL SELECT * FROM nf3),
+       |mx AS (SELECT nf_micros AS m FROM u WHERE radius = 3),
+       |dd AS (SELECT min(u.radius) AS er FROM u, mx
+       |  WHERE u.nf_micros >= (9 * mx.m + 9) // 10)
+       |SELECT u.radius, u.n_vertices, u.nf_micros,
+       |  (u.radius = dd.er) AS eff_diameter
+       |FROM u, dd""".stripMargin
+  }
 
   /** The d21 calibration replay: per-doc k=16 salted-md5 signatures (the
     * d15 draw family sliced by doc), md5 band keys per option, candidate

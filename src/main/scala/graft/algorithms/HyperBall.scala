@@ -77,14 +77,84 @@ class HyperBall(graph: GraphFrame) {
     state
   }
 
-  /** Per-vertex ball-size estimates `[id, sum_scaled, n_zero, est6]`:
-    * the raw-HLL estimator over each vertex's registers. `sum_scaled`
-    * is the EXACT integer harmonic sum `Σ 2^(S - M_j)` (absent
-    * registers contribute `2^S` — the sparse-state closed form), so the
-    * gate anchors on integers and only `est6` is one rounded float
-    * division.
+  /** The NEIGHBORHOOD FUNCTION and effective diameter — HyperANF's
+    * headline output (Boldi–Vigna–Rosa §1: "how does reach grow with
+    * distance?"): `N(t) = Σ_v |B_t(v)|` estimated at every radius
+    * `0..r`, plus the integer-radius effective diameter (the smallest
+    * `t` with `N(t) >= ceil(0.9 · N(r))` — the canonical 90% variant on
+    * the integer lattice, no interpolation). Per-vertex estimates round
+    * to integer MICROS before the global sum, so `nf_micros` is an
+    * exact BIGINT fold (float summation order can never flip the gate —
+    * the d16 ppm discipline applied to HyperANF).
+    *
+    * One merge round per radius; each radius adds ONE bounded aggregate
+    * (two longs to the driver per radius — the epochShuffle collect
+    * class). State is re-persisted per round so radius `t`'s aggregate
+    * never recomputes rounds `1..t-1`.
+    *
+    * Output `[radius, n_vertices, nf_micros, eff_diameter]`, radii
+    * ascending, exactly one row flagged.
     */
-  def run(): DataFrame = {
+  def neighborhoodFunction(): DataFrame = {
+    val spark = graph.vertices.sparkSession
+    import spark.implicits._
+    val ID = GraphFrame.ID
+    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
+    // Per-vertex estimates take the LINEAR-COUNTING correction (the
+    // q14c branch: n_zero > 0 and raw est <= 2.5m) before the micro
+    // fold — at radius 0 every ball is a singleton, exactly the
+    // small-range regime where raw HLL reads ~11 for 1; HyperBall's own
+    // counters are bias-corrected for the same reason. ln replays in
+    // SQL at round(6) — the q14c-gated discipline.
+    val m = 1L << p
+    def nfOf(state: DataFrame): (Long, Long) = {
+      val corrected = round(
+        when(col("n_zero") > 0 && col("est6") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("est6")), 6)
+      val row = estimateOf(state)
+        .agg(count(lit(1)),
+          sum(round(corrected * lit(1000000.0)).cast(LongType))).head
+      (row.getLong(0), row.getLong(1))
+    }
+    var state = graft.operators.Sketches
+      .hllObservationsKeyed(graph.vertices.select(col(ID)), ID, p)
+      .select(col(ID), col("register"), col("rank").as("max_rank"))
+      .persist()
+    val rows = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+    val r0 = nfOf(state)
+    rows += ((0, r0._1, r0._2))
+    var t = 1
+    while (t <= r) {
+      val msgs = edges.join(
+          state.select(col(ID).as("__hb_w"), col("register"),
+            col("max_rank")),
+          col(GraphFrame.DST) === col("__hb_w"))
+        .select(col(GraphFrame.SRC).as(ID), col("register"),
+          col("max_rank"))
+      val next = state.unionByName(msgs)
+        .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
+        .persist()
+      val rt = nfOf(next)
+      rows += ((t, rt._1, rt._2))
+      state.unpersist(blocking = false)
+      state = next
+      t += 1
+    }
+    state.unpersist(blocking = false)
+    val nfMax = rows.last._3
+    val thresh = (9L * nfMax + 9L) / 10L
+    val eff = rows.collectFirst { case (rad, _, nf) if nf >= thresh => rad }
+    rows.toSeq.map { case (rad, nv, nf) =>
+      (rad.toLong, nv, nf, eff.contains(rad))
+    }.toDF("radius", "n_vertices", "nf_micros", "eff_diameter")
+  }
+
+  /** The per-vertex estimate frame off a register state — shared by
+    * [[run]] and [[neighborhoodFunction]] so the two outputs can never
+    * drift onto different estimator math.
+    */
+  private def estimateOf(state: DataFrame): DataFrame = {
     val m = 1L << p
     val s = 60 - p + 1
     val alpha = p match {
@@ -93,8 +163,7 @@ class HyperBall(graph: GraphFrame) {
       case 6 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
     }
-    registers()
-      .groupBy(GraphFrame.ID)
+    state.groupBy(GraphFrame.ID)
       .agg(
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
           + (lit(m) - count(lit(1))) * lit(1L << s)).as("sum_scaled"),
@@ -104,4 +173,13 @@ class HyperBall(graph: GraphFrame) {
           lit(math.pow(2.0, s)) / col("sum_scaled").cast("double"), 6)
           .as("est6"))
   }
+
+  /** Per-vertex ball-size estimates `[id, sum_scaled, n_zero, est6]`:
+    * the raw-HLL estimator over each vertex's registers. `sum_scaled`
+    * is the EXACT integer harmonic sum `Σ 2^(S - M_j)` (absent
+    * registers contribute `2^S` — the sparse-state closed form), so the
+    * gate anchors on integers and only `est6` is one rounded float
+    * division.
+    */
+  def run(): DataFrame = estimateOf(registers())
 }

@@ -425,6 +425,50 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(vertices.forall(v => s2(v) <= s1(v)))
   }
 
+  test("neighborhoodFunction == the exact-ball replay on a chain; " +
+      "eff_diameter at the 90% crossing; saturation pinned") {
+    // 1 -> 2 -> 3 -> 4: balls are suffix sets, saturating at radius 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val vertices = Seq(1L, 2L, 3L, 4L)
+    val g = graft.graph.GraphFrame(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+    val got = g.hyperBall.radius(4).precision(4).neighborhoodFunction()
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+    // Driver replay of the full corrected pipeline over EXACT balls.
+    val p = 4; val m = 16; val sBits = 60 - p + 1
+    def ball(v: Long, r: Int): Set[Long] =
+      (v to math.min(v + r, 4L)).toSet
+    def estMicros(members: Set[Long]): Long = {
+      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+        .map { case (_, ms) => ms.map { u =>
+          val w = Sampling.hash60OfString(u.toString) >>> p
+          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max }
+      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
+        (m - regs.size).toLong * (1L << sBits)
+      val nZero = m - regs.size
+      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
+        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val corr = if (nZero > 0 && raw <= 40.0)
+        BigDecimal(16.0 * math.log(16.0 / nZero.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else raw
+      math.round(corr * 1000000.0)
+    }
+    val wantNf = (0 to 4).map(r =>
+      (r.toLong, vertices.map(v => estMicros(ball(v, r))).sum))
+    assert(got.map(t => (t._1, t._3)) == wantNf, "nf_micros diverged")
+    assert(got.map(_._2).forall(_ == 4L))
+    // Saturation: N(4) == N(3) (the chain has depth 3).
+    assert(got(4)._3 == got(3)._3)
+    // The flag sits exactly at the replayed 90% crossing, once.
+    val thresh = (9L * wantNf.last._2 + 9L) / 10L
+    val wantEff = wantNf.collectFirst { case (r, nf) if nf >= thresh => r }
+    assert(got.filter(_._4).map(_._1).toSeq == wantEff.toSeq)
+  }
+
   test("HyperBall isolated vertex: ball = self, 15 empty registers") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L, 3L).toDF("id"), Seq((2L, 3L)).toDF("src", "dst"))
