@@ -1694,6 +1694,17 @@ object SparkEntry {
       graft.operators.Sketches.hllGroupedRegisters(
         tbl(s, d, "lineitem"), "l_returnflag", "l_partkey", p = 6)),
 
+    // Approximate distinct per ROLLUP slice (sketches × OLAP lattice):
+    // HLL register tables for (flag, status) / (flag) / () in ONE
+    // Expand pass, estimated per slice — integer sum_scaled/n_zero
+    // anchors, gid = the (g1, g2) GROUPING bitmask.
+    "q33_rollup_distinct" -> ((s, d) =>
+      graft.operators.Sketches.hllRollupEstimate(
+        graft.operators.Sketches.hllRollupRegisters(
+          tbl(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+          "l_partkey", p = 6),
+        "l_returnflag", "l_linestatus", p = 6)),
+
     // ... and the per-group estimates off those registers (integer
     // harmonic sum, one rounded division per group).
     "q17b_hll_grouped_est" -> ((s, d) =>
@@ -4691,6 +4702,43 @@ object SparkEntry {
         |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
         |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
         |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
+
+    // Rollup-sliced HLL replay: the three lattice levels as three
+    // grouped register chains (p=6), dense 64-register grids per slice,
+    // per-slice integer harmonic sums, one rounded division each.
+    // IS NOT DISTINCT FROM joins keep NULL-valued DATA groups separate
+    // from the NULL subtotal columns (gid is the discriminator).
+    "q33_rollup_distinct" ->
+      """WITH h AS (SELECT l_returnflag AS g1, l_linestatus AS g2,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |o AS (SELECT g1, g2, h & 63 AS register,
+        |  55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE len(bin(h >> 6)) END AS rank
+        |  FROM h),
+        |lvl0 AS (SELECT g1, g2, 0 AS gid, register, max(rank) AS mr
+        |  FROM o GROUP BY 1, 2, 4),
+        |lvl1 AS (SELECT g1, CAST(NULL AS VARCHAR) AS g2, 1 AS gid, register,
+        |  max(rank) AS mr FROM o GROUP BY 1, 4),
+        |lvl2 AS (SELECT CAST(NULL AS VARCHAR) AS g1, CAST(NULL AS VARCHAR) AS g2,
+        |  3 AS gid, register, max(rank) AS mr FROM o GROUP BY 4),
+        |sp AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+        |  UNION ALL SELECT * FROM lvl2),
+        |slices AS (SELECT DISTINCT g1, g2, gid FROM sp),
+        |grid AS (SELECT s.g1, s.g2, s.gid, r.range AS register
+        |  FROM slices s CROSS JOIN range(64) r),
+        |regs AS (SELECT grid.g1, grid.g2, grid.gid, COALESCE(sp.mr, 0) AS max_rank
+        |  FROM grid LEFT JOIN sp ON sp.g1 IS NOT DISTINCT FROM grid.g1
+        |    AND sp.g2 IS NOT DISTINCT FROM grid.g2 AND sp.gid = grid.gid
+        |    AND sp.register = grid.register),
+        |e AS (SELECT g1, g2, gid, CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
+        |  CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM regs GROUP BY 1, 2, 3)
+        |SELECT g1 AS l_returnflag, g2 AS l_linestatus, CAST(gid AS BIGINT) AS gid,
+        |  m, sum_scaled, n_zero,
+        |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE *
+        |    36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+        |FROM e""".stripMargin,
 
     // Harmonic sum scaled to exact integers (sum of 2^(53 - M_j) as
     // BIGINT — a double sum would be summation-order-dependent), one

@@ -187,6 +187,76 @@ object Sketches {
         col("__pos").cast(LongType).as("register"), col("max_rank"))
   }
 
+  /** ROLLUP-sliced HLL registers (q33): one register table for EVERY
+    * slice of the `(g1, g2)` rollup lattice — `(g1, g2)`, `(g1)`, and
+    * the grand total — in ONE Expand pass: observations project once,
+    * the grouping-sets Expand replicates each into its three lattice
+    * slices, and the per-(slice, register) max runs map-side-combined.
+    * This is the OLAP subtotal frame for approximate COUNT DISTINCT —
+    * exact distinct per slice would shuffle the raw key pairs once per
+    * lattice level, while this reduce side is `slices × 2^p` rows at
+    * any corpus size. `gid` is the `(g1, g2)` GROUPING bitmask (0 =
+    * leaf, 1 = g2 rolled up, 3 = grand total) — the q30 discipline that
+    * disambiguates NULL-as-subtotal from NULL data. Dense per-slice
+    * grids via the map-pack zero-fill (no second corpus scan).
+    *
+    * Output `[<g1>, <g2>, gid, register, max_rank]`.
+    */
+  def hllRollupRegisters(df: DataFrame, g1: String, g2: String,
+      keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    val m = 1L << p
+    val suffixBits = HashBits - p
+    val h = Sampling.keyHash60(col(keyCol))
+    val reg = h.bitwiseAND(lit(m - 1))
+    val w = shiftrightunsigned(h, p)
+    val rank = (lit(suffixBits + 1) -
+      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
+    val obs = df.select(col(g1).as("__hr_g1"), col(g2).as("__hr_g2"),
+      reg.as("register"), rank.as("rank"))
+    val seen = obs.groupingSets(
+        Seq(Seq(col("__hr_g1"), col("__hr_g2"), col("register")),
+          Seq(col("__hr_g1"), col("register")),
+          Seq(col("register"))),
+        col("__hr_g1"), col("__hr_g2"), col("register"))
+      .agg(max(col("rank")).as("max_rank"),
+        // grouping_id over (g1, g2, register): the register bit is
+        // always 0 (grouped in every set) — shift it off so gid is the
+        // (g1, g2) bitmask: 0 leaf, 1 g2-out, 3 grand total.
+        shiftrightunsigned(grouping_id().cast(LongType), 1).as("__hr_gid"))
+    val packed = seen.groupBy("__hr_g1", "__hr_g2", "__hr_gid").agg(
+      map_from_entries(collect_list(when(col("register").isNotNull,
+        struct(col("register"), col("max_rank"))))).as("__mp"))
+    packed.select(col("__hr_g1"), col("__hr_g2"), col("__hr_gid"),
+        posexplode(transform(sequence(lit(0L), lit(m - 1)),
+          r => coalesce(element_at(col("__mp"), r), lit(0L))))
+          .as(Seq("__pos", "max_rank")))
+      .select(col("__hr_g1").as(g1), col("__hr_g2").as(g2),
+        col("__hr_gid").as("gid"),
+        col("__pos").cast(LongType).as("register"), col("max_rank"))
+  }
+
+  /** Per-slice estimates off a [[hllRollupRegisters]] table — the
+    * [[hllEstimate]] math per `(g1, g2, gid)` slice. Output
+    * `[<g1>, <g2>, gid, m, sum_scaled, n_zero, est6]`.
+    */
+  def hllRollupEstimate(registers: DataFrame, g1: String, g2: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val s = HashBits - p + 1
+    val alpha = hllAlpha(m)
+    registers.groupBy(col(g1), col(g2), col("gid")).agg(
+      count(lit(1)).as("m"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))
+        .as("sum_scaled"),
+      sum(when(col("max_rank") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col(g1), col(g2), col("gid"), col("m"), col("sum_scaled"),
+        col("n_zero"),
+        round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+          lit(math.pow(2.0, s)) / col("sum_scaled").cast("double"), 6)
+          .as("est6"))
+  }
+
   /** Per-group estimates off a [[hllGroupedRegisters]] table — the same
     * exact-BIGINT harmonic sum and single rounded float division as
     * [[hllEstimate]], one row per group.

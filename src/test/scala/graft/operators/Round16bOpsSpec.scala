@@ -326,6 +326,56 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- q33 rollup-sliced HLL distinct ----
+
+  test("hllRollupRegisters: slices equal per-slice global sketches, the " +
+      "lattice merge law holds, NULL data stays distinct from subtotals") {
+    val df = (1L to 300L).map { i =>
+      val g1 = s"a${i % 3}"
+      val g2 = if (i % 7 == 0) null else s"b${i % 2}"
+      (g1, g2, i % 97) // keys overlap across slices
+    }.toDF("g1", "g2", "k")
+    val p = 4
+    val regs = Sketches.hllRollupRegisters(df, "g1", "g2", "k", p)
+      .as[(String, String, Long, Long, Long)].collect()
+    def slice(gid: Long) = regs.filter(_._3 == gid)
+      .map(r => ((Option(r._1), Option(r._2)), (r._4, r._5)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+
+    // Leaf slices == a global sketch of each filtered subset (NULL data
+    // group included — it is a LEAF at gid 0).
+    val leaves = slice(0L)
+    val leafKeys = df.select("g1", "g2").distinct()
+      .as[(String, String)].collect().map { case (a, b) => (Option(a), Option(b)) }
+    assert(leaves.keySet == leafKeys.toSet)
+    for ((a, b) <- leafKeys) {
+      val sub = df.filter($"g1" === a.get &&
+        (if (b.isDefined) $"g2" === b.get else $"g2".isNull))
+      val want = Sketches.hllRegisters(sub, "k", p)
+        .as[(Long, Long)].collect().toMap
+      assert(leaves((a, b)) == want, s"leaf ($a, $b) diverged")
+    }
+    // Merge law up the lattice: gid-1 slice (a, NULL-subtotal) ==
+    // per-register max over its gid-0 children.
+    val mids = slice(1L)
+    for ((a, regsMap) <- mids) {
+      val children = leaves.filter(_._1._1 == a._1).values
+      val want = (0L until (1L << p)).map(r =>
+        r -> children.map(_(r)).max).toMap
+      assert(regsMap == want, s"merge law broke at $a")
+    }
+    // Grand total (gid 3) == the plain global sketch.
+    val want = Sketches.hllRegisters(df, "k", p).as[(Long, Long)]
+      .collect().toMap
+    assert(slice(3L)((None, None)) == want)
+    // NULL-data leaf and the g2 subtotal coexist, disambiguated by gid:
+    // (a0, null) appears at BOTH gid 0 (data) and gid 1 (subtotal) with
+    // different registers (the subtotal folds more keys).
+    assert(leaves.contains((Some("a0"), None)) &&
+      mids.contains((Some("a0"), None)))
+    assert(leaves((Some("a0"), None)) != mids((Some("a0"), None)))
+  }
+
   // ---- d21 LSH band calibration ----
 
   test("lshBandCalibration: nested-band candidate monotonicity, recall " +
