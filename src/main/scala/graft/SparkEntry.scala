@@ -455,6 +455,16 @@ object SparkEntry {
           col("l_quantity").cast("long").as("w")),
         "v", "w", Seq(25, 50, 90, 99))),
 
+    // GROUPED exact weighted percentiles (the per-language
+    // quality-threshold query): the q31 chunk plan with the carry
+    // window partitioned by group — no single-task stage anywhere.
+    "q34_grouped_wpctl" -> ((s, d) =>
+      graft.operators.WeightedQuantiles.weightedPercentilesBy(
+        tbl(s, d, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w")),
+        "l_returnflag", "v", "w", Seq(50, 90))),
+
     // PIVOT: long->wide on an explicit value list (the only scale-safe
     // form — an unlisted pivot collects the distinct values to plan the
     // schema; listed, it is ONE pass of conditional aggregates).
@@ -3462,6 +3472,22 @@ object SparkEntry {
         |SELECT p.pct, c.v AS value, c.cum_w, t.total_w
         |FROM p, t, c
         |WHERE c.cum_w >= (p.pct * t.total_w + 99) // 100
+        |  AND c.cum_w - c.ws < (p.pct * t.total_w + 99) // 100""".stripMargin,
+
+    // Grouped weighted-percentile replay: the per-group cumulative
+    // window the group-partitioned chunk plan must equal bit-for-bit.
+    "q34_grouped_wpctl" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |gr AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS ws FROM src GROUP BY 1, 2),
+        |c AS (SELECT g, v, ws,
+        |  CAST(sum(ws) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_w FROM gr),
+        |t AS (SELECT g, CAST(sum(w) AS BIGINT) AS total_w FROM src GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES (50), (90)) AS p(pct))
+        |SELECT c.g AS l_returnflag, p.pct, c.v AS value, c.cum_w, t.total_w
+        |FROM p, t, c
+        |WHERE c.g = t.g AND c.cum_w >= (p.pct * t.total_w + 99) // 100
         |  AND c.cum_w - c.ws < (p.pct * t.total_w + 99) // 100""".stripMargin,
 
     // Grouping-sets replay: same asymmetric slice list, same bitmask.

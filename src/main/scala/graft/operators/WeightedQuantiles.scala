@@ -43,6 +43,25 @@ object WeightedQuantiles {
 
   def weightedPercentiles(df: DataFrame, valueCol: String,
       weightCol: String, pcts: Seq[Int],
+      chunkWidth: Long = 1L << 16): DataFrame =
+    weightedPercentilesBy(
+      df.withColumn("__wq_g", lit(0L)), "__wq_g", valueCol, weightCol,
+      pcts, chunkWidth).drop("__wq_g")
+
+  /** Grouped form (q34): exact weighted percentiles PER GROUP — the
+    * per-language quality-threshold query — with the same two-level
+    * chunk plan, except the carry window now PARTITIONS BY THE GROUP,
+    * so even the bounded chunk-axis pass parallelizes across groups:
+    * no single-task stage remains anywhere in the plan. The ungrouped
+    * [[weightedPercentiles]] is this with one constant group (shared
+    * body — the t18/st15 discipline). Each group crosses its own
+    * `T = ceil(pct · W_g / 100)` targets; groups join null-safely, and
+    * a group with no rows emits nothing.
+    *
+    * Output `[<groupCol>, pct, value, cum_w, total_w]`.
+    */
+  def weightedPercentilesBy(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, pcts: Seq[Int],
       chunkWidth: Long = 1L << 16): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be non-empty in [1, 100], got $pcts")
@@ -50,40 +69,50 @@ object WeightedQuantiles {
     val spark = df.sparkSession
     import spark.implicits._
     CacheScope.scoped { scope =>
-      val base = df.select(col(valueCol).cast(LongType).as("__wq_v"),
+      val base = df.select(col(groupCol).as("__wq_g"),
+          col(valueCol).cast(LongType).as("__wq_v"),
           col(weightCol).cast(LongType).as("__wq_w"))
         .withColumn("__wq_w",
           when(col("__wq_w") >= 1L, col("__wq_w"))
             .otherwise(raise_error(lit(
               "weightedPercentiles: weights must be >= 1"))))
-      // The ONLY corpus scan: everything downstream (carry, total,
-      // crossing) rides this cached distinct-value-sized frame — an
-      // uncached plan re-derived it three times from the base scan.
-      val grouped = scope.cache(base.groupBy("__wq_v")
+      // The ONLY corpus scan: everything downstream (carry, totals,
+      // crossing) rides this cached distinct-(group, value)-sized frame.
+      val grouped = scope.cache(base.groupBy("__wq_g", "__wq_v")
         .agg(sum("__wq_w").as("__wq_ws"))
         // Exact chunk id on the long domain incl. negatives — the
         // ChunkedWindow `div`-of-an-exact-multiple form, NOT a double `/`.
         .withColumn("__wq_s", call_function("div",
           col("__wq_v") - pmod(col("__wq_v"), lit(chunkWidth)),
           lit(chunkWidth))))
-      val carryW = Window.orderBy("__wq_s")
+      val carryW = Window.partitionBy("__wq_g").orderBy("__wq_s")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val carries = grouped.groupBy("__wq_s")
+      val carries = grouped.groupBy("__wq_g", "__wq_s")
         .agg(sum("__wq_ws").as("__wq_st"))
         .withColumn("__wq_carry",
           coalesce(sum("__wq_st").over(carryW), lit(0L)))
-        .select("__wq_s", "__wq_carry")
-      val innerW = Window.partitionBy("__wq_s").orderBy("__wq_v")
-      val cum = grouped.join(carries, "__wq_s")
+        // Renamed for the NULL-SAFE join below: a USING equi-join would
+        // silently drop a NULL group's rows here (NULL != NULL), the
+        // same class of bug the targets join already guards against.
+        .select(col("__wq_g").as("__wq_cg"), col("__wq_s").as("__wq_cs"),
+          col("__wq_carry"))
+      val innerW = Window.partitionBy("__wq_g", "__wq_s").orderBy("__wq_v")
+      val cum = grouped.join(carries,
+          col("__wq_g") <=> col("__wq_cg") && col("__wq_s") === col("__wq_cs"))
         .withColumn("__wq_cum",
           col("__wq_carry") + sum("__wq_ws").over(innerW))
-      val targets = pcts.distinct.sorted.toDF("pct")
-        .crossJoin(grouped.agg(sum("__wq_ws").as("total_w")))
+      val targets = grouped.groupBy("__wq_g")
+        .agg(sum("__wq_ws").as("total_w"))
+        .crossJoin(broadcast(pcts.distinct.sorted.toDF("pct")))
         .withColumn("__wq_t", expr("(pct * total_w + 99) div 100"))
-      cum.join(broadcast(targets),
-          col("__wq_cum") >= col("__wq_t") &&
+        .select(col("__wq_g").as("__wq_tg"), col("pct"), col("total_w"),
+          col("__wq_t"))
+      cum.join(targets,
+          col("__wq_g") <=> col("__wq_tg") &&
+            col("__wq_cum") >= col("__wq_t") &&
             col("__wq_cum") - col("__wq_ws") < col("__wq_t"))
-        .select(col("pct"), col("__wq_v").as("value"),
+        .select(col("__wq_g").as(groupCol), col("pct"),
+          col("__wq_v").as("value"),
           col("__wq_cum").as("cum_w"), col("total_w"))
     }
   }

@@ -191,6 +191,30 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("weightedPercentilesBy: per-group hand case, groups isolated, " +
+      "NULL group kept") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L), ("a", 40L, 4L),
+      ("b", 5L, 10L),
+      (null.asInstanceOf[String], 7L, 2L))
+      .toDF("g", "v", "w")
+    val got = WeightedQuantiles
+      .weightedPercentilesBy(df, "g", "v", "w", Seq(50, 100))
+      .select("g", "pct", "value", "cum_w", "total_w")
+      .as[(Option[String], Int, Long, Long, Long)].collect()
+      .sortBy(r => (r._1.getOrElse(""), r._2)).toSeq
+    assert(got == Seq(
+      (None, 50, 7L, 2L, 2L), (None, 100, 7L, 2L, 2L),
+      (Some("a"), 50, 30L, 6L, 10L), (Some("a"), 100, 40L, 10L, 10L),
+      (Some("b"), 50, 5L, 10L, 10L), (Some("b"), 100, 5L, 10L, 10L)))
+    // Group isolation: "a" alone gives the same "a" rows.
+    val solo = WeightedQuantiles.weightedPercentilesBy(
+        df.filter($"g" === "a"), "g", "v", "w", Seq(50, 100))
+      .select("g", "pct", "value").as[(String, Int, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(solo == Seq(("a", 50, 30L), ("a", 100, 40L)))
+  }
+
   test("weightedPercentiles rejects non-positive weights loudly") {
     val df = Seq((10L, 1L), (20L, -3L)).toDF("v", "w")
     val e = intercept[Exception] {
