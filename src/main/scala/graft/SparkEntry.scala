@@ -2919,6 +2919,31 @@ object SparkEntry {
         k = 8, nIter = 2)
         .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("d2"))),
 
+    // Frozen-centroid PREDICT (the s17 discipline for clustering):
+    // train on the %4!=0 subset, assign the held-out quarter with no
+    // retrain — oracle = the k01 chain with every training CTE
+    // restricted to the subset and the final assignment over the
+    // holdout.
+    "k02_kmeans_predict" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val cents = KMeans.fitCentroids(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", k = 8, nIter = 2)
+      KMeans.predictAssign(e.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+          col("d2"))
+    }),
+
+    // ... and the holdout INERTIA per cell (exact integer SSE) — the
+    // retrain-pressure measurement for clustering.
+    "k02b_cluster_inertia" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val cents = KMeans.fitCentroids(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", k = 8, nIter = 2)
+      KMeans.clusterInertia(KMeans.predictAssign(
+        e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", cents))
+    }),
+
     // Trainer -> index: IVF-FLAT probing k-means-trained centroids (the
     // production IVF wiring, vs s03's smallest-id-vectors index). The
     // oracle replays BOTH stages: the k01 centroid chain rescaled to
@@ -6227,6 +6252,22 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd3) WHERE rn = 1)
         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin,
 
+    // Frozen-centroid predict replay: the k01 training chain with every
+    // CTE restricted to the %4!=0 subset (init, both Lloyd rounds), and
+    // the final assignment over the %4==0 HOLDOUT — any retrain, seed
+    // drift, or tie-break drift diverges.
+    "k02_kmeans_predict" ->
+      (k02OracleChain + "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell, " +
+        "CAST(d2 AS BIGINT) AS d2 FROM a3"),
+
+    // The same chain folded to per-cell holdout inertia.
+    "k02b_cluster_inertia" ->
+      (k02OracleChain + """
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(d2) AS BIGINT) AS sse
+        |FROM a3 GROUP BY 1""".stripMargin),
+
     // k01's trained-centroid chain (through c2), rescaled micros -> doubles,
     // driving the s03 IVF probe/score/rank replay with nProbe = 2.
     "s05_ivf_trained" ->
@@ -6635,6 +6676,38 @@ object SparkEntry {
       |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
+
+  /** The k02 shared chain: k01's two Lloyd rounds with init and both
+    * updates restricted to the %4!=0 TRAINING subset, then the final
+    * nearest-centroid assignment (`a3`) over the %4==0 holdout.
+    */
+  private lazy val k02OracleChain: String =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+      |et AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+      |eh AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vq AS cv
+      |  FROM et ORDER BY vec_id LIMIT 8),
+      |dd1 AS (SELECT et.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (et.vq[i] - c.cv[i]) * (et.vq[i] - c.cv[i]))) AS d2 FROM et CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd1) WHERE rn = 1),
+      |s1 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(et.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+      |  FROM a1 a JOIN et USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+      |u1 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s1 GROUP BY 1),
+      |c1 AS (SELECT c0.cell, coalesce(u1.cv, c0.cv) AS cv FROM c0 LEFT JOIN u1 USING (cell)),
+      |dd2 AS (SELECT et.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (et.vq[i] - c.cv[i]) * (et.vq[i] - c.cv[i]))) AS d2 FROM et CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd2) WHERE rn = 1),
+      |s2 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(et.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+      |  FROM a2 a JOIN et USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+      |u2 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s2 GROUP BY 1),
+      |c2 AS (SELECT c1.cell, coalesce(u2.cv, c1.cv) AS cv FROM c1 LEFT JOIN u2 USING (cell)),
+      |dd3 AS (SELECT eh.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+      |  i -> (eh.vq[i] - c.cv[i]) * (eh.vq[i] - c.cv[i]))) AS d2 FROM eh CROSS JOIN c2 c),
+      |a3 AS (SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd3) WHERE rn = 1)""".stripMargin
 
   /** The g30 neighborhood-function replay: the g29 register rounds
     * extended to radii 0..3, each radius folded to

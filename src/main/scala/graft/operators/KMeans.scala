@@ -136,6 +136,39 @@ object KMeans {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Assign points to FROZEN centroids (k02) — the clustering twin of
+    * the frozen-book IVF-PQ encode (s17): tomorrow's ingest batch lands
+    * in today's cells with no retrain, no collect, one codegen
+    * projection pass over the delta (works on a 1-row batch). Output
+    * `[<idCol>, cell, d2]` with `d2` the exact integer squared distance
+    * on the micro lattice — the same argmin/tie-break as training
+    * assignment ([[assignTo]], one body), so predict over the training
+    * set reproduces the final training assignment bit-for-bit
+    * (spec-pinned).
+    */
+  def predictAssign(points: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Long]]): DataFrame =
+    assignTo(quantize(points, idCol, vecCol), centroids)
+      .withColumnRenamed("id", idCol)
+
+  /** Per-cluster size + EXACT integer SSE (inertia) off an assignment
+    * frame — the measurement behind the elbow/retrain decision, and the
+    * clustering analogue of `ivfPqStaleness`: rising holdout inertia
+    * under frozen centroids = the cells no longer fit the data. One
+    * map-side-combining aggregate; the BIGINT sum runs as `try_sum`
+    * with a loud overflow guard (d2 reaches ~2.6e14 at 64 dims — ~35k
+    * points per cell of headroom per 2^63, plenty until it isn't).
+    */
+  def clusterInertia(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell").cast(LongType).as("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        try_sum(col("d2")).as("__ki_sse"))
+      .select(col("cell"), col("n_points"),
+        when(col("n_points") > 0 && col("__ki_sse").isNull,
+          raise_error(lit("clusterInertia: BIGINT overflow in the SSE " +
+            "sum — aggregate per sub-cell and re-fold")))
+          .otherwise(col("__ki_sse")).as("sse"))
+
   /** Trained centroids as a DataFrame `[cell, centroid]` (micros rescaled
     * back to doubles) — pluggable into `Similarity.ivfCosineTopK(...,
     * centroidsDF = Some(...))`.

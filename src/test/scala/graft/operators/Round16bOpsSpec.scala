@@ -350,6 +350,35 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- k02 frozen-centroid predict + inertia ----
+
+  test("predictAssign over the training set == the training assignment; " +
+      "1-row delta works; inertia folds exactly") {
+    val pts = (1L to 90L).map(i =>
+      (i, Seq((i % 7).toFloat, (i % 11).toFloat, (i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 2)
+    val trained = KMeans.fitAssign(pts, "id", "vec", k = 4, nIter = 2)
+      .select("id", "cell", "d2").as[(Long, Int, Long)].collect().toSet
+    val predicted = KMeans.predictAssign(pts, "id", "vec", cents)
+      .select("id", "cell", "d2").as[(Long, Int, Long)].collect().toSet
+    assert(predicted == trained,
+      "frozen-centroid predict must reproduce the training assignment")
+    // A 1-row delta assigns without any retrain machinery.
+    val one = KMeans.predictAssign(
+      Seq((999L, Seq(1.0f, 2.0f, 1.0f))).toDF("id", "vec"),
+      "id", "vec", cents).collect()
+    assert(one.length == 1)
+    // Inertia = the exact per-cell integer fold of the same frame.
+    val inertia = KMeans.clusterInertia(
+        KMeans.predictAssign(pts, "id", "vec", cents))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = predicted.groupBy(_._2.toLong).view
+      .mapValues(rs => (rs.size.toLong, rs.toSeq.map(_._3).sum)).toMap
+    assert(inertia == want)
+  }
+
   // ---- q33 rollup-sliced HLL distinct ----
 
   test("hllRollupRegisters: slices equal per-slice global sketches, the " +
