@@ -2125,6 +2125,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // SNAPSHOT / time-travel read (b10): pin generation 1's file set,
+    // append generation 2, then read BOTH views — the snapshot must see
+    // exactly the pre-append rows (training-run reproducibility while
+    // ingest keeps appending), the live table the union.
+    "b10_snapshot_read" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      graft.sources.BucketedTables.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0), "b10_tbl", 4, Seq("doc_id"))
+      graft.sources.BucketedTables.snapshot(s, "b10_tbl", "t1")
+      graft.sources.BucketedTables.appendBucketed(
+        docs.filter(col("doc_id") % 2 =!= 0), "b10_tbl")
+      def agg(df: DataFrame, view: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+          .withColumn("view", lit(view))
+      agg(graft.sources.BucketedTables.readSnapshot(s, "b10_tbl", "t1"), "snap")
+        .unionByName(agg(s.table("b10_tbl"), "curr"))
+        .select("view", "cnt", "chars")
+    }),
+
     // DYNAMIC partition overwrite (b09): generation 1 writes every
     // event_type; generation 2 overwrites ONLY the click partition with
     // the reprocessed slice (even event_ids, values doubled). The read
@@ -5197,6 +5216,17 @@ object SparkEntry {
     // JSONL round trip: the classification (every 97th doc truncated ->
     // corrupt) replayed off the original table; good rows must carry
     // their parsed fields, corrupt rows only a count.
+    // Snapshot replay: the pinned view is the even generation alone,
+    // the live view everything — any snapshot that sees appended files
+    // (or misses pinned ones) diverges.
+    "b10_snapshot_read" ->
+      """SELECT 'snap' AS view, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'curr', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
+
     // Partition-overwrite replay: the expected post-overwrite mix —
     // original rows everywhere except click, which holds exactly the
     // reprocessed slice. Anything static-mode-shaped (truncated other

@@ -1082,12 +1082,7 @@ object Similarity {
           "physical, then re-add")
     }
     val enc = ivfPqAppend(delta, idCol, vecCol, coarse, book, metaCols)
-    enc.repartition(bs.numBuckets, col(bs.bucketColumnNames.head))
-      .write.mode("append").format("parquet")
-      .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
-        bs.bucketColumnNames.tail: _*)
-      .sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
-      .saveAsTable(table)
+    graft.sources.BucketedTables.appendBucketed(enc, table)
   }
 
   /** Per-query RECALL of an approximate neighbor result against an

@@ -149,6 +149,74 @@ object BucketedTables {
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
   }
 
+  /** Generic bucketed APPEND: land `df` as NEW files under `table`'s own
+    * bucket/sort spec — layout contract preserved (pruning and
+    * key-aligned planning keep working), nothing existing rewritten.
+    * The write tail of
+    * [[graft.operators.Similarity.ivfPqAddToTable]], factored out for
+    * any bucketed table. Fails loud on a spec-less target: appending
+    * into a non-bucketed table would silently forfeit the layout.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val bs = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"table $table has no bucket spec — not a writeBucketed table"))
+    val w = df.repartition(bs.numBuckets, bs.bucketColumnNames.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
+        bs.bucketColumnNames.tail: _*)
+    (if (bs.sortColumnNames.nonEmpty)
+       w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  /** SNAPSHOT (b10): pin the table's CURRENT data-file set under a tag —
+    * time travel for training-run reproducibility: the ingest job keeps
+    * appending, but the training job launched at tag time reads exactly
+    * the rows that existed then, forever re-runnable. Parquet files are
+    * immutable and appends only ADD files, so a snapshot is nothing but
+    * a manifest of paths (a tiny sidecar table — the
+    * write-new-version-then-pin-the-pointer idea every table format
+    * implements, reduced to its essence).
+    *
+    * LIFETIME: snapshots survive any number of appends but NOT a
+    * [[compactTable]]/[[writeBucketed]] rewrite — the staging swap
+    * deletes the old files (real formats retain files until snapshot
+    * expiry; this plain-parquet approximation does not), after which a
+    * snapshot read fails LOUD with missing files rather than returning
+    * wrong rows. Snapshot-then-compact cadences must re-pin.
+    */
+  def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
+    import spark.implicits._
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(loc).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).toSeq
+    require(files.nonEmpty, s"table $table has no data files to snapshot")
+    replaceSidecar(files.toDF("path"), s"${table}__snap_$tag")
+  }
+
+  /** Read the rows pinned by [[snapshot]] — a plain parquet scan of the
+    * manifest's file list (driver-bounded: file count, not row count;
+    * the same cardinality [[dataFileCount]] lists). Bucket-layout
+    * planning metadata does NOT travel with a snapshot read — time
+    * travel is for reproducing CONTENT; jobs that want the layout read
+    * the live table.
+    */
+  def readSnapshot(spark: SparkSession, table: String,
+      tag: String): DataFrame = {
+    val paths = spark.table(s"${table}__snap_$tag")
+      .select("path").collect().map(_.getString(0))
+    spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
   /** Number of data files under `table`'s location — the quantity
     * compaction exists to bound (underscore-prefixed commit markers
     * excluded). Driver-side listing of ONE directory; diagnostic use

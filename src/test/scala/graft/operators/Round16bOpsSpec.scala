@@ -623,6 +623,41 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
         "stopped doing so, the operator's reason-to-exist changed")
   }
 
+  // ---- b10 snapshot / time-travel reads ----
+
+  test("snapshot pins content across appends; compaction invalidates " +
+      "loudly; appendBucketed rejects spec-less tables") {
+    import graft.sources.BucketedTables
+    val gen = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, i * 10)).toDF("id", "v")
+    BucketedTables.writeBucketed(gen(1, 10), "r16b_snap", 4, Seq("id"))
+    BucketedTables.snapshot(spark, "r16b_snap", "a")
+    BucketedTables.appendBucketed(gen(11, 15), "r16b_snap")
+    BucketedTables.snapshot(spark, "r16b_snap", "b")
+    BucketedTables.appendBucketed(gen(16, 18), "r16b_snap")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // Each snapshot is frozen at its pin time; the live table moves on.
+    assert(ids(BucketedTables.readSnapshot(spark, "r16b_snap", "a")) ==
+      (1L to 10L))
+    assert(ids(BucketedTables.readSnapshot(spark, "r16b_snap", "b")) ==
+      (1L to 15L))
+    assert(ids(spark.table("r16b_snap")) == (1L to 18L))
+    // Compaction rewrites the files -> pinned paths vanish -> the
+    // snapshot read fails LOUD (never silently wrong rows).
+    BucketedTables.compactTable(spark, "r16b_snap")
+    assert(ids(spark.table("r16b_snap")) == (1L to 18L))
+    intercept[Exception] {
+      BucketedTables.readSnapshot(spark, "r16b_snap", "a").collect()
+    }
+    // Spec-less target rejected before any write happens.
+    gen(1, 3).write.mode("overwrite").saveAsTable("r16b_snap_flat")
+    val e = intercept[IllegalArgumentException] {
+      BucketedTables.appendBucketed(gen(4, 5), "r16b_snap_flat")
+    }
+    assert(e.getMessage.contains("bucket spec"))
+  }
+
   // ---- config matrix (the standing round rule) ----
 
   test("p11/g28/t22/q31/q32 results are config-invariant") {
