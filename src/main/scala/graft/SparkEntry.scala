@@ -1704,6 +1704,17 @@ object SparkEntry {
       graft.operators.Sketches.hllGroupedRegisters(
         tbl(s, d, "lineitem"), "l_returnflag", "l_partkey", p = 6)),
 
+    // KMV/theta set operations (what HLL cannot do): bottom-64 sketches
+    // of distinct partkeys per returnflag, merged A∪R, theta + both
+    // estimators — integer sketch values, two IEEE divisions, the p11
+    // float discipline.
+    "q35_kmv_setops" -> ((s, d) => {
+      val sk = graft.operators.Sketches.kmvSketchBy(
+        tbl(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+        "l_returnflag", "l_partkey", k = 64)
+      graft.operators.Sketches.kmvSetEstimates(sk, "A", "R", k = 64)
+    }),
+
     // Approximate distinct per ROLLUP slice (sketches × OLAP lattice):
     // HLL register tables for (flag, status) / (flag) / () in ONE
     // Expand pass, estimated per slice — integer sum_scaled/n_zero
@@ -4772,6 +4783,31 @@ object SparkEntry {
         |agg AS (SELECT register, CAST(max(rank) AS BIGINT) AS max_rank FROM r GROUP BY 1)
         |SELECT CAST(range AS BIGINT) AS register, COALESCE(max_rank, CAST(0 AS BIGINT)) AS max_rank
         |FROM range(256) LEFT JOIN agg ON range = register""".stripMargin,
+
+    // KMV replay: exact bottom-64 per slice (ORDER BY h LIMIT k), the
+    // merged union re-truncated, theta/n_both, and the two estimators
+    // with every float spelled ::DOUBLE in the engine's op order.
+    "q35_kmv_setops" ->
+      """WITH h AS (SELECT l_returnflag AS slice,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |d AS (SELECT DISTINCT slice, h FROM h),
+        |ka AS (SELECT h FROM d WHERE slice = 'A' ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM d WHERE slice = 'R' ORDER BY h LIMIT 64),
+        |u AS (SELECT DISTINCT h FROM
+        |  (SELECT * FROM ka UNION ALL SELECT * FROM kb) ORDER BY h LIMIT 64),
+        |th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS n_union FROM u),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM u
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+        |SELECT 64 AS k_used, th.theta, th.n_union, nb.n_both,
+        |  CASE WHEN th.n_union < 64 THEN CAST(th.n_union AS DOUBLE)
+        |    ELSE round(63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
+        |      CAST(th.theta AS DOUBLE), 6) END AS est_union6,
+        |  CASE WHEN th.n_union < 64 THEN CAST(nb.n_both AS DOUBLE)
+        |    ELSE round(CAST(nb.n_both AS DOUBLE) *
+        |      (63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
+        |       CAST(th.theta AS DOUBLE)) / 64.0::DOUBLE, 6) END AS est_inter6
+        |FROM th, nb""".stripMargin,
 
     // Rollup-sliced HLL replay: the three lattice levels as three
     // grouped register chains (p=6), dense 64-register grids per slice,

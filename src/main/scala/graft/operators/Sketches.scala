@@ -187,6 +187,80 @@ object Sketches {
         col("__pos").cast(LongType).as("register"), col("max_rank"))
   }
 
+  /** KMV (bottom-k) distinct sketch per slice (q35) — the theta-sketch
+    * family member HLL cannot substitute for: SET-OPERATION cardinality
+    * estimates (Beyer et al., "On synopses for distinct-value estimation
+    * under multiset operations", SIGMOD 2007; the Apache DataSketches
+    * theta design). The sketch is the k SMALLEST portable key hashes of
+    * the slice's distinct keys — mergeable by "union then re-truncate",
+    * and, unlike HLL registers, it retains enough identity to estimate
+    * INTERSECTIONS and differences.
+    *
+    * SHAPE: one distinct projection (reduce side = distinct (slice, h)
+    * pairs, map-side combinable) feeding the bounded-heap
+    * `top_k_by_score` aggregate — k longs of reduce state per slice at
+    * any corpus size, no window, no per-slice sort. Exactness of the
+    * bottom-k under the double-cast score: int64→double is MONOTONE, so
+    * order can only collapse near-equal hashes into score ties, and the
+    * heap's id tie-break (id = the hash itself) resolves exactly those
+    * ties in true integer order — selection == exact bottom-k,
+    * spec-pinned against the ORDER BY replay.
+    *
+    * Output `[slice, h]`, at most k rows per slice.
+    */
+  def kmvSketchBy(df: DataFrame, sliceCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    df.select(col(sliceCol).as("slice"),
+        Sampling.keyHash60(col(keyCol)).as("__kmv_h")).distinct()
+      .select(col("slice"), col("__kmv_h"),
+        negate(col("__kmv_h").cast("double")).as("__kmv_s"))
+      .groupBy("slice")
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("__kmv_s"), col("__kmv_h"), k).as("__tk"))
+      .select(col("slice"), explode(col("__tk.id")).as("h"))
+  }
+
+  /** Set-operation estimates from two [[kmvSketchBy]] slices: union the
+    * sketches, re-truncate to k (the KMV merge), read
+    * `theta = k-th smallest`, and estimate
+    *
+    *   |A ∪ B| ≈ (k-1) · 2^60 / theta
+    *   |A ∩ B| ≈ n_both · |A ∪ B| / k
+    *
+    * where `n_both` counts surviving union values present in BOTH input
+    * sketches. When the merged sketch holds fewer than k values the
+    * union was EXHAUSTIVELY hashed and both estimates are exact counts
+    * (the small-set branch, mirrored by the oracle CASE). Estimator
+    * floats follow the p11 discipline: exact int64→double conversions,
+    * one constant product that is exactly representable, one IEEE
+    * division each — bit-identical replay, rounded to 6 at the end.
+    * Everything here is sketch-sized (≤ 2k rows); the corpus was
+    * touched only by [[kmvSketchBy]].
+    *
+    * Output one row `[k_used, theta, n_union, n_both, est_union6,
+    * est_inter6]`.
+    */
+  def kmvSetEstimates(sketches: DataFrame, sliceA: String, sliceB: String,
+      k: Int): DataFrame = {
+    val a = sketches.filter(col("slice") === sliceA).select(col("h"))
+    val b = sketches.filter(col("slice") === sliceB).select(col("h"))
+    val u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    val th = u.agg(max(col("h")).as("theta"),
+      count(lit(1)).as("n_union"))
+    val nb = u.join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val estU = lit((k - 1).toDouble * (1L << 60).toDouble) /
+      col("theta").cast("double")
+    th.crossJoin(nb).select(
+      lit(k).as("k_used"), col("theta"), col("n_union"), col("n_both"),
+      when(col("n_union") < k, col("n_union").cast("double"))
+        .otherwise(round(estU, 6)).as("est_union6"),
+      when(col("n_union") < k, col("n_both").cast("double"))
+        .otherwise(round(col("n_both").cast("double") * estU /
+          lit(k.toDouble), 6)).as("est_inter6"))
+  }
+
   /** ROLLUP-sliced HLL registers (q33): one register table for EVERY
     * slice of the `(g1, g2)` rollup lattice — `(g1, g2)`, `(g1)`, and
     * the grand total — in ONE Expand pass: observations project once,

@@ -350,6 +350,53 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       spark.table("r16b_ts_idx").count())
   }
 
+  // ---- q35 KMV set operations ----
+
+  test("kmvSketchBy == exact bottom-k; merge law; set-op edge cases") {
+    val rows = (1L to 500L).map(i => (if (i <= 300) "x" else "y", i))
+      .toDF("slice", "key")
+    val k = 32
+    val sk = Sketches.kmvSketchBy(rows, "slice", "key", k)
+    // Exact bottom-k under the double-cast heap score (monotone cast +
+    // id tie-break): equals the integer ORDER BY replay.
+    for (s <- Seq("x", "y")) {
+      val got = sk.filter($"slice" === s).select("h").as[Long]
+        .collect().sorted.toSeq
+      val want = rows.filter($"slice" === s)
+        .select(Sampling.keyHash60($"key").as("h"))
+        .distinct().orderBy("h").limit(k).as[Long].collect().sorted.toSeq
+      assert(got == want, s"bottom-k diverged for slice $s")
+    }
+    // KMV merge law: sketching the CONCATENATED slice equals merging
+    // the two sketches and re-truncating.
+    val whole = Sketches.kmvSketchBy(
+      rows.withColumn("slice", lit("all")), "slice", "key", k)
+      .select("h").as[Long].collect().sorted.toSeq
+    val merged = sk.select("h").distinct().orderBy("h").limit(k)
+      .as[Long].collect().sorted.toSeq
+    assert(whole == merged, "KMV merge law broke")
+
+    // Disjoint slices: intersection reads zero.
+    val est = Sketches.kmvSetEstimates(sk, "x", "y", k)
+      .as[(Int, Long, Long, Long, Double, Double)].head()
+    assert(est._4 == 0L && est._6 == 0.0)
+    // Identical slices: intersection == union, both full-k estimates.
+    val dup = rows.withColumn("slice", lit("a"))
+      .unionByName(rows.withColumn("slice", lit("b")))
+    val estDup = Sketches.kmvSetEstimates(
+        Sketches.kmvSketchBy(dup, "slice", "key", k), "a", "b", k)
+      .as[(Int, Long, Long, Long, Double, Double)].head()
+    assert(estDup._4 == k.toLong && estDup._5 == estDup._6)
+    // Small sets (< k distinct): estimates are exact counts.
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("slice", "key")
+    val estTiny = Sketches.kmvSetEstimates(
+        Sketches.kmvSketchBy(tiny, "slice", "key", k), "a", "b", k)
+      .as[(Int, Long, Long, Long, Double, Double)].head()
+    assert(estTiny._3 == 3L && estTiny._4 == 1L &&
+      estTiny._5 == 3.0 && estTiny._6 == 1.0)
+  }
+
   // ---- k02 frozen-centroid predict + inertia ----
 
   test("predictAssign over the training set == the training assignment; " +
