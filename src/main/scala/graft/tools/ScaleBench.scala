@@ -753,6 +753,28 @@ object ScaleBench {
           out.map(r => s"p${r._1}=${r._2}").mkString(" ") +
           f" sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "wpctl-by" =>
+        // q34 grouped percentiles at corpus scale: 8 groups over n rows —
+        // the carry window partitions by group, so NO single-task stage
+        // remains (the ungrouped wpctl keeps one bounded chunk-axis
+        // task). Pins: 8 groups x 2 pcts rows, per-group monotone
+        // values.
+        val rowsG = spark.range(n).select(
+          pmod(xxhash64(col("id"), lit(5)), lit(8L)).cast("string").as("g"),
+          pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("v"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(9L)) + 1L).as("w"))
+        val out = graft.operators.WeightedQuantiles.weightedPercentilesBy(
+            rowsG, "g", "v", "w", Seq(50, 99), chunkWidth = 1L << 14)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        require(out.length == 16, s"expected 16 rows, got ${out.length}")
+        val byG = out.groupBy(_._1)
+        require(byG.size == 8 && byG.values.forall(rs =>
+          rs.sortBy(_._2).map(_._3).toSeq ==
+            rs.sortBy(_._2).map(_._3).sorted.toSeq),
+          "per-group percentiles not monotone")
+        println(f"SCALE-OK wpctl-by n=$n groups=8 " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "linkpred" | "linkpred-skew" =>
         // g28 Resource-Allocation at graph scale: top-100 over the m-edge
         // synthetic graph. Uniform: degrees ~ Poisson(2m/n), every center
