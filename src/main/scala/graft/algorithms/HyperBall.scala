@@ -156,13 +156,8 @@ class HyperBall(graph: GraphFrame) {
     */
   private def estimateOf(state: DataFrame): DataFrame = {
     val m = 1L << p
-    val s = 60 - p + 1
-    val alpha = p match {
-      case 4 => 0.673
-      case 5 => 0.697
-      case 6 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
-    }
+    val s = graft.operators.Sketches.HashBits - p + 1
+    val alpha = graft.operators.Sketches.hllAlpha(m)
     state.groupBy(GraphFrame.ID)
       .agg(
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($s - max_rank AS INT))"))

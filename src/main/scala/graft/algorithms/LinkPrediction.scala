@@ -79,8 +79,9 @@ object LinkPrediction {
         .select(col("a"), col("b"), col("common_nbrs"),
           when(col("__lp_sum").isNull,
             raise_error(lit("resourceAllocation: BIGINT overflow in the " +
-              "pair score sum — raise degreeCap granularity or shrink " +
-              "the lattice")))
+              "pair score sum (a pair shares ~2e7+ low-degree centers) " +
+              "— shrink the 1e12 lattice constant (ranks are unchanged " +
+              "under uniform scaling) or pre-fold per (pair, degree)")))
             .otherwise(col("__lp_sum")).as("ra_micros"))
       scored.join(sym.select(col(SRC).as("a"), col(DST).as("b")),
           Seq("a", "b"), "left_anti")

@@ -955,6 +955,12 @@ object Similarity {
           yield (1, s, j, book(s)(j).toSeq))
     graft.sources.BucketedTables.replaceSidecar(
       rows.toSeq.toDF("kind", "i", "j", "vec"), s"${table}_books")
+    // A SAVE is a new index generation: a tombstone log left by the
+    // PREVIOUS index under this name must not survive it — a stale log
+    // would anti-join ids out of the fresh artifact at every load
+    // (silently missing vectors) and spuriously block re-adds.
+    graft.sources.BucketedTables.dropWithLocation(
+      spark, s"${table}_tombstones")
   }
 
   /** Load an index persisted by [[ivfPqSave]]: the artifact comes back as

@@ -45,38 +45,37 @@ object Sketches {
     * the same `groupBy(register).max(rank)` as continuously-maintained
     * state. Package-private: callers want the aggregated forms.
     */
-  private[graft] def hllObservations(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+  /** THE observation builder — every HLL variant in this file (global,
+    * grouped, rollup) and the per-vertex [[graft.algorithms.HyperBall]]
+    * sketches derive their (register, rank) pairs from this ONE body;
+    * `carry` columns ride alongside (a key, group columns). Low p bits
+    * pick the register, the remaining 60-p bits feed the rank — BIT
+    * ops, not arithmetic: Column./ on longs is double division, which
+    * silently rounds above 2^53. h is non-negative by construction, so
+    * `&`/`>>` agree across engines.
+    */
+  private def hllObs(df: DataFrame, keyCol: String, p: Int,
+      carry: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
     val m = 1L << p
     val suffixBits = HashBits - p
     val h = Sampling.keyHash60(col(keyCol))
-    // Low p bits pick the register, the remaining 60-p bits feed the rank —
-    // BIT ops, not arithmetic: Column./ on longs is double division, which
-    // silently rounds above 2^53. h is non-negative by construction, so
-    // `&`/`>>` agree across engines.
     val reg = h.bitwiseAND(lit(m - 1))
     val w = shiftrightunsigned(h, p)
     val rank = (lit(suffixBits + 1) -
       when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
-    df.select(reg.as("register"), rank.as("rank"))
+    df.select(carry :+ reg.as("register") :+ rank.as("rank"): _*)
   }
 
+  private[graft] def hllObservations(df: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllObs(df, keyCol, p, Nil)
+
   /** [[hllObservations]] with the hashed key kept alongside — the
-    * per-VERTEX sketch shape [[graft.algorithms.HyperBall]] propagates
-    * (same hash, register, and rank formulas by construction: one body).
+    * per-VERTEX sketch shape [[graft.algorithms.HyperBall]] propagates.
     */
   private[graft] def hllObservationsKeyed(df: DataFrame, keyCol: String,
-      p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
-    val m = 1L << p
-    val suffixBits = HashBits - p
-    val h = Sampling.keyHash60(col(keyCol))
-    val reg = h.bitwiseAND(lit(m - 1))
-    val w = shiftrightunsigned(h, p)
-    val rank = (lit(suffixBits + 1) -
-      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
-    df.select(col(keyCol), reg.as("register"), rank.as("rank"))
-  }
+      p: Int): DataFrame =
+    hllObs(df, keyCol, p, Seq(col(keyCol)))
 
   def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     val m = 1L << p
@@ -138,7 +137,7 @@ object Sketches {
   /** Flajolet's bias constant: asymptotic form for m >= 128, the paper's
     * canonical per-size constants below (see [[hllEstimate]] round-7 note).
     */
-  private def hllAlpha(m: Long): Double = m match {
+  private[graft] def hllAlpha(m: Long): Double = m match {
     case 16L => 0.673
     case 32L => 0.697
     case 64L => 0.709
@@ -242,10 +241,16 @@ object Sketches {
     * est_inter6]`.
     */
   def kmvSetEstimates(sketches: DataFrame, sliceA: String, sliceB: String,
-      k: Int): DataFrame = {
-    val a = sketches.filter(col("slice") === sliceA).select(col("h"))
-    val b = sketches.filter(col("slice") === sliceB).select(col("h"))
-    val u = a.unionByName(b).distinct().orderBy("h").limit(k)
+      k: Int): DataFrame = CacheScope.scoped { scope =>
+    // The input sketch frame's lineage is usually the corpus-scale
+    // [[kmvSketchBy]] aggregate, and it feeds a/b/u twice each below —
+    // scope-cached so the corpus pass runs once, not ~6x (the Dedup
+    // discipline; identical subplans DO re-execute across branches).
+    val a = scope.cache(
+      sketches.filter(col("slice") === sliceA).select(col("h")))
+    val b = scope.cache(
+      sketches.filter(col("slice") === sliceB).select(col("h")))
+    val u = scope.cache(a.unionByName(b).distinct().orderBy("h").limit(k))
     val th = u.agg(max(col("h")).as("theta"),
       count(lit(1)).as("n_union"))
     val nb = u.join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_semi")
@@ -278,16 +283,9 @@ object Sketches {
     */
   def hllRollupRegisters(df: DataFrame, g1: String, g2: String,
       keyCol: String, p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
     val m = 1L << p
-    val suffixBits = HashBits - p
-    val h = Sampling.keyHash60(col(keyCol))
-    val reg = h.bitwiseAND(lit(m - 1))
-    val w = shiftrightunsigned(h, p)
-    val rank = (lit(suffixBits + 1) -
-      when(w === 0L, lit(0)).otherwise(length(bin(w)))).cast(LongType)
-    val obs = df.select(col(g1).as("__hr_g1"), col(g2).as("__hr_g2"),
-      reg.as("register"), rank.as("rank"))
+    val obs = hllObs(df, keyCol, p,
+      Seq(col(g1).as("__hr_g1"), col(g2).as("__hr_g2")))
     val seen = obs.groupingSets(
         Seq(Seq(col("__hr_g1"), col("__hr_g2"), col("register")),
           Seq(col("__hr_g1"), col("register")),

@@ -76,6 +76,16 @@ object WeightedQuantiles {
           when(col("__wq_w") >= 1L, col("__wq_w"))
             .otherwise(raise_error(lit(
               "weightedPercentiles: weights must be >= 1"))))
+        // A NULL value would form a nulls-FIRST chunk that feeds every
+        // carry and the total but can never satisfy the crossing
+        // predicate — percentile rows would silently vanish. Same loud
+        // discipline as the weight guard: NULLs are the caller's
+        // filter/impute decision, not this operator's.
+        .withColumn("__wq_v",
+          when(col("__wq_v").isNotNull, col("__wq_v"))
+            .otherwise(raise_error(lit(
+              "weightedPercentiles: NULL values — filter or impute " +
+                "upstream"))))
       // The ONLY corpus scan: everything downstream (carry, totals,
       // crossing) rides this cached distinct-(group, value)-sized frame.
       val grouped = scope.cache(base.groupBy("__wq_g", "__wq_v")

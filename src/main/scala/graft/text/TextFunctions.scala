@@ -912,8 +912,12 @@ object TextFunctions {
       s"sizes must be non-empty positive, got $sizes")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    graft.operators.CacheScope.scoped { scope =>
+    // Cached: the exploded corpus scan feeds BOTH the top-k and the
+    // grand total — without the scope it runs twice per call.
+    val counts = scope.cache(
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt")))
     val top = counts.orderBy(col("cnt").desc, col("term")).limit(sizes.max)
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("term"))
@@ -929,6 +933,7 @@ object TextFunctions {
         when(col("total_occ") === 0L, lit(0.0))
           .otherwise(round(col("covered_occ").cast("double") /
             col("total_occ").cast("double"), 6)).as("coverage"))
+    }
   }
 
   def canonicalizeUrl(url: Column): Column = {

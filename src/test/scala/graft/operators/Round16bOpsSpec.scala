@@ -348,6 +348,26 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       "vec_id", "embedding")
     assert(Similarity.ivfPqLoad(spark, "r16b_ts_idx")._1.count() ===
       spark.table("r16b_ts_idx").count())
+
+    // A re-SAVE under the same name is a NEW index generation: a live
+    // tombstone log from the previous generation must not leak into it
+    // (stale ids would silently vanish from the fresh artifact).
+    Similarity.ivfPqRemoveFromTable(dead, "r16b_ts_idx", "vec_id")
+    Similarity.ivfPqSave(idx, "r16b_ts_idx", numBuckets = 4)
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("r16b_ts_idx_tombstones")))
+    val fresh = Similarity.ivfPqLoad(spark, "r16b_ts_idx")._1
+      .select("id").as[Long].collect()
+    assert(fresh.exists(_ % 5 == 2), "re-save must shed the stale log")
+  }
+
+  test("weightedPercentiles rejects NULL values loudly") {
+    val df = Seq((Some(10L), 1L), (None, 10L), (Some(20L), 1L))
+      .toDF("v", "w")
+    val e = intercept[Exception] {
+      WeightedQuantiles.weightedPercentiles(df, "v", "w", Seq(50)).collect()
+    }
+    assert(e.getMessage.contains("NULL values"))
   }
 
   // ---- q35 KMV set operations ----
@@ -697,7 +717,10 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     intercept[Exception] {
       BucketedTables.readSnapshot(spark, "r16b_snap", "a").collect()
     }
-    // Spec-less target rejected before any write happens.
+    // Spec-less target rejected before any write happens. (Drop with
+    // location first: the shared /tmp warehouse outlives JVMs, and a
+    // leftover directory under a dropped catalog entry fails CREATE.)
+    graft.sources.BucketedTables.dropWithLocation(spark, "r16b_snap_flat")
     gen(1, 3).write.mode("overwrite").saveAsTable("r16b_snap_flat")
     val e = intercept[IllegalArgumentException] {
       BucketedTables.appendBucketed(gen(4, 5), "r16b_snap_flat")
