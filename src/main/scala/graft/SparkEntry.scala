@@ -1630,6 +1630,23 @@ object SparkEntry {
       Sampling.prioritySample(tbl(s, d, "documents"), "doc_id", "n_chars",
         k = 64, seed = "p11e0")),
 
+    // Streaming KMV maintenance (the sketch-state trio's min-k member,
+    // next to st07 HLL max-state and st08 CMS sum-state): per-slice
+    // bottom-64 candidate state, drained union fed to the SHARED
+    // kmvSetEstimates tail — order-free by the bottom-k containment
+    // argument, so q35's oracle gates it verbatim.
+    "st25_stream_kmv" -> ((s, d) => {
+      val cand = drainStream(
+        graft.streaming.Streams.streamingKmvCandidates(
+          streamTbl(s, d, "lineitem")
+            .filter(col("l_returnflag").isin("A", "R"))
+            .select(col("l_returnflag"), col("l_partkey")),
+          "l_returnflag", "l_partkey", k = 64).toDF(),
+        "st25_sink", "append")
+      graft.operators.Sketches.kmvSetEstimates(
+        cand.select(col("slice"), col("h")), "A", "R", k = 64)
+    }),
+
     // Streaming twin of p11: per-shard monotone top-(k+1) candidate
     // state (nShards*(k+1) entries TOTAL, stream-length-independent),
     // candidates drained then finalized with the SHARED batch tail —
@@ -4787,27 +4804,10 @@ object SparkEntry {
     // KMV replay: exact bottom-64 per slice (ORDER BY h LIMIT k), the
     // merged union re-truncated, theta/n_both, and the two estimators
     // with every float spelled ::DOUBLE in the engine's op order.
-    "q35_kmv_setops" ->
-      """WITH h AS (SELECT l_returnflag AS slice,
-        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
-        |d AS (SELECT DISTINCT slice, h FROM h),
-        |ka AS (SELECT h FROM d WHERE slice = 'A' ORDER BY h LIMIT 64),
-        |kb AS (SELECT h FROM d WHERE slice = 'R' ORDER BY h LIMIT 64),
-        |u AS (SELECT DISTINCT h FROM
-        |  (SELECT * FROM ka UNION ALL SELECT * FROM kb) ORDER BY h LIMIT 64),
-        |th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS n_union FROM u),
-        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM u
-        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
-        |SELECT 64 AS k_used, th.theta, th.n_union, nb.n_both,
-        |  CASE WHEN th.n_union < 64 THEN CAST(th.n_union AS DOUBLE)
-        |    ELSE round(63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
-        |      CAST(th.theta AS DOUBLE), 6) END AS est_union6,
-        |  CASE WHEN th.n_union < 64 THEN CAST(nb.n_both AS DOUBLE)
-        |    ELSE round(CAST(nb.n_both AS DOUBLE) *
-        |      (63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
-        |       CAST(th.theta AS DOUBLE)) / 64.0::DOUBLE, 6) END AS est_inter6
-        |FROM th, nb""".stripMargin,
+    // Shared VERBATIM by st25: the streaming candidate path must be
+    // invisible to the estimates.
+    "q35_kmv_setops" -> q35OracleSql,
+    "st25_stream_kmv" -> q35OracleSql,
 
     // Rollup-sliced HLL replay: the three lattice levels as three
     // grouped register chains (p=6), dense 64-register grids per slice,
@@ -6740,6 +6740,28 @@ object SparkEntry {
       |SELECT id1, id2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
       |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
       |WHERE round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= 0.8""".stripMargin
+
+  private lazy val q35OracleSql: String =
+    """WITH h AS (SELECT l_returnflag AS slice,
+      |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |d AS (SELECT DISTINCT slice, h FROM h),
+      |ka AS (SELECT h FROM d WHERE slice = 'A' ORDER BY h LIMIT 64),
+      |kb AS (SELECT h FROM d WHERE slice = 'R' ORDER BY h LIMIT 64),
+      |u AS (SELECT DISTINCT h FROM
+      |  (SELECT * FROM ka UNION ALL SELECT * FROM kb) ORDER BY h LIMIT 64),
+      |th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS n_union FROM u),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM u
+      |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+      |SELECT 64 AS k_used, th.theta, th.n_union, nb.n_both,
+      |  CASE WHEN th.n_union < 64 THEN CAST(th.n_union AS DOUBLE)
+      |    ELSE round(63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
+      |      CAST(th.theta AS DOUBLE), 6) END AS est_union6,
+      |  CASE WHEN th.n_union < 64 THEN CAST(nb.n_both AS DOUBLE)
+      |    ELSE round(CAST(nb.n_both AS DOUBLE) *
+      |      (63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
+      |       CAST(th.theta AS DOUBLE)) / 64.0::DOUBLE, 6) END AS est_inter6
+      |FROM th, nb""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
 

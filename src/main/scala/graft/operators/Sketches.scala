@@ -246,14 +246,21 @@ object Sketches {
     // [[kmvSketchBy]] aggregate, and it feeds a/b/u twice each below —
     // scope-cached so the corpus pass runs once, not ~6x (the Dedup
     // discipline; identical subplans DO re-execute across branches).
+    // Fresh column aliases per branch: a, b, and u all descend from ONE
+    // input lineage (a drained memory sink in the st25 path), and
+    // same-exprId self-joins fail resolution — the aliases mint new
+    // attributes so the semi-joins below always resolve.
     val a = scope.cache(
-      sketches.filter(col("slice") === sliceA).select(col("h")))
+      sketches.filter(col("slice") === sliceA).select(col("h").as("ha")))
     val b = scope.cache(
-      sketches.filter(col("slice") === sliceB).select(col("h")))
-    val u = scope.cache(a.unionByName(b).distinct().orderBy("h").limit(k))
+      sketches.filter(col("slice") === sliceB).select(col("h").as("hb")))
+    val u = scope.cache(
+      a.select(col("ha").as("h")).unionByName(b.select(col("hb").as("h")))
+        .distinct().orderBy("h").limit(k))
     val th = u.agg(max(col("h")).as("theta"),
       count(lit(1)).as("n_union"))
-    val nb = u.join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_semi")
+    val nb = u.join(a, col("h") === col("ha"), "left_semi")
+      .join(b, col("h") === col("hb"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
     val estU = lit((k - 1).toDouble * (1L << 60).toDouble) /
       col("theta").cast("double")

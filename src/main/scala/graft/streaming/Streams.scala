@@ -594,6 +594,52 @@ object Streams {
       }
   }
 
+  case class KmvCand(slice: String, h: Long)
+  case class KmvAcc(hs: List[Long])
+
+  /** Streaming KMV (bottom-k) sketch maintenance (st25): the theta
+    * family's streaming member, completing the sketch-state trio
+    * (st07 HLL max-state, st08 CMS sum-state — this is min-k-state).
+    * Per slice, `flatMapGroupsWithState` keeps the k smallest distinct
+    * key hashes seen so far (bounded: k longs per slice, stream-length-
+    * independent) and EMITS a hash exactly when it enters the bottom-k
+    * (append-mode, monotone — the st24 candidate discipline). The
+    * emitted set is arrival-order-dependent but always contains the
+    * final bottom-k, so a drained union re-truncated per slice (or fed
+    * to [[graft.operators.Sketches.kmvSetEstimates]], which re-truncates
+    * by construction) is a pure function of the key set — q35's oracle
+    * gates the streaming path verbatim.
+    */
+  def streamingKmvCandidates(stream: DataFrame, sliceCol: String,
+      keyCol: String, k: Int): org.apache.spark.sql.Dataset[KmvCand] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(sliceCol).cast("string").as("_s"),
+        graft.operators.Sampling.keyHash60(col(keyCol)).as("_h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvAcc, KmvCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (slice, rows, state) =>
+          var hs = state.getOption.map(_.hs).getOrElse(Nil)
+          val out = Seq.newBuilder[KmvCand]
+          rows.foreach { case (_, h) =>
+            val insert =
+              if (hs.contains(h)) false
+              else if (hs.size < k) true
+              else h < hs.last
+            if (insert) {
+              hs = (h :: (if (hs.size < k) hs else hs.init)).sorted
+              out += KmvCand(slice, h)
+            }
+          }
+          state.update(KmvAcc(hs))
+          out.result().iterator
+      }
+  }
+
   /** Streaming sequence packing, running-offset half (st17): the
     * [[graft.operators.Sampling.packSequences]] hash-range shard design is
     * stateless per shard GIVEN the shard's running token total — so the

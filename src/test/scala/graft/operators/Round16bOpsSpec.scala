@@ -417,6 +417,41 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       estTiny._5 == 3.0 && estTiny._6 == 1.0)
   }
 
+  // ---- st25 streaming KMV candidates ----
+
+  test("streaming KMV candidates reproduce the batch set estimates " +
+      "under adversarial arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 400L).map(i => (if (i % 3 == 0) "x" else "y", i))
+    val k = 16
+    val batch = Sketches.kmvSetEstimates(
+        Sketches.kmvSketchBy(rows.toDF("slice", "key"), "slice", "key", k),
+        "x", "y", k)
+      .collect().map(_.toString).toSeq
+    // Ascending-hash arrival maximizes emissions (every row improves);
+    // descending minimizes; both must finalize identically.
+    val byHash = rows.sortBy(r => Sampling.hash60OfString(r._2.toString))
+    for (order <- Seq(byHash, byHash.reverse)) {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val sink = s"st25_spec_${order.head._2}"
+      val q = graft.streaming.Streams.streamingKmvCandidates(
+          input.toDF().toDF("slice", "key"), "slice", "key", k)
+        .toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        order.grouped(90).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        assert(spark.table(sink).count() <= rows.size)
+        val got = Sketches.kmvSetEstimates(
+            spark.table(sink).select(col("slice"), col("h")), "x", "y", k)
+          .collect().map(_.toString).toSeq
+        assert(got == batch, s"drain starting at ${order.head} diverged")
+      } finally q.stop()
+    }
+  }
+
   // ---- k02 frozen-centroid predict + inertia ----
 
   test("predictAssign over the training set == the training assignment; " +
