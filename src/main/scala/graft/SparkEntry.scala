@@ -1630,6 +1630,14 @@ object SparkEntry {
       Sampling.prioritySample(tbl(s, d, "documents"), "doc_id", "n_chars",
         k = 64, seed = "p11e0")),
 
+    // Stratified priority sampling: k=8 docs PER SOURCE, each with its
+    // source's own max(w, tau_g) estimator — per-domain subsampling
+    // that keeps per-domain token masses unbiasedly estimable. Heap
+    // selection (no window), per-group tau read off the heap.
+    "p12_stratified_priority" -> ((s, d) =>
+      Sampling.stratifiedPrioritySample(tbl(s, d, "documents"),
+        "source", "doc_id", "n_chars", k = 8, seed = "p12e0")),
+
     // Streaming KMV maintenance (the sketch-state trio's min-k member,
     // next to st07 HLL max-state and st08 CMS sum-state): per-slice
     // bottom-64 candidate state, drained union fed to the SHARED
@@ -5904,6 +5912,24 @@ object SparkEntry {
          |SELECT doc_id, CAST(h // ${((1L << 60) + 31) / 32} AS BIGINT) AS shard,
          |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM c""".stripMargin,
+
+    // Stratified-priority replay: the p11 construction per source —
+    // per-group rank window, per-group tau at rank k+1.
+    "p12_stratified_priority" ->
+      """WITH s AS (SELECT source, doc_id, n_chars AS weight,
+        |  ('0x' || substr(md5('p12e0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS u
+        |FROM documents),
+        |q AS (SELECT source, doc_id, weight,
+        |  CAST(weight AS DOUBLE) / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS priority
+        |FROM s),
+        |r AS (SELECT source, doc_id, weight, priority,
+        |  row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        |FROM q),
+        |t AS (SELECT source, coalesce(max(CASE WHEN rn = 9 THEN priority END), 0.0) AS tau
+        |  FROM r WHERE rn <= 9 GROUP BY 1)
+        |SELECT r.source, r.doc_id, r.weight, r.priority,
+        |  greatest(CAST(r.weight AS DOUBLE), t.tau) AS est_weight
+        |FROM r JOIN t ON t.source = r.source WHERE r.rn <= 8""".stripMargin,
 
     // Priority-sampling replay: u = hash60(seed:key)+1, priority =
     // w / (u / 2^60) — int64→double casts, an EXACT power-of-two

@@ -458,8 +458,9 @@ object Sampling {
     * two paths can never drift onto different priorities.
     */
   def priorityScores(df: DataFrame, keyCol: String, weightCol: String,
-      seed: String): DataFrame =
-    df.select(col(keyCol), col(weightCol).cast(LongType).as("weight"))
+      seed: String, carry: Seq[String] = Nil): DataFrame =
+    df.select(carry.map(col) ++ Seq(col(keyCol),
+        col(weightCol).cast(LongType).as("weight")): _*)
       .withColumn("weight",
         when(col("weight") >= 1L, col("weight"))
           .otherwise(raise_error(lit(
@@ -471,6 +472,45 @@ object Sampling {
         col("weight").cast(DoubleType) /
           (col("__ps_u").cast(DoubleType) / lit(HashSpace)))
       .drop("__ps_u")
+
+  /** STRATIFIED priority sampling (p12): [[prioritySample]] per
+    * category — exactly `min(k, |cat|)` weighted rows PER GROUP, each
+    * carrying its group's own `max(w, tau_g)` estimator, so per-domain
+    * subset token masses stay unbiasedly estimable after a per-domain
+    * subsample (the mixing pipeline's "sample every source, keep every
+    * source auditable" contract).
+    *
+    * SHAPE at 100 TB: priorities are the shared [[priorityScores]]
+    * map-only pass; per-group selection is ONE bounded-heap
+    * `top_k_by_score` aggregate (heap id = the key, so the double-score
+    * tie-break IS the (priority DESC, key) order — the q35 monotone-
+    * cast argument); `tau_g` reads the (k+1)-th heap entry in place. NO
+    * window, NO per-group sort. Weights ride back via one broadcast
+    * join of the (cats × k)-row kept set against a second scores pass —
+    * two map-only corpus scans rather than caching a corpus-sized
+    * frame.
+    *
+    * Output `[<catCol>, <keyCol>, weight, priority, est_weight]`.
+    */
+  def stratifiedPrioritySample(df: DataFrame, catCol: String,
+      keyCol: String, weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = priorityScores(df, keyCol, weightCol, seed,
+      carry = Seq(catCol))
+    val kept = scored.groupBy(col(catCol))
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("priority"), col(keyCol), k + 1).as("__tk"))
+      .withColumn("__sp_tau",
+        when(size(col("__tk")) === k + 1,
+          element_at(col("__tk"), k + 1)("score")).otherwise(lit(0.0)))
+      .select(col(catCol), col("__sp_tau"),
+        explode(slice(col("__tk"), 1, k)).as("__sp_e"))
+      .select(col(catCol), col("__sp_e.id").as(keyCol), col("__sp_tau"))
+    scored.join(broadcast(kept), Seq(catCol, keyCol))
+      .select(col(catCol), col(keyCol), col("weight"), col("priority"),
+        greatest(col("weight").cast(DoubleType), col("__sp_tau"))
+          .as("est_weight"))
+  }
 
   /** The selection half of [[prioritySample]]: top-k of a scored frame
     * by `(priority DESC, key)` plus the tau estimator. Separated out so

@@ -59,6 +59,31 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("weights must be >= 1"))
   }
 
+  test("stratifiedPrioritySample: each category == the ungrouped sample " +
+      "of its subset; small groups exhaust with est = w") {
+    val rows = (1L to 120L).map(i =>
+      (s"c${i % 4}", i, 5L + (i * 11) % 60)) ++
+      Seq(("tiny", 900L, 7L), ("tiny", 901L, 9L))
+    val df = rows.toDF("cat", "doc_id", "w")
+    val k = 6
+    val got = Sampling.stratifiedPrioritySample(
+        df, "cat", "doc_id", "w", k, "s16d")
+      .select("cat", "doc_id", "weight", "priority", "est_weight")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t =>
+        (t._2, t._3, t._4, t._5)).toSet).toMap
+    for (c <- Seq("c0", "c1", "c2", "c3", "tiny")) {
+      val want = Sampling.prioritySample(
+          df.filter($"cat" === c), "doc_id", "w", k, "s16d")
+        .select("doc_id", "weight", "priority", "est_weight")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(got(c) == want, s"category $c diverged from its solo sample")
+    }
+    // The 2-row category exhausts: both kept, est = w (tau_g = 0).
+    assert(got("tiny") == Set((900L, 7L, got("tiny").find(_._1 == 900L).get._3, 7.0),
+      (901L, 9L, got("tiny").find(_._1 == 901L).get._3, 9.0)))
+  }
+
   // ---- st24 streaming candidate emitter ----
 
   test("streaming priority candidates finalize to the batch sample " +
