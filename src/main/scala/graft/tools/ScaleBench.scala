@@ -291,6 +291,55 @@ object ScaleBench {
         println(f"SCALE-OK pii n=$n emails=${r.getLong(0)} ips=${r.getLong(1)} " +
           f"phones=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "st-kmv" =>
+        // st25's monotone bottom-k candidate state at corpus scale:
+        // 4.2 M keys over 4 slices drain in REAL micro-batches (8
+        // files, maxFilesPerTrigger=1 — per-slice bottom-64 state
+        // carried across ~8 commits). Pins: the finalized set estimates
+        // EQUAL the batch kmvSketchBy/kmvSetEstimates row (the
+        // order-free claim at scale), and emission follows the
+        // RECORD-COUNT law — under hash-shuffled arrival the i-th row
+        // enters the bottom-k with probability ~k/i, so a slice of m
+        // rows emits ~k·ln(m/k) candidates (~620 here, measured 2726
+        // total over 4 slices), not O(m): the claim that distinguishes
+        // monotone state from "emit everything, dedup later". The pin
+        // allows 2x over the expectation.
+        val dirK = java.nio.file.Files
+          .createTempDirectory("graft-stkmv").toString
+        val rowsK = spark.range(n).select(
+          pmod(xxhash64(col("id"), lit(9)), lit(4L)).cast("string").as("slice"),
+          col("id").as("key"))
+        (1 to 8).foreach { b =>
+          rowsK.filter(pmod(xxhash64(col("key"), lit(11)), lit(8L)) === (b - 1))
+            .coalesce(1).write.mode("append").parquet(s"$dirK/in")
+          Thread.sleep(1100)
+        }
+        val schemaK = spark.read.parquet(s"$dirK/in").schema
+        val streamK = spark.readStream.schema(schemaK)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dirK/in")
+        val qK = graft.streaming.Streams
+          .streamingKmvCandidates(streamK, "slice", "key", 64).toDF()
+          .writeStream.format("memory").queryName("stkmv")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qK.awaitTermination()
+        val nBatchesK = qK.recentProgress.count(_.numInputRows > 0)
+        require(nBatchesK >= 2, s"need real micro-batches, got $nBatchesK")
+        val emitted = spark.table("stkmv").count()
+        val expectEmit = (4.0 * 64.0 * math.log(n / 4.0 / 64.0)).toLong
+        require(emitted <= 2L * expectEmit,
+          s"emission $emitted exceeds 2x the ~$expectEmit record-count law")
+        val streamedEst = graft.operators.Sketches.kmvSetEstimates(
+          spark.table("stkmv").select(col("slice"), col("h")), "0", "1", 64)
+          .collect().map(_.toString).toSeq
+        val batchEst = graft.operators.Sketches.kmvSetEstimates(
+          graft.operators.Sketches.kmvSketchBy(rowsK, "slice", "key", 64),
+          "0", "1", 64).collect().map(_.toString).toSeq
+        require(streamedEst == batchEst, "stream vs batch estimates differ")
+        println(f"SCALE-OK st-kmv n=$n slices=4 batches=$nBatchesK " +
+          f"emitted=$emitted sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+
       case "st-seqpack" =>
         // The STREAMING state path at corpus scale — the st-family's
         // 100 TB story previously rested on gate-scale runs + the
