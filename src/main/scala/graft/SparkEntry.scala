@@ -2814,6 +2814,16 @@ object SparkEntry {
       g.hyperBall.radius(2).precision(4).run()
     }),
 
+    // Approximate harmonic centrality from the ball sketches — the
+    // centrality HyperBall exists for: Σ shell_t / t over radii 1..3
+    // on the INTEGER lattice (micros × lcm(1..3) — a float fold of
+    // rounded shells hits half-way boundaries systematically; measured,
+    // hence strict-equality integers).
+    "g31_hyperball_harmonic" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hyperBall.radius(3).precision(4).harmonicCentrality()
+    }),
+
     // The neighborhood function N(t) + effective diameter (HyperANF's
     // headline): per-radius global reach on the integer micro lattice
     // (per-vertex estimates round to micros BEFORE the fold — no float
@@ -3732,6 +3742,7 @@ object SparkEntry {
         |FROM est""".stripMargin,
 
     "g30_neighborhood_fn" -> g30OracleSql,
+    "g31_hyperball_harmonic" -> g31OracleSql,
 
     // Resource-Allocation replay: symmetrize (drop loops, canonical
     // distinct, both directions), full-adjacency degrees, capped wedge
@@ -6790,6 +6801,52 @@ object SparkEntry {
       |FROM th, nb""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
+
+  /** The g31 harmonic replay: the g30 register rounds with per-vertex
+    * CORRECTED estimates per radius (b0..b3), then the fixed-association
+    * shell fold Σ (b_t - b_{t-1}) / t, rounded 6.
+    */
+  private lazy val g31OracleSql: String = {
+    def round(t: Int): String =
+      s"""s$t AS (SELECT id, register, CAST(max(max_rank) AS BIGINT) AS max_rank FROM (
+         |    SELECT * FROM s${t - 1}
+         |    UNION ALL
+         |    SELECT e0.src AS id, s${t - 1}.register, s${t - 1}.max_rank
+         |    FROM e0 JOIN s${t - 1} ON s${t - 1}.id = e0.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    def bc(t: Int): String =
+      s"""b$t AS (SELECT id, CAST(round(round(CASE
+         |    WHEN n_zero > 0 AND est6 <= 40.0::DOUBLE
+         |    THEN 16.0::DOUBLE * ln(16.0::DOUBLE / CAST(n_zero AS DOUBLE))
+         |    ELSE est6 END, 6) * 1000000.0::DOUBLE) AS BIGINT) AS b
+         |  FROM (SELECT id, n_zero,
+         |    round(0.673::DOUBLE * 16.0::DOUBLE * 16.0::DOUBLE *
+         |      144115188075855872.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+         |    FROM (SELECT id,
+         |      CAST(sum(CAST(1 AS BIGINT) << CAST(57 - max_rank AS INT)) AS BIGINT)
+         |        + (16 - count(*)) * (CAST(1 AS BIGINT) << 57) AS sum_scaled,
+         |      CAST(16 - count(*) AS BIGINT) AS n_zero
+         |      FROM s$t GROUP BY 1)))""".stripMargin
+    s"""WITH e0 AS (SELECT o_custkey AS src, o_orderkey + 4000000 AS dst FROM orders
+       |  UNION ALL SELECT l_orderkey + 4000000, l_partkey + 1000000 FROM lineitem),
+       |v AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+       |s0 AS (SELECT id, h & 15 AS register,
+       |  57 - CASE WHEN (h >> 4) = 0 THEN 0 ELSE len(bin(h >> 4)) END AS max_rank
+       |  FROM (SELECT id,
+       |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h FROM v)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${bc(0)},
+       |${bc(1)},
+       |${bc(2)},
+       |${bc(3)}
+       |SELECT b0.id,
+       |  CAST(6 * (b1.b - b0.b) + 3 * (b2.b - b1.b)
+       |    + 2 * (b3.b - b2.b) AS BIGINT) AS hball_lat
+       |FROM b0 JOIN b1 USING (id) JOIN b2 USING (id) JOIN b3 USING (id)""".stripMargin
+  }
 
   /** The k02 shared chain: k01's two Lloyd rounds with init and both
     * updates restricted to the %4!=0 TRAINING subset, then the final

@@ -100,21 +100,10 @@ class HyperBall(graph: GraphFrame) {
     import spark.implicits._
     val ID = GraphFrame.ID
     val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
-    // Per-vertex estimates take the LINEAR-COUNTING correction (the
-    // q14c branch: n_zero > 0 and raw est <= 2.5m) before the micro
-    // fold — at radius 0 every ball is a singleton, exactly the
-    // small-range regime where raw HLL reads ~11 for 1; HyperBall's own
-    // counters are bias-corrected for the same reason. ln replays in
-    // SQL at round(6) — the q14c-gated discipline.
-    val m = 1L << p
     def nfOf(state: DataFrame): (Long, Long) = {
-      val corrected = round(
-        when(col("n_zero") > 0 && col("est6") <= lit(2.5 * m),
-          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
-          .otherwise(col("est6")), 6)
-      val row = estimateOf(state)
+      val row = correctedEstimateOf(state)
         .agg(count(lit(1)),
-          sum(round(corrected * lit(1000000.0)).cast(LongType))).head
+          sum(round(col("__hb_bc") * lit(1000000.0)).cast(LongType))).head
       (row.getLong(0), row.getLong(1))
     }
     var state = graft.operators.Sketches
@@ -150,9 +139,86 @@ class HyperBall(graph: GraphFrame) {
     }.toDF("radius", "n_vertices", "nf_micros", "eff_diameter")
   }
 
+  /** [[estimateOf]] plus `__hb_bc`, the per-vertex LINEAR-COUNTING-
+    * corrected estimate rounded to 6 (the q14c branch: n_zero > 0 and
+    * raw est <= 2.5m) — at radius 0 every ball is a singleton, exactly
+    * the small-range regime where raw HLL reads ~11 for 1; HyperBall's
+    * own counters are bias-corrected for the same reason. ln replays in
+    * SQL at round(6) — the q14c-gated discipline. Shared by
+    * [[neighborhoodFunction]] and [[harmonicCentrality]].
+    */
+  private def correctedEstimateOf(state: DataFrame): DataFrame = {
+    val m = 1L << p
+    estimateOf(state).withColumn("__hb_bc", round(
+      when(col("n_zero") > 0 && col("est6") <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+        .otherwise(col("est6")), 6))
+  }
+
+  /** Approximate HARMONIC centrality from the ball sketches — the
+    * centrality HyperBall was built for (Boldi–Vigna, ICDMW 2013 §3:
+    * exact per-vertex BFS is V·E at 100 TB; ball-growth differences
+    * approximate the distance distribution in r merge rounds):
+    *
+    *   H(v) ≈ Σ_{t=1..r} (|B_t(v)| - |B_{t-1}(v)|) / t
+    *
+    * — the (t-hop shell size)/t fold, truncated at radius r (distances
+    * beyond r contribute less than 1/r each and are cut; callers raise
+    * `radius` for deeper horizons). The fold runs on the INTEGER
+    * lattice: per-vertex corrected estimates land as exact micros (the
+    * g30 discipline), shells are integer differences, and the harmonic
+    * weights clear denominators through `L = lcm(1..r)` —
+    * `hball_lat = Σ (L/t)·shell_t_micros`, an exact BIGINT fold whose
+    * gate is STRICT equality (a float fold of 6-decimal-rounded shells
+    * lands on half-way rounding boundaries SYSTEMATICALLY — shell/2
+    * ends in ...5e-7 — where engine rounding diverges; measured, hence
+    * the lattice). The real-valued centrality is
+    * `hball_lat / (L · 1e6)`. Output `[id, hball_lat]`.
+    */
+  def harmonicCentrality(): DataFrame = {
+    val ID = GraphFrame.ID
+    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
+    var state = graft.operators.Sketches
+      .hllObservationsKeyed(graph.vertices.select(col(ID)), ID, p)
+      .select(col(ID), col("register"), col("rank").as("max_rank"))
+      .persist()
+    val states = scala.collection.mutable.Buffer(state)
+    var frames = List(correctedEstimateOf(state)
+      .select(col(ID), round(col("__hb_bc") * lit(1000000.0))
+        .cast(LongType).as("__hb_b0")))
+    var t = 1
+    while (t <= r) {
+      val msgs = edges.join(
+          state.select(col(ID).as("__hb_w"), col("register"),
+            col("max_rank")),
+          col(GraphFrame.DST) === col("__hb_w"))
+        .select(col(GraphFrame.SRC).as(ID), col("register"),
+          col("max_rank"))
+      state = state.unionByName(msgs)
+        .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
+        .persist()
+      states += state
+      frames = frames :+ correctedEstimateOf(state)
+        .select(col(ID), round(col("__hb_bc") * lit(1000000.0))
+          .cast(LongType).as(s"__hb_b$t"))
+      t += 1
+    }
+    val joined = frames.reduce(_.join(_, Seq(ID)))
+    val lcm = (1 to r).foldLeft(1L)((acc, i) =>
+      acc * i / java.math.BigInteger.valueOf(acc)
+        .gcd(java.math.BigInteger.valueOf(i)).longValueExact())
+    val fold = (1 to r).map(i =>
+      lit(lcm / i) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
+      .reduce(_ + _)
+    val out = joined.select(col(ID), fold.as("hball_lat"))
+      .localCheckpoint(true)
+    states.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** The per-vertex estimate frame off a register state — shared by
-    * [[run]] and [[neighborhoodFunction]] so the two outputs can never
-    * drift onto different estimator math.
+    * [[run]], [[neighborhoodFunction]], and [[harmonicCentrality]] so
+    * the outputs can never drift onto different estimator math.
     */
   private def estimateOf(state: DataFrame): DataFrame = {
     val m = 1L << p

@@ -699,6 +699,47 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got.filter(_._4).map(_._1).toSeq == wantEff.toSeq)
   }
 
+  test("harmonicCentrality == the exact-ball lattice replay on a chain; " +
+      "sink vertex reads zero") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val vertices = Seq(1L, 2L, 3L, 4L)
+    val g = graft.graph.GraphFrame(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+    val got = g.hyperBall.radius(3).precision(4).harmonicCentrality()
+      .as[(Long, Long)].collect().toMap
+
+    val p = 4; val m = 16; val sBits = 60 - p + 1
+    def ball(v: Long, r: Int): Set[Long] =
+      (v to math.min(v + r, 4L)).toSet
+    def bMicros(members: Set[Long]): Long = {
+      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+        .map { case (_, ms) => ms.map { u =>
+          val w = Sampling.hash60OfString(u.toString) >>> p
+          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max }
+      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
+        (m - regs.size).toLong * (1L << sBits)
+      val nZero = m - regs.size
+      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
+        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val corr = if (nZero > 0 && raw <= 40.0)
+        BigDecimal(16.0 * math.log(16.0 / nZero.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else raw
+      math.round(corr * 1000000.0)
+    }
+    val want = vertices.map { v =>
+      val b = (0 to 3).map(t => bMicros(ball(v, t)))
+      v -> (6L * (b(1) - b(0)) + 3L * (b(2) - b(1)) + 2L * (b(3) - b(2)))
+    }.toMap
+    assert(got == want)
+    // Vertex 4 has no out-edges: every shell is empty -> exactly 0.
+    assert(got(4L) == 0L)
+    // Deeper reach => strictly larger mass down the chain.
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+  }
+
   test("HyperBall isolated vertex: ball = self, 15 empty registers") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L, 3L).toDF("id"), Seq((2L, 3L)).toDF("src", "dst"))
