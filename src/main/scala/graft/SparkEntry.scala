@@ -1906,6 +1906,24 @@ object SparkEntry {
           md5(norm).as("dedup_key"))
     }),
 
+    // Token-distribution drift between corpus halves: per-term ppm
+    // rates + |Δ|, top-20 diverging terms — exact integer lattice via
+    // the overflow-safe split, TakeOrdered drill-down.
+    "t23_token_drift" -> ((s, d) =>
+      TextFunctions.tokenDriftTopK(
+        tbl(s, d, "documents")
+          .withColumn("half", (col("doc_id") % 2).cast("string")),
+        "half", "text", "0", "1", topK = 20)),
+
+    // ... and the corpus-level scalar: Σ|Δppm| over the full vocab
+    // (2e6 x the total-variation distance, floor-truncated) — the
+    // dump-over-dump drift monitor, one exact BIGINT.
+    "t23b_corpus_drift_tv" -> ((s, d) =>
+      TextFunctions.corpusDriftTv(
+        tbl(s, d, "documents")
+          .withColumn("half", (col("doc_id") % 2).cast("string")),
+        "half", "text", "0", "1")),
+
     // Vocabulary coverage curve: what fraction of token occurrences a
     // top-V vocab covers, at V = 5/10/20/40 (40 > the corpus vocab —
     // the saturation row). Exact integer counts, deterministic term
@@ -5438,6 +5456,21 @@ object SparkEntry {
         |  md5(nfc_normalize(raw)) AS dedup_key
         |FROM r""".stripMargin,
 
+    // Drift replay: per-half term counts, slice totals, the same
+    // overflow-safe ppm split (`//` == `div` on non-negatives), |Δ|.
+    "t23_token_drift" ->
+      (t23DriftCtes + """
+        |SELECT term, rate_a_ppm, rate_b_ppm,
+        |  abs(rate_a_ppm - rate_b_ppm) AS drift_ppm
+        |FROM r ORDER BY abs(rate_a_ppm - rate_b_ppm) DESC, term
+        |LIMIT 20""".stripMargin),
+
+    "t23b_corpus_drift_tv" ->
+      (t23DriftCtes + """
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
+        |FROM r""".stripMargin),
+
     // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
     // per-size covered sums via the rank theta join, one rounded ratio.
     "t22_vocab_coverage" ->
@@ -6799,6 +6832,24 @@ object SparkEntry {
       |      (63.0::DOUBLE * 1152921504606846976.0::DOUBLE /
       |       CAST(th.theta AS DOUBLE)) / 64.0::DOUBLE, 6) END AS est_inter6
       |FROM th, nb""".stripMargin
+
+  /** The t23/t23b shared drift chain through `r` (per-term ppm rates). */
+  private lazy val t23DriftCtes: String =
+    """WITH t AS (SELECT CAST(doc_id % 2 AS VARCHAR) AS s,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |c AS (SELECT s, term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |ta AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM c WHERE s = '0'),
+      |tb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM c WHERE s = '1'),
+      |a AS (SELECT term, c AS ca FROM c WHERE s = '0'),
+      |b AS (SELECT term, c AS cb FROM c WHERE s = '1'),
+      |j AS (SELECT coalesce(a.term, b.term) AS term,
+      |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN b ON a.term = b.term),
+      |r AS (SELECT term,
+      |  CAST(ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na AS BIGINT) AS rate_a_ppm,
+      |  CAST(cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb AS BIGINT) AS rate_b_ppm
+      |  FROM j, ta, tb)""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
 

@@ -936,6 +936,82 @@ object TextFunctions {
     }
   }
 
+  /** Token-distribution DRIFT between two corpus slices (t23) — the
+    * dump-over-dump monitor a crawl pipeline runs before mixing a new
+    * snapshot: per-term occurrence rates on the ppm lattice and their
+    * absolute difference, plus the corpus-level fold
+    * `Σ_term |rate_a - rate_b|` (= 2e6 × the total-variation distance
+    * between the two unigram distributions, up to per-term floor
+    * truncation — an exact BIGINT at any scale, no float summation).
+    *
+    * Rates are EXACT integer ppm via the overflow-safe split
+    * `ca·(1e6 div na) + (ca·(1e6 mod na)) div na` (the
+    * mixtureInterleaveKeys identity; valid while per-term-per-slice
+    * counts stay under ~9.2e12 — guarded loudly, because "the" at
+    * 100 TB is exactly the term that would wrap silently). One
+    * map-side-combining count per (slice, term); the full-outer term
+    * join charges absent terms a zero rate. Output
+    * `[term, rate_a_ppm, rate_b_ppm, drift_ppm]`, top-`topK` by
+    * `(drift DESC, term)` via TakeOrdered — the drill-down; use
+    * [[corpusDriftTv]] for the scalar.
+    */
+  def tokenDriftTopK(docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String, textCol: String, sliceA: String, sliceB: String,
+      topK: Int): org.apache.spark.sql.DataFrame =
+    driftRates(docs, sliceCol, textCol, sliceA, sliceB)
+      .orderBy(col("drift_ppm").desc, col("term")).limit(topK)
+
+  /** The corpus-level drift scalar off the same rate frame (t23b):
+    * `[n_terms, tv_ppm]` — one row.
+    */
+  def corpusDriftTv(docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String, textCol: String, sliceA: String,
+      sliceB: String): org.apache.spark.sql.DataFrame =
+    driftRates(docs, sliceCol, textCol, sliceA, sliceB)
+      .agg(count(lit(1)).as("n_terms"),
+        coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
+
+  private def driftRates(docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String, textCol: String, sliceA: String,
+      sliceB: String): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      // Cached: the exploded count feeds both sides' term frames AND
+      // both slice totals — four plan branches, one corpus pass.
+      val counts = scope.cache(docs
+        .filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+        .select(col(sliceCol).as("__td_s"),
+          explode(tokens(col(textCol))).as("term"))
+        .groupBy("__td_s", "term").agg(count(lit(1)).as("c")))
+      def side(v: String, cn: String, tn: String) =
+        counts.filter(col("__td_s") === v)
+          .join(counts.filter(col("__td_s") === v)
+            .agg(sum("c").as(tn)))
+          .select(col("term"), col("c").as(cn), col(tn))
+      val a = side(sliceA, "ca", "na")
+      val b = side(sliceB, "cb", "nb")
+      a.join(b, Seq("term"), "full_outer")
+        .withColumn("__td_ca",
+          when(coalesce(col("ca"), lit(0L)) > 9200000000000L,
+            raise_error(lit("tokenDrift: per-term count exceeds the " +
+              "exact ppm bound (~9.2e12) — shard the term space and " +
+              "re-fold")))
+            .otherwise(coalesce(col("ca"), lit(0L))))
+        .withColumn("__td_cb",
+          when(coalesce(col("cb"), lit(0L)) > 9200000000000L,
+            raise_error(lit("tokenDrift: per-term count exceeds the " +
+              "exact ppm bound (~9.2e12) — shard the term space and " +
+              "re-fold")))
+            .otherwise(coalesce(col("cb"), lit(0L))))
+        .select(col("term"),
+          when(col("na").isNull, lit(0L)).otherwise(
+            expr("__td_ca * (1000000 div na) " +
+              "+ (__td_ca * (1000000 % na)) div na")).as("rate_a_ppm"),
+          when(col("nb").isNull, lit(0L)).otherwise(
+            expr("__td_cb * (1000000 div nb) " +
+              "+ (__td_cb * (1000000 % nb)) div nb")).as("rate_b_ppm"))
+        .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
+    }
+
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "") // 1. fragment
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

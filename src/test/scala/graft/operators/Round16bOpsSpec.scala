@@ -177,6 +177,36 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got.toSeq == Seq((2, 0L, 0L, 0.0), (5, 0L, 0L, 0.0)))
   }
 
+  // ---- t23 token drift ----
+
+  test("tokenDrift hand case: exact ppm rates, one-sided terms, " +
+      "identical slices read zero") {
+    val docs = Seq(
+      ("a", 1L, "x x y"), ("a", 2L, "x"),        // a: x=3, y=1, na=4
+      ("b", 3L, "x y y z"), ("b", 4L, "y")       // b: x=1, y=3, z=1, nb=5
+    ).toDF("s", "doc_id", "text")
+    val got = graft.text.TextFunctions
+      .tokenDriftTopK(docs, "s", "text", "a", "b", topK = 10)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // rates: a: x=750000, y=250000; b: x=200000, y=600000, z=200000.
+    assert(got == Seq(
+      ("x", 750000L, 200000L, 550000L),
+      ("y", 250000L, 600000L, 350000L),
+      ("z", 0L, 200000L, 200000L)))
+    val tv = graft.text.TextFunctions
+      .corpusDriftTv(docs, "s", "text", "a", "b")
+      .as[(Long, Long)].head()
+    assert(tv == ((3L, 1100000L)))
+    // Identical slices: zero drift everywhere.
+    val same = docs.withColumn("s",
+        when($"doc_id" <= 2, "p").otherwise("q"))
+      .withColumn("text", lit("u v u"))
+    val tv0 = graft.text.TextFunctions
+      .corpusDriftTv(same, "s", "text", "p", "q")
+      .as[(Long, Long)].head()
+    assert(tv0._2 == 0L)
+  }
+
   // ---- q31 weighted percentiles ----
 
   test("weightedPercentiles hand case") {
