@@ -6847,9 +6847,13 @@ object SparkEntry {
       |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
       |  FROM a FULL OUTER JOIN b ON a.term = b.term),
       |r AS (SELECT term,
-      |  CAST(ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na AS BIGINT) AS rate_a_ppm,
-      |  CAST(cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb AS BIGINT) AS rate_b_ppm
-      |  FROM j, ta, tb)""".stripMargin
+      |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
+      |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
+      |    END AS BIGINT) AS rate_a_ppm,
+      |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
+      |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
+      |    END AS BIGINT) AS rate_b_ppm
+      |  FROM j LEFT JOIN ta ON true LEFT JOIN tb ON true)""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
 

@@ -50,25 +50,38 @@ class HyperBall(graph: GraphFrame) {
     require(n >= 4 && n <= 16, s"need 4 <= p <= 16, got $n"); p = n; this
   }
 
+  /** The initial state: every vertex's own (register, rank) row. */
+  private def initState(): DataFrame =
+    graft.operators.Sketches
+      .hllObservationsKeyed(graph.vertices.select(col(GraphFrame.ID)),
+        GraphFrame.ID, p)
+      .select(col(GraphFrame.ID), col("register"),
+        col("rank").as("max_rank"))
+
+  /** ONE hop: self ∪ out-neighbor sketches, grouped register max — the
+    * merge round every public method advances by (one body, so a join
+    * hint or checkpoint-cadence change can never drift between them).
+    */
+  private def mergeRound(state: DataFrame): DataFrame = {
+    val ID = GraphFrame.ID
+    val msgs = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
+      .join(state.select(col(ID).as("__hb_w"), col("register"),
+          col("max_rank")),
+        col(GraphFrame.DST) === col("__hb_w"))
+      .select(col(GraphFrame.SRC).as(ID), col("register"),
+        col("max_rank"))
+    state.unionByName(msgs)
+      .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
+  }
+
   /** Sparse register state `[id, register, max_rank]` after `r` merge
     * rounds — absent (id, register) pairs mean rank 0.
     */
   def registers(): DataFrame = {
-    val ID = GraphFrame.ID
-    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
-    var state = graft.operators.Sketches
-      .hllObservationsKeyed(graph.vertices.select(col(ID)), ID, p)
-      .select(col(ID), col("register"), col("rank").as("max_rank"))
+    var state = initState()
     var i = 0
     while (i < r) {
-      val msgs = edges.join(
-          state.select(col(ID).as("__hb_w"), col("register"),
-            col("max_rank")),
-          col(GraphFrame.DST) === col("__hb_w"))
-        .select(col(GraphFrame.SRC).as(ID), col("register"),
-          col("max_rank"))
-      state = state.unionByName(msgs)
-        .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
+      state = mergeRound(state)
       i += 1
       if (i % 3 == 0 && i < r)
         state = org.apache.spark.sql.graft.checkpointing
@@ -98,32 +111,19 @@ class HyperBall(graph: GraphFrame) {
   def neighborhoodFunction(): DataFrame = {
     val spark = graph.vertices.sparkSession
     import spark.implicits._
-    val ID = GraphFrame.ID
-    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
     def nfOf(state: DataFrame): (Long, Long) = {
       val row = correctedEstimateOf(state)
         .agg(count(lit(1)),
           sum(round(col("__hb_bc") * lit(1000000.0)).cast(LongType))).head
       (row.getLong(0), row.getLong(1))
     }
-    var state = graft.operators.Sketches
-      .hllObservationsKeyed(graph.vertices.select(col(ID)), ID, p)
-      .select(col(ID), col("register"), col("rank").as("max_rank"))
-      .persist()
+    var state = initState().persist()
     val rows = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
     val r0 = nfOf(state)
     rows += ((0, r0._1, r0._2))
     var t = 1
     while (t <= r) {
-      val msgs = edges.join(
-          state.select(col(ID).as("__hb_w"), col("register"),
-            col("max_rank")),
-          col(GraphFrame.DST) === col("__hb_w"))
-        .select(col(GraphFrame.SRC).as(ID), col("register"),
-          col("max_rank"))
-      val next = state.unionByName(msgs)
-        .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
-        .persist()
+      val next = mergeRound(state).persist()
       val rt = nfOf(next)
       rows += ((t, rt._1, rt._2))
       state.unpersist(blocking = false)
@@ -176,33 +176,34 @@ class HyperBall(graph: GraphFrame) {
     * `hball_lat / (L · 1e6)`. Output `[id, hball_lat]`.
     */
   def harmonicCentrality(): DataFrame = {
+    // Lattice headroom: lcm(1..12) = 27720, so weight x shell_micros
+    // stays inside i64 for shells up to ~3e14 micros (balls of ~3e8
+    // vertices); past r = 12 the lcm itself starts eating the headroom
+    // (and at r >= 43 would wrap) — refuse loudly rather than fold
+    // garbage.
+    require(r <= 12,
+      s"harmonicCentrality: radius $r exceeds the lcm-lattice headroom" +
+        " (max 12) — deeper horizons need a rational fold")
     val ID = GraphFrame.ID
-    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
-    var state = graft.operators.Sketches
-      .hllObservationsKeyed(graph.vertices.select(col(ID)), ID, p)
-      .select(col(ID), col("register"), col("rank").as("max_rank"))
-      .persist()
-    val states = scala.collection.mutable.Buffer(state)
-    var frames = List(correctedEstimateOf(state)
-      .select(col(ID), round(col("__hb_bc") * lit(1000000.0))
-        .cast(LongType).as("__hb_b0")))
-    var t = 1
-    while (t <= r) {
-      val msgs = edges.join(
-          state.select(col(ID).as("__hb_w"), col("register"),
-            col("max_rank")),
-          col(GraphFrame.DST) === col("__hb_w"))
-        .select(col(GraphFrame.SRC).as(ID), col("register"),
-          col("max_rank"))
-      state = state.unionByName(msgs)
-        .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
-        .persist()
-      states += state
-      frames = frames :+ correctedEstimateOf(state)
+    def bFrame(state: DataFrame, t: Int): DataFrame =
+      // Eagerly materialized: the tiny [id, b_t] frame must not keep a
+      // lazy reference to its corpus-scale state (which unpersists as
+      // soon as the next round supersedes it — at most TWO states live).
+      correctedEstimateOf(state)
         .select(col(ID), round(col("__hb_bc") * lit(1000000.0))
           .cast(LongType).as(s"__hb_b$t"))
+        .localCheckpoint(true)
+    var state = initState().persist()
+    var frames = List(bFrame(state, 0))
+    var t = 1
+    while (t <= r) {
+      val next = mergeRound(state).persist()
+      frames = frames :+ bFrame(next, t)
+      state.unpersist(blocking = false)
+      state = next
       t += 1
     }
+    state.unpersist(blocking = false)
     val joined = frames.reduce(_.join(_, Seq(ID)))
     val lcm = (1 to r).foldLeft(1L)((acc, i) =>
       acc * i / java.math.BigInteger.valueOf(acc)
@@ -210,10 +211,7 @@ class HyperBall(graph: GraphFrame) {
     val fold = (1 to r).map(i =>
       lit(lcm / i) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
       .reduce(_ + _)
-    val out = joined.select(col(ID), fold.as("hball_lat"))
-      .localCheckpoint(true)
-    states.foreach(_.unpersist(blocking = false))
-    out
+    joined.select(col(ID), fold.as("hball_lat"))
   }
 
   /** The per-vertex estimate frame off a register state — shared by

@@ -495,6 +495,14 @@ object Sampling {
   def stratifiedPrioritySample(df: DataFrame, catCol: String,
       keyCol: String, weightCol: String, k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // The bounded-heap kernel carries the KEY as its i64 id, so — unlike
+    // the ungrouped form, which never round-trips the key through the
+    // heap — this operator requires an integer key. Fail with the
+    // contract up front, not the kernel's type error.
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
+      s"stratifiedPrioritySample needs an i64 key column (the heap id); " +
+        s"'$keyCol' is ${df.schema(keyCol).dataType.simpleString} — " +
+        "map string keys to i64 ids first")
     val scored = priorityScores(df, keyCol, weightCol, seed,
       carry = Seq(catCol))
     val kept = scored.groupBy(col(catCol))

@@ -327,7 +327,11 @@ object ScaleBench {
         val nBatchesK = qK.recentProgress.count(_.numInputRows > 0)
         require(nBatchesK >= 2, s"need real micro-batches, got $nBatchesK")
         val emitted = spark.table("stkmv").count()
-        val expectEmit = (4.0 * 64.0 * math.log(n / 4.0 / 64.0)).toLong
+        // Expectation = the k initial fills per slice PLUS the
+        // record-count tail k·ln(m/k); the max(1, ...) keeps the log
+        // term sane when a small CLI n puts m below k.
+        val expectEmit = (4.0 * 64.0 *
+          (1.0 + math.log(math.max(1.0, n / 4.0 / 64.0)))).toLong
         require(emitted <= 2L * expectEmit,
           s"emission $emitted exceeds 2x the ~$expectEmit record-count law")
         val streamedEst = graft.operators.Sketches.kmvSetEstimates(
