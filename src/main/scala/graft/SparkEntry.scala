@@ -1638,6 +1638,23 @@ object SparkEntry {
       Sampling.stratifiedPrioritySample(tbl(s, d, "documents"),
         "source", "doc_id", "n_chars", k = 8, seed = "p12e0")),
 
+    // Streaming stratified priority sampling: per-category monotone
+    // top-(k+1) candidate state at ingest; the drained union finalizes
+    // through the BATCH p12 selection verbatim (same seed ⇒ identical
+    // priorities; containment per category) — p12's oracle unchanged.
+    "st26_stream_strat_priority" -> ((s, d) => {
+      val cand = drainStream(
+        graft.streaming.Streams.streamingStratifiedPriorityCandidates(
+          streamTbl(s, d, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          "source", "doc_id", "n_chars", k = 8, seed = "p12e0").toDF(),
+        "st26_sink", "append")
+      Sampling.stratifiedPrioritySample(
+        cand.select(col("cat").as("source"), col("key").as("doc_id"),
+          col("weight").as("n_chars")),
+        "source", "doc_id", "n_chars", k = 8, seed = "p12e0")
+    }),
+
     // Streaming KMV maintenance (the sketch-state trio's min-k member,
     // next to st07 HLL max-state and st08 CMS sum-state): per-slice
     // bottom-64 candidate state, drained union fed to the SHARED
@@ -5958,22 +5975,11 @@ object SparkEntry {
          |FROM c""".stripMargin,
 
     // Stratified-priority replay: the p11 construction per source —
-    // per-group rank window, per-group tau at rank k+1.
-    "p12_stratified_priority" ->
-      """WITH s AS (SELECT source, doc_id, n_chars AS weight,
-        |  ('0x' || substr(md5('p12e0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS u
-        |FROM documents),
-        |q AS (SELECT source, doc_id, weight,
-        |  CAST(weight AS DOUBLE) / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS priority
-        |FROM s),
-        |r AS (SELECT source, doc_id, weight, priority,
-        |  row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
-        |FROM q),
-        |t AS (SELECT source, coalesce(max(CASE WHEN rn = 9 THEN priority END), 0.0) AS tau
-        |  FROM r WHERE rn <= 9 GROUP BY 1)
-        |SELECT r.source, r.doc_id, r.weight, r.priority,
-        |  greatest(CAST(r.weight AS DOUBLE), t.tau) AS est_weight
-        |FROM r JOIN t ON t.source = r.source WHERE r.rn <= 8""".stripMargin,
+    // per-group rank window, per-group tau at rank k+1. Shared VERBATIM
+    // by st26 (the streaming candidate path must be invisible to the
+    // final per-category sample).
+    "st26_stream_strat_priority" -> p12OracleSql,
+    "p12_stratified_priority" -> p12OracleSql,
 
     // Priority-sampling replay: u = hash60(seed:key)+1, priority =
     // w / (u / 2^60) — int64→double casts, an EXACT power-of-two
@@ -6854,6 +6860,23 @@ object SparkEntry {
       |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
       |    END AS BIGINT) AS rate_b_ppm
       |  FROM j LEFT JOIN ta ON true LEFT JOIN tb ON true)""".stripMargin
+
+  /** The p12 stratified-priority replay, shared verbatim by st26. */
+  private lazy val p12OracleSql: String =
+    """WITH s AS (SELECT source, doc_id, n_chars AS weight,
+        |  ('0x' || substr(md5('p12e0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS u
+        |FROM documents),
+        |q AS (SELECT source, doc_id, weight,
+        |  CAST(weight AS DOUBLE) / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS priority
+        |FROM s),
+        |r AS (SELECT source, doc_id, weight, priority,
+        |  row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        |FROM q),
+        |t AS (SELECT source, coalesce(max(CASE WHEN rn = 9 THEN priority END), 0.0) AS tau
+        |  FROM r WHERE rn <= 9 GROUP BY 1)
+        |SELECT r.source, r.doc_id, r.weight, r.priority,
+        |  greatest(CAST(r.weight AS DOUBLE), t.tau) AS est_weight
+        |FROM r JOIN t ON t.source = r.source WHERE r.rn <= 8""".stripMargin
 
   private lazy val jaccardOracle: String = jaccardOracleOver("documents")
 

@@ -513,8 +513,15 @@ object Sampling {
           element_at(col("__tk"), k + 1)("score")).otherwise(lit(0.0)))
       .select(col(catCol), col("__sp_tau"),
         explode(slice(col("__tk"), 1, k)).as("__sp_e"))
-      .select(col(catCol), col("__sp_e.id").as(keyCol), col("__sp_tau"))
-    scored.join(broadcast(kept), Seq(catCol, keyCol))
+      // Fresh aliases: kept and scored share one lineage (possibly a
+      // drained memory-sink view), and a same-exprId self-join fails
+      // resolution — the kmvSetEstimates lesson. The category match is
+      // NULL-SAFE so a NULL category survives selection (groupBy keeps
+      // NULL as a key; a plain equi-join would silently drop it).
+      .select(col(catCol).as("__sp_c"), col("__sp_e.id").as("__sp_k"),
+        col("__sp_tau"))
+    scored.join(broadcast(kept),
+        col(catCol) <=> col("__sp_c") && col(keyCol) === col("__sp_k"))
       .select(col(catCol), col(keyCol), col("weight"), col("priority"),
         greatest(col("weight").cast(DoubleType), col("__sp_tau"))
           .as("est_weight"))

@@ -594,6 +594,59 @@ object Streams {
       }
   }
 
+  case class PriCandCat(cat: String, key: Long, weight: Long,
+    priority: Double)
+
+  /** Streaming STRATIFIED priority-sample candidates (st26): the st24
+    * monotone top-(k+1) state keyed by CATEGORY instead of a hash
+    * shard — per-domain subsampling maintained at ingest, state =
+    * (k+1) entries per category. Candidates carry (key, weight), so
+    * the drained union finalizes through the BATCH
+    * [[graft.operators.Sampling.stratifiedPrioritySample]] verbatim
+    * (same seed ⇒ identical recomputed priorities; the candidate set
+    * contains every category's true top-(k+1) by the st24 containment
+    * argument) — p12's oracle gates the streaming path unchanged.
+    */
+  def streamingStratifiedPriorityCandidates(stream: DataFrame,
+      catCol: String, keyCol: String, weightCol: String, k: Int,
+      seed: String): org.apache.spark.sql.Dataset[PriCandCat] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def beats(q: Double, key: Long, e: PriEntry): Boolean =
+      q > e.q || (q == e.q && key < e.key)
+    graft.operators.Sampling
+      .priorityScores(stream, keyCol, weightCol, seed, carry = Seq(catCol))
+      .select(col(catCol).cast("string").as("_c"),
+        col(keyCol).cast("long").as("_k"), col("weight").as("_w"),
+        col("priority").as("_q"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PriAcc, PriCandCat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cat, rows, state) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Seq.newBuilder[PriCandCat]
+          rows.foreach { case (_, key, w, q) =>
+            if (entries.size <= k) {
+              entries = (PriEntry(q, key, w) :: entries)
+                .sortBy(e => (-e.q, e.key))
+              out += PriCandCat(cat, key, w, q)
+            } else {
+              val floor = entries.last
+              if (beats(q, key, floor)) {
+                entries = (PriEntry(q, key, w) :: entries.init)
+                  .sortBy(e => (-e.q, e.key))
+                out += PriCandCat(cat, key, w, q)
+              }
+            }
+          }
+          state.update(PriAcc(entries))
+          out.result().iterator
+      }
+  }
+
   case class KmvCand(slice: String, h: Long)
   case class KmvAcc(hs: List[Long])
 

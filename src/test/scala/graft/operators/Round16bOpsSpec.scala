@@ -84,6 +84,39 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
       (901L, 9L, got("tiny").find(_._1 == 901L).get._3, 9.0)))
   }
 
+  test("streaming stratified priority candidates finalize to the batch " +
+      "per-category sample under adversarial arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 150L).map(i => (s"c${i % 3}", i, 10L + (i * 17) % 80))
+    val k = 5
+    val batch = Sampling.stratifiedPrioritySample(
+        rows.toDF("cat", "doc_id", "w"), "cat", "doc_id", "w", k, "s16e")
+      .collect().map(_.toString).toSet
+    val asc = rows.sortBy(r => prio("s16e", r._2, r._3))
+    for (order <- Seq(asc, asc.reverse)) {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val sink = s"st26_spec_${order.head._2}"
+      val q = graft.streaming.Streams.streamingStratifiedPriorityCandidates(
+          input.toDF().toDF("cat", "doc_id", "w"), "cat", "doc_id", "w",
+          k, "s16e")
+        .toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        order.grouped(40).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        assert(spark.table(sink).count() <= rows.size)
+        val got = Sampling.stratifiedPrioritySample(
+            spark.table(sink).select(col("cat"), col("key").as("doc_id"),
+              col("weight").as("w")),
+            "cat", "doc_id", "w", k, "s16e")
+          .collect().map(_.toString).toSet
+        assert(got == batch, s"drain starting at ${order.head._2} diverged")
+      } finally q.stop()
+    }
+  }
+
   // ---- st24 streaming candidate emitter ----
 
   test("streaming priority candidates finalize to the batch sample " +
