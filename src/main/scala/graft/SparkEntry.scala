@@ -6895,7 +6895,7 @@ object SparkEntry {
     def bc(t: Int): String =
       s"""b$t AS (SELECT id, CAST(round(round(CASE
          |    WHEN n_zero > 0 AND est6 <= 40.0::DOUBLE
-         |    THEN 16.0::DOUBLE * ln(16.0::DOUBLE / CAST(n_zero AS DOUBLE))
+         |    THEN ${graft.algorithms.HyperBall.lcCorrectionSql(4, "n_zero")}
          |    ELSE est6 END, 6) * 1000000.0::DOUBLE) AS BIGINT) AS b
          |  FROM (SELECT id, n_zero,
          |    round(0.673::DOUBLE * 16.0::DOUBLE * 16.0::DOUBLE *
@@ -6976,7 +6976,7 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_vertices,
          |  CAST(sum(CAST(round(round(CASE
          |      WHEN n_zero > 0 AND est6 <= 40.0::DOUBLE
-         |      THEN 16.0::DOUBLE * ln(16.0::DOUBLE / CAST(n_zero AS DOUBLE))
+         |      THEN ${graft.algorithms.HyperBall.lcCorrectionSql(4, "n_zero")}
          |      ELSE est6 END, 6)
          |    * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS nf_micros
          |  FROM (SELECT id, n_zero,

@@ -143,15 +143,24 @@ class HyperBall(graph: GraphFrame) {
     * corrected estimate rounded to 6 (the q14c branch: n_zero > 0 and
     * raw est <= 2.5m) — at radius 0 every ball is a singleton, exactly
     * the small-range regime where raw HLL reads ~11 for 1; HyperBall's
-    * own counters are bias-corrected for the same reason. ln replays in
-    * SQL at round(6) — the q14c-gated discipline. Shared by
-    * [[neighborhoodFunction]] and [[harmonicCentrality]].
+    * own counters are bias-corrected for the same reason. The correction
+    * is a LOOKUP, not a runtime `ln`: n_zero has only 2^p possible
+    * values, so `round(m·ln(m/z), 6)` precomputes driver-side
+    * ([[HyperBall.lcConstants]]) into one array literal and
+    * `element_at` selects — no libm call in the plan, and the oracle
+    * embeds the SAME decimal literals ([[HyperBall.lcCorrectionSql]]),
+    * so a 1-ulp Spark-vs-DuckDB `ln` divergence on a rounding boundary
+    * can never flip the strict integer-lattice gates downstream
+    * ([[harmonicCentrality]] multiplies this by 1e6 onto exact BIGINTs).
+    * Shared by [[neighborhoodFunction]], [[harmonicCentrality]] and
+    * [[closenessCentrality]].
     */
   private def correctedEstimateOf(state: DataFrame): DataFrame = {
     val m = 1L << p
+    val lut = typedLit(HyperBall.lcConstants(p))
     estimateOf(state).withColumn("__hb_bc", round(
       when(col("n_zero") > 0 && col("est6") <= lit(2.5 * m),
-        lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+        element_at(lut, col("n_zero").cast("int")))
         .otherwise(col("est6")), 6))
   }
 
@@ -184,6 +193,47 @@ class HyperBall(graph: GraphFrame) {
     require(r <= 12,
       s"harmonicCentrality: radius $r exceeds the lcm-lattice headroom" +
         " (max 12) — deeper horizons need a rational fold")
+    val lcm = (1 to r).foldLeft(1L)((acc, i) =>
+      acc * i / java.math.BigInteger.valueOf(acc)
+        .gcd(java.math.BigInteger.valueOf(i)).longValueExact())
+    val fold = (1 to r).map(i =>
+      lit(lcm / i) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
+      .reduce(_ + _)
+    ballMicrosJoined().select(col(GraphFrame.ID), fold.as("hball_lat"))
+  }
+
+  /** Approximate CLOSENESS centrality from the same ball sketches (g32
+    * — Boldi–Vigna ICDMW 2013's other geometric centrality; closeness
+    * is 1/Σ_u dist(v,u), and the distance sum is the t-weighted shell
+    * fold):
+    *
+    *   Σ_u dist(v → u) ≈ Σ_{t=1..r} t · (|B_t(v)| - |B_{t-1}(v)|)
+    *
+    * truncated at radius r (vertices beyond r are unreachable inside
+    * the horizon and contribute nothing — the same truncation contract
+    * as [[harmonicCentrality]], whose weights are 1/t where these are
+    * t). Weights are already integers, so no lcm clearing: the output
+    * `cball_lat = Σ t·shell_t_micros` is an exact BIGINT micro-lattice
+    * fold, strict-equality gateable. The real-valued distance sum is
+    * `cball_lat / 1e6` and closeness its reciprocal (left to the
+    * caller: 0 for an out-isolated vertex must not divide). Headroom:
+    * Σ t·shell_t <= r·ball_micros <= 12·3e14 at the harmonic guard's
+    * bound — far inside i64. Output `[id, cball_lat]`.
+    */
+  def closenessCentrality(): DataFrame = {
+    require(r <= 12,
+      s"closenessCentrality: radius $r exceeds the shared lattice guard" +
+        " (max 12) — deeper horizons need a rational fold")
+    val fold = (1 to r).map(i =>
+      lit(i.toLong) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
+      .reduce(_ + _)
+    ballMicrosJoined().select(col(GraphFrame.ID), fold.as("cball_lat"))
+  }
+
+  /** `[id, __hb_b0 .. __hb_br]` — per-vertex corrected ball-size micros
+    * at every radius, the shared input of both shell folds.
+    */
+  private def ballMicrosJoined(): DataFrame = {
     val ID = GraphFrame.ID
     def bFrame(state: DataFrame, t: Int): DataFrame =
       // Eagerly materialized: the tiny [id, b_t] frame must not keep a
@@ -204,14 +254,7 @@ class HyperBall(graph: GraphFrame) {
       t += 1
     }
     state.unpersist(blocking = false)
-    val joined = frames.reduce(_.join(_, Seq(ID)))
-    val lcm = (1 to r).foldLeft(1L)((acc, i) =>
-      acc * i / java.math.BigInteger.valueOf(acc)
-        .gcd(java.math.BigInteger.valueOf(i)).longValueExact())
-    val fold = (1 to r).map(i =>
-      lit(lcm / i) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
-      .reduce(_ + _)
-    joined.select(col(ID), fold.as("hball_lat"))
+    frames.reduce(_.join(_, Seq(ID)))
   }
 
   /** The per-vertex estimate frame off a register state — shared by
@@ -241,4 +284,38 @@ class HyperBall(graph: GraphFrame) {
     * division.
     */
   def run(): DataFrame = estimateOf(registers())
+}
+
+object HyperBall {
+  /** The linear-counting correction table for precision `p`:
+    * index z-1 holds `round(m·ln(m/z), 6)` for z = 1..m (m = 2^p),
+    * computed ONCE driver-side with the JVM's correctly-rounded path
+    * (BigDecimal HALF_UP on the libm double — identical to what Spark's
+    * `round(m * log(m/z), 6)` produced, so the lattice values are
+    * unchanged). The plan looks these up by `element_at`; SQL oracles
+    * embed the SAME decimal literals via [[lcCorrectionSql]] — the two
+    * engines can never disagree by a libm ulp because neither calls
+    * libm at query time (the no-ln/pow determinism discipline
+    * prioritySample already follows).
+    */
+  def lcConstants(p: Int): Seq[Double] = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val m = 1L << p
+    (1L to m).map(z =>
+      BigDecimal(m.toDouble * math.log(m.toDouble / z.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** The same table as a portable SQL `CASE` over an integer n_zero
+    * column — decimal literals, both engines parse to bit-identical
+    * doubles (IEEE correctly-rounded literal parsing). For oracle
+    * replays of [[HyperBall]] outputs.
+    */
+  def lcCorrectionSql(p: Int, nZeroCol: String): String = {
+    val arms = lcConstants(p).zipWithIndex.map { case (c, i) =>
+      val lit = BigDecimal(c).underlying.toPlainString
+      s"WHEN ${i + 1} THEN ${lit}::DOUBLE"
+    }
+    s"(CASE CAST($nZeroCol AS INT) ${arms.mkString(" ")} END)"
+  }
 }

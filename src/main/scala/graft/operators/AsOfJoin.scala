@@ -121,6 +121,18 @@ object AsOfJoin {
       s"as-of output columns must be disjoint (probeCols ++ buildCols ++ asof_t), got $outNames")
     require(tolerance.forall(_ >= 0L),
       s"tolerance must be >= 0, got $tolerance")
+    // The tolerance null-out computes `asof_t - t <= tolerance` with a
+    // Long literal, which only type-checks for numeric time columns —
+    // a TimestampType probe would otherwise die in analysis with an
+    // opaque interval/bigint mismatch. The tolerance-free forms support
+    // timestamps; the windowed form's contract is epoch integers.
+    if (tolerance.isDefined) Seq(probe, build).foreach { side =>
+      val dt = side.schema(timeCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"firstAtOrAfter with tolerance needs a NUMERIC time column " +
+          s"(epoch integers); '$timeCol' is $dt — cast it (e.g. " +
+          "unix_micros) or drop the tolerance")
+    }
     val buildKept = build.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
     val payload = struct(
       (buildCols.map(c => col(c).as(c)) :+ col(timeCol).as("asof_t")): _*)

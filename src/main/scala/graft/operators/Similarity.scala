@@ -945,9 +945,20 @@ object Similarity {
       table: String, numBuckets: Int = 32): Unit = {
     val (artifact, coarse, book) = index
     requireBooks(coarse, book)
+    val spark = artifact.sparkSession
+    // A SAVE is a new index generation: a tombstone log left by the
+    // PREVIOUS index under this name must not survive it — a stale log
+    // would anti-join ids out of the fresh artifact at every load
+    // (silently missing vectors) and spuriously block re-adds. Dropped
+    // FIRST: a crash after the artifact/books writes but before a
+    // trailing drop would leave the stale log over the new generation
+    // (exactly the silent failure above); dropping before the writes
+    // means the worst crash residue is a generation mid-replacement
+    // with no log — a loud, visible state, never a silently-wrong one.
+    graft.sources.BucketedTables.dropWithLocation(
+      spark, s"${table}_tombstones")
     graft.sources.BucketedTables.writeBucketed(
       artifact, table, numBuckets, Seq("cell"))
-    val spark = artifact.sparkSession
     import spark.implicits._
     val rows =
       coarse.zipWithIndex.map { case (cv, i) => (0, i, 0, cv.toSeq) } ++
@@ -955,12 +966,6 @@ object Similarity {
           yield (1, s, j, book(s)(j).toSeq))
     graft.sources.BucketedTables.replaceSidecar(
       rows.toSeq.toDF("kind", "i", "j", "vec"), s"${table}_books")
-    // A SAVE is a new index generation: a tombstone log left by the
-    // PREVIOUS index under this name must not survive it — a stale log
-    // would anti-join ids out of the fresh artifact at every load
-    // (silently missing vectors) and spuriously block re-adds.
-    graft.sources.BucketedTables.dropWithLocation(
-      spark, s"${table}_tombstones")
   }
 
   /** Load an index persisted by [[ivfPqSave]]: the artifact comes back as

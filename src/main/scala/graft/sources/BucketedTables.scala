@@ -195,7 +195,19 @@ object BucketedTables {
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(loc).filter(s => s.isFile &&
+    val entries = fs.listStatus(loc)
+    // A manifest built from a non-recursive listing of a NON-flat layout
+    // (partition subdirectories, committer staging remnants) would pin a
+    // partial file set and readSnapshot would return wrong rows QUIETLY
+    // — fail loud at snapshot time instead. Bucketed tables write flat
+    // by construction; anything else is not a snapshot target.
+    val subdirs = entries.filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"table $table has subdirectories under its location " +
+        s"(${subdirs.map(_.getPath.getName).mkString(", ")}) — " +
+        "snapshot pins only a flat file layout")
+    val files = entries.filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).toSeq

@@ -526,6 +526,16 @@ object Streams {
   /** One live top-list entry: `(priority, key, weight)`. */
   case class PriEntry(q: Double, key: Long, w: Long)
   case class PriAcc(entries: List[PriEntry])
+
+  /** Insert `e` into a list already ordered by (priority DESC, key ASC)
+    * at exactly the position a stable `sortBy` of `(e :: list)` would
+    * land it (before any ordering-equal entry) — O(k) per accepted row
+    * instead of the former O(k log k) full re-sort.
+    */
+  private def priInsert(e: PriEntry, l: List[PriEntry]): List[PriEntry] = {
+    val (ahead, rest) = l.span(h => h.q > e.q || (h.q == e.q && h.key < e.key))
+    ahead ::: (e :: rest)
+  }
   case class PriCand(key: Long, weight: Long, priority: Double)
 
   /** Streaming priority-sample CANDIDATE emitter (st24): the monotone
@@ -577,14 +587,12 @@ object Streams {
           val out = Seq.newBuilder[PriCand]
           rows.foreach { case (key, w, q, _) =>
             if (entries.size <= k) {
-              entries = (PriEntry(q, key, w) :: entries)
-                .sortBy(e => (-e.q, e.key))
+              entries = priInsert(PriEntry(q, key, w), entries)
               out += PriCand(key, w, q)
             } else {
               val floor = entries.last
               if (beats(q, key, floor)) {
-                entries = (PriEntry(q, key, w) :: entries.init)
-                  .sortBy(e => (-e.q, e.key))
+                entries = priInsert(PriEntry(q, key, w), entries.init)
                 out += PriCand(key, w, q)
               }
             }
@@ -630,14 +638,12 @@ object Streams {
           val out = Seq.newBuilder[PriCandCat]
           rows.foreach { case (_, key, w, q) =>
             if (entries.size <= k) {
-              entries = (PriEntry(q, key, w) :: entries)
-                .sortBy(e => (-e.q, e.key))
+              entries = priInsert(PriEntry(q, key, w), entries)
               out += PriCandCat(cat, key, w, q)
             } else {
               val floor = entries.last
               if (beats(q, key, floor)) {
-                entries = (PriEntry(q, key, w) :: entries.init)
-                  .sortBy(e => (-e.q, e.key))
+                entries = priInsert(PriEntry(q, key, w), entries.init)
                 out += PriCandCat(cat, key, w, q)
               }
             }
@@ -676,19 +682,26 @@ object Streams {
       .flatMapGroupsWithState[KmvAcc, KmvCand](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (slice, rows, state) =>
-          var hs = state.getOption.map(_.hs).getOrElse(Nil)
+          // TreeSet, not the serialized List: the per-record hot path is
+          // O(log k) membership+insert — a List scan would pay O(k) on
+          // EVERY input row (at k=4096 the contains probe dominates the
+          // streaming path; only ~k·ln(m/k) rows ever actually insert).
+          // Distinct-hash semantics are the set's own, so the emitted
+          // candidate stream is unchanged.
+          val hs = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.hs.foreach(hs.add))
           val out = Seq.newBuilder[KmvCand]
           rows.foreach { case (_, h) =>
-            val insert =
-              if (hs.contains(h)) false
-              else if (hs.size < k) true
-              else h < hs.last
-            if (insert) {
-              hs = (h :: (if (hs.size < k) hs else hs.init)).sorted
-              out += KmvCand(slice, h)
+            // Cheap floor reject FIRST: a full set whose max beats h
+            // never needs the membership probe.
+            if (hs.size < k || h < hs.last) {
+              if (hs.add(h)) {
+                if (hs.size > k) hs.remove(hs.last)
+                out += KmvCand(slice, h)
+              }
             }
           }
-          state.update(KmvAcc(hs))
+          state.update(KmvAcc(hs.toList))
           out.result().iterator
       }
   }
