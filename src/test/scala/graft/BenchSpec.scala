@@ -72,6 +72,29 @@ class BenchSpec extends AnyFunSuite {
     assert(!s)
   }
 
+  // ---- host_drift (r16 verdict task 4): the informational band under
+  // the inflated bar — six rounds of ~1.2x same-code windows needed
+  // manual adjudication; now the payload names them itself.
+
+  test("hostDrift: the r16 window shape (1.19x, broadly positive) is named") {
+    // 348.1 s driver artifact over the 292.0 s prior, most deltas up.
+    val deltas = Seq.fill(180)(0.25) ++ Seq.fill(50)(-0.05)
+    assert(Bench.hostDrift(348.1, Some(292.0), deltas))
+    // ... without tripping the blocking flag at that ratio.
+    val (s, _) = Bench.hostSuspect(healthy(230), steadyTotal = 348.1,
+      prevSteadyTotal = Some(292.0), deltas = deltas)
+    assert(!s)
+  }
+
+  test("hostDrift: under 1.15x, or without broad positivity, stays quiet") {
+    val broadlyUp = Seq.fill(80)(0.2) ++ Seq.fill(20)(-0.1)
+    assert(!Bench.hostDrift(220.0, Some(200.0), broadlyUp), "1.10x ratio")
+    val mixed = Seq.fill(50)(0.4) ++ Seq.fill(50)(-0.1)
+    assert(!Bench.hostDrift(250.0, Some(200.0), mixed), "50% positive")
+    assert(!Bench.hostDrift(250.0, None, broadlyUp), "no prior")
+    assert(!Bench.hostDrift(250.0, Some(200.0), Nil), "no deltas")
+  }
+
   // ---- belt-file guard (r15 verdict task 5): a suspect payload must not
   // overwrite a healthy same-name belt; every other combination writes to
   // the default name.
