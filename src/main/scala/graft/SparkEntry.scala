@@ -2859,6 +2859,17 @@ object SparkEntry {
       g.hyperBall.radius(3).precision(4).harmonicCentrality()
     }),
 
+    // Approximate closeness centrality off the same sketches (g32 —
+    // HyperBall's other geometric centrality): the t-WEIGHTED shell
+    // fold Σ t·shell_t ≈ the truncated distance sum, exact BIGINT
+    // micros (integer weights need no lcm clearing) — closeness is its
+    // reciprocal, left unreciprocated so the gate stays on the strict
+    // integer lattice (sinks read 0, not a division guard).
+    "g32_hyperball_closeness" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hyperBall.radius(3).precision(4).closenessCentrality()
+    }),
+
     // The neighborhood function N(t) + effective diameter (HyperANF's
     // headline): per-radius global reach on the integer micro lattice
     // (per-vertex estimates round to micros BEFORE the fold — no float
@@ -3778,6 +3789,7 @@ object SparkEntry {
 
     "g30_neighborhood_fn" -> g30OracleSql,
     "g31_hyperball_harmonic" -> g31OracleSql,
+    "g32_hyperball_closeness" -> g32OracleSql,
 
     // Resource-Allocation replay: symmetrize (drop loops, canonical
     // distinct, both directions), full-adjacency degrees, capped wedge
@@ -6884,7 +6896,23 @@ object SparkEntry {
     * CORRECTED estimates per radius (b0..b3), then the fixed-association
     * shell fold Σ (b_t - b_{t-1}) / t, rounded 6.
     */
-  private lazy val g31OracleSql: String = {
+  private lazy val g31OracleSql: String = hyperBallShellOracle(
+    // lcm(1..3) = 6 clears the harmonic denominators: Σ (6/t)·shell_t.
+    """CAST(6 * (b1.b - b0.b) + 3 * (b2.b - b1.b)
+      |    + 2 * (b3.b - b2.b) AS BIGINT) AS hball_lat""".stripMargin)
+
+  /** The g32 closeness replay: the SAME shell chain, t-weighted fold
+    * Σ t·shell_t (integer weights — no lcm clearing needed).
+    */
+  private lazy val g32OracleSql: String = hyperBallShellOracle(
+    """CAST(1 * (b1.b - b0.b) + 2 * (b2.b - b1.b)
+      |    + 3 * (b3.b - b2.b) AS BIGINT) AS cball_lat""".stripMargin)
+
+  /** The shared g31/g32 shell-chain replay (radius 3, p = 4 on the
+    * customer→order→part DAG): register rounds s1..s3, per-radius
+    * corrected ball micros b0..b3, then `foldSql` over the b-frames.
+    */
+  private def hyperBallShellOracle(foldSql: String): String = {
     def round(t: Int): String =
       s"""s$t AS (SELECT id, register, CAST(max(max_rank) AS BIGINT) AS max_rank FROM (
          |    SELECT * FROM s${t - 1}
@@ -6921,8 +6949,7 @@ object SparkEntry {
        |${bc(2)},
        |${bc(3)}
        |SELECT b0.id,
-       |  CAST(6 * (b1.b - b0.b) + 3 * (b2.b - b1.b)
-       |    + 2 * (b3.b - b2.b) AS BIGINT) AS hball_lat
+       |  $foldSql
        |FROM b0 JOIN b1 USING (id) JOIN b2 USING (id) JOIN b3 USING (id)""".stripMargin
   }
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+/** Round-17 operator specs: HyperBall closeness centrality (g32) and
+  * the shared linear-counting constant table, grouped token drift
+  * (t24), the durable-index upsert cadence (s27), snapshot-aware
+  * compaction + retention GC (b11), and the per-micro-batch pruned
+  * streaming ANN serve (st23b).
+  */
+class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  // ---- g32 HyperBall closeness ----
+
+  test("lcConstants match the former plan-side round(m*ln(m/z), 6) " +
+      "exactly; SQL CASE renders every arm") {
+    val cs = graft.algorithms.HyperBall.lcConstants(4)
+    assert(cs.length == 16)
+    (1 to 16).foreach { z =>
+      val want = BigDecimal(16.0 * math.log(16.0 / z))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cs(z - 1) == want, s"z=$z")
+    }
+    assert(cs(15) == 0.0) // ln(1): a full-zero row corrects to m*0
+    val sql = graft.algorithms.HyperBall.lcCorrectionSql(4, "n_zero")
+    assert((1 to 16).forall(z => sql.contains(s"WHEN $z THEN ")))
+  }
+
+  test("closenessCentrality == the exact-ball t-weighted lattice replay " +
+      "on a chain; sink vertex reads zero; harmonic/closeness ordering " +
+      "agrees on the chain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val vertices = Seq(1L, 2L, 3L, 4L)
+    val g = graft.graph.GraphFrame(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+    val got = g.hyperBall.radius(3).precision(4).closenessCentrality()
+      .as[(Long, Long)].collect().toMap
+
+    val p = 4; val m = 16; val sBits = 60 - p + 1
+    def ball(v: Long, r: Int): Set[Long] =
+      (v to math.min(v + r, 4L)).toSet
+    def bMicros(members: Set[Long]): Long = {
+      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+        .map { case (_, ms) => ms.map { u =>
+          val w = Sampling.hash60OfString(u.toString) >>> p
+          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max }
+      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
+        (m - regs.size).toLong * (1L << sBits)
+      val nZero = m - regs.size
+      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
+        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val corr = if (nZero > 0 && raw <= 40.0)
+        graft.algorithms.HyperBall.lcConstants(4)(nZero - 1)
+      else raw
+      math.round(corr * 1000000.0)
+    }
+    val want = vertices.map { v =>
+      val b = (0 to 3).map(t => bMicros(ball(v, t)))
+      v -> (1L * (b(1) - b(0)) + 2L * (b(2) - b(1)) + 3L * (b(3) - b(2)))
+    }.toMap
+    assert(got == want)
+    // Vertex 4 has no out-edges: every shell is empty -> distance sum 0.
+    assert(got(4L) == 0L)
+    // On the chain, deeper reach => larger truncated distance sum.
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+  }
+
+  test("closenessCentrality radius guard refuses past the lattice bound") {
+    val g = graft.graph.GraphFrame(
+      Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
+    val e = intercept[IllegalArgumentException] {
+      g.hyperBall.radius(13).precision(4).closenessCentrality()
+    }
+    assert(e.getMessage.contains("lattice"))
+  }
+}
