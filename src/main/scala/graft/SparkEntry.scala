@@ -1941,6 +1941,17 @@ object SparkEntry {
           .withColumn("half", (col("doc_id") % 2).cast("string")),
         "half", "text", "0", "1")),
 
+    // ... and the TV scalar PER source category (t24 — the mixing
+    // dashboard): within-group ppm rates over each group's own slice
+    // totals, so a dump's drift localizes to the sources that moved.
+    // Each row equals t23b run on that group alone (the group-isolation
+    // law, spec-pinned); reduce side = groups x vocabulary.
+    "t24_grouped_drift" -> ((s, d) =>
+      TextFunctions.groupedDriftTv(
+        tbl(s, d, "documents")
+          .withColumn("half", (col("doc_id") % 2).cast("string")),
+        "source", "half", "text", "0", "1")),
+
     // Vocabulary coverage curve: what fraction of token occurrences a
     // top-V vocab covers, at V = 5/10/20/40 (40 > the corpus vocab —
     // the saturation row). Exact integer counts, deterministic term
@@ -5499,6 +5510,34 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
         |FROM r""".stripMargin),
+
+    // The t23 drift replay with the group key riding every stage:
+    // per-(group, slice) totals, the within-group full-outer term join,
+    // the same exact-ppm split, folded per group.
+    "t24_grouped_drift" ->
+      """WITH t AS (SELECT source AS g, CAST(doc_id % 2 AS VARCHAR) AS s,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT g, s, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2, 3),
+        |ta AS (SELECT g, CAST(sum(c) AS BIGINT) AS na FROM c WHERE s = '0' GROUP BY 1),
+        |tb AS (SELECT g, CAST(sum(c) AS BIGINT) AS nb FROM c WHERE s = '1' GROUP BY 1),
+        |a AS (SELECT g, term, c AS ca FROM c WHERE s = '0'),
+        |b AS (SELECT g, term, c AS cb FROM c WHERE s = '1'),
+        |j AS (SELECT coalesce(a.g, b.g) AS g, coalesce(a.term, b.term) AS term,
+        |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.g = b.g AND a.term = b.term),
+        |r AS (SELECT j.g, term,
+        |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
+        |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
+        |    END AS BIGINT) AS rate_a_ppm,
+        |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
+        |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
+        |    END AS BIGINT) AS rate_b_ppm
+        |  FROM j LEFT JOIN ta ON ta.g = j.g LEFT JOIN tb ON tb.g = j.g)
+        |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
+        |FROM r GROUP BY 1""".stripMargin,
 
     // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
     // per-size covered sums via the rank theta join, one rounded ratio.

@@ -971,25 +971,56 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_terms"),
         coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
 
+  /** GROUPED drift (t24) — the mixing-dashboard form of the t23
+    * monitor: the TV scalar PER category (language, domain, source),
+    * so a new dump's drift localizes to the slices that moved instead
+    * of dissolving into one corpus-wide number. One cached
+    * (group, slice, term) count pass (the t23 plan with the group key
+    * riding every aggregate), per-(group, slice) totals, and the same
+    * exact-ppm lattice — reduce side bounded by groups × vocabulary.
+    * Rates are WITHIN-group (each group's terms over that group's own
+    * slice totals), so each output row equals [[corpusDriftTv]] run on
+    * that group's documents alone — the q34/p12 group-isolation law,
+    * spec-pinned. Output `[<groupCol>, n_terms, tv_ppm]`, one row per
+    * group seen in either slice.
+    */
+  def groupedDriftTv(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String, sliceCol: String, textCol: String,
+      sliceA: String, sliceB: String): org.apache.spark.sql.DataFrame =
+    driftRates(docs, sliceCol, textCol, sliceA, sliceB,
+      groupCols = Seq(groupCol))
+      .groupBy(col("__td_g").as(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+        coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
+
   private def driftRates(docs: org.apache.spark.sql.DataFrame,
       sliceCol: String, textCol: String, sliceA: String,
-      sliceB: String): org.apache.spark.sql.DataFrame =
+      sliceB: String, groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
     graft.operators.CacheScope.scoped { scope =>
+      require(groupCols.size <= 1, "at most one drift group column")
+      val gCols = groupCols.map(g => col(g).cast("string").as("__td_g"))
+      val gKey = if (groupCols.isEmpty) Nil else Seq("__td_g")
       // Cached: the exploded count feeds both sides' term frames AND
       // both slice totals — four plan branches, one corpus pass.
       val counts = scope.cache(docs
         .filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
-        .select(col(sliceCol).as("__td_s"),
-          explode(tokens(col(textCol))).as("term"))
-        .groupBy("__td_s", "term").agg(count(lit(1)).as("c")))
-      def side(v: String, cn: String, tn: String) =
-        counts.filter(col("__td_s") === v)
-          .join(counts.filter(col("__td_s") === v)
-            .agg(sum("c").as(tn)))
-          .select(col("term"), col("c").as(cn), col(tn))
+        .select(gCols ++ Seq(col(sliceCol).as("__td_s"),
+          explode(tokens(col(textCol))).as("term")): _*)
+        .groupBy((gKey :+ "__td_s").map(col) :+ col("term"): _*)
+        .agg(count(lit(1)).as("c")))
+      def side(v: String, cn: String, tn: String) = {
+        val f = counts.filter(col("__td_s") === v)
+        val tot =
+          if (gKey.isEmpty) f.agg(sum("c").as(tn))
+          else f.groupBy(gKey.map(col): _*).agg(sum("c").as(tn))
+        (if (gKey.isEmpty) f.join(tot) else f.join(tot, gKey))
+          .select(gKey.map(col) ++
+            Seq(col("term"), col("c").as(cn), col(tn)): _*)
+      }
       val a = side(sliceA, "ca", "na")
       val b = side(sliceB, "cb", "nb")
-      a.join(b, Seq("term"), "full_outer")
+      a.join(b, gKey :+ "term", "full_outer")
         .withColumn("__td_ca",
           when(coalesce(col("ca"), lit(0L)) > 9200000000000L,
             raise_error(lit("tokenDrift: per-term count exceeds the " +
@@ -1002,13 +1033,13 @@ object TextFunctions {
               "exact ppm bound (~9.2e12) — shard the term space and " +
               "re-fold")))
             .otherwise(coalesce(col("cb"), lit(0L))))
-        .select(col("term"),
+        .select(gKey.map(col) ++ Seq(col("term"),
           when(col("na").isNull, lit(0L)).otherwise(
             expr("__td_ca * (1000000 div na) " +
               "+ (__td_ca * (1000000 % na)) div na")).as("rate_a_ppm"),
           when(col("nb").isNull, lit(0L)).otherwise(
             expr("__td_cb * (1000000 div nb) " +
-              "+ (__td_cb * (1000000 % nb)) div nb")).as("rate_b_ppm"))
+              "+ (__td_cb * (1000000 % nb)) div nb")).as("rate_b_ppm")): _*)
         .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
     }
 

@@ -71,6 +71,33 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
   }
 
+  // ---- t24 grouped drift ----
+
+  test("groupedDriftTv obeys the group-isolation law: each row == " +
+      "corpusDriftTv on that group's documents alone") {
+    import graft.text.TextFunctions
+    // Three groups: mixed slices, one B-heavy, one present in slice A
+    // ONLY (its slice-B totals must read absent, not zero-divide).
+    val docs = Seq(
+      ("g1", "0", "the cat sat"), ("g1", "1", "the cat ran far"),
+      ("g1", "0", "dog days"), ("g2", "1", "red blue blue"),
+      ("g2", "0", "red"), ("g3", "0", "lonely side alpha")
+    ).toDF("src", "half", "text")
+    val got = TextFunctions.groupedDriftTv(
+        docs, "src", "half", "text", "0", "1")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, tv) => g -> ((n, tv)) }.toMap
+    val want = Seq("g1", "g2", "g3").map { g =>
+      val row = TextFunctions.corpusDriftTv(
+          docs.filter($"src" === g), "half", "text", "0", "1")
+        .as[(Long, Long)].head()
+      g -> row
+    }.toMap
+    assert(got == want)
+    // The A-only group drifts by exactly its own full rate mass.
+    assert(got("g3")._2 > 0L)
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
