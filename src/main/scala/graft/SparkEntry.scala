@@ -2551,6 +2551,24 @@ object SparkEntry {
         .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     }),
 
+    // Streaming ROLLUP HLL: the q33 OLAP-lattice register table as
+    // streaming state — ONE Expand-fed aggregate maintains all three
+    // lattice levels' monotone register maxes (state = slices x 2^p
+    // rows forever, no watermark). Drained complete, then the BATCH
+    // densify + estimate tail; q33's oracle gates the streaming path
+    // verbatim — the sketch family's batch/stream symmetry closed.
+    "st27_stream_rollup_hll" -> ((s, d) => {
+      val drained = drainStream(
+        graft.streaming.Streams.streamingHllRollupRegisters(
+          streamTbl(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+          "l_partkey", p = 6),
+        "st27_sink", "complete")
+      graft.operators.Sketches.hllRollupEstimate(
+        graft.operators.Sketches.hllRollupDensify(
+          drained, "l_returnflag", "l_linestatus", p = 6),
+        "l_returnflag", "l_linestatus", p = 6)
+    }),
+
     // Stateless stream-static LEFT SEMI join: decontamination at ingest.
     // The held-out hash table is a STATIC broadcast side; contaminated
     // documents emit per micro-batch with zero state.
@@ -4891,37 +4909,12 @@ object SparkEntry {
     // per-slice integer harmonic sums, one rounded division each.
     // IS NOT DISTINCT FROM joins keep NULL-valued DATA groups separate
     // from the NULL subtotal columns (gid is the discriminator).
-    "q33_rollup_distinct" ->
-      """WITH h AS (SELECT l_returnflag AS g1, l_linestatus AS g2,
-        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM lineitem),
-        |o AS (SELECT g1, g2, h & 63 AS register,
-        |  55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE len(bin(h >> 6)) END AS rank
-        |  FROM h),
-        |lvl0 AS (SELECT g1, g2, 0 AS gid, register, max(rank) AS mr
-        |  FROM o GROUP BY 1, 2, 4),
-        |lvl1 AS (SELECT g1, CAST(NULL AS VARCHAR) AS g2, 1 AS gid, register,
-        |  max(rank) AS mr FROM o GROUP BY 1, 4),
-        |lvl2 AS (SELECT CAST(NULL AS VARCHAR) AS g1, CAST(NULL AS VARCHAR) AS g2,
-        |  3 AS gid, register, max(rank) AS mr FROM o GROUP BY 4),
-        |sp AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
-        |  UNION ALL SELECT * FROM lvl2),
-        |slices AS (SELECT DISTINCT g1, g2, gid FROM sp),
-        |grid AS (SELECT s.g1, s.g2, s.gid, r.range AS register
-        |  FROM slices s CROSS JOIN range(64) r),
-        |regs AS (SELECT grid.g1, grid.g2, grid.gid, COALESCE(sp.mr, 0) AS max_rank
-        |  FROM grid LEFT JOIN sp ON sp.g1 IS NOT DISTINCT FROM grid.g1
-        |    AND sp.g2 IS NOT DISTINCT FROM grid.g2 AND sp.gid = grid.gid
-        |    AND sp.register = grid.register),
-        |e AS (SELECT g1, g2, gid, CAST(count(*) AS BIGINT) AS m,
-        |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
-        |  CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
-        |  FROM regs GROUP BY 1, 2, 3)
-        |SELECT g1 AS l_returnflag, g2 AS l_linestatus, CAST(gid AS BIGINT) AS gid,
-        |  m, sum_scaled, n_zero,
-        |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE *
-        |    36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
-        |FROM e""".stripMargin,
+    "q33_rollup_distinct" -> q33OracleSql,
+
+    // Streaming rollup HLL: stream == batch on the same data IS the
+    // gate, so q33's replay gates the drained state verbatim.
+    "st27_stream_rollup_hll" -> q33OracleSql,
+
 
     // Harmonic sum scaled to exact integers (sum of 2^(53 - M_j) as
     // BIGINT — a double sum would be summation-order-dependent), one
@@ -6891,6 +6884,45 @@ object SparkEntry {
       |FROM th, nb""".stripMargin
 
   /** The t23/t23b shared drift chain through `r` (per-term ppm rates). */
+  /** The q33 rollup-HLL replay, shared verbatim by st27 (stream ==
+    * batch IS the streaming gate's contract): the three lattice levels
+    * as three grouped register chains (p=6), dense 64-register grids
+    * per slice, per-slice integer harmonic sums, one rounded division
+    * each. IS NOT DISTINCT FROM joins keep NULL-valued DATA groups
+    * separate from the NULL subtotal columns (gid discriminates).
+    */
+  private lazy val q33OracleSql: String =
+    """WITH h AS (SELECT l_returnflag AS g1, l_linestatus AS g2,
+      |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |o AS (SELECT g1, g2, h & 63 AS register,
+      |  55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE len(bin(h >> 6)) END AS rank
+      |  FROM h),
+      |lvl0 AS (SELECT g1, g2, 0 AS gid, register, max(rank) AS mr
+      |  FROM o GROUP BY 1, 2, 4),
+      |lvl1 AS (SELECT g1, CAST(NULL AS VARCHAR) AS g2, 1 AS gid, register,
+      |  max(rank) AS mr FROM o GROUP BY 1, 4),
+      |lvl2 AS (SELECT CAST(NULL AS VARCHAR) AS g1, CAST(NULL AS VARCHAR) AS g2,
+      |  3 AS gid, register, max(rank) AS mr FROM o GROUP BY 4),
+      |sp AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+      |  UNION ALL SELECT * FROM lvl2),
+      |slices AS (SELECT DISTINCT g1, g2, gid FROM sp),
+      |grid AS (SELECT s.g1, s.g2, s.gid, r.range AS register
+      |  FROM slices s CROSS JOIN range(64) r),
+      |regs AS (SELECT grid.g1, grid.g2, grid.gid, COALESCE(sp.mr, 0) AS max_rank
+      |  FROM grid LEFT JOIN sp ON sp.g1 IS NOT DISTINCT FROM grid.g1
+      |    AND sp.g2 IS NOT DISTINCT FROM grid.g2 AND sp.gid = grid.gid
+      |    AND sp.register = grid.register),
+      |e AS (SELECT g1, g2, gid, CAST(count(*) AS BIGINT) AS m,
+      |  CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rank AS INT)) AS BIGINT) AS sum_scaled,
+      |  CAST(sum(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM regs GROUP BY 1, 2, 3)
+      |SELECT g1 AS l_returnflag, g2 AS l_linestatus, CAST(gid AS BIGINT) AS gid,
+      |  m, sum_scaled, n_zero,
+      |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE *
+      |    36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
+      |FROM e""".stripMargin
+
   private lazy val t23DriftCtes: String =
     """WITH t AS (SELECT CAST(doc_id % 2 AS VARCHAR) AS s,
       |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

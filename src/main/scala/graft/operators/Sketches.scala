@@ -289,11 +289,24 @@ object Sketches {
     * Output `[<g1>, <g2>, gid, register, max_rank]`.
     */
   def hllRollupRegisters(df: DataFrame, g1: String, g2: String,
+      keyCol: String, p: Int): DataFrame =
+    hllRollupDensify(hllRollupSeen(df, g1, g2, keyCol, p), g1, g2, p)
+
+  /** The SPARSE rollup register state — the groupingSets max stage of
+    * [[hllRollupRegisters]] before dense zero-fill: one row per
+    * (slice, register) actually hashed into, `gid` the (g1, g2)
+    * GROUPING bitmask. Factored out because this is exactly the frame a
+    * STREAMING query maintains as state
+    * ([[graft.streaming.Streams.streamingHllRollupRegisters]]):
+    * monotone register maxes under ONE Expand-fed aggregate, bounded by
+    * slices × 2^p rows. Output `[<g1>, <g2>, gid, register, max_rank]`
+    * (sparse).
+    */
+  def hllRollupSeen(df: DataFrame, g1: String, g2: String,
       keyCol: String, p: Int): DataFrame = {
-    val m = 1L << p
     val obs = hllObs(df, keyCol, p,
       Seq(col(g1).as("__hr_g1"), col(g2).as("__hr_g2")))
-    val seen = obs.groupingSets(
+    obs.groupingSets(
         Seq(Seq(col("__hr_g1"), col("__hr_g2"), col("register")),
           Seq(col("__hr_g1"), col("register")),
           Seq(col("register"))),
@@ -303,15 +316,25 @@ object Sketches {
         // always 0 (grouped in every set) — shift it off so gid is the
         // (g1, g2) bitmask: 0 leaf, 1 g2-out, 3 grand total.
         shiftrightunsigned(grouping_id().cast(LongType), 1).as("__hr_gid"))
-    val packed = seen.groupBy("__hr_g1", "__hr_g2", "__hr_gid").agg(
+      .select(col("__hr_g1").as(g1), col("__hr_g2").as(g2),
+        col("__hr_gid").as("gid"), col("register"), col("max_rank"))
+  }
+
+  /** Dense zero-fill of a sparse [[hllRollupSeen]] frame: every slice
+    * gets its full 2^p register rows (absent = rank 0) via the map-pack
+    * — no second corpus scan, slices × 2^p output rows.
+    */
+  def hllRollupDensify(seen: DataFrame, g1: String, g2: String,
+      p: Int): DataFrame = {
+    val m = 1L << p
+    val packed = seen.groupBy(col(g1), col(g2), col("gid")).agg(
       map_from_entries(collect_list(when(col("register").isNotNull,
         struct(col("register"), col("max_rank"))))).as("__mp"))
-    packed.select(col("__hr_g1"), col("__hr_g2"), col("__hr_gid"),
+    packed.select(col(g1), col(g2), col("gid"),
         posexplode(transform(sequence(lit(0L), lit(m - 1)),
           r => coalesce(element_at(col("__mp"), r), lit(0L))))
           .as(Seq("__pos", "max_rank")))
-      .select(col("__hr_g1").as(g1), col("__hr_g2").as(g2),
-        col("__hr_gid").as("gid"),
+      .select(col(g1), col(g2), col("gid"),
         col("__pos").cast(LongType).as("register"), col("max_rank"))
   }
 

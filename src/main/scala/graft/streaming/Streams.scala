@@ -296,6 +296,24 @@ object Streams {
       .histObservations(stream, valueCol, lo, binWidth, binCount)
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming ROLLUP HLL (st27): the q33 OLAP-lattice register table
+    * maintained as streaming state — approximate distinct per
+    * (g1, g2) / (g1) / () slice over an unbounded stream. One
+    * Expand-fed aggregate (the batch
+    * [[graft.operators.Sketches.hllRollupSeen]] stage verbatim): each
+    * arriving row feeds all three lattice levels' monotone register
+    * maxes in the SAME state store, so state is bounded by
+    * slices × 2^p rows forever, no watermark (maxes never retract —
+    * nothing to evict). Drain complete, then densify + estimate with
+    * the batch tail ([[graft.operators.Sketches.hllRollupDensify]] /
+    * `hllRollupEstimate`) — q33's oracle gates the streaming path
+    * verbatim, closing the batch/streaming symmetry the sketch family
+    * maintains everywhere else (st07 HLL, st08 CMS, st09 histogram).
+    */
+  def streamingHllRollupRegisters(stream: DataFrame, g1: String,
+      g2: String, keyCol: String, p: Int): DataFrame =
+    graft.operators.Sketches.hllRollupSeen(stream, g1, g2, keyCol, p)
+
   case class LatestOut(user_id: Long, last_ts: Long, last_event_id: Long,
       last_type: String, last_value_cents: Option[Long])
 

@@ -71,6 +71,39 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       "held-out probe must not be a driver-set UDF")
   }
 
+  test("streamingHllRollupRegisters: cross-batch lattice state == the " +
+      "batch rollup on the union; state bounded by slices x 2^p") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val out = Streams.streamingHllRollupRegisters(
+      input.toDF().toDF("f", "st", "k"), "f", "st", "k", p = 6)
+    val q = out.writeStream.format("memory").queryName("hllru_out")
+      .outputMode("complete").start()
+    try {
+      def rows(n: Long) = (1L to n).map(i =>
+        (if (i % 3 == 0) "A" else "R", if (i % 2 == 0) "O" else "F", i))
+      input.addData(rows(400): _*)
+      q.processAllAvailable()
+      input.addData((401L to 800L).map(i =>
+        (if (i % 3 == 0) "A" else "R", if (i % 2 == 0) "O" else "F", i)): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+          r.getLong(3))
+      val streamed = spark.table("hllru_out").collect()
+        .map(r => key(r) -> r.getLong(4)).toMap
+      val batch = graft.operators.Sketches.hllRollupSeen(
+          (1L to 800L).map(i => (if (i % 3 == 0) "A" else "R",
+            if (i % 2 == 0) "O" else "F", i)).toDF("f", "st", "k"),
+          "f", "st", "k", p = 6)
+        .collect().map(r => key(r) -> r.getLong(4)).toMap
+      assert(streamed == batch)
+      // Slices: 2x2 leaves + 2 g1 subtotals + 1 grand total = 7, each
+      // holding at most 64 registers.
+      assert(streamed.size <= 7 * 64)
+    } finally q.stop()
+  }
+
   test("streamingHllRegisters merges register state across micro-batches") {
     // The st07 drain delivers one batch; THIS is where the cross-batch
     // state merge is forced: two disjoint key batches must leave exactly
