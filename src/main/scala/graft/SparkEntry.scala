@@ -1146,6 +1146,38 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // DURABLE UPSERT CADENCE (s27 — the re-embedding flow against a
+    // PERSISTED table, the one index-CRUD seam s20–s26 left open):
+    // build on the "existing" subset, persist, then run the composed
+    // remove → compact → re-add cadence with the s18 delta (new %4==0
+    // ids + changed %8==1 vectors) — tombstone the delta's ids (absent
+    // ids no-op by anti-join semantics), compact to make the deletes
+    // physical AND truncate the log (re-adding a tombstoned id before
+    // compaction fails loud by design — the cadence is the documented
+    // escape), append the delta under the frozen books, serve. Oracle =
+    // the s18 SQL verbatim: the durable cadence and the in-session
+    // ivfPqUpsert must be indistinguishable to search.
+    "s27_ivfpq_table_upsert" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s27_ivfpq_idx", numBuckets = 4)
+      val delta = e.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 8 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"), x => x + lit(1.0))
+              .as("embedding")))
+      Similarity.ivfPqRemoveFromTable(delta.select(col("vec_id")),
+        "s27_ivfpq_idx", "vec_id")
+      Similarity.ivfPqCompact(s, "s27_ivfpq_idx")
+      Similarity.ivfPqAddToTable(delta, "s27_ivfpq_idx",
+        "vec_id", "embedding")
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s27_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DELETE (index CRUD's last quadrant): the index builds on the FULL
     // corpus — so the frozen books keep their full-corpus seeds — then
     // vec_id % 5 == 2 rows are REMOVED (left_anti, books untouched) and
@@ -4419,6 +4451,10 @@ object SparkEntry {
     // Upsert: books from the original old subset, encode over the
     // upserted corpus, original queries — see s18OracleSql.
     "s18_ivfpq_upsert" -> s18OracleSql,
+
+    // The durable remove -> compact -> re-add cadence must equal the
+    // in-session upsert: s18's replay gates it verbatim.
+    "s27_ivfpq_table_upsert" -> s18OracleSql,
 
     // Streaming index ingest: the s17 batch SQL verbatim — per-micro-batch
     // frozen-book encode is per-row deterministic, so stream==batch IS

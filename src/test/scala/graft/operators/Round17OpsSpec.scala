@@ -98,6 +98,47 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got("g3")._2 > 0L)
   }
 
+  // ---- s27 durable upsert cadence ----
+
+  test("durable remove -> compact -> re-add cadence round-trips to the " +
+      "in-session upsert; pre-compact re-add stays loud") {
+    val dim = 8
+    def vec(id: Long, bump: Double) =
+      (0 until dim).map(j => ((id * 31 + j * 7) % 50).toDouble / 10.0 + bump)
+    val corpus = (1L to 40L).map(i => (i, vec(i, 0.0))).toDF("vec_id", "embedding")
+    val existing = corpus.filter($"vec_id" % 4 =!= 0)
+    val idx = Similarity.ivfPqIndex(existing, "vec_id", "embedding",
+      nCells = 2, m = 2, kCent = 4)
+    Similarity.ivfPqSave(idx, "r17_upsert_idx", numBuckets = 2)
+    val delta = corpus.filter($"vec_id" % 4 === 0)
+      .unionByName((1L to 40L).filter(_ % 8 == 1)
+        .map(i => (i, vec(i, 1.0))).toDF("vec_id", "embedding"))
+    Similarity.ivfPqRemoveFromTable(
+      delta.select($"vec_id"), "r17_upsert_idx", "vec_id")
+    // The log is pending: a direct re-add must refuse (it would vanish
+    // at read time behind the anti-join).
+    val loud = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAddToTable(delta, "r17_upsert_idx",
+        "vec_id", "embedding")
+    }
+    assert(loud.getMessage.contains("compact"))
+    Similarity.ivfPqCompact(spark, "r17_upsert_idx")
+    Similarity.ivfPqAddToTable(delta, "r17_upsert_idx",
+      "vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 3L)
+    val got = Similarity.ivfPqSearchTable(queries, "r17_upsert_idx",
+        "vec_id", "embedding", k = 4, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 4, nCells = 2, nProbe = 1, m = 2, kCent = 4,
+        indexOf = Some(Similarity.ivfPqUpsert(idx, delta,
+          "vec_id", "embedding")))
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
