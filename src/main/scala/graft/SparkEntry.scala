@@ -2258,6 +2258,29 @@ object SparkEntry {
         .select("view", "cnt", "chars")
     }),
 
+    // SNAPSHOT-AWARE COMPACTION (b11 — closing the b10 × s23 seam):
+    // snapshot, keep ingesting, COMPACT — the swap now moves pinned
+    // files to the retained dir and re-points the manifest, so the
+    // training job's frozen read survives the maintenance cadence
+    // (until round 17 it failed loud; real formats retain until
+    // expiry, and expireSnapshot is the GC). snap must still read the
+    // pre-append rows; curr reads the compacted whole.
+    "b11_snapshot_compact" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      graft.sources.BucketedTables.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0), "b11_tbl", 4, Seq("doc_id"))
+      graft.sources.BucketedTables.snapshot(s, "b11_tbl", "t1")
+      graft.sources.BucketedTables.appendBucketed(
+        docs.filter(col("doc_id") % 2 =!= 0), "b11_tbl")
+      graft.sources.BucketedTables.compactTable(s, "b11_tbl")
+      def agg(df: DataFrame, view: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+          .withColumn("view", lit(view))
+      agg(graft.sources.BucketedTables.readSnapshot(s, "b11_tbl", "t1"), "snap")
+        .unionByName(agg(s.table("b11_tbl"), "curr"))
+        .select("view", "cnt", "chars")
+    }),
+
     // DYNAMIC partition overwrite (b09): generation 1 writes every
     // event_type; generation 2 overwrites ONLY the click partition with
     // the reprocessed slice (even event_ids, values doubled). The read
@@ -5362,6 +5385,16 @@ object SparkEntry {
     // the live view everything — any snapshot that sees appended files
     // (or misses pinned ones) diverges.
     "b10_snapshot_read" ->
+      """SELECT 'snap' AS view, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'curr', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
+
+    // The b10 replay verbatim: retention must make compaction invisible
+    // to both the pinned read and the live one.
+    "b11_snapshot_compact" ->
       """SELECT 'snap' AS view, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 2 = 0

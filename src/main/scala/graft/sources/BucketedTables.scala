@@ -145,8 +145,103 @@ object BucketedTables {
          w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
        else w).saveAsTable(staged)
     } finally spark.conf.set(bucketingConf, saved)
+    // SNAPSHOT RETENTION (b11): the swap below deletes the old files,
+    // which until round 17 killed every live snapshot (readSnapshot then
+    // failed loud — honest, but it made snapshot + compaction cadences
+    // mutually exclusive). Real table formats retain files until
+    // snapshot expiry; here the PINNED subset moves to the sibling
+    // `<table>__retained` directory (a same-FS rename — metadata-only,
+    // no byte copy) and every live manifest rewrites to the new paths
+    // BEFORE the drop, so a crash mid-swap still leaves readable
+    // manifests. Unpinned files die with the drop as before; retained
+    // files die at [[expireSnapshot]].
+    retainPinnedFiles(spark, table)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+  }
+
+  /** Tags of the live snapshots of `table` (catalog pattern scan over
+    * the `<table>__snap_<tag>` sidecars).
+    */
+  def snapshotTags(spark: SparkSession, table: String): Seq[String] = {
+    val prefix = s"${table}__snap_"
+    spark.sessionState.catalog.listTables("default", s"$prefix*")
+      .map(_.table).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+  }
+
+  /** The sibling directory retained snapshot files live in — OUTSIDE
+    * the table location, so table drops/rewrites can never touch it.
+    */
+  private def retainedDir(loc: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(loc.getParent, s"${loc.getName}__retained")
+
+  /** Move every file pinned by a live snapshot of `table` out of the
+    * table location into the retained directory and rewrite the
+    * manifests to match. No-op without live snapshots; a manifest path
+    * already outside the location (retained by an earlier compaction)
+    * passes through untouched; a pinned path that no longer exists
+    * fails LOUD (a pre-retention stale snapshot — expire it instead).
+    */
+  private def retainPinnedFiles(spark: SparkSession, table: String): Unit = {
+    val tags = snapshotTags(spark, table)
+    if (tags.isEmpty) return
+    import spark.implicits._
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = tags.map(t => t ->
+      spark.table(s"${table}__snap_$t").select("path")
+        .collect().map(_.getString(0)).toSeq)
+    val inLoc = manifests.flatMap(_._2).distinct
+      .map(p => p -> new org.apache.hadoop.fs.Path(p))
+      .filter(_._2.getParent.toUri.getPath == loc.toUri.getPath)
+    if (inLoc.isEmpty) return
+    val dir = retainedDir(loc)
+    fs.mkdirs(dir)
+    val moved = inLoc.map { case (p, hp) =>
+      val dest = new org.apache.hadoop.fs.Path(dir, hp.getName)
+      require(fs.rename(hp, dest),
+        s"snapshot retention: pinned file $p could not move to $dest — " +
+          "a pre-retention compaction may have deleted it; expire the " +
+          "stale snapshot instead")
+      p -> dest.toString
+    }.toMap
+    manifests.foreach { case (t, paths) =>
+      if (paths.exists(moved.contains))
+        replaceSidecar(paths.map(p => moved.getOrElse(p, p)).toDF("path"),
+          s"${table}__snap_$t")
+    }
+  }
+
+  /** EXPIRE a snapshot — the retention/GC half of the b11 lifecycle:
+    * drop the manifest and delete any retained files no OTHER live
+    * snapshot of the table still pins. Files under the live table
+    * location are never touched (they belong to the table); the
+    * retained directory itself is removed once empty.
+    */
+  def expireSnapshot(spark: SparkSession, table: String,
+      tag: String): Unit = {
+    val t = s"${table}__snap_$tag"
+    require(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)),
+      s"table $table has no snapshot tagged '$tag'")
+    val mine = spark.table(t).select("path")
+      .collect().map(_.getString(0)).toSet
+    dropWithLocation(spark, t)
+    val still = snapshotTags(spark, table).flatMap(g =>
+      spark.table(s"${table}__snap_$g").select("path")
+        .collect().map(_.getString(0))).toSet
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = retainedDir(loc)
+    (mine -- still).map(new org.apache.hadoop.fs.Path(_))
+      .filter(_.getParent.toUri.getPath == dir.toUri.getPath)
+      .foreach(p => fs.delete(p, false))
+    if (fs.exists(dir) && fs.listStatus(dir).isEmpty)
+      fs.delete(dir, false)
   }
 
   /** Generic bucketed APPEND: land `df` as NEW files under `table`'s own
@@ -182,12 +277,14 @@ object BucketedTables {
     * write-new-version-then-pin-the-pointer idea every table format
     * implements, reduced to its essence).
     *
-    * LIFETIME: snapshots survive any number of appends but NOT a
-    * [[compactTable]]/[[writeBucketed]] rewrite — the staging swap
-    * deletes the old files (real formats retain files until snapshot
-    * expiry; this plain-parquet approximation does not), after which a
-    * snapshot read fails LOUD with missing files rather than returning
-    * wrong rows. Snapshot-then-compact cadences must re-pin.
+    * LIFETIME: snapshots survive any number of appends AND
+    * [[compactTable]] rewrites (the compaction swap moves pinned files
+    * to the sibling retained directory and re-points the manifests —
+    * the retain-until-expiry discipline real table formats implement;
+    * [[expireSnapshot]] is the GC). A [[writeBucketed]] FULL rewrite
+    * over the same name still kills snapshots — it replaces content,
+    * not layout — after which a snapshot read fails LOUD with missing
+    * files rather than returning wrong rows.
     */
   def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
     import spark.implicits._

@@ -856,8 +856,8 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
 
   // ---- b10 snapshot / time-travel reads ----
 
-  test("snapshot pins content across appends; compaction invalidates " +
-      "loudly; appendBucketed rejects spec-less tables") {
+  test("snapshot pins content across appends; compaction retains " +
+      "pinned files; appendBucketed rejects spec-less tables") {
     import graft.sources.BucketedTables
     val gen = (lo: Long, hi: Long) =>
       (lo to hi).map(i => (i, i * 10)).toDF("id", "v")
@@ -874,13 +874,16 @@ class Round16bOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ids(BucketedTables.readSnapshot(spark, "r16b_snap", "b")) ==
       (1L to 15L))
     assert(ids(spark.table("r16b_snap")) == (1L to 18L))
-    // Compaction rewrites the files -> pinned paths vanish -> the
-    // snapshot read fails LOUD (never silently wrong rows).
+    // Compaction RETAINS pinned files (round 17, b11): the rewrite
+    // moves them to the sibling retained dir and re-points the
+    // manifests, so both snapshots stay readable at their frozen
+    // content while the live table compacts.
     BucketedTables.compactTable(spark, "r16b_snap")
     assert(ids(spark.table("r16b_snap")) == (1L to 18L))
-    intercept[Exception] {
-      BucketedTables.readSnapshot(spark, "r16b_snap", "a").collect()
-    }
+    assert(ids(BucketedTables.readSnapshot(spark, "r16b_snap", "a")) ==
+      (1L to 10L))
+    assert(ids(BucketedTables.readSnapshot(spark, "r16b_snap", "b")) ==
+      (1L to 15L))
     // Spec-less target rejected before any write happens. (Drop with
     // location first: the shared /tmp warehouse outlives JVMs, and a
     // leftover directory under a dropped catalog entry fails CREATE.)

@@ -139,6 +139,47 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got == want)
   }
 
+  // ---- b11 snapshot retention + GC ----
+
+  test("expireSnapshot GCs retained files only once no live snapshot " +
+      "pins them; the retained dir disappears when empty") {
+    import graft.sources.BucketedTables
+    val gen = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, i * 10)).toDF("id", "v")
+    BucketedTables.writeBucketed(gen(1, 8), "r17_gc", 2, Seq("id"))
+    BucketedTables.snapshot(spark, "r17_gc", "a")
+    BucketedTables.appendBucketed(gen(9, 12), "r17_gc")
+    BucketedTables.snapshot(spark, "r17_gc", "b")
+    BucketedTables.compactTable(spark, "r17_gc")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("r17_gc")).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = new org.apache.hadoop.fs.Path(
+      loc.getParent, "r17_gc__retained")
+    assert(fs.exists(retained) && fs.listStatus(retained).nonEmpty,
+      "compaction should have retained the pinned files")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // Expiring 'a' deletes nothing: every file it pins, 'b' pins too
+    // (b was taken after a, over a superset of files).
+    val before = fs.listStatus(retained).length
+    BucketedTables.expireSnapshot(spark, "r17_gc", "a")
+    assert(fs.listStatus(retained).length == before)
+    assert(BucketedTables.snapshotTags(spark, "r17_gc") == Seq("b"))
+    assert(ids(BucketedTables.readSnapshot(spark, "r17_gc", "b")) ==
+      (1L to 12L))
+    // Expiring 'b' releases the last pins: retained dir is GCed away.
+    BucketedTables.expireSnapshot(spark, "r17_gc", "b")
+    assert(!fs.exists(retained))
+    assert(ids(spark.table("r17_gc")) == (1L to 12L))
+    // Expiring a snapshot that does not exist stays loud.
+    val e = intercept[IllegalArgumentException] {
+      BucketedTables.expireSnapshot(spark, "r17_gc", "zz")
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
