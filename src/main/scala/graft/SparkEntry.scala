@@ -2734,10 +2734,11 @@ object SparkEntry {
     // last seam): st18 ingests INTO the table, s20 serves a batch off
     // it; this serves a query STREAM off it — the stream-static join
     // where the static side is the reloaded bucketed artifact scan.
-    // Per-micro-batch queries are not driver-known at plan time, so the
-    // literal cell pruning stays batch-only (ivfPqProbeCells' contract);
-    // the cell equi-join still touches only probed cells' rows. Oracle =
-    // the s13 SQL verbatim: storage + streaming must both be invisible.
+    // The fixed streaming plan cannot know a batch's queries, so the
+    // literal cell pruning is absent HERE (ivfPqProbeCells' contract)
+    // and the cell equi-join bounds compute only — st23b below is the
+    // SCALE PATH that recovers per-batch pruning via foreachBatch.
+    // Oracle = the s13 SQL verbatim: storage + streaming invisible.
     "st23_stream_table_ann" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
       val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
@@ -2751,6 +2752,37 @@ object SparkEntry {
             m = 4, kCent = 8, indexOf = Some(loaded))
           .withColumnRenamed("rank", "rnk"),
         "st23_sink", "complete")
+    }),
+
+    // st23's SCALE PATH (st23b): the same persisted-index serve driven
+    // through foreachBatch, where each micro-batch's queries ARE
+    // driver-known — so the batch path's probed-cell literal pushdown
+    // applies per batch and the scan reads ONLY probed buckets
+    // (SelectedBucketsCount < total per batch, spec-pinned) instead of
+    // every bucket file per micro-batch. Same oracle as st23/s13:
+    // pruning, storage, and streaming must all be invisible to search.
+    "st23b_stream_table_ann_pruned" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "st23b_ivfpq_idx", numBuckets = 4)
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/st23b_results"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      val q = graft.streaming.Streams.streamingIvfPqServeTable(
+          streamTbl(s, d, "embeddings").filter(col("vec_id") <= 3),
+          "st23b_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2) {
+          (res, batchId) =>
+            // Batch-id-keyed subdir = idempotent under micro-batch retry.
+            res.withColumnRenamed("rank", "rnk")
+              .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(path).drop("batch")
     }),
 
     // Streaming sequence packing: the p08 two-level prefix sum with its
@@ -4376,6 +4408,7 @@ object SparkEntry {
     // Streaming serve off the persisted table: the same claim through
     // one more seam — micro-batch queries against the reloaded scan.
     "st23_stream_table_ann" -> s13OracleSql,
+    "st23b_stream_table_ann_pruned" -> s13OracleSql,
 
     // Delete: the s13 chain verbatim — full-corpus seeds (the books a
     // remove must NOT re-derive) — with removed ids excluded from the

@@ -314,6 +314,42 @@ object Streams {
       g2: String, keyCol: String, p: Int): DataFrame =
     graft.operators.Sketches.hllRollupSeen(stream, g1, g2, keyCol, p)
 
+  /** Per-micro-batch PRUNED ANN serving off a PERSISTED index table
+    * (st23b — the production RAG serving shape): st23's stream-static
+    * join bounds COMPUTE with the cell equi-join, but its static side
+    * is the full reloaded artifact scan — every micro-batch READS every
+    * bucket file of a potentially 10^11-vector table, because a
+    * streaming plan is fixed before any batch's queries exist
+    * ([[graft.operators.Similarity.ivfPqProbeCells]]' batch-only
+    * contract). Inside `foreachBatch` the batch IS a driver-known
+    * query set, so the batch serving path
+    * ([[graft.operators.Similarity.ivfPqSearchTable]] — probe cells,
+    * push `cell IN (probed)` into the bucketed scan) applies verbatim
+    * per micro-batch: each batch's scan reads ONLY its probed cells'
+    * bucket files (per-batch SelectedBucketsCount < total,
+    * spec-pinned). Per-batch driver cost is the tiny books sidecar +
+    * probed-cell collect — bounded by the index parameters, never the
+    * corpus; reloading per batch also means tombstones/appends landing
+    * mid-stream become visible at the next batch, exactly the serving
+    * semantics a long-lived query stream wants. `sink` receives each
+    * batch's ranked results with its batchId (idempotence under
+    * micro-batch retry is the sink's contract, batch-id-keyed paths
+    * being the canonical one — the st05b discipline).
+    */
+  def streamingIvfPqServeTable(queries: DataFrame, table: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(queries.isStreaming,
+      "streamingIvfPqServeTable serves a STREAM of queries — batch " +
+        "query sets call ivfPqSearchTable directly")
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.operators.Similarity.ivfPqSearchTable(
+          batch, table, idCol, vecCol, k, nProbe), batchId)
+    }
+  }
+
   case class LatestOut(user_id: Long, last_ts: Long, last_event_id: Long,
       last_type: String, last_value_cents: Option[Long])
 

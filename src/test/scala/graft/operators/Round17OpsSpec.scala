@@ -180,6 +180,55 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("no snapshot"))
   }
 
+  // ---- st23b per-micro-batch pruned streaming serve ----
+
+  test("streamingIvfPqServeTable prunes EVERY micro-batch's scan to its " +
+      "probed buckets and matches the batch serving path") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 8
+    def vec(id: Long, bump: Double) =
+      (0 until dim).map(j => ((id * 31 + j * 7) % 50).toDouble / 10.0 + bump)
+    val corpus = (1L to 40L).map(i => (i, vec(i, 0.0)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 2, m = 2, kCent = 4)
+    Similarity.ivfPqSave(idx, "r17_serve_idx", numBuckets = 2)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val prunes = scala.collection.mutable.Buffer.empty[(Int, Int)]
+    val served = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    val q = graft.streaming.Streams.streamingIvfPqServeTable(
+        input.toDF().toDF("vec_id", "embedding"),
+        "r17_serve_idx", "vec_id", "embedding", k = 4, nProbe = 1) {
+        (res, _) =>
+          val m = sel.findFirstMatchIn(
+            res.queryExecution.executedPlan.toString)
+          assert(m.isDefined, "no bucket pruning in the batch plan")
+          prunes += ((m.get.group(1).toInt, m.get.group(2).toInt))
+          served ++= res.select("query_id", "rank", "neighbor_id")
+            .as[(Long, Long, Long)].collect()
+      }.start()
+    try {
+      input.addData((1L, vec(1L, 0.0)))
+      q.processAllAvailable()
+      input.addData((2L, vec(2L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Two non-empty batches served, each reading ONLY its probed
+    // buckets (nProbe=1 of 2 cells -> strictly fewer than total).
+    assert(prunes.size == 2 && prunes.forall { case (g, t) =>
+      t == 2 && g < t }, s"per-batch pruning missing: $prunes")
+    // Stream == batch: the drained union equals the batch serving path
+    // over the same query set.
+    val want = Similarity.ivfPqSearchTable(
+        corpus.filter($"vec_id" <= 2), "r17_serve_idx",
+        "vec_id", "embedding", k = 4, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.toSet == want)
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
