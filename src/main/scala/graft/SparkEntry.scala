@@ -1146,6 +1146,25 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // DURABLE FILTERED SERVE (s28 — s16's production form): the
+    // metadata predicate rides the PERSISTED artifact (metaCols write
+    // with the codes) and prunes on the index side of the cell
+    // equi-join before ADC scoring — composed with the probed-cell
+    // literal pushdown, so the serving scan reads only probed buckets
+    // AND scores only filter survivors. Oracle = the s16 SQL verbatim:
+    // storage must be invisible to filtered search too.
+    "s28_ivfpq_table_filtered" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8, metaCols = Seq("label"))
+      Similarity.ivfPqSave(idx, "s28_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqSearchTable(e.filter(col("vec_id") <= 3),
+          "s28_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2,
+          indexFilter = Some(col("label") % 2 === 0),
+          metaCols = Seq("label"))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DURABLE UPSERT CADENCE (s27 — the re-embedding flow against a
     // PERSISTED table, the one index-CRUD seam s20–s26 left open):
     // build on the "existing" subset, persist, then run the composed
@@ -2258,6 +2277,24 @@ object SparkEntry {
         .select("view", "cnt", "chars")
     }),
 
+    // SNAPSHOT DELTA read (b12 — the incremental-training primitive):
+    // between two pins of an append-only cadence the row delta IS the
+    // file delta (parquet files immutable, appends only add), so the
+    // daily incremental read scans ONLY the new files — no diff join,
+    // no base re-read. Non-append-ordered pins fail loud (compaction
+    // re-homes rows; the law breaks); same-tag delta is legally empty.
+    "b12_snapshot_delta" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      graft.sources.BucketedTables.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0), "b12_tbl", 4, Seq("doc_id"))
+      graft.sources.BucketedTables.snapshot(s, "b12_tbl", "t1")
+      graft.sources.BucketedTables.appendBucketed(
+        docs.filter(col("doc_id") % 2 =!= 0), "b12_tbl")
+      graft.sources.BucketedTables.snapshot(s, "b12_tbl", "t2")
+      graft.sources.BucketedTables.readSnapshotDelta(s, "b12_tbl", "t1", "t2")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+    }),
+
     // SNAPSHOT-AWARE COMPACTION (b11 — closing the b10 × s23 seam):
     // snapshot, keep ingesting, COMPACT — the swap now moves pinned
     // files to the retained dir and re-points the manifest, so the
@@ -2776,6 +2813,34 @@ object SparkEntry {
           "st23b_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2) {
           (res, batchId) =>
             // Batch-id-keyed subdir = idempotent under micro-batch retry.
+            res.withColumnRenamed("rank", "rnk")
+              .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(path).drop("batch")
+    }),
+
+    // ... and the FILTERED form (st23c — st16 x st23b): the metadata
+    // predicate rides the persisted artifact and prunes index-side
+    // before ADC scoring, per micro-batch, composed with the
+    // probed-cell literal pushdown. Oracle = the s16 SQL verbatim.
+    "st23c_stream_filtered_pruned" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8, metaCols = Seq("label"))
+      Similarity.ivfPqSave(idx, "st23c_ivfpq_idx", numBuckets = 4)
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/st23c_results"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      val q = graft.streaming.Streams.streamingIvfPqServeTable(
+          streamTbl(s, d, "embeddings").filter(col("vec_id") <= 3),
+          "st23c_ivfpq_idx", "vec_id", "embedding", k = 5, nProbe = 2,
+          indexFilter = Some(col("label") % 2 === 0),
+          metaCols = Seq("label")) { (res, batchId) =>
             res.withColumnRenamed("rank", "rnk")
               .write.mode("overwrite").parquet(s"$path/batch=$batchId")
         }
@@ -4429,6 +4494,10 @@ object SparkEntry {
     // join, so ranks recompute over survivors (filter-then-rank, the
     // semantics post-filtering a ranked list cannot reproduce).
     "s16_ivfpq_filtered" -> s16OracleSql,
+    // Filtered search through storage (s28) and through storage +
+    // streaming + per-batch pruning (st23c): both must be invisible.
+    "s28_ivfpq_table_filtered" -> s16OracleSql,
+    "st23c_stream_filtered_pruned" -> s16OracleSql,
 
     // Trained-coarse IVF-PQ replay: the k01 chain at k=4 for ONE Lloyd
     // iteration (integer argmin assignment, floor-div update, empty-cell
@@ -5424,6 +5493,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'curr', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+
+    // The delta between the pins is exactly the appended odd half.
+    "b12_snapshot_delta" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 2 <> 0""".stripMargin,
 
     // The b10 replay verbatim: retention must make compaction invisible
     // to both the pinned read and the live one.

@@ -326,6 +326,35 @@ object BucketedTables {
     spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  /** Read the rows ADDED between two snapshots (b12 — the incremental-
+    * training read): parquet files are immutable and appends only add
+    * files, so between two pins of an append-only cadence the ROW delta
+    * is exactly the FILE delta — `toTag`'s manifest minus `fromTag`'s,
+    * scanned directly. No diff join, no re-read of the base: the cost
+    * is the delta's bytes, which is what makes daily incremental
+    * training reads affordable against a 100 TB table. The law needs
+    * append-only ordering between the pins: a compaction (or any
+    * rewrite) between them re-homes rows across files, so
+    * `fromTag ⊄ toTag` fails LOUD rather than returning a wrong row
+    * delta. Same-tag delta is legally empty.
+    */
+  def readSnapshotDelta(spark: SparkSession, table: String,
+      fromTag: String, toTag: String): DataFrame = {
+    def paths(tag: String): Seq[String] =
+      spark.table(s"${table}__snap_$tag")
+        .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val from = paths(fromTag).toSet
+    val to = paths(toTag)
+    require(from.subsetOf(to.toSet),
+      s"snapshots '$fromTag' -> '$toTag' of $table are not append-" +
+        "ordered (a compaction or rewrite re-homed rows between the " +
+        "pins) — the file-level delta law does not hold; re-baseline " +
+        "from the newer snapshot")
+    val delta = to.filterNot(from)
+    if (delta.isEmpty) spark.read.parquet(to.head).limit(0)
+    else spark.read.parquet(delta: _*)
+  }
+
   /** Number of data files under `table`'s location — the quantity
     * compaction exists to bound (underscore-prefixed commit markers
     * excluded). Driver-side listing of ONE directory; diagnostic use

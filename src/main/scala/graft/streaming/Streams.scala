@@ -337,7 +337,9 @@ object Streams {
     * being the canonical one — the st05b discipline).
     */
   def streamingIvfPqServeTable(queries: DataFrame, table: String,
-      idCol: String, vecCol: String, k: Int, nProbe: Int)
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      indexFilter: Option[org.apache.spark.sql.Column] = None,
+      metaCols: Seq[String] = Nil)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(queries.isStreaming,
@@ -346,7 +348,8 @@ object Streams {
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty)
         sink(graft.operators.Similarity.ivfPqSearchTable(
-          batch, table, idCol, vecCol, k, nProbe), batchId)
+          batch, table, idCol, vecCol, k, nProbe,
+          indexFilter = indexFilter, metaCols = metaCols), batchId)
     }
   }
 

@@ -1064,6 +1064,83 @@ object ScaleBench {
           f"serveFrag=$serveFragSec%.1f serveCompact=$serveCompactSec%.1f " +
           f"hits=$hitsCompact")
 
+      case "st-ann-serve" =>
+        // st23b at corpus scale: serve a QUERY STREAM off the persisted
+        // index, contrasting the two streaming shapes on the same index
+        // and query set. st23 (the stream-static join) fixes its plan
+        // before any batch exists, so EVERY micro-batch scans the full
+        // artifact; st23b (foreachBatch) probes each batch's cells and
+        // pushes the literal IN, so each batch reads only its probed
+        // buckets. The claims this anchors: (a) per-batch pruning fires
+        // on every batch (SelectedBucketsCount < total), (b) the two
+        // shapes return identical results, (c) the pruned serve is
+        // cheaper per batch — the property a 10^11-row artifact's
+        // serving job lives or dies by.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          spark.sqlContext
+        val dim = 64
+        val pts = syntheticVectors(spark, n, dim)
+        val idx = graft.operators.Similarity.ivfPqIndex(
+          pts, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
+        idx._1.count()
+        graft.operators.Similarity.ivfPqSave(
+          idx, "scale_serve_idx", numBuckets = 64)
+        // 4 micro-batches x 256 queries (driver-known by construction:
+        // a bounded query batch is the serving contract).
+        val qvecs = pts.filter(col("vec_id") < 1024)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val batches = qvecs.grouped(256).toSeq
+        // PRUNED (st23b): per-batch probed-cell literal pushdown.
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        val fracs = scala.collection.mutable.Buffer.empty[(Int, Int)]
+        var prunedHits = 0L
+        val in1 = MemoryStream[(Long, Seq[Float])]
+        val tp0 = System.nanoTime()
+        val q1 = graft.streaming.Streams.streamingIvfPqServeTable(
+            in1.toDF().toDF("vec_id", "embedding"),
+            "scale_serve_idx", "vec_id", "embedding",
+            k = 10, nProbe = 8) { (res, _) =>
+            val m = sel.findFirstMatchIn(
+              res.queryExecution.executedPlan.toString)
+            require(m.isDefined, "per-batch bucket pruning must fire")
+            fracs += ((m.get.group(1).toInt, m.get.group(2).toInt))
+            prunedHits += res.count()
+          }.start()
+        batches.foreach { b => in1.addData(b: _*); q1.processAllAvailable() }
+        q1.stop()
+        val prunedSec = (System.nanoTime() - tp0) / 1e9
+        require(fracs.size == batches.size &&
+          fracs.forall { case (g, t) => g < t },
+          s"expected ${batches.size} pruned batches, got $fracs")
+        // FULL-SCAN (the st23 shape per batch): same compute, the scan
+        // unpruned — the read-volume contrast.
+        val (loaded, lc, lb) = graft.operators.Similarity.ivfPqLoad(
+          spark, "scale_serve_idx")
+        var fullHits = 0L
+        val in2 = MemoryStream[(Long, Seq[Float])]
+        val tf0 = System.nanoTime()
+        val q2 = in2.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              fullHits += graft.operators.Similarity.ivfPqTopK(
+                batch, batch, "vec_id", "embedding", k = 10,
+                nCells = 64, nProbe = 8, m = 8, kCent = 16,
+                indexOf = Some((loaded, lc, lb))).count()
+          }.start()
+        batches.foreach { b => in2.addData(b: _*); q2.processAllAvailable() }
+        q2.stop()
+        val fullSec = (System.nanoTime() - tf0) / 1e9
+        require(prunedHits == fullHits,
+          s"pruned serve diverged: $prunedHits vs $fullHits hits")
+        val worst = fracs.map { case (g, t) => g * 100 / t }.max
+        println(f"SCALE-OK st-ann-serve n=$n dim=$dim cells=64 " +
+          f"batches=${batches.size} prunedServe=$prunedSec%.1f " +
+          f"fullScanServe=$fullSec%.1f worstBucketPct=$worst " +
+          f"hits=$prunedHits")
+
       case "epoch-shuffle" =>
         // Deterministic epoch shuffle at corpus scale (p10): n docs get
         // contiguous permutation positions. The sharded form's per-shard

@@ -229,6 +229,35 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(served.toSet == want)
   }
 
+  // ---- b12 snapshot delta ----
+
+  test("readSnapshotDelta reads exactly the appended rows; same-tag " +
+      "delta empty; compaction between pins fails loud") {
+    import graft.sources.BucketedTables
+    val gen = (lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, i * 10)).toDF("id", "v")
+    BucketedTables.writeBucketed(gen(1, 10), "r17_delta", 2, Seq("id"))
+    BucketedTables.snapshot(spark, "r17_delta", "t1")
+    BucketedTables.appendBucketed(gen(11, 16), "r17_delta")
+    BucketedTables.snapshot(spark, "r17_delta", "t2")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    assert(ids(BucketedTables.readSnapshotDelta(
+      spark, "r17_delta", "t1", "t2")) == (11L to 16L))
+    // Same tag: legally empty, schema intact.
+    val empty = BucketedTables.readSnapshotDelta(
+      spark, "r17_delta", "t1", "t1")
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("id", "v"))
+    // A compaction between the pins re-homes rows: the file-level law
+    // breaks, and the read must refuse rather than return a wrong delta.
+    BucketedTables.compactTable(spark, "r17_delta")
+    BucketedTables.snapshot(spark, "r17_delta", "t3")
+    val e = intercept[IllegalArgumentException] {
+      BucketedTables.readSnapshotDelta(spark, "r17_delta", "t1", "t3")
+    }
+    assert(e.getMessage.contains("append-ordered"))
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
