@@ -2643,6 +2643,24 @@ object SparkEntry {
         .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     }),
 
+    // Streaming DRIFT monitor (st28): the t23b dump-over-dump TV check
+    // at ingest — (slice, term) counts as additive streaming state
+    // (bounded by slices x vocabulary, the batch monitor's own reduce
+    // bound), drained complete and finalized through the batch
+    // rate/ppm/TV tail. Oracle = t23b's SQL verbatim: stream == batch
+    // IS the contract.
+    "st28_stream_drift" -> ((s, d) => {
+      val counts = drainStream(
+        graft.streaming.Streams.streamingDriftCounts(
+          streamTbl(s, d, "documents")
+            .withColumn("half", (col("doc_id") % 2).cast("string")),
+          "half", "text", "0", "1"),
+        "st28_sink", "complete")
+      TextFunctions.driftRatesFromCounts(counts, "0", "1")
+        .agg(count(lit(1)).as("n_terms"),
+          coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
+    }),
+
     // Streaming ROLLUP HLL: the q33 OLAP-lattice register table as
     // streaming state — ONE Expand-fed aggregate maintains all three
     // lattice levels' monotone register maxes (state = slices x 2^p
@@ -5676,6 +5694,13 @@ object SparkEntry {
         |LIMIT 20""".stripMargin),
 
     "t23b_corpus_drift_tv" ->
+      (t23DriftCtes + """
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
+        |FROM r""".stripMargin),
+
+    // The streaming drift monitor finalizes to the SAME scalar.
+    "st28_stream_drift" ->
       (t23DriftCtes + """
         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm

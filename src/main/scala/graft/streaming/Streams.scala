@@ -314,6 +314,25 @@ object Streams {
       g2: String, keyCol: String, p: Int): DataFrame =
     graft.operators.Sketches.hllRollupSeen(stream, g1, g2, keyCol, p)
 
+  /** Streaming DRIFT monitor counts (st28): the t23 token-distribution
+    * monitor's (slice, term) count table maintained as streaming
+    * aggregation state — the ingest-time form of the dump-over-dump
+    * check (slice = which dump/window a document belongs to). The
+    * stateless explode is the batch
+    * [[graft.text.TextFunctions.driftCounts]] projection verbatim under
+    * a continuous additive count — state bounded by slices × distinct
+    * terms, the SAME bound as the batch monitor's reduce side (an open
+    * vocabulary at 100 TB pairs this with a fixed tokenizer vocab (t07
+    * BPE) or the CMS sketch state (st08), the usual trade). Drain
+    * complete, finalize through the batch rate/TV tail
+    * ([[graft.text.TextFunctions.driftRatesFromCounts]]) — t23b's
+    * oracle gates the streaming path verbatim.
+    */
+  def streamingDriftCounts(stream: DataFrame, sliceCol: String,
+      textCol: String, sliceA: String, sliceB: String): DataFrame =
+    graft.text.TextFunctions.driftCounts(
+      stream, sliceCol, textCol, sliceA, sliceB)
+
   /** Per-micro-batch PRUNED ANN serving off a PERSISTED index table
     * (st23b — the production RAG serving shape): st23's stream-static
     * join bounds COMPUTE with the cell equi-join, but its static side

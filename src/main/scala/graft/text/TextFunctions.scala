@@ -993,34 +993,72 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_terms"),
         coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
 
-  private def driftRates(docs: org.apache.spark.sql.DataFrame,
+  /** The (slice, term) count stage under the drift family — exposed
+    * because this is exactly the frame a STREAMING query maintains as
+    * additive state ([[graft.streaming.Streams.streamingDriftCounts]]):
+    * one map-side-combining count per (slice, term), reduce side / state
+    * bounded by the slices × vocabulary, same as the batch monitor's.
+    * Output `[(__td_g,) __td_s, term, c]`.
+    */
+  private[graft] def driftCounts(docs: org.apache.spark.sql.DataFrame,
       sliceCol: String, textCol: String, sliceA: String,
       sliceB: String, groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    require(groupCols.size <= 1, "at most one drift group column")
+    val gCols = groupCols.map(g => col(g).cast("string").as("__td_g"))
+    val gKey = if (groupCols.isEmpty) Nil else Seq("__td_g")
+    docs.filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+      .select(gCols ++ Seq(col(sliceCol).as("__td_s"),
+        explode(tokens(col(textCol))).as("term")): _*)
+      .groupBy((gKey :+ "__td_s").map(col) :+ col("term"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The drift-rate tail over an already-materialized counts frame (the
+    * [[driftCounts]] shape) — the finalize step the streaming twin
+    * (st28) drains into; [[driftRates]] is this over the batch counts.
+    */
+  private[graft] def driftRatesFromCounts(
+      counts0: org.apache.spark.sql.DataFrame, sliceA: String,
+      sliceB: String, grouped: Boolean = false)
       : org.apache.spark.sql.DataFrame =
     graft.operators.CacheScope.scoped { scope =>
-      require(groupCols.size <= 1, "at most one drift group column")
-      val gCols = groupCols.map(g => col(g).cast("string").as("__td_g"))
-      val gKey = if (groupCols.isEmpty) Nil else Seq("__td_g")
-      // Cached: the exploded count feeds both sides' term frames AND
-      // both slice totals — four plan branches, one corpus pass.
-      val counts = scope.cache(docs
-        .filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
-        .select(gCols ++ Seq(col(sliceCol).as("__td_s"),
-          explode(tokens(col(textCol))).as("term")): _*)
-        .groupBy((gKey :+ "__td_s").map(col) :+ col("term"): _*)
-        .agg(count(lit(1)).as("c")))
-      def side(v: String, cn: String, tn: String) = {
-        val f = counts.filter(col("__td_s") === v)
+      // Cached: the counts feed both sides' term frames AND both slice
+      // totals — four plan branches, one pass. Fresh column ALIASES per
+      // branch (the kmvSetEstimates/st25 lesson): all four branches
+      // descend from ONE lineage — a drained memory sink in the st28
+      // path — and same-exprId self-joins fail resolution; the aliases
+      // mint new attributes so every join below always resolves. Plain
+      // equality (not <=>) on the join keys, matching the former USING
+      // join and the oracle's `ON a.g = b.g` semantics exactly.
+      val counts = scope.cache(counts0)
+      def side(v: String, sfx: String) =
+        counts.filter(col("__td_s") === v)
+          .select((if (grouped) Seq(col("__td_g").as(s"g$sfx")) else Nil) ++
+            Seq(col("term").as(s"term$sfx"), col("c").as(s"c$sfx")): _*)
+      def withTotal(f: org.apache.spark.sql.DataFrame, sfx: String,
+          tn: String) = {
         val tot =
-          if (gKey.isEmpty) f.agg(sum("c").as(tn))
-          else f.groupBy(gKey.map(col): _*).agg(sum("c").as(tn))
-        (if (gKey.isEmpty) f.join(tot) else f.join(tot, gKey))
-          .select(gKey.map(col) ++
-            Seq(col("term"), col("c").as(cn), col(tn)): _*)
+          if (grouped)
+            f.groupBy(s"g$sfx").agg(sum(s"c$sfx").as(tn))
+              .select(col(s"g$sfx").as(s"gt$sfx"), col(tn))
+          else f.agg(sum(col(s"c$sfx")).as(tn))
+        if (grouped) f.join(tot, col(s"g$sfx") === col(s"gt$sfx"))
+          .drop(s"gt$sfx")
+        else f.join(tot)
       }
-      val a = side(sliceA, "ca", "na")
-      val b = side(sliceB, "cb", "nb")
-      a.join(b, gKey :+ "term", "full_outer")
+      val a = withTotal(side(sliceA, "a"), "a", "na")
+      val b = withTotal(side(sliceB, "b"), "b", "nb")
+      val joinCond =
+        if (grouped) col("ga") === col("gb") && col("terma") === col("termb")
+        else col("terma") === col("termb")
+      val gOut =
+        if (grouped) Seq(coalesce(col("ga"), col("gb")).as("__td_g"))
+        else Nil
+      a.join(b, joinCond, "full_outer")
+        .select(gOut ++ Seq(
+          coalesce(col("terma"), col("termb")).as("term"),
+          col("ca"), col("cb"), col("na"), col("nb")): _*)
         .withColumn("__td_ca",
           when(coalesce(col("ca"), lit(0L)) > 9200000000000L,
             raise_error(lit("tokenDrift: per-term count exceeds the " +
@@ -1033,7 +1071,7 @@ object TextFunctions {
               "exact ppm bound (~9.2e12) — shard the term space and " +
               "re-fold")))
             .otherwise(coalesce(col("cb"), lit(0L))))
-        .select(gKey.map(col) ++ Seq(col("term"),
+        .select((if (grouped) Seq(col("__td_g")) else Nil) ++ Seq(col("term"),
           when(col("na").isNull, lit(0L)).otherwise(
             expr("__td_ca * (1000000 div na) " +
               "+ (__td_ca * (1000000 % na)) div na")).as("rate_a_ppm"),
@@ -1042,6 +1080,14 @@ object TextFunctions {
               "+ (__td_cb * (1000000 % nb)) div nb")).as("rate_b_ppm")): _*)
         .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
     }
+
+  private def driftRates(docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String, textCol: String, sliceA: String,
+      sliceB: String, groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    driftRatesFromCounts(
+      driftCounts(docs, sliceCol, textCol, sliceA, sliceB, groupCols),
+      sliceA, sliceB, grouped = groupCols.nonEmpty)
 
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "") // 1. fragment

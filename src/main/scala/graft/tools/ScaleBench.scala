@@ -1076,23 +1076,35 @@ object ScaleBench {
         // shapes return identical results, (c) the pruned serve is
         // cheaper per batch — the property a 10^11-row artifact's
         // serving job lives or dies by.
+        //
+        // SHAPE matters for (c), measured: pruning saves reads in
+        // proportion to 1 - (batch's probed-cell union / nCells), so a
+        // BROAD batch over a narrow index defeats it — a first cut at
+        // 256-query batches x nProbe 8 over 64 cells probed 57% of the
+        // buckets per batch and the per-batch probe/reload overhead ate
+        // the saving (112.1 s pruned vs 101.7 s full at n=2^22). The
+        // probe therefore uses the narrow-batch serving shape (16
+        // queries/batch, nProbe 4) over a 256-cell/256-bucket index —
+        // the production geometry, where a batch touches a small
+        // fraction of the artifact.
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import spark.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext =
           spark.sqlContext
         val dim = 64
+        val nCells = 256
         val pts = syntheticVectors(spark, n, dim)
         val idx = graft.operators.Similarity.ivfPqIndex(
-          pts, "vec_id", "embedding", nCells = 64, m = 8, kCent = 16)
+          pts, "vec_id", "embedding", nCells = nCells, m = 8, kCent = 16)
         idx._1.count()
         graft.operators.Similarity.ivfPqSave(
-          idx, "scale_serve_idx", numBuckets = 64)
-        // 4 micro-batches x 256 queries (driver-known by construction:
+          idx, "scale_serve_idx", numBuckets = nCells)
+        // 8 micro-batches x 16 queries (driver-known by construction:
         // a bounded query batch is the serving contract).
-        val qvecs = pts.filter(col("vec_id") < 1024)
+        val qvecs = pts.filter(col("vec_id") < 128)
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])].collect()
-        val batches = qvecs.grouped(256).toSeq
+        val batches = qvecs.grouped(16).toSeq
         // PRUNED (st23b): per-batch probed-cell literal pushdown.
         val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
         val fracs = scala.collection.mutable.Buffer.empty[(Int, Int)]
@@ -1102,7 +1114,7 @@ object ScaleBench {
         val q1 = graft.streaming.Streams.streamingIvfPqServeTable(
             in1.toDF().toDF("vec_id", "embedding"),
             "scale_serve_idx", "vec_id", "embedding",
-            k = 10, nProbe = 8) { (res, _) =>
+            k = 10, nProbe = 4) { (res, _) =>
             val m = sel.findFirstMatchIn(
               res.queryExecution.executedPlan.toString)
             require(m.isDefined, "per-batch bucket pruning must fire")
@@ -1127,7 +1139,7 @@ object ScaleBench {
             if (!batch.isEmpty)
               fullHits += graft.operators.Similarity.ivfPqTopK(
                 batch, batch, "vec_id", "embedding", k = 10,
-                nCells = 64, nProbe = 8, m = 8, kCent = 16,
+                nCells = nCells, nProbe = 4, m = 8, kCent = 16,
                 indexOf = Some((loaded, lc, lb))).count()
           }.start()
         batches.foreach { b => in2.addData(b: _*); q2.processAllAvailable() }
@@ -1136,7 +1148,7 @@ object ScaleBench {
         require(prunedHits == fullHits,
           s"pruned serve diverged: $prunedHits vs $fullHits hits")
         val worst = fracs.map { case (g, t) => g * 100 / t }.max
-        println(f"SCALE-OK st-ann-serve n=$n dim=$dim cells=64 " +
+        println(f"SCALE-OK st-ann-serve n=$n dim=$dim cells=$nCells " +
           f"batches=${batches.size} prunedServe=$prunedSec%.1f " +
           f"fullScanServe=$fullSec%.1f worstBucketPct=$worst " +
           f"hits=$prunedHits")

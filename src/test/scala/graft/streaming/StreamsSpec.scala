@@ -71,6 +71,39 @@ class StreamsSpec extends AnyFunSuite with SparkTestHarness {
       "held-out probe must not be a driver-set UDF")
   }
 
+  test("streamingDriftCounts: cross-batch additive counts == the batch " +
+      "counts on the union; finalize tail == corpusDriftTv") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = Streams.streamingDriftCounts(
+      input.toDF().toDF("half", "text"), "half", "text", "0", "1")
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(("0", "the cat sat"), ("1", "the cat ran"))
+      q.processAllAvailable()
+      input.addData(("0", "dog days the"), ("1", "red red cat"),
+        ("2", "ignored slice"))
+      q.processAllAvailable()
+      val all = Seq(("0", "the cat sat"), ("1", "the cat ran"),
+        ("0", "dog days the"), ("1", "red red cat"), ("2", "ignored slice"))
+        .toDF("half", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, String, Long)].collect().toSet
+      assert(rows(spark.table("drift_out")) ==
+        rows(graft.text.TextFunctions.driftCounts(
+          all, "half", "text", "0", "1")))
+      // The drained state finalizes to the batch monitor's scalar.
+      val got = graft.text.TextFunctions
+        .driftRatesFromCounts(spark.table("drift_out"), "0", "1")
+        .agg(count(lit(1)), sum($"drift_ppm")).as[(Long, Long)].head()
+      val want = graft.text.TextFunctions
+        .corpusDriftTv(all, "half", "text", "0", "1")
+        .as[(Long, Long)].head()
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streamingHllRollupRegisters: cross-batch lattice state == the " +
       "batch rollup on the union; state bounded by slices x 2^p") {
     implicit val sqlCtx = spark.sqlContext
