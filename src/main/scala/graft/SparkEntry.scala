@@ -2661,6 +2661,23 @@ object SparkEntry {
           coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
     }),
 
+    // ... and its GROUPED form (st28b — t24 at ingest): per-source
+    // (group, slice, term) counts as additive state, the drained state
+    // finalized through the same grouped ppm/TV tail. Oracle = t24's
+    // SQL verbatim.
+    "st28b_stream_grouped_drift" -> ((s, d) => {
+      val counts = drainStream(
+        graft.streaming.Streams.streamingGroupedDriftCounts(
+          streamTbl(s, d, "documents")
+            .withColumn("half", (col("doc_id") % 2).cast("string")),
+          "source", "half", "text", "0", "1"),
+        "st28b_sink", "complete")
+      TextFunctions.driftRatesFromCounts(counts, "0", "1", grouped = true)
+        .groupBy(col("__td_g").as("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
+    }),
+
     // Streaming ROLLUP HLL: the q33 OLAP-lattice register table as
     // streaming state — ONE Expand-fed aggregate maintains all three
     // lattice levels' monotone register maxes (state = slices x 2^p
@@ -5709,30 +5726,10 @@ object SparkEntry {
     // The t23 drift replay with the group key riding every stage:
     // per-(group, slice) totals, the within-group full-outer term join,
     // the same exact-ppm split, folded per group.
-    "t24_grouped_drift" ->
-      """WITH t AS (SELECT source AS g, CAST(doc_id % 2 AS VARCHAR) AS s,
-        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
-        |c AS (SELECT g, s, term, CAST(count(*) AS BIGINT) AS c
-        |  FROM t GROUP BY 1, 2, 3),
-        |ta AS (SELECT g, CAST(sum(c) AS BIGINT) AS na FROM c WHERE s = '0' GROUP BY 1),
-        |tb AS (SELECT g, CAST(sum(c) AS BIGINT) AS nb FROM c WHERE s = '1' GROUP BY 1),
-        |a AS (SELECT g, term, c AS ca FROM c WHERE s = '0'),
-        |b AS (SELECT g, term, c AS cb FROM c WHERE s = '1'),
-        |j AS (SELECT coalesce(a.g, b.g) AS g, coalesce(a.term, b.term) AS term,
-        |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |  FROM a FULL OUTER JOIN b ON a.g = b.g AND a.term = b.term),
-        |r AS (SELECT j.g, term,
-        |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
-        |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
-        |    END AS BIGINT) AS rate_a_ppm,
-        |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
-        |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
-        |    END AS BIGINT) AS rate_b_ppm
-        |  FROM j LEFT JOIN ta ON ta.g = j.g LEFT JOIN tb ON tb.g = j.g)
-        |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
-        |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
-        |FROM r GROUP BY 1""".stripMargin,
+    "t24_grouped_drift" -> t24OracleSql,
+
+    // The grouped streaming monitor finalizes to the same per-group TV.
+    "st28b_stream_grouped_drift" -> t24OracleSql,
 
     // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
     // per-size covered sums via the rank theta join, one rounded ratio.
@@ -7124,6 +7121,36 @@ object SparkEntry {
       |  round(0.709::DOUBLE * 64.0::DOUBLE * 64.0::DOUBLE *
       |    36028797018963968.0::DOUBLE / CAST(sum_scaled AS DOUBLE), 6) AS est6
       |FROM e""".stripMargin
+
+  /** The t24 grouped-drift replay, shared verbatim by st28b: the t23
+    * chain with the group key riding every stage — per-(group, slice)
+    * totals, the within-group full-outer term join, the same exact-ppm
+    * split, folded per group.
+    */
+  private lazy val t24OracleSql: String =
+    """WITH t AS (SELECT source AS g, CAST(doc_id % 2 AS VARCHAR) AS s,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |c AS (SELECT g, s, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2, 3),
+      |ta AS (SELECT g, CAST(sum(c) AS BIGINT) AS na FROM c WHERE s = '0' GROUP BY 1),
+      |tb AS (SELECT g, CAST(sum(c) AS BIGINT) AS nb FROM c WHERE s = '1' GROUP BY 1),
+      |a AS (SELECT g, term, c AS ca FROM c WHERE s = '0'),
+      |b AS (SELECT g, term, c AS cb FROM c WHERE s = '1'),
+      |j AS (SELECT coalesce(a.g, b.g) AS g, coalesce(a.term, b.term) AS term,
+      |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN b ON a.g = b.g AND a.term = b.term),
+      |r AS (SELECT j.g, term,
+      |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
+      |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
+      |    END AS BIGINT) AS rate_a_ppm,
+      |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
+      |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
+      |    END AS BIGINT) AS rate_b_ppm
+      |  FROM j LEFT JOIN ta ON ta.g = j.g LEFT JOIN tb ON tb.g = j.g)
+      |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
+      |FROM r GROUP BY 1""".stripMargin
 
   private lazy val t23DriftCtes: String =
     """WITH t AS (SELECT CAST(doc_id % 2 AS VARCHAR) AS s,

@@ -333,6 +333,18 @@ object Streams {
     graft.text.TextFunctions.driftCounts(
       stream, sliceCol, textCol, sliceA, sliceB)
 
+  /** The GROUPED form (st28b — t24's streaming twin): per-category
+    * (group, slice, term) counts as additive state, the mixing
+    * dashboard maintained at ingest. State bound gains the groups
+    * factor exactly as the batch reduce side does; the drained state
+    * finalizes through the same grouped tail.
+    */
+  def streamingGroupedDriftCounts(stream: DataFrame, groupCol: String,
+      sliceCol: String, textCol: String, sliceA: String,
+      sliceB: String): DataFrame =
+    graft.text.TextFunctions.driftCounts(
+      stream, sliceCol, textCol, sliceA, sliceB, groupCols = Seq(groupCol))
+
   /** Per-micro-batch PRUNED ANN serving off a PERSISTED index table
     * (st23b — the production RAG serving shape): st23's stream-static
     * join bounds COMPUTE with the cell equi-join, but its static side
