@@ -3086,6 +3086,15 @@ object SparkEntry {
       g.hyperBall.radius(3).precision(4).closenessCentrality()
     }),
 
+    // Lin centrality (g33 — the third Boldi–Vigna geometric measure):
+    // reach² / distance-sum off the same shell frames — integer anchors
+    // (reach micros, cball_lat) plus ONE rounded float expression;
+    // reach-only vertices take the defined value 1 (sinks pinned).
+    "g33_hyperball_lin" -> ((s, d) => {
+      val g = GraphFrame.fromEdges(custOrderPartEdges(s, d))
+      g.hyperBall.radius(3).precision(4).linCentrality()
+    }),
+
     // The neighborhood function N(t) + effective diameter (HyperANF's
     // headline): per-radius global reach on the integer micro lattice
     // (per-vertex estimates round to micros BEFORE the fold — no float
@@ -4006,6 +4015,7 @@ object SparkEntry {
     "g30_neighborhood_fn" -> g30OracleSql,
     "g31_hyperball_harmonic" -> g31OracleSql,
     "g32_hyperball_closeness" -> g32OracleSql,
+    "g33_hyperball_lin" -> g33OracleSql,
 
     // Resource-Allocation replay: symmetrize (drop loops, canonical
     // distinct, both directions), full-adjacency degrees, capped wedge
@@ -7207,6 +7217,20 @@ object SparkEntry {
   private lazy val g32OracleSql: String = hyperBallShellOracle(
     """CAST(1 * (b1.b - b0.b) + 2 * (b2.b - b1.b)
       |    + 3 * (b3.b - b2.b) AS BIGINT) AS cball_lat""".stripMargin)
+
+  /** The g33 Lin replay: the same chain, reach = b3 plus the g32 fold,
+    * one rounded float ratio (sinks take the defined value 1).
+    */
+  private lazy val g33OracleSql: String = hyperBallShellOracle(
+    """b3.b AS reach_micros,
+      |  CAST(1 * (b1.b - b0.b) + 2 * (b2.b - b1.b)
+      |    + 3 * (b3.b - b2.b) AS BIGINT) AS cball_lat,
+      |  CASE WHEN (1 * (b1.b - b0.b) + 2 * (b2.b - b1.b)
+      |      + 3 * (b3.b - b2.b)) = 0 THEN 1.0::DOUBLE
+      |    ELSE round(CAST(b3.b AS DOUBLE) * CAST(b3.b AS DOUBLE) /
+      |      (CAST(1 * (b1.b - b0.b) + 2 * (b2.b - b1.b)
+      |        + 3 * (b3.b - b2.b) AS DOUBLE) * 1000000.0::DOUBLE), 6)
+      |    END AS lin6""".stripMargin)
 
   /** The shared g31/g32 shell-chain replay (radius 3, p = 4 on the
     * customer→order→part DAG): register rounds s1..s3, per-radius

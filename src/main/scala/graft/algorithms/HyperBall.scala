@@ -230,6 +230,40 @@ class HyperBall(graph: GraphFrame) {
     ballMicrosJoined().select(col(GraphFrame.ID), fold.as("cball_lat"))
   }
 
+  /** Approximate LIN centrality (g33 — the third of Boldi–Vigna's
+    * geometric centralities, "Axioms for centrality" §3: closeness
+    * rewarding reach): `lin(v) = |B_r(v)|² / Σ_u dist(v → u)` — the
+    * closeness reciprocal scaled by the squared reachable-set size, so
+    * a vertex reaching many nodes slowly can outrank one reaching two
+    * nodes instantly (plain closeness cannot). Both terms come off the
+    * SAME shell frames: reach = the radius-r ball micros, the distance
+    * sum = the t-weighted fold ([[closenessCentrality]]'s `cball_lat`).
+    * Output anchors the integers and rounds ONE float expression —
+    * `[id, reach_micros, cball_lat, lin6]` with
+    * `lin6 = round(reach² / (cball_lat · 1e6), 6)` (units cancel:
+    * micros² / (micros·1e6) = the real-valued ratio) — the q14 one-
+    * rounded-expression gate discipline. A vertex reaching only itself
+    * has distance sum 0; Boldi–Vigna define its centrality as 1, the
+    * branch the gate pins on sinks.
+    */
+  def linCentrality(): DataFrame = {
+    require(r <= 12,
+      s"linCentrality: radius $r exceeds the shared lattice guard" +
+        " (max 12) — deeper horizons need a rational fold")
+    val sumd = (1 to r).map(i =>
+      lit(i.toLong) * (col(s"__hb_b$i") - col(s"__hb_b${i - 1}")))
+      .reduce(_ + _)
+    val reach = col(s"__hb_b$r")
+    ballMicrosJoined()
+      .withColumn("cball_lat", sumd)
+      .select(col(GraphFrame.ID), reach.as("reach_micros"),
+        col("cball_lat"),
+        when(col("cball_lat") === 0L, lit(1.0)).otherwise(
+          round(reach.cast("double") * reach.cast("double") /
+            (col("cball_lat").cast("double") * lit(1000000.0)), 6))
+          .as("lin6"))
+  }
+
   /** `[id, __hb_b0 .. __hb_br]` — per-vertex corrected ball-size micros
     * at every radius, the shared input of both shell folds.
     */

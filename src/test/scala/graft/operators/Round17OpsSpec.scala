@@ -258,6 +258,50 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("append-ordered"))
   }
 
+  test("linCentrality == the exact-ball replay on a chain; sink takes " +
+      "the defined value 1; mid-chain vertices outrank the sink") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val vertices = Seq(1L, 2L, 3L, 4L)
+    val g = graft.graph.GraphFrame(
+      vertices.toDF("id"), edges.toDF("src", "dst"))
+    val got = g.hyperBall.radius(3).precision(4).linCentrality()
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    val p = 4; val m = 16; val sBits = 60 - p + 1
+    def ball(v: Long, r: Int): Set[Long] =
+      (v to math.min(v + r, 4L)).toSet
+    def bMicros(members: Set[Long]): Long = {
+      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+        .map { case (_, ms) => ms.map { u =>
+          val w = Sampling.hash60OfString(u.toString) >>> p
+          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max }
+      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
+        (m - regs.size).toLong * (1L << sBits)
+      val nZero = m - regs.size
+      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
+        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val corr = if (nZero > 0 && raw <= 40.0)
+        graft.algorithms.HyperBall.lcConstants(4)(nZero - 1)
+      else raw
+      math.round(corr * 1000000.0)
+    }
+    val want = vertices.map { v =>
+      val b = (0 to 3).map(t => bMicros(ball(v, t)))
+      val cb = 1L * (b(1) - b(0)) + 2L * (b(2) - b(1)) + 3L * (b(3) - b(2))
+      val lin = if (cb == 0L) 1.0
+        else BigDecimal(b(3).toDouble * b(3).toDouble /
+          (cb.toDouble * 1000000.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v -> ((b(3), cb, lin))
+    }.toMap
+    assert(got == want)
+    // Sink: reaches only itself -> the defined value 1.
+    assert(got(4L)._3 == 1.0)
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
