@@ -1064,6 +1064,59 @@ object ScaleBench {
           f"serveFrag=$serveFragSec%.1f serveCompact=$serveCompactSec%.1f " +
           f"hits=$hitsCompact")
 
+      case "drift" =>
+        // The drift-monitor family (t23b/t24) at corpus scale, with an
+        // EXACT correctness law riding the timing: text derives from
+        // `id div 2` while the slice is `id % 2`, so the two slices
+        // carry identical term multisets and the TV distance is EXACTLY
+        // zero — any nonzero reading is a bug, not noise. A perturbed
+        // pass (one marker token injected into a hash-selected sliver
+        // of slice 1) must read nonzero — the monitor detects what it
+        // exists to detect. The claim under the timing: the reduce side
+        // is slices x vocabulary (65k terms here), never corpus-sized.
+        val vocab = 65536L
+        def zipfText(base: org.apache.spark.sql.Column) = concat_ws(" ",
+          transform(sequence(lit(0), lit(19)), i => {
+            val u = pmod(xxhash64(base, i), lit(1000000L)).cast("double") /
+              lit(1000000.0)
+            concat(lit("t"), (pow(u, lit(3.0)) * lit(vocab.toDouble))
+              .cast("long").cast("string"))
+          }))
+        val docs = spark.range(n).select(
+          (col("id") % 2).cast("string").as("half"),
+          expr("(id div 2) % 8").cast("string").as("source"),
+          zipfText(expr("id div 2")).as("text"))
+        val tz0 = System.nanoTime()
+        val z = graft.text.TextFunctions
+          .corpusDriftTv(docs, "half", "text", "0", "1").head()
+        val corpusSec = (System.nanoTime() - tz0) / 1e9
+        require(z.getLong(1) == 0L,
+          s"paired slices must read EXACTLY zero drift, got ${z.getLong(1)}")
+        require(z.getLong(0) <= vocab + 1,
+          s"n_terms ${z.getLong(0)} exceeds the vocabulary bound")
+        val tg0 = System.nanoTime()
+        val grp = graft.text.TextFunctions
+          .groupedDriftTv(docs, "source", "half", "text", "0", "1")
+          .collect()
+        val groupedSec = (System.nanoTime() - tg0) / 1e9
+        require(grp.length == 8 && grp.forall(_.getLong(2) == 0L),
+          "every group's paired slices must read zero drift")
+        // Perturbed: slice 1 gains a marker token on ~1/1024 of docs.
+        val perturbed = docs.withColumn("text",
+          when(col("half") === "1" &&
+              pmod(xxhash64(col("text")), lit(1024L)) === 0L,
+            concat(col("text"), lit(" driftmarker")))
+            .otherwise(col("text")))
+        val tp0 = System.nanoTime()
+        val pz = graft.text.TextFunctions
+          .corpusDriftTv(perturbed, "half", "text", "0", "1").head()
+        val perturbSec = (System.nanoTime() - tp0) / 1e9
+        require(pz.getLong(1) > 0L,
+          "the injected marker must register as nonzero drift")
+        println(f"SCALE-OK drift n=$n vocab=$vocab terms=${z.getLong(0)} " +
+          f"corpusTv=$corpusSec%.1f groupedTv=$groupedSec%.1f " +
+          f"perturbTvPpm=${pz.getLong(1)} perturb=$perturbSec%.1f")
+
       case "st-ann-serve" =>
         // st23b at corpus scale: serve a QUERY STREAM off the persisted
         // index, contrasting the two streaming shapes on the same index
