@@ -1064,6 +1064,50 @@ object ScaleBench {
           f"serveFrag=$serveFragSec%.1f serveCompact=$serveCompactSec%.1f " +
           f"hits=$hitsCompact")
 
+      case "snap-lifecycle" =>
+        // The b10/b11/b12 snapshot lifecycle at corpus scale: pin,
+        // append, pin, DELTA-read, compact (retention fires), read both
+        // frozen pins across the rewrite, expire (GC). The claims this
+        // anchors: (a) a snapshot prices like a directory listing, not
+        // a data pass; (b) the delta read scans ONLY the appended bytes
+        // (row pin: exactly the append's rows); (c) compaction's
+        // retention is a same-FS rename — metadata-priced, and both
+        // pins stay exactly readable across the rewrite; (d) expiry
+        // GCs the retained dir away.
+        import graft.sources.BucketedTables
+        val base = spark.range(n).select(col("id"),
+          (col("id") * 7 % 1000).as("v"))
+        BucketedTables.writeBucketed(base.filter(col("id") % 8 =!= 0),
+          "scale_snap", 64, Seq("id"))
+        val ts0 = System.nanoTime()
+        BucketedTables.snapshot(spark, "scale_snap", "t1")
+        val snapSec = (System.nanoTime() - ts0) / 1e9
+        BucketedTables.appendBucketed(base.filter(col("id") % 8 === 0),
+          "scale_snap")
+        BucketedTables.snapshot(spark, "scale_snap", "t2")
+        val td0 = System.nanoTime()
+        val deltaRows = BucketedTables.readSnapshotDelta(
+          spark, "scale_snap", "t1", "t2").count()
+        val deltaSec = (System.nanoTime() - td0) / 1e9
+        require(deltaRows == (n + 7) / 8,
+          s"delta must be exactly the appended rows: $deltaRows")
+        val tc0 = System.nanoTime()
+        BucketedTables.compactTable(spark, "scale_snap")
+        val compactSec = (System.nanoTime() - tc0) / 1e9
+        val t1Rows = BucketedTables.readSnapshot(spark, "scale_snap", "t1").count()
+        val t2Rows = BucketedTables.readSnapshot(spark, "scale_snap", "t2").count()
+        require(t1Rows == n - (n + 7) / 8 && t2Rows == n,
+          s"frozen pins diverged across compaction: t1=$t1Rows t2=$t2Rows")
+        BucketedTables.expireSnapshot(spark, "scale_snap", "t1")
+        BucketedTables.expireSnapshot(spark, "scale_snap", "t2")
+        require(BucketedTables.snapshotTags(spark, "scale_snap").isEmpty,
+          "expiry must clear the snapshot tags")
+        require(spark.table("scale_snap").count() == n,
+          "the live table must be untouched by snapshot GC")
+        println(f"SCALE-OK snap-lifecycle n=$n snap=$snapSec%.1f " +
+          f"deltaRead=$deltaSec%.1f compactRetain=$compactSec%.1f " +
+          f"t1=$t1Rows t2=$t2Rows")
+
       case "drift" =>
         // The drift-monitor family (t23b/t24) at corpus scale, with an
         // EXACT correctness law riding the timing: text derives from
