@@ -610,6 +610,21 @@ object SparkEntry {
       GraphFrame.fromEdges(custNationRegionEdges(s, d))
         .connectedComponents.run().components),
 
+    // INCREMENTAL WCC (g34 — the daily-delta form): yesterday's labels
+    // (WCC on ~4/5 of the edges) composed with today's hash-selected
+    // delta through the contracted merge map — delta-bounded work plus
+    // one V-sized label pass, never an E-sized edge re-scan. Oracle =
+    // the g07 full-recompute replay verbatim: composition must be
+    // bit-identical to recomputing over the union.
+    "g34_wcc_incremental" -> ((s, d) => {
+      val edges = custNationRegionEdges(s, d)
+      val isDelta = pmod(col("src") + col("dst"), lit(5)) === 0
+      val prev = GraphFrame.fromEdges(edges.filter(!isDelta))
+        .connectedComponents.run().components
+      graft.algorithms.ConnectedComponents.incremental(
+        prev, edges.filter(isDelta))
+    }),
+
     "g08_pagerank" -> ((s, d) => {
       val edges = tbl(s, d, "customer").select(
         col("c_custkey").as("src"), (col("c_nationkey").cast(LongType) + 3000000L).as("dst"))
@@ -3935,17 +3950,10 @@ object SparkEntry {
         |SELECT v.id, coalesce(CAST(min(r.dd) AS BIGINT), 2147483647) AS dist_1
         |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
 
-    "g07_wcc" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
-        |  UNION ALL
-        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
-        |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |r(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM ud
-        |  UNION
-        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst)
-        |SELECT id, CAST(min(lab) AS BIGINT) AS component FROM r GROUP BY id""".stripMargin,
+    "g07_wcc" -> g07OracleSql,
+
+    // Incremental composition must equal the full recompute exactly.
+    "g34_wcc_incremental" -> g07OracleSql,
 
     "g08_pagerank" ->
       """WITH e AS (SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer),
@@ -7161,6 +7169,22 @@ object SparkEntry {
       |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
       |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
       |FROM r GROUP BY 1""".stripMargin
+
+  /** The full-WCC recursive-CTE replay on the customer→nation→region
+    * graph, shared verbatim by g34 (incremental composition must equal
+    * the full recompute).
+    */
+  private lazy val g07OracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+      |  UNION ALL
+      |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
+      |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |r(id, lab) AS (
+      |  SELECT DISTINCT src, src FROM ud
+      |  UNION
+      |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst)
+      |SELECT id, CAST(min(lab) AS BIGINT) AS component FROM r GROUP BY id""".stripMargin
 
   private lazy val t23DriftCtes: String =
     """WITH t AS (SELECT CAST(doc_id % 2 AS VARCHAR) AS s,

@@ -282,3 +282,69 @@ class ConnectedComponents(graph: GraphFrame) {
     ConnectedComponentsResult(out, iteration)
   }
 }
+
+object ConnectedComponents {
+
+  /** INCREMENTAL WCC (g34) — the daily-delta form: compose yesterday's
+    * component labels with today's edge delta WITHOUT re-scanning
+    * yesterday's edges. At 100 TB the edge set dwarfs the vertex set;
+    * re-running full WCC per ingest batch re-shuffles E edges, while
+    * this composes in three delta-sized steps plus ONE pass over the
+    * V-sized label frame:
+    *
+    *   1. relabel the delta's endpoints through `prevComponents`
+    *      (endpoints unseen yesterday label themselves — new vertices);
+    *   2. run WCC on the CONTRACTED delta graph — its vertices are the
+    *      touched component labels + new vertices, so the iterative
+    *      loop works on a frame bounded by the DELTA, never the corpus;
+    *   3. compose: map every previous label through the contracted
+    *      result (a join against the delta-bounded merge map — Catalyst
+    *      broadcasts it when small, which is the every-day case) and
+    *      append the new vertices.
+    *
+    * CONTRACT: `prevComponents` must be min-member-id labeled (the
+    * default `labelsAsComponents` output of [[ConnectedComponents]]).
+    * That invariant is what makes composition exact: the contracted
+    * WCC's min is then the min over all member ids, so the output is
+    * bit-identical to a full recompute over `oldEdges ∪ deltaEdges` —
+    * the g34 oracle's claim. Raw-label frames (hash-chain labels) break
+    * the invariant silently; they are not valid inputs.
+    *
+    * Edges are undirected as in full WCC; delta edges internal to one
+    * existing component contract to dropped self-loops (a no-op, as
+    * they must be). Output `[id, component]` over yesterday's vertices
+    * ∪ the delta's endpoints.
+    */
+  def incremental(prevComponents: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val ID = GraphFrame.ID
+    require(Seq(ID, "component").forall(prevComponents.columns.contains),
+      s"prevComponents needs [$ID, component] (a components frame), " +
+        s"got ${prevComponents.columns.mkString(", ")}")
+    val prev = prevComponents.select(col(ID), col("component"))
+    val sMap = prev.select(col(ID).as("__iw_s"), col("component").as("__iw_sc"))
+    val dMap = prev.select(col(ID).as("__iw_d"), col("component").as("__iw_dc"))
+    val contracted = deltaEdges
+      .select(col(GraphFrame.SRC), col(GraphFrame.DST))
+      .join(sMap, col(GraphFrame.SRC) === col("__iw_s"), "left")
+      .join(dMap, col(GraphFrame.DST) === col("__iw_d"), "left")
+      .select(coalesce(col("__iw_sc"), col(GraphFrame.SRC)).as(GraphFrame.SRC),
+        coalesce(col("__iw_dc"), col(GraphFrame.DST)).as(GraphFrame.DST))
+      .filter(col(GraphFrame.SRC) =!= col(GraphFrame.DST))
+      .distinct()
+    // The merge map [touched label -> merged min label], delta-bounded.
+    val m = GraphFrame.fromEdges(contracted)
+      .connectedComponents.run().components
+      .select(col(ID).as("__iw_label"), col("component").as("__iw_super"))
+    val newV = deltaEdges.select(col(GraphFrame.SRC).as(ID))
+      .unionByName(deltaEdges.select(col(GraphFrame.DST).as(ID)))
+      .distinct()
+      .join(prev.select(ID), Seq(ID), "left_anti")
+    val newRows = newV.join(m, col(ID) === col("__iw_label"), "left")
+      .select(col(ID), coalesce(col("__iw_super"), col(ID)).as("component"))
+    prev.join(m, col("component") === col("__iw_label"), "left")
+      .select(col(ID),
+        coalesce(col("__iw_super"), col("component")).as("component"))
+      .unionByName(newRows)
+  }
+}

@@ -302,6 +302,48 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got(4L)._3 == 1.0)
   }
 
+  // ---- g34 incremental WCC ----
+
+  test("incremental WCC == full recompute on random graphs across " +
+      "splits: bridging deltas, internal deltas, brand-new vertices") {
+    import graft.algorithms.ConnectedComponents
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 10
+      val all = (1 to (n * 3 / 2)).map(_ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L))
+        .filter { case (a, b) => a != b } ++
+        // Edges reaching OUTSIDE [1, n]: vertices the base never sees.
+        Seq((1L, (n + 5).toLong), ((n + 5).toLong, (n + 6).toLong))
+      val edges = all.toDF("src", "dst")
+      val isDelta = (e: (Long, Long)) => (e._1 + e._2) % 3 == 0
+      val base = all.filterNot(isDelta).toDF("src", "dst")
+      val delta = all.filter(isDelta).toDF("src", "dst")
+      val prev = graft.graph.GraphFrame.fromEdges(base)
+        .connectedComponents.run().components
+      val got = ConnectedComponents.incremental(prev, delta)
+        .as[(Long, Long)].collect().toSet
+      val want = graft.graph.GraphFrame.fromEdges(edges)
+        .connectedComponents.run().components
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial diverged")
+    }
+    // Empty-contraction path: a delta internal to one component.
+    val base2 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val prev2 = graft.graph.GraphFrame.fromEdges(base2)
+      .connectedComponents.run().components
+    val got2 = ConnectedComponents.incremental(
+        prev2, Seq((1L, 3L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    // Malformed label frame refused loudly.
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.incremental(
+        Seq((1L, 1L)).toDF("id", "label"), base2)
+    }
+    assert(e.getMessage.contains("component"))
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
