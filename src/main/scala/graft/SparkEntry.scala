@@ -7157,7 +7157,8 @@ object SparkEntry {
       |b AS (SELECT g, term, c AS cb FROM c WHERE s = '1'),
       |j AS (SELECT coalesce(a.g, b.g) AS g, coalesce(a.term, b.term) AS term,
       |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-      |  FROM a FULL OUTER JOIN b ON a.g = b.g AND a.term = b.term),
+      |  FROM a FULL OUTER JOIN b
+      |  ON a.g IS NOT DISTINCT FROM b.g AND a.term = b.term),
       |r AS (SELECT j.g, term,
       |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
       |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
@@ -7165,7 +7166,8 @@ object SparkEntry {
       |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
       |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
       |    END AS BIGINT) AS rate_b_ppm
-      |  FROM j LEFT JOIN ta ON ta.g = j.g LEFT JOIN tb ON tb.g = j.g)
+      |  FROM j LEFT JOIN ta ON ta.g IS NOT DISTINCT FROM j.g
+      |  LEFT JOIN tb ON tb.g IS NOT DISTINCT FROM j.g)
       |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
       |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
       |FROM r GROUP BY 1""".stripMargin

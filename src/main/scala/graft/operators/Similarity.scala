@@ -952,9 +952,15 @@ object Similarity {
     // (silently missing vectors) and spuriously block re-adds. Dropped
     // FIRST: a crash after the artifact/books writes but before a
     // trailing drop would leave the stale log over the new generation
-    // (exactly the silent failure above); dropping before the writes
-    // means the worst crash residue is a generation mid-replacement
-    // with no log — a loud, visible state, never a silently-wrong one.
+    // (exactly the silent failure above), and that window sits AFTER
+    // the long writes. Drop-first trades it for a narrower one: between
+    // this drop and writeBucketed's own drop of the old artifact
+    // (microseconds away, no data writes between), a crash leaves the
+    // OLD generation intact without its log — tombstoned vectors would
+    // serve again until the save is re-run. With a non-transactional
+    // file catalog some window exists under every ordering (the books
+    // sidecar replacement below has its own); this ordering makes the
+    // bad window the one that does not follow minutes of artifact I/O.
     graft.sources.BucketedTables.dropWithLocation(
       spark, s"${table}_tombstones")
     graft.sources.BucketedTables.writeBucketed(

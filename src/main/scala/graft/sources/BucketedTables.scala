@@ -152,9 +152,19 @@ object BucketedTables {
     // snapshot expiry; here the PINNED subset moves to the sibling
     // `<table>__retained` directory (a same-FS rename — metadata-only,
     // no byte copy) and every live manifest rewrites to the new paths
-    // BEFORE the drop, so a crash mid-swap still leaves readable
-    // manifests. Unpinned files die with the drop as before; retained
-    // files die at [[expireSnapshot]].
+    // BEFORE the drop. Unpinned files die with the drop as before;
+    // retained files die at [[expireSnapshot]].
+    //
+    // CRASH WINDOW (widened from the pre-retention two-call one): a
+    // failure between these renames and the swap leaves the catalog
+    // pointing `table` at a location MISSING its pinned files — a scan
+    // would silently return partial rows. The complete rewrite is
+    // intact at `<table>__compacting` the whole time; recovery is the
+    // drop + rename by hand (the same recovery the pre-existing swap
+    // window documents below). A plain file catalog cannot make the
+    // retention + swap one atomic pointer write; this is the honest
+    // approximation, with the long work (the staging write) still
+    // entirely inside the safe region.
     retainPinnedFiles(spark, table)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
@@ -165,7 +175,12 @@ object BucketedTables {
     */
   def snapshotTags(spark: SparkSession, table: String): Seq[String] = {
     val prefix = s"${table}__snap_"
-    spark.sessionState.catalog.listTables("default", s"$prefix*")
+    // The CURRENT database, not a hardcoded "default": snapshot()'s
+    // saveAsTable lands in the session database, so a hardcoded name
+    // would silently no-op retention/GC (and let compaction delete
+    // pinned files) whenever the session switched databases.
+    spark.sessionState.catalog.listTables(
+        spark.sessionState.catalog.getCurrentDatabase, s"$prefix*")
       .map(_.table).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
   }
 
@@ -351,6 +366,8 @@ object BucketedTables {
         "pins) — the file-level delta law does not hold; re-baseline " +
         "from the newer snapshot")
     val delta = to.filterNot(from)
+    // `to.head` is total: snapshot() refuses to pin an empty file set,
+    // so every manifest carries >= 1 path to source the schema from.
     if (delta.isEmpty) spark.read.parquet(to.head).limit(0)
     else spark.read.parquet(delta: _*)
   }

@@ -1036,6 +1036,10 @@ object TextFunctions {
         counts.filter(col("__td_s") === v)
           .select((if (grouped) Seq(col("__td_g").as(s"g$sfx")) else Nil) ++
             Seq(col("term").as(s"term$sfx"), col("c").as(s"c$sfx")): _*)
+      // Group-key joins are NULL-SAFE (<=>): a NULL category is a real
+      // category on a mixing dashboard (the st26 lesson — a plain
+      // equi-join silently drops it), and the oracle replays the same
+      // with IS NOT DISTINCT FROM. Terms are never NULL (tokens).
       def withTotal(f: org.apache.spark.sql.DataFrame, sfx: String,
           tn: String) = {
         val tot =
@@ -1043,14 +1047,14 @@ object TextFunctions {
             f.groupBy(s"g$sfx").agg(sum(s"c$sfx").as(tn))
               .select(col(s"g$sfx").as(s"gt$sfx"), col(tn))
           else f.agg(sum(col(s"c$sfx")).as(tn))
-        if (grouped) f.join(tot, col(s"g$sfx") === col(s"gt$sfx"))
+        if (grouped) f.join(tot, col(s"g$sfx") <=> col(s"gt$sfx"))
           .drop(s"gt$sfx")
         else f.join(tot)
       }
       val a = withTotal(side(sliceA, "a"), "a", "na")
       val b = withTotal(side(sliceB, "b"), "b", "nb")
       val joinCond =
-        if (grouped) col("ga") === col("gb") && col("terma") === col("termb")
+        if (grouped) col("ga") <=> col("gb") && col("terma") === col("termb")
         else col("terma") === col("termb")
       val gOut =
         if (grouped) Seq(coalesce(col("ga"), col("gb")).as("__td_g"))

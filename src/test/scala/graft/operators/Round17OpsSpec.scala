@@ -16,6 +16,33 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
 
   // ---- g32 HyperBall closeness ----
 
+  /** Exact out-ball of vertex v on the 1->2->3->4 chain. */
+  private def chainBall(v: Long, r: Int): Set[Long] =
+    (v to math.min(v + r, 4L)).toSet
+
+  /** Driver replay of the corrected per-vertex ball-size micros (p=4)
+    * — shared by the closeness and Lin lattice-replay tests so the
+    * correction discipline lives in ONE place.
+    */
+  private def ballMicros(members: Set[Long]): Long = {
+    val p = 4; val m = 16; val sBits = 60 - p + 1
+    val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
+      .map { case (_, ms) => ms.map { u =>
+        val w = Sampling.hash60OfString(u.toString) >>> p
+        sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+      }.max }
+    val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
+      (m - regs.size).toLong * (1L << sBits)
+    val nZero = m - regs.size
+    val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
+      sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val corr = if (nZero > 0 && raw <= 40.0)
+      graft.algorithms.HyperBall.lcConstants(4)(nZero - 1)
+    else raw
+    math.round(corr * 1000000.0)
+  }
+
   test("lcConstants match the former plan-side round(m*ln(m/z), 6) " +
       "exactly; SQL CASE renders every arm") {
     val cs = graft.algorithms.HyperBall.lcConstants(4)
@@ -40,28 +67,8 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     val got = g.hyperBall.radius(3).precision(4).closenessCentrality()
       .as[(Long, Long)].collect().toMap
 
-    val p = 4; val m = 16; val sBits = 60 - p + 1
-    def ball(v: Long, r: Int): Set[Long] =
-      (v to math.min(v + r, 4L)).toSet
-    def bMicros(members: Set[Long]): Long = {
-      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
-        .map { case (_, ms) => ms.map { u =>
-          val w = Sampling.hash60OfString(u.toString) >>> p
-          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
-        }.max }
-      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
-        (m - regs.size).toLong * (1L << sBits)
-      val nZero = m - regs.size
-      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
-        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
-      val corr = if (nZero > 0 && raw <= 40.0)
-        graft.algorithms.HyperBall.lcConstants(4)(nZero - 1)
-      else raw
-      math.round(corr * 1000000.0)
-    }
     val want = vertices.map { v =>
-      val b = (0 to 3).map(t => bMicros(ball(v, t)))
+      val b = (0 to 3).map(t => ballMicros(chainBall(v, t)))
       v -> (1L * (b(1) - b(0)) + 2L * (b(2) - b(1)) + 3L * (b(3) - b(2)))
     }.toMap
     assert(got == want)
@@ -78,24 +85,31 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     import graft.text.TextFunctions
     // Three groups: mixed slices, one B-heavy, one present in slice A
     // ONLY (its slice-B totals must read absent, not zero-divide).
+    // ... plus a NULL category: a real group on a mixing dashboard (a
+    // plain equi-join would silently drop it — the st26 lesson).
     val docs = Seq(
       ("g1", "0", "the cat sat"), ("g1", "1", "the cat ran far"),
       ("g1", "0", "dog days"), ("g2", "1", "red blue blue"),
-      ("g2", "0", "red"), ("g3", "0", "lonely side alpha")
+      ("g2", "0", "red"), ("g3", "0", "lonely side alpha"),
+      (null, "0", "nul nul one"), (null, "1", "nul two")
     ).toDF("src", "half", "text")
     val got = TextFunctions.groupedDriftTv(
         docs, "src", "half", "text", "0", "1")
-      .as[(String, Long, Long)].collect()
+      .as[(Option[String], Long, Long)].collect()
       .map { case (g, n, tv) => g -> ((n, tv)) }.toMap
-    val want = Seq("g1", "g2", "g3").map { g =>
+    val want = (Seq("g1", "g2", "g3").map(Option(_)) :+ None).map { g =>
+      val slice = g.map(v => docs.filter($"src" === v))
+        .getOrElse(docs.filter($"src".isNull))
       val row = TextFunctions.corpusDriftTv(
-          docs.filter($"src" === g), "half", "text", "0", "1")
+          slice, "half", "text", "0", "1")
         .as[(Long, Long)].head()
       g -> row
     }.toMap
     assert(got == want)
     // The A-only group drifts by exactly its own full rate mass.
-    assert(got("g3")._2 > 0L)
+    assert(got(Some("g3"))._2 > 0L)
+    // The NULL group is present, isolated, and nonzero (its halves differ).
+    assert(got(None)._2 > 0L)
   }
 
   // ---- s27 durable upsert cadence ----
@@ -268,28 +282,8 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
       .as[(Long, Long, Long, Double)].collect()
       .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
 
-    val p = 4; val m = 16; val sBits = 60 - p + 1
-    def ball(v: Long, r: Int): Set[Long] =
-      (v to math.min(v + r, 4L)).toSet
-    def bMicros(members: Set[Long]): Long = {
-      val regs = members.groupBy(u => Sampling.hash60OfString(u.toString) & 15)
-        .map { case (_, ms) => ms.map { u =>
-          val w = Sampling.hash60OfString(u.toString) >>> p
-          sBits - (if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
-        }.max }
-      val sumScaled = regs.map(r => 1L << (sBits - r)).sum +
-        (m - regs.size).toLong * (1L << sBits)
-      val nZero = m - regs.size
-      val raw = BigDecimal(0.673 * 16.0 * 16.0 * math.pow(2.0, sBits) /
-        sumScaled.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
-      val corr = if (nZero > 0 && raw <= 40.0)
-        graft.algorithms.HyperBall.lcConstants(4)(nZero - 1)
-      else raw
-      math.round(corr * 1000000.0)
-    }
     val want = vertices.map { v =>
-      val b = (0 to 3).map(t => bMicros(ball(v, t)))
+      val b = (0 to 3).map(t => ballMicros(chainBall(v, t)))
       val cb = 1L * (b(1) - b(0)) + 2L * (b(2) - b(1)) + 3L * (b(3) - b(2))
       val lin = if (cb == 0L) 1.0
         else BigDecimal(b(3).toDouble * b(3).toDouble /
