@@ -1600,6 +1600,28 @@ object SparkEntry {
         tolerance = Some(7200000000000L))
     }),
 
+    // NEAREST as-of (q36 — merge_asof direction='nearest' + tolerance,
+    // completing the direction trio q20/q32/q36): the sensor/price
+    // alignment join — |Δt|-argmin within the window, ties to the
+    // EARLIER match. Same single-pass merge shape: both carries over
+    // ONE sorted frame, a per-row distance pick, zero row replication.
+    "q36_asof_nearest" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
+          col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("purchase_id"),
+          col("w.cents").as("purchase_cents"))
+      graft.operators.AsOfJoin.nearestInTime(
+        ev.select("event_id", "user_id", "ts"), build,
+        keyCol = "user_id", timeCol = "ts",
+        probeCols = Seq("event_id", "user_id", "ts"),
+        buildCols = Seq("purchase_id", "purchase_cents"),
+        tolerance = Some(7200000000000L))
+    }),
+
     // Salted skew join: lineitem x orders on orderkey with an 8-way salt
     // split (dim replicated 8x, fact rows spread within each key by a
     // payload hash). ANY salt assignment must yield the plain join —
@@ -6071,6 +6093,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p.event_id ORDER BY b.t) AS rn
         |  FROM p JOIN b ON p.user_id = b.user_id AND b.t >= p.ts
         |    AND b.t - p.ts <= 7200000000000)
+        |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
+        |  c.purchase_cents, c.t AS asof_t
+        |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin,
+
+    // Nearest-asof replay: bounded |Δ| candidate enumeration, per-probe
+    // argmin by (distance ASC, build time ASC — ties to the earlier
+    // match), the naive plan the merge shape exists to avoid.
+    "q36_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+        |b AS (SELECT user_id, epoch_ns(ts) AS t,
+        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY abs(b.t - p.ts), b.t) AS rn
+        |  FROM p JOIN b ON p.user_id = b.user_id
+        |    AND abs(b.t - p.ts) <= 7200000000000)
         |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
         |  c.purchase_cents, c.t AS asof_t
         |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin,

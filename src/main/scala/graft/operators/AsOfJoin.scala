@@ -169,4 +169,89 @@ object AsOfJoin {
         buildCols.map(c => col(s"carry.$c").as(c)) :+
         col("carry.asof_t").as("asof_t"): _*)
   }
+
+  /** The NEAREST direction (q36 — pandas
+    * `merge_asof(direction='nearest', tolerance=...)`): for each probe
+    * row, the build row minimizing |build.t − probe.t| within the key
+    * group (and within `tolerance` when set), ties to the EARLIER
+    * (backward) match — "the closest reading to this event", the
+    * feature-engineering join sensor/price alignment runs.
+    *
+    * Same single-pass merge cost shape as the two directed forms — one
+    * hash exchange on the key, one in-partition sort, zero row
+    * replication — because nearest is just BOTH carries over the SAME
+    * sorted frame: the backward `last(ignoreNulls)` over
+    * [unboundedPreceding, currentRow] and the forward
+    * `first(ignoreNulls)` over [currentRow, unboundedFollowing], then a
+    * per-row distance pick. One sort order serves both: build rows sort
+    * BEFORE probes at equal t, so an exact-t match lands in the
+    * BACKWARD carry at distance 0 and wins every comparison — the
+    * forward frame legitimately never sees it.
+    *
+    * The distance compare is integer arithmetic, so `timeCol` must be
+    * NUMERIC on both sides (epoch integers — the tolerance contract of
+    * [[firstAtOrAfter]], here unconditional); enforced loudly. Build
+    * uniqueness per (key, t) and NULL semantics follow
+    * [[lastAtOrBefore]]'s contract verbatim (a NULL-t probe matches
+    * nothing in either direction — masked explicitly on the forward
+    * carry, vacuous on the backward one since nulls sort first).
+    */
+  def nearestInTime(
+      probe: DataFrame, build: DataFrame,
+      keyCol: String, timeCol: String,
+      probeCols: Seq[String], buildCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val outNames = probeCols ++ buildCols :+ "asof_t"
+    require(outNames.distinct == outNames,
+      s"as-of output columns must be disjoint (probeCols ++ buildCols ++ asof_t), got $outNames")
+    require(tolerance.forall(_ >= 0L),
+      s"tolerance must be >= 0, got $tolerance")
+    Seq(probe, build).foreach { side =>
+      val dt = side.schema(timeCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"nearestInTime needs a NUMERIC time column (epoch integers) " +
+          s"for the distance compare; '$timeCol' is $dt")
+    }
+    val buildKept = build.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+    val payload = struct(
+      (buildCols.map(c => col(c).as(c)) :+ col(timeCol).as("asof_t")): _*)
+    val b = buildKept.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), lit(0).as("side"),
+      payload.as("bpay"), lit(null).cast("bigint").as("probe_tag"))
+    val p = probe.select(
+      col(keyCol).as("k"), col(timeCol).as("t"), lit(1).as("side"),
+      lit(null).cast(b.schema("bpay").dataType).as("bpay"),
+      lit(1L).as("probe_tag"),
+      struct(probeCols.map(col): _*).as("ppay"))
+    val bWithP = b.withColumn("ppay", lit(null).cast(p.schema("ppay").dataType))
+
+    val wb = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("k").orderBy("t", "side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = bWithP.unionByName(p)
+      .withColumn("back", last(col("bpay"), ignoreNulls = true).over(wb))
+      .withColumn("fwd", first(col("bpay"), ignoreNulls = true).over(wf))
+      .filter(col("probe_tag").isNotNull)
+      .withColumn("fwd", when(col("t").isNotNull, col("fwd")))
+    val distB = col("t") - col("back.asof_t")
+    val distF = col("fwd.asof_t") - col("t")
+    val masked = tolerance match {
+      case Some(tol) =>
+        carried.withColumn("back", when(distB <= tol, col("back")))
+          .withColumn("fwd", when(distF <= tol, col("fwd")))
+      case None => carried
+    }
+    // Tie (equal distance) goes BACKWARD — the forward carry wins only
+    // strictly; both-null falls through to a null pick.
+    val pick = when(col("back").isNull, col("fwd"))
+      .when(col("fwd").isNull, col("back"))
+      .when(distF < distB, col("fwd"))
+      .otherwise(col("back"))
+    masked.withColumn("pick", pick)
+      .select(
+        probeCols.map(c => col(s"ppay.$c").as(c)) ++
+          buildCols.map(c => col(s"pick.$c").as(c)) :+
+          col("pick.asof_t").as("asof_t"): _*)
+  }
 }

@@ -338,6 +338,71 @@ class Round17OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("component"))
   }
 
+  // ---- q36 nearest as-of ----
+
+  test("nearestInTime hand case: closer-after beats farther-before, " +
+      "equidistant tie goes backward, tolerance excludes, null-t probe " +
+      "matches nothing, exact-t wins at distance zero") {
+    import graft.operators.AsOfJoin
+    val build = Seq((1L, 10L, "b10"), (1L, 20L, "b20"), (1L, 100L, "b100"))
+      .toDF("k", "t", "pay")
+    val probe = Seq(
+      (1L, Some(18L)),  // |18-20|=2 < |18-10|=8 -> b20 (closer after)
+      (1L, Some(15L)),  // |15-10| == |15-20| == 5 -> b10 (tie backward)
+      (1L, Some(20L)),  // exact -> b20 at distance 0
+      (1L, Some(70L)),  // |70-100|=30 > tol=25; |70-20|=50 > tol -> none
+      (1L, None),       // null t -> none
+      (2L, Some(15L))   // no build rows for key 2 -> none
+    ).toDF("k", "t")
+    val got = AsOfJoin.nearestInTime(probe, build, "k", "t",
+        Seq("k", "t"), Seq("pay"), tolerance = Some(25L))
+      .as[(Long, Option[Long], Option[String], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some(18L), Some("b20"), Some(20L)),
+      (1L, Some(15L), Some("b10"), Some(10L)),
+      (1L, Some(20L), Some("b20"), Some(20L)),
+      (1L, Some(70L), None, None),
+      (1L, None, None, None),
+      (2L, Some(15L), None, None)))
+    // Timestamp time columns refuse loudly (the distance is arithmetic).
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearestInTime(
+        probe.withColumn("t", col("t").cast("timestamp")),
+        build.withColumn("t", col("t").cast("timestamp")),
+        "k", "t", Seq("k"), Seq("pay"))
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
+
+  test("nearestInTime == brute-force |dt|-argmin on fuzz with " +
+      "collisions, with and without tolerance") {
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(3636)
+    val build = (1 to 120).map(_ =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(200).toLong))
+      .distinct.map { case (k, t) => (k, t, s"p$k-$t") }
+    val probe = (1 to 200).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(220).toLong, i.toLong))
+    val bDf = build.toDF("k", "t", "pay")
+    val pDf = probe.toDF("k", "t", "pid")
+    for (tol <- Seq(None, Some(15L))) {
+      val got = AsOfJoin.nearestInTime(pDf, bDf, "k", "t",
+          Seq("pid"), Seq("pay"), tolerance = tol)
+        .as[(Long, Option[String], Option[Long])].collect().toSet
+      val want = probe.map { case (k, t, pid) =>
+        val cands = build.filter(b => b._1 == k &&
+          tol.forall(x => math.abs(b._2 - t) <= x))
+        if (cands.isEmpty) (pid, None, None)
+        else {
+          val best = cands.minBy(b => (math.abs(b._2 - t), b._2))
+          (pid, Some(best._3), Some(best._2))
+        }
+      }.toSet
+      assert(got == want, s"tol=$tol diverged")
+    }
+  }
+
   test("closenessCentrality radius guard refuses past the lattice bound") {
     val g = graft.graph.GraphFrame(
       Seq(1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"))
