@@ -161,6 +161,26 @@ class PlanSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("Union"), s"missing union:\n$plan")
   }
 
+  test("nearest as-of: BOTH carries share the one exchange + one sort " +
+      "(same partitioning/ordering, two frames, no second pass)") {
+    // nearestInTime's cost claim: the backward and forward carries ride
+    // the SAME sorted frame — different window FRAMES over identical
+    // partition/order collapse into the one exchange + one sort; a
+    // second Exchange or SortExec would mean the two directions pay the
+    // merge shape twice.
+    import spark.implicits._
+    val probe = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "t")
+    val build = (1L to 200L).map(i => (i % 50, i * 3, s"v$i")).toDF("k", "t", "v")
+    val q = graft.operators.AsOfJoin.nearestInTime(
+      probe, build, "k", "t", Seq("k", "t"), Seq("v"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one Exchange:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) == 1,
+      s"expected exactly one SortExec:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join node:\n$plan")
+  }
+
   test("declared partitioning+ordering checkpoint: SMJ with no exchange, no sort") {
     // The checkpoint both hash-partitions AND sorts within partitions, and
     // declares both on the LogicalRDD — a sort-merge join on the keys must
