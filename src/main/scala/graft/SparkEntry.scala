@@ -2715,6 +2715,23 @@ object SparkEntry {
           coalesce(sum(col("drift_ppm")), lit(0L)).as("tv_ppm"))
     }),
 
+    // CMS-backed streaming drift (st28c — st28's OPEN-VOCABULARY form):
+    // per-slice count-min grids as additive streaming state (bounded by
+    // slices x depth x width forever, vocabulary-independent —
+    // spec-pinned), drained complete and finalized through the cell-TV
+    // ppm tail (a lower-bound estimate; one-sided error is the
+    // operator's semantics). Oracle = the same grid + tail replayed
+    // exactly (the q15/st08 discipline).
+    "st28c_stream_drift_cms" -> ((s, d) => {
+      val counts = drainStream(
+        graft.streaming.Streams.streamingDriftCmsCounts(
+          streamTbl(s, d, "documents")
+            .withColumn("half", (col("doc_id") % 2).cast("string")),
+          "half", "text", "0", "1", depth = 4, width = 1024),
+        "st28c_sink", "complete")
+      TextFunctions.driftTvFromCmsGrids(counts, "0", "1")
+    }),
+
     // Streaming ROLLUP HLL: the q33 OLAP-lattice register table as
     // streaming state — ONE Expand-fed aggregate maintains all three
     // lattice levels' monotone register maxes (state = slices x 2^p
@@ -2915,6 +2932,47 @@ object SparkEntry {
           metaCols = Seq("label")) { (res, batchId) =>
             res.withColumnRenamed("rank", "rnk")
               .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(path).drop("batch")
+    }),
+
+    // Streaming AS-OF ENRICHMENT (st29 — the feature-store lookup at
+    // ingest): the event stream joined per micro-batch to the
+    // latest-at-or-before row of the purchase feature TABLE via the
+    // batch as-of operator inside foreachBatch (the batch IS
+    // driver-known — the st23b discipline), the feature table reloaded
+    // per batch so upserts become visible. Oracle = q20's DuckDB native
+    // ASOF LEFT JOIN SQL verbatim: storage + streaming invisible to the
+    // as-of semantics.
+    "st29_stream_asof_enrich" -> ((s, d) => {
+      val ev = tbl(s, d, "events")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
+          col("event_id")).as("w"))
+        .select(col("user_id"), col("ts"),
+          col("w.event_id").as("purchase_id"),
+          col("w.cents").as("purchase_cents"))
+      // The feature table persists bucketed by the as-of key — the
+      // layout a long-lived serving job wants under its per-batch scan.
+      graft.sources.BucketedTables.writeBucketed(
+        build, "st29_features", 4, Seq("user_id"))
+      val base = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$base/st29_results"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      val q = graft.streaming.Streams.streamingAsOfEnrich(
+          streamTbl(s, d, "events").select("event_id", "user_id", "ts"),
+          "st29_features", keyCol = "user_id", timeCol = "ts",
+          probeCols = Seq("event_id", "user_id", "ts"),
+          buildCols = Seq("purchase_id", "purchase_cents")) {
+          (res, batchId) =>
+            // Batch-id-keyed subdir = idempotent under micro-batch retry.
+            res.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -5771,6 +5829,40 @@ object SparkEntry {
     // The grouped streaming monitor finalizes to the same per-group TV.
     "st28b_stream_grouped_drift" -> t24OracleSql,
 
+    // CMS-drift replay: per-slice salted grids (the st08 hash verbatim,
+    // salted per depth row), per-row slice totals, the same
+    // overflow-safe exact-ppm split per CELL, |Δ| folded per row — the
+    // grid and tail are deterministic, so the lower-bound estimator
+    // replays exactly (one-sided error is semantics, not tolerance).
+    "st28c_stream_drift_cms" ->
+      """WITH t AS (SELECT CAST(doc_id % 2 AS VARCHAR) AS s,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |p AS (SELECT s, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 1024 AS col
+        |  FROM t CROSS JOIN range(4) r),
+        |g AS (SELECT s, row, col, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2, 3),
+        |a AS (SELECT row, col, c AS ca FROM g WHERE s = '0'),
+        |b AS (SELECT row, col, c AS cb FROM g WHERE s = '1'),
+        |ta AS (SELECT row, CAST(sum(ca) AS BIGINT) AS na FROM a GROUP BY 1),
+        |tb AS (SELECT row, CAST(sum(cb) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(a.row, b.row) AS row,
+        |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.row = b.row AND a.col = b.col),
+        |r AS (SELECT j.row, ta.na, tb.nb,
+        |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
+        |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
+        |    END AS BIGINT) AS ra,
+        |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
+        |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
+        |    END AS BIGINT) AS rb
+        |  FROM j LEFT JOIN ta ON ta.row = j.row
+        |  LEFT JOIN tb ON tb.row = j.row)
+        |SELECT row, CAST(coalesce(max(na), 0) AS BIGINT) AS na,
+        |  CAST(coalesce(max(nb), 0) AS BIGINT) AS nb,
+        |  CAST(coalesce(sum(abs(ra - rb)), 0) AS BIGINT) AS tv_ppm
+        |FROM r GROUP BY 1""".stripMargin,
+
     // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
     // per-size covered sums via the rank theta join, one rounded ratio.
     "t22_vocab_coverage" ->
@@ -6069,15 +6161,11 @@ object SparkEntry {
     // oracle that is itself a dedicated engine operator, not a SQL
     // re-derivation. Build dedup winner = max event_id per (user, ts);
     // arg_max carries its cents.
-    "q20_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
-        |b AS (SELECT user_id, epoch_ns(ts) AS t,
-        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
-        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
-        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, p.ts,
-        |  b.purchase_id, b.purchase_cents, b.t AS asof_t
-        |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin,
+    "q20_asof_join" -> q20OracleSql,
+
+    // The streaming enrichment must be invisible to the as-of semantics:
+    // the same native ASOF LEFT JOIN replay, verbatim.
+    "st29_stream_asof_enrich" -> q20OracleSql,
 
     // Forward-asof replay: bounded candidate enumeration (pairs within
     // the 2 h window) + per-probe argmin over b.t — the naive plan the
@@ -7211,6 +7299,22 @@ object SparkEntry {
       |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
       |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
       |FROM r GROUP BY 1""".stripMargin
+
+  /** The as-of join against DuckDB's NATIVE ASOF LEFT JOIN — the one
+    * oracle that is itself a dedicated engine operator, not a SQL
+    * re-derivation. Build dedup winner = max event_id per (user, ts);
+    * arg_max carries its cents. Shared verbatim by st29 (the streaming
+    * enrichment — stream == batch IS the streaming gate's contract).
+    */
+  private lazy val q20OracleSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+      |b AS (SELECT user_id, epoch_ns(ts) AS t,
+      |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+      |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  b.purchase_id, b.purchase_cents, b.t AS asof_t
+      |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin
 
   /** The full-WCC recursive-CTE replay on the customer→nation→region
     * graph, shared verbatim by g34 (incremental composition must equal

@@ -345,6 +345,26 @@ object Streams {
     graft.text.TextFunctions.driftCounts(
       stream, sliceCol, textCol, sliceA, sliceB, groupCols = Seq(groupCol))
 
+  /** CMS-BACKED streaming drift (st28c — the UNBOUNDED-vocabulary
+    * form): [[streamingDriftCounts]]' state is bounded by
+    * slices × distinct TERMS — correct under a fixed tokenizer vocab,
+    * but an open-vocabulary corpus at 100 TB needs state the stream
+    * length and vocabulary cannot grow. Here each token feeds `depth`
+    * salted count-min cells (the st08 additive grid, per slice), so
+    * state is EXACTLY bounded by `slices × depth × width` rows forever
+    * — spec-pinned — and the drained grids finalize through the
+    * cell-TV tail ([[graft.text.TextFunctions.driftTvFromCmsGrids]]):
+    * a lower-bound drift estimate whose one-sided error is the
+    * operator's semantics, not a gate tolerance (grid + tail replay
+    * exactly in the oracle). Drain complete; counts only grow — no
+    * watermark, nothing to evict.
+    */
+  def streamingDriftCmsCounts(stream: DataFrame, sliceCol: String,
+      textCol: String, sliceA: String, sliceB: String,
+      depth: Int, width: Int): DataFrame =
+    graft.text.TextFunctions.driftCmsCounts(
+      stream, sliceCol, textCol, sliceA, sliceB, depth, width)
+
   /** Per-micro-batch PRUNED ANN serving off a PERSISTED index table
     * (st23b — the production RAG serving shape): st23's stream-static
     * join bounds COMPUTE with the cell equi-join, but its static side
@@ -377,10 +397,73 @@ object Streams {
       "streamingIvfPqServeTable serves a STREAM of queries — batch " +
         "query sets call ivfPqSearchTable directly")
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty)
+      if (!batch.isEmpty) {
+        // The micro-batch runs in a CLONED session whose relation cache
+        // pins each table's file listing at first read — refresh the
+        // artifact and its sidecars so mid-stream tombstones/appends
+        // actually become visible at the next batch (the scaladoc's
+        // claim, spec-pinned).
+        val cat = batch.sparkSession.catalog
+        Seq(table, s"${table}_books", s"${table}_tombstones")
+          .filter(cat.tableExists).foreach(cat.refreshTable)
         sink(graft.operators.Similarity.ivfPqSearchTable(
           batch, table, idCol, vecCol, k, nProbe,
           indexFilter = indexFilter, metaCols = metaCols), batchId)
+      }
+    }
+  }
+
+  /** Streaming AS-OF ENRICHMENT (st29 — the feature-store lookup at
+    * ingest): each arriving event joined to the latest-at-or-before row
+    * of a (slowly-updated) FEATURE TABLE — the production shape of the
+    * as-of trio (q20/q32/q36,
+    * [[graft.operators.AsOfJoin.lastAtOrBefore]]), which until this
+    * operator existed only in batch.
+    *
+    * Why foreachBatch and not a stream-static join in the main query:
+    * the as-of carry is a window function over the union of the two
+    * sides, a shape the streaming planner has no incremental operator
+    * for — but inside `foreachBatch` the micro-batch IS a driver-known
+    * plain batch frame (the st23b discipline), so the batch operator
+    * applies verbatim per batch: one hash exchange on the key, one
+    * in-partition sort, zero row replication, re-planned each batch.
+    * Costs scale with |batch| + |feature table|, never with stream
+    * history — and a bucketed feature table
+    * ([[graft.sources.BucketedTables.writeBucketed]] on the key) keeps
+    * the build side's scan layout-aware across every batch.
+    *
+    * The feature table is RELOADED per micro-batch (a fresh
+    * `spark.table` plan, fresh file listing) — upserts/appends landing
+    * mid-stream become visible at the NEXT batch, exactly the
+    * freshness contract a feature store serves (spec-pinned). `sink`
+    * receives each batch's enriched frame
+    * (`probeCols ++ buildCols ++ asof_t`) with its batchId; idempotence
+    * under micro-batch retry is the sink's contract (batch-id-keyed
+    * paths, the st05b discipline).
+    */
+  def streamingAsOfEnrich(stream: DataFrame, featureTable: String,
+      keyCol: String, timeCol: String,
+      probeCols: Seq[String], buildCols: Seq[String])
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming,
+      "streamingAsOfEnrich enriches a STREAM of events — batch probes " +
+        "call AsOfJoin.lastAtOrBefore directly")
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        // Re-resolve the table inside the batch so catalog/file-level
+        // changes (upserts, appends, compactions) are picked up — the
+        // build side is a fresh snapshot every micro-batch. The refresh
+        // is LOAD-BEARING: the micro-batch runs in a CLONED session
+        // whose relation cache pins the table's file listing at stream
+        // start, so without it an upsert landing mid-stream stays
+        // invisible forever (spec-pinned the other way — visible at the
+        // next batch).
+        batch.sparkSession.catalog.refreshTable(featureTable)
+        val build = batch.sparkSession.table(featureTable)
+        sink(graft.operators.AsOfJoin.lastAtOrBefore(
+          batch, build, keyCol, timeCol, probeCols, buildCols), batchId)
+      }
     }
   }
 

@@ -1093,6 +1093,97 @@ object TextFunctions {
       driftCounts(docs, sliceCol, textCol, sliceA, sliceB, groupCols),
       sliceA, sliceB, grouped = groupCols.nonEmpty)
 
+  /** CMS-BACKED drift counts (st28c — the open-vocabulary form):
+    * the [[driftCounts]] (slice, term) table replaced by a per-slice
+    * count-min grid — each token feeds `depth` salted cells, so the
+    * reduce side (and the STREAMING state,
+    * [[graft.streaming.Streams.streamingDriftCmsCounts]]) is bounded by
+    * `slices × depth × width` rows REGARDLESS of vocabulary, where the
+    * exact monitor's bound carries the vocabulary factor (the documented
+    * 100 TB trade — st28's scaladoc; same grid cells as the q15/st08
+    * sketch: `keyHash60("row:term") mod width`). Output
+    * `[__td_s, row, col, c]` — additive, mergeable, map-side-combining.
+    */
+  private[graft] def driftCmsCounts(docs: org.apache.spark.sql.DataFrame,
+      sliceCol: String, textCol: String, sliceA: String, sliceB: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width must be in [16, 2^20], got $width")
+    docs.filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
+      .select(col(sliceCol).as("__td_s"),
+        explode(tokens(col(textCol))).as("term"))
+      .select(col("__td_s"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("term"))
+      .select(col("__td_s"), col("row").cast(LongType).as("row"),
+        pmod(graft.operators.Sampling.keyHash60(
+          concat(col("row").cast("string"), lit(":"), col("term"))),
+          lit(width.toLong)).as("col"))
+      .groupBy("__td_s", "row", "col").agg(count(lit(1)).as("c"))
+  }
+
+  /** The drift tail over CMS grids (the [[driftCmsCounts]] shape): per
+    * depth row, the total-variation distance between the two slices'
+    * CELL distributions in exact-integer ppm — `tv_ppm(row) =
+    * Σ_cells |rate_a − rate_b|` with the same overflow-guarded BIGINT
+    * split as [[driftRatesFromCounts]]. Because hashing only MERGES
+    * terms into cells, each row's cell TV is the exact term TV with
+    * opposite-sign drifts inside a cell cancelling — a LOWER-bound
+    * estimate (modulo ppm floor rounding); deeper rows re-randomize the
+    * merge, so `max(tv_ppm)` over rows is the operator's point
+    * estimate. One-sided error IS the semantics (the q15/st08
+    * discipline), not a gate tolerance: the grid and tail replay
+    * exactly in the oracle. Output `[row, na, nb, tv_ppm]`, one row per
+    * depth row.
+    */
+  private[graft] def driftTvFromCmsGrids(
+      counts0: org.apache.spark.sql.DataFrame, sliceA: String,
+      sliceB: String): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheScope.scoped { scope =>
+      // Cached + fresh ALIASES per branch (the st25/kmvSetEstimates
+      // exprId discipline — in the st28c path every branch descends
+      // from one drained memory-sink lineage).
+      val counts = scope.cache(counts0)
+      def side(v: String, sfx: String) =
+        counts.filter(col("__td_s") === v)
+          .select(col("row").as(s"row$sfx"), col("col").as(s"col$sfx"),
+            col("c").as(s"c$sfx"))
+      def total(f: org.apache.spark.sql.DataFrame, sfx: String, tn: String) =
+        f.groupBy(s"row$sfx").agg(sum(col(s"c$sfx")).as(tn))
+          .select(col(s"row$sfx").as(s"rt$sfx"), col(tn))
+      val a = side(sliceA, "a")
+      val b = side(sliceB, "b")
+      val j = a.join(b,
+          col("rowa") === col("rowb") && col("cola") === col("colb"),
+          "full_outer")
+        .select(coalesce(col("rowa"), col("rowb")).as("row"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      j.join(total(a, "a", "na"), col("row") === col("rta"), "left").drop("rta")
+        .join(total(b, "b", "nb"), col("row") === col("rtb"), "left").drop("rtb")
+        .withColumn("__cg_ca",
+          when(col("ca") > 9200000000000L,
+            raise_error(lit("driftTvFromCmsGrids: per-cell count exceeds " +
+              "the exact ppm bound (~9.2e12) — widen the grid and re-fold")))
+            .otherwise(col("ca")))
+        .withColumn("__cg_cb",
+          when(col("cb") > 9200000000000L,
+            raise_error(lit("driftTvFromCmsGrids: per-cell count exceeds " +
+              "the exact ppm bound (~9.2e12) — widen the grid and re-fold")))
+            .otherwise(col("cb")))
+        .select(col("row"), col("na"), col("nb"),
+          when(col("na").isNull, lit(0L)).otherwise(
+            expr("__cg_ca * (1000000 div na) " +
+              "+ (__cg_ca * (1000000 % na)) div na")).as("ra"),
+          when(col("nb").isNull, lit(0L)).otherwise(
+            expr("__cg_cb * (1000000 div nb) " +
+              "+ (__cg_cb * (1000000 % nb)) div nb")).as("rb"))
+        .groupBy("row")
+        .agg(coalesce(max(col("na")), lit(0L)).as("na"),
+          coalesce(max(col("nb")), lit(0L)).as("nb"),
+          coalesce(sum(abs(col("ra") - col("rb"))), lit(0L)).as("tv_ppm"))
+    }
+
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*$", "") // 1. fragment
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.operators.Similarity
+
+/** Round-18 streaming specs: the as-of enrichment foreachBatch operator
+  * (st29 — stream == batch, plus the per-batch feature-table reload
+  * making mid-stream upserts visible), the CMS-backed drift monitor
+  * (st28c — vocabulary-independent state bound, stream == batch), and
+  * the st23b serve's claimed-but-previously-unpinned per-batch reload
+  * visibility (tombstones landing mid-stream drop out at the next
+  * batch).
+  */
+class Round18StreamsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streamingAsOfEnrich == batch as-of per batch; mid-stream feature " +
+      "upserts are visible at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Feature table: (user, t, payload) — unique per (key, t), the as-of
+    // build contract.
+    graft.sources.BucketedTables.writeBucketed(
+      Seq((1L, 50L, 500L), (1L, 70L, 700L), (2L, 10L, 111L))
+        .toDF("user_id", "t", "feat"),
+      "r18_features", 2, Seq("user_id"))
+    val input = MemoryStream[(Long, Long, Long)] // event_id, user_id, t
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Option[Long], Option[Long])]]
+    val writer = Streams.streamingAsOfEnrich(
+      input.toDF().toDF("event_id", "user_id", "t"),
+      "r18_features", keyCol = "user_id", timeCol = "t",
+      probeCols = Seq("event_id", "user_id", "t"),
+      buildCols = Seq("feat")) { (res, batchId) =>
+      got(batchId) = res.select("event_id", "feat", "asof_t")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+    }
+    val q = writer.start()
+    try {
+      // Batch with events straddling the feature times: t=60 carries the
+      // t=50 feature, t=80 the t=70 one, t=5 has no predecessor (NULLs),
+      // user 3 is unknown (NULLs).
+      input.addData((10L, 1L, 60L), (11L, 1L, 80L), (12L, 1L, 5L), (13L, 3L, 99L))
+      q.processAllAvailable()
+      // The batch operator over the same table must agree row-for-row.
+      val batchWant = graft.operators.AsOfJoin.lastAtOrBefore(
+          Seq((10L, 1L, 60L), (11L, 1L, 80L), (12L, 1L, 5L), (13L, 3L, 99L))
+            .toDF("event_id", "user_id", "t"),
+          spark.table("r18_features"),
+          "user_id", "t", Seq("event_id", "user_id", "t"), Seq("feat"))
+        .select("event_id", "feat", "asof_t")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got.values.flatten.toSet === batchWant)
+      assert(got.values.flatten.toSet === Set(
+        (10L, Some(500L), Some(50L)), (11L, Some(700L), Some(70L)),
+        (12L, None, None), (13L, None, None)))
+      // UPSERT mid-stream: a fresher feature row for user 1 at t=75.
+      graft.sources.BucketedTables.appendBucketed(
+        Seq((1L, 75L, 750L)).toDF("user_id", "t", "feat"), "r18_features")
+      input.addData((20L, 1L, 80L))
+      q.processAllAvailable()
+      // The same probe time that matched (70, 700) in batch 0 now picks
+      // up the upserted (75, 750) — per-batch reload IS the freshness
+      // contract.
+      val last = got.keys.max
+      assert(got(last) === Set((20L, Some(750L), Some(75L))))
+    } finally q.stop()
+  }
+
+  test("streamingDriftCmsCounts: state bounded by slices*depth*width " +
+      "regardless of vocabulary; drained grids == batch grids; tail agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val depth = 2
+    val width = 16
+    // 200 distinct single-token docs — vocabulary 200 >> 2*16 cells, so
+    // the exact monitor's state would be 200+ rows; the grid must stay
+    // <= slices*depth*width whatever the vocabulary.
+    val docs = (0 until 200).map(i => (i.toLong, (i % 2).toString, s"w$i"))
+    val batchDf = docs.toDF("doc_id", "half", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val out = Streams.streamingDriftCmsCounts(
+      input.toDF().toDF("doc_id", "half", "text"),
+      "half", "text", "0", "1", depth, width)
+    val q = out.writeStream.format("memory").queryName("r18_cms_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs.take(97): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(97): _*)
+      q.processAllAvailable()
+      val drained = spark.table("r18_cms_sink")
+      val nDistinctTerms = batchDf.select(countDistinct("text")).head.getLong(0)
+      assert(nDistinctTerms > width.toLong * depth,
+        "spec must exercise vocabulary >> grid")
+      assert(drained.count() <= 2L * depth * width,
+        "CMS drift state must be bounded by slices*depth*width")
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("__td_s", "row", "col", "c")
+          .as[(String, Long, Long, Long)].collect().toSet
+      val batchGrids = graft.text.TextFunctions.driftCmsCounts(
+        batchDf, "half", "text", "0", "1", depth, width)
+      assert(key(drained) === key(batchGrids), "stream grid != batch grid")
+      val tail = (df: org.apache.spark.sql.DataFrame) =>
+        graft.text.TextFunctions.driftTvFromCmsGrids(df, "0", "1")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val tvs = tail(drained)
+      assert(tvs === tail(batchGrids))
+      assert(tvs.size === depth)
+      // Each slice holds 100 single-token docs: per-row totals are exact.
+      assert(tvs.forall { case (_, na, nb, _) => na == 100L && nb == 100L })
+    } finally q.stop()
+  }
+
+  test("streamingIvfPqServeTable: per-batch reload makes a mid-stream " +
+      "tombstone visible at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r18_serve_idx", numBuckets = 4)
+    val probe = e.filter($"vec_id" === 1)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val writer = Streams.streamingIvfPqServeTable(
+      input.toDF().toDF("vec_id", "embedding"),
+      "r18_serve_idx", "vec_id", "embedding", k = 5, nProbe = 4) {
+      (res, batchId) =>
+        got(batchId) = res.select("neighbor_id").as[Long].collect().toSet
+    }
+    val q = writer.start()
+    try {
+      input.addData(probe: _*)
+      q.processAllAvailable()
+      val before = got.values.flatten.toSet
+      assert(before.nonEmpty, "batch-1 serve returned nothing")
+      // Tombstone one SERVED neighbor BETWEEN batches — no rebuild, no
+      // restart: the scaladoc's "visible at the next batch" claim.
+      val victim = before.min
+      Similarity.ivfPqRemoveFromTable(Seq(victim).toDF("vec_id"),
+        "r18_serve_idx", "vec_id")
+      input.addData(probe: _*)
+      q.processAllAvailable()
+      val last = got.keys.max
+      assert(!got(last).contains(victim),
+        s"tombstoned id $victim still served in batch $last: ${got(last)}")
+      assert(got(last).nonEmpty, "post-tombstone serve must still rank k rows")
+    } finally q.stop()
+  }
+}
