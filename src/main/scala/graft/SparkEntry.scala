@@ -2355,6 +2355,28 @@ object SparkEntry {
         .select("view", "cnt", "chars")
     }),
 
+    // SNAPSHOT vs FULL REWRITE (b13 — the last seam in the snapshot
+    // lifecycle): writeBucketed over a pinned table used to silently
+    // kill the pins (the one maintenance op that orphaned a training
+    // job's frozen read); the rewrite path now runs the b11 retention
+    // discipline, so the pinned read survives even a complete content
+    // replacement. snap must read the pre-rewrite (even) rows, curr
+    // the rewritten (odd) content.
+    "b13_snapshot_rewrite" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      graft.sources.BucketedTables.writeBucketed(
+        docs.filter(col("doc_id") % 2 === 0), "b13_tbl", 4, Seq("doc_id"))
+      graft.sources.BucketedTables.snapshot(s, "b13_tbl", "t1")
+      graft.sources.BucketedTables.writeBucketed(
+        docs.filter(col("doc_id") % 2 =!= 0), "b13_tbl", 4, Seq("doc_id"))
+      def agg(df: DataFrame, view: String) =
+        df.agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+          .withColumn("view", lit(view))
+      agg(graft.sources.BucketedTables.readSnapshot(s, "b13_tbl", "t1"), "snap")
+        .unionByName(agg(s.table("b13_tbl"), "curr"))
+        .select("view", "cnt", "chars")
+    }),
+
     // DYNAMIC partition overwrite (b09): generation 1 writes every
     // event_type; generation 2 overwrites ONLY the click partition with
     // the reprocessed slice (even event_ids, values doubled). The read
@@ -5642,6 +5664,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'curr', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+
+    // Full-rewrite replay: the pinned view is the pre-rewrite even
+    // generation, the live view the rewritten odd content — a rewrite
+    // that killed the pin (or leaked it into the new content) diverges.
+    "b13_snapshot_rewrite" ->
+      """SELECT 'snap' AS view, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'curr', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 <> 0""".stripMargin,
 
     // Partition-overwrite replay: the expected post-overwrite mix —
     // original rows everywhere except click, which holds exactly the

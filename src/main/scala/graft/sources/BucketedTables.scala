@@ -40,13 +40,25 @@ object BucketedTables {
   }
 
   /** Save `df` as parquet table `table`, bucketed AND per-file-sorted by
-    * `keys`. Overwrites any existing table of the same name.
+    * `keys`. Overwrites any existing table of the same name; live
+    * snapshots of the replaced table SURVIVE the rewrite — their pinned
+    * files move to the retained directory first (the [[compactTable]]
+    * retention discipline, extended to the full-rewrite path: until
+    * round 18 a rewrite silently orphaned every pin, the one maintenance
+    * op that killed a training job's frozen read — the b13 gate).
+    * `table` must not contain the `__snap` marker (see [[snapshotTags]]).
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "at least one bucket key")
+    require(!table.contains("__snap"),
+      s"table name '$table' contains the reserved snapshot marker " +
+        "'__snap' — it would collide with manifest sidecar names")
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      retainPinnedFiles(spark, table)
     dropWithLocation(spark, table)
     df.repartition(numBuckets, keys.map(col): _*)
       .write.mode("overwrite").format("parquet")
@@ -171,7 +183,13 @@ object BucketedTables {
   }
 
   /** Tags of the live snapshots of `table` (catalog pattern scan over
-    * the `<table>__snap_<tag>` sidecars).
+    * the `<table>__snap_<tag>` sidecars). Ownership is sound because
+    * `__snap` is a RESERVED marker: [[writeBucketed]] and [[snapshot]]
+    * reject base names containing it, so any catalog table starting
+    * with `<table>__snap_` can only be a manifest this module wrote for
+    * `table` — a base name like `a__snap` (whose own snapshots,
+    * `a__snap__snap_x`, would prefix-match table `a`'s scan and leak a
+    * foreign manifest into `a`'s retention/GC) cannot be created.
     */
   def snapshotTags(spark: SparkSession, table: String): Seq[String] = {
     val prefix = s"${table}__snap_"
@@ -196,6 +214,14 @@ object BucketedTables {
     * already outside the location (retained by an earlier compaction)
     * passes through untouched; a pinned path that no longer exists
     * fails LOUD (a pre-retention stale snapshot — expire it instead).
+    *
+    * The whole move is PRE-FLIGHTED before any rename (the r17-ADVICE
+    * medium finding): every in-location pinned path must exist and
+    * every destination must be free, checked up front, so a stale
+    * manifest aborts while the table is still INTACT — a mid-loop abort
+    * would leave the live location missing already-moved files, and
+    * subsequent scans would silently return partial rows, the exact
+    * failure the rest of the snapshot design exists to prevent.
     */
   private def retainPinnedFiles(spark: SparkSession, table: String): Unit = {
     val tags = snapshotTags(spark, table)
@@ -214,12 +240,24 @@ object BucketedTables {
     if (inLoc.isEmpty) return
     val dir = retainedDir(loc)
     fs.mkdirs(dir)
-    val moved = inLoc.map { case (p, hp) =>
-      val dest = new org.apache.hadoop.fs.Path(dir, hp.getName)
+    val moves = inLoc.map { case (p, hp) =>
+      (p, hp, new org.apache.hadoop.fs.Path(dir, hp.getName))
+    }
+    // Pre-flight: no rename happens until EVERY move is known performable.
+    moves.foreach { case (p, hp, dest) =>
+      require(fs.exists(hp),
+        s"snapshot retention: pinned file $p does not exist — a " +
+          "pre-retention rewrite may have deleted it; expire the stale " +
+          "snapshot first (the table has not been touched)")
+      require(!fs.exists(dest),
+        s"snapshot retention: destination $dest already exists — the " +
+          "retained directory holds a same-named file from an earlier " +
+          "cadence; expire stale snapshots first (the table has not " +
+          "been touched)")
+    }
+    val moved = moves.map { case (p, hp, dest) =>
       require(fs.rename(hp, dest),
-        s"snapshot retention: pinned file $p could not move to $dest — " +
-          "a pre-retention compaction may have deleted it; expire the " +
-          "stale snapshot instead")
+        s"snapshot retention: pinned file $p could not move to $dest")
       p -> dest.toString
     }.toMap
     manifests.foreach { case (t, paths) =>
@@ -292,17 +330,27 @@ object BucketedTables {
     * write-new-version-then-pin-the-pointer idea every table format
     * implements, reduced to its essence).
     *
-    * LIFETIME: snapshots survive any number of appends AND
-    * [[compactTable]] rewrites (the compaction swap moves pinned files
-    * to the sibling retained directory and re-points the manifests —
-    * the retain-until-expiry discipline real table formats implement;
-    * [[expireSnapshot]] is the GC). A [[writeBucketed]] FULL rewrite
-    * over the same name still kills snapshots — it replaces content,
-    * not layout — after which a snapshot read fails LOUD with missing
-    * files rather than returning wrong rows.
+    * LIFETIME: snapshots survive any number of appends, [[compactTable]]
+    * rewrites AND [[writeBucketed]] FULL rewrites (every rewrite path
+    * moves pinned files to the sibling retained directory and re-points
+    * the manifests — the retain-until-expiry discipline real table
+    * formats implement; [[expireSnapshot]] is the GC).
+    *
+    * RE-PINNING an existing tag expires the old pin first: a plain
+    * manifest overwrite would permanently orphan any files an earlier
+    * compaction had moved to the retained directory for that tag (no
+    * live manifest would reference them, so GC could never reclaim
+    * them — an unbounded leak under a nightly re-pin cadence).
     */
   def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
     import spark.implicits._
+    require(!table.contains("__snap"),
+      s"table name '$table' contains the reserved snapshot marker '__snap'")
+    require(tag.nonEmpty && !tag.contains("__snap") && !tag.contains("/"),
+      s"snapshot tag '$tag' must be non-empty and free of '__snap' and '/'")
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}__snap_$tag")))
+      expireSnapshot(spark, table, tag)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
