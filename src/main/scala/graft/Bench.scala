@@ -106,10 +106,23 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_QUERIES=a,b,c narrows the board for dev smoke runs
+    // (pair with SPARK_GRAFT_BELT=off — a partial board's totals are
+    // meaningless as a belt and the guard keeps them off disk).
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val board = subset match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_QUERIES names unknown gates: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     // (name, single-shot sec, steady sec, error). A throwing query must not
     // masquerade as a fast one: its timing is still recorded but flagged in
     // "errors"; later reps are skipped once a query errors.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = board.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).flatMap { _ =>
         if (err.isDefined) None
@@ -311,8 +324,15 @@ object Bench {
           java.nio.file.Paths.get(fullPayloadTarget(name, existing, suspect)),
           line + "\n")
       }
-      write("BENCH_LAST.json")
-      fullName.foreach(write)
+      // SPARK_GRAFT_BELT=off disables BOTH file belts for mid-round
+      // smoke runs (the r17 judge tripped the unconditional overwrite
+      // and had to restore from git): the stdout channels still carry
+      // the full payload, so a smoke run loses nothing except the
+      // on-disk clobber hazard. Round-close runs leave it unset.
+      if (!sys.env.get("SPARK_GRAFT_BELT").contains("off")) {
+        write("BENCH_LAST.json")
+        fullName.foreach(write)
+      }
     } catch { case _: Throwable => () }
     spark.stop()
     // Stdout channels + the file belts: the compact line LAST (kept at

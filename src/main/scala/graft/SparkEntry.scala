@@ -676,6 +676,27 @@ object SparkEntry {
       GraphFrame(nations.select(col("k").as("id")), edges).triangleCount.run()
     }),
 
+    // INCREMENTAL triangle counts (g35 — g34's companion for the
+    // triangle family): yesterday's per-vertex counts (full run on ~4/5
+    // of the edges) composed with today's hash-selected delta — new
+    // triangles enumerate FROM the delta edges (common union-neighbors,
+    // canonical-triple dedup), never re-running the base wedge
+    // enumeration. Oracle = the g11 full-recompute replay verbatim:
+    // composition must be bit-identical to recomputing over the union.
+    "g35_triangles_incremental" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val isDelta = pmod(col("src") + col("dst"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val prev = GraphFrame(nations.select(col("k").as("id")), base)
+        .triangleCount.run()
+      graft.algorithms.TriangleCount.incremental(
+        prev, base, edges.filter(isDelta))
+    }),
+
     // k-truss (edge-cohesion peeling, 2 capped rounds): customers form
     // c-n-r triangles only when c%3=0 (the others' c->n edges are
     // support-0 and peel in round 1); nation-region edges survive on the
@@ -4337,17 +4358,11 @@ object SparkEntry {
         |  SELECT e1.a, e1.b, COALESCE(s1.sup, 0) AS sup FROM e1 LEFT JOIN s1 USING (a, b))
         |WHERE sup >= 1""".stripMargin,
 
-    "g11_triangles" ->
-      """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
-        |  FROM nation a JOIN nation b
-        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
-        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
-        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
-        |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
-        |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
-        |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin,
+    "g11_triangles" -> g11OracleSql,
+
+    // Incremental composition must equal the full recompute over the
+    // union — the same replay, verbatim.
+    "g35_triangles_incremental" -> g11OracleSql,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -7332,6 +7347,24 @@ object SparkEntry {
       |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
       |  CAST(coalesce(sum(abs(rate_a_ppm - rate_b_ppm)), 0) AS BIGINT) AS tv_ppm
       |FROM r GROUP BY 1""".stripMargin
+
+  /** The per-vertex triangle-count replay on the nation same-region
+    * graph (degree-free three-way self-join enumeration, every corner
+    * credited, zero-coalesced over all vertices). Shared verbatim by
+    * g35 (incremental composition must equal the full recompute over
+    * base ∪ delta).
+    */
+  private lazy val g11OracleSql: String =
+    """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      |  FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
+      |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
+      |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin
 
   /** The as-of join against DuckDB's NATIVE ASOF LEFT JOIN — the one
     * oracle that is itself a dedicated engine operator, not a SQL

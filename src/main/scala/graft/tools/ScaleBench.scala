@@ -158,6 +158,34 @@ object ScaleBench {
         val t = g.triangleCount.run()
         val total = t.agg(sum("triangles")).head.getLong(0)
         println(f"SCALE-OK $algo n=$n m=$m total=$total sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "tri-inc" | "tri-inc-skew" =>
+        // Incremental triangle counts (g35) at record scale — the
+        // wcc-inc discipline: yesterday = full run over ~15/16 of the
+        // edges, today = the 1/16 hash-selected delta. Claims anchored:
+        // (a) the compose prices like delta-fanout joins + one base
+        // dedup scan — no O(m^1.5) wedge re-enumeration; (b) the
+        // composed counts are bit-identical to the full recompute
+        // (exact frame equality, both directions).
+        val isDelta = pmod(col("src") + col("dst"), lit(16L)) === 0L
+        val tf0 = System.nanoTime()
+        val full = g.triangleCount.run().localCheckpoint(true)
+        val fullSec = (System.nanoTime() - tf0) / 1e9
+        val total = full.agg(sum("triangles")).head.getLong(0)
+        val base = edges.filter(!isDelta)
+        val tb0 = System.nanoTime()
+        val prev = GraphFrame(vertices, base).triangleCount.run()
+          .localCheckpoint(true)
+        val baseSec = (System.nanoTime() - tb0) / 1e9
+        val ti0 = System.nanoTime()
+        val inc = graft.algorithms.TriangleCount.incremental(
+          prev, base, edges.filter(isDelta)).localCheckpoint(true)
+        val incSec = (System.nanoTime() - ti0) / 1e9
+        val d1 = inc.exceptAll(full).count()
+        val d2 = full.exceptAll(inc).count()
+        require(d1 == 0L && d2 == 0L,
+          s"incremental counts diverge from full: $d1/$d2 rows")
+        println(f"SCALE-OK $algo n=$n m=$m total=$total " +
+          f"full=$fullSec%.1f base15of16=$baseSec%.1f incCompose=$incSec%.1f")
       case "ktruss" | "ktruss-skew" =>
         // 3-round capped peel, full re-enumeration arm (the round-9
         // formulation; kept so this row stays comparable across rounds):

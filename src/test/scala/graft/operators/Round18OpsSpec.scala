@@ -95,6 +95,43 @@ class Round18OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ids(spark.table("r18_stale")) == (1L to 8L))
   }
 
+  test("incremental triangle counts == full recompute on random graphs " +
+      "across delta fractions; base-duplicate/loop/multi delta edges are no-ops") {
+    import graft.graph.GraphFrame
+    val rnd = new scala.util.Random(18)
+    for (trial <- 1 to 6) {
+      val n = 20 + rnd.nextInt(20)
+      val m = 60 + rnd.nextInt(120)
+      val all = (1 to m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.toDF("src", "dst")
+      val frac = 2 + rnd.nextInt(5)
+      val isDelta = pmod(col("src") + col("dst") * 7, lit(frac)) === 0
+      val base = all.filter(!isDelta)
+      val delta = all.filter(isDelta)
+        // Adversarial additions: a base-duplicate (reversed), a
+        // self-loop, and a within-delta duplicate — all must be no-ops.
+        .unionByName(base.limit(1).select(col("dst").as("src"),
+          col("src").as("dst")))
+        .unionByName(Seq((5L, 5L)).toDF("src", "dst"))
+        .unionByName(delta0Dup(all, isDelta))
+      val vertices = all.select(col("src").as("id"))
+        .unionByName(all.select(col("dst").as("id"))).distinct()
+      val full = GraphFrame(vertices, all).triangleCount.run()
+      val prev = GraphFrame(vertices, base).triangleCount.run()
+      val inc = graft.algorithms.TriangleCount.incremental(prev, base, delta)
+      val d1 = inc.exceptAll(full).count()
+      val d2 = full.exceptAll(inc).count()
+      assert(d1 == 0 && d2 == 0,
+        s"trial $trial (n=$n m=$m frac=$frac): inc vs full diverge " +
+          s"($d1/$d2 rows)")
+    }
+  }
+
+  private def delta0Dup(all: org.apache.spark.sql.DataFrame,
+      isDelta: org.apache.spark.sql.Column) =
+    all.filter(isDelta).limit(1)
+
   test("the __snap marker is reserved: base names and tags that would " +
       "break manifest ownership fail loud") {
     val df = gen(1, 4)
