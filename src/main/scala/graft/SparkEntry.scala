@@ -151,6 +151,48 @@ object SparkEntry {
     df.sparkSession.table(name)
   }
 
+  /** The shared st29/st29b/st29c body — the streaming as-of enrichment
+    * trio over the event stream: the purchase feature table persists
+    * BUCKETED by the as-of key (the layout a long-lived serving job
+    * wants under its per-batch scan), the stream drives the chosen
+    * direction's batch operator per micro-batch via `foreachBatch`
+    * (the batch IS driver-known — the st23b discipline), results land
+    * batch-id-keyed (idempotent under micro-batch retry). Oracles =
+    * the q20/q32/q36 batch SQL verbatim: storage + streaming invisible
+    * to the as-of semantics.
+    */
+  private def asOfEnrichGate(s: SparkSession, d: String, name: String,
+      direction: String, tolerance: Option[Long]): DataFrame = {
+    val ev = tbl(s, d, "events")
+    val build = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
+        col("event_id")).as("w"))
+      .select(col("user_id"), col("ts"),
+        col("w.event_id").as("purchase_id"),
+        col("w.cents").as("purchase_cents"))
+    graft.sources.BucketedTables.writeBucketed(
+      build, s"${name}_features", 4, Seq("user_id"))
+    val base = s.conf.get("spark.sql.warehouse.dir")
+    val path = s"$base/${name}_results"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    val q = graft.streaming.Streams.streamingAsOfEnrich(
+        streamTbl(s, d, "events").select("event_id", "user_id", "ts"),
+        s"${name}_features", keyCol = "user_id", timeCol = "ts",
+        probeCols = Seq("event_id", "user_id", "ts"),
+        buildCols = Seq("purchase_id", "purchase_cents"),
+        direction = direction, tolerance = tolerance) {
+        (res, batchId) =>
+          res.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(path).drop("batch")
+  }
+
   /** The t18/st15 HTML→text gate body — HTML is SYNTHESIZED per doc
     * around the raw text (a multi-line template with a style block, a
     * script block containing a bare '<' that would wreck naive
@@ -2775,6 +2817,21 @@ object SparkEntry {
       TextFunctions.driftTvFromCmsGrids(counts, "0", "1")
     }),
 
+    // ... and the GROUPED CMS drift (st28d — t24 x st28c): per-source
+    // grids as additive state (groups x slices x depth x width rows,
+    // vocabulary-independent), finalized through the grouped cell-TV
+    // tail with NULL-safe group joins.
+    "st28d_stream_grouped_drift_cms" -> ((s, d) => {
+      val counts = drainStream(
+        graft.streaming.Streams.streamingGroupedDriftCmsCounts(
+          streamTbl(s, d, "documents")
+            .withColumn("half", (col("doc_id") % 2).cast("string")),
+          "source", "half", "text", "0", "1", depth = 4, width = 1024),
+        "st28d_sink", "complete")
+      TextFunctions.driftTvFromCmsGrids(counts, "0", "1", grouped = true)
+        .withColumnRenamed("__td_g", "source")
+    }),
+
     // Streaming ROLLUP HLL: the q33 OLAP-lattice register table as
     // streaming state — ONE Expand-fed aggregate maintains all three
     // lattice levels' monotone register maxes (state = slices x 2^p
@@ -2990,38 +3047,21 @@ object SparkEntry {
     // per batch so upserts become visible. Oracle = q20's DuckDB native
     // ASOF LEFT JOIN SQL verbatim: storage + streaming invisible to the
     // as-of semantics.
-    "st29_stream_asof_enrich" -> ((s, d) => {
-      val ev = tbl(s, d, "events")
-      val build = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts")
-        .agg(max_by(struct(col("event_id"), cents(col("value")).as("cents")),
-          col("event_id")).as("w"))
-        .select(col("user_id"), col("ts"),
-          col("w.event_id").as("purchase_id"),
-          col("w.cents").as("purchase_cents"))
-      // The feature table persists bucketed by the as-of key — the
-      // layout a long-lived serving job wants under its per-batch scan.
-      graft.sources.BucketedTables.writeBucketed(
-        build, "st29_features", 4, Seq("user_id"))
-      val base = s.conf.get("spark.sql.warehouse.dir")
-      val path = s"$base/st29_results"
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hPath, true)
-      val q = graft.streaming.Streams.streamingAsOfEnrich(
-          streamTbl(s, d, "events").select("event_id", "user_id", "ts"),
-          "st29_features", keyCol = "user_id", timeCol = "ts",
-          probeCols = Seq("event_id", "user_id", "ts"),
-          buildCols = Seq("purchase_id", "purchase_cents")) {
-          (res, batchId) =>
-            // Batch-id-keyed subdir = idempotent under micro-batch retry.
-            res.write.mode("overwrite").parquet(s"$path/batch=$batchId")
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(path).drop("batch")
-    }),
+    "st29_stream_asof_enrich" -> ((s, d) =>
+      asOfEnrichGate(s, d, "st29", "backward", None)),
+
+    // ... its FORWARD form (st29b — attribution at ingest: each arriving
+    // event joined to the NEXT purchase within 2 h). Oracle = q32's
+    // bounded-candidate replay verbatim.
+    "st29b_stream_asof_forward" -> ((s, d) =>
+      asOfEnrichGate(s, d, "st29b", "forward", Some(7200000000000L))),
+
+    // ... and the NEAREST form (st29c — sensor/price alignment at
+    // ingest: |Δt|-argmin within 2 h, ties to the earlier match),
+    // completing the streaming as-of trio. Oracle = q36's replay
+    // verbatim.
+    "st29c_stream_asof_nearest" -> ((s, d) =>
+      asOfEnrichGate(s, d, "st29c", "nearest", Some(7200000000000L))),
 
     // Streaming sequence packing: the p08 two-level prefix sum with its
     // per-shard running totals as streaming state (ONE long per shard,
@@ -5911,6 +5951,40 @@ object SparkEntry {
         |  CAST(coalesce(sum(abs(ra - rb)), 0) AS BIGINT) AS tv_ppm
         |FROM r GROUP BY 1""".stripMargin,
 
+    // The grouped CMS-drift replay: the same grid + tail with the group
+    // key riding every stage (NULL-safe group joins, IS NOT DISTINCT
+    // FROM — the t24 discipline).
+    "st28d_stream_grouped_drift_cms" ->
+      """WITH t AS (SELECT source AS g, CAST(doc_id % 2 AS VARCHAR) AS s,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |p AS (SELECT g, s, r.range AS row,
+        |  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 1024 AS col
+        |  FROM t CROSS JOIN range(4) r),
+        |gr AS (SELECT g, s, row, col, CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT g, row, col, c AS ca FROM gr WHERE s = '0'),
+        |b AS (SELECT g, row, col, c AS cb FROM gr WHERE s = '1'),
+        |ta AS (SELECT g, row, CAST(sum(ca) AS BIGINT) AS na FROM a GROUP BY 1, 2),
+        |tb AS (SELECT g, row, CAST(sum(cb) AS BIGINT) AS nb FROM b GROUP BY 1, 2),
+        |j AS (SELECT coalesce(a.g, b.g) AS g, coalesce(a.row, b.row) AS row,
+        |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.g IS NOT DISTINCT FROM b.g
+        |    AND a.row = b.row AND a.col = b.col),
+        |r AS (SELECT j.g, j.row, ta.na, tb.nb,
+        |  CAST(CASE WHEN ta.na IS NULL THEN 0 ELSE
+        |    ca * (1000000 // ta.na) + (ca * (1000000 % ta.na)) // ta.na
+        |    END AS BIGINT) AS ra,
+        |  CAST(CASE WHEN tb.nb IS NULL THEN 0 ELSE
+        |    cb * (1000000 // tb.nb) + (cb * (1000000 % tb.nb)) // tb.nb
+        |    END AS BIGINT) AS rb
+        |  FROM j LEFT JOIN ta ON ta.g IS NOT DISTINCT FROM j.g AND ta.row = j.row
+        |  LEFT JOIN tb ON tb.g IS NOT DISTINCT FROM j.g AND tb.row = j.row)
+        |SELECT g AS source, row, CAST(coalesce(max(na), 0) AS BIGINT) AS na,
+        |  CAST(coalesce(max(nb), 0) AS BIGINT) AS nb,
+        |  CAST(coalesce(sum(abs(ra - rb)), 0) AS BIGINT) AS tv_ppm
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
     // Vocab-coverage replay: exact token counts, (cnt DESC, term) rank,
     // per-size covered sums via the rank theta join, one rounded ratio.
     "t22_vocab_coverage" ->
@@ -6219,37 +6293,18 @@ object SparkEntry {
     // the 2 h window) + per-probe argmin over b.t — the naive plan the
     // merge-shaped operator exists to avoid, which makes it the right
     // oracle: any carry/tie/tolerance drift diverges.
-    "q32_asof_forward" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
-        |b AS (SELECT user_id, epoch_ns(ts) AS t,
-        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
-        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
-        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
-        |  row_number() OVER (PARTITION BY p.event_id ORDER BY b.t) AS rn
-        |  FROM p JOIN b ON p.user_id = b.user_id AND b.t >= p.ts
-        |    AND b.t - p.ts <= 7200000000000)
-        |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
-        |  c.purchase_cents, c.t AS asof_t
-        |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin,
+    "q32_asof_forward" -> q32OracleSql,
+
+    // The streaming forward enrichment must be invisible too.
+    "st29b_stream_asof_forward" -> q32OracleSql,
 
     // Nearest-asof replay: bounded |Δ| candidate enumeration, per-probe
     // argmin by (distance ASC, build time ASC — ties to the earlier
     // match), the naive plan the merge shape exists to avoid.
-    "q36_asof_nearest" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
-        |b AS (SELECT user_id, epoch_ns(ts) AS t,
-        |  CAST(max(event_id) AS BIGINT) AS purchase_id,
-        |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
-        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
-        |  row_number() OVER (PARTITION BY p.event_id
-        |    ORDER BY abs(b.t - p.ts), b.t) AS rn
-        |  FROM p JOIN b ON p.user_id = b.user_id
-        |    AND abs(b.t - p.ts) <= 7200000000000)
-        |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
-        |  c.purchase_cents, c.t AS asof_t
-        |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin,
+    "q36_asof_nearest" -> q36OracleSql,
+
+    // The streaming nearest enrichment: the same replay, verbatim.
+    "st29c_stream_asof_nearest" -> q36OracleSql,
 
     // session_window replay: the gap-session rule on the micros
     // lattice — an interval of EXACTLY the gap still MERGES (Spark
@@ -7365,6 +7420,46 @@ object SparkEntry {
       |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
       |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
       |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin
+
+  /** Forward-asof replay: bounded candidate enumeration (pairs within
+    * the 2 h window) + per-probe argmin over b.t — the naive plan the
+    * merge-shaped operator exists to avoid, which makes it the right
+    * oracle: any carry/tie/tolerance drift diverges. Shared verbatim by
+    * st29b (the streaming forward enrichment).
+    */
+  private lazy val q32OracleSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+      |b AS (SELECT user_id, epoch_ns(ts) AS t,
+      |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+      |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
+      |  row_number() OVER (PARTITION BY p.event_id ORDER BY b.t) AS rn
+      |  FROM p JOIN b ON p.user_id = b.user_id AND b.t >= p.ts
+      |    AND b.t - p.ts <= 7200000000000)
+      |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
+      |  c.purchase_cents, c.t AS asof_t
+      |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin
+
+  /** Nearest-asof replay: bounded |Δ| candidate enumeration, per-probe
+    * argmin by (distance ASC, build time ASC — ties to the earlier
+    * match). Shared verbatim by st29c (the streaming nearest
+    * enrichment).
+    */
+  private lazy val q36OracleSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+      |b AS (SELECT user_id, epoch_ns(ts) AS t,
+      |  CAST(max(event_id) AS BIGINT) AS purchase_id,
+      |  CAST(arg_max(CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS purchase_cents
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |cand AS (SELECT p.event_id, b.purchase_id, b.purchase_cents, b.t,
+      |  row_number() OVER (PARTITION BY p.event_id
+      |    ORDER BY abs(b.t - p.ts), b.t) AS rn
+      |  FROM p JOIN b ON p.user_id = b.user_id
+      |    AND abs(b.t - p.ts) <= 7200000000000)
+      |SELECT p.event_id, p.user_id, p.ts, c.purchase_id,
+      |  c.purchase_cents, c.t AS asof_t
+      |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1""".stripMargin
 
   /** The as-of join against DuckDB's NATIVE ASOF LEFT JOIN — the one
     * oracle that is itself a dedicated engine operator, not a SQL

@@ -365,6 +365,19 @@ object Streams {
     graft.text.TextFunctions.driftCmsCounts(
       stream, sliceCol, textCol, sliceA, sliceB, depth, width)
 
+  /** The GROUPED form (st28d — t24 × st28c): per-category
+    * (group, slice, row, col) CMS cells as additive state — the mixing
+    * dashboard at ingest with the vocabulary factor REPLACED by the
+    * fixed grid, so state is bounded by groups × slices × depth × width
+    * however the vocabulary grows. Same drain + grouped cell-TV tail.
+    */
+  def streamingGroupedDriftCmsCounts(stream: DataFrame, groupCol: String,
+      sliceCol: String, textCol: String, sliceA: String, sliceB: String,
+      depth: Int, width: Int): DataFrame =
+    graft.text.TextFunctions.driftCmsCounts(
+      stream, sliceCol, textCol, sliceA, sliceB, depth, width,
+      groupCols = Seq(groupCol))
+
   /** Per-micro-batch PRUNED ANN serving off a PERSISTED index table
     * (st23b — the production RAG serving shape): st23's stream-static
     * join bounds COMPUTE with the cell equi-join, but its static side
@@ -440,15 +453,28 @@ object Streams {
     * (`probeCols ++ buildCols ++ asof_t`) with its batchId; idempotence
     * under micro-batch retry is the sink's contract (batch-id-keyed
     * paths, the st05b discipline).
+    *
+    * `direction` selects the trio member: `backward` (latest
+    * at-or-before — the feature lookup, st29), `forward` (next
+    * at-or-after within `tolerance` — attribution at ingest, st29b),
+    * `nearest` (|Δt|-argmin within `tolerance` — sensor alignment,
+    * st29c); tolerance follows the batch operators' numeric-time
+    * contract.
     */
   def streamingAsOfEnrich(stream: DataFrame, featureTable: String,
       keyCol: String, timeCol: String,
-      probeCols: Seq[String], buildCols: Seq[String])
+      probeCols: Seq[String], buildCols: Seq[String],
+      direction: String = "backward", tolerance: Option[Long] = None)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(stream.isStreaming,
       "streamingAsOfEnrich enriches a STREAM of events — batch probes " +
-        "call AsOfJoin.lastAtOrBefore directly")
+        "call the AsOfJoin operators directly")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward | forward | nearest, got '$direction'")
+    require(tolerance.isEmpty || direction != "backward",
+      "tolerance applies to the forward/nearest directions only " +
+        "(the AsOfJoin.lastAtOrBefore contract)")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         // Re-resolve the table inside the batch so catalog/file-level
@@ -461,8 +487,15 @@ object Streams {
         // next batch).
         batch.sparkSession.catalog.refreshTable(featureTable)
         val build = batch.sparkSession.table(featureTable)
-        sink(graft.operators.AsOfJoin.lastAtOrBefore(
-          batch, build, keyCol, timeCol, probeCols, buildCols), batchId)
+        val enriched = direction match {
+          case "backward" => graft.operators.AsOfJoin.lastAtOrBefore(
+            batch, build, keyCol, timeCol, probeCols, buildCols)
+          case "forward" => graft.operators.AsOfJoin.firstAtOrAfter(
+            batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
+          case "nearest" => graft.operators.AsOfJoin.nearestInTime(
+            batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
+        }
+        sink(enriched, batchId)
       }
     }
   }

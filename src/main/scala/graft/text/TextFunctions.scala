@@ -1106,20 +1106,26 @@ object TextFunctions {
     */
   private[graft] def driftCmsCounts(docs: org.apache.spark.sql.DataFrame,
       sliceCol: String, textCol: String, sliceA: String, sliceB: String,
-      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+      depth: Int, width: Int, groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
     require(width >= 16 && width <= (1 << 20),
       s"cms width must be in [16, 2^20], got $width")
+    require(groupCols.size <= 1, "at most one drift group column")
+    val gCols = groupCols.map(g => col(g).cast("string").as("__td_g"))
+    val gKey = if (groupCols.isEmpty) Nil else Seq("__td_g")
     docs.filter(col(sliceCol) === sliceA || col(sliceCol) === sliceB)
-      .select(col(sliceCol).as("__td_s"),
-        explode(tokens(col(textCol))).as("term"))
-      .select(col("__td_s"),
-        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("term"))
-      .select(col("__td_s"), col("row").cast(LongType).as("row"),
+      .select(gCols ++ Seq(col(sliceCol).as("__td_s"),
+        explode(tokens(col(textCol))).as("term")): _*)
+      .select(gKey.map(col) ++ Seq(col("__td_s"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"), col("term")): _*)
+      .select(gKey.map(col) ++ Seq(col("__td_s"),
+        col("row").cast(LongType).as("row"),
         pmod(graft.operators.Sampling.keyHash60(
           concat(col("row").cast("string"), lit(":"), col("term"))),
-          lit(width.toLong)).as("col"))
-      .groupBy("__td_s", "row", "col").agg(count(lit(1)).as("c"))
+          lit(width.toLong)).as("col")): _*)
+      .groupBy((gKey ++ Seq("__td_s", "row", "col")).map(col): _*)
+      .agg(count(lit(1)).as("c"))
   }
 
   /** The drift tail over CMS grids (the [[driftCmsCounts]] shape): per
@@ -1138,29 +1144,45 @@ object TextFunctions {
     */
   private[graft] def driftTvFromCmsGrids(
       counts0: org.apache.spark.sql.DataFrame, sliceA: String,
-      sliceB: String): org.apache.spark.sql.DataFrame =
+      sliceB: String, grouped: Boolean = false)
+      : org.apache.spark.sql.DataFrame =
     graft.operators.CacheScope.scoped { scope =>
       // Cached + fresh ALIASES per branch (the st25/kmvSetEstimates
       // exprId discipline — in the st28c path every branch descends
-      // from one drained memory-sink lineage).
+      // from one drained memory-sink lineage). Group-key joins are
+      // NULL-SAFE (<=>): a NULL category is a real category (the
+      // t24/st26 lesson), replayed with IS NOT DISTINCT FROM.
       val counts = scope.cache(counts0)
       def side(v: String, sfx: String) =
         counts.filter(col("__td_s") === v)
-          .select(col("row").as(s"row$sfx"), col("col").as(s"col$sfx"),
-            col("c").as(s"c$sfx"))
+          .select((if (grouped) Seq(col("__td_g").as(s"g$sfx")) else Nil) ++
+            Seq(col("row").as(s"row$sfx"), col("col").as(s"col$sfx"),
+              col("c").as(s"c$sfx")): _*)
       def total(f: org.apache.spark.sql.DataFrame, sfx: String, tn: String) =
-        f.groupBy(s"row$sfx").agg(sum(col(s"c$sfx")).as(tn))
-          .select(col(s"row$sfx").as(s"rt$sfx"), col(tn))
+        f.groupBy((if (grouped) Seq(s"g$sfx") else Nil) :+ s"row$sfx"
+            map (col(_)): _*)
+          .agg(sum(col(s"c$sfx")).as(tn))
+          .select((if (grouped) Seq(col(s"g$sfx").as(s"gt$sfx")) else Nil) ++
+            Seq(col(s"row$sfx").as(s"rt$sfx"), col(tn)): _*)
       val a = side(sliceA, "a")
       val b = side(sliceB, "b")
-      val j = a.join(b,
-          col("rowa") === col("rowb") && col("cola") === col("colb"),
-          "full_outer")
-        .select(coalesce(col("rowa"), col("rowb")).as("row"),
-          coalesce(col("ca"), lit(0L)).as("ca"),
-          coalesce(col("cb"), lit(0L)).as("cb"))
-      j.join(total(a, "a", "na"), col("row") === col("rta"), "left").drop("rta")
-        .join(total(b, "b", "nb"), col("row") === col("rtb"), "left").drop("rtb")
+      val jCond0 = col("rowa") === col("rowb") && col("cola") === col("colb")
+      val jCond = if (grouped) col("ga") <=> col("gb") && jCond0 else jCond0
+      val j = a.join(b, jCond, "full_outer")
+        .select((if (grouped)
+            Seq(coalesce(col("ga"), col("gb")).as("__td_g")) else Nil) ++
+          Seq(coalesce(col("rowa"), col("rowb")).as("row"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb")): _*)
+      def withTotal(f: org.apache.spark.sql.DataFrame,
+          t: org.apache.spark.sql.DataFrame, sfx: String) = {
+        val cond0 = col("row") === col(s"rt$sfx")
+        val cond = if (grouped) col("__td_g") <=> col(s"gt$sfx") && cond0
+          else cond0
+        f.join(t, cond, "left").drop(s"rt$sfx", s"gt$sfx")
+      }
+      withTotal(withTotal(j, total(a, "a", "na"), "a"),
+        total(b, "b", "nb"), "b")
         .withColumn("__cg_ca",
           when(col("ca") > 9200000000000L,
             raise_error(lit("driftTvFromCmsGrids: per-cell count exceeds " +
@@ -1171,14 +1193,16 @@ object TextFunctions {
             raise_error(lit("driftTvFromCmsGrids: per-cell count exceeds " +
               "the exact ppm bound (~9.2e12) — widen the grid and re-fold")))
             .otherwise(col("cb")))
-        .select(col("row"), col("na"), col("nb"),
-          when(col("na").isNull, lit(0L)).otherwise(
-            expr("__cg_ca * (1000000 div na) " +
-              "+ (__cg_ca * (1000000 % na)) div na")).as("ra"),
-          when(col("nb").isNull, lit(0L)).otherwise(
-            expr("__cg_cb * (1000000 div nb) " +
-              "+ (__cg_cb * (1000000 % nb)) div nb")).as("rb"))
-        .groupBy("row")
+        .select((if (grouped) Seq(col("__td_g")) else Nil) ++
+          Seq(col("row"), col("na"), col("nb"),
+            when(col("na").isNull, lit(0L)).otherwise(
+              expr("__cg_ca * (1000000 div na) " +
+                "+ (__cg_ca * (1000000 % na)) div na")).as("ra"),
+            when(col("nb").isNull, lit(0L)).otherwise(
+              expr("__cg_cb * (1000000 div nb) " +
+                "+ (__cg_cb * (1000000 % nb)) div nb")).as("rb")): _*)
+        .groupBy((if (grouped) Seq("__td_g") else Nil).map(col)
+          :+ col("row"): _*)
         .agg(coalesce(max(col("na")), lit(0L)).as("na"),
           coalesce(max(col("nb")), lit(0L)).as("nb"),
           coalesce(sum(abs(col("ra") - col("rb"))), lit(0L)).as("tv_ppm"))

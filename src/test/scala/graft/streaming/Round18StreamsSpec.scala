@@ -115,6 +115,41 @@ class Round18StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingGroupedDriftCmsCounts: NULL group is a real group; " +
+      "stream == batch through the grouped cell-TV tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "a", "0", "x y z"), (2L, "a", "1", "x y q"),
+      (3L, "b", "0", "m n"), (4L, "b", "1", "m n"),
+      (5L, null.asInstanceOf[String], "0", "p q"),
+      (6L, null.asInstanceOf[String], "1", "p r"))
+    val batchDf = docs.toDF("doc_id", "src", "half", "text")
+    val input = MemoryStream[(Long, String, String, String)]
+    val out = Streams.streamingGroupedDriftCmsCounts(
+      input.toDF().toDF("doc_id", "src", "half", "text"),
+      "src", "half", "text", "0", "1", depth = 2, width = 16)
+    val q = out.writeStream.format("memory").queryName("r18_gcms_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val tail = (df: org.apache.spark.sql.DataFrame) =>
+        graft.text.TextFunctions
+          .driftTvFromCmsGrids(df, "0", "1", grouped = true)
+          .as[(Option[String], Long, Long, Long, Long)].collect().toSet
+      val got = tail(spark.table("r18_gcms_sink"))
+      assert(got === tail(graft.text.TextFunctions.driftCmsCounts(
+        batchDf, "half", "text", "0", "1", 2, 16, groupCols = Seq("src"))))
+      // The NULL category survives as its own rows (depth of them), and
+      // group b's two identical slices read zero drift in every row.
+      assert(got.count(_._1.isEmpty) === 2)
+      assert(got.filter(_._1.contains("b")).forall(_._5 == 0L))
+      assert(got.filter(_._1.contains("a")).forall(_._5 > 0L))
+    } finally q.stop()
+  }
+
   test("streamingIvfPqServeTable: per-batch reload makes a mid-stream " +
       "tombstone visible at the next batch") {
     implicit val sqlCtx = spark.sqlContext
