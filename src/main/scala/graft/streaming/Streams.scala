@@ -486,7 +486,17 @@ object Streams {
         // invisible forever (spec-pinned the other way — visible at the
         // next batch).
         batch.sparkSession.catalog.refreshTable(featureTable)
+        // Key semi-join BEFORE the as-of: the merge carry exchanges and
+        // sorts the union of both sides, and feature rows for keys
+        // absent from this batch are dead weight in that window — a
+        // 1k-event batch against a 10^9-row feature table would
+        // otherwise sort the whole table per batch. As-of matches equal
+        // keys only, so the prune is semantically invisible; with the
+        // feature table bucketed by the key the semi-join itself plans
+        // shuffle-free on the build side.
         val build = batch.sparkSession.table(featureTable)
+          .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_semi")
         val enriched = direction match {
           case "backward" => graft.operators.AsOfJoin.lastAtOrBefore(
             batch, build, keyCol, timeCol, probeCols, buildCols)
