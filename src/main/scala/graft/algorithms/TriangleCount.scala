@@ -97,11 +97,13 @@ object TriangleCount {
     *
     * COST SHAPE: two hash joins of the (delta-sized) edge set against
     * the union adjacency plus one canonical-dedup of the base edges —
-    * linear scans and shuffles of E with NO wedge blowup, vs the full
-    * recompute's O(m^1.5) wedge volume plus degree orientation. The
-    * candidate volume is Σ_{(u,v)∈Δ} deg(u), delta-bounded for the
-    * every-day case (`ScaleBench tri-inc` measures the point at 16.8 M
-    * edges). Deletions are NOT composable this way (a removed edge
+    * linear scans and shuffles of E with NO base wedge enumeration, vs
+    * the full recompute's O(m^1.5) wedge volume. Candidates fan out
+    * from each delta edge's LOWER-degree endpoint (the Schank–Wagner
+    * orientation argument applied per edge), so candidate volume is
+    * Σ_Δ min(deg(u), deg(v)) ≤ O(|Δ|·√m) — skew-safe, delta-bounded
+    * (`ScaleBench tri-inc[-skew]` measures both geometries).
+    * Deletions are NOT composable this way (a removed edge
     * destroys triangles the delta cannot see) — additions-only is the
     * contract, matching the append-only ingest cadence.
     *
@@ -137,11 +139,27 @@ object TriangleCount {
         struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__ti"))
       .select(col("__ti.src").as(SRC), col("__ti.dst").as(DST))
     val nbrs = symBase.unionByName(symDelta).localCheckpoint(false)
-    // {u,v,w} with w a common union-neighbor of the new edge {u,v}: the
-    // first join fans each new edge out to u's neighbors (the
-    // delta-bounded candidate set), the semi join closes on the (v, w)
-    // edge without replicating rows.
-    val cand = deltaNew.select(col(SRC).as("u"), col(DST).as("v"))
+    // {u,v,w} with w a common union-neighbor of the new edge {u,v}: fan
+    // out from the LOWER-(degree, id) endpoint, then semi-close on the
+    // other — the same degree-orientation argument the full run's wedge
+    // enumeration rests on, applied per delta edge. Candidate volume is
+    // Σ_Δ min(deg(u), deg(v)) ≤ O(|Δ|·√m); fanning from an arbitrary
+    // endpoint instead lets one hub-incident delta edge explode into
+    // deg(hub) candidates — measured 3.7× SLOWER than the full
+    // recompute on a 2 M-edge skew graph (and an OOM at 8 M) before
+    // this orientation, which is the whole game on power-law graphs.
+    val deg = nbrs.groupBy(col(SRC).as("__ti_v")).agg(count(lit(1)).as("__ti_d"))
+    val oriented = deltaNew
+      .join(deg.select(col("__ti_v").as("__ti_vs"), col("__ti_d").as("__ti_ds")),
+        col(SRC) === col("__ti_vs"))
+      .join(deg.select(col("__ti_v").as("__ti_vd"), col("__ti_d").as("__ti_dd")),
+        col(DST) === col("__ti_vd"))
+      .select(
+        when(struct(col("__ti_ds"), col(SRC)) <= struct(col("__ti_dd"), col(DST)),
+          col(SRC)).otherwise(col(DST)).as("u"),
+        when(struct(col("__ti_ds"), col(SRC)) <= struct(col("__ti_dd"), col(DST)),
+          col(DST)).otherwise(col(SRC)).as("v"))
+    val cand = oriented
       .join(nbrs.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
       .filter(col("w") =!= col("v"))
       .join(nbrs.select(col(SRC).as("v"), col(DST).as("w")),
