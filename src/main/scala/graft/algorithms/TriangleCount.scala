@@ -113,9 +113,22 @@ object TriangleCount {
     * the base (either direction), self-loops, and within-delta
     * duplicates are all no-ops (filtered before enumeration). Output
     * `[id, triangles]` over prev's vertices ∪ the delta's endpoints.
+    *
+    * `symBaseOpt`: the base's symmetrized simple adjacency (both
+    * directions, loop-free, deduped — the [[GraphFrame.symmetrizeEdges]]
+    * shape) when the pipeline already has it MATERIALIZED. This is the
+    * every-day cadence: a 100 TB graph lives as a persisted adjacency
+    * (the [[graft.sources.BucketedTables.saveGraph]] bucketed-by-src
+    * layout), nobody re-symmetrizes the corpus per delta — and with it
+    * the compose's own E-shuffles (the canonical dedup, and on a
+    * bucketed scan the degree groupBy's exchange too) disappear,
+    * leaving delta-fanout joins as the only per-delta cost
+    * (`ScaleBench tri-inc` measures cold vs warm). Cold (None) builds
+    * it from `baseEdges`.
     */
   def incremental(prev: DataFrame, baseEdges: DataFrame,
-      deltaEdges: DataFrame): DataFrame = {
+      deltaEdges: DataFrame,
+      symBaseOpt: Option[DataFrame] = None): DataFrame = {
     val SRC = GraphFrame.SRC
     val DST = GraphFrame.DST
     val ID = GraphFrame.ID
@@ -123,9 +136,10 @@ object TriangleCount {
       s"prev needs [$ID, triangles] (a TriangleCount output), " +
         s"got ${prev.columns.mkString(", ")}")
     // Undirected simple base adjacency, one row per direction — the same
-    // construction the full run starts from (one E-shuffle, no wedges).
-    val symBase = GraphFrame.symmetrizeEdges(
-      baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false)
+    // construction the full run starts from (one E-shuffle, no wedges),
+    // unless the caller hands over the materialized one.
+    val symBase = symBaseOpt.getOrElse(GraphFrame.symmetrizeEdges(
+      baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false))
     // Truly-new undirected edges: canonical, loop-free, deduped, and not
     // already present in the base in either direction.
     val deltaNew = deltaEdges.filter(col(SRC) =!= col(DST))
@@ -138,7 +152,12 @@ object TriangleCount {
         struct(col(SRC), col(DST)),
         struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__ti"))
       .select(col("__ti.src").as(SRC), col("__ti.dst").as(DST))
-    val nbrs = symBase.unionByName(symDelta).localCheckpoint(false)
+    // No checkpoint on the union: symBase is already materialized (the
+    // lazy checkpoint above, or the caller's persisted table) and
+    // symDelta is delta-sized, so each of the union's three consumers
+    // pays a cheap re-union over cached inputs — checkpointing it wrote
+    // an E-sized copy to disk for nothing.
+    val nbrs = symBase.unionByName(symDelta)
     // {u,v,w} with w a common union-neighbor of the new edge {u,v}: fan
     // out from the LOWER-(degree, id) endpoint, then semi-close on the
     // other — the same degree-orientation argument the full run's wedge
@@ -183,9 +202,10 @@ object TriangleCount {
       .select(col(ID), (coalesce(col("__tc_prev"), lit(0L)) +
         coalesce(col("__tc_new"), lit(0L))).as("triangles"))
       .localCheckpoint(true)
-    org.apache.spark.sql.graft.checkpointing.release(symBase)
+    // A caller-provided adjacency is caller-owned; release only our own.
+    if (symBaseOpt.isEmpty)
+      org.apache.spark.sql.graft.checkpointing.release(symBase)
     org.apache.spark.sql.graft.checkpointing.release(deltaNew)
-    org.apache.spark.sql.graft.checkpointing.release(nbrs)
     out
   }
 }

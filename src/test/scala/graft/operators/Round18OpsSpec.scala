@@ -119,7 +119,14 @@ class Round18OpsSpec extends AnyFunSuite with SparkTestHarness {
         .unionByName(all.select(col("dst").as("id"))).distinct()
       val full = GraphFrame(vertices, all).triangleCount.run()
       val prev = GraphFrame(vertices, base).triangleCount.run()
-      val inc = graft.algorithms.TriangleCount.incremental(prev, base, delta)
+      // Alternate cold (self-built adjacency) and warm (caller-provided
+      // materialized adjacency — the persisted-graph cadence) paths.
+      val inc =
+        if (trial % 2 == 0) graft.algorithms.TriangleCount.incremental(
+          prev, base, delta)
+        else graft.algorithms.TriangleCount.incremental(prev, base, delta,
+          Some(graft.graph.GraphFrame.symmetrizeEdges(base,
+            doDistinct = true)))
       val d1 = inc.exceptAll(full).count()
       val d2 = full.exceptAll(inc).count()
       assert(d1 == 0 && d2 == 0,
