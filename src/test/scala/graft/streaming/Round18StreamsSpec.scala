@@ -115,6 +115,46 @@ class Round18StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("streamingAsOfEnrich per-batch plan: ONE hash exchange feeds the " +
+      "carry window and the key prune broadcasts — no extra shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.BucketedTables.writeBucketed(
+      (1L to 500L).map(i => (i % 50, i, i * 3)).toDF("user_id", "t", "feat"),
+      "r18_plan_features", 4, Seq("user_id"))
+    val input = MemoryStream[(Long, Long, Long)]
+    val plans = scala.collection.mutable.Buffer.empty[String]
+    val writer = Streams.streamingAsOfEnrich(
+      input.toDF().toDF("event_id", "user_id", "t"),
+      "r18_plan_features", keyCol = "user_id", timeCol = "t",
+      probeCols = Seq("event_id", "user_id", "t"),
+      buildCols = Seq("feat")) { (res, _) =>
+      res.collect()
+      plans += res.queryExecution.executedPlan.toString
+    }
+    val q = writer.start()
+    try {
+      input.addData((1L, 3L, 40L), (2L, 7L, 90L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(plans.nonEmpty)
+    // AQE prints the initial plan too — assert on the FINAL one.
+    val plan = plans.head.split("== Initial Plan ==").head
+    // The merge carry is the single-pass shape: exactly TWO
+    // hash-partitioning exchanges survive — the window's (on the key,
+    // over the union) and the batch-key distinct's (batch-sized by
+    // construction, never table-sized). The prune must not shuffle the
+    // FEATURE side: its scan feeds the broadcast semi join directly.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (carry + batch-key " +
+      s"distinct), got $hashEx in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"key prune should be a broadcast semi join:\n$plan")
+    // The window's exchange is the one over the union — the carry
+    // sorts ONCE per key partition.
+    assert("Sort \\[k#\\d+L ASC".r.findAllIn(plan).size == 1,
+      s"exactly one in-partition carry sort expected:\n$plan")
+  }
+
   test("streamingGroupedDriftCmsCounts: NULL group is a real group; " +
       "stream == batch through the grouped cell-TV tail") {
     implicit val sqlCtx = spark.sqlContext
