@@ -1685,6 +1685,40 @@ object SparkEntry {
         tolerance = Some(7200000000000L))
     }),
 
+    // INCREMENTAL local clustering coefficient (g36 — the g35 compose
+    // driven through to the quality metric a corpus-graph pipeline
+    // actually publishes): triangles compose via the delta enumeration,
+    // degrees compose EXACTLY as prev + delta-incident endpoint counts
+    // (the delta is edge-disjoint from the base by construction), and
+    // the g22 micro-lattice formula reads off the composed pair.
+    // Oracle = the full union-graph LCC replay: composition must be
+    // bit-identical to recomputing both inputs from scratch.
+    "g36_lcc_incremental" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val isDelta = pmod(col("src") + col("dst"), lit(5)) === 0
+      val base = edges.filter(!isDelta)
+      val delta = edges.filter(isDelta)
+      val prevTri = GraphFrame(nations.select(col("k").as("id")), base)
+        .triangleCount.run()
+      val tri = graft.algorithms.TriangleCount.incremental(prevTri, base, delta)
+      def endpointDeg(e: DataFrame, n: String) =
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as(n))
+      val deg = endpointDeg(base, "d0")
+        .join(endpointDeg(delta, "dd"), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("d0"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("d"))
+      deg.join(tri, Seq("id"))
+        .select(col("id"), col("triangles"), col("d"),
+          when(col("d") >= 2L,
+            expr("(2 * triangles * 1000000) div (d * (d - 1))"))
+            .otherwise(0L).as("lcc_micros"))
+    }),
+
     // Salted skew join: lineitem x orders on orderkey with an 8-way salt
     // split (dim replicated 8x, fact rows spread within each key by a
     // payload hash). ANY salt assignment must yield the plain join —
@@ -4403,6 +4437,26 @@ object SparkEntry {
     // Incremental composition must equal the full recompute over the
     // union — the same replay, verbatim.
     "g35_triangles_incremental" -> g11OracleSql,
+
+    // Incremental LCC replay: the g11 triangle chain + endpoint degrees
+    // over the FULL union edge set, folded through the g22 micro
+    // formula — any drift in either composed input diverges.
+    "g36_lcc_incremental" ->
+      """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        |  FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1),
+        |ends AS (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY 1)
+        |SELECT deg.id, CAST(coalesce(tcnt.triangles, 0) AS BIGINT) AS triangles, deg.d,
+        |  CAST(CASE WHEN deg.d >= 2
+        |    THEN (2 * coalesce(tcnt.triangles, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micros
+        |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
