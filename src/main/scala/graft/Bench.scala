@@ -106,9 +106,11 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // SPARK_GRAFT_QUERIES=a,b,c narrows the board for dev smoke runs
-    // (pair with SPARK_GRAFT_BELT=off — a partial board's totals are
-    // meaningless as a belt and the guard keeps them off disk).
+    // SPARK_GRAFT_QUERIES=a,b,c narrows the board for dev smoke runs.
+    // A subset run NEVER writes the file belts (enforced at the write
+    // site below, not by convention): a partial board's totals are
+    // meaningless as a belt, and the host_suspect guard cannot catch
+    // the clobber because a subset total is faster, not slower.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val board = subset match {
@@ -329,7 +331,13 @@ object Bench {
       // and had to restore from git): the stdout channels still carry
       // the full payload, so a smoke run loses nothing except the
       // on-disk clobber hazard. Round-close runs leave it unset.
-      if (!sys.env.get("SPARK_GRAFT_BELT").contains("off")) {
+      // A SPARK_GRAFT_QUERIES subset run skips the belts UNCONDITIONALLY:
+      // a partial board's totals are meaningless as a belt, and the
+      // suspect guard can't catch the clobber (a subset total is FASTER
+      // than the healthy prior, not slower) — asking operators to pair
+      // the two env vars was advisory-only and exactly the r17 incident.
+      if (!sys.env.get("SPARK_GRAFT_BELT").contains("off") &&
+          subset.isEmpty) {
         write("BENCH_LAST.json")
         fullName.foreach(write)
       }

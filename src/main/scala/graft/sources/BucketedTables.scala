@@ -348,9 +348,6 @@ object BucketedTables {
       s"table name '$table' contains the reserved snapshot marker '__snap'")
     require(tag.nonEmpty && !tag.contains("__snap") && !tag.contains("/"),
       s"snapshot tag '$tag' must be non-empty and free of '__snap' and '/'")
-    if (spark.sessionState.catalog.tableExists(
-        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}__snap_$tag")))
-      expireSnapshot(spark, table, tag)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
@@ -372,6 +369,14 @@ object BucketedTables {
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).toSeq
     require(files.nonEmpty, s"table $table has no data files to snapshot")
+    // Expire the old same-tag pin only AFTER the new file set validated
+    // (flat layout, non-empty): a failing re-pin — the table gained a
+    // subdirectory, or has no data files — must leave the previous
+    // snapshot and its retained files intact, or a nightly re-pin
+    // cadence loses its last good snapshot on the first bad run.
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}__snap_$tag")))
+      expireSnapshot(spark, table, tag)
     replaceSidecar(files.toDF("path"), s"${table}__snap_$tag")
   }
 

@@ -118,6 +118,15 @@ class Round18StreamsSpec extends AnyFunSuite with SparkTestHarness {
   test("streamingAsOfEnrich per-batch plan: ONE hash exchange feeds the " +
       "carry window and the key prune broadcasts — no extra shuffle") {
     implicit val sqlCtx = spark.sqlContext
+    // Pin the confs the plan shape rides on: the assertions below claim
+    // SEMANTICS (prune broadcasts, no table-sized exchange), and an
+    // unrelated threshold/AQE default change must not fail the suite
+    // without a real regression (r18 advisor finding).
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
     graft.sources.BucketedTables.writeBucketed(
       (1L to 500L).map(i => (i % 50, i, i * 3)).toDF("user_id", "t", "feat"),
       "r18_plan_features", 4, Seq("user_id"))
@@ -139,20 +148,30 @@ class Round18StreamsSpec extends AnyFunSuite with SparkTestHarness {
     assert(plans.nonEmpty)
     // AQE prints the initial plan too — assert on the FINAL one.
     val plan = plans.head.split("== Initial Plan ==").head
-    // The merge carry is the single-pass shape: exactly TWO
+    // The merge carry is the single-pass shape: AT MOST two
     // hash-partitioning exchanges survive — the window's (on the key,
     // over the union) and the batch-key distinct's (batch-sized by
-    // construction, never table-sized). The prune must not shuffle the
-    // FEATURE side: its scan feeds the broadcast semi join directly.
+    // construction, never table-sized). Upper bound, not equality: a
+    // planner improvement that elides one is fine; a third exchange
+    // (the defect class this test pins — re-shuffling the feature
+    // table per batch) is not.
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx == 2, s"expected 2 hash exchanges (carry + batch-key " +
-      s"distinct), got $hashEx in:\n$plan")
+    assert(hashEx <= 2, s"expected <= 2 hash exchanges (carry + batch-" +
+      s"key distinct), got $hashEx in:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"key prune should be a broadcast semi join:\n$plan")
     // The window's exchange is the one over the union — the carry
-    // sorts ONCE per key partition.
-    assert("Sort \\[k#\\d+L ASC".r.findAllIn(plan).size == 1,
-      s"exactly one in-partition carry sort expected:\n$plan")
+    // sorts ONCE per key partition (a second key-sort would mean the
+    // feature side is being merge-sorted per batch).
+    assert("Sort \\[k#\\d+L ASC".r.findAllIn(plan).size <= 1,
+      s"at most one in-partition carry sort expected:\n$plan")
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction")
+        || "Sort \\[k#\\d+L ASC".r.findAllIn(plan).nonEmpty,
+      s"carry window shape missing entirely — pattern drift, re-pin:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("streamingGroupedDriftCmsCounts: NULL group is a real group; " +
