@@ -347,4 +347,106 @@ object ConnectedComponents {
         coalesce(col("__iw_super"), col("component")).as("component"))
       .unionByName(newRows)
   }
+
+  /** INCREMENTAL WCC WITH DELETIONS (g37) — the full daily-delta form.
+    * [[incremental]] composes ADDITIONS only (additions can only merge
+    * components, so yesterday's labels coarsen monotonically); a
+    * removed edge can SPLIT its component, which no label composition
+    * can see. The bounded observation: a removal can only split the
+    * ONE component that contained it — every other component's label
+    * is untouched. So:
+    *
+    *   1. affected = the prev-labels of the removed edges' endpoints
+    *      (delta-bounded — both endpoints of an in-base edge share one
+    *      label by definition);
+    *   2. extract the affected components' edges in ONE pass over the
+    *      base: a broadcast SEMI join on `src` against the affected
+    *      membership (an edge's endpoints are co-component, so `src`
+    *      alone decides) and a broadcast ANTI join against the
+    *      canonicalized removals — no E-wide shuffle, no distinct; the
+    *      scan rides whatever layout the base already has;
+    *   3. re-run WCC on that edited subgraph ONLY — the iterative loop
+    *      is bounded by the affected components' size, not E. Members
+    *      that lost all their edges self-label (a split to singletons
+    *      is still a split);
+    *   4. stitch (unaffected labels pass through untouched — min-member
+    *      labeling is per-component, so recomputing inside affected
+    *      components cannot change anyone else's label) and feed the
+    *      result — a valid min-member label frame over
+    *      `base ∖ removed` — to [[incremental]] for the additions.
+    *
+    * Removal order is applied FIRST, so the result equals a full
+    * recompute over `(base ∖ removed) ∪ added` — the g37 oracle's
+    * claim — including an edge removed and re-added in the same delta.
+    *
+    * CONTRACT: `prevComponents` min-member labeled over `baseEdges`'s
+    * endpoints (the [[incremental]] contract). `removedEdges` should be
+    * base edges; removals of absent edges or self-loops are harmless
+    * (they mark at most their components affected — extra recompute,
+    * same answer). Output `[id, component]` over prev's vertices ∪ the
+    * added edges' endpoints: removals never drop a vertex — a fully
+    * stranded member becomes its own singleton component, exactly what
+    * a takedown cadence needs (the doc row survives, its cluster
+    * membership dissolves).
+    *
+    * COST SHAPE at 100 TB: one co-located scan of E (two broadcast
+    * joins, zero exchanges on the edge side), a WCC loop on the
+    * affected subgraph, one V-sized stitch, then the delta-bounded
+    * additions compose. The full recompute this replaces shuffles E
+    * every iteration.
+    */
+  def incrementalWithDeletions(prevComponents: DataFrame,
+      baseEdges: DataFrame, addedEdges: DataFrame,
+      removedEdges: DataFrame): DataFrame = {
+    val ID = GraphFrame.ID
+    val SRC = GraphFrame.SRC
+    val DST = GraphFrame.DST
+    require(Seq(ID, "component").forall(prevComponents.columns.contains),
+      s"prevComponents needs [$ID, component] (a components frame), " +
+        s"got ${prevComponents.columns.mkString(", ")}")
+    val prev = prevComponents.select(col(ID), col("component"))
+    // Canonical removals (delta-sized; the broadcast side of both edge
+    // passes below).
+    val rem = removedEdges.filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as("__dw_l"),
+        greatest(col(SRC), col(DST)).as("__dw_g"))
+      .distinct()
+      .localCheckpoint(true)
+    // Components containing a removed edge — the only ones that can
+    // split. Either endpoint works (they share the label); removals of
+    // edges never in the base simply find no label and drop out.
+    val affected = rem
+      .join(prev.select(col(ID).as("__dw_l"), col("component")), Seq("__dw_l"))
+      .select(col("component")).distinct()
+    // Their full membership (bounded by the affected components' size).
+    val affVerts = prev.join(affected, Seq("component"), "left_semi")
+      .select(col(ID))
+      .localCheckpoint(true)
+    // The affected components' edges, minus the removals: one pass over
+    // the base, both joins broadcast when the affected set is small
+    // (the every-day case).
+    val sub = baseEdges.select(col(SRC), col(DST))
+      .join(affVerts.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+      .join(rem,
+        least(col(SRC), col(DST)) === col("__dw_l") &&
+          greatest(col(SRC), col(DST)) === col("__dw_g"), "left_anti")
+    // Recompute ONLY inside the affected components; stranded members
+    // self-label (min-member labeling holds: a singleton's min is
+    // itself, a surviving sub-component's min is its min member).
+    val subLabels = GraphFrame.fromEdges(sub)
+      .connectedComponents.run().components
+      .select(col(ID), col("component").as("__dw_c"))
+    val recomputed = affVerts
+      .join(subLabels, Seq(ID), "left")
+      .select(col(ID), coalesce(col("__dw_c"), col(ID)).as("component"))
+    val postRemoval = prev.join(affected, Seq("component"), "left_anti")
+      .select(col(ID), col("component"))
+      .unionByName(recomputed)
+    // Materialize before releasing: incremental()'s output is lazy and
+    // its lineage reads postRemoval, which reads rem/affVerts.
+    val out = incremental(postRemoval, addedEdges).localCheckpoint(true)
+    org.apache.spark.sql.graft.checkpointing.release(rem)
+    org.apache.spark.sql.graft.checkpointing.release(affVerts)
+    out
+  }
 }

@@ -208,4 +208,109 @@ object TriangleCount {
     org.apache.spark.sql.graft.checkpointing.release(deltaNew)
     out
   }
+
+  /** INCREMENTAL triangle counts WITH DELETIONS (g38 — the triangle
+    * family's full daily-delta form, closing [[incremental]]'s
+    * additions-only contract). The symmetric observation: every
+    * triangle DESTROYED by the delta contains at least one removed
+    * edge, so destruction enumerates FROM the removals exactly the way
+    * creation enumerates from the additions — for each removed
+    * undirected edge {u, v}, the common neighbors of u and v in the
+    * BASE adjacency (pre-removal — the triangles being destroyed
+    * existed in the base) close the destroyed triangles; a triangle
+    * losing 2 or 3 edges is found once per removed edge it contains,
+    * so the triples are canonicalized and deduplicated before the
+    * per-corner DEBIT. Removals apply first, then [[incremental]]
+    * composes the additions over the edited adjacency, so the result
+    * is bit-identical to a full recompute over
+    * `(base ∖ removed) ∪ added` — the g38 oracle's claim — including
+    * an edge removed and re-added in the same delta (its triangles are
+    * debited, then re-credited by the addition pass).
+    *
+    * Same skew guard as the addition path: destroyed candidates fan
+    * out from each removed edge's LOWER-(degree, id) endpoint, so
+    * candidate volume is Σ_Δ min(deg(u), deg(v)) ≤ O(|Δ|·√m) — a
+    * takedown sweep that hits a hub never enumerates the hub's whole
+    * neighborhood from the hub side.
+    *
+    * CONTRACT: as [[incremental]]; `removedEdges` not present in the
+    * base (either direction), self-loops, and within-delta duplicates
+    * are no-ops (filtered before enumeration). Removals never drop a
+    * vertex: output `[id, triangles]` covers prev's vertices ∪ the
+    * added edges' endpoints.
+    *
+    * COST SHAPE: the destroy pass mirrors the create pass (delta-fanout
+    * joins against the adjacency); the one added E-sized step is the
+    * anti-join building the post-removal adjacency — a co-located
+    * map-side filter when the adjacency is bucketed by src
+    * (`symBaseOpt`, the every-day cadence), since the removal side
+    * broadcasts.
+    */
+  def incrementalWithDeletions(prev: DataFrame, baseEdges: DataFrame,
+      addedEdges: DataFrame, removedEdges: DataFrame,
+      symBaseOpt: Option[DataFrame] = None): DataFrame = {
+    val SRC = GraphFrame.SRC
+    val DST = GraphFrame.DST
+    val ID = GraphFrame.ID
+    require(Seq(ID, "triangles").forall(prev.columns.contains),
+      s"prev needs [$ID, triangles] (a TriangleCount output), " +
+        s"got ${prev.columns.mkString(", ")}")
+    val symBase = symBaseOpt.getOrElse(GraphFrame.symmetrizeEdges(
+      baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false))
+    // Truly-removed undirected edges: canonical, loop-free, deduped,
+    // actually present in the base.
+    val remCanon = removedEdges.filter(col(SRC) =!= col(DST))
+      .select(least(col(SRC), col(DST)).as(SRC),
+        greatest(col(SRC), col(DST)).as(DST))
+      .distinct()
+      .join(symBase, Seq(SRC, DST), "left_semi")
+      .localCheckpoint(true)
+    // Destroyed triangles {u,v,w}: w a common BASE-neighbor of the
+    // removed edge {u,v}, fanned from the lower-(degree, id) endpoint.
+    val deg = symBase.groupBy(col(SRC).as("__td_v"))
+      .agg(count(lit(1)).as("__td_d"))
+    val oriented = remCanon
+      .join(deg.select(col("__td_v").as("__td_vs"), col("__td_d").as("__td_ds")),
+        col(SRC) === col("__td_vs"))
+      .join(deg.select(col("__td_v").as("__td_vd"), col("__td_d").as("__td_dd")),
+        col(DST) === col("__td_vd"))
+      .select(
+        when(struct(col("__td_ds"), col(SRC)) <= struct(col("__td_dd"), col(DST)),
+          col(SRC)).otherwise(col(DST)).as("u"),
+        when(struct(col("__td_ds"), col(SRC)) <= struct(col("__td_dd"), col(DST)),
+          col(DST)).otherwise(col(SRC)).as("v"))
+    val destroyed = oriented
+      .join(symBase.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
+      .filter(col("w") =!= col("v"))
+      .join(symBase.select(col(SRC).as("v"), col(DST).as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("__t"))
+      .distinct()
+      .select(explode(col("__t")).as(ID))
+      .groupBy(ID).agg(count(lit(1)).as("__td_gone"))
+    val prevMinus = prev
+      .join(destroyed, Seq(ID), "left")
+      .select(col(ID), (col("triangles") -
+        coalesce(col("__td_gone"), lit(0L))).as("triangles"))
+    // Post-removal adjacency: broadcast anti against the (delta-sized)
+    // canonical removals, both directions — co-located with a bucketed
+    // base scan. Materialized once: the addition pass reads it three
+    // times (degrees + both fanout sides).
+    val symPost = symBase
+      .join(remCanon.select( // already canonical: src < dst
+          col(SRC).as("__td_l"), col(DST).as("__td_g")),
+        least(col(SRC), col(DST)) === col("__td_l") &&
+          greatest(col(SRC), col(DST)) === col("__td_g"), "left_anti")
+      .localCheckpoint(false)
+    // Additions compose over the edited adjacency (baseEdges unused by
+    // incremental when the adjacency is supplied). Output is eagerly
+    // checkpointed by incremental, so releasing our intermediates after
+    // the call is safe.
+    val out = incremental(prevMinus, baseEdges, addedEdges, Some(symPost))
+    if (symBaseOpt.isEmpty)
+      org.apache.spark.sql.graft.checkpointing.release(symBase)
+    org.apache.spark.sql.graft.checkpointing.release(remCanon)
+    org.apache.spark.sql.graft.checkpointing.release(symPost)
+    out
+  }
 }

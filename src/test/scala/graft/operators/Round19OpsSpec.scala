@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestHarness
@@ -59,5 +60,138 @@ class Round19OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(ids(BucketedTables.readSnapshot(spark, "r19_repin", "nightly")) ==
       (1L to 12L))
     BucketedTables.expireSnapshot(spark, "r19_repin", "nightly")
+  }
+
+  // ---- deletion-aware incremental maintenance (g37/g38) ----
+
+  private def randomGraph(rnd: scala.util.Random) = {
+    val n = 20 + rnd.nextInt(20)
+    val m = 60 + rnd.nextInt(120)
+    (1 to m).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.toDF("src", "dst")
+  }
+
+  test("incremental WCC with deletions == full recompute on random " +
+      "graphs: splits, stranded singletons, remove+re-add, absent removals") {
+    import graft.graph.GraphFrame
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 6) {
+      val all = randomGraph(rnd)
+      val bucket = pmod(col("src") + col("dst") * 7, lit(5 + rnd.nextInt(3)))
+      val base = all.filter(bucket =!= 0).localCheckpoint()
+      val added = all.filter(bucket === 0)
+      // Removals: a slice of the base, PLUS a remove+re-add of one
+      // added edge (net no-op on that edge — it is not in the base, so
+      // removing it must be harmless), a self-loop, and an edge absent
+      // from the base entirely — all tolerated by contract.
+      val removed = base.filter(bucket === 1)
+        .unionByName(added.limit(1))
+        .unionByName(Seq((3L, 3L), (900L, 901L)).toDF("src", "dst"))
+      val removedCanon = base.filter(bucket === 1)
+        .select(least(col("src"), col("dst")).as("l"),
+          greatest(col("src"), col("dst")).as("g"))
+      val edited = base
+        .join(removedCanon,
+          least(col("src"), col("dst")) === col("l") &&
+            greatest(col("src"), col("dst")) === col("g"), "left_anti")
+        .unionByName(added)
+      // Vertex universe = base endpoints ∪ added endpoints (removals
+      // never drop a vertex).
+      val universe = base.select(col("src").as("id"))
+        .unionByName(base.select(col("dst").as("id")))
+        .unionByName(added.select(col("src").as("id")))
+        .unionByName(added.select(col("dst").as("id"))).distinct()
+      val fullLabels = GraphFrame.fromEdges(edited)
+        .connectedComponents.run().components
+        .select(col("id"), col("component").as("c"))
+      val full = universe.join(fullLabels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+      val prev = GraphFrame.fromEdges(base)
+        .connectedComponents.run().components
+      val inc = graft.algorithms.ConnectedComponents
+        .incrementalWithDeletions(prev, base, added, removed)
+      val d1 = inc.exceptAll(full).count()
+      val d2 = full.exceptAll(inc).count()
+      assert(d1 == 0 && d2 == 0,
+        s"trial $trial: WCC-with-deletions vs full diverge ($d1/$d2 rows)")
+    }
+  }
+
+  test("incremental WCC, deletions only (empty additions): a component " +
+      "split to singletons composes exactly") {
+    import graft.graph.GraphFrame
+    // A path 1-2-3-4 plus a disjoint pair 10-11; removing both middle
+    // path edges strands 2 and 3 as singletons and splits {1,4}.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val removed = Seq((2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val added = base.limit(0)
+    val prev = GraphFrame.fromEdges(base).connectedComponents.run().components
+    val inc = graft.algorithms.ConnectedComponents
+      .incrementalWithDeletions(prev, base, added, removed)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("incremental triangle counts with deletions == full recompute on " +
+      "random graphs; cold and warm adjacency paths") {
+    import graft.graph.GraphFrame
+    val rnd = new scala.util.Random(38)
+    for (trial <- 1 to 6) {
+      val all = randomGraph(rnd)
+      val bucket = pmod(col("src") + col("dst") * 7, lit(5 + rnd.nextInt(3)))
+      val base = all.filter(bucket =!= 0).localCheckpoint()
+      val added = all.filter(bucket === 0)
+        // remove+re-add the same edge within one delta: net no-op.
+        .unionByName(base.filter(bucket === 1).limit(1))
+      val removed = base.filter(bucket === 1)
+        .unionByName(Seq((3L, 3L), (900L, 901L)).toDF("src", "dst"))
+      val removedCanon = base.filter(bucket === 1)
+        .select(least(col("src"), col("dst")).as("l"),
+          greatest(col("src"), col("dst")).as("g"))
+      val edited = base
+        .join(removedCanon,
+          least(col("src"), col("dst")) === col("l") &&
+            greatest(col("src"), col("dst")) === col("g"), "left_anti")
+        .unionByName(added)
+      val vertices = base.select(col("src").as("id"))
+        .unionByName(base.select(col("dst").as("id")))
+        .unionByName(added.select(col("src").as("id")))
+        .unionByName(added.select(col("dst").as("id"))).distinct()
+        .localCheckpoint()
+      val full = GraphFrame(vertices, edited).triangleCount.run()
+      val prev = GraphFrame(vertices, base).triangleCount.run()
+      val inc =
+        if (trial % 2 == 0) graft.algorithms.TriangleCount
+          .incrementalWithDeletions(prev, base, added, removed)
+        else graft.algorithms.TriangleCount.incrementalWithDeletions(
+          prev, base, added, removed,
+          Some(GraphFrame.symmetrizeEdges(base, doDistinct = true)))
+      val d1 = inc.exceptAll(full).count()
+      val d2 = full.exceptAll(inc).count()
+      assert(d1 == 0 && d2 == 0,
+        s"trial $trial: tri-with-deletions vs full diverge ($d1/$d2 rows)")
+    }
+  }
+
+  test("triangle deletions only: a triangle losing 2 edges is debited " +
+      "ONCE per corner (canonical-triple dedup on the destroy pass)") {
+    import graft.graph.GraphFrame
+    // Two triangles sharing edge {1,2}: {1,2,3} and {1,2,4}; remove
+    // {1,2} and {1,3} — triangle {1,2,3} loses TWO edges (found from
+    // both) and must be debited once; {1,2,4} loses one.
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val removed = Seq((2L, 1L), (1L, 3L)).toDF("src", "dst") // one reversed
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val prev = GraphFrame(vertices, base).triangleCount.run()
+    assert(prev.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    val inc = graft.algorithms.TriangleCount.incrementalWithDeletions(
+      prev, base, base.limit(0), removed)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 }
