@@ -686,6 +686,23 @@ object SparkEntry {
         prev, base, edges.filter(bucket === 0), base.filter(bucket === 1))
     }),
 
+    // WARM-START PageRank (g40 — the ranking family's daily-delta form,
+    // the r18-verdict gap): yesterday's RAW mass (cold 2-iter run on
+    // ~4/5 of the edges, tol 1e-9) re-seeded over the FULL graph via
+    // the residual restart, 2 more iterations. Oracle = the exact
+    // unrolled replay: cold base iterations, the residual edge pass,
+    // then the warm iterations with the abs(delta)>tol participation
+    // filter — every float op mirrored in evaluation order.
+    "g40_pagerank_warm" -> ((s, d) => {
+      val edges = custNationRegionEdges(s, d)
+      val isDelta = pmod(col("src") + col("dst"), lit(5)) === 0
+      val prev = GraphFrame.fromEdges(edges.filter(!isDelta)).pageRank
+        .tolerance(1e-9).maxIterations(2).run().rawMass
+      GraphFrame.fromEdges(edges).pageRank
+        .tolerance(1e-9).maxIterations(2).warmStart(prev).run()
+        .ranks.select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+    }),
+
     "g08_pagerank" -> ((s, d) => {
       val edges = tbl(s, d, "customer").select(
         col("c_custkey").as("src"), (col("c_nationkey").cast(LongType) + 3000000L).as("dst"))
@@ -4218,6 +4235,60 @@ object SparkEntry {
         |       FROM v LEFT JOIN ind ON v.id = ind.id),
         |t AS (SELECT sum(p) AS tot FROM pr)
         |SELECT id, round(p / tot, 6) AS pagerank FROM pr, t""".stripMargin,
+
+    // Warm-start replay: cold 2-iter loop on the base slice (iteration 1
+    // unfiltered — participation inits true on the cold path), the
+    // residual pass d0 = 0.15 + α·Pᵀg − g over the full graph, then two
+    // warm iterations whose senders replay abs(dl) > tol. α is written
+    // (1.0 - 0.15) exactly as the engine computes it.
+    "g40_pagerank_warm" ->
+      """WITH e_all AS (
+        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
+        |eb AS (SELECT src, dst FROM e_all WHERE (src + dst) % 5 <> 0),
+        |vb AS (SELECT DISTINCT src AS id FROM eb UNION SELECT dst FROM eb),
+        |odb AS (SELECT src AS id, count(*) AS d FROM eb GROUP BY 1),
+        |b0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr, CAST(0.15 AS DOUBLE) AS dl FROM vb),
+        |bm1 AS (SELECT eb.dst AS id, sum(p.dl / odb.d) AS ms FROM eb
+        |  JOIN b0 p ON p.id = eb.src
+        |  JOIN odb ON odb.id = eb.src GROUP BY 1),
+        |b1 AS (SELECT p.id,
+        |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+        |  (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+        |  FROM b0 p LEFT JOIN bm1 m ON m.id = p.id),
+        |bm2 AS (SELECT eb.dst AS id, sum(p.dl / odb.d) AS ms FROM eb
+        |  JOIN b1 p ON p.id = eb.src AND abs(p.dl) > 1e-9
+        |  JOIN odb ON odb.id = eb.src GROUP BY 1),
+        |b2 AS (SELECT p.id,
+        |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+        |  (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+        |  FROM b1 p LEFT JOIN bm2 m ON m.id = p.id),
+        |vf AS (SELECT DISTINCT src AS id FROM e_all UNION SELECT dst FROM e_all),
+        |odf AS (SELECT src AS id, count(*) AS d FROM e_all GROUP BY 1),
+        |gg AS (SELECT vf.id, coalesce(b2.pr, CAST(0.0 AS DOUBLE)) AS g
+        |  FROM vf LEFT JOIN b2 ON b2.id = vf.id),
+        |winc AS (SELECT e.dst AS id, sum(gg.g / odf.d) AS ms FROM e_all e
+        |  JOIN gg ON gg.id = e.src JOIN odf ON odf.id = e.src GROUP BY 1),
+        |w0 AS (SELECT gg.id,
+        |  gg.g + (CAST(0.15 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(w.ms, CAST(0.0 AS DOUBLE)) - gg.g) AS pr,
+        |  CAST(0.15 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(w.ms, CAST(0.0 AS DOUBLE)) - gg.g AS dl
+        |  FROM gg LEFT JOIN winc w ON w.id = gg.id),
+        |wm1 AS (SELECT e.dst AS id, sum(p.dl / odf.d) AS ms FROM e_all e
+        |  JOIN w0 p ON p.id = e.src AND abs(p.dl) > 1e-9
+        |  JOIN odf ON odf.id = e.src GROUP BY 1),
+        |w1 AS (SELECT p.id,
+        |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+        |  (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+        |  FROM w0 p LEFT JOIN wm1 m ON m.id = p.id),
+        |wm2 AS (SELECT e.dst AS id, sum(p.dl / odf.d) AS ms FROM e_all e
+        |  JOIN w1 p ON p.id = e.src AND abs(p.dl) > 1e-9
+        |  JOIN odf ON odf.id = e.src GROUP BY 1),
+        |w2 AS (SELECT p.id,
+        |  p.pr + (CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE)) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr
+        |  FROM w1 p LEFT JOIN wm2 m ON m.id = p.id),
+        |t AS (SELECT sum(pr) AS tot FROM w2)
+        |SELECT id, round(pr / tot, 6) AS pagerank FROM w2, t""".stripMargin,
 
     "g09b_kcore_capped" -> kcoreOracle(2),
     // Run-to-convergence kcore: the H-index fixpoint IS the coreness (Lü et

@@ -6,7 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.graph.GraphFrame
 import graft.pregel.{MessageDirection, Pregel}
 
-case class PageRankResult(ranks: DataFrame, iterations: Int)
+/** `ranks` are normalized to sum 1 (the user-facing scale); `rawMass` is
+  * the UNNORMALIZED fixed-point mass `r = reset + α·Pᵀr` — the state a
+  * [[PageRank.warmStart]] resume consumes. Normalized ranks are the
+  * wrong warm-start seed (at V vertices they sit ~1/V below the raw
+  * scale, so the residual is ~the whole answer and the restart buys
+  * nothing); keeping the raw frame is what makes the daily cadence
+  * cold-run-once, warm-resume-forever.
+  */
+case class PageRankResult(ranks: DataFrame, iterations: Int,
+    rawMass: DataFrame)
 
 /** Delta-incremental (GraphX-style) PageRank as a Pregel client
   * (`/root/reference/src/algorithm/centrality/pagerank.rs:80-210`).
@@ -39,6 +48,48 @@ class PageRank(graph: GraphFrame) {
     * delta-incremental loop — only the init mass changes.
     */
   def personalized(sourceId: Long): this.type = { pprSource = Some(sourceId); this }
+
+  /** WARM-START / incremental PageRank (g40 — the ranking family's
+    * daily-delta form, closing the r18-verdict gap): resume from
+    * yesterday's ranks over TODAY'S graph instead of recomputing the
+    * Neumann series from scratch. `prevRawMass` is a `[id, pagerank]`
+    * frame on the RAW scale (a previous result's
+    * [[PageRankResult.rawMass]]) over any prior graph — additions,
+    * removals, and weight changes are all fine because the restart is
+    * residual-based, not composition-based:
+    *
+    * the fixed point satisfies `r = reset + α·Pᵀr`; for any guess `g`
+    * the residual `d₀ = reset + α·Pᵀg − g` telescopes the remaining
+    * series exactly — `r = g + Σₖ αᵏ(Pᵀ)ᵏ d₀` — so the standard loop
+    * runs UNCHANGED with init `pagerank = g + d₀, delta = d₀` (cold
+    * start is the special case g = 0, where d₀ = reset — the existing
+    * init verbatim). One extra edge pass computes `d₀` before the loop;
+    * every loop invariant (participation pruning, voting, message
+    * shape) is untouched. When yesterday's graph ≈ today's, `|d₀| ≤ tol`
+    * everywhere except near the delta's endpoints, so the first
+    * iteration already runs on a delta-bounded participating frontier —
+    * convergence in a few rounds instead of the full spectral mixing
+    * time (`ScaleBench pr-warm` measures it).
+    *
+    * Deltas (and d₀) are SIGNED here — removed edges or shrunk ranks
+    * propagate negative corrections — which is why the participation
+    * and voting predicates are `abs(delta) > tol` (identical to the
+    * cold path's behavior, whose deltas are non-negative).
+    *
+    * Composes with [[personalized]] and [[weighted]] (the residual uses
+    * whatever reset vector / message kernel is configured — it must
+    * match the run that produced `prevRawMass` for the warm start to be
+    * WORTH anything, though any seed converges to the same fixed
+    * point).
+    */
+  def warmStart(prevRawMass: DataFrame): this.type = {
+    require(Seq(GraphFrame.ID, "pagerank")
+        .forall(prevRawMass.columns.contains),
+      s"prevRawMass needs [${GraphFrame.ID}, pagerank] (a rawMass frame), " +
+        s"got ${prevRawMass.columns.mkString(", ")}")
+    warmOpt = Some(prevRawMass); this
+  }
+  private var warmOpt: Option[DataFrame] = None
 
   /** Weighted PageRank (beyond the reference — its bench surface gestures
     * at weighted graphs, `run_benchmarks.py:204-208`, but the library
@@ -88,12 +139,45 @@ class PageRank(graph: GraphFrame) {
       case None    => graph.edges.select(baseEdgeCols: _*)
       case Some(w) => graph.edges.select(baseEdgeCols :+ guardedWeight(w).as(w): _*)
     }
-    val prepared = GraphFrame(verticesWithDegrees, preparedEdges)
 
     val newDelta = lit(alpha) * coalesce(Pregel.defaultMsg, lit(0.0))
     val initMass = pprSource
       .map(s => when(col(ID) === lit(s), lit(resetProb)).otherwise(lit(0.0)))
       .getOrElse(lit(resetProb))
+
+    // Warm start: one pre-loop edge pass computes the residual
+    // d0 = reset + α·Pᵀg − g over TODAY'S graph (the same message
+    // kernel the loop uses), then the unchanged loop runs from
+    // init pagerank = g + d0, delta = d0. See [[warmStart]].
+    val preparedVertices = warmOpt match {
+      case None => verticesWithDegrees
+      case Some(prevRaw) =>
+        val g = prevRaw.select(col(ID).as("__ws_gid"),
+          col("pagerank").cast("double").as("__ws_gv"))
+        val vg = verticesWithDegrees
+          .join(g, col(ID) === col("__ws_gid"), "left")
+          .select(col(ID), col("out_total"),
+            coalesce(col("__ws_gv"), lit(0.0)).as("__ws_g"))
+        val srcSide = vg.select(col(ID).as("__ws_s"),
+          col("__ws_g").as("__ws_sg"), col("out_total").as("__ws_st"))
+        val perEdge = weightColOpt match {
+          case None => col("__ws_sg") / col("__ws_st")
+          case Some(w) =>
+            when(col("__ws_st") > 0L,
+              col("__ws_sg") * col(w).cast("double")
+                / col("__ws_st").cast("double"))
+              .otherwise(lit(0.0))
+        }
+        val inc = preparedEdges
+          .join(srcSide, col(GraphFrame.SRC) === col("__ws_s"))
+          .select(col(GraphFrame.DST).as("__ws_d"), perEdge.as("__ws_m"))
+          .groupBy(col("__ws_d")).agg(sum(col("__ws_m")).as("__ws_i"))
+        vg.join(inc, col(ID) === col("__ws_d"), "left")
+          .select(col(ID), col("out_total"), col("__ws_g"),
+            (initMass + lit(alpha) * coalesce(col("__ws_i"), lit(0.0))
+              - col("__ws_g")).as("__ws_d0"))
+    }
+    val prepared = GraphFrame(preparedVertices, preparedEdges)
 
     val msgExpr = weightColOpt match {
       case None => Pregel.src("pagerank_delta") / Pregel.src("out_total")
@@ -106,25 +190,35 @@ class PageRank(graph: GraphFrame) {
           .otherwise(lit(0.0))
     }
 
+    val (initPr, initDelta, initPart) =
+      if (warmOpt.isDefined)
+        (col("__ws_g") + col("__ws_d0"), col("__ws_d0"),
+          abs(col("__ws_d0")) > lit(tol))
+      else (initMass, initMass, lit(true))
+    // abs(): warm-start deltas are signed (negative corrections
+    // propagate when mass shrinks); on the cold path deltas are
+    // non-negative, so abs() is behavior-identical there.
     var builder = prepared.pregel
-      .addVertexColumn("pagerank", initMass, col("pagerank") + newDelta)
-      .addVertexColumn("pagerank_delta", initMass, newDelta)
+      .addVertexColumn("pagerank", initPr, col("pagerank") + newDelta)
+      .addVertexColumn("pagerank_delta", initDelta, newDelta)
       .addVertexColumn("out_total", col("out_total"), col("out_total"))
       .addMessage(msgExpr, MessageDirection.SrcToDst)
       .addAggregateExpr(sum(Pregel.defaultMsg))
-      .withParticipationColumn("participates", lit(true), newDelta > lit(tol))
+      .withParticipationColumn("participates", initPart,
+        abs(newDelta) > lit(tol))
       .skipDestState()
       .checkpointInterval(ckptInterval)
     weightColOpt.foreach(w => builder = builder.addEdgeColumn(w))
 
     val result =
       if (maxIter > 0) builder.maxIterations(maxIter).run()
-      else builder.withVertexVoting("active", newDelta > lit(tol)).run()
+      else builder.withVertexVoting("active", abs(newDelta) > lit(tol)).run()
 
+    val raw = result.vertices.select(col(ID), col("pagerank"))
     // Normalize to sum 1. The 1-row aggregate is broadcast by the planner.
-    val total = result.vertices.agg(sum(col("pagerank")).as("pagerank_sum"))
-    val ranks = result.vertices.crossJoin(total)
+    val total = raw.agg(sum(col("pagerank")).as("pagerank_sum"))
+    val ranks = raw.crossJoin(total)
       .select(col(ID), (col("pagerank") / col("pagerank_sum")).as("pagerank"))
-    PageRankResult(ranks, result.iterations)
+    PageRankResult(ranks, result.iterations, raw)
   }
 }

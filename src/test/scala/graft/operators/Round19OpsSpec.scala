@@ -176,6 +176,70 @@ class Round19OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  // ---- warm-start PageRank (g40) ----
+
+  test("warm-start PageRank == cold recompute on the edited graph " +
+      "(additions AND removals), to convergence, on random graphs") {
+    import graft.graph.GraphFrame
+    val rnd = new scala.util.Random(40)
+    for (trial <- 1 to 3) {
+      val all = randomGraph(rnd).filter(col("src") =!= col("dst"))
+      val bucket = pmod(col("src") + col("dst") * 7, lit(6))
+      val base = all.filter(bucket =!= 0).localCheckpoint()
+      val edited = all.filter(bucket =!= 1).localCheckpoint() // drop a slice, add the 0-slice
+      val prevRaw = GraphFrame.fromEdges(base).pageRank
+        .tolerance(1e-9).run().rawMass.localCheckpoint()
+      val cold = GraphFrame.fromEdges(edited).pageRank.tolerance(1e-9).run()
+      val warm = GraphFrame.fromEdges(edited).pageRank.tolerance(1e-9)
+        .warmStart(prevRaw).run()
+      def r6(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), round(col("pagerank"), 6).as("p"))
+          .as[(Long, Double)].collect().toMap
+      val (c, w) = (r6(cold.ranks), r6(warm.ranks))
+      assert(c.keySet == w.keySet)
+      // Both runs stop within tol of the unique fixed point; at
+      // tol=1e-9 the residual bound is ~6e-9, far inside 1e-6.
+      val worst = c.map { case (k, v) => math.abs(v - w(k)) }.max
+      assert(worst <= 2e-6, s"trial $trial: warm vs cold ranks differ by $worst")
+    }
+  }
+
+  test("warm-start PageRank from a converged prior over a small delta " +
+      "converges in FEWER iterations than the cold run") {
+    import graft.graph.GraphFrame
+    val rnd = new scala.util.Random(41)
+    val n = 40
+    val all = (1 to 200).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(e => e._1 != e._2).toDF("src", "dst").distinct().localCheckpoint()
+    // Tiny delta: 3 edges.
+    val delta = all.limit(3).localCheckpoint()
+    val base = all.exceptAll(delta).localCheckpoint()
+    val prevRaw = GraphFrame.fromEdges(base).pageRank
+      .tolerance(1e-9).run().rawMass.localCheckpoint()
+    val cold = GraphFrame.fromEdges(all).pageRank.tolerance(1e-9).run()
+    val warm = GraphFrame.fromEdges(all).pageRank.tolerance(1e-9)
+      .warmStart(prevRaw).run()
+    assert(warm.iterations < cold.iterations,
+      s"warm ${warm.iterations} !< cold ${cold.iterations}")
+  }
+
+  test("warm-start PageRank over an UNCHANGED graph from a tighter-" +
+      "converged mass terminates in at most 2 iterations") {
+    import graft.graph.GraphFrame
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    // The prior's own slack is ~α/(1−α)·tol ≈ 5.7·tol, so a SAME-tol
+    // resume legitimately runs a few shrink rounds; a prior converged
+    // 100× tighter leaves every residual under the resume tolerance —
+    // nobody participates and the loop exits immediately.
+    val prev = GraphFrame.fromEdges(edges).pageRank.tolerance(1e-8).run()
+    val warm = GraphFrame.fromEdges(edges).pageRank.tolerance(1e-6)
+      .warmStart(prev.rawMass).run()
+    assert(warm.iterations <= 2,
+      s"resume on an unchanged graph took ${warm.iterations} iterations")
+  }
+
   test("triangle deletions only: a triangle losing 2 edges is debited " +
       "ONCE per corner (canonical-triple dedup on the destroy pass)") {
     import graft.graph.GraphFrame
