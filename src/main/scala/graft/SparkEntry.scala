@@ -1742,6 +1742,46 @@ object SparkEntry {
     }),
 
     // INCREMENTAL local clustering coefficient (g36 — the g35 compose
+    // INCREMENTAL LCC WITH DELETIONS (g39 — g36's missing half,
+    // completing the deletion-aware family): triangles compose via the
+    // g38 destroy/create enumeration, degrees compose EXACTLY as
+    // prev − removed-incident + added-incident endpoint counts (the
+    // three slices are edge-disjoint by construction), and the g22
+    // micro-lattice formula reads off the composed pair. Vertices
+    // stranded by the removals compose to degree 0 and drop from the
+    // output exactly as a full recompute drops them. Oracle = the full
+    // edited-graph LCC replay.
+    "g39_lcc_incremental_del" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val bucket = pmod(col("src") + col("dst"), lit(7))
+      val base = edges.filter(bucket =!= 0)
+      val added = edges.filter(bucket === 0)
+      val removed = base.filter(bucket === 1)
+      val prevTri = GraphFrame(nations.select(col("k").as("id")), base)
+        .triangleCount.run()
+      val tri = graft.algorithms.TriangleCount.incrementalWithDeletions(
+        prevTri, base, added, removed)
+      def endpointDeg(e: DataFrame, n: String) =
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as(n))
+      val deg = endpointDeg(base, "d0")
+        .join(endpointDeg(added, "da"), Seq("id"), "full_outer")
+        .join(endpointDeg(removed, "dr"), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("d0"), lit(0L)) + coalesce(col("da"), lit(0L))
+            - coalesce(col("dr"), lit(0L))).as("d"))
+        .filter(col("d") > 0L)
+      deg.join(tri, Seq("id"))
+        .select(col("id"), col("triangles"), col("d"),
+          when(col("d") >= 2L,
+            expr("(2 * triangles * 1000000) div (d * (d - 1))"))
+            .otherwise(0L).as("lcc_micros"))
+    }),
+
     // driven through to the quality metric a corpus-graph pipeline
     // actually publishes): triangles compose via the delta enumeration,
     // degrees compose EXACTLY as prev + delta-incident endpoint counts
@@ -4586,6 +4626,27 @@ object SparkEntry {
     // Incremental LCC replay: the g11 triangle chain + endpoint degrees
     // over the FULL union edge set, folded through the g22 micro
     // formula — any drift in either composed input diverges.
+    // g36's full LCC replay restricted to the EDITED edge set
+    // (everything but the removed %7==1 slice); vertex universe =
+    // edited-graph endpoints (deg is an inner scan of e0).
+    "g39_lcc_incremental_del" ->
+      """WITH e_all AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        |  FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+        |e0 AS (SELECT src, dst FROM e_all WHERE (src + dst) % 7 <> 1),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY 1),
+        |ends AS (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY 1)
+        |SELECT deg.id, CAST(coalesce(tcnt.triangles, 0) AS BIGINT) AS triangles, deg.d,
+        |  CAST(CASE WHEN deg.d >= 2
+        |    THEN (2 * coalesce(tcnt.triangles, 0) * 1000000) // (deg.d * (deg.d - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micros
+        |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id""".stripMargin,
+
     "g36_lcc_incremental" ->
       """WITH e0 AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
         |  FROM nation a JOIN nation b
