@@ -203,6 +203,84 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n m=$m frac=$frac total=$total " +
           f"full=$fullSec%.1f base=$baseSec%.1f " +
           f"incCompose=$incSec%.1f incComposeWarm=$warmSec%.1f")
+      case "asof-serve" =>
+        // st29 anchor (the r18-verdict gap: the streaming as-of trio's
+        // headline claim — the per-batch key semi-prune keeps cost
+        // |batch|-bounded against a large feature table — was
+        // design-argued but unmeasured). n = feature keys, m = feature
+        // rows (m/n history rows per key), table bucketed by key like
+        // the production layout. Arms:
+        //   narrow  = 1k-event batch over random keys (the serving
+        //             geometry the prune exists for)
+        //   broad   = one event per key (the adverse geometry: the
+        //             prune's semi-join keeps ~everything)
+        // each pruned vs full-table, steady (2nd) run reported; plus
+        // the streaming foreachBatch machinery itself on 3 narrow
+        // micro-batches (per-batch seconds, semi-prune included).
+        import graft.sources.BucketedTables
+        val hist = math.max(1L, m / n)
+        val feats = spark.range(m).selectExpr(
+          s"id % ${n}L AS user_id", s"(id div ${n}L) * 10L AS t",
+          "id AS feat")
+        BucketedTables.writeBucketed(feats, "sb_asof_features", 32,
+          Seq("user_id"))
+        val table = spark.table("sb_asof_features")
+        table.queryExecution.toRdd.count() // warm footers/codegen
+        def mkBatch(sz: Long): org.apache.spark.sql.DataFrame =
+          spark.range(sz).select(
+            col("id").as("event_id"),
+            pmod(xxhash64(col("id"), lit(7)), lit(n)).as("user_id"),
+            pmod(xxhash64(col("id"), lit(8)), lit(hist * 10L)).as("t"))
+            .localCheckpoint(true)
+        val narrow = mkBatch(1024L)
+        val broad = mkBatch(n)
+        def arm(b: org.apache.spark.sql.DataFrame, pruned: Boolean): Double =
+          (1 to 2).map { _ =>
+            val build =
+              if (pruned) table.join(b.select("user_id").distinct(),
+                Seq("user_id"), "left_semi")
+              else table
+            val ta = System.nanoTime()
+            graft.operators.AsOfJoin.lastAtOrBefore(b, build,
+              "user_id", "t", Seq("event_id", "user_id", "t"), Seq("feat"))
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - ta) / 1e9
+          }.last
+        val np = arm(narrow, pruned = true)
+        val nf = arm(narrow, pruned = false)
+        val bp = arm(broad, pruned = true)
+        val bf = arm(broad, pruned = false)
+        // Streaming arm: the actual st29 path (cloned session, per-batch
+        // refreshTable, semi-prune, carry) on 3 narrow batches.
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        var rows = 0L
+        val writer = graft.streaming.Streams.streamingAsOfEnrich(
+          input.toDF().toDF("event_id", "user_id", "t"),
+          "sb_asof_features", keyCol = "user_id", timeCol = "t",
+          probeCols = Seq("event_id", "user_id", "t"),
+          buildCols = Seq("feat")) { (res, _) =>
+          rows += res.queryExecution.toRdd.count()
+        }
+        val q = writer.start()
+        val batchSecs = try {
+          (1 to 3).map { i =>
+            val rowsB = narrow.select(col("event_id") + lit(i * 1000000L),
+              col("user_id"), col("t"))
+              .as[(Long, Long, Long)].collect().toSeq
+            val tb = System.nanoTime()
+            input.addData(rowsB: _*)
+            q.processAllAvailable()
+            (System.nanoTime() - tb) / 1e9
+          }
+        } finally q.stop()
+        println(f"SCALE-OK asof-serve n=$n m=$m hist=$hist rows=$rows " +
+          f"narrowPruned=$np%.1f narrowFull=$nf%.1f " +
+          f"broadPruned=$bp%.1f broadFull=$bf%.1f " +
+          f"streamBatchSecs=${batchSecs.map(s => f"$s%.1f").mkString(",")}")
+
       case "ktruss" | "ktruss-skew" =>
         // 3-round capped peel, full re-enumeration arm (the round-9
         // formulation; kept so this row stays comparable across rounds):
@@ -1150,6 +1228,156 @@ object ScaleBench {
         println(f"SCALE-OK wcc-inc n=$n m=$m components=$nComp " +
           f"full=$fullSec%.1f base15of16=$baseSec%.1f " +
           f"incCompose=$incSec%.1f")
+
+      case "wcc-inc-del" | "wcc-inc-del-clustered" =>
+        // Deletion-aware incremental WCC (g37) at record scale. The
+        // compose is bounded by the AFFECTED components' size, so the
+        // geometry decides everything and both are recorded honestly:
+        //   wcc-inc-del            — uniform m=4n graph: ONE giant
+        //     component, every removal touches it, the "affected
+        //     subgraph" is ~the whole graph → compose ≈ full + overhead
+        //     (the degenerate case, by design impossible to beat);
+        //   wcc-inc-del-clustered  — 64-vertex groups (the dedup-
+        //     cluster geometry deletions actually serve: millions of
+        //     small near-dup clusters, takedowns remove members):
+        //     affected = only the touched clusters.
+        // 4th arg = delta fraction (default 256 — a daily cadence).
+        // Exactness pinned in-probe: compose == full recompute over the
+        // edited graph on the shared vertex universe.
+        val frac = if (threshold > 0) threshold else 256L
+        val eDel =
+          if (!algo.endsWith("-clustered")) edges
+          else {
+            val kk = 64L
+            val grp = pmod(xxhash64(col("id"), lit(3)), lit(n / kk))
+            spark.range(m).select(
+              (grp * kk + pmod(xxhash64(col("id"), lit(1)), lit(kk))).as("src"),
+              (grp * kk + pmod(xxhash64(col("id"), lit(2)), lit(kk))).as("dst"))
+          }
+        val bucket = pmod(col("src") + col("dst"), lit(frac))
+        val base = eDel.filter(bucket =!= 0L).localCheckpoint(true)
+        val added = eDel.filter(bucket === 0L).localCheckpoint(true)
+        val removed = base.filter(bucket === 1L).localCheckpoint(true)
+        val removedCanon = removed.select(
+          least(col("src"), col("dst")).as("l"),
+          greatest(col("src"), col("dst")).as("g"))
+        val edited = base.join(removedCanon,
+            least(col("src"), col("dst")) === col("l") &&
+              greatest(col("src"), col("dst")) === col("g"), "left_anti")
+          .unionByName(added)
+        val universe = base.select(col("src").as("id"))
+          .unionByName(base.select(col("dst").as("id")))
+          .unionByName(added.select(col("src").as("id")))
+          .unionByName(added.select(col("dst").as("id")))
+          .distinct().localCheckpoint(true)
+        val tf0 = System.nanoTime()
+        val fullLabels = GraphFrame.fromEdges(edited)
+          .connectedComponents.run().components
+          .select(col("id"), col("component").as("c"))
+        val full = universe.join(fullLabels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+          .localCheckpoint(true)
+        val fullSec = (System.nanoTime() - tf0) / 1e9
+        val tb0 = System.nanoTime()
+        val prev = GraphFrame.fromEdges(base)
+          .connectedComponents.run().components.localCheckpoint(true)
+        val baseSec = (System.nanoTime() - tb0) / 1e9
+        val ti0 = System.nanoTime()
+        val inc = graft.algorithms.ConnectedComponents
+          .incrementalWithDeletions(prev, base, added, removed)
+        val incSec = (System.nanoTime() - ti0) / 1e9
+        val d1 = inc.exceptAll(full).count()
+        val d2 = full.exceptAll(inc).count()
+        require(d1 == 0L && d2 == 0L,
+          s"deletion compose diverges from full: $d1/$d2 rows")
+        val nComp = full.select(countDistinct(col("component"))).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m frac=$frac components=$nComp " +
+          f"full=$fullSec%.1f base=$baseSec%.1f incCompose=$incSec%.1f")
+
+      case "tri-inc-del" | "tri-inc-del-skew" =>
+        // Deletion-aware incremental triangles (g38) at record scale —
+        // the tri-inc discipline with a removed slice: destroyed
+        // triangles enumerate FROM the removals (lower-degree-endpoint
+        // fanout, canonical dedup), additions compose over the edited
+        // adjacency. Unlike WCC, triangle destruction is LOCAL, so no
+        // giant-component degeneracy: the compose stays delta-bounded
+        // on both geometries. 4th arg = delta fraction (default 256).
+        val frac = if (threshold > 0) threshold else 256L
+        val bucket = pmod(col("src") + col("dst"), lit(frac))
+        val base = edges.filter(bucket =!= 0L).localCheckpoint(true)
+        val added = edges.filter(bucket === 0L).localCheckpoint(true)
+        val removed = base.filter(bucket === 1L).localCheckpoint(true)
+        val removedCanon = removed.select(
+          least(col("src"), col("dst")).as("l"),
+          greatest(col("src"), col("dst")).as("g"))
+        val edited = base.join(removedCanon,
+            least(col("src"), col("dst")) === col("l") &&
+              greatest(col("src"), col("dst")) === col("g"), "left_anti")
+          .unionByName(added).localCheckpoint(true)
+        val tf0 = System.nanoTime()
+        val full = GraphFrame(vertices, edited).triangleCount.run()
+          .localCheckpoint(true)
+        val fullSec = (System.nanoTime() - tf0) / 1e9
+        val tb0 = System.nanoTime()
+        val prev = GraphFrame(vertices, base).triangleCount.run()
+          .localCheckpoint(true)
+        val baseSec = (System.nanoTime() - tb0) / 1e9
+        val ti0 = System.nanoTime()
+        val inc = graft.algorithms.TriangleCount.incrementalWithDeletions(
+          prev, base, added, removed).localCheckpoint(true)
+        val incSec = (System.nanoTime() - ti0) / 1e9
+        // WARM: the persisted-adjacency cadence (base symmetrization
+        // already materialized).
+        val symWarm = graft.graph.GraphFrame
+          .symmetrizeEdges(base, doDistinct = true).localCheckpoint(true)
+        val tw0 = System.nanoTime()
+        val incWarm = graft.algorithms.TriangleCount.incrementalWithDeletions(
+          prev, base, added, removed, Some(symWarm)).localCheckpoint(true)
+        val warmSec = (System.nanoTime() - tw0) / 1e9
+        val d1 = inc.exceptAll(full).count()
+        val d2 = full.exceptAll(inc).count()
+        require(d1 == 0L && d2 == 0L,
+          s"deletion compose diverges from full: $d1/$d2 rows")
+        require(incWarm.exceptAll(full).count() == 0L &&
+          full.exceptAll(incWarm).count() == 0L,
+          "warm-adjacency deletion compose diverges from full")
+        val total = full.agg(sum("triangles")).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m frac=$frac total=$total " +
+          f"full=$fullSec%.1f base=$baseSec%.1f " +
+          f"incCompose=$incSec%.1f incComposeWarm=$warmSec%.1f")
+
+      case "pr-warm" =>
+        // Warm-start PageRank (g40) at record scale: yesterday = cold
+        // run to convergence on all-but-1/frac of the edges, today =
+        // resume over the full graph from yesterday's raw mass. Claims:
+        // (a) the warm run converges in a small fraction of the cold
+        // iterations (the participating frontier starts delta-bounded);
+        // (b) both land on the same ranks (max |Δ| well under the
+        // tolerance's residual bound). 4th arg = delta frac (default 256).
+        val frac = if (threshold > 0) threshold else 256L
+        val tol = 1e-6
+        val isDelta = pmod(col("src") + col("dst"), lit(frac)) === 0L
+        val tb0 = System.nanoTime()
+        val prevRun = GraphFrame.fromEdges(edges.filter(!isDelta))
+          .pageRank.tolerance(tol).run()
+        val prevRaw = prevRun.rawMass.localCheckpoint(true)
+        val baseSec = (System.nanoTime() - tb0) / 1e9
+        val tf0 = System.nanoTime()
+        val cold = g.pageRank.tolerance(tol).run()
+        val coldRanks = cold.ranks.localCheckpoint(true)
+        val coldSec = (System.nanoTime() - tf0) / 1e9
+        val tw0 = System.nanoTime()
+        val warm = g.pageRank.tolerance(tol).warmStart(prevRaw).run()
+        val warmRanks = warm.ranks.localCheckpoint(true)
+        val warmSec = (System.nanoTime() - tw0) / 1e9
+        val worst = coldRanks.select(col("id"), col("pagerank").as("pc"))
+          .join(warmRanks.select(col("id"), col("pagerank").as("pw")), Seq("id"))
+          .select(max(abs(col("pc") - col("pw"))).as("w")).head.getDouble(0)
+        require(worst < 1e-4, s"warm vs cold ranks diverge: $worst")
+        println(f"SCALE-OK pr-warm n=$n m=$m frac=$frac " +
+          f"coldIters=${cold.iterations} warmIters=${warm.iterations} " +
+          f"base=$baseSec%.1f cold=$coldSec%.1f warm=$warmSec%.1f " +
+          f"maxRankDiff=$worst%.2e")
 
       case "snap-lifecycle" =>
         // The b10/b11/b12 snapshot lifecycle at corpus scale: pin,
