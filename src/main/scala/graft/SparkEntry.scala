@@ -255,8 +255,8 @@ object SparkEntry {
     * restarts the query between files).
     */
   private def stageMtimeFiles(docs: DataFrame, tag: String,
-      nFiles: Int): String =
-    graft.sources.FileStaging.stageMtimeFiles(docs, tag, nFiles)
+      nFiles: Int, idCol: String = "doc_id"): String =
+    graft.sources.FileStaging.stageMtimeFiles(docs, tag, nFiles, idCol)
 
   private def htmlExtract(docs: DataFrame): DataFrame = {
     val nl = "\n"
@@ -3215,6 +3215,61 @@ object SparkEntry {
     // count) state — both order-free, so the drained sink finalizes to
     // the batch d19 aggregate exactly whatever the arrival order or
     // micro-batch split. Oracle = the d19 batch SQL verbatim.
+    // STREAMING WCC MAINTENANCE (st30): the customer→nation→region
+    // edges arrive in 4 src-range micro-batches; each batch composes
+    // the durable labels table through ConnectedComponents.incremental
+    // and rewrites it. The drained table must equal the g07 full
+    // recompute over ALL edges — batch boundaries invisible because
+    // the composition is exact at every step. Oracle = g07 verbatim.
+    "st30_stream_wcc_maintain" -> ((s, d) => {
+      val dir = stageMtimeFiles(custNationRegionEdges(s, d), "graft-st30",
+        nFiles = 4, idCol = "src")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initWccLabelsTable(s, "st30_labels")
+      val q = graft.streaming.Streams
+        .streamingWccMaintain(stream, "st30_labels")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // The maintenance loop rewrote the table from a cloned session;
+      // this (outer) session's relation cache is stale the same way.
+      s.catalog.refreshTable("st30_labels")
+      s.table("st30_labels")
+    }),
+
+    // STREAMING TRIANGLE MAINTENANCE (st31): the nation same-region
+    // clique edges arrive in 4 micro-batches; each batch composes the
+    // durable counts against the durable symmetrized adjacency (both
+    // maintained here). Drained counts == the g11 full recompute over
+    // all edges. Oracle = g11 verbatim.
+    "st31_stream_tri_maintain" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val dir = stageMtimeFiles(edges, "graft-st31", nFiles = 4, idCol = "src")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initTriangleTables(s, "st31_counts", "st31_adj")
+      val q = graft.streaming.Streams
+        .streamingTriangleMaintain(stream, "st31_counts", "st31_adj")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.refreshTable("st31_counts")
+      // Vertex universe: the g11 oracle reports every nation; nations
+      // whose edges all arrived carry counts, the output covers edge
+      // endpoints — align by left join over the full vertex frame.
+      nations.select(col("k").as("id"))
+        .join(s.table("st31_counts").withColumnRenamed("triangles", "__t"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
+    }),
+
     "st20_stream_url_dedup" -> ((s, d) => {
       val docs = streamTbl(s, d, "documents")
         .select(col("doc_id"),
@@ -6547,6 +6602,12 @@ object SparkEntry {
 
     // The streaming enrichment must be invisible to the as-of semantics:
     // the same native ASOF LEFT JOIN replay, verbatim.
+    // Stream == batch IS the maintenance contract: the drained labels /
+    // counts tables must equal the full recomputes their batch gates
+    // (g07/g11) replay.
+    "st30_stream_wcc_maintain" -> g07OracleSql,
+    "st31_stream_tri_maintain" -> g11OracleSql,
+
     "st29_stream_asof_enrich" -> q20OracleSql,
 
     // Forward-asof replay: bounded candidate enumeration (pairs within

@@ -258,12 +258,17 @@ object TriangleCount {
     val symBase = symBaseOpt.getOrElse(GraphFrame.symmetrizeEdges(
       baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false))
     // Truly-removed undirected edges: canonical, loop-free, deduped,
-    // actually present in the base.
-    val remCanon = removedEdges.filter(col(SRC) =!= col(DST))
+    // actually present in the base. Written as the ADJACENCY semi-joined
+    // against the broadcast delta — the delta side is the small one, and
+    // a semi with the E-sized side on the right would shuffle E instead
+    // of riding its scan (symBase is deduped and the join keys are the
+    // canonical pair, so exactly the canonical-direction row survives).
+    val remDistinct = removedEdges.filter(col(SRC) =!= col(DST))
       .select(least(col(SRC), col(DST)).as(SRC),
         greatest(col(SRC), col(DST)).as(DST))
       .distinct()
-      .join(symBase, Seq(SRC, DST), "left_semi")
+    val remCanon = symBase
+      .join(broadcast(remDistinct), Seq(SRC, DST), "left_semi")
       .localCheckpoint(true)
     // Destroyed triangles {u,v,w}: w a common BASE-neighbor of the
     // removed edge {u,v}, fanned from the lower-(degree, id) endpoint.
@@ -293,15 +298,16 @@ object TriangleCount {
       .select(col(ID), (col("triangles") -
         coalesce(col("__td_gone"), lit(0L))).as("triangles"))
     // Post-removal adjacency: broadcast anti against the (delta-sized)
-    // canonical removals, both directions — co-located with a bucketed
-    // base scan. Materialized once: the addition pass reads it three
-    // times (degrees + both fanout sides).
+    // canonical removals, both directions — a map-side filter riding
+    // the adjacency scan. Deliberately NOT materialized: the addition
+    // pass reads it three times, and three cheap re-filters of the
+    // already-materialized symBase beat one extra E-sized checkpoint
+    // write (measured 73 s -> re-probed after this change at 16.8 M).
     val symPost = symBase
-      .join(remCanon.select( // already canonical: src < dst
-          col(SRC).as("__td_l"), col(DST).as("__td_g")),
+      .join(broadcast(remCanon.select( // already canonical: src < dst
+          col(SRC).as("__td_l"), col(DST).as("__td_g"))),
         least(col(SRC), col(DST)) === col("__td_l") &&
           greatest(col(SRC), col(DST)) === col("__td_g"), "left_anti")
-      .localCheckpoint(false)
     // Additions compose over the edited adjacency (baseEdges unused by
     // incremental when the adjacency is supplied). Output is eagerly
     // checkpointed by incremental, so releasing our intermediates after
@@ -310,7 +316,6 @@ object TriangleCount {
     if (symBaseOpt.isEmpty)
       org.apache.spark.sql.graft.checkpointing.release(symBase)
     org.apache.spark.sql.graft.checkpointing.release(remCanon)
-    org.apache.spark.sql.graft.checkpointing.release(symPost)
     out
   }
 }

@@ -1255,9 +1255,9 @@ object ScaleBench {
               (grp * kk + pmod(xxhash64(col("id"), lit(2)), lit(kk))).as("dst"))
           }
         val bucket = pmod(col("src") + col("dst"), lit(frac))
-        val base = eDel.filter(bucket =!= 0L).localCheckpoint(true)
-        val added = eDel.filter(bucket === 0L).localCheckpoint(true)
-        val removed = base.filter(bucket === 1L).localCheckpoint(true)
+        val base = eDel.filter(bucket =!= 0L)
+        val added = eDel.filter(bucket === 0L)
+        val removed = base.filter(bucket === 1L)
         val removedCanon = removed.select(
           least(col("src"), col("dst")).as("l"),
           greatest(col("src"), col("dst")).as("g"))
@@ -1304,16 +1304,16 @@ object ScaleBench {
         // on both geometries. 4th arg = delta fraction (default 256).
         val frac = if (threshold > 0) threshold else 256L
         val bucket = pmod(col("src") + col("dst"), lit(frac))
-        val base = edges.filter(bucket =!= 0L).localCheckpoint(true)
-        val added = edges.filter(bucket === 0L).localCheckpoint(true)
-        val removed = base.filter(bucket === 1L).localCheckpoint(true)
+        val base = edges.filter(bucket =!= 0L)
+        val added = edges.filter(bucket === 0L)
+        val removed = base.filter(bucket === 1L)
         val removedCanon = removed.select(
           least(col("src"), col("dst")).as("l"),
           greatest(col("src"), col("dst")).as("g"))
         val edited = base.join(removedCanon,
             least(col("src"), col("dst")) === col("l") &&
               greatest(col("src"), col("dst")) === col("g"), "left_anti")
-          .unionByName(added).localCheckpoint(true)
+          .unionByName(added)
         val tf0 = System.nanoTime()
         val full = GraphFrame(vertices, edited).triangleCount.run()
           .localCheckpoint(true)

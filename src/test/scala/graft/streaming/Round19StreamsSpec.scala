@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.graph.GraphFrame
+
+/** Round-19 streaming specs: the incremental-graph maintenance loops at
+  * ingest — st30 (WCC labels) and st31 (triangle counts + adjacency).
+  * The batch-composition exactness is already fuzz-pinned on the batch
+  * operators; these pin the STREAMING claims: exact intermediate state
+  * after every micro-batch (not just at drain), duplicate edges across
+  * batches are no-ops, and the adjacency grows by truly-new edges only.
+  */
+class Round19StreamsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private def fullWcc(edges: Seq[(Long, Long)]) =
+    GraphFrame.fromEdges(edges.toDF("src", "dst"))
+      .connectedComponents.run().components
+      .as[(Long, Long)].collect().toMap
+
+  test("streamingWccMaintain: labels table is the EXACT min-member WCC " +
+      "after every micro-batch; cross-batch merges and dup edges compose") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initWccLabelsTable(spark, "r19_wcc_labels")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.streamingWccMaintain(
+      input.toDF().toDF("src", "dst"), "r19_wcc_labels").start()
+    def labels: Map[Long, Long] = {
+      spark.catalog.refreshTable("r19_wcc_labels")
+      spark.table("r19_wcc_labels").as[(Long, Long)].collect().toMap
+    }
+    try {
+      // Batch 1: two separate chains.
+      input.addData((1L, 2L), (3L, 4L))
+      q.processAllAvailable()
+      assert(labels == fullWcc(Seq((1L, 2L), (3L, 4L))))
+      // Batch 2: a bridging edge MERGES the chains (the composition
+      // case a per-batch-only view cannot get right), plus a dup of an
+      // already-ingested edge (must be a no-op) and a new component.
+      input.addData((2L, 3L), (1L, 2L), (10L, 11L))
+      q.processAllAvailable()
+      val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L))
+      assert(labels == fullWcc(all))
+      assert(labels(4L) == 1L, "merged chain must take the min member id")
+      // Batch 3: an edge landing entirely inside an existing component
+      // changes nothing.
+      input.addData((1L, 4L))
+      q.processAllAvailable()
+      assert(labels == fullWcc(all))
+    } finally q.stop()
+  }
+
+  test("streamingTriangleMaintain: counts equal the full recompute after " +
+      "every batch; the adjacency grows by truly-new edges only") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initTriangleTables(spark, "r19_tri_counts", "r19_tri_adj")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.streamingTriangleMaintain(
+      input.toDF().toDF("src", "dst"), "r19_tri_counts", "r19_tri_adj")
+      .start()
+    def counts: Map[Long, Long] = {
+      spark.catalog.refreshTable("r19_tri_counts")
+      spark.table("r19_tri_counts").as[(Long, Long)].collect().toMap
+    }
+    def adjRows: Long = {
+      spark.catalog.refreshTable("r19_tri_adj")
+      spark.table("r19_tri_adj").count()
+    }
+    def fullTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+      new graft.algorithms.TriangleCount(
+        GraphFrame(vs, edges.toDF("src", "dst"))).run()
+        .as[(Long, Long)].collect().toMap
+    }
+    try {
+      // Batch 1: a wedge — no triangle yet.
+      input.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      assert(counts.values.forall(_ == 0L))
+      assert(adjRows == 4L)
+      // Batch 2: the closing edge creates the triangle ACROSS batches,
+      // a reversed duplicate of an ingested edge is a no-op (adjacency
+      // must not grow for it), and a second wedge seeds the next close.
+      input.addData((3L, 1L), (2L, 1L), (3L, 4L), (4L, 5L))
+      q.processAllAvailable()
+      val e2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      assert(counts == fullTri(e2))
+      assert(counts(1L) == 1L && counts(4L) == 0L)
+      assert(adjRows == 10L, "reversed dup must not grow the adjacency")
+      // Batch 3: close the second wedge — triangle {3,4,5}.
+      input.addData((5L, 3L))
+      q.processAllAvailable()
+      val e3 = e2 :+ (5L, 3L)
+      assert(counts == fullTri(e3))
+      assert(counts(3L) == 2L)
+      assert(adjRows == 12L)
+    } finally q.stop()
+  }
+}
