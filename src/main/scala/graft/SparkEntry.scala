@@ -3270,6 +3270,71 @@ object SparkEntry {
         .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
     }),
 
+    // STREAMING CDC WCC MAINTENANCE (st32 — st30's change-stream form):
+    // all edges arrive as adds in 3 micro-batches, then a takedown
+    // batch REMOVES the %7==1 slice. The labels table must end exactly
+    // where the g37 batch compose ends — the full recompute over the
+    // net edge set, stranded vertices as singletons. Oracle = g37's.
+    "st32_stream_wcc_cdc" -> ((s, d) => {
+      val edges = custNationRegionEdges(s, d)
+      val staged = edges.select(col("src"), col("dst"),
+          lit("add").as("op"),
+          pmod(col("src") + col("dst"), lit(3L)).as("stage_id"))
+        .unionByName(edges
+          .filter(pmod(col("src") + col("dst"), lit(7L)) === 1L)
+          .select(col("src"), col("dst"), lit("remove").as("op"),
+            lit(3L).as("stage_id")))
+      val dir = stageMtimeFiles(staged, "graft-st32", nFiles = 4,
+        idCol = "stage_id")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initWccCdcTables(s, "st32_labels",
+        "st32_edges", "st32_tombs")
+      val q = graft.streaming.Streams.streamingWccMaintainCdc(
+          stream, "st32_labels", "st32_edges", "st32_tombs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.refreshTable("st32_labels")
+      s.table("st32_labels")
+    }),
+
+    // STREAMING CDC TRIANGLE MAINTENANCE (st33 — st31's change-stream
+    // form): nation-clique adds in 3 batches, the %7==1 takedown in
+    // batch 4; destroyed triangles debit at ingest. Oracle = g38's.
+    "st33_stream_tri_cdc" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val staged = edges.select(col("src"), col("dst"),
+          lit("add").as("op"),
+          pmod(col("src") + col("dst"), lit(3L)).as("stage_id"))
+        .unionByName(edges
+          .filter(pmod(col("src") + col("dst"), lit(7L)) === 1L)
+          .select(col("src"), col("dst"), lit("remove").as("op"),
+            lit(3L).as("stage_id")))
+      val dir = stageMtimeFiles(staged, "graft-st33", nFiles = 4,
+        idCol = "stage_id")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initTriangleCdcTables(s, "st33_counts",
+        "st33_adj", "st33_tombs")
+      val q = graft.streaming.Streams.streamingTriangleMaintainCdc(
+          stream, "st33_counts", "st33_adj", "st33_tombs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.refreshTable("st33_counts")
+      nations.select(col("k").as("id"))
+        .join(s.table("st33_counts").withColumnRenamed("triangles", "__t"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
+    }),
+
     "st20_stream_url_dedup" -> ((s, d) => {
       val docs = streamTbl(s, d, "documents")
         .select(col("doc_id"),
@@ -4303,24 +4368,11 @@ object SparkEntry {
     // Incremental composition must equal the full recompute exactly.
     "g34_wcc_incremental" -> g07OracleSql,
 
-    // Full recursive-CTE recompute over the EDITED edge set (base minus
-    // the %7==1 removals plus the %7==0 additions == everything but the
-    // removed slice), vertex universe = every ORIGINAL endpoint:
-    // stranded vertices are their own singleton components.
-    "g37_wcc_incremental_del" ->
-      """WITH RECURSIVE e_all AS (
-        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
-        |  UNION ALL
-        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
-        |v AS (SELECT DISTINCT src AS id FROM e_all UNION SELECT dst FROM e_all),
-        |e AS (SELECT src, dst FROM e_all WHERE (src + dst) % 7 <> 1),
-        |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |r(id, lab) AS (
-        |  SELECT DISTINCT src, src FROM ud
-        |  UNION
-        |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst)
-        |SELECT v.id, CAST(coalesce(min(r.lab), v.id) AS BIGINT) AS component
-        |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
+    "g37_wcc_incremental_del" -> g37OracleSql,
+    // st32 ends on the SAME net edge set (all adds, then the %7==1
+    // takedown) — the CDC maintenance must land exactly where the g37
+    // batch compose lands.
+    "st32_stream_wcc_cdc" -> g37OracleSql,
 
     "g08_pagerank" ->
       """WITH e AS (SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer),
@@ -4662,21 +4714,8 @@ object SparkEntry {
     // union — the same replay, verbatim.
     "g35_triangles_incremental" -> g11OracleSql,
 
-    // g11's full triangle recompute restricted to the EDITED edge set
-    // (everything but the removed %7==1 slice); vertex universe = all
-    // nations, as g11.
-    "g38_triangles_incremental_del" ->
-      """WITH e_all AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
-        |  FROM nation a JOIN nation b
-        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
-        |e0 AS (SELECT src, dst FROM e_all WHERE (src + dst) % 7 <> 1),
-        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-        |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
-        |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-        |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
-        |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
-        |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
-        |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin,
+    "g38_triangles_incremental_del" -> g38OracleSql,
+    "st33_stream_tri_cdc" -> g38OracleSql,
 
     // Incremental LCC replay: the g11 triangle chain + endpoint degrees
     // over the FULL union edge set, folded through the g22 micro
@@ -7797,6 +7836,43 @@ object SparkEntry {
       |SELECT p.event_id, p.user_id, p.ts,
       |  b.purchase_id, b.purchase_cents, b.t AS asof_t
       |FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.t""".stripMargin
+
+  /** g37's oracle: full recursive-CTE recompute over the EDITED edge
+    * set (everything but the removed %7==1 slice), vertex universe =
+    * every original endpoint (stranded vertices are singleton
+    * components). Shared verbatim by st32 (the CDC maintenance ends on
+    * the same net edge set).
+    */
+  private lazy val g37OracleSql: String =
+    """WITH RECURSIVE e_all AS (
+      |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+      |  UNION ALL
+      |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation),
+      |v AS (SELECT DISTINCT src AS id FROM e_all UNION SELECT dst FROM e_all),
+      |e AS (SELECT src, dst FROM e_all WHERE (src + dst) % 7 <> 1),
+      |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |r(id, lab) AS (
+      |  SELECT DISTINCT src, src FROM ud
+      |  UNION
+      |  SELECT ud.src, r.lab FROM ud JOIN r ON r.id = ud.dst)
+      |SELECT v.id, CAST(coalesce(min(r.lab), v.id) AS BIGINT) AS component
+      |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin
+
+  /** g38's oracle: g11's full triangle recompute restricted to the
+    * edited edge set; shared verbatim by st33.
+    */
+  private lazy val g38OracleSql: String =
+    """WITH e_all AS (SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      |  FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey),
+      |e0 AS (SELECT src, dst FROM e_all WHERE (src + dst) % 7 <> 1),
+      |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e0 e1 JOIN e0 e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN e0 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |v AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS id FROM nation)
+      |SELECT v.id, CAST(coalesce(cnt, 0) AS BIGINT) AS triangles
+      |FROM v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY 1) c ON v.id = c.id""".stripMargin
 
   /** The full-WCC recursive-CTE replay on the customer→nation→region
     * graph, shared verbatim by g34 (incremental composition must equal

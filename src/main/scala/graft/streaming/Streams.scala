@@ -556,9 +556,13 @@ object Streams {
     * the cold-start state of a brand-new ingest loop.
     */
   def initWccLabelsTable(spark: org.apache.spark.sql.SparkSession,
-      labelsTable: String): Unit =
+      labelsTable: String): Unit = {
+    // A prior JVM's managed-table location survives its catalog: clear
+    // it or the bootstrap CREATE fails with LOCATION_ALREADY_EXISTS.
+    graft.sources.BucketedTables.dropWithLocation(spark, labelsTable)
     spark.range(0).select(col("id"), col("id").as("component"))
       .write.mode("overwrite").saveAsTable(labelsTable)
+  }
 
   /** STREAMING TRIANGLE-COUNT MAINTENANCE (st31 — [[streamingWccMaintain]]'s
     * companion for the triangle family): each micro-batch of edge
@@ -620,11 +624,182 @@ object Streams {
   /** Empty bootstraps for [[streamingTriangleMaintain]]. */
   def initTriangleTables(spark: org.apache.spark.sql.SparkSession,
       countsTable: String, adjTable: String): Unit = {
+    Seq(countsTable, adjTable).foreach(
+      graft.sources.BucketedTables.dropWithLocation(spark, _))
     spark.range(0).select(col("id"), col("id").as("triangles"))
       .write.mode("overwrite").saveAsTable(countsTable)
     spark.range(0).select(col("id").as(graft.graph.GraphFrame.SRC),
         col("id").as(graft.graph.GraphFrame.DST))
       .write.mode("overwrite").saveAsTable(adjTable)
+  }
+
+  /** STREAMING WCC MAINTENANCE, CDC FORM (st32 — [[streamingWccMaintain]]
+    * extended to a change stream): rows carry `opCol` = "add" | "remove",
+    * and each micro-batch composes through
+    * [[graft.algorithms.ConnectedComponents.incrementalWithDeletions]] —
+    * takedowns propagate at ingest (the component SPLITS, down to
+    * stranded singletons) instead of waiting for a full nightly
+    * recompute. Within a batch, removals apply to the pre-batch graph
+    * and additions after, so an edge added and removed in the SAME
+    * batch nets to PRESENT (documented, not accidental).
+    *
+    * State: the labels table (V rows, rewritten), the edge log
+    * (APPEND-only adds), and the tombstone table (delta-scale,
+    * rewritten — adds RESURRECT matching tombstones) — deletions never
+    * rewrite the edge log; the current graph is `edges ∖ tombstones`
+    * (a broadcast anti riding the edge scan while tombstones are
+    * delta-scale; compaction folds them in at its own cadence, exactly
+    * the snapshot-table discipline). After any drain,
+    * labels == the full recompute over the net edge set — the st32
+    * oracle's claim.
+    */
+  def streamingWccMaintainCdc(stream: DataFrame, labelsTable: String,
+      edgesTable: String, tombstonesTable: String, opCol: String = "op")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming,
+      "streamingWccMaintainCdc consumes a change STREAM — batch deltas " +
+        "call ConnectedComponents.incrementalWithDeletions directly")
+    val SRC = graft.graph.GraphFrame.SRC
+    val DST = graft.graph.GraphFrame.DST
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        Seq(labelsTable, edgesTable, tombstonesTable)
+          .foreach(ss.catalog.refreshTable)
+        val b = batch.select(col(SRC), col(DST), col(opCol))
+          .localCheckpoint(true)
+        val adds = b.filter(col(opCol) === "add").select(col(SRC), col(DST))
+        val removes = b.filter(col(opCol) === "remove")
+          .select(col(SRC), col(DST))
+        val tomb = ss.table(tombstonesTable)
+        val baseEdges = ss.table(edgesTable)
+          .join(broadcast(tomb.select(col(SRC).as("__cd_l"),
+            col(DST).as("__cd_g"))),
+            least(col(SRC), col(DST)) === col("__cd_l") &&
+              greatest(col(SRC), col(DST)) === col("__cd_g"), "left_anti")
+        val next = graft.algorithms.ConnectedComponents
+          .incrementalWithDeletions(ss.table(labelsTable), baseEdges,
+            adds, removes)
+        // Tombstones are delta-scale, so they are REWRITTEN, not
+        // appended blindly: this batch's adds RESURRECT any matching
+        // tombstone — without that, a re-added edge's old log row and
+        // its new one would both die to the stale tombstone. Order
+        // mirrors the compose (removals first, adds after): an edge
+        // removed and re-added in one batch nets to present.
+        def canon(df: DataFrame) = df.filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST))
+          .distinct()
+        val tombNext = canon(tomb.unionByName(removes))
+          .join(canon(adds), Seq(SRC, DST), "left_anti")
+          .localCheckpoint(true)
+        // incrementalWithDeletions materializes its output eagerly, so
+        // overwriting labels (which its lineage read) is safe; tombNext
+        // is materialized above for the same reason.
+        next.write.mode("overwrite").saveAsTable(labelsTable)
+        adds.write.mode("append").saveAsTable(edgesTable)
+        tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        org.apache.spark.sql.graft.checkpointing.release(next)
+        org.apache.spark.sql.graft.checkpointing.release(tombNext)
+        org.apache.spark.sql.graft.checkpointing.release(b)
+      }
+    }
+  }
+
+  /** Bootstraps for [[streamingWccMaintainCdc]]: empty labels, edge log,
+    * and tombstone log.
+    */
+  def initWccCdcTables(spark: org.apache.spark.sql.SparkSession,
+      labelsTable: String, edgesTable: String,
+      tombstonesTable: String): Unit = {
+    initWccLabelsTable(spark, labelsTable)
+    Seq(edgesTable, tombstonesTable).foreach { t =>
+      graft.sources.BucketedTables.dropWithLocation(spark, t)
+      spark.range(0).select(col("id").as(graft.graph.GraphFrame.SRC),
+          col("id").as(graft.graph.GraphFrame.DST))
+        .write.mode("overwrite").saveAsTable(t)
+    }
+  }
+
+  /** STREAMING TRIANGLE MAINTENANCE, CDC FORM (st33 —
+    * [[streamingTriangleMaintain]] extended to a change stream, the
+    * triangle companion of [[streamingWccMaintainCdc]]): destroyed
+    * triangles debit at ingest through
+    * [[graft.algorithms.TriangleCount.incrementalWithDeletions]].
+    * State: counts (V rows, rewritten), the SYMMETRIZED adjacency log
+    * (APPEND-only never-seen edges) and the tombstone table
+    * (delta-scale, rewritten — adds resurrect); the current adjacency
+    * is `adj ∖ tombstones`, same discipline and same compaction story
+    * as the CDC WCC loop.
+    */
+  def streamingTriangleMaintainCdc(stream: DataFrame, countsTable: String,
+      adjTable: String, tombstonesTable: String, opCol: String = "op")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming,
+      "streamingTriangleMaintainCdc consumes a change STREAM — batch " +
+        "deltas call TriangleCount.incrementalWithDeletions directly")
+    val SRC = graft.graph.GraphFrame.SRC
+    val DST = graft.graph.GraphFrame.DST
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        Seq(countsTable, adjTable, tombstonesTable)
+          .foreach(ss.catalog.refreshTable)
+        val b = batch.select(col(SRC), col(DST), col(opCol))
+          .localCheckpoint(true)
+        val adds = b.filter(col(opCol) === "add").select(col(SRC), col(DST))
+        val removes = b.filter(col(opCol) === "remove")
+          .select(col(SRC), col(DST))
+        val tomb = ss.table(tombstonesTable)
+        val sym = ss.table(adjTable)
+          .join(broadcast(tomb.select(col(SRC).as("__ct_l"),
+            col(DST).as("__ct_g"))),
+            least(col(SRC), col(DST)) === col("__ct_l") &&
+              greatest(col(SRC), col(DST)) === col("__ct_g"), "left_anti")
+        val next = graft.algorithms.TriangleCount.incrementalWithDeletions(
+          ss.table(countsTable), sym, adds, removes, Some(sym))
+        def canon(df: DataFrame) = df.filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST))
+          .distinct()
+        // Adjacency log delta: canonical adds whose edge has NEVER been
+        // in the log (a tombstoned edge re-added RESURRECTS the
+        // existing log row by dropping its tombstone — appending a
+        // second copy would break the log's dedup invariant, and both
+        // copies would die to the stale tombstone). Tombstone table is
+        // delta-scale and REWRITTEN: (old ∪ removes-present) ∖ adds.
+        val addCanon = canon(adds).localCheckpoint(true)
+        val genuinelyNew = addCanon
+          .join(ss.table(adjTable), Seq(SRC, DST), "left_anti")
+        val newSym = genuinelyNew.select(col(SRC), col(DST))
+          .unionByName(genuinelyNew.select(col(DST).as(SRC), col(SRC).as(DST)))
+          .localCheckpoint(true)
+        val remPresent = sym.join(broadcast(canon(removes)),
+          Seq(SRC, DST), "left_semi")
+        val tombNext = canon(tomb.unionByName(remPresent))
+          .join(addCanon, Seq(SRC, DST), "left_anti")
+          .localCheckpoint(true)
+        next.write.mode("overwrite").saveAsTable(countsTable)
+        newSym.write.mode("append").saveAsTable(adjTable)
+        tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        org.apache.spark.sql.graft.checkpointing.release(next)
+        org.apache.spark.sql.graft.checkpointing.release(newSym)
+        org.apache.spark.sql.graft.checkpointing.release(tombNext)
+        org.apache.spark.sql.graft.checkpointing.release(addCanon)
+        org.apache.spark.sql.graft.checkpointing.release(b)
+      }
+    }
+  }
+
+  /** Bootstraps for [[streamingTriangleMaintainCdc]]. */
+  def initTriangleCdcTables(spark: org.apache.spark.sql.SparkSession,
+      countsTable: String, adjTable: String,
+      tombstonesTable: String): Unit = {
+    initTriangleTables(spark, countsTable, adjTable)
+    graft.sources.BucketedTables.dropWithLocation(spark, tombstonesTable)
+    spark.range(0).select(col("id").as(graft.graph.GraphFrame.SRC),
+        col("id").as(graft.graph.GraphFrame.DST))
+      .write.mode("overwrite").saveAsTable(tombstonesTable)
   }
 
   case class LatestOut(user_id: Long, last_ts: Long, last_event_id: Long,

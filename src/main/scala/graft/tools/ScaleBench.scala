@@ -1294,6 +1294,27 @@ object ScaleBench {
         println(f"SCALE-OK $algo n=$n m=$m frac=$frac components=$nComp " +
           f"full=$fullSec%.1f base=$baseSec%.1f incCompose=$incSec%.1f")
 
+      case "tri-inc-del-warm" | "tri-inc-del-warm-skew" =>
+        // Focused warm-cadence arm of tri-inc-del (no full/cold frames
+        // resident): isolates the compose's own cost from the composite
+        // probe's memory pressure when the two disagree.
+        val frac = if (threshold > 0) threshold else 256L
+        val bucket = pmod(col("src") + col("dst"), lit(frac))
+        val base = edges.filter(bucket =!= 0L)
+        val added = edges.filter(bucket === 0L)
+        val removed = base.filter(bucket === 1L)
+        val prev = GraphFrame(vertices, base).triangleCount.run()
+          .localCheckpoint(true)
+        val symWarm = graft.graph.GraphFrame
+          .symmetrizeEdges(base, doDistinct = true).localCheckpoint(true)
+        val tw0 = System.nanoTime()
+        val incWarm = graft.algorithms.TriangleCount.incrementalWithDeletions(
+          prev, base, added, removed, Some(symWarm)).localCheckpoint(true)
+        val warmSec = (System.nanoTime() - tw0) / 1e9
+        val total = incWarm.agg(sum("triangles")).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m frac=$frac total=$total " +
+          f"incComposeWarm=$warmSec%.1f")
+
       case "tri-inc-del" | "tri-inc-del-skew" =>
         // Deletion-aware incremental triangles (g38) at record scale —
         // the tri-inc discipline with a removed slice: destroyed
@@ -1326,6 +1347,15 @@ object ScaleBench {
         val inc = graft.algorithms.TriangleCount.incrementalWithDeletions(
           prev, base, added, removed).localCheckpoint(true)
         val incSec = (System.nanoTime() - ti0) / 1e9
+        val d1 = inc.exceptAll(full).count()
+        val d2 = full.exceptAll(inc).count()
+        require(d1 == 0L && d2 == 0L,
+          s"deletion compose diverges from full: $d1/$d2 rows")
+        // Release the cold frame before the warm arm: five resident
+        // E/V-sized frames starve the block manager and the warm arm
+        // reads its 33 M-row adjacency from spill — measured 73.8 s
+        // pressured vs 33.9 s isolated on identical code at 16.8 M.
+        org.apache.spark.sql.graft.checkpointing.release(inc)
         // WARM: the persisted-adjacency cadence (base symmetrization
         // already materialized).
         val symWarm = graft.graph.GraphFrame
@@ -1334,10 +1364,6 @@ object ScaleBench {
         val incWarm = graft.algorithms.TriangleCount.incrementalWithDeletions(
           prev, base, added, removed, Some(symWarm)).localCheckpoint(true)
         val warmSec = (System.nanoTime() - tw0) / 1e9
-        val d1 = inc.exceptAll(full).count()
-        val d2 = full.exceptAll(inc).count()
-        require(d1 == 0L && d2 == 0L,
-          s"deletion compose diverges from full: $d1/$d2 rows")
         require(incWarm.exceptAll(full).count() == 0L &&
           full.exceptAll(incWarm).count() == 0L,
           "warm-adjacency deletion compose diverges from full")

@@ -100,4 +100,91 @@ class Round19StreamsSpec extends AnyFunSuite with SparkTestHarness {
       assert(adjRows == 12L)
     } finally q.stop()
   }
+
+  test("streamingWccMaintainCdc: a takedown SPLITS the component at " +
+      "ingest; re-adding the edge resurrects its tombstone and re-merges") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initWccCdcTables(spark, "r19_cdc_labels", "r19_cdc_edges",
+      "r19_cdc_tombs")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.streamingWccMaintainCdc(
+      input.toDF().toDF("src", "dst", "op"), "r19_cdc_labels",
+      "r19_cdc_edges", "r19_cdc_tombs").start()
+    def labels: Map[Long, Long] = {
+      spark.catalog.refreshTable("r19_cdc_labels")
+      spark.table("r19_cdc_labels").as[(Long, Long)].collect().toMap
+    }
+    def tombRows: Long = {
+      spark.catalog.refreshTable("r19_cdc_tombs")
+      spark.table("r19_cdc_tombs").count()
+    }
+    try {
+      // Batch 1: a path 1-2-3-4.
+      input.addData((1L, 2L, "add"), (2L, 3L, "add"), (3L, 4L, "add"))
+      q.processAllAvailable()
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // Batch 2: takedown of the middle edge — the component SPLITS at
+      // ingest (this is what the additions-only loop cannot do).
+      input.addData((2L, 3L, "remove"))
+      q.processAllAvailable()
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      assert(tombRows == 1L)
+      // Batch 3: the edge comes back (reversed) — the tombstone is
+      // RESURRECTED (dropped, not shadowed by a duplicate log row) and
+      // the components re-merge.
+      input.addData((3L, 2L, "add"))
+      q.processAllAvailable()
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      assert(tombRows == 0L,
+        "re-add must drop the tombstone, not mask it")
+      // Batch 4: remove it AGAIN — if batch 3 had appended a shadow log
+      // row, this tombstone would kill only one copy and the split
+      // would not happen.
+      input.addData((2L, 3L, "remove"))
+      q.processAllAvailable()
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    } finally q.stop()
+  }
+
+  test("streamingTriangleMaintainCdc: a takedown debits the destroyed " +
+      "triangle at ingest; re-add re-credits without duplicating the log") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initTriangleCdcTables(spark, "r19_ct_counts", "r19_ct_adj",
+      "r19_ct_tombs")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.streamingTriangleMaintainCdc(
+      input.toDF().toDF("src", "dst", "op"), "r19_ct_counts",
+      "r19_ct_adj", "r19_ct_tombs").start()
+    def counts: Map[Long, Long] = {
+      spark.catalog.refreshTable("r19_ct_counts")
+      spark.table("r19_ct_counts").as[(Long, Long)].collect().toMap
+    }
+    def adjRows: Long = {
+      spark.catalog.refreshTable("r19_ct_adj")
+      spark.table("r19_ct_adj").count()
+    }
+    try {
+      // Two triangles sharing edge {1,2}.
+      input.addData((1L, 2L, "add"), (2L, 3L, "add"), (3L, 1L, "add"),
+        (1L, 4L, "add"), (2L, 4L, "add"))
+      q.processAllAvailable()
+      assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+      assert(adjRows == 10L)
+      // Takedown of the shared edge destroys BOTH triangles.
+      input.addData((1L, 2L, "remove"))
+      q.processAllAvailable()
+      assert(counts == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+      assert(adjRows == 10L, "takedown tombstones; the log is not rewritten")
+      // Re-add re-creates both; the adjacency log must NOT grow (the
+      // edge's rows are already there — resurrect, don't duplicate).
+      input.addData((2L, 1L, "add"))
+      q.processAllAvailable()
+      assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+      assert(adjRows == 10L, "resurrect must not duplicate log rows")
+      // And a second takedown still works (no shadow copy survived).
+      input.addData((1L, 2L, "remove"))
+      q.processAllAvailable()
+      assert(counts == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    } finally q.stop()
+  }
 }
