@@ -3708,6 +3708,24 @@ object SparkEntry {
         e.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", cents))
     }),
 
+    // WARM-START k-means (k03 — continual training for the clustering
+    // family): yesterday's fit (2 Lloyd rounds on the %4!=0 subset, the
+    // k02 training chain verbatim) resumes with ONE more Lloyd round
+    // over the FULL grown corpus, then assigns everything. Lloyd is a
+    // pure function of (points, centroids), so the oracle replays the
+    // exact resumed step — any re-init, seed, or tie-break drift
+    // diverges.
+    "k03_kmeans_warm" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val prev = KMeans.fitCentroids(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", k = 8, nIter = 2)
+      val warm = KMeans.fitCentroids(e, "vec_id", "embedding",
+        k = 8, nIter = 1, initOpt = Some(prev))
+      KMeans.predictAssign(e, "vec_id", "embedding", warm)
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+          col("d2"))
+    }),
+
     // Trainer -> index: IVF-FLAT probing k-means-trained centroids (the
     // production IVF wiring, vs s03's smallest-id-vectors index). The
     // oracle replays BOTH stages: the k01 centroid chain rescaled to
@@ -7253,6 +7271,25 @@ object SparkEntry {
     "k02_kmeans_predict" ->
       (k02OracleChain + "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell, " +
         "CAST(d2 AS BIGINT) AS d2 FROM a3"),
+
+    // Warm-resume replay: the k02 training chain's c2 (yesterday's fit
+    // on the %4!=0 subset), ONE more Lloyd round over the FULL corpus
+    // (dd4/a4/s4/u4 -> c3), final assignment of everything to c3.
+    "k03_kmeans_warm" ->
+      (k02OracleChain + """,
+        |dd4 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c2 c),
+        |a4 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd4) WHERE rn = 1),
+        |s4 AS (SELECT a.cell, i.i, CAST(floor(CAST(sum(e.vq[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cd
+        |  FROM a4 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) i(i) GROUP BY 1, 2),
+        |u4 AS (SELECT cell, list(cd ORDER BY i) AS cv FROM s4 GROUP BY 1),
+        |c3 AS (SELECT c2.cell, coalesce(u4.cv, c2.cv) AS cv FROM c2 LEFT JOIN u4 USING (cell)),
+        |dd5 AS (SELECT e.vec_id, c.cell, list_sum(list_transform(range(1, 65),
+        |  i -> (e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i]))) AS d2 FROM e CROSS JOIN c3 c),
+        |a5 AS (SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dd5) WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS BIGINT) AS d2 FROM a5""".stripMargin),
 
     // The same chain folded to per-cell holdout inertia.
     "k02b_cluster_inertia" ->

@@ -93,17 +93,28 @@ object KMeans {
         cell.as("cell"), col("_dmin").cast(LongType).as("d2")): _*)
   }
 
-  /** Train centroids: `nIter` Lloyd iterations from the deterministic init.
-    * Returns the final `(cellId -> centroid_micros)` table (size k — driver
-    * resident by design, like every coarse-quantizer index).
+  /** Train centroids: `nIter` Lloyd iterations from the deterministic init
+    * — or, when `initOpt` is given, from CALLER-PROVIDED centroids: the
+    * warm-start / continual-training form (k03). Yesterday's fit resumes
+    * over today's grown corpus instead of re-running the whole schedule:
+    * Lloyd is a pure function of (points, current centroids), so the
+    * resumed iterations are bit-identical to what a longer cold run
+    * would do had it reached these centroids — no new semantics, just
+    * the init seam the daily cadence needs. Returns the final
+    * `(cellId -> centroid_micros)` table (size k — driver resident by
+    * design, like every coarse-quantizer index).
     */
   def fitCentroids(points: DataFrame, idCol: String, vecCol: String,
-      k: Int, nIter: Int): Array[Array[Long]] = CacheScope.scopedValue { scope =>
+      k: Int, nIter: Int,
+      initOpt: Option[Array[Array[Long]]] = None): Array[Array[Long]] =
+      CacheScope.scopedValue { scope =>
     require(k >= 1 && nIter >= 0, s"need k >= 1, nIter >= 0, got k=$k nIter=$nIter")
+    initOpt.foreach(init => require(init.length == k,
+      s"warm-start centroids carry k=${init.length}, caller asked k=$k"))
     // Quantized points are scanned nIter+1 times (init + per-iteration
     // assignment-aggregate) — cache the quantization, release on return.
     val q = scope.cache(quantize(points, idCol, vecCol))
-    var centroids = initCentroids(q, k)
+    var centroids = initOpt.map(_.map(_.clone())).getOrElse(initCentroids(q, k))
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < nIter) {

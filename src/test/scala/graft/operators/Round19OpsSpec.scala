@@ -258,4 +258,31 @@ class Round19OpsSpec extends AnyFunSuite with SparkTestHarness {
       .as[(Long, Long)].collect().toMap
     assert(inc == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("warm-start k-means: resuming yesterday's centroids for b rounds " +
+      "== one cold (a+b)-round run (Lloyd purity); k mismatch is loud") {
+    val pts = (0L to 63L).map { i =>
+      (i, Seq(((i % 4) * 10 + (i % 3)).toFloat, ((i / 16) * 5).toFloat))
+    }.toDF("id", "vec")
+    val cold = KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 3)
+    val day1 = KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 2)
+    val warm = KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 1,
+      initOpt = Some(day1))
+    assert(cold.length == warm.length &&
+      cold.zip(warm).forall { case (c, w) => c.sameElements(w) })
+    // nIter=0 warm-start is the identity, and the caller's array is
+    // NOT mutated by a later resumed round (defensive clone).
+    val frozen = day1.map(_.clone())
+    val id0 = KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 0,
+      initOpt = Some(day1))
+    KMeans.fitCentroids(pts, "id", "vec", k = 4, nIter = 2,
+      initOpt = Some(day1))
+    assert(id0.zip(day1).forall { case (a, b) => a.sameElements(b) })
+    assert(day1.zip(frozen).forall { case (a, b) => a.sameElements(b) })
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fitCentroids(pts, "id", "vec", k = 3, nIter = 1,
+        initOpt = Some(day1))
+    }
+    assert(e.getMessage.contains("warm-start"))
+  }
 }
