@@ -1331,6 +1331,38 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // PINNED-GENERATION SERVE (s29 — the serving-job contract the
+    // snapshot and index-CRUD families left open between them): PIN a
+    // coherent generation — data files + books + pending tombstones,
+    // under one tag — then let index maintenance land (tombstone the
+    // %5==2 ids, COMPACT — physical deletes, every original file
+    // rewritten — then APPEND shifted rows under new ids): the LIVE
+    // table is now a different generation, but serve-off-pin still
+    // answers from the pinned one, bit-stable. Oracle = the s13 SQL
+    // verbatim: the pin, the retained-file re-homing the compaction
+    // forced, and the maintenance churn must all be invisible.
+    "s29_ivfpq_pinned_serve" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+        nCells = 4, m = 4, kCent = 8)
+      Similarity.ivfPqSave(idx, "s29_ivfpq_idx", numBuckets = 4)
+      Similarity.ivfPqPin(s, "s29_ivfpq_idx", "serving")
+      Similarity.ivfPqRemoveFromTable(
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")),
+        "s29_ivfpq_idx", "vec_id")
+      Similarity.ivfPqCompact(s, "s29_ivfpq_idx")
+      Similarity.ivfPqAddToTable(
+        e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + lit(100000)).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x + lit(1.0)).as("embedding")),
+        "s29_ivfpq_idx", "vec_id", "embedding")
+      Similarity.ivfPqSearchPinned(e.filter(col("vec_id") <= 3),
+          "s29_ivfpq_idx", "serving", "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // DELETE (index CRUD's last quadrant): the index builds on the FULL
     // corpus — so the frozen books keep their full-corpus seeds — then
     // vec_id % 5 == 2 rows are REMOVED (left_anti, books untouched) and
@@ -5056,6 +5088,13 @@ object SparkEntry {
     // one more seam — micro-batch queries against the reloaded scan.
     "st23_stream_table_ann" -> s13OracleSql,
     "st23b_stream_table_ann_pruned" -> s13OracleSql,
+
+    // Pinned-generation serve: the s13 SQL verbatim — the pin froze the
+    // full-corpus generation, so post-pin maintenance (tombstones,
+    // compaction's full rewrite, appends) must be invisible to the
+    // serving read; any leak of the live generation moves candidates
+    // and fails the hash.
+    "s29_ivfpq_pinned_serve" -> s13OracleSql,
 
     // Delete: the s13 chain verbatim — full-corpus seeds (the books a
     // remove must NOT re-derive) — with removed ids excluded from the

@@ -1285,6 +1285,171 @@ object Similarity {
       indexFilter = indexFilter, metaCols = metaCols)
   }
 
+  private def genSidecarName(table: String, tag: String) =
+    s"${table}__gen_$tag"
+
+  private def tableExists(spark: org.apache.spark.sql.SparkSession,
+      name: String): Boolean =
+    spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+
+  /** Basenames pinned by the data snapshot `tag` of `table`, sorted.
+    * BASENAMES, not paths: snapshot retention re-homes pinned files into
+    * the sibling retained directory (keeping the name) when a
+    * compaction/rewrite lands — a path-level identity would spuriously
+    * break on the FIRST maintenance op after the pin, which is exactly
+    * the cadence pinning exists for. Names are unique per generation by
+    * construction (retention pre-flights destination collisions).
+    */
+  private def pinnedBasenames(spark: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Seq[String] =
+    spark.table(s"${table}__snap_$tag").select("path")
+      .collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+      .sorted.toIndexedSeq
+
+  /** PIN a coherent serving GENERATION of a persisted index (s29): the
+    * data files, the `_books` sidecar content, and the pending tombstone
+    * log — together, under one tag. b10/b13 snapshots pin only the DATA
+    * half; a serving job reading yesterday's files under today's books
+    * (an `ivfPqSave` re-trains both) would decode codes against
+    * codebooks that never produced them — garbage distances with no
+    * error. The pin is therefore: (1) the b10 file-level snapshot of the
+    * artifact (survives appends, compaction and full rewrites via the
+    * retained-dir discipline — the heavy half, pinned by reference);
+    * (2) the books rows and the pending tombstone ids COPIED into a
+    * `<table>__gen_<tag>` sidecar (both tiny — k + m·kCent book rows,
+    * delta-scale tombstones — so copy beats lifecycle-coupling to tables
+    * that `ivfPqSave`/`ivfPqCompact` legitimately drop); (3) the pinned
+    * file set's basenames recorded alongside, the coherence fingerprint
+    * [[ivfPqLoadPinned]] verifies so a data pin silently re-pinned to a
+    * DIFFERENT generation fails loud instead of serving mismatched
+    * books. Re-pinning a tag replaces both halves atomically-enough
+    * (data pin first — its re-pin already expires the old one — then the
+    * sidecar).
+    */
+  def ivfPqPin(spark: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Unit = {
+    require(tableExists(spark, s"${table}_books"),
+      s"$table has no ${table}_books sidecar — not an ivfPqSave artifact")
+    require(!table.contains("__gen") && !tag.contains("__gen"),
+      s"'$table'/'$tag' contains the reserved generation marker '__gen'")
+    graft.sources.BucketedTables.snapshot(spark, table, tag)
+    import spark.implicits._
+    val books = spark.table(s"${table}_books")
+      .select(col("kind"), col("i"), col("j"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong, r.getInt(2),
+        r.getSeq[Long](3), null: String))
+    val ts = tombstonesOf(spark, table)
+      .map(_.as[Long].collect()).getOrElse(Array.empty[Long])
+      .map(id => (2, id, 0, Seq.empty[Long], null: String))
+    val names = pinnedBasenames(spark, table, tag).zipWithIndex
+      .map { case (n, i) => (3, i.toLong, 0, Seq.empty[Long], n) }
+    graft.sources.BucketedTables.replaceSidecar(
+      (books ++ ts ++ names).toSeq.toDF("kind", "i", "j", "vec", "name"),
+      genSidecarName(table, tag))
+  }
+
+  /** Load the index AS PINNED by [[ivfPqPin]]: books/tombstones from the
+    * generation sidecar, data from the snapshot manifest — the tuple
+    * plugs into the same consumers as [[ivfPqLoad]]. Fails LOUD on every
+    * way the halves can diverge: sidecar without data pin (someone
+    * called `expireSnapshot` directly), data pin re-pinned to a
+    * different file set than the books describe (someone called
+    * `snapshot` directly after maintenance). The pinned tombstones apply
+    * here — the generation's LOGICAL content at pin time — and later
+    * removals/compactions on the live table are invisible, which is the
+    * point of the pin.
+    */
+  def ivfPqLoadPinned(spark: org.apache.spark.sql.SparkSession,
+      table: String, tag: String)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val genT = genSidecarName(table, tag)
+    require(tableExists(spark, genT),
+      s"$table has no pinned generation '$tag' — ivfPqPin first")
+    require(tableExists(spark, s"${table}__snap_$tag"),
+      s"pinned generation '$tag' of $table lost its data snapshot " +
+        s"${table}__snap_$tag (expireSnapshot called directly?) — the " +
+        "pin halves diverged; ivfPqUnpin and re-pin")
+    val side = spark.table(genT)
+      .select(col("kind"), col("i"), col("j"), col("vec"), col("name"))
+      .collect()
+    val pinnedNames = side.filter(_.getInt(0) == 3)
+      .map(_.getString(4)).sorted.toSeq
+    val currentNames = pinnedBasenames(spark, table, tag)
+    require(pinnedNames == currentNames,
+      s"books/data pin mismatch for $table tag '$tag': the data " +
+        "snapshot pins a different file set than this generation's books " +
+        "were recorded against (snapshot() re-pinned the tag after index " +
+        "maintenance?) — serving it would decode codes under foreign " +
+        "books; ivfPqUnpin and re-pin the generation")
+    val coarseRows = side.filter(_.getInt(0) == 0)
+    val bookRows = side.filter(_.getInt(0) == 1)
+    require(coarseRows.nonEmpty && bookRows.nonEmpty,
+      s"generation sidecar $genT is missing coarse or codebook rows")
+    val coarse = coarseRows.sortBy(_.getLong(1))
+      .map(_.getSeq[Long](3).toArray)
+    require(coarseRows.map(_.getLong(1)).sorted.toSeq ==
+      coarse.indices.map(_.toLong).toSeq,
+      s"generation sidecar $genT: coarse cell ids are not 0..${coarse.length - 1}")
+    val m = bookRows.map(_.getLong(1)).max.toInt + 1
+    val kCent = bookRows.map(_.getInt(2)).max + 1
+    require(bookRows.length == m * kCent,
+      s"generation sidecar $genT: ${bookRows.length} codebook rows != " +
+        s"$m subspaces x $kCent centroids")
+    val book = Array.ofDim[Array[Long]](m, kCent)
+    bookRows.foreach(r => book(r.getLong(1).toInt)(r.getInt(2)) =
+      r.getSeq[Long](3).toArray)
+    requireBooks(coarse, book)
+    val raw = graft.sources.BucketedTables.readSnapshot(spark, table, tag)
+    val ts = side.filter(_.getInt(0) == 2).map(_.getLong(1))
+    val artifact = if (ts.isEmpty) raw else {
+      import spark.implicits._
+      raw.join(broadcast(ts.toSeq.toDF("id")), Seq("id"), "left_anti")
+    }
+    (artifact, coarse, book)
+  }
+
+  /** Serve ANN queries off a PINNED generation (s29 — the reproducible
+    * twin of [[ivfPqSearchTable]]): same probe-cell computation, same
+    * ADC scoring, over [[ivfPqLoadPinned]]'s frozen tuple — so a serving
+    * fleet keeps answering from the pinned generation, bit-stable, while
+    * upserts/compactions land on the live table underneath. COST NOTE,
+    * honest: the snapshot read is a path-list parquet scan with no
+    * bucket metadata, so the probed-cell literal prunes via parquet
+    * min/max stats (per-file/row-group), not planning-time bucket
+    * pruning — the live [[ivfPqSearchTable]] remains the fast path; this
+    * is the REPRODUCIBLE path, the trade a frozen read buys.
+    */
+  def ivfPqSearchPinned(queries: DataFrame, table: String, tag: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      indexFilter: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val (artifact, coarse, book) =
+      ivfPqLoadPinned(queries.sparkSession, table, tag)
+    val cells = ivfPqProbeCells(queries, idCol, vecCol, coarse, nProbe)
+    val pruned = artifact.filter(col("cell").isin(cells.map(c => c: Any): _*))
+    ivfPqTopK(queries, queries, idCol, vecCol, k, coarse.length, nProbe,
+      book.length, book.head.length, indexOf = Some((pruned, coarse, book)),
+      indexFilter = indexFilter, metaCols = metaCols)
+  }
+
+  /** Release a pinned generation: drop the sidecar, expire the data
+    * snapshot (retained files no other pin holds are GC'd —
+    * [[graft.sources.BucketedTables.expireSnapshot]]). Tolerates a
+    * half-diverged pin (data snapshot already gone) so a broken pin can
+    * always be cleaned up — the loud path is loading, not unpinning.
+    */
+  def ivfPqUnpin(spark: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Unit = {
+    val genT = genSidecarName(table, tag)
+    require(tableExists(spark, genT),
+      s"$table has no pinned generation '$tag'")
+    graft.sources.BucketedTables.dropWithLocation(spark, genT)
+    if (tableExists(spark, s"${table}__snap_$tag"))
+      graft.sources.BucketedTables.expireSnapshot(spark, table, tag)
+  }
+
   /** REMOVE ids from an IVF-PQ index artifact (s21) — the delete half of
     * the index CRUD (build s13, add s17, upsert s18, persist s20): a
     * `left_anti` on id, books untouched (removal never changes how the

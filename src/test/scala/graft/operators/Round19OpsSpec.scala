@@ -285,4 +285,103 @@ class Round19OpsSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(e.getMessage.contains("warm-start"))
   }
+
+  private def embCorpus = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("ivfPqPin: a pin taken with PENDING tombstones keeps excluding " +
+      "them after the live table compacts the log away; the live and " +
+      "pinned reads serve different generations side by side") {
+    import graft.operators.Similarity
+    val e = embCorpus
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r19_pin_idx", numBuckets = 4)
+    // Tombstone the %5==2 ids, then PIN with the log pending.
+    Similarity.ivfPqRemoveFromTable(
+      e.filter($"vec_id" % 5 === 2).select($"vec_id"),
+      "r19_pin_idx", "vec_id")
+    Similarity.ivfPqPin(spark, "r19_pin_idx", "serving")
+    // Maintenance lands: compaction truncates the log and makes deletes
+    // physical; an append changes the live generation's content.
+    Similarity.ivfPqCompact(spark, "r19_pin_idx")
+    Similarity.ivfPqAddToTable(
+      e.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          $"embedding".cast("array<double>").as("embedding")),
+      "r19_pin_idx", "vec_id", "embedding")
+    val q = e.filter($"vec_id" <= 3)
+    val pinned = resultSet(Similarity.ivfPqSearchPinned(q,
+      "r19_pin_idx", "serving", "vec_id", "embedding", k = 5, nProbe = 4))
+    // The pinned read equals searching the tombstone-applied original
+    // index in-session — the generation's LOGICAL content at pin time.
+    val survivors = Similarity.ivfPqRemove(idx,
+      e.filter($"vec_id" % 5 === 2).select($"vec_id"), "vec_id")
+    val want = resultSet(Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+      k = 5, nCells = 4, nProbe = 4, m = 4, kCent = 8,
+      indexOf = Some(survivors)))
+    assert(pinned === want)
+    // The live read sees the appended rows; the pinned one never does.
+    val live = Similarity.ivfPqSearchTable(q, "r19_pin_idx",
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(live.filter($"neighbor_id" >= 100000L).count() > 0)
+    assert(!pinned.exists(_._2 >= 100000L))
+  }
+
+  test("ivfPqPin coherence: a data pin re-pinned to a DIFFERENT " +
+      "generation fails loud at load; a deleted data pin fails loud; " +
+      "unpin releases the sidecar, the snapshot and the retained files") {
+    import graft.operators.Similarity
+    import graft.sources.BucketedTables
+    val e = embCorpus
+    val idx = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, kCent = 8)
+    Similarity.ivfPqSave(idx, "r19_pinm_idx", numBuckets = 4)
+    Similarity.ivfPqPin(spark, "r19_pinm_idx", "night")
+    // Maintenance changes the file set, then someone re-pins the DATA
+    // tag directly (not through ivfPqPin): the books the sidecar
+    // recorded no longer describe what the data pin now points at.
+    Similarity.ivfPqAddToTable(
+      e.limit(3).select(($"vec_id" + 200000L).as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding")),
+      "r19_pinm_idx", "vec_id", "embedding")
+    BucketedTables.snapshot(spark, "r19_pinm_idx", "night")
+    val mismatch = intercept[IllegalArgumentException] {
+      Similarity.ivfPqLoadPinned(spark, "r19_pinm_idx", "night")
+    }
+    assert(mismatch.getMessage.contains("pin mismatch"))
+    // Re-pin properly; serve works; then kill the data snapshot directly
+    // — the load names the divergence instead of scanning nothing.
+    Similarity.ivfPqPin(spark, "r19_pinm_idx", "night")
+    assert(Similarity.ivfPqSearchPinned(e.filter($"vec_id" === 1),
+      "r19_pinm_idx", "night", "vec_id", "embedding",
+      k = 3, nProbe = 2).count() === 3)
+    BucketedTables.expireSnapshot(spark, "r19_pinm_idx", "night")
+    val gone = intercept[IllegalArgumentException] {
+      Similarity.ivfPqLoadPinned(spark, "r19_pinm_idx", "night")
+    }
+    assert(gone.getMessage.contains("diverged"))
+    // Unpin tolerates the half-diverged state and cleans up fully.
+    Similarity.ivfPqUnpin(spark, "r19_pinm_idx", "night")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "r19_pinm_idx__gen_night")))
+    // A full pin → compact (files re-home to the retained dir) → unpin
+    // cycle leaves no retained directory behind.
+    Similarity.ivfPqPin(spark, "r19_pinm_idx", "night")
+    Similarity.ivfPqCompact(spark, "r19_pinm_idx")
+    val loc = locOf("r19_pinm_idx")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = new org.apache.hadoop.fs.Path(
+      loc.getParent, "r19_pinm_idx__retained")
+    assert(fs.exists(retained) && fs.listStatus(retained).nonEmpty)
+    Similarity.ivfPqUnpin(spark, "r19_pinm_idx", "night")
+    assert(!fs.exists(retained))
+    assert(BucketedTables.snapshotTags(spark, "r19_pinm_idx").isEmpty)
+  }
 }
