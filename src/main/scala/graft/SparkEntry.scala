@@ -2706,6 +2706,28 @@ object SparkEntry {
           sum(cents(col("l_extendedprice"))).as("price_cents"))
     }),
 
+    // BLOOM POINT LOOKUP (b14 — the skipping min/max cannot do): the
+    // table writes HASH-placed on the lookup key, so every file's
+    // [min, max] spans the whole key domain and range skipping keeps ALL
+    // files — the per-file bloom sidecar is the only thing that prunes a
+    // tombstone-check / dedup-key-probe shaped equality lookup. The
+    // pruned read must equal the plain filter (blooms have no false
+    // negatives; the predicate re-applies on the scan) — the specs pin
+    // the files-opened metric, the oracle pins exactness.
+    "b14_bloom_point_lookup" -> ((s, d) => {
+      import graft.sources.ManifestTables
+      val o = tbl(s, d, "orders")
+      val k = o.agg(min("o_custkey")).head().getLong(0)
+      val path = ManifestTables.writeWithManifest(
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_orderkey")),
+        "b14_orders_bloom", Seq("o_custkey"), bloomCols = Seq("o_custkey"),
+        expectedItemsPerFile = 1L << 16)
+      ManifestTables.readPrunedPoint(s, path, "o_custkey", k)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+
     // CSV round trip with explicit schema + header: the interchange
     // format corpora actually arrive in. Quoting/escaping must survive
     // (documents text carries arbitrary punctuation); the reader declares
@@ -6183,6 +6205,14 @@ object SparkEntry {
         |FROM lineitem, mm
         |WHERE l_partkey >= mm.mnp AND l_partkey <= mm.mnp + (mm.mxp - mm.mnp) // 8
         |GROUP BY 1""".stripMargin,
+
+    // Bloom point lookup: pruning may only SKIP files, never change
+    // rows — the oracle is the plain equality filter on the source.
+    "b14_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin,
 
     // The CSV round trip must agree with the ORIGINAL table — text length
     // totals catch any quoting/escaping loss.

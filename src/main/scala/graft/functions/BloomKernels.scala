@@ -37,11 +37,32 @@ import org.apache.spark.sql.types._
   */
 object BloomKernels {
 
-  /** `bloom_words(pos, mBits)` — OR bit positions into a packed bitset. */
+  /** `bloom_words(pos, mBits)` — OR bit positions into a packed bitset.
+    * `pos` may be a single integral position per row, or an
+    * `array<bigint>` of positions (all set per row) — the array form lets
+    * a grouped aggregation build one bloom per group in a single scan
+    * with no `explode` row duplication (the [[graft.sources
+    * .ManifestTables]] per-file sidecar, where min/max aggregates ride
+    * the same scan).
+    */
   def bloom_words(pos: Column, mBits: Int): Column =
     org.apache.spark.sql.graft.compat.column(
       BloomWordsAgg(org.apache.spark.sql.graft.compat.expression(pos), mBits)
         .toAggregateExpression())
+
+  /** Per-row probe of a packed-bitset COLUMN (`array<bigint>`, as built by
+    * [[bloom_words]]): true iff all `kHashes` probe positions of the long
+    * `key` are set. `mBits` derives from the array length (words x 64), so
+    * a probe never needs the writer's sizing out-of-band beyond `kHashes`.
+    * The column twin of [[bloom_contains]] (which holds a driver-side
+    * bitset) — for scans where each ROW carries its own bloom, e.g. a
+    * file-manifest with one sidecar per data file.
+    */
+  def bloom_words_contain(words: Column, key: Column, kHashes: Column): Column =
+    org.apache.spark.sql.graft.compat.column(
+      BloomWordsContain(org.apache.spark.sql.graft.compat.expression(words),
+        org.apache.spark.sql.graft.compat.expression(key),
+        org.apache.spark.sql.graft.compat.expression(kHashes)))
 
   /** Predicate: all `kHashes` positions of the long `key` are set. */
   def bloom_contains(key: Column, words: Array[Long], mBits: Int, kHashes: Int): Column =
@@ -64,6 +85,22 @@ object BloomKernels {
     }
     true
   }
+
+  /** [[containsKernel]] over an unmaterialized ArrayData bitset (the
+    * per-row column form — reads only the probed words, never copies the
+    * array). mBits = words x 64 by construction of [[BloomWordsAgg]].
+    */
+  def containsWords(words: org.apache.spark.sql.catalyst.util.ArrayData,
+      key: Long, kHashes: Int): Boolean = {
+    val mBits = words.numElements() * 64
+    var salt = 0
+    while (salt < kHashes) {
+      val pos = position(salt, key, mBits)
+      if ((words.getLong(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      salt += 1
+    }
+    true
+  }
 }
 
 /** See [[BloomKernels.bloom_words]]. */
@@ -81,21 +118,30 @@ case class BloomWordsAgg(
 
   override def checkInputDataTypes(): TypeCheckResult = pos.dataType match {
     case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bloom_words expects an integral position, got $other")
+      s"bloom_words expects an integral position or array<bigint> of " +
+        s"positions, got $other")
   }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
 
+  private def setBit(buffer: Array[Long], p: Long): Unit = {
+    require(p >= 0 && p < mBits, s"bloom position out of range: $p (mBits=$mBits)")
+    buffer((p >>> 6).toInt) |= 1L << (p & 63)
+  }
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = pos.eval(input)
-    if (v != null) {
-      val p = v match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }
-      require(p >= 0 && p < mBits, s"bloom position out of range: $p (mBits=$mBits)")
-      buffer((p >>> 6).toInt) |= 1L << (p & 63)
+    if (v != null) v match {
+      case l: java.lang.Long => setBit(buffer, l.longValue())
+      case i: java.lang.Integer => setBit(buffer, i.longValue())
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        var i = 0
+        while (i < a.numElements()) {
+          if (!a.isNullAt(i)) setBit(buffer, a.getLong(i))
+          i += 1
+        }
     }
     buffer
   }
@@ -171,4 +217,38 @@ case class BloomContains(child: Expression, words: Array[Long], mBits: Int, kHas
   override def hashCode(): Int =
     java.util.Objects.hash(child, Integer.valueOf(System.identityHashCode(words)),
       Integer.valueOf(mBits), Integer.valueOf(kHashes))
+}
+
+/** See [[BloomKernels.bloom_words_contain]]. Null-propagating; codegen
+  * calls the same JVM kernel the eval path uses, reading only the probed
+  * words of the per-row bitset (never materializing the array).
+  */
+case class BloomWordsContain(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "bloom_words_contain"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), LongType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "bloom_words_contain expects (array<bigint> words, bigint key, " +
+          s"int kHashes), got $other")
+    }
+
+  override protected def nullSafeEval(w: Any, k: Any, kh: Any): Any =
+    BloomKernels.containsWords(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Long], kh.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, k, kh) =>
+      s"graft.functions.BloomKernels.containsWords($w, $k, $kh)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BloomWordsContain =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

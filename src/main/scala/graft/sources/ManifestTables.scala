@@ -29,17 +29,64 @@ object ManifestTables {
   private def manifestPath(path: String) = s"${path}__manifest"
 
   /** Write `df` as parquet plus its per-file min/max manifest over
-    * `statsCols`. Returns the data path.
+    * `statsCols`; columns also named in `bloomCols` additionally get a
+    * per-file BLOOM sidecar (`bloom_<col>`: packed `array<bigint>` bitset,
+    * plus its `bloomk_<col>` hash count) — the b14 extension. Min/max
+    * skipping is useless for id-keyed POINT lookups over high-cardinality
+    * keys (hash-placed ids make every file's [min, max] span the whole
+    * domain, so a range check keeps everything); a bloom answers "might
+    * this file contain THIS key" directly, within fpp.
+    * The bitsets build with the house [[graft.functions.BloomKernels]]
+    * packed aggregate (the q21 runtime-filter machinery) — one array of
+    * probe positions per row (`xxhash64(key, 42+salt) mod mBits`, the
+    * formula [[graft.functions.BloomKernels.position]] pins), no explode,
+    * so the blooms ride the SAME per-file aggregation scan as the min/max.
+    * (Spark's own `BloomFilterMightContain` requires a CONSTANT filter —
+    * it cannot probe a per-row bloom column, which is exactly the manifest
+    * shape.) Sized by `expectedItemsPerFile`/`bloomFpp` (optimal-bits
+    * formula): the default ~4 M items at 1% is ~5 MB per file — manifest
+    * rows stay file-count-bounded, and the probe never collects bitsets to
+    * the driver (the might-contain predicate evaluates inside the manifest
+    * scan; only surviving file NAMES come back). Keys hash as LONGS
+    * (`cast("long")` before xxhash64) so any integral column width probes
+    * consistently. Returns the data path.
     */
   def writeWithManifest(df: DataFrame, name: String,
-      statsCols: Seq[String]): String = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      expectedItemsPerFile: Long = 1L << 22,
+      bloomFpp: Double = 0.01): String = {
     require(statsCols.nonEmpty, "at least one stats column")
+    require(bloomCols.forall(statsCols.contains),
+      s"bloomCols (${bloomCols.mkString(", ")}) must be a subset of " +
+        s"statsCols (${statsCols.mkString(", ")}) — the point probe " +
+        "composes the bloom with the min/max check")
     val spark = df.sparkSession
     val base = spark.conf.get("spark.sql.warehouse.dir")
     val path = s"$base/$name"
     df.write.mode("overwrite").parquet(path)
+    // Optimal sizing: bits = -n ln(p) / ln(2)^2 rounded up to whole words,
+    // hashes = bits/n * ln(2) — clamped to the packed aggregate's bounds.
+    val rawBits = math.ceil(-expectedItemsPerFile * math.log(bloomFpp) /
+      (math.log(2) * math.log(2))).toLong
+    val mBits = math.min(1L << 28, math.max(64L, ((rawBits + 63) / 64) * 64)).toInt
+    val kHashes = math.max(1L, math.min(16L,
+      math.round(mBits.toDouble / expectedItemsPerFile * math.log(2)))).toInt
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } ++ bloomCols.flatMap { c =>
+      // cast-to-long before hashing: xxhash64 is physical-type sensitive,
+      // and the probe side hashes a Long literal — an int32 column would
+      // otherwise silently never match.
+      val key = org.apache.spark.sql.graft.compat.expression(
+        col(c).cast("long"))
+      val positions = array((0 until kHashes).map { salt =>
+        pmod(org.apache.spark.sql.graft.compat.column(
+          org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(key), 42L + salt)), lit(mBits.toLong))
+      }: _*)
+      Seq(graft.functions.BloomKernels.bloom_words(positions, mBits)
+          .as(s"bloom_$c"),
+        max(lit(kHashes)).as(s"bloomk_$c"))
     }
     // Stage the manifest beside its final path, then swap via renames: a
     // crash DURING the staging build leaves the old manifest intact, and
@@ -115,5 +162,57 @@ object ManifestTables {
       spark.read.parquet(path).filter(predicate).limit(0)
     else
       spark.read.parquet(keep.toIndexedSeq: _*).filter(predicate)
+  }
+
+  /** The file list a point lookup `col == key` must open, per the
+    * manifest: min/max intersection AND — when the manifest carries a
+    * `bloom_<col>` sidecar — the per-file bloom's might-contain verdict,
+    * evaluated INSIDE the manifest scan
+    * ([[graft.functions.BloomKernels.bloom_words_contain]] replaying the
+    * writer's `xxhash64(key, 42+salt) mod mBits` probes against each row's
+    * packed bitset; file-count rows, bitsets never collected to the
+    * driver). `None` = the manifest is absent/mid-swap/torn — callers fall
+    * back to the unpruned scan. Zero false negatives by construction:
+    * blooms only ever say "maybe" for inserted keys, so a file actually
+    * holding `key` always survives; the equality predicate re-applies on
+    * the scan regardless. `private[graft]` so specs and probes can pin the
+    * files-opened count — the metric the bloom exists to shrink.
+    */
+  private[graft] def pointLookupFiles(spark: SparkSession, path: String,
+      statsCol: String, key: Long): Option[Seq[String]] = {
+    val mPath = manifestPath(path)
+    try {
+      val m = spark.read.parquet(mPath)
+      val ranged = m.filter(
+        col(s"max_$statsCol") >= key && col(s"min_$statsCol") <= key)
+      val fields = m.schema.fieldNames
+      val probed =
+        if (!fields.contains(s"bloom_$statsCol") ||
+            !fields.contains(s"bloomk_$statsCol")) ranged
+        else ranged.filter(graft.functions.BloomKernels.bloom_words_contain(
+          col(s"bloom_$statsCol"), lit(key), col(s"bloomk_$statsCol")))
+      Some(probed.select("file").collect().map(_.getString(0)).toIndexedSeq)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Point lookup `col == key` opening only the files the manifest (and
+    * its bloom sidecar, when present) cannot rule out — the b14 read.
+    * Same exactness contract as [[readPruned]]: the equality predicate
+    * re-applies on the scan, a missing/torn manifest degrades to the
+    * unpruned exact scan, an empty survivor list short-circuits with
+    * the table's schema.
+    */
+  def readPrunedPoint(spark: SparkSession, path: String,
+      statsCol: String, key: Long): DataFrame = {
+    val predicate: Column = col(statsCol) === key
+    pointLookupFiles(spark, path, statsCol, key) match {
+      case None => spark.read.parquet(path).filter(predicate)
+      case Some(keep) if keep.isEmpty =>
+        spark.read.parquet(path).filter(predicate).limit(0)
+      case Some(keep) =>
+        spark.read.parquet(keep: _*).filter(predicate)
+    }
   }
 }
