@@ -2728,6 +2728,28 @@ object SparkEntry {
           cents(col("o_totalprice")).as("price_cents"))
     }),
 
+    // BATCHED BLOOM LOOKUP (b14b — the form that scales): a single point
+    // probe pays one full manifest scan (the bitsets ARE the manifest
+    // bytes at 10^5 files), so real tombstone-check / dedup-key batches
+    // probe MANY driver-known keys in one pass — per-file verdict = an
+    // `exists` over the key array, bitset read in place, file union
+    // opened once with the IN predicate re-applied. Exactness contract
+    // identical to b14: pruning may only skip files.
+    "b14b_bloom_batch_lookup" -> ((s, d) => {
+      import graft.sources.ManifestTables
+      val o = tbl(s, d, "orders")
+      val keys = o.select("o_custkey").distinct().orderBy("o_custkey")
+        .limit(5).collect().map(_.getLong(0)).toSeq
+      val path = ManifestTables.writeWithManifest(
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_orderkey")),
+        "b14b_orders_bloom", Seq("o_custkey"), bloomCols = Seq("o_custkey"),
+        expectedItemsPerFile = 1L << 16)
+      ManifestTables.readPrunedPoints(s, path, "o_custkey", keys)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+    }),
+
     // CSV round trip with explicit schema + header: the interchange
     // format corpora actually arrive in. Quoting/escaping must survive
     // (documents text carries arbitrary punctuation); the reader declares
@@ -6213,6 +6235,15 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders
         |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin,
+
+    // Batched lookup: same skip-only contract over the 5 smallest
+    // custkeys — the oracle is the plain IN filter on the source.
+    "b14b_bloom_batch_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 5)""".stripMargin,
 
     // The CSV round trip must agree with the ORIGINAL table — text length
     // totals catch any quoting/escaping loss.

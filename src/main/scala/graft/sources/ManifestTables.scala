@@ -215,4 +215,74 @@ object ManifestTables {
         spark.read.parquet(keep: _*).filter(predicate)
     }
   }
+
+  /** Batch limit for [[readPrunedPoints]]. Beyond this the right plan is
+    * a different shape entirely (semi-join the key frame against the
+    * table), not a longer literal list — loud, like every driver-bounded
+    * guard in this library.
+    */
+  val maxPointLookupKeys: Int = 1 << 16
+
+  /** The file union a BATCH of point lookups `col IN keys` must open —
+    * the form that actually scales: a single point probe pays one full
+    * manifest scan (bloom bytes = files x mBits — at 10^5 files the
+    * bitsets ARE the manifest), so per-key manifest cost only amortizes
+    * when many keys share one pass. This is also the real workload shape:
+    * tombstone checks and dedup-key probes arrive in batches, not one id
+    * at a time (the st23b driver-known-batch discipline).
+    *
+    * One row per file throughout: each file's verdict is an `exists` over
+    * the key-array literal — range check + bloom probe per key — so the
+    * bitset is read IN PLACE per file (an explode would copy the mBits/8
+    * bytes once per (file, key) pair). File pruning bites when
+    * |keys| ≲ |files| (a 1k-key takedown batch against a 10^5-file table
+    * opens ≤ 1% of it); past that the win is the single manifest pass.
+    */
+  private[graft] def pointLookupFilesMulti(spark: SparkSession, path: String,
+      statsCol: String, keys: Seq[Long]): Option[Seq[String]] = {
+    val distinctKeys = keys.distinct
+    require(distinctKeys.size <= maxPointLookupKeys,
+      s"point-lookup batch of ${distinctKeys.size} keys exceeds " +
+        s"$maxPointLookupKeys — at that size semi-join the key frame " +
+        "against the table instead of literal-probing the manifest")
+    if (distinctKeys.isEmpty) return Some(Nil)
+    val mPath = manifestPath(path)
+    try {
+      val m = spark.read.parquet(mPath)
+      val fields = m.schema.fieldNames
+      val hasBloom = fields.contains(s"bloom_$statsCol") &&
+        fields.contains(s"bloomk_$statsCol")
+      val ks = array(distinctKeys.map(lit): _*)
+      val anyKeyMaybe = exists(ks, k => {
+        val ranged = col(s"max_$statsCol") >= k && col(s"min_$statsCol") <= k
+        if (hasBloom)
+          ranged && graft.functions.BloomKernels.bloom_words_contain(
+            col(s"bloom_$statsCol"), k, col(s"bloomk_$statsCol"))
+        else ranged
+      })
+      Some(m.filter(anyKeyMaybe)
+        .select("file").collect().map(_.getString(0)).toIndexedSeq)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Batched point lookup `col IN keys` opening only the files the
+    * manifest (and bloom sidecars) cannot rule out for ANY key — the b14b
+    * read. Same exactness contract as [[readPrunedPoint]]: the IN
+    * predicate re-applies on the scan, a missing/torn manifest degrades
+    * to the unpruned exact scan, an empty survivor list (or empty key
+    * batch) short-circuits with the table's schema.
+    */
+  def readPrunedPoints(spark: SparkSession, path: String,
+      statsCol: String, keys: Seq[Long]): DataFrame = {
+    val predicate: Column = col(statsCol).isin(keys.distinct: _*)
+    pointLookupFilesMulti(spark, path, statsCol, keys) match {
+      case None => spark.read.parquet(path).filter(predicate)
+      case Some(keep) if keep.isEmpty =>
+        spark.read.parquet(path).filter(predicate).limit(0)
+      case Some(keep) =>
+        spark.read.parquet(keep: _*).filter(predicate)
+    }
+  }
 }

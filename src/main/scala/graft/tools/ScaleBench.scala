@@ -1776,6 +1776,74 @@ object ScaleBench {
           f"build=$tBuild%.1f prune=$tPrune%.1f bloomJoin=$tBloom%.1f " +
           f"plainBroadcast=$tPlain%.1f plainShuffle=$tShuf%.1f bloom+shuffle=$tBloomShuf%.1f sec")
 
+      case "bloom-point" =>
+        // Manifest bloom point-lookup probe (the b14 scale story): m rows
+        // HASH-placed on an all-distinct key into 64 files — every file's
+        // [min, max] spans ~the whole key domain, so range skipping keeps
+        // all 64 files (asserted); the per-file bloom sidecar must cut a
+        // point lookup to ~1 opened file within fpp. Reports the write
+        // (data + manifest-with-blooms) cost, files opened per present
+        // key, and pruned vs unpruned lookup wall over 8 keys — the
+        // tombstone-check / dedup-key-probe shape at table scale.
+        val rowsP = spark.range(m).select(col("id").as("k"),
+          xxhash64(col("id")).as("payload")).repartition(64, col("k"))
+        var tp = System.nanoTime()
+        val pathP = graft.sources.ManifestTables.writeWithManifest(rowsP,
+          "scale_bloom_point", Seq("k"), bloomCols = Seq("k"),
+          expectedItemsPerFile = math.max(64L, m / 64))
+        val tWriteP = (System.nanoTime() - tp) / 1e9
+        val probeKeys = (1 to 8).map(i => m / 9 * i)
+        val rangeKept = spark.read.parquet(s"${pathP}__manifest")
+          .filter(col("max_k") >= probeKeys.head && col("min_k") <= probeKeys.head)
+          .count()
+        assert(rangeKept >= 60,
+          s"layout not adversarial: min/max kept only $rangeKept of 64")
+        tp = System.nanoTime()
+        var opened = 0L
+        probeKeys.foreach { key =>
+          val df = graft.sources.ManifestTables.readPrunedPoint(
+            spark, pathP, "k", key)
+          val got = df.collect()
+          opened += df.inputFiles.length
+          assert(got.length == 1 && got.head.getLong(0) == key,
+            s"pruned lookup wrong for key $key: ${got.mkString(",")}")
+        }
+        val tPruned = (System.nanoTime() - tp) / 1e9
+        tp = System.nanoTime()
+        probeKeys.foreach { key =>
+          val got = spark.read.parquet(pathP).filter(col("k") === key).collect()
+          assert(got.length == 1 && got.head.getLong(0) == key)
+        }
+        val tPlainP = (System.nanoTime() - tp) / 1e9
+        // Absent key: min/max cannot rule it out (inside the domain hull
+        // is unavoidable for a dense id space — use a key past the max),
+        // but a bloom answers the common miss in file-metadata time.
+        tp = System.nanoTime()
+        val absent = graft.sources.ManifestTables.readPrunedPoint(
+          spark, pathP, "k", m + 12345L)
+        val absentRows = absent.count()
+        val tAbsent = (System.nanoTime() - tp) / 1e9
+        assert(absentRows == 0, s"absent key returned $absentRows rows")
+        // Batched arm (the b14b shape): 16 keys through ONE manifest pass
+        // and one pruned scan — per-key manifest cost amortized 16x. The
+        // single-key arm pays a full manifest scan (bloom bytes = files x
+        // mBits) per probe; batching is what makes the sidecar pay at
+        // 10^5-file scale, where file pruning bites while |keys| << files.
+        val batchKeys = (1 to 16).map(i => m / 17 * i)
+        tp = System.nanoTime()
+        val batchDf = graft.sources.ManifestTables.readPrunedPoints(
+          spark, pathP, "k", batchKeys)
+        val batchGot = batchDf.collect().map(_.getLong(0)).toSet
+        val batchOpened = batchDf.inputFiles.length
+        val tBatch = (System.nanoTime() - tp) / 1e9
+        assert(batchGot == batchKeys.toSet,
+          s"batched lookup wrong: ${batchGot.size} of ${batchKeys.size} keys")
+        println(f"SCALE-OK bloom-point m=$m files=64 rangeKept=$rangeKept " +
+          f"openedPerKey=${opened.toDouble / probeKeys.size}%.2f " +
+          f"write=$tWriteP%.1f pruned8=$tPruned%.1f plain8=$tPlainP%.1f " +
+          f"absentMiss=$tAbsent%.2f batch16=$tBatch%.2f " +
+          f"batchOpened=$batchOpened sec")
+
       case "zorder" =>
         // Clustered-layout probe: write m rows z-ordered on two
         // 2^16-domain keys into 64 files; report write time and the mean

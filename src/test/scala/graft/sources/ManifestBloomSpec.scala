@@ -89,6 +89,40 @@ class ManifestBloomSpec extends AnyFunSuite with SparkTestHarness {
     assert(fallback.collect().map(_.getLong(0)).toSeq == Seq(417L))
   }
 
+  test("batched lookup: one manifest pass, file union pruned, rows equal " +
+      "the plain IN filter; duplicates collapse; empty batch short-circuits") {
+    val path = writeHashPlaced("bloom_spec_batch")
+    // 4 keys (one duplicated) living in <= 4 of 16 files: the batched
+    // probe's file union must stay a strict subset, and the read must
+    // equal the plain IN filter exactly.
+    val keys = Seq(11L, 222L, 333L, 222L, 944L)
+    val kept = ManifestTables.pointLookupFilesMulti(spark, path, "k", keys).get
+    assert(kept.nonEmpty && kept.size <= 7,
+      s"batched bloom kept ${kept.size} of 16 files (want <= 7)")
+    val got = ManifestTables.readPrunedPoints(spark, path, "k", keys)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(path)
+      .filter(col("k").isin(keys.distinct: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 4, s"batched read $got != plain $want")
+    // Empty batch: empty frame, schema intact, no manifest dependency.
+    val none = ManifestTables.readPrunedPoints(spark, path, "k", Nil)
+    assert(none.columns.toSeq == Seq("k", "payload") && none.count() == 0)
+    // All-absent batch: min/max rules everything out.
+    val absent = ManifestTables.readPrunedPoints(spark, path, "k",
+      Seq(5000L, 6000L))
+    assert(absent.count() == 0)
+  }
+
+  test("batched lookup beyond the key guard is rejected loudly") {
+    val path = writeHashPlaced("bloom_spec_guard")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTables.pointLookupFilesMulti(spark, path, "k",
+        0L.to(ManifestTables.maxPointLookupKeys.toLong))
+    }
+    assert(e.getMessage.contains("semi-join"))
+  }
+
   test("bloomCols outside statsCols is rejected loudly") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
