@@ -714,6 +714,26 @@ object SparkEntry {
       GraphFrame.fromEdges(partSuppEdges(s, d)).kCore.run()
         .vertices.select(col("id"), col("kcore"))),
 
+    // WARM-START k-core (g41 — the k-core family's daily-delta form,
+    // completing the incremental set): yesterday's coreness (cold run on
+    // the base slice) re-seeds the capped h-index loop over the EDITED
+    // graph — base minus the %7==1 takedowns plus the %7==0 additions —
+    // through the sound seed least(degree, prev + |added|). The warm run
+    // is EXACT by the monotone sandwich, so the oracle is a cold full
+    // recompute over the edited edge set (iteration unroll past
+    // convergence).
+    "g41_kcore_warm" -> ((s, d) => {
+      val edges = partSuppEdges(s, d)
+      val bucket = pmod(col("src") + col("dst"), lit(7))
+      val base = edges.filter(bucket =!= 0)
+      val added = edges.filter(bucket === 0)
+      val edited = edges.filter(bucket =!= 1)
+      val prev = GraphFrame.fromEdges(base).kCore.run()
+        .vertices.select(col("id"), col("kcore"))
+      GraphFrame.fromEdges(edited).kCore.warmStart(prev, added).run()
+        .vertices.select(col("id"), col("kcore"))
+    }),
+
     // Capped run: exercises the DISTRIBUTED kcore_merge update rule (the
     // hybrid driver peel only engages in run-to-convergence mode), gated by
     // an unrolled 2-iteration SQL oracle.
@@ -4537,6 +4557,13 @@ object SparkEntry {
     // graph converges in 3 H-index iterations (measured via iterate-to-
     // fixpoint in DuckDB), so an 8-round unroll is exact with 2.5x margin.
     "g09_kcore" -> kcoreOracle(8),
+
+    // Warm-start k-core is exact-converged, so the oracle is the cold
+    // unrolled recompute over the EDITED edge set (bucket (src+dst)%7:
+    // !=0 base, ==0 added, ==1 removed => edited = all but ==1), with
+    // iteration margin past convergence.
+    "g41_kcore_warm" ->
+      kcoreOracle(12, "WHERE (1000000 + l_partkey + l_suppkey) % 7 <> 1"),
     "g10b_mis_det" -> misOracle(5, seed = 22L),
     // The bench-scale MIS query (hybrid driver path) is the SAME pure
     // function of (graph, seed) as the distributed rounds — the hybrid
@@ -7487,10 +7514,10 @@ object SparkEntry {
     * mirroring Pregel's NULL-message delivery). With `iters` at or beyond
     * the graph's convergence round the result is the exact coreness.
     */
-  private def kcoreOracle(iters: Int): String = {
+  private def kcoreOracle(iters: Int, where: String = ""): String = {
     val base =
-      """WITH e0 AS (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem),
-        |ud AS (SELECT DISTINCT src, dst FROM (
+      s"""WITH e0 AS MATERIALIZED (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem $where),
+        |ud AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         |  SELECT src, dst FROM e0 WHERE src <> dst
         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
         |v AS (SELECT DISTINCT src AS id FROM e0 UNION SELECT dst FROM e0),
@@ -7502,7 +7529,7 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY ud.dst ORDER BY c.core DESC) AS rn
          |  FROM ud JOIN c${k - 1} c ON c.id = ud.src),
          |m$k AS (SELECT id, max(least(rn, nc)) AS h FROM h$k GROUP BY 1),
-         |c$k AS (SELECT p.id, CAST(least(p.core, coalesce(m.h, p.core)) AS BIGINT) AS core
+         |c$k AS MATERIALIZED (SELECT p.id, CAST(least(p.core, coalesce(m.h, p.core)) AS BIGINT) AS core
          |  FROM c${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$steps\nSELECT id, core AS kcore FROM c$iters"

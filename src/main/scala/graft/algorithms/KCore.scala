@@ -1,5 +1,6 @@
 package graft.algorithms
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.graph.GraphFrame
@@ -45,6 +46,47 @@ class KCore(graph: GraphFrame) {
     * intermediate estimate, which is defined by the distributed rounds.
     */
   def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
+
+  /** Warm-start the h-index loop from yesterday's coreness — the k-core
+    * family's daily-delta form (the g34/g35/g40 cadence). The capped
+    * update `c ← least(c, H(neighbour c))` is MONOTONE, so for any seed
+    * s with `core ≤ s ≤ degree` pointwise the iterates are sandwiched
+    * between `T^k(core) = core` and the cold degree-seeded run `T^k(deg)
+    * → core` — the warm run converges to the EXACT coreness of the
+    * current graph, in at most the cold iteration count and typically
+    * far fewer when the seed is tight.
+    *
+    * The sound seed: `least(degree, prev + |A|)` with |A| = the number
+    * of distinct simple undirected edges in `addedEdges` — inserting one
+    * simple edge changes ANY vertex's coreness by at most 1 (Sarıyüce et
+    * al. 2013, Thm 1; a per-vertex incident-only bound is UNSOUND: a
+    * star center's coreness jumps when edges land among its leaves), and
+    * deletions only decrease coreness, so yesterday's value + the
+    * insertion budget dominates today's. The operator counts |A| itself
+    * from the frame (canonical-pair distinct, self-loops dropped) — an
+    * overcount (rows already in the base) is safe, and taking the frame
+    * rather than a number means callers cannot under-count by accident.
+    * Vertices absent from `prevCores` (new today) seed with degree —
+    * locally cold, globally still sandwiched.
+    *
+    * Honest scale story: the win lives where deltas are deletion-heavy
+    * or insertions are few (takedown sweeps, trickle growth) — with |A|
+    * large the budget exceeds most degrees, the seed collapses to
+    * `degree`, and the run degrades GRACEFULLY to the cold start (never
+    * wrong, just not faster). The hybrid driver peel is skipped in warm
+    * mode: it does not iterate, so a seed buys it nothing.
+    */
+  def warmStart(prevCores: DataFrame, addedEdges: DataFrame): this.type = {
+    require(Seq(GraphFrame.ID, "kcore").forall(prevCores.columns.contains),
+      s"prevCores needs [${GraphFrame.ID}, kcore] (a kCore vertices " +
+        s"frame), got ${prevCores.columns.mkString(", ")}")
+    require(Seq(GraphFrame.SRC, GraphFrame.DST)
+        .forall(addedEdges.columns.contains),
+      s"addedEdges needs [${GraphFrame.SRC}, ${GraphFrame.DST}], " +
+        s"got ${addedEdges.columns.mkString(", ")}")
+    warmOpt = Some((prevCores, addedEdges)); this
+  }
+  private var warmOpt: Option[(DataFrame, DataFrame)] = None
 
   /** Exact coreness by peeling in increasing-degree order, O(V+E) with
     * primitive arrays (Batagelj–Zaveršnik 2003: counting-sort the vertices
@@ -151,7 +193,7 @@ class KCore(graph: GraphFrame) {
         .dropDuplicates(SRC, DST),
       Seq(SRC), numParts, eager = false)
 
-    if (maxIter == 0 && smallThreshold > 0) {
+    if (warmOpt.isEmpty && maxIter == 0 && smallThreshold > 0) {
       val eCnt = sym.count()
       if (eCnt <= 2 * smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
@@ -181,9 +223,27 @@ class KCore(graph: GraphFrame) {
     }
 
     val degrees = sym.groupBy(col(SRC)).agg(count(col(DST)).as("degree"))
-    val preparedVertices = graph.vertices.select(col(ID))
+    val basePrepared = graph.vertices.select(col(ID))
       .join(degrees, col(ID) === col(SRC), "left")
       .select(col(ID), coalesce(col("degree"), lit(0L)).as("degree"))
+    // Warm seed: least(degree, prev + |A|) — see [[warmStart]]. The |A|
+    // count is a delta-sized job; prev joins V-sized, the one V pass
+    // every incremental operator in this library pays.
+    val preparedVertices = warmOpt match {
+      case None => basePrepared.withColumn("__seed", col("degree"))
+      case Some((prevCores, addedEdges)) =>
+        val nAdded = addedEdges
+          .filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as("a"),
+            greatest(col(SRC), col(DST)).as("b"))
+          .distinct().count()
+        basePrepared.join(
+            prevCores.select(col(ID), col("kcore").as("__prev")), Seq(ID), "left")
+          .select(col(ID), col("degree"),
+            least(col("degree"),
+              coalesce(col("__prev") + lit(nAdded), col("degree")))
+              .as("__seed"))
+    }
 
     val prepared = GraphFrame(preparedVertices, sym)
 
@@ -198,7 +258,7 @@ class KCore(graph: GraphFrame) {
     val newCore = when(Pregel.defaultMsg.isNull, col("kcore"))
       .otherwise(least(col("kcore"), Pregel.defaultMsg))
     val builder = prepared.pregel
-      .addVertexColumn("kcore", col("degree"), newCore)
+      .addVertexColumn("kcore", col("__seed"), newCore)
       .addMessage(Pregel.src("kcore"), MessageDirection.SrcToDst)
       .addAggregateExpr(graft.functions.HIndexAgg.h_index(Pregel.defaultMsg))
       .withVertexVoting("active", col("kcore") =!= newCore)

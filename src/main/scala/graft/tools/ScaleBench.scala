@@ -1229,6 +1229,49 @@ object ScaleBench {
           f"full=$fullSec%.1f base15of16=$baseSec%.1f " +
           f"incCompose=$incSec%.1f")
 
+      case "kcore-warm" | "kcore-warm-add" =>
+        // Warm-start k-core (g41) at record scale. Two honest arms:
+        // `kcore-warm` = a 1/256 takedown sweep, no additions — the seed
+        // stays at yesterday's coreness (prev is an upper bound under
+        // deletions) and the warm loop should settle in few rounds;
+        // `kcore-warm-add` = a 1/256 INSERT batch — the sound global
+        // budget (prev + 65k) exceeds every degree on this graph, the
+        // seed collapses to degree, and warm should run at parity with
+        // cold (recorded as the documented degenerate bound, the
+        // wcc-inc-del-uniform discipline). Both arms pin warm == cold
+        // exactly (frame equality over the shared vertex set).
+        val addsArm = algo == "kcore-warm-add"
+        val hSlice = pmod(xxhash64(col("src"), col("dst"), lit(11)), lit(256L))
+        val yesterdayE = if (addsArm) edges.filter(hSlice =!= 0L) else edges
+        val todayE = if (addsArm) edges else edges.filter(hSlice =!= 0L)
+        val addedE = if (addsArm) edges.filter(hSlice === 0L)
+          else edges.filter(lit(false))
+        var tk = System.nanoTime()
+        val prevCores = GraphFrame.fromEdges(yesterdayE).kCore
+          .smallGraphThreshold(0).withCoPartitionedState().run()
+          .vertices.select(col("id"), col("kcore")).localCheckpoint(true)
+        val tPrevK = (System.nanoTime() - tk) / 1e9
+        tk = System.nanoTime()
+        val coldRes = GraphFrame.fromEdges(todayE).kCore
+          .smallGraphThreshold(0).withCoPartitionedState().run()
+        val coldCores = coldRes.vertices.select(col("id"), col("kcore"))
+          .localCheckpoint(true)
+        val tColdK = (System.nanoTime() - tk) / 1e9
+        tk = System.nanoTime()
+        val warmRes = GraphFrame.fromEdges(todayE).kCore
+          .smallGraphThreshold(0).withCoPartitionedState()
+          .warmStart(prevCores, addedE).run()
+        val warmCores = warmRes.vertices.select(col("id"), col("kcore"))
+          .localCheckpoint(true)
+        val tWarmK = (System.nanoTime() - tk) / 1e9
+        val diffK = warmCores.exceptAll(coldCores).count() +
+          coldCores.exceptAll(warmCores).count()
+        require(diffK == 0L, s"warm coreness diverges from cold: $diffK rows")
+        val maxCore = coldCores.agg(max("kcore")).head.getLong(0)
+        println(f"SCALE-OK $algo n=$n m=$m maxCore=$maxCore " +
+          f"prev=$tPrevK%.1f coldIters=${coldRes.iterations} " +
+          f"warmIters=${warmRes.iterations} cold=$tColdK%.1f warm=$tWarmK%.1f")
+
       case "wcc-inc-del" | "wcc-inc-del-clustered" =>
         // Deletion-aware incremental WCC (g37) at record scale. The
         // compose is bounded by the AFFECTED components' size, so the
