@@ -3431,6 +3431,42 @@ object SparkEntry {
         .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
     }),
 
+    // STREAMING CDC K-CORE MAINTENANCE (st34 — the warm-start family at
+    // ingest, completing the maintenance set): nation-clique adds in 3
+    // batches, the %7==1 takedown in batch 4; every batch re-derives
+    // exact coreness WARM from the previous batch's cores (the g41
+    // seed). The drained table must equal the cold h-index recompute
+    // over the net edge set — endpoints of surviving edges only,
+    // exactly what the oracle's vertex frame derives.
+    "st34_stream_kcore_cdc" -> ((s, d) => {
+      val nations = tbl(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_regionkey").cast(LongType).as("r"))
+      val edges = nations.as("a").join(nations.as("b"),
+          col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      val staged = edges.select(col("src"), col("dst"),
+          lit("add").as("op"),
+          pmod(col("src") + col("dst"), lit(3L)).as("stage_id"))
+        .unionByName(edges
+          .filter(pmod(col("src") + col("dst"), lit(7L)) === 1L)
+          .select(col("src"), col("dst"), lit("remove").as("op"),
+            lit(3L).as("stage_id")))
+      val dir = stageMtimeFiles(staged, "graft-st34", nFiles = 4,
+        idCol = "stage_id")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initKCoreCdcTables(s, "st34_cores",
+        "st34_edges", "st34_tombs")
+      val q = graft.streaming.Streams.streamingKCoreMaintainCdc(
+          stream, "st34_cores", "st34_edges", "st34_tombs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.refreshTable("st34_cores")
+      s.table("st34_cores")
+    }),
+
     "st20_stream_url_dedup" -> ((s, d) => {
       val docs = streamTbl(s, d, "documents")
         .select(col("doc_id"),
@@ -4837,6 +4873,16 @@ object SparkEntry {
 
     "g38_triangles_incremental_del" -> g38OracleSql,
     "st33_stream_tri_cdc" -> g38OracleSql,
+
+    // st34 drains to the exact coreness of the net edge set (nation
+    // same-region cliques minus the %7==1 takedowns): the cold unrolled
+    // h-index recompute, vertices = surviving-edge endpoints (6 rounds
+    // is past convergence on the 5-clique geometry).
+    "st34_stream_kcore_cdc" -> kcoreOracleFrom(
+      """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+        |  FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |  WHERE (a.n_nationkey + b.n_nationkey) % 7 <> 1""".stripMargin, 6),
 
     // Incremental LCC replay: the g11 triangle chain + endpoint degrees
     // over the FULL union edge set, folded through the g22 micro
@@ -7514,9 +7560,19 @@ object SparkEntry {
     * mirroring Pregel's NULL-message delivery). With `iters` at or beyond
     * the graph's convergence round the result is the exact coreness.
     */
-  private def kcoreOracle(iters: Int, where: String = ""): String = {
+  private def kcoreOracle(iters: Int, where: String = ""): String =
+    kcoreOracleFrom(
+      s"SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem $where",
+      iters)
+
+  /** Unrolled h-index coreness oracle over an arbitrary `e0` edge
+    * select. Every per-iteration CTE is MATERIALIZED — `c_k` is
+    * referenced twice per level, so DuckDB's inliner otherwise doubles
+    * the plan per round (12 rounds exhausted its fd budget).
+    */
+  private def kcoreOracleFrom(e0Select: String, iters: Int): String = {
     val base =
-      s"""WITH e0 AS MATERIALIZED (SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem $where),
+      s"""WITH e0 AS MATERIALIZED ($e0Select),
         |ud AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         |  SELECT src, dst FROM e0 WHERE src <> dst
         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),

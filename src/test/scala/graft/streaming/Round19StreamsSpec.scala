@@ -187,4 +187,48 @@ class Round19StreamsSpec extends AnyFunSuite with SparkTestHarness {
       assert(counts == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
     } finally q.stop()
   }
+
+  test("streamingKCoreMaintainCdc: exact coreness after every batch; a " +
+      "takedown lowers cores at ingest; same-batch remove+re-add nets " +
+      "present; distant insertions move an untouched vertex's core") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initKCoreCdcTables(spark, "r19_kc_cores", "r19_kc_edges",
+      "r19_kc_tombs")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.streamingKCoreMaintainCdc(
+      input.toDF().toDF("src", "dst", "op"), "r19_kc_cores",
+      "r19_kc_edges", "r19_kc_tombs").start()
+    def cores: Map[Long, Long] = {
+      spark.catalog.refreshTable("r19_kc_cores")
+      spark.table("r19_kc_cores").as[(Long, Long)].collect().toMap
+    }
+    try {
+      // Batch 1: the star 0-{1,2,3} — a 1-core everywhere.
+      input.addData((0L, 1L, "add"), (0L, 2L, "add"), (0L, 3L, "add"))
+      q.processAllAvailable()
+      assert(cores == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // Batch 2: the leaf triangle lands — K4, core 3 everywhere. The
+      // CENTER had no incident change (the g41 star counterexample,
+      // now exercised through the streaming warm seed).
+      input.addData((1L, 2L, "add"), (1L, 3L, "add"), (2L, 3L, "add"))
+      q.processAllAvailable()
+      assert(cores == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+      // Batch 3: takedown of one clique edge — the 3-core dissolves
+      // ENTIRELY at ingest (K4 minus an edge: the two degree-2 vertices
+      // peel and strand the rest — every core drops to 2, including the
+      // two untouched vertices; deletions are where the warm seed stays
+      // tight).
+      input.addData((2L, 3L, "remove"))
+      q.processAllAvailable()
+      assert(cores == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+      // Batch 4: remove AND re-add the same edge in one batch — nets
+      // to present (removals first, adds after), back to the K4 cores.
+      input.addData((0L, 1L, "remove"), (1L, 0L, "add"), (2L, 3L, "add"))
+      q.processAllAvailable()
+      assert(cores == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+      spark.catalog.refreshTable("r19_kc_tombs")
+      assert(spark.table("r19_kc_tombs").count() == 0L,
+        "re-adds must resurrect tombstones, not mask them")
+    } finally q.stop()
+  }
 }
