@@ -3431,6 +3431,39 @@ object SparkEntry {
         .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
     }),
 
+    // STREAMING PAGERANK MAINTENANCE (st35 — the ranking family at
+    // ingest): the cust→nation→region edges arrive in 3 cumulative
+    // slices ((src+dst)%3); each batch re-ranks the growing graph warm
+    // from the previous batch's raw mass via the g40 residual restart,
+    // 2 fixed iterations per batch. The drained raw mass normalized =
+    // the oracle's 3-stage chained unroll — every float op of every
+    // stage replayed in evaluation order (batch 1 is the g = 0 cold
+    // special case, emitted uniformly).
+    "st35_stream_pagerank_maintain" -> ((s, d) => {
+      val edges = custNationRegionEdges(s, d)
+      val staged = edges.select(col("src"), col("dst"),
+        pmod(col("src") + col("dst"), lit(3L)).as("stage_id"))
+      val dir = stageMtimeFiles(staged, "graft-st35", nFiles = 3,
+        idCol = "stage_id")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initPageRankTables(s, "st35_rawmass",
+        "st35_edges")
+      val q = graft.streaming.Streams.streamingPageRankMaintain(
+          stream, "st35_rawmass", "st35_edges", iterations = 2, tol = 1e-9)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.refreshTable("st35_rawmass")
+      val rm = s.table("st35_rawmass")
+      // Normalize exactly as PageRankResult.ranks does (crossJoin with
+      // the 1-row sum), rounded like every ranking gate.
+      rm.crossJoin(rm.agg(sum(col("pagerank")).as("__tot")))
+        .select(col("id"), round(col("pagerank") / col("__tot"), 6)
+          .as("pagerank"))
+    }),
+
     // STREAMING CDC K-CORE MAINTENANCE (st34 — the warm-start family at
     // ingest, completing the maintenance set): nation-clique adds in 3
     // batches, the %7==1 takedown in batch 4; every batch re-derives
@@ -4586,6 +4619,15 @@ object SparkEntry {
         |  FROM w1 p LEFT JOIN wm2 m ON m.id = p.id),
         |t AS (SELECT sum(pr) AS tot FROM w2)
         |SELECT id, round(pr / tot, 6) AS pagerank FROM w2, t""".stripMargin,
+
+    // st35 drains to the 3-stage warm chain: per batch the edge set is
+    // the cumulative (src+dst)%3 <= k-1 slice union, and each stage is
+    // the g40 program — residual pass over the stage's graph from the
+    // previous stage's raw mass (stage 1: g = 0, the cold special
+    // case), then 2 fixed iterations with the abs(dl) > tol
+    // participation filter. Generated, not hand-unrolled; per-stage
+    // CTEs MATERIALIZED (the kcore-oracle inlining lesson).
+    "st35_stream_pagerank_maintain" -> prWarmChainOracleSql(3, 2),
 
     "g09b_kcore_capped" -> kcoreOracle(2),
     // Run-to-convergence kcore: the H-index fixpoint IS the coreness (Lü et
@@ -7560,6 +7602,58 @@ object SparkEntry {
     * mirroring Pregel's NULL-message delivery). With `iters` at or beyond
     * the graph's convergence round the result is the exact coreness.
     */
+  /** The st35 streaming warm-PageRank chain, generated: `nStages`
+    * cumulative (src+dst)%3 slices of the cust→nation→region graph;
+    * each stage replays the g40 float program over its graph — the
+    * residual pass `d0 = reset + α·Pᵀg − g` from the previous stage's
+    * raw mass (stage 1: g = 0, which IS the cold init — reset lands
+    * everywhere, the mass term is exactly zero), then `iters` fixed
+    * rounds with the `abs(dl) > 1e-9` participation filter the engine
+    * applies from the first warm round. Literal forms copied from the
+    * hand-written g40 oracle so every float op matches in evaluation
+    * order; the final stage normalizes `round(pr/sum(pr), 6)`.
+    */
+  private def prWarmChainOracleSql(nStages: Int, iters: Int): String = {
+    val A = "(CAST(1.0 AS DOUBLE) - CAST(0.15 AS DOUBLE))"
+    val R = "CAST(0.15 AS DOUBLE)"
+    val head =
+      """WITH e_all AS (
+        |  SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT CAST(3000000 + n_nationkey AS BIGINT), CAST(3500000 + n_regionkey AS BIGINT) FROM nation)""".stripMargin
+    val stages = (1 to nStages).map { k =>
+      val prevG =
+        if (k == 1) s"SELECT id, CAST(0.0 AS DOUBLE) AS g FROM v$k"
+        else s"""SELECT v$k.id, coalesce(p.pr, CAST(0.0 AS DOUBLE)) AS g
+                |  FROM v$k LEFT JOIN s${k - 1}_$iters p ON p.id = v$k.id""".stripMargin
+      val loop = (1 to iters).map { i =>
+        s"""m${k}_$i AS (SELECT e.dst AS id, sum(p.dl / od$k.d) AS ms FROM e$k e
+           |  JOIN s${k}_${i - 1} p ON p.id = e.src AND abs(p.dl) > 1e-9
+           |  JOIN od$k ON od$k.id = e.src GROUP BY 1),
+           |s${k}_$i AS MATERIALIZED (SELECT p.id,
+           |  p.pr + $A * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS pr,
+           |  $A * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS dl
+           |  FROM s${k}_${i - 1} p LEFT JOIN m${k}_$i m ON m.id = p.id)""".stripMargin
+      }.mkString(",\n")
+      s"""e$k AS MATERIALIZED (SELECT src, dst FROM e_all WHERE (src + dst) % 3 <= ${k - 1}),
+         |v$k AS (SELECT DISTINCT src AS id FROM e$k UNION SELECT dst FROM e$k),
+         |od$k AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e$k GROUP BY 1),
+         |g$k AS ($prevG),
+         |wi$k AS (SELECT e.dst AS id, sum(gg.g / od$k.d) AS ms FROM e$k e
+         |  JOIN g$k gg ON gg.id = e.src
+         |  JOIN od$k ON od$k.id = e.src GROUP BY 1),
+         |s${k}_0 AS MATERIALIZED (SELECT gg.id,
+         |  gg.g + ($R + $A * coalesce(w.ms, CAST(0.0 AS DOUBLE)) - gg.g) AS pr,
+         |  $R + $A * coalesce(w.ms, CAST(0.0 AS DOUBLE)) - gg.g AS dl
+         |  FROM g$k gg LEFT JOIN wi$k w ON w.id = gg.id),
+         |$loop""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$stages,
+       |t AS (SELECT sum(pr) AS tot FROM s${nStages}_$iters)
+       |SELECT id, round(pr / tot, 6) AS pagerank FROM s${nStages}_$iters, t""".stripMargin
+  }
+
   private def kcoreOracle(iters: Int, where: String = ""): String =
     kcoreOracleFrom(
       s"SELECT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem $where",

@@ -878,6 +878,69 @@ object Streams {
     }
   }
 
+  /** STREAMING PAGERANK MAINTENANCE (st35 — the ranking family at
+    * ingest, the g40 residual restart per micro-batch): edge additions
+    * arrive as a stream; each batch appends to the durable edge log and
+    * re-ranks the WHOLE graph warm from the previous batch's RAW mass —
+    * the residual pass telescopes the remaining Neumann series exactly,
+    * so the chain of per-batch runs is a well-defined float program (the
+    * st35 oracle replays every stage's ops in order). `iterations` is
+    * FIXED per batch (the g15/g18/g40 discipline — convergence-tolerance
+    * gating would make the drained floats path-dependent on batch
+    * boundaries); the raw-mass table is the resumable state, normalized
+    * ranks derive from it at read time.
+    *
+    * Honest cost note — like [[streamingKCoreMaintainCdc]], this loop is
+    * not delta-bounded: each batch runs `iterations` E-sized message
+    * passes plus the residual pass. The warm seed's value is that K
+    * stays SMALL: yesterday's mass already carries the bulk of the
+    * series, so a 2-iteration refresh tracks the growing graph where a
+    * cold run would need tens of rounds (the pr-warm scale record).
+    * Additions-only by contract: removals change the transition matrix
+    * non-monotonically — run the g40 batch form at compaction cadence.
+    */
+  def streamingPageRankMaintain(stream: DataFrame, rawMassTable: String,
+      edgesTable: String, iterations: Int = 2, tol: Double = 1e-9)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming,
+      "streamingPageRankMaintain consumes a STREAM of edges — batch " +
+        "deltas call PageRank.warmStart directly")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val SRC = graft.graph.GraphFrame.SRC
+    val DST = graft.graph.GraphFrame.DST
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        Seq(rawMassTable, edgesTable).foreach(ss.catalog.refreshTable)
+        val adds = batch.select(col(SRC), col(DST)).localCheckpoint(true)
+        val all = ss.table(edgesTable).unionByName(adds)
+        val next = graft.graph.GraphFrame.fromEdges(all).pageRank
+          .tolerance(tol).maxIterations(iterations)
+          .warmStart(ss.table(rawMassTable)).run()
+          .rawMass.localCheckpoint(true)
+        next.write.mode("overwrite").saveAsTable(rawMassTable)
+        adds.write.mode("append").saveAsTable(edgesTable)
+        org.apache.spark.sql.graft.checkpointing.release(next)
+        org.apache.spark.sql.graft.checkpointing.release(adds)
+      }
+    }
+  }
+
+  /** Bootstraps for [[streamingPageRankMaintain]]: empty raw mass (the
+    * g = 0 seed — batch 1's residual pass then reproduces the cold init
+    * exactly) and an empty edge log.
+    */
+  def initPageRankTables(spark: org.apache.spark.sql.SparkSession,
+      rawMassTable: String, edgesTable: String): Unit = {
+    graft.sources.BucketedTables.dropWithLocation(spark, rawMassTable)
+    spark.range(0).select(col("id"), col("id").cast("double").as("pagerank"))
+      .write.mode("overwrite").saveAsTable(rawMassTable)
+    graft.sources.BucketedTables.dropWithLocation(spark, edgesTable)
+    spark.range(0).select(col("id").as(graft.graph.GraphFrame.SRC),
+        col("id").as(graft.graph.GraphFrame.DST))
+      .write.mode("overwrite").saveAsTable(edgesTable)
+  }
+
   /** Bootstraps for [[streamingKCoreMaintainCdc]]: empty cores, edge
     * log, and tombstone log.
     */

@@ -231,4 +231,45 @@ class Round19StreamsSpec extends AnyFunSuite with SparkTestHarness {
         "re-adds must resurrect tombstones, not mask them")
     } finally q.stop()
   }
+
+  test("streamingPageRankMaintain: the raw-mass table after every batch " +
+      "equals the manual warm chain through the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    Streams.initPageRankTables(spark, "r19_pr_mass", "r19_pr_edges")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.streamingPageRankMaintain(
+      input.toDF().toDF("src", "dst"), "r19_pr_mass", "r19_pr_edges",
+      iterations = 2, tol = 1e-9).start()
+    def mass: Map[Long, Double] = {
+      spark.catalog.refreshTable("r19_pr_mass")
+      spark.table("r19_pr_mass").as[(Long, Double)].collect().toMap
+    }
+    def close(a: Map[Long, Double], b: Map[Long, Double]): Boolean =
+      a.keySet == b.keySet &&
+        a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 }
+    def manual(edges: Seq[(Long, Long)],
+        prev: org.apache.spark.sql.DataFrame) =
+      GraphFrame.fromEdges(edges.toDF("src", "dst")).pageRank
+        .tolerance(1e-9).maxIterations(2).warmStart(prev).run().rawMass
+    val emptyPrev = spark.range(0)
+      .select(col("id"), col("id").cast("double").as("pagerank"))
+    try {
+      val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+      input.addData(e1: _*)
+      q.processAllAvailable()
+      val m1 = manual(e1, emptyPrev)
+      assert(close(mass,
+        m1.as[(Long, Double)].collect().toMap),
+        "batch 1 must equal the cold (g = 0 warm) run")
+      // Batch 2 grows the graph; the loop must resume from batch 1's
+      // PERSISTED mass (parquet-round-tripped doubles), matching the
+      // manual chain resumed from the in-memory frame exactly.
+      val e2 = Seq((3L, 4L), (4L, 1L))
+      input.addData(e2: _*)
+      q.processAllAvailable()
+      val m2 = manual(e1 ++ e2, m1)
+      assert(close(mass, m2.as[(Long, Double)].collect().toMap),
+        "batch 2 must equal the warm chain resumed from batch 1")
+    } finally q.stop()
+  }
 }
