@@ -648,6 +648,22 @@ object SparkEntry {
         .shortestPaths(Seq(1L)).maxIterations(4).run()
         .vertices.select(col("id"), col("dist_1").cast(LongType).as("dist_1"))),
 
+    // WARM-START shortest paths (g42 — the BFS family's daily-delta
+    // form, additions-only): yesterday's CONVERGED distances over ~4/5
+    // of the DAG re-seed the relaxation over the full graph; round-1
+    // frontier = the delta's sources only. Exact by the fixpoint
+    // argument, so the oracle is the cold recursive-CTE BFS over the
+    // full edge set (depth bound far past the DAG's depth).
+    "g42_bfs_warm" -> ((s, d) => {
+      val edges = custOrderPartEdges(s, d)
+      val isDelta = pmod(col("src") + col("dst"), lit(5)) === 0
+      val prev = GraphFrame.fromEdges(edges.filter(!isDelta))
+        .shortestPaths(Seq(1L)).run().vertices
+      GraphFrame.fromEdges(edges).shortestPaths(Seq(1L))
+        .warmStart(prev, edges.filter(isDelta)).run()
+        .vertices.select(col("id"), col("dist_1").cast(LongType).as("dist_1"))
+    }),
+
     "g07_wcc" -> ((s, d) =>
       GraphFrame.fromEdges(custNationRegionEdges(s, d))
         .connectedComponents.run().components),
@@ -4543,6 +4559,22 @@ object SparkEntry {
         |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |  UNION
         |  SELECT e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 4)
+        |SELECT v.id, coalesce(CAST(min(r.dd) AS BIGINT), 2147483647) AS dist_1
+        |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
+
+    // Warm BFS converges to the exact distances of the full graph, so
+    // the oracle is the cold recursive BFS over every edge (depth 20 ≫
+    // the cust→order→part DAG's depth).
+    "g42_bfs_warm" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_custkey AS src, 4000000 + o_orderkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 4000000 + l_orderkey, 1000000 + l_partkey FROM lineitem),
+        |v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        |r(id, dd) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 20)
         |SELECT v.id, coalesce(CAST(min(r.dd) AS BIGINT), 2147483647) AS dist_1
         |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
 

@@ -40,6 +40,40 @@ class ShortestPaths(graph: GraphFrame) {
     */
   def smallGraphThreshold(n: Long): this.type = { smallThresholdOpt = Some(n); this }
 
+  /** Warm-start the relaxation from yesterday's distances — the BFS
+    * family's daily-delta form (g42), ADDITIONS-ONLY by contract:
+    * inserting edges can only SHORTEN distances, so a CONVERGED prior
+    * run's distances are (a) valid upper bounds on today's and (b) a
+    * relaxation fixpoint on every base edge (the triangle property) —
+    * the only edges the seed can violate are the ADDED ones. The loop
+    * therefore starts with the added-edge SOURCES as the only round-1
+    * broadcasters; improvements cascade through the unchanged
+    * participation machinery (a vertex re-broadcasts iff a distance
+    * improved), and at termination no edge is violated — the exact
+    * fixpoint, reached in cascade-depth rounds instead of
+    * graph-diameter rounds.
+    *
+    * `prevDists` MUST be a run-to-convergence `vertices` output over the
+    * base graph with the SAME landmarks (and the same `toLandmarks`
+    * orientation): a depth-CAPPED prior leaves base edges violated
+    * beyond the cap, outside the delta frontier — silently wrong, which
+    * is why the contract is documented here and spec-pinned. Deletions
+    * lengthen distances non-monotonically — run the cold form at
+    * compaction cadence. New vertices seed at ∞ (landmarks at 0). The
+    * hybrid driver BFS is skipped in warm mode: it does not iterate, a
+    * seed buys it nothing.
+    */
+  def warmStart(prevDists: org.apache.spark.sql.DataFrame,
+      addedEdges: org.apache.spark.sql.DataFrame): this.type = {
+    require(Seq(GraphFrame.SRC, GraphFrame.DST)
+        .forall(addedEdges.columns.contains),
+      s"addedEdges needs [${GraphFrame.SRC}, ${GraphFrame.DST}], " +
+        s"got ${addedEdges.columns.mkString(", ")}")
+    warmOpt = Some((prevDists, addedEdges)); this
+  }
+  private var warmOpt: Option[(org.apache.spark.sql.DataFrame,
+    org.apache.spark.sql.DataFrame)] = None
+
   /** Depth-capped BFS from each landmark over a CSR adjacency; returns one
     * Int distance array per landmark, indexed like `vertexIds`. Edges with
     * an endpoint missing from `vertexIds` are skipped, matching the
@@ -115,7 +149,7 @@ class ShortestPaths(graph: GraphFrame) {
           col(GraphFrame.SRC).as(GraphFrame.DST))
       else graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
 
-    if (smallThreshold > 0) {
+    if (warmOpt.isEmpty && smallThreshold > 0) {
       val e = edges.localCheckpoint(true)
       if (e.count() <= smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
@@ -151,11 +185,38 @@ class ShortestPaths(graph: GraphFrame) {
     val updateParticipating = landmarks.foldLeft(lit(false)) { (acc, lm) =>
       acc || (col(s"dist_$lm") > Pregel.msg(lm.toString))
     }
-    val initParticipating = landmarks.foldLeft(lit(false)) { (acc, lm) =>
-      acc || (col(GraphFrame.ID) === lit(lm))
+    // Cold: landmarks broadcast first. Warm: only the added-edge SOURCES
+    // do — the one place the converged seed can violate relaxation (see
+    // [[warmStart]]); everything else is already at its base fixpoint.
+    val initParticipating = warmOpt match {
+      case None => landmarks.foldLeft(lit(false)) { (acc, lm) =>
+        acc || (col(GraphFrame.ID) === lit(lm))
+      }
+      case Some(_) => coalesce(col("__warm_front"), lit(false))
     }
 
-    val prepared = GraphFrame(graph.vertices.select(GraphFrame.ID), edges)
+    val preparedVertices = warmOpt match {
+      case None => graph.vertices.select(GraphFrame.ID)
+      case Some((prev, adds)) =>
+        val needed = GraphFrame.ID +: landmarks.map(lm => s"dist_$lm")
+        require(needed.forall(prev.columns.contains),
+          s"prevDists needs [${needed.mkString(", ")}] (a converged run() " +
+            s"vertices frame over the same landmarks), got " +
+            s"${prev.columns.mkString(", ")}")
+        val addsE =
+          if (toLandmarksFlag) adds.select(
+            col(GraphFrame.DST).as(GraphFrame.SRC),
+            col(GraphFrame.SRC).as(GraphFrame.DST))
+          else adds.select(GraphFrame.SRC, GraphFrame.DST)
+        val frontier = addsE.select(col(GraphFrame.SRC).as(GraphFrame.ID))
+          .distinct().withColumn("__warm_front", lit(true))
+        graph.vertices.select(col(GraphFrame.ID))
+          .join(prev.select(col(GraphFrame.ID) +: landmarks.map(lm =>
+            col(s"dist_$lm").as(s"__warm_d_$lm")): _*),
+            Seq(GraphFrame.ID), "left")
+          .join(frontier, Seq(GraphFrame.ID), "left")
+    }
+    val prepared = GraphFrame(preparedVertices, edges)
 
     val builder = prepared.pregel
       .withParticipationColumn("participating", initParticipating, updateParticipating)
@@ -167,9 +228,17 @@ class ShortestPaths(graph: GraphFrame) {
     landmarks.foreach { lm =>
       val distCol = s"dist_$lm"
       val m = Pregel.msg(lm.toString)
+      // Warm seed: yesterday's distance (∞ for vertices new today); the
+      // landmark pin stays unconditional — a landmark absent from the
+      // base graph still starts at 0.
+      val initDist = warmOpt match {
+        case None => when(col(GraphFrame.ID) === lit(lm), lit(0))
+          .otherwise(lit(Inf))
+        case Some(_) => when(col(GraphFrame.ID) === lit(lm), lit(0))
+          .otherwise(coalesce(col(s"__warm_d_$lm"), lit(Inf)))
+      }
       builder
-        .addVertexColumn(distCol,
-          when(col(GraphFrame.ID) === lit(lm), lit(0)).otherwise(lit(Inf)),
+        .addVertexColumn(distCol, initDist,
           when(m.isNull, col(distCol))
             .otherwise(when(col(distCol) <= m, col(distCol)).otherwise(m)))
         .addNamedMessage(lm.toString,

@@ -1272,6 +1272,38 @@ object ScaleBench {
           f"prev=$tPrevK%.1f coldIters=${coldRes.iterations} " +
           f"warmIters=${warmRes.iterations} cold=$tColdK%.1f warm=$tWarmK%.1f")
 
+      case "bfs-warm" =>
+        // Warm-start shortest paths (g42) at record scale: yesterday =
+        // converged 4-landmark distances over 255/256 of the ER edges,
+        // today = the full set. Round-1 frontier = the 65 k delta
+        // sources; the claim is rounds ≈ cascade depth instead of
+        // graph diameter — and exact equality with the cold recompute.
+        val isDeltaB = pmod(xxhash64(col("src"), col("dst"), lit(13)),
+          lit(256L)) === 0L
+        val lms = Seq(0L, 1L, 2L, 3L)
+        var tb = System.nanoTime()
+        val prevB = GraphFrame.fromEdges(edges.filter(!isDeltaB))
+          .shortestPaths(lms).smallGraphThreshold(0).run()
+        val prevV = prevB.vertices.localCheckpoint(true)
+        val tPrevB = (System.nanoTime() - tb) / 1e9
+        tb = System.nanoTime()
+        val coldB = GraphFrame.fromEdges(edges)
+          .shortestPaths(lms).smallGraphThreshold(0).run()
+        val coldV = coldB.vertices.localCheckpoint(true)
+        val tColdB = (System.nanoTime() - tb) / 1e9
+        tb = System.nanoTime()
+        val warmB = GraphFrame.fromEdges(edges)
+          .shortestPaths(lms).smallGraphThreshold(0)
+          .warmStart(prevV, edges.filter(isDeltaB)).run()
+        val warmV = warmB.vertices.localCheckpoint(true)
+        val tWarmB = (System.nanoTime() - tb) / 1e9
+        val diffB = warmV.exceptAll(coldV).count() +
+          coldV.exceptAll(warmV).count()
+        require(diffB == 0L, s"warm distances diverge from cold: $diffB rows")
+        println(f"SCALE-OK bfs-warm n=$n m=$m landmarks=${lms.size} " +
+          f"prev=$tPrevB%.1f coldIters=${coldB.iterations} " +
+          f"warmIters=${warmB.iterations} cold=$tColdB%.1f warm=$tWarmB%.1f")
+
       case "wcc-inc-del" | "wcc-inc-del-clustered" =>
         // Deletion-aware incremental WCC (g37) at record scale. The
         // compose is bounded by the AFFECTED components' size, so the
