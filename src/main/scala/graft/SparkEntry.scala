@@ -3412,6 +3412,44 @@ object SparkEntry {
       s.table("st32_labels")
     }),
 
+    // CDC LOG COMPACTION (st36): the st32 chain drained, then the
+    // tombstones FOLDED into the edge log — and the net graph must be
+    // bit-preserved, proven by COLD-recomputing WCC from the compacted
+    // log alone (tombstones now empty) and landing exactly on the g37
+    // oracle. Stranded vertices have no edges in the compacted log, so
+    // they re-enter as singletons off the maintained labels' universe.
+    "st36_cdc_log_compact" -> ((s, d) => {
+      val edges = custNationRegionEdges(s, d)
+      val staged = edges.select(col("src"), col("dst"),
+          lit("add").as("op"),
+          pmod(col("src") + col("dst"), lit(3L)).as("stage_id"))
+        .unionByName(edges
+          .filter(pmod(col("src") + col("dst"), lit(7L)) === 1L)
+          .select(col("src"), col("dst"), lit("remove").as("op"),
+            lit(3L).as("stage_id")))
+      val dir = stageMtimeFiles(staged, "graft-st36", nFiles = 4,
+        idCol = "stage_id")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.Streams.initWccCdcTables(s, "st36_labels",
+        "st36_edges", "st36_tombs")
+      val q = graft.streaming.Streams.streamingWccMaintainCdc(
+          stream, "st36_labels", "st36_edges", "st36_tombs")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.Streams.compactCdcEdgeLog(s, "st36_edges",
+        "st36_tombs")
+      s.catalog.refreshTable("st36_edges")
+      s.catalog.refreshTable("st36_labels")
+      val cold = GraphFrame.fromEdges(s.table("st36_edges"))
+        .connectedComponents.run().components
+      s.table("st36_labels").select(col("id"))
+        .join(cold.withColumnRenamed("component", "__c"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    }),
+
     // STREAMING CDC TRIANGLE MAINTENANCE (st33 — st31's change-stream
     // form): nation-clique adds in 3 batches, the %7==1 takedown in
     // batch 4; destroyed triangles debit at ingest. Oracle = g38's.
@@ -4588,6 +4626,10 @@ object SparkEntry {
     // takedown) — the CDC maintenance must land exactly where the g37
     // batch compose lands.
     "st32_stream_wcc_cdc" -> g37OracleSql,
+
+    // Compaction preserves the net graph exactly: the cold recompute
+    // off the compacted log must land where the maintained labels are.
+    "st36_cdc_log_compact" -> g37OracleSql,
 
     "g08_pagerank" ->
       """WITH e AS (SELECT c_custkey AS src, CAST(3000000 + c_nationkey AS BIGINT) AS dst FROM customer),

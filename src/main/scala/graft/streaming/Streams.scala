@@ -926,6 +926,51 @@ object Streams {
     }
   }
 
+  /** CDC LOG COMPACTION (st36 — the cadence every CDC maintenance
+    * scaladoc above promises): folds the tombstone table into the edge
+    * log — the log is rewritten to `log ∖ tombstones` (canonical-pair
+    * match, the exact predicate the maintenance loops apply at read
+    * time) and the tombstone table empties. The NET graph is unchanged
+    * by construction, so every maintained table (labels, counts, cores,
+    * raw mass) stays valid across the compaction with no recompute —
+    * the st36 gate pins exactly that: a cold recompute from the
+    * compacted log lands where the maintained state already is.
+    *
+    * Why bother: the maintenance loops anti-join the log against a
+    * BROADCAST tombstone frame per batch — sound while tombstones stay
+    * delta-scale, but a long-running takedown-heavy stream grows them
+    * without bound. Compaction resets that clock; run it at the same
+    * cadence as table compaction (q23/s23). The log rewrite is E-sized
+    * — schedule it, don't run it per batch. NOT crash-atomic across the
+    * two writes (log first, then tombstones): a crash between them
+    * leaves already-applied tombstones still present — re-applying a
+    * tombstone to a log it was already folded into is a NO-OP (the
+    * anti-join matches nothing), so the recovery is simply to re-run
+    * compaction; the loud ordering note is why the log MUST write
+    * first (clearing tombstones first would resurrect removed edges).
+    *
+    * Works on any (symmetrized or raw) edge log whose reads apply the
+    * canonical-pair tombstone predicate — the st32/st33/st34 tables.
+    */
+  def compactCdcEdgeLog(spark: org.apache.spark.sql.SparkSession,
+      edgesTable: String, tombstonesTable: String): Unit = {
+    val SRC = graft.graph.GraphFrame.SRC
+    val DST = graft.graph.GraphFrame.DST
+    Seq(edgesTable, tombstonesTable).foreach(spark.catalog.refreshTable)
+    val tomb = spark.table(tombstonesTable)
+    val compacted = spark.table(edgesTable)
+      .join(broadcast(tomb.select(col(SRC).as("__cc_l"),
+        col(DST).as("__cc_g"))),
+        least(col(SRC), col(DST)) === col("__cc_l") &&
+          greatest(col(SRC), col(DST)) === col("__cc_g"), "left_anti")
+      .select(col(SRC), col(DST))
+      .localCheckpoint(true)
+    compacted.write.mode("overwrite").saveAsTable(edgesTable)
+    spark.range(0).select(col("id").as(SRC), col("id").as(DST))
+      .write.mode("overwrite").saveAsTable(tombstonesTable)
+    org.apache.spark.sql.graft.checkpointing.release(compacted)
+  }
+
   /** Bootstraps for [[streamingPageRankMaintain]]: empty raw mass (the
     * g = 0 seed — batch 1's residual pass then reproduces the cold init
     * exactly) and an empty edge log.

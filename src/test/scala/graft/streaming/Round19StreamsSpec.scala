@@ -232,6 +232,38 @@ class Round19StreamsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("compactCdcEdgeLog: folds tombstones into the log, preserves the " +
+      "net edge set, empties tombstones, idempotent, stale re-apply no-op") {
+    Streams.initWccCdcTables(spark, "r19_cp_labels", "r19_cp_edges",
+      "r19_cp_tombs")
+    // Log with a duplicate row and a reversed form of a tombstoned edge:
+    // the canonical-pair predicate must kill BOTH orientations/copies.
+    Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L)).toDF("src", "dst")
+      .write.mode("overwrite").saveAsTable("r19_cp_edges")
+    Seq((2L, 3L)).toDF("src", "dst")
+      .write.mode("overwrite").saveAsTable("r19_cp_tombs")
+    def logSet: Set[(Long, Long)] = {
+      spark.catalog.refreshTable("r19_cp_edges")
+      spark.table("r19_cp_edges").as[(Long, Long)].collect().toSet
+    }
+    Streams.compactCdcEdgeLog(spark, "r19_cp_edges", "r19_cp_tombs")
+    assert(logSet == Set((1L, 2L), (3L, 4L)),
+      "both orientations of the tombstoned edge must fold out")
+    spark.catalog.refreshTable("r19_cp_tombs")
+    assert(spark.table("r19_cp_tombs").count() == 0L)
+    // Idempotent.
+    Streams.compactCdcEdgeLog(spark, "r19_cp_edges", "r19_cp_tombs")
+    assert(logSet == Set((1L, 2L), (3L, 4L)))
+    // Crash-window recovery: tombstones already folded re-appear (the
+    // log wrote, the tombstone clear did not) — re-running compaction
+    // must be a no-op on the log, not resurrect or over-delete.
+    Seq((2L, 3L)).toDF("src", "dst")
+      .write.mode("overwrite").saveAsTable("r19_cp_tombs")
+    Streams.compactCdcEdgeLog(spark, "r19_cp_edges", "r19_cp_tombs")
+    assert(logSet == Set((1L, 2L), (3L, 4L)),
+      "re-applying an already-folded tombstone must be a no-op")
+  }
+
   test("streamingPageRankMaintain: the raw-mass table after every batch " +
       "equals the manual warm chain through the batch operator") {
     implicit val sqlCtx = spark.sqlContext
