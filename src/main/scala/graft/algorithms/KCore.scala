@@ -73,8 +73,10 @@ class KCore(graph: GraphFrame) {
     * or insertions are few (takedown sweeps, trickle growth) — with |A|
     * large the budget exceeds most degrees, the seed collapses to
     * `degree`, and the run degrades GRACEFULLY to the cold start (never
-    * wrong, just not faster). The hybrid driver peel is skipped in warm
-    * mode: it does not iterate, so a seed buys it nothing.
+    * wrong, just not faster). The hybrid driver peel still engages
+    * below the small-graph threshold (exact without iterating — the
+    * seed neither helps nor hurts it); force the distributed warm loop
+    * with `smallGraphThreshold(0)` when that is what you mean to run.
     */
   def warmStart(prevCores: DataFrame, addedEdges: DataFrame): this.type = {
     require(Seq(GraphFrame.ID, "kcore").forall(prevCores.columns.contains),
@@ -193,7 +195,11 @@ class KCore(graph: GraphFrame) {
         .dropDuplicates(SRC, DST),
       Seq(SRC), numParts, eager = false)
 
-    if (warmOpt.isEmpty && maxIter == 0 && smallThreshold > 0) {
+    // The hybrid driver peel stays available in warm mode: it computes
+    // exact coreness without iterating, so the seed neither helps nor
+    // hurts it — the warm loop's value (and its specs/probe) live on
+    // the distributed path, forced via smallGraphThreshold(0).
+    if (maxIter == 0 && smallThreshold > 0) {
       val eCnt = sym.count()
       if (eCnt <= 2 * smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))

@@ -60,8 +60,9 @@ class ShortestPaths(graph: GraphFrame) {
     * is why the contract is documented here and spec-pinned. Deletions
     * lengthen distances non-monotonically — run the cold form at
     * compaction cadence. New vertices seed at ∞ (landmarks at 0). The
-    * hybrid driver BFS is skipped in warm mode: it does not iterate, a
-    * seed buys it nothing.
+    * hybrid driver BFS still engages below the small-graph threshold
+    * (exact regardless of seed); force the distributed warm loop with
+    * `smallGraphThreshold(0)` when that is what you mean to run.
     */
   def warmStart(prevDists: org.apache.spark.sql.DataFrame,
       addedEdges: org.apache.spark.sql.DataFrame): this.type = {
@@ -149,7 +150,16 @@ class ShortestPaths(graph: GraphFrame) {
           col(GraphFrame.SRC).as(GraphFrame.DST))
       else graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
 
-    if (warmOpt.isEmpty && smallThreshold > 0) {
+    // Warm-mode prev validation runs BEFORE the hybrid branch so a
+    // malformed frame fails loud on every path, not just distributed.
+    warmOpt.foreach { case (prev, _) =>
+      val needed = GraphFrame.ID +: landmarks.map(lm => s"dist_$lm")
+      require(needed.forall(prev.columns.contains),
+        s"prevDists needs [${needed.mkString(", ")}] (a converged run() " +
+          s"vertices frame over the same landmarks), got " +
+          s"${prev.columns.mkString(", ")}")
+    }
+    if (smallThreshold > 0) {
       val e = edges.localCheckpoint(true)
       if (e.count() <= smallThreshold) {
         val vids = graph.vertices.select(col(ID)).collect().map(_.getLong(0))
@@ -198,11 +208,6 @@ class ShortestPaths(graph: GraphFrame) {
     val preparedVertices = warmOpt match {
       case None => graph.vertices.select(GraphFrame.ID)
       case Some((prev, adds)) =>
-        val needed = GraphFrame.ID +: landmarks.map(lm => s"dist_$lm")
-        require(needed.forall(prev.columns.contains),
-          s"prevDists needs [${needed.mkString(", ")}] (a converged run() " +
-            s"vertices frame over the same landmarks), got " +
-            s"${prev.columns.mkString(", ")}")
         val addsE =
           if (toLandmarksFlag) adds.select(
             col(GraphFrame.DST).as(GraphFrame.SRC),
