@@ -1927,6 +1927,21 @@ object SparkEntry {
       graft.operators.Spectral.topEigenvector(
         tbl(s, d, "embeddings"), "vec_id", "embedding", iters = 3)),
 
+    // WARM-START power iteration (e04 — continual training for the
+    // spectral family, the k03 cadence): yesterday's direction (3
+    // rounds over the vec_id % 4 != 0 subset) resumes over the FULL
+    // corpus's Gram for 2 rounds. Integer-exact end to end, so the
+    // oracle replays both chains verbatim.
+    "e04_eigenvector_warm" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val prev = graft.operators.Spectral.topEigenvector(
+        emb.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        "vec_id", "embedding", iters = 3)
+      val init = prev.orderBy("i").collect().map(_.getLong(1))
+      graft.operators.Spectral.topEigenvector(
+        emb, "vec_id", "embedding", iters = 2, Some(init))
+    }),
+
     // ...and the projection scores — the curation ranking along the
     // trained axis, one codegen scan with the direction folded in.
     "e03b_pca_scores" -> ((s, d) =>
@@ -7064,6 +7079,36 @@ object SparkEntry {
          |v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v FROM range(64)),
          |$rounds
          |SELECT i, v AS eig_micros FROM v3""".stripMargin
+    },
+
+    // e04: yesterday's 3-round chain over the subset Gram, resumed 2
+    // rounds over the full Gram — both integer-exact, `//` truncating.
+    "e04_eigenvector_warm" -> {
+      def chain(pre: String, gname: String, n: Int, from: String) =
+        (1 to n).map { t =>
+          val prev = if (t == 1) from else s"$pre${t - 1}"
+          s"""${pre}u$t AS (SELECT g.i, CAST(sum(g.gv * p.v) AS BIGINT) AS u
+             |  FROM $gname g JOIN $prev p ON p.i = g.j GROUP BY 1),
+             |${pre}m$t AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1000) AS s FROM ${pre}u$t),
+             |$pre$t AS (SELECT i, CAST(u // s AS BIGINT) AS v FROM ${pre}u$t, ${pre}m$t)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH eb AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+         |  FROM embeddings WHERE vec_id % 4 <> 0),
+         |gb AS (SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+         |  CAST(sum(vq[i.i] * vq[j.j]) AS BIGINT) AS gv
+         |  FROM eb CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+         |  GROUP BY 1, 2),
+         |ef AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |  x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings),
+         |gf AS (SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+         |  CAST(sum(vq[i.i] * vq[j.j]) AS BIGINT) AS gv
+         |  FROM ef CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+         |  GROUP BY 1, 2),
+         |bv0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v FROM range(64)),
+         |${chain("bv", "gb", 3, "bv0")},
+         |${chain("wv", "gf", 2, "bv3")}
+         |SELECT i, v AS eig_micros FROM wv2""".stripMargin
     },
 
     // e03's chain + the per-vector dot against v3 — exact integers in the

@@ -27,8 +27,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Spectral {
 
+  /** `init`: warm-start the iteration from yesterday's direction (e04 —
+    * continual training for the spectral family, the k03 discipline):
+    * power iteration is a pure function of (Gram, v), so resuming over
+    * the grown corpus's Gram from the prior ~±1000-scale `eig_micros`
+    * array is bit-identical to a cold run that reached the same state —
+    * the init seam is the ONLY new code, and a near-converged seed
+    * aligns in 1–2 rounds where the cold all-ones seed needs the full
+    * schedule. The array must be on the renormalized lattice (the
+    * overflow bound in the scaladoc above assumes |v| ≲ 1000) — a
+    * foreign-scale seed is refused loudly; the caller's array is
+    * defensively cloned.
+    */
   def topEigenvector(embeddings: DataFrame, idCol: String, vecCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, init: Option[Array[Long]] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
     val spark = embeddings.sparkSession
     val g = KMeans.quantize(embeddings, idCol, vecCol)
@@ -37,7 +49,18 @@ object Spectral {
     val dim = math.sqrt(g.length.toDouble).toInt
     require(dim * dim == g.length, s"gram length ${g.length} is not square")
 
-    var v = Array.fill(dim)(1000L)
+    var v = init match {
+      case None => Array.fill(dim)(1000L)
+      case Some(a) =>
+        require(a.length == dim,
+          s"init direction has ${a.length} components, corpus dim is $dim")
+        require(a.exists(_ != 0L), "init direction is all zeros")
+        require(a.forall(x => math.abs(x) <= 2000L),
+          "init direction is off the ~±1000 renormalized lattice " +
+            s"(max |component| ${a.map(math.abs).max}) — pass a prior " +
+            "eig_micros output, not a raw vector")
+        a.clone()
+    }
     for (_ <- 1 to iters) {
       val u = new Array[Long](dim)
       var i = 0

@@ -286,6 +286,34 @@ class Round19OpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(e.getMessage.contains("warm-start"))
   }
 
+  test("warm-start power iteration: resuming yesterday's direction for " +
+      "b rounds == one cold (a+b)-round run (purity); guards are loud") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def eig(iters: Int, init: Option[Array[Long]] = None) =
+      graft.operators.Spectral
+        .topEigenvector(emb, "vec_id", "embedding", iters, init)
+        .orderBy("i").collect().map(_.getLong(1))
+    val cold3 = eig(3)
+    val day1 = eig(2)
+    val frozen = day1.clone()
+    val warm = eig(1, Some(day1))
+    assert(warm.sameElements(cold3),
+      "resume(2+1) must be bit-identical to cold(3) — pure function of (G, v)")
+    assert(day1.sameElements(frozen), "caller's init array was mutated")
+    val eLen = intercept[IllegalArgumentException] {
+      eig(1, Some(Array(1000L, 1000L)))
+    }
+    assert(eLen.getMessage.contains("components"))
+    val eScale = intercept[IllegalArgumentException] {
+      eig(1, Some(Array.fill(64)(999999L)))
+    }
+    assert(eScale.getMessage.contains("lattice"))
+    val eZero = intercept[IllegalArgumentException] {
+      eig(1, Some(Array.fill(64)(0L)))
+    }
+    assert(eZero.getMessage.contains("zeros"))
+  }
+
   private def embCorpus = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
