@@ -60,6 +60,20 @@ object ManifestTables {
       s"bloomCols (${bloomCols.mkString(", ")}) must be a subset of " +
         s"statsCols (${statsCols.mkString(", ")}) — the point probe " +
         "composes the bloom with the min/max check")
+    // Integral keys only: cast("long") on a string column yields NULL
+    // silently, which would build a bloom of one constant hash — never
+    // wrong (the predicate re-applies) but never pruning either, the
+    // kind of quiet degradation this library refuses loudly. Hash or
+    // dictionary-encode string keys to BIGINT first (the dedup-key
+    // discipline).
+    bloomCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.ShortType,
+        s"bloom column '$c' must be integral (got $dt) — the probe " +
+          "hashes LONG keys; xxhash64 string keys to BIGINT first")
+    }
     val spark = df.sparkSession
     val base = spark.conf.get("spark.sql.warehouse.dir")
     val path = s"$base/$name"

@@ -131,4 +131,14 @@ class ManifestBloomSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(e.getMessage.contains("subset"))
   }
+
+  test("a non-integral bloom column is rejected loudly (a string key " +
+      "would cast to NULL and build a never-pruning bloom silently)") {
+    val df = Seq((1L, "x")).toDF("a", "s")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTables.writeWithManifest(df, "bloom_spec_strkey",
+        Seq("a", "s"), bloomCols = Seq("s"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
