@@ -898,6 +898,13 @@ object Streams {
     * cold run would need tens of rounds (the pr-warm scale record).
     * Additions-only by contract: removals change the transition matrix
     * non-monotonically — run the g40 batch form at compaction cadence.
+    * The two writes are not atomic together (the st31 discipline): raw
+    * mass writes FIRST, so a crash between them leaves a mass computed
+    * over edges not yet logged — and foreachBatch only COMMITS a batch
+    * after this function returns, so the restart REPLAYS it: the adds
+    * append once and the mass recomputes over the same graph. (Mass
+    * last would instead leave a logged batch whose ranks never landed,
+    * with no replay to fix it.)
     */
   def streamingPageRankMaintain(stream: DataFrame, rawMassTable: String,
       edgesTable: String, iterations: Int = 2, tol: Double = 1e-9)
@@ -951,6 +958,13 @@ object Streams {
     *
     * Works on any (symmetrized or raw) edge log whose reads apply the
     * canonical-pair tombstone predicate — the st32/st33/st34 tables.
+    * SINGLE-WRITER, like every table-maintenance op here: run it with
+    * the maintenance stream stopped (or between batches under external
+    * coordination) — a micro-batch interleaving between the log rewrite
+    * and the tombstone clear would read a log already folded against
+    * tombstones it still sees, double-applying nothing (no-op by the
+    * anti-join) but appending its adds to a table a concurrent
+    * overwrite may clobber.
     */
   def compactCdcEdgeLog(spark: org.apache.spark.sql.SparkSession,
       edgesTable: String, tombstonesTable: String): Unit = {
