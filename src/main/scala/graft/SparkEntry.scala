@@ -648,6 +648,21 @@ object SparkEntry {
         .shortestPaths(Seq(1L)).maxIterations(4).run()
         .vertices.select(col("id"), col("dist_1").cast(LongType).as("dist_1"))),
 
+    // LAYERED NEIGHBOR SAMPLING (g43 — the GNN mini-batch loader's
+    // shape): fanout-bounded computation graphs from a seed set over
+    // the cust→order→part DAG. The draw is the MIS md5 discipline
+    // (portable 60-bit hash of "src:dst:seed:layer", ties by dst), so
+    // the sample is a pure function of (graph, seed, fanouts) and the
+    // oracle replays it exactly — a rand() sampler could only gate
+    // counts.
+    "g43_neighbor_sample" -> ((s, d) => {
+      val seeds = tbl(s, d, "customer")
+        .select(col("c_custkey").as("id"))
+        .filter(pmod(col("id"), lit(100L)) === 1L)
+      graft.algorithms.GraphSampling.neighborSample(
+        custOrderPartEdges(s, d), seeds, Seq(3, 2), seed = 7L)
+    }),
+
     // WARM-START shortest paths (g42 — the BFS family's daily-delta
     // form, additions-only): yesterday's CONVERGED distances over ~4/5
     // of the DAG re-seed the relaxation over the full graph; round-1
@@ -4614,6 +4629,32 @@ object SparkEntry {
         |  SELECT e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 4)
         |SELECT v.id, coalesce(CAST(min(r.dd) AS BIGINT), 2147483647) AS dist_1
         |FROM v LEFT JOIN r ON r.id = v.id GROUP BY v.id""".stripMargin,
+
+    // g43: the md5-ranked layered sample replayed exactly — same
+    // preimage "src:dst:seed:layer", same 15-hex-digit BIGINT, same
+    // (hash, dst) tie order, row_number <= fanout per src per layer.
+    "g43_neighbor_sample" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT o_custkey AS src, 4000000 + o_orderkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 4000000 + l_orderkey, 1000000 + l_partkey FROM lineitem)),
+        |f0 AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 100 = 1),
+        |c1 AS (SELECT e.src, e.dst,
+        |  ('0x' || substr(md5(CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR) || ':7:1'), 1, 15))::BIGINT AS h
+        |  FROM e JOIN f0 ON f0.id = e.src),
+        |s1 AS (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+        |  FROM c1) WHERE rn <= 3),
+        |f1 AS (SELECT DISTINCT dst AS id FROM s1),
+        |c2 AS (SELECT e.src, e.dst,
+        |  ('0x' || substr(md5(CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR) || ':7:2'), 1, 15))::BIGINT AS h
+        |  FROM e JOIN f1 ON f1.id = e.src),
+        |s2 AS (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+        |  FROM c2) WHERE rn <= 2)
+        |SELECT CAST(1 AS BIGINT) AS layer, src, dst FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS layer, src, dst FROM s2""".stripMargin,
 
     // Warm BFS converges to the exact distances of the full graph, so
     // the oracle is the cold recursive BFS over every edge (depth 20 ≫

@@ -1272,6 +1272,34 @@ object ScaleBench {
           f"prev=$tPrevK%.1f coldIters=${coldRes.iterations} " +
           f"warmIters=${warmRes.iterations} cold=$tColdK%.1f warm=$tWarmK%.1f")
 
+      case "nsample" | "nsample-skew" =>
+        // Layered neighbor sampling (g43) at record scale: 4096 seeds,
+        // fanouts (15, 10) over the 16.8 M-edge graph. The bounds that
+        // matter: per-(layer, src) rows never exceed the fanout (the
+        // top-k works per vertex, not per degree), and total rows stay
+        // under seeds × Π fanouts however the frontier lands. The skew
+        // arm walks INTO in-degree hubs: many layer-1 targets collapse
+        // onto few hub ids, so the deduped layer-2 frontier (and its
+        // row count) SHRINKS vs uniform — the dedup is what keeps a
+        // hub-heavy batch from re-sampling the same vertex per path.
+        val seedsN = spark.range(4096L).select((col("id") * 1024L).as("id"))
+        val tn0 = System.nanoTime()
+        val sample = graft.algorithms.GraphSampling
+          .neighborSample(edges, seedsN, Seq(15, 10), 7L)
+          .localCheckpoint(true)
+        val nRows = sample.count()
+        val tSample = (System.nanoTime() - tn0) / 1e9
+        val maxPerSrc = sample.groupBy("layer", "src")
+          .count().agg(max("count")).head.getLong(0)
+        require(maxPerSrc <= 15L,
+          s"fanout bound violated: $maxPerSrc rows for one (layer, src)")
+        val l1 = sample.filter(col("layer") === 1L).count()
+        val l2 = nRows - l1
+        require(l1 <= 4096L * 15 && l2 <= 4096L * 15 * 10,
+          s"frontier growth unbounded: l1=$l1 l2=$l2")
+        println(f"SCALE-OK $algo n=$n m=$m seeds=4096 fanouts=15,10 " +
+          f"rows=$nRows l1=$l1 l2=$l2 maxPerSrc=$maxPerSrc sec=$tSample%.1f")
+
       case "st-pr-maintain" =>
         // st35's headline at scale: an edge stream lands on a big graph
         // and each micro-batch refreshes ranks with TWO warm iterations
