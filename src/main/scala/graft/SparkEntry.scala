@@ -663,6 +663,19 @@ object SparkEntry {
         custOrderPartEdges(s, d), seeds, Seq(3, 2), seed = 7L)
     }),
 
+    // K-HOP EGO SUBGRAPH (g44 — g43's unsampled twin): every edge on a
+    // directed path of length <= 2 out of the seed customers, tagged
+    // with the hop at which its source is FIRST reached — each edge
+    // once, edge-set-sized not path-count-sized. Oracle = min-distance
+    // recursive CTE joined back to the edge set.
+    "g44_ego_subgraph" -> ((s, d) => {
+      val seeds = tbl(s, d, "customer")
+        .select(col("c_custkey").as("id"))
+        .filter(pmod(col("id"), lit(100L)) === 1L)
+      graft.algorithms.GraphSampling.egoSubgraph(
+        custOrderPartEdges(s, d), seeds, depth = 2)
+    }),
+
     // WARM-START shortest paths (g42 — the BFS family's daily-delta
     // form, additions-only): yesterday's CONVERGED distances over ~4/5
     // of the DAG re-seed the relaxation over the full graph; round-1
@@ -4655,6 +4668,22 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT) AS layer, src, dst FROM s1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS layer, src, dst FROM s2""".stripMargin,
+
+    // g44: hop = min-dist(src) + 1 over the reach set capped at
+    // depth - 1; each edge once.
+    "g44_ego_subgraph" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT o_custkey AS src, 4000000 + o_orderkey AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 4000000 + l_orderkey, 1000000 + l_partkey FROM lineitem)),
+        |f0 AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 100 = 1),
+        |r(id, dd) AS (
+        |  SELECT CAST(id AS BIGINT), CAST(0 AS BIGINT) FROM f0
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM e JOIN r ON e.src = r.id WHERE r.dd < 1),
+        |d AS (SELECT id, min(dd) AS dist FROM r GROUP BY 1)
+        |SELECT CAST(d.dist + 1 AS BIGINT) AS hop, e.src, e.dst
+        |FROM e JOIN d ON d.id = e.src WHERE d.dist <= 1""".stripMargin,
 
     // Warm BFS converges to the exact distances of the full graph, so
     // the oracle is the cold recursive BFS over every edge (depth 20 ≫

@@ -71,4 +71,45 @@ object GraphSampling {
     }
     layers.reduce(_ unionByName _)
   }
+
+  /** K-hop EGO SUBGRAPH — [[neighborSample]]'s unsampled twin (the
+    * debugging / subgraph-training-data extraction): every edge lying
+    * on a directed path of length ≤ `depth` out of the seed set, i.e.
+    * `(u, v)` with `dist(seeds → u) ≤ depth − 1`, tagged with the hop
+    * at which its source is first reached (`hop` = that dist + 1,
+    * 1-based — each edge reported ONCE even when reachable along many
+    * paths, which is what keeps the output edge-set-sized instead of
+    * path-count-sized). Same per-level shape as the sampler minus the
+    * top-k: one semi-join per hop over a frontier of NEWLY reached
+    * vertices only (visited vertices never re-expand), so cost is the
+    * reached subgraph's edges, never the corpus.
+    */
+  def egoSubgraph(edges: DataFrame, seeds: DataFrame,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(seeds.columns.contains(GraphFrame.ID),
+      s"seeds needs an '${GraphFrame.ID}' column, got " +
+        seeds.columns.mkString(", "))
+    val e = edges.select(col(SRC), col(DST)).distinct()
+    var visited = seeds.select(col(GraphFrame.ID)).distinct()
+      .localCheckpoint(true)
+    var frontier = visited
+    val hops = (1 to depth).flatMap { hop =>
+      if (frontier.isEmpty) None
+      else {
+        val out = e.join(frontier, col(SRC) === col(GraphFrame.ID),
+            "left_semi")
+          .select(lit(hop.toLong).as("hop"), col(SRC), col(DST))
+          .localCheckpoint(true)
+        frontier = out.select(col(DST).as(GraphFrame.ID)).distinct()
+          .join(visited, Seq(GraphFrame.ID), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.unionByName(frontier).localCheckpoint(true)
+        Some(out)
+      }
+    }
+    if (hops.isEmpty)
+      e.select(lit(0L).as("hop"), col(SRC), col(DST)).limit(0)
+    else hops.reduce(_ unionByName _)
+  }
 }

@@ -43,6 +43,29 @@ class GraphSamplingSpec extends AnyFunSuite with SparkTestHarness {
       "changing the seed must change the sample")
   }
 
+  test("egoSubgraph: edges tag with the FIRST-reach hop, each edge once; " +
+      "a diamond expands its join vertex once; early stop on exhaustion") {
+    // 0 → {1, 2} → 3 → 4 → 5 (diamond into 3), plus a seed-adjacent
+    // back-edge 3 → 0: vertex 3 is reachable along two paths but
+    // expands once; 0 is a seed (dist 0) so 3 → 0 never re-expands 0.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (3L, 0L), (4L, 5L)).toDF("src", "dst")
+    val out = GraphSampling.egoSubgraph(edges, Seq(0L).toDF("id"), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 1L), (1L, 0L, 2L), (2L, 1L, 3L),
+      (2L, 2L, 3L), (3L, 3L, 4L), (3L, 3L, 0L)),
+      s"got $out")
+    // Depth past exhaustion adds nothing (frontier empties — 4's edge
+    // appears at hop 4, nothing at 5+).
+    val deep = GraphSampling.egoSubgraph(edges, Seq(0L).toDF("id"), 16)
+      .as[(Long, Long, Long)].collect()
+    assert(deep.length == 7 && deep.count(_._1 == 4L) == 1)
+    val eD = intercept[IllegalArgumentException] {
+      GraphSampling.egoSubgraph(edges, Seq(0L).toDF("id"), 0)
+    }
+    assert(eD.getMessage.contains("depth"))
+  }
+
   test("multigraph duplicates do not occupy two slots; guards are loud") {
     val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val out = GraphSampling.neighborSample(edges, Seq(0L).toDF("id"),
