@@ -127,11 +127,17 @@ class ConnectedComponents(graph: GraphFrame) {
     import spark.implicits._
     // RDD-backed, NOT a LocalRelation: toDF on a large Seq embeds the rows
     // in the logical plan itself, which every optimizer copy and broadcast
-    // then drags along.
-    spark.createDataset(
+    // then drags along. BROADCAST-hinted: the frame is driver-bounded by
+    // the same cutover threshold that allowed collecting it (<= 2x
+    // smallGraphThreshold endpoint rows), but its RDD leaf carries no
+    // stats, so without the hint every downstream join (the final vertex
+    // labeling, a back-prop seed) planned as a full sort-merge join with
+    // exchanges on BOTH sides — measured at ~2s per incremental-compose
+    // call on delta-scale frames (r19 optimization round).
+    broadcast(spark.createDataset(
       spark.sparkContext.parallelize(labeled.toIndexedSeq,
         math.max(1, spark.sparkContext.defaultParallelism)))
-      .toDF("v", "rep")
+      .toDF("v", "rep"))
   }
 
   def run(): ConnectedComponentsResult = {
@@ -160,7 +166,7 @@ class ConnectedComponents(graph: GraphFrame) {
     val rng = new scala.util.Random(seed)
     var forwardReps = Vector.empty[DataFrame]
     var affineParams = Vector.empty[(Long, Long)]
-    var graphSize = edges.count()
+    var graphSize = graft.util.PhaseTiming.phase("wcc:first-count")(edges.count())
     var iteration = 0
 
     // Mid-loop hybrid cutover: contraction shrinks the edge set roughly
@@ -174,7 +180,8 @@ class ConnectedComponents(graph: GraphFrame) {
 
     while (graphSize > 0 && driverFrontier.isEmpty) {
       if (useLabelsAsComponents && smallThreshold > 0 && graphSize <= 2 * smallThreshold) {
-        driverFrontier = Some(unionFindFrontier(edges))
+        driverFrontier = Some(
+          graft.util.PhaseTiming.phase("wcc:union-find")(unionFindFrontier(edges)))
       } else {
         iteration += 1
         var rA = rng.nextLong()
@@ -333,9 +340,22 @@ object ConnectedComponents {
       .filter(col(GraphFrame.SRC) =!= col(GraphFrame.DST))
       .distinct()
     // The merge map [touched label -> merged min label], delta-bounded.
-    val m = GraphFrame.fromEdges(contracted)
-      .connectedComponents.run().components
-      .select(col(ID).as("__iw_label"), col("component").as("__iw_super"))
+    // BROADCAST-hinted when the contracted WCC cut over to the driver
+    // union-find (iterations == 0): that cutover PROVES the contracted
+    // graph fits 2x smallGraphThreshold edges, so the merge map is
+    // driver-bounded — and the hint is required because the WCC result
+    // rides stats-free RDD leaves, which Catalyst otherwise sizes at
+    // defaultSizeInBytes and refuses to broadcast (both m-joins below
+    // planned as sort-merge joins with V-side exchanges; measured ~2s
+    // per compose on delta-scale frames, r19 optimization round). A
+    // contracted graph ABOVE the threshold keeps the shuffle join —
+    // broadcasting an unbounded merge map would be an OOM, not a win.
+    val m = graft.util.PhaseTiming.phase("inc:merge-wcc") {
+      val res = GraphFrame.fromEdges(contracted).connectedComponents.run()
+      val mm = res.components
+        .select(col(ID).as("__iw_label"), col("component").as("__iw_super"))
+      if (res.iterations == 0) broadcast(mm) else mm
+    }
     val newV = deltaEdges.select(col(GraphFrame.SRC).as(ID))
       .unionByName(deltaEdges.select(col(GraphFrame.DST).as(ID)))
       .distinct()
@@ -404,24 +424,36 @@ object ConnectedComponents {
     require(Seq(ID, "component").forall(prevComponents.columns.contains),
       s"prevComponents needs [$ID, component] (a components frame), " +
         s"got ${prevComponents.columns.mkString(", ")}")
+    import graft.util.PhaseTiming.phase
     val prev = prevComponents.select(col(ID), col("component"))
     // Canonical removals (delta-sized; the broadcast side of both edge
     // passes below).
-    val rem = removedEdges.filter(col(SRC) =!= col(DST))
-      .select(least(col(SRC), col(DST)).as("__dw_l"),
-        greatest(col(SRC), col(DST)).as("__dw_g"))
-      .distinct()
-      .localCheckpoint(true)
+    // BROADCAST-hinted: removals are delta-scale by the takedown
+    // discipline (the same contract the CDC loop's broadcast(tomb)
+    // rides), and the checkpointed leaf carries no usable stats — the
+    // hint is what lets both edge passes below ride the base scan as
+    // broadcast joins instead of shuffling V/E-sized sides (r19
+    // optimization round).
+    val rem = phase("iwd:rem-ckpt") {
+      broadcast(removedEdges.filter(col(SRC) =!= col(DST))
+        .select(least(col(SRC), col(DST)).as("__dw_l"),
+          greatest(col(SRC), col(DST)).as("__dw_g"))
+        .distinct()
+        .localCheckpoint(true))
+    }
     // Components containing a removed edge — the only ones that can
     // split. Either endpoint works (they share the label); removals of
     // edges never in the base simply find no label and drop out.
-    val affected = rem
+    // Broadcast: bounded by |rem| (one label per removed edge).
+    val affected = broadcast(rem
       .join(prev.select(col(ID).as("__dw_l"), col("component")), Seq("__dw_l"))
-      .select(col("component")).distinct()
+      .select(col("component")).distinct())
     // Their full membership (bounded by the affected components' size).
-    val affVerts = prev.join(affected, Seq("component"), "left_semi")
-      .select(col(ID))
-      .localCheckpoint(true)
+    val affVerts = phase("iwd:affverts-ckpt") {
+      prev.join(affected, Seq("component"), "left_semi")
+        .select(col(ID))
+        .localCheckpoint(true)
+    }
     // The affected components' edges, minus the removals: one pass over
     // the base, both joins broadcast when the affected set is small
     // (the every-day case).
@@ -433,9 +465,15 @@ object ConnectedComponents {
     // Recompute ONLY inside the affected components; stranded members
     // self-label (min-member labeling holds: a singleton's min is
     // itself, a surviving sub-component's min is its min member).
-    val subLabels = GraphFrame.fromEdges(sub)
-      .connectedComponents.run().components
-      .select(col(ID), col("component").as("__dw_c"))
+    // Same conditional broadcast as [[incremental]]'s merge map: the
+    // driver-cutover PROVES the affected subgraph fits the threshold, so
+    // its labels are driver-bounded; above the threshold (a giant
+    // affected component) the shuffle join stands.
+    val subLabels = phase("iwd:sub-wcc") {
+      val res = GraphFrame.fromEdges(sub).connectedComponents.run()
+      val sl = res.components.select(col(ID), col("component").as("__dw_c"))
+      if (res.iterations == 0) broadcast(sl) else sl
+    }
     val recomputed = affVerts
       .join(subLabels, Seq(ID), "left")
       .select(col(ID), coalesce(col("__dw_c"), col(ID)).as("component"))
@@ -444,7 +482,9 @@ object ConnectedComponents {
       .unionByName(recomputed)
     // Materialize before releasing: incremental()'s output is lazy and
     // its lineage reads postRemoval, which reads rem/affVerts.
-    val out = incremental(postRemoval, addedEdges).localCheckpoint(true)
+    val out = phase("iwd:incremental+ckpt") {
+      incremental(postRemoval, addedEdges).localCheckpoint(true)
+    }
     org.apache.spark.sql.graft.checkpointing.release(rem)
     org.apache.spark.sql.graft.checkpointing.release(affVerts)
     out

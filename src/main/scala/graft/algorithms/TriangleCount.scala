@@ -142,12 +142,19 @@ object TriangleCount {
       baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false))
     // Truly-new undirected edges: canonical, loop-free, deduped, and not
     // already present in the base in either direction.
-    val deltaNew = deltaEdges.filter(col(SRC) =!= col(DST))
-      .select(least(col(SRC), col(DST)).as(SRC),
-        greatest(col(SRC), col(DST)).as(DST))
-      .distinct()
-      .join(symBase, Seq(SRC, DST), "left_anti")
-      .localCheckpoint(true)
+    // BROADCAST-hinted: delta-bounded by construction (the takedown/
+    // ingest discipline), and the checkpointed leaf carries no usable
+    // stats — without the hint the degree-orientation joins below
+    // planned as sort-merge joins shuffling the V-sized degree frame
+    // (r19 optimization round).
+    val deltaNew = graft.util.PhaseTiming.phase("tri-inc:deltaNew") {
+      broadcast(deltaEdges.filter(col(SRC) =!= col(DST))
+        .select(least(col(SRC), col(DST)).as(SRC),
+          greatest(col(SRC), col(DST)).as(DST))
+        .distinct()
+        .join(symBase, Seq(SRC, DST), "left_anti")
+        .localCheckpoint(true))
+    }
     val symDelta = deltaNew.select(explode(array(
         struct(col(SRC), col(DST)),
         struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__ti"))
@@ -178,7 +185,9 @@ object TriangleCount {
           col(SRC)).otherwise(col(DST)).as("u"),
         when(struct(col("__ti_ds"), col(SRC)) <= struct(col("__ti_dd"), col(DST)),
           col(DST)).otherwise(col(SRC)).as("v"))
-    val cand = oriented
+    // broadcast(oriented): one row per truly-new delta edge — the fanout
+    // rides the adjacency scan instead of shuffling it.
+    val cand = broadcast(oriented)
       .join(nbrs.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
       .filter(col("w") =!= col("v"))
       .join(nbrs.select(col(SRC).as("v"), col(DST).as("w")),
@@ -195,13 +204,15 @@ object TriangleCount {
       .unionByName(deltaEdges.select(col(SRC).as(ID)))
       .unionByName(deltaEdges.select(col(DST).as(ID)))
       .distinct()
-    val out = vertices
-      .join(prev.select(col(ID), col("triangles").as("__tc_prev")),
-        Seq(ID), "left")
-      .join(perCorner, Seq(ID), "left")
-      .select(col(ID), (coalesce(col("__tc_prev"), lit(0L)) +
-        coalesce(col("__tc_new"), lit(0L))).as("triangles"))
-      .localCheckpoint(true)
+    val out = graft.util.PhaseTiming.phase("tri-inc:out-ckpt") {
+      vertices
+        .join(prev.select(col(ID), col("triangles").as("__tc_prev")),
+          Seq(ID), "left")
+        .join(perCorner, Seq(ID), "left")
+        .select(col(ID), (coalesce(col("__tc_prev"), lit(0L)) +
+          coalesce(col("__tc_new"), lit(0L))).as("triangles"))
+        .localCheckpoint(true)
+    }
     // A caller-provided adjacency is caller-owned; release only our own.
     if (symBaseOpt.isEmpty)
       org.apache.spark.sql.graft.checkpointing.release(symBase)
@@ -267,9 +278,14 @@ object TriangleCount {
       .select(least(col(SRC), col(DST)).as(SRC),
         greatest(col(SRC), col(DST)).as(DST))
       .distinct()
-    val remCanon = symBase
-      .join(broadcast(remDistinct), Seq(SRC, DST), "left_semi")
-      .localCheckpoint(true)
+    // Broadcast-hinted at definition: every consumer below (the two
+    // degree-orientation joins, the symPost anti, the destroy fanout)
+    // wants the delta-sized removal set on the build side.
+    val remCanon = graft.util.PhaseTiming.phase("tri-iwd:remCanon") {
+      broadcast(symBase
+        .join(broadcast(remDistinct), Seq(SRC, DST), "left_semi")
+        .localCheckpoint(true))
+    }
     // Destroyed triangles {u,v,w}: w a common BASE-neighbor of the
     // removed edge {u,v}, fanned from the lower-(degree, id) endpoint.
     val deg = symBase.groupBy(col(SRC).as("__td_v"))
@@ -284,7 +300,7 @@ object TriangleCount {
           col(SRC)).otherwise(col(DST)).as("u"),
         when(struct(col("__td_ds"), col(SRC)) <= struct(col("__td_dd"), col(DST)),
           col(DST)).otherwise(col(SRC)).as("v"))
-    val destroyed = oriented
+    val destroyed = broadcast(oriented)
       .join(symBase.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
       .filter(col("w") =!= col("v"))
       .join(symBase.select(col(SRC).as("v"), col(DST).as("w")),
@@ -312,7 +328,9 @@ object TriangleCount {
     // incremental when the adjacency is supplied). Output is eagerly
     // checkpointed by incremental, so releasing our intermediates after
     // the call is safe.
-    val out = incremental(prevMinus, baseEdges, addedEdges, Some(symPost))
+    val out = graft.util.PhaseTiming.phase("tri-iwd:incremental") {
+      incremental(prevMinus, baseEdges, addedEdges, Some(symPost))
+    }
     if (symBaseOpt.isEmpty)
       org.apache.spark.sql.graft.checkpointing.release(symBase)
     org.apache.spark.sql.graft.checkpointing.release(remCanon)

@@ -14,6 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Dev-only phase timer for the foreachBatch maintenance loops — see
+    * [[graft.util.PhaseTiming]].
+    */
+  private def phase[T](name: String)(f: => T): T =
+    graft.util.PhaseTiming.phase(name)(f)
+
+  /** The micro-batch's session with ADAPTIVE EXECUTION RE-ARMED.
+    *
+    * `MicroBatchExecution` clones the session for the stream and disables
+    * AQE on the clone (AQE cannot re-plan a stateful streaming query), but
+    * every batch job a `foreachBatch` body runs inherits that clone's
+    * conf — so the maintenance loops' compose joins, table rewrites and
+    * checkpoint materializations all ran WITHOUT adaptive partition
+    * coalescing: every tiny shuffle kept the full static partition count
+    * (32 tasks per stage over delta-scale frames; measured as the
+    * dominant per-batch cost of the CDC loops, r19 optimization round).
+    * Re-enabling AQE on the clone is safe for those INNER batch queries —
+    * they are plain batch plans, exactly what AQE exists for; the
+    * streaming plan itself was already compiled with AQE off. Idempotent
+    * (the clone is reused across batches).
+    */
+  private def batchSession(batch: DataFrame): org.apache.spark.sql.SparkSession = {
+    val ss = batch.sparkSession
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss
+  }
+
   /** Streaming exact dedup: one output row per first-seen fingerprint
     * (md5 of `textCol`), duplicates within the lateness window dropped.
     * State: one fingerprint per distinct doc inside the watermark horizon.
@@ -152,6 +179,7 @@ object Streams {
     val probe = if (broadcastHeldOut) broadcast(hashes) else hashes
     val writer = stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        batchSession(batch)
         val flagged = batch.select(col(idCol),
             explode(graft.functions.PortableHashes
               .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
@@ -416,7 +444,7 @@ object Streams {
         // artifact and its sidecars so mid-stream tombstones/appends
         // actually become visible at the next batch (the scaladoc's
         // claim, spec-pinned).
-        val cat = batch.sparkSession.catalog
+        val cat = batchSession(batch).catalog
         Seq(table, s"${table}_books", s"${table}_tombstones")
           .filter(cat.tableExists).foreach(cat.refreshTable)
         sink(graft.operators.Similarity.ivfPqSearchTable(
@@ -485,7 +513,7 @@ object Streams {
         // start, so without it an upsert landing mid-stream stays
         // invisible forever (spec-pinned the other way — visible at the
         // next batch).
-        batch.sparkSession.catalog.refreshTable(featureTable)
+        batchSession(batch).catalog.refreshTable(featureTable)
         // Key semi-join BEFORE the as-of: the merge carry exchanges and
         // sorts the union of both sides, and feature rows for keys
         // absent from this batch are dead weight in that window — a
@@ -538,7 +566,7 @@ object Streams {
         "call ConnectedComponents.incremental directly")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val ss = batch.sparkSession
+        val ss = batchSession(batch)
         ss.catalog.refreshTable(labelsTable)
         val prev = ss.table(labelsTable)
         // Materialize BEFORE overwriting the table the lineage reads.
@@ -593,7 +621,7 @@ object Streams {
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val ss = batch.sparkSession
+        val ss = batchSession(batch)
         ss.catalog.refreshTable(countsTable)
         ss.catalog.refreshTable(adjTable)
         val prev = ss.table(countsTable)
@@ -662,12 +690,16 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batch.sparkSession
-        Seq(labelsTable, edgesTable, tombstonesTable)
-          .foreach(ss.catalog.refreshTable)
-        val b = batch.select(col(SRC), col(DST), col(opCol))
-          .localCheckpoint(true)
+      if (!phase("wcc-cdc:isEmpty")(batch.isEmpty)) {
+        val ss = batchSession(batch)
+        phase("wcc-cdc:refresh") {
+          Seq(labelsTable, edgesTable, tombstonesTable)
+            .foreach(ss.catalog.refreshTable)
+        }
+        val b = phase("wcc-cdc:batch-ckpt") {
+          batch.select(col(SRC), col(DST), col(opCol))
+            .localCheckpoint(true)
+        }
         val adds = b.filter(col(opCol) === "add").select(col(SRC), col(DST))
         val removes = b.filter(col(opCol) === "remove")
           .select(col(SRC), col(DST))
@@ -677,9 +709,11 @@ object Streams {
             col(DST).as("__cd_g"))),
             least(col(SRC), col(DST)) === col("__cd_l") &&
               greatest(col(SRC), col(DST)) === col("__cd_g"), "left_anti")
-        val next = graft.algorithms.ConnectedComponents
-          .incrementalWithDeletions(ss.table(labelsTable), baseEdges,
-            adds, removes)
+        val next = phase("wcc-cdc:compose") {
+          graft.algorithms.ConnectedComponents
+            .incrementalWithDeletions(ss.table(labelsTable), baseEdges,
+              adds, removes)
+        }
         // Tombstones are delta-scale, so they are REWRITTEN, not
         // appended blindly: this batch's adds RESURRECT any matching
         // tombstone — without that, a re-added edge's old log row and
@@ -690,15 +724,23 @@ object Streams {
           .select(least(col(SRC), col(DST)).as(SRC),
             greatest(col(SRC), col(DST)).as(DST))
           .distinct()
-        val tombNext = canon(tomb.unionByName(removes))
-          .join(canon(adds), Seq(SRC, DST), "left_anti")
-          .localCheckpoint(true)
+        val tombNext = phase("wcc-cdc:tomb-ckpt") {
+          canon(tomb.unionByName(removes))
+            .join(canon(adds), Seq(SRC, DST), "left_anti")
+            .localCheckpoint(true)
+        }
         // incrementalWithDeletions materializes its output eagerly, so
         // overwriting labels (which its lineage read) is safe; tombNext
         // is materialized above for the same reason.
-        next.write.mode("overwrite").saveAsTable(labelsTable)
-        adds.write.mode("append").saveAsTable(edgesTable)
-        tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        phase("wcc-cdc:labels-write") {
+          next.write.mode("overwrite").saveAsTable(labelsTable)
+        }
+        phase("wcc-cdc:edges-append") {
+          adds.write.mode("append").saveAsTable(edgesTable)
+        }
+        phase("wcc-cdc:tombs-write") {
+          tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        }
         org.apache.spark.sql.graft.checkpointing.release(next)
         org.apache.spark.sql.graft.checkpointing.release(tombNext)
         org.apache.spark.sql.graft.checkpointing.release(b)
@@ -742,7 +784,7 @@ object Streams {
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val ss = batch.sparkSession
+        val ss = batchSession(batch)
         Seq(countsTable, adjTable, tombstonesTable)
           .foreach(ss.catalog.refreshTable)
         val b = batch.select(col(SRC), col(DST), col(opCol))
@@ -756,8 +798,10 @@ object Streams {
             col(DST).as("__ct_g"))),
             least(col(SRC), col(DST)) === col("__ct_l") &&
               greatest(col(SRC), col(DST)) === col("__ct_g"), "left_anti")
-        val next = graft.algorithms.TriangleCount.incrementalWithDeletions(
-          ss.table(countsTable), sym, adds, removes, Some(sym))
+        val next = phase("tri-cdc:compose") {
+          graft.algorithms.TriangleCount.incrementalWithDeletions(
+            ss.table(countsTable), sym, adds, removes, Some(sym))
+        }
         def canon(df: DataFrame) = df.filter(col(SRC) =!= col(DST))
           .select(least(col(SRC), col(DST)).as(SRC),
             greatest(col(SRC), col(DST)).as(DST))
@@ -779,9 +823,11 @@ object Streams {
         val tombNext = canon(tomb.unionByName(remPresent))
           .join(addCanon, Seq(SRC, DST), "left_anti")
           .localCheckpoint(true)
-        next.write.mode("overwrite").saveAsTable(countsTable)
-        newSym.write.mode("append").saveAsTable(adjTable)
-        tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        phase("tri-cdc:writes") {
+          next.write.mode("overwrite").saveAsTable(countsTable)
+          newSym.write.mode("append").saveAsTable(adjTable)
+          tombNext.write.mode("overwrite").saveAsTable(tombstonesTable)
+        }
         org.apache.spark.sql.graft.checkpointing.release(next)
         org.apache.spark.sql.graft.checkpointing.release(newSym)
         org.apache.spark.sql.graft.checkpointing.release(tombNext)
@@ -835,7 +881,7 @@ object Streams {
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val ss = batch.sparkSession
+        val ss = batchSession(batch)
         Seq(coresTable, edgesTable, tombstonesTable)
           .foreach(ss.catalog.refreshTable)
         val b = batch.select(col(SRC), col(DST), col(opCol))
@@ -917,7 +963,7 @@ object Streams {
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val ss = batch.sparkSession
+        val ss = batchSession(batch)
         Seq(rawMassTable, edgesTable).foreach(ss.catalog.refreshTable)
         val adds = batch.select(col(SRC), col(DST)).localCheckpoint(true)
         val all = ss.table(edgesTable).unionByName(adds)

@@ -17,12 +17,13 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // Ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -33,9 +34,13 @@ object Profile {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       if (explain) fn(spark, sfDir).explain("formatted")
+      // Materialize EVERY output column exactly as Bench does — a bare
+      // .count() lets Catalyst prune columns (and sometimes whole
+      // subtrees), so Profile numbers would not be comparable to the
+      // bench's.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROFILE $name%-26s ${times.map(t => f"$t%.2f").mkString("  ")}")
