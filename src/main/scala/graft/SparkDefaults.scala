@@ -26,4 +26,29 @@ object SparkDefaults {
     .config("spark.sql.codegen.hugeMethodLimit", "8000")
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       "65536")
+    // 64 MB broadcast ceiling (default 10 MB): the board's mid-size build
+    // sides — symmetrized edge sets (~24 MB at sf0.1), vocabulary-sized
+    // count tables, per-vertex degree frames — sit between the two, so
+    // under the default they planned as sort-merge joins that shuffled the
+    // 10-100x larger probe side (g28's known-edge anti-join shuffled ~10M
+    // wedge pairs against a 24 MB edge list; min wall 15.3s -> 5.3s with
+    // the ceiling raised, r19 optimization round). 64 MB is a conservative
+    // production value, not a local-mode trick: guide §3.1 puts "a few
+    // hundred MB" as routinely fine, the hard cap is 8 GB, and executors
+    // sized for 100 TB shuffles hold a 64 MB build relation without
+    // pressure. AQE's runtime SMJ->BHJ rewrite uses the same ceiling, so
+    // estimate-blind plans also recover at runtime.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // Let AQE coalesce post-shuffle partitions purely by BYTES (the
+    // advisory size), not "keep every core busy": with parallelismFirst
+    // at its default (true), AQE refuses to coalesce below the default
+    // parallelism, so every delta-scale shuffle in an iterative loop
+    // (SCC fixpoints, BFS frontiers, contraction tails) keeps cpu-count
+    // partitions of a few rows each and pays cpu-count task launches per
+    // round. Spark's own config doc recommends exactly this flip
+    // ("recommended to set ... to false and rely on the advisory size").
+    // Scale-adaptive by construction — partition count tracks data bytes
+    // at any scale factor (g26 BFS min wall 6.2s -> 3.0s, g23b SCC
+    // 14.7s -> 9.8s, r19 optimization round).
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 }

@@ -53,9 +53,22 @@ class Hits(graph: GraphFrame) {
     */
   def run(): DataFrame = {
     val ID = GraphFrame.ID
+    // LAZY lineage truncation at every half-step: each half-step
+    // references its input state TWICE (the message join and the
+    // carry-through), so an un-truncated chain doubles the plan per
+    // half-step — at iterations(2) the all-ones init (and the vertex
+    // distinct under it) appeared 16 times in ONE plan, each copy
+    // re-shuffling (r19 optimization round; the old every-3rd-round
+    // cadence never fired for iters <= 3). A lazy no-stats checkpoint
+    // per half-step makes both references share one RDD — plan linear
+    // in iterations, everything still materializes in the caller's
+    // single job.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.checkpointing
+        .localCheckpointNoStats(df, eager = false)
     val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
-    var state = graph.vertices.select(col(ID),
-      lit(1L).as("auth"), lit(1L).as("hub"))
+    var state = ckpt(graph.vertices.select(col(ID),
+      lit(1L).as("auth"), lit(1L).as("hub")))
     var i = 0
     while (i < iters) {
       val auth = edges.join(
@@ -63,23 +76,18 @@ class Hits(graph: GraphFrame) {
           col(GraphFrame.SRC) === col("__s_id"))
         .groupBy(col(GraphFrame.DST).as(ID))
         .agg(try_sum(col("__s_hub")).as("__new_auth"), count(lit(1)).as("__na_cnt"))
-      val withAuth = state.select(col(ID), col("hub"))
+      val withAuth = ckpt(state.select(col(ID), col("hub"))
         .join(auth.withColumnRenamed(ID, "__a_id"), col(ID) === col("__a_id"), "left")
-        .select(col(ID), guarded("__new_auth", "__na_cnt", "auth").as("auth"), col("hub"))
+        .select(col(ID), guarded("__new_auth", "__na_cnt", "auth").as("auth"), col("hub")))
       val hub = edges.join(
           withAuth.select(col(ID).as("__d_id"), col("auth").as("__d_auth")),
           col(GraphFrame.DST) === col("__d_id"))
         .groupBy(col(GraphFrame.SRC).as(ID))
         .agg(try_sum(col("__d_auth")).as("__new_hub"), count(lit(1)).as("__nh_cnt"))
-      state = withAuth.select(col(ID), col("auth"))
+      state = ckpt(withAuth.select(col(ID), col("auth"))
         .join(hub.withColumnRenamed(ID, "__h_id"), col(ID) === col("__h_id"), "left")
-        .select(col(ID), col("auth"), guarded("__new_hub", "__nh_cnt", "hub").as("hub"))
+        .select(col(ID), col("auth"), guarded("__new_hub", "__nh_cnt", "hub").as("hub")))
       i += 1
-      // NoStats: per-iteration truncation must not inherit the compounding
-      // size estimate (checkpointing.localCheckpointNoStats).
-      if (i % 3 == 0 && i < iters)
-        state = org.apache.spark.sql.graft.checkpointing
-          .localCheckpointNoStats(state, eager = false)
     }
     if (!normalize) state
     else {

@@ -61,10 +61,15 @@ class HyperBall(graph: GraphFrame) {
   /** ONE hop: self ∪ out-neighbor sketches, grouped register max — the
     * merge round every public method advances by (one body, so a join
     * hint or checkpoint-cadence change can never drift between them).
+    * `edges` is the caller's (scope-cached) `[src, dst]` frame: every
+    * round joins the SAME edge relation, so scanning the edge lineage
+    * once per query instead of once per round is pure win (r19
+    * optimization round — the radius-3 centralities re-scanned the
+    * 2-table union parquet per round before this).
     */
-  private def mergeRound(state: DataFrame): DataFrame = {
+  private def mergeRound(state: DataFrame, edges: DataFrame): DataFrame = {
     val ID = GraphFrame.ID
-    val msgs = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
+    val msgs = edges
       .join(state.select(col(ID).as("__hb_w"), col("register"),
           col("max_rank")),
         col(GraphFrame.DST) === col("__hb_w"))
@@ -74,18 +79,33 @@ class HyperBall(graph: GraphFrame) {
       .groupBy(ID, "register").agg(max("max_rank").as("max_rank"))
   }
 
+  /** The edge projection every merge round re-reads, scope-cached once
+    * per public-method invocation.
+    */
+  private def cachedEdges(scope: graft.operators.CacheScope.Scope): DataFrame =
+    scope.cache(graph.edges.select(GraphFrame.SRC, GraphFrame.DST))
+
   /** Sparse register state `[id, register, max_rank]` after `r` merge
     * rounds — absent (id, register) pairs mean rank 0.
+    *
+    * Every round's state is LAZILY lineage-truncated: the merge round
+    * references its input state twice (the union branch and the join
+    * side), so an un-truncated chain DOUBLES the plan per round —
+    * radius 3 evaluated the initial state 8 times and scanned the edge
+    * parquet 12 times in ONE plan (measured, r19 optimization round;
+    * the old every-3rd-round cadence never fired for r <= 3). A lazy
+    * checkpoint per round makes both references share one RDD — the
+    * plan is linear in r and each round computes exactly once, inside
+    * the caller's single materializing job (no extra eager pass).
     */
   def registers(): DataFrame = {
+    val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
     var state = initState()
     var i = 0
     while (i < r) {
-      state = mergeRound(state)
+      state = org.apache.spark.sql.graft.checkpointing
+        .localCheckpointNoStats(mergeRound(state, edges), eager = false)
       i += 1
-      if (i % 3 == 0 && i < r)
-        state = org.apache.spark.sql.graft.checkpointing
-          .localCheckpointNoStats(state, eager = false)
     }
     state
   }
@@ -117,20 +137,27 @@ class HyperBall(graph: GraphFrame) {
           sum(round(col("__hb_bc") * lit(1000000.0)).cast(LongType))).head
       (row.getLong(0), row.getLong(1))
     }
-    var state = initState().persist()
-    val rows = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
-    val r0 = nfOf(state)
-    rows += ((0, r0._1, r0._2))
-    var t = 1
-    while (t <= r) {
-      val next = mergeRound(state).persist()
-      val rt = nfOf(next)
-      rows += ((t, rt._1, rt._2))
+    // scopedValue: the result rows are driver-collected per radius, so
+    // nothing lazy escapes the scope; the edge cache (one scan for all r
+    // rounds) is released on return.
+    val rows = graft.operators.CacheScope.scopedValue { scope =>
+      val edges = cachedEdges(scope)
+      var state = initState().persist()
+      val rows = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+      val r0 = nfOf(state)
+      rows += ((0, r0._1, r0._2))
+      var t = 1
+      while (t <= r) {
+        val next = mergeRound(state, edges).persist()
+        val rt = nfOf(next)
+        rows += ((t, rt._1, rt._2))
+        state.unpersist(blocking = false)
+        state = next
+        t += 1
+      }
       state.unpersist(blocking = false)
-      state = next
-      t += 1
+      rows
     }
-    state.unpersist(blocking = false)
     val nfMax = rows.last._3
     val thresh = (9L * nfMax + 9L) / 10L
     val eff = rows.collectFirst { case (rad, _, nf) if nf >= thresh => rad }
@@ -277,17 +304,25 @@ class HyperBall(graph: GraphFrame) {
         .select(col(ID), round(col("__hb_bc") * lit(1000000.0))
           .cast(LongType).as(s"__hb_b$t"))
         .localCheckpoint(true)
-    var state = initState().persist()
-    var frames = List(bFrame(state, 0))
-    var t = 1
-    while (t <= r) {
-      val next = mergeRound(state).persist()
-      frames = frames :+ bFrame(next, t)
+    // scopedValue: every escaping frame is an eagerly-checkpointed
+    // [id, b_t] (see above), so releasing the edge cache on return is
+    // safe — and the r merge rounds share ONE edge scan instead of one
+    // per round.
+    val frames = graft.operators.CacheScope.scopedValue { scope =>
+      val edges = cachedEdges(scope)
+      var state = initState().persist()
+      var fs = List(bFrame(state, 0))
+      var t = 1
+      while (t <= r) {
+        val next = mergeRound(state, edges).persist()
+        fs = fs :+ bFrame(next, t)
+        state.unpersist(blocking = false)
+        state = next
+        t += 1
+      }
       state.unpersist(blocking = false)
-      state = next
-      t += 1
+      fs
     }
-    state.unpersist(blocking = false)
     frames.reduce(_.join(_, Seq(ID)))
   }
 

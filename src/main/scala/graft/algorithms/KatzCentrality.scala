@@ -57,7 +57,17 @@ class KatzCentrality(graph: GraphFrame) {
   def run(): DataFrame = {
     val ID = GraphFrame.ID
     val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)
-    var state = graph.vertices.select(col(ID), lit(1000000L).as("katz"))
+    // LAZY per-round lineage truncation: each round references its input
+    // state twice (message join + vertex carry), so an un-truncated
+    // chain doubles the plan per round — the Hits/HyperBall disease, at
+    // iterations(3) 8 copies of the vertex-distinct init in one plan
+    // (r19 optimization round; the old every-3rd-round cadence never
+    // fired for iters <= 3). Both references now share one RDD per
+    // round; everything still materializes in the caller's single job.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.checkpointing
+        .localCheckpointNoStats(df, eager = false)
+    var state = ckpt(graph.vertices.select(col(ID), lit(1000000L).as("katz")))
     var i = 0
     while (i < iters) {
       val msgs = edges.join(
@@ -66,15 +76,12 @@ class KatzCentrality(graph: GraphFrame) {
         .groupBy(col(GraphFrame.DST).as("__kz_id"))
         .agg(try_sum(col("__kz_v")).as("__kz_sum"),
           count(lit(1)).as("__kz_cnt"))
-      state = state.select(col(ID))
+      state = ckpt(state.select(col(ID))
         .join(msgs, col(ID) === col("__kz_id"), "left")
         .select(col(ID), guarded("__kz_sum", "__kz_cnt").as("__kz_g"))
         .select(col(ID),
-          (lit(1000000L) + expr(s"__kz_g div $aDen")).as("katz"))
+          (lit(1000000L) + expr(s"__kz_g div $aDen")).as("katz")))
       i += 1
-      if (i % 3 == 0 && i < iters)
-        state = org.apache.spark.sql.graft.checkpointing
-          .localCheckpointNoStats(state, eager = false)
     }
     state
   }
