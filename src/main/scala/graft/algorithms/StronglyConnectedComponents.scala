@@ -110,13 +110,17 @@ object StronglyConnectedComponents {
   private[algorithms] def runDistributed(e0: DataFrame,
       maxFixpointIter: Int = 200): DataFrame = {
     val spark = e0.sparkSession
-    var remEdges = checkpointing.localCheckpointNoStats(e0)
+    // All loop checkpoints are LAZY: every one is materialized by the
+    // count that follows it (loop guards / changed-counts), so eager
+    // checkpoints only added one extra scheduled job per frame per
+    // round (r19 optimization round).
+    var remEdges = checkpointing.localCheckpointNoStats(e0, eager = false)
     // Endpoints derive from the CHECKPOINTED edges with one generate —
     // the union form re-ran e0's (arbitrarily expensive) lineage once
     // per endpoint side.
     var remaining = checkpointing.localCheckpointNoStats(
       remEdges.select(explode(array(col("src"), col("dst"))).as("id"))
-        .distinct())
+        .distinct(), eager = false)
     var assigned: DataFrame = null
 
     var guard = 0
@@ -126,7 +130,7 @@ object StronglyConnectedComponents {
 
       // 1. Forward max-color fixpoint.
       var colors = checkpointing.localCheckpointNoStats(
-        remaining.select(col("id"), col("id").as("color")))
+        remaining.select(col("id"), col("id").as("color")), eager = false)
       var changed = 1L
       var it = 0
       while (changed > 0) {
@@ -140,20 +144,25 @@ object StronglyConnectedComponents {
         // colors to diff them — a full vertex-set join per round that the
         // one-column flag replaces with a count over already-materialized
         // rows (colors only ever grow, so "changed" = in_color won).
+        // LAZY: the changed-count below materializes the checkpoint in
+        // the SAME job — an eager checkpoint scheduled a separate job
+        // per round first (2 jobs/round -> 1, r19 optimization round).
         val next = checkpointing.localCheckpointNoStats(
           colors.join(pushed, Seq("id"), "left")
             .select(col("id"),
               greatest(col("color"), coalesce(col("in_color"), lit(Long.MinValue)))
                 .as("color"),
               (coalesce(col("in_color"), lit(Long.MinValue)) > col("color"))
-                .as("chg")))
+                .as("chg")),
+          eager = false)
         changed = next.filter(col("chg")).count()
         colors = next.select("id", "color")
       }
 
       // 2. Backward walk from roots inside each color class.
       var reached = checkpointing.localCheckpointNoStats(
-        colors.filter(col("id") === col("color")).select("id", "color"))
+        colors.filter(col("id") === col("color")).select("id", "color"),
+        eager = false)
       // Reverse edges restricted to same-color endpoints — CHECKPOINTED
       // once per outer round: the backward fixpoint scans it every
       // iteration, and re-deriving the double color join per step would
@@ -164,7 +173,8 @@ object StronglyConnectedComponents {
         .join(colors.withColumnRenamed("id", "dst")
           .withColumnRenamed("color", "dst_color"), Seq("dst"))
         .filter(col("src_color") === col("dst_color"))
-        .select(col("src"), col("dst"), col("src_color").as("ecolor")))
+        .select(col("src"), col("dst"), col("src_color").as("ecolor")),
+        eager = false)
       changed = 1L
       it = 0
       while (changed > 0) {
@@ -176,7 +186,7 @@ object StronglyConnectedComponents {
             && sameColor("ecolor") === reached("color"))
           .select(col("src").as("id"), col("ecolor").as("color")).distinct()
         val next = checkpointing.localCheckpointNoStats(
-          reached.unionAll(step).distinct())
+          reached.unionAll(step).distinct(), eager = false)
         changed = next.count() - reached.count()
         reached = next
       }
@@ -184,14 +194,15 @@ object StronglyConnectedComponents {
       // 3. Peel: reached(id, color) is the union of the roots' SCCs.
       val sccs = reached.select(col("id"), col("color").as("scc_id"))
       assigned = if (assigned == null) sccs
-        else checkpointing.localCheckpointNoStats(assigned.unionAll(sccs))
+        else checkpointing.localCheckpointNoStats(assigned.unionAll(sccs),
+          eager = false)
       remaining = checkpointing.localCheckpointNoStats(
-        remaining.join(sccs, Seq("id"), "left_anti"))
+        remaining.join(sccs, Seq("id"), "left_anti"), eager = false)
       remEdges = checkpointing.localCheckpointNoStats(
         remEdges
           .join(sccs.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(sccs.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .select("src", "dst"))
+          .select("src", "dst"), eager = false)
     }
     assigned
   }

@@ -9,8 +9,14 @@ import org.apache.spark.sql.SparkSession
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // Same engine defaults + partition parameterization as Bench/Verify,
+    // so dumped plans show the shapes the bench actually runs (a probe
+    // session without SparkDefaults showed pre-optimization join
+    // strategies and mis-stated the plan record).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.SparkDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_groupby_agg")
