@@ -331,14 +331,21 @@ object ConnectedComponents {
     val prev = prevComponents.select(col(ID), col("component"))
     val sMap = prev.select(col(ID).as("__iw_s"), col("component").as("__iw_sc"))
     val dMap = prev.select(col(ID).as("__iw_d"), col("component").as("__iw_dc"))
-    val contracted = deltaEdges
-      .select(col(GraphFrame.SRC), col(GraphFrame.DST))
-      .join(sMap, col(GraphFrame.SRC) === col("__iw_s"), "left")
-      .join(dMap, col(GraphFrame.DST) === col("__iw_d"), "left")
-      .select(coalesce(col("__iw_sc"), col(GraphFrame.SRC)).as(GraphFrame.SRC),
-        coalesce(col("__iw_dc"), col(GraphFrame.DST)).as(GraphFrame.DST))
-      .filter(col(GraphFrame.SRC) =!= col(GraphFrame.DST))
-      .distinct()
+    // LAZY lineage truncation: the contracted delta graph is consumed
+    // twice inside the nested WCC (the edge chain AND the vertex
+    // derivation) — without truncation the relabel joins re-executed for
+    // each consumer (r19 optimization round). Delta-bounded, so the
+    // truncated RDD is small; it materializes inside the WCC's own
+    // first count, no extra job.
+    val contracted = org.apache.spark.sql.graft.checkpointing
+      .localCheckpointNoStats(deltaEdges
+        .select(col(GraphFrame.SRC), col(GraphFrame.DST))
+        .join(sMap, col(GraphFrame.SRC) === col("__iw_s"), "left")
+        .join(dMap, col(GraphFrame.DST) === col("__iw_d"), "left")
+        .select(coalesce(col("__iw_sc"), col(GraphFrame.SRC)).as(GraphFrame.SRC),
+          coalesce(col("__iw_dc"), col(GraphFrame.DST)).as(GraphFrame.DST))
+        .filter(col(GraphFrame.SRC) =!= col(GraphFrame.DST))
+        .distinct(), eager = false)
     // The merge map [touched label -> merged min label], delta-bounded.
     // BROADCAST-hinted when the contracted WCC cut over to the driver
     // union-find (iterations == 0): that cutover PROVES the contracted
@@ -457,11 +464,17 @@ object ConnectedComponents {
     // The affected components' edges, minus the removals: one pass over
     // the base, both joins broadcast when the affected set is small
     // (the every-day case).
-    val sub = baseEdges.select(col(SRC), col(DST))
-      .join(affVerts.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
-      .join(rem,
-        least(col(SRC), col(DST)) === col("__dw_l") &&
-          greatest(col(SRC), col(DST)) === col("__dw_g"), "left_anti")
+    // Lazily truncated like [[incremental]]'s contracted frame: the
+    // edited subgraph is consumed twice by the nested WCC (edge chain +
+    // vertex derivation); truncation shares one RDD between them. Bounded
+    // by the affected components' edge mass.
+    val sub = org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+      baseEdges.select(col(SRC), col(DST))
+        .join(affVerts.select(col(ID).as(SRC)), Seq(SRC), "left_semi")
+        .join(rem,
+          least(col(SRC), col(DST)) === col("__dw_l") &&
+            greatest(col(SRC), col(DST)) === col("__dw_g"), "left_anti"),
+      eager = false)
     // Recompute ONLY inside the affected components; stranded members
     // self-label (min-member labeling holds: a singleton's min is
     // itself, a surviving sub-component's min is its min member).
