@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt behaviours broke that contract for 6+ rounds (parsed: null
+// in every BENCH_r14..r19 artifact): the logger prefixes forked-run output
+// with "[info] ", and sbt appends "[success] Total time: ..." after the
+// program's final println. StdoutOutput passes the forked JVM's stdout
+// through unprefixed (Spark's log4j noise goes to stderr and stays out of
+// the tail), and showSuccess drops the trailing success line, so the bench
+// compact JSON is the literal last stdout line again.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,11 +66,17 @@ object Bench {
     * the more current prior). Pure so the spec drives it with synthetic
     * payloads; existing = the current on-disk content, None if absent or
     * unreadable.
+    *
+    * `suffix` (r19 verdict: the driver's c8 re-run clobbered the c32
+    * suspect payload — same divert name) distinguishes diverts from runs
+    * at different core counts: suffix "_c8" diverts to
+    * `<name>_suspect_c8.json`. Healthy payloads are unaffected — they
+    * always take the default name.
     */
   def fullPayloadTarget(defaultName: String, existing: Option[String],
-      newSuspect: Boolean): String =
+      newSuspect: Boolean, suffix: String = ""): String =
     if (newSuspect && existing.exists(_.contains("\"host_suspect\":false")))
-      defaultName.stripSuffix(".json") + "_suspect.json"
+      defaultName.stripSuffix(".json") + "_suspect" + suffix + ".json"
     else defaultName
 
   def main(args: Array[String]): Unit = {
@@ -323,7 +329,8 @@ object Bench {
             catch { case _: Throwable => None }
           else None
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(fullPayloadTarget(name, existing, suspect)),
+          java.nio.file.Paths.get(
+            fullPayloadTarget(name, existing, suspect, s"_c$cpus")),
           line + "\n")
       }
       // SPARK_GRAFT_BELT=off disables BOTH file belts for mid-round

@@ -110,6 +110,18 @@ class BenchSpec extends AnyFunSuite {
       newSuspect = true) === "BENCH_LAST_suspect.json")
   }
 
+  test("fullPayloadTarget: cpu-suffixed diverts don't clobber each other") {
+    // r19 verdict: the driver's c8 re-run overwrote the c32 suspect payload
+    // (same divert name). With the core count in the suffix the two windows
+    // land in distinct files; healthy payloads still take the default name.
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r20.json", healthyPayload,
+      newSuspect = true, suffix = "_c32") === "BENCH_FULL_r20_suspect_c32.json")
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r20.json", healthyPayload,
+      newSuspect = true, suffix = "_c8") === "BENCH_FULL_r20_suspect_c8.json")
+    assert(Bench.fullPayloadTarget("BENCH_FULL_r20.json", healthyPayload,
+      newSuspect = false, suffix = "_c8") === "BENCH_FULL_r20.json")
+  }
+
   test("fullPayloadTarget: healthy payloads always take the default name") {
     // Newer healthy over older healthy (same-code re-runs are the more
     // current prior), healthy over suspect, healthy over nothing.
