@@ -21,6 +21,9 @@ run / fork := true
 // compact JSON is the literal last stdout line again.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task; the
+// unused-key lint can't see that and warns at startup — exclude it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

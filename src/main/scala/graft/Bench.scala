@@ -260,11 +260,18 @@ object Bench {
         // signal below (same escaped-quote tolerance as the entries).
         val prevTotal = "\\\\?\"steady_total\\\\?\":([0-9.eE+-]+)".r
           .findFirstMatchIn(text).map(_.group(1).toDouble)
-        (entries, round, prevTotal)
+        // A prior that flagged ITSELF degraded must not serve as the
+        // inflation/drift baseline while any healthy prior exists: the
+        // r20 bank run compared against a suspect 610 s BENCH_LAST (it
+        // had 2 more entries than the healthy close) and a ~1.5x-drifted
+        // window sailed through both detectors unflagged.
+        val wasSuspect = "\\\\?\"host_suspect\\\\?\":true".r
+          .findFirstIn(text).isDefined
+        (entries, round, prevTotal, wasSuspect)
       }
-      candidates.sortBy { case (e, r, _) => (-e.size, -r) }
+      candidates.sortBy { case (e, r, _, suspect) => (suspect, -e.size, -r) }
         .headOption.filter(_._1.nonEmpty)
-        .map { case (e, _, pt) => (e.mkString("{", ",", "}"), pt) }
+        .map { case (e, _, pt, _) => (e.mkString("{", ",", "}"), pt) }
         .getOrElse(("{}", None))
     } catch {
       case e: Throwable =>

@@ -63,6 +63,17 @@ class Hits(graph: GraphFrame) {
     // per half-step makes both references share one RDD — plan linear
     // in iterations, everything still materializes in the caller's
     // single job.
+    // Storage note: each half-step's checkpoint caches a V-sized
+    // MEMORY_AND_DISK block set that superseded iterations never need
+    // again, but the RETURNED frame is lazy — an explicit release here
+    // would evict blocks the caller's materialization still has to read
+    // (an eager variant with per-round release was rejected in r19: it
+    // adds a full extra materialization per round). Superseded blocks
+    // are reclaimed by the ContextCleaner once the loop's local frame
+    // references go out of scope — a deliberate, documented reliance;
+    // bounded at 2·iters V-sized block sets for the capped iteration
+    // counts this algorithm contracts (iters is a fixed small constant,
+    // not a fixpoint).
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.checkpointing
         .localCheckpointNoStats(df, eager = false)

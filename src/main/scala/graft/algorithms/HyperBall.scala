@@ -97,6 +97,11 @@ class HyperBall(graph: GraphFrame) {
     * checkpoint per round makes both references share one RDD — the
     * plan is linear in r and each round computes exactly once, inside
     * the caller's single materializing job (no extra eager pass).
+    * Superseded rounds' cached blocks are reclaimed by the
+    * ContextCleaner once the loop's frame references go out of scope
+    * (deliberate — an explicit release would evict blocks the caller's
+    * lazy result still reads; bounded at r V·2^p-sized sets for the
+    * small fixed radii this sketch contracts).
     */
   def registers(): DataFrame = {
     val edges = graph.edges.select(GraphFrame.SRC, GraphFrame.DST)

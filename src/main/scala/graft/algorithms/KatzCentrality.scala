@@ -64,6 +64,11 @@ class KatzCentrality(graph: GraphFrame) {
     // (r19 optimization round; the old every-3rd-round cadence never
     // fired for iters <= 3). Both references now share one RDD per
     // round; everything still materializes in the caller's single job.
+    // Superseded rounds' cached blocks are reclaimed by the
+    // ContextCleaner once the loop's frame references go out of scope
+    // (deliberate — an explicit release would evict blocks the caller's
+    // lazy result still reads; bounded at iters V-sized sets for the
+    // fixed small iteration counts this algorithm contracts).
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.checkpointing
         .localCheckpointNoStats(df, eager = false)

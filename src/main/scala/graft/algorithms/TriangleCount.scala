@@ -142,19 +142,24 @@ object TriangleCount {
       baseEdges.select(SRC, DST), doDistinct = true).localCheckpoint(false))
     // Truly-new undirected edges: canonical, loop-free, deduped, and not
     // already present in the base in either direction.
-    // BROADCAST-hinted: delta-bounded by construction (the takedown/
-    // ingest discipline), and the checkpointed leaf carries no usable
-    // stats — without the hint the degree-orientation joins below
-    // planned as sort-merge joins shuffling the V-sized degree frame
-    // (r19 optimization round).
-    val deltaNew = graft.util.PhaseTiming.phase("tri-inc:deltaNew") {
-      broadcast(deltaEdges.filter(col(SRC) =!= col(DST))
-        .select(least(col(SRC), col(DST)).as(SRC),
-          greatest(col(SRC), col(DST)).as(DST))
-        .distinct()
-        .join(symBase, Seq(SRC, DST), "left_anti")
-        .localCheckpoint(true))
+    // BROADCAST-hinted WHEN COUNT-BOUNDED: delta-bounded by construction
+    // (the takedown/ingest discipline), and the checkpointed leaf
+    // carries no usable stats — without the hint the degree-orientation
+    // joins below planned as sort-merge joins shuffling the V-sized
+    // degree frame (r19 optimization round). The count rides the
+    // materialization the eager checkpoint already pays for; above the
+    // cap (a bulk ingest batch) the hints are withheld and the joins
+    // fall back to the shuffle strategies instead of OOMing on a giant
+    // broadcast relation (r19 verdict).
+    val (deltaNewCkpt, nNew) = graft.util.PhaseTiming.phase("tri-inc:deltaNew") {
+      org.apache.spark.sql.graft.checkpointing.localCheckpointCounted(
+        deltaEdges.filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST))
+          .distinct()
+          .join(symBase, Seq(SRC, DST), "left_anti"))
     }
+    val deltaNew = DeltaBroadcast.hintIfBounded(deltaNewCkpt, nNew)
     val symDelta = deltaNew.select(explode(array(
         struct(col(SRC), col(DST)),
         struct(col(DST).as(SRC), col(SRC).as(DST)))).as("__ti"))
@@ -185,9 +190,10 @@ object TriangleCount {
           col(SRC)).otherwise(col(DST)).as("u"),
         when(struct(col("__ti_ds"), col(SRC)) <= struct(col("__ti_dd"), col(DST)),
           col(DST)).otherwise(col(SRC)).as("v"))
-    // broadcast(oriented): one row per truly-new delta edge — the fanout
+    // oriented is one row per truly-new delta edge, so the deltaNew
+    // count bounds it too — hinted under the same guard, the fanout
     // rides the adjacency scan instead of shuffling it.
-    val cand = broadcast(oriented)
+    val cand = DeltaBroadcast.hintIfBounded(oriented, nNew)
       .join(nbrs.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
       .filter(col("w") =!= col("v"))
       .join(nbrs.select(col(SRC).as("v"), col(DST).as("w")),
@@ -216,7 +222,7 @@ object TriangleCount {
     // A caller-provided adjacency is caller-owned; release only our own.
     if (symBaseOpt.isEmpty)
       org.apache.spark.sql.graft.checkpointing.release(symBase)
-    org.apache.spark.sql.graft.checkpointing.release(deltaNew)
+    org.apache.spark.sql.graft.checkpointing.release(deltaNewCkpt)
     out
   }
 
@@ -274,18 +280,30 @@ object TriangleCount {
     // a semi with the E-sized side on the right would shuffle E instead
     // of riding its scan (symBase is deduped and the join keys are the
     // canonical pair, so exactly the canonical-direction row survives).
-    val remDistinct = removedEdges.filter(col(SRC) =!= col(DST))
-      .select(least(col(SRC), col(DST)).as(SRC),
-        greatest(col(SRC), col(DST)).as(DST))
-      .distinct()
-    // Broadcast-hinted at definition: every consumer below (the two
+    // Canonical removal set, materialized WITH its count: the count
+    // guards every broadcast hint below — delta-boundedness of a
+    // takedown batch is an API contract, not code, and a bulk deletion
+    // must degrade to shuffle joins instead of OOMing on the broadcast
+    // build (r19 verdict). One extra delta-scale checkpoint vs the
+    // unguarded r19 form; it is what makes the guard honest (counting an
+    // unmaterialized frame would re-run its lineage).
+    val (remD, nRem) = graft.util.PhaseTiming.phase("tri-iwd:remDistinct") {
+      org.apache.spark.sql.graft.checkpointing.localCheckpointCounted(
+        removedEdges.filter(col(SRC) =!= col(DST))
+          .select(least(col(SRC), col(DST)).as(SRC),
+            greatest(col(SRC), col(DST)).as(DST))
+          .distinct())
+    }
+    // Hinted when bounded: every consumer below (the two
     // degree-orientation joins, the symPost anti, the destroy fanout)
     // wants the delta-sized removal set on the build side.
-    val remCanon = graft.util.PhaseTiming.phase("tri-iwd:remCanon") {
-      broadcast(symBase
-        .join(broadcast(remDistinct), Seq(SRC, DST), "left_semi")
-        .localCheckpoint(true))
+    val remCanonCkpt = graft.util.PhaseTiming.phase("tri-iwd:remCanon") {
+      symBase
+        .join(DeltaBroadcast.hintIfBounded(remD, nRem), Seq(SRC, DST),
+          "left_semi")
+        .localCheckpoint(true)
     }
+    val remCanon = DeltaBroadcast.hintIfBounded(remCanonCkpt, nRem)
     // Destroyed triangles {u,v,w}: w a common BASE-neighbor of the
     // removed edge {u,v}, fanned from the lower-(degree, id) endpoint.
     val deg = symBase.groupBy(col(SRC).as("__td_v"))
@@ -300,7 +318,7 @@ object TriangleCount {
           col(SRC)).otherwise(col(DST)).as("u"),
         when(struct(col("__td_ds"), col(SRC)) <= struct(col("__td_dd"), col(DST)),
           col(DST)).otherwise(col(SRC)).as("v"))
-    val destroyed = broadcast(oriented)
+    val destroyed = DeltaBroadcast.hintIfBounded(oriented, nRem)
       .join(symBase.select(col(SRC).as("u"), col(DST).as("w")), Seq("u"))
       .filter(col("w") =!= col("v"))
       .join(symBase.select(col(SRC).as("v"), col(DST).as("w")),
@@ -320,8 +338,9 @@ object TriangleCount {
     // already-materialized symBase beat one extra E-sized checkpoint
     // write (measured 73 s -> re-probed after this change at 16.8 M).
     val symPost = symBase
-      .join(broadcast(remCanon.select( // already canonical: src < dst
-          col(SRC).as("__td_l"), col(DST).as("__td_g"))),
+      .join(DeltaBroadcast.hintIfBounded(
+          remCanonCkpt.select( // already canonical: src < dst
+            col(SRC).as("__td_l"), col(DST).as("__td_g")), nRem),
         least(col(SRC), col(DST)) === col("__td_l") &&
           greatest(col(SRC), col(DST)) === col("__td_g"), "left_anti")
     // Additions compose over the edited adjacency (baseEdges unused by
@@ -333,7 +352,8 @@ object TriangleCount {
     }
     if (symBaseOpt.isEmpty)
       org.apache.spark.sql.graft.checkpointing.release(symBase)
-    org.apache.spark.sql.graft.checkpointing.release(remCanon)
+    org.apache.spark.sql.graft.checkpointing.release(remD)
+    org.apache.spark.sql.graft.checkpointing.release(remCanonCkpt)
     out
   }
 }

@@ -25,6 +25,18 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object CacheScope {
 
+  /** DEV-ONLY plan-audit hook: when set, [[scoped]] hands the PRE-
+    * materialization frame to it before the eager checkpoint runs. The
+    * checkpoint otherwise hides the operator's real plan from probes —
+    * explaining the RETURNED frame shows one `Scan ExistingRDD` (the r19
+    * g28 plan-dump gap: the committed "after" file proved nothing about
+    * the join strategies). `ExplainProbe` installs a formatted-explain
+    * printer here; Bench/Verify never touch it (one volatile None read
+    * per scoped call — not on any per-row path).
+    */
+  @volatile private[graft] var preMaterializeHook: Option[DataFrame => Unit] =
+    None
+
   final class Scope private[CacheScope] () {
     private val cached = scala.collection.mutable.Buffer.empty[DataFrame]
 
@@ -43,8 +55,11 @@ private[graft] object CacheScope {
     */
   def scoped(build: Scope => DataFrame): DataFrame = {
     val scope = new Scope
-    try build(scope).localCheckpoint(true)
-    finally scope.releaseAll()
+    try {
+      val built = build(scope)
+      preMaterializeHook.foreach(_(built))
+      built.localCheckpoint(true)
+    } finally scope.releaseAll()
   }
 
   /** Scoped caches around a DRIVER-MATERIALIZED computation (collected

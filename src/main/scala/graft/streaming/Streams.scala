@@ -20,7 +20,8 @@ object Streams {
   private def phase[T](name: String)(f: => T): T =
     graft.util.PhaseTiming.phase(name)(f)
 
-  /** The micro-batch's session with ADAPTIVE EXECUTION RE-ARMED.
+  /** Run a foreachBatch body with ADAPTIVE EXECUTION RE-ARMED on the
+    * micro-batch's session, restored on exit.
     *
     * `MicroBatchExecution` clones the session for the stream and disables
     * AQE on the clone (AQE cannot re-plan a stateful streaming query), but
@@ -30,15 +31,28 @@ object Streams {
     * coalescing: every tiny shuffle kept the full static partition count
     * (32 tasks per stage over delta-scale frames; measured as the
     * dominant per-batch cost of the CDC loops, r19 optimization round).
-    * Re-enabling AQE on the clone is safe for those INNER batch queries —
-    * they are plain batch plans, exactly what AQE exists for; the
-    * streaming plan itself was already compiled with AQE off. Idempotent
-    * (the clone is reused across batches).
+    * Re-enabling AQE is safe for those INNER batch queries — they are
+    * plain batch plans, exactly what AQE exists for.
+    *
+    * SCOPED, not permanent (r19 advisor): Spark disables AQE on the clone
+    * precisely so the STREAMING plan's shuffle partitioning can't shift
+    * under state-store partitioning between batches. A permanent
+    * `conf.set` would persist into every subsequent batch's
+    * IncrementalExecution planning for a caller-supplied STATEFUL
+    * upstream; saving and restoring the prior value around the body keeps
+    * the re-arm exactly where it is provably safe — the body's own batch
+    * queries and actions, which all execute inside `f`.
     */
-  private def batchSession(batch: DataFrame): org.apache.spark.sql.SparkSession = {
+  private def withBatchSession[T](batch: DataFrame)(
+      f: org.apache.spark.sql.SparkSession => T): T = {
     val ss = batch.sparkSession
+    val prev = ss.conf.getOption("spark.sql.adaptive.enabled")
     ss.conf.set("spark.sql.adaptive.enabled", "true")
-    ss
+    try f(ss)
+    finally prev match {
+      case Some(v) => ss.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => ss.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   /** Streaming exact dedup: one output row per first-seen fingerprint
@@ -179,13 +193,14 @@ object Streams {
     val probe = if (broadcastHeldOut) broadcast(hashes) else hashes
     val writer = stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        batchSession(batch)
-        val flagged = batch.select(col(idCol),
-            explode(graft.functions.PortableHashes
-              .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
-          .join(probe, "h")
-          .select(col(idCol)).distinct()
-        sink(flagged, batchId)
+        withBatchSession(batch) { _ =>
+          val flagged = batch.select(col(idCol),
+              explode(graft.functions.PortableHashes
+                .portableNgramHashes(col(textCol), n, distinct = true)).as("h"))
+            .join(probe, "h")
+            .select(col(idCol)).distinct()
+          sink(flagged, batchId)
+        }
     }
     (writer, () => { hashes.unpersist(blocking = false); () })
   }
@@ -444,12 +459,14 @@ object Streams {
         // artifact and its sidecars so mid-stream tombstones/appends
         // actually become visible at the next batch (the scaladoc's
         // claim, spec-pinned).
-        val cat = batchSession(batch).catalog
-        Seq(table, s"${table}_books", s"${table}_tombstones")
-          .filter(cat.tableExists).foreach(cat.refreshTable)
-        sink(graft.operators.Similarity.ivfPqSearchTable(
-          batch, table, idCol, vecCol, k, nProbe,
-          indexFilter = indexFilter, metaCols = metaCols), batchId)
+        withBatchSession(batch) { ss =>
+          val cat = ss.catalog
+          Seq(table, s"${table}_books", s"${table}_tombstones")
+            .filter(cat.tableExists).foreach(cat.refreshTable)
+          sink(graft.operators.Similarity.ivfPqSearchTable(
+            batch, table, idCol, vecCol, k, nProbe,
+            indexFilter = indexFilter, metaCols = metaCols), batchId)
+        }
       }
     }
   }
@@ -513,27 +530,29 @@ object Streams {
         // start, so without it an upsert landing mid-stream stays
         // invisible forever (spec-pinned the other way — visible at the
         // next batch).
-        batchSession(batch).catalog.refreshTable(featureTable)
-        // Key semi-join BEFORE the as-of: the merge carry exchanges and
-        // sorts the union of both sides, and feature rows for keys
-        // absent from this batch are dead weight in that window — a
-        // 1k-event batch against a 10^9-row feature table would
-        // otherwise sort the whole table per batch. As-of matches equal
-        // keys only, so the prune is semantically invisible; with the
-        // feature table bucketed by the key the semi-join itself plans
-        // shuffle-free on the build side.
-        val build = batch.sparkSession.table(featureTable)
-          .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
-            "left_semi")
-        val enriched = direction match {
-          case "backward" => graft.operators.AsOfJoin.lastAtOrBefore(
-            batch, build, keyCol, timeCol, probeCols, buildCols)
-          case "forward" => graft.operators.AsOfJoin.firstAtOrAfter(
-            batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
-          case "nearest" => graft.operators.AsOfJoin.nearestInTime(
-            batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
+        withBatchSession(batch) { ss =>
+          ss.catalog.refreshTable(featureTable)
+          // Key semi-join BEFORE the as-of: the merge carry exchanges and
+          // sorts the union of both sides, and feature rows for keys
+          // absent from this batch are dead weight in that window — a
+          // 1k-event batch against a 10^9-row feature table would
+          // otherwise sort the whole table per batch. As-of matches equal
+          // keys only, so the prune is semantically invisible; with the
+          // feature table bucketed by the key the semi-join itself plans
+          // shuffle-free on the build side.
+          val build = ss.table(featureTable)
+            .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
+              "left_semi")
+          val enriched = direction match {
+            case "backward" => graft.operators.AsOfJoin.lastAtOrBefore(
+              batch, build, keyCol, timeCol, probeCols, buildCols)
+            case "forward" => graft.operators.AsOfJoin.firstAtOrAfter(
+              batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
+            case "nearest" => graft.operators.AsOfJoin.nearestInTime(
+              batch, build, keyCol, timeCol, probeCols, buildCols, tolerance)
+          }
+          sink(enriched, batchId)
         }
-        sink(enriched, batchId)
       }
     }
   }
@@ -565,8 +584,7 @@ object Streams {
       "streamingWccMaintain consumes a STREAM of edges — batch deltas " +
         "call ConnectedComponents.incremental directly")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batchSession(batch)
+      if (!batch.isEmpty) withBatchSession(batch) { ss =>
         ss.catalog.refreshTable(labelsTable)
         val prev = ss.table(labelsTable)
         // Materialize BEFORE overwriting the table the lineage reads.
@@ -620,8 +638,7 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batchSession(batch)
+      if (!batch.isEmpty) withBatchSession(batch) { ss =>
         ss.catalog.refreshTable(countsTable)
         ss.catalog.refreshTable(adjTable)
         val prev = ss.table(countsTable)
@@ -690,8 +707,7 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!phase("wcc-cdc:isEmpty")(batch.isEmpty)) {
-        val ss = batchSession(batch)
+      if (!phase("wcc-cdc:isEmpty")(batch.isEmpty)) withBatchSession(batch) { ss =>
         phase("wcc-cdc:refresh") {
           Seq(labelsTable, edgesTable, tombstonesTable)
             .foreach(ss.catalog.refreshTable)
@@ -783,8 +799,7 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batchSession(batch)
+      if (!batch.isEmpty) withBatchSession(batch) { ss =>
         Seq(countsTable, adjTable, tombstonesTable)
           .foreach(ss.catalog.refreshTable)
         val b = batch.select(col(SRC), col(DST), col(opCol))
@@ -880,8 +895,7 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batchSession(batch)
+      if (!batch.isEmpty) withBatchSession(batch) { ss =>
         Seq(coresTable, edgesTable, tombstonesTable)
           .foreach(ss.catalog.refreshTable)
         val b = batch.select(col(SRC), col(DST), col(opCol))
@@ -962,8 +976,7 @@ object Streams {
     val SRC = graft.graph.GraphFrame.SRC
     val DST = graft.graph.GraphFrame.DST
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val ss = batchSession(batch)
+      if (!batch.isEmpty) withBatchSession(batch) { ss =>
         Seq(rawMassTable, edgesTable).foreach(ss.catalog.refreshTable)
         val adds = batch.select(col(SRC), col(DST)).localCheckpoint(true)
         val all = ss.table(edgesTable).unionByName(adds)

@@ -21,10 +21,23 @@ object ExplainProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_groupby_agg")
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      println(s"===== $n (formatted) =====")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // Operators that eagerly materialize inside CacheScope.scoped
+      // (link prediction, the dedup pair builders) hide their real plan
+      // behind the checkpoint — explaining the returned frame shows one
+      // `Scan ExistingRDD` (the r19 g28 dump gap). The hook prints the
+      // PRE-materialization plan, which is the plan the gate actually
+      // executes when it runs.
+      graft.operators.CacheScope.preMaterializeHook = Some { inner =>
+        println(s"===== $n (formatted, scoped body pre-materialization) =====")
+        println(inner.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        println(s"===== $n (formatted) =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } finally graft.operators.CacheScope.preMaterializeHook = None
     }
     spark.stop()
   }

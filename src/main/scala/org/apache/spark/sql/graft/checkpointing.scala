@@ -118,6 +118,25 @@ object checkpointing {
     ClassicDataset.ofRows(spark, logical)
   }
 
+  /** [[localCheckpointNoStats]]'s eager form, RETURNING the row count the
+    * materialization already paid for. Every eager local checkpoint runs
+    * `rdd.count()` to force the blocks; callers that need the frame's
+    * cardinality anyway (e.g. to decide whether a delta frame is small
+    * enough to broadcast) capture it here instead of scheduling a second
+    * count job over the materialized RDD.
+    */
+  def localCheckpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    val n = rdd.count()
+    val logical = LogicalRDD(qe.analyzed.output, rdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, isStreaming = false)(spark)
+    (ClassicDataset.ofRows(spark, logical), n)
+  }
+
   /** Rebuild an already-checkpointed frame's `LogicalRDD` WITHOUT its
     * inherited estimated stats, preserving the rdd, declared partitioning,
     * and ordering. For checkpoint flavors this module doesn't construct
@@ -152,7 +171,19 @@ object checkpointing {
     */
   def release(df: DataFrame): Unit = {
     val ds = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
-    ds.queryExecution.analyzed match {
+    // A checkpointed frame wrapped in join-strategy hints (the compose
+    // loops' `broadcast(...localCheckpoint(true))` shape) analyzes to
+    // ResolvedHint(LogicalRDD), not a bare LogicalRDD — matching only the
+    // top level made release a silent no-op and leaked one checkpoint
+    // block set per micro-batch in the CDC maintenance loops (r19
+    // advisor finding). Strip hint wrappers before matching.
+    def stripHints(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        stripHints(h.child)
+      case other => other
+    }
+    stripHints(ds.queryExecution.analyzed) match {
       case lr: LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
         // RELIABLE checkpoints additionally own a directory of files; evict
