@@ -51,4 +51,16 @@ object SparkDefaults {
     // at any scale factor (g26 BFS min wall 6.2s -> 3.0s, g23b SCC
     // 14.7s -> 9.8s, r19 optimization round).
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // Generated-class cache sized for a many-query session (static conf;
+    // Spark default 100). The 273-gate board compiles ~1500+ distinct
+    // whole-stage sources per rep, so at 100 entries every warm rep
+    // re-compiles what the queries in between evicted — measured with
+    // CodegenMetrics (graft.tools.Profile `compiles=`): the CDC
+    // maintenance loops' STEADY reps re-Janino'd 261/214/166 classes at
+    // the default vs 74/66/64 at a bigger cache (r20 optimization round;
+    // the residue is per-batch exprId churn, not eviction). 2000 entries
+    // of small generated classes is trivial driver memory next to an
+    // 8 GB heap and is the production-sane value for any long-lived
+    // session serving a diverse query mix.
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
 }

@@ -296,12 +296,17 @@ object TriangleCount {
     }
     // Hinted when bounded: every consumer below (the two
     // degree-orientation joins, the symPost anti, the destroy fanout)
-    // wants the delta-sized removal set on the build side.
+    // wants the delta-sized removal set on the build side. LAZY
+    // truncation (r20): the consumers all materialize inside later jobs
+    // of this call, so an eager checkpoint here only added one more
+    // scheduled job to the per-batch floor — the lazy form still shares
+    // ONE RDD between the four consumers.
     val remCanonCkpt = graft.util.PhaseTiming.phase("tri-iwd:remCanon") {
-      symBase
-        .join(DeltaBroadcast.hintIfBounded(remD, nRem), Seq(SRC, DST),
-          "left_semi")
-        .localCheckpoint(true)
+      org.apache.spark.sql.graft.checkpointing.localCheckpointNoStats(
+        symBase
+          .join(DeltaBroadcast.hintIfBounded(remD, nRem), Seq(SRC, DST),
+            "left_semi"),
+        eager = false)
     }
     val remCanon = DeltaBroadcast.hintIfBounded(remCanonCkpt, nRem)
     // Destroyed triangles {u,v,w}: w a common BASE-neighbor of the

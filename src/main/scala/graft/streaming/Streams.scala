@@ -802,8 +802,12 @@ object Streams {
       if (!batch.isEmpty) withBatchSession(batch) { ss =>
         Seq(countsTable, adjTable, tombstonesTable)
           .foreach(ss.catalog.refreshTable)
-        val b = batch.select(col(SRC), col(DST), col(opCol))
-          .localCheckpoint(true)
+        // Counted checkpoint: the batch row count (free — the eager
+        // materialization pays it anyway) bounds |addCanon| below, so
+        // the tombNext anti can keep its broadcast under the delta cap.
+        val (b, nB) = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointCounted(
+            batch.select(col(SRC), col(DST), col(opCol)))
         val adds = b.filter(col(opCol) === "add").select(col(SRC), col(DST))
         val removes = b.filter(col(opCol) === "remove")
           .select(col(SRC), col(DST))
@@ -827,16 +831,24 @@ object Streams {
         // second copy would break the log's dedup invariant, and both
         // copies would die to the stale tombstone). Tombstone table is
         // delta-scale and REWRITTEN: (old ∪ removes-present) ∖ adds.
-        val addCanon = canon(adds).localCheckpoint(true)
+        // LAZY truncation (r20): addCanon is consumed twice (the
+        // genuinelyNew anti below and the tombNext anti) but both
+        // consumers materialize inside this body's later eager jobs —
+        // the lazy form shares one RDD without adding a scheduled job
+        // to the per-batch floor.
+        val addCanon = org.apache.spark.sql.graft.checkpointing
+          .localCheckpointNoStats(canon(adds), eager = false)
         val genuinelyNew = addCanon
           .join(ss.table(adjTable), Seq(SRC, DST), "left_anti")
         val newSym = genuinelyNew.select(col(SRC), col(DST))
           .unionByName(genuinelyNew.select(col(DST).as(SRC), col(SRC).as(DST)))
           .localCheckpoint(true)
-        val remPresent = sym.join(broadcast(canon(removes)),
+        val remPresent = sym.join(
+          graft.algorithms.DeltaBroadcast.hintIfBounded(canon(removes), nB),
           Seq(SRC, DST), "left_semi")
         val tombNext = canon(tomb.unionByName(remPresent))
-          .join(addCanon, Seq(SRC, DST), "left_anti")
+          .join(graft.algorithms.DeltaBroadcast.hintIfBounded(addCanon, nB),
+            Seq(SRC, DST), "left_anti")
           .localCheckpoint(true)
         phase("tri-cdc:writes") {
           next.write.mode("overwrite").saveAsTable(countsTable)

@@ -38,12 +38,24 @@ object Profile {
       // .count() lets Catalyst prune columns (and sometimes whole
       // subtrees), so Profile numbers would not be comparable to the
       // bench's.
+      // Codegen-compilation attribution (host-independent, unlike wall
+      // clock on this bursty sandbox): Janino compile count + millis per
+      // rep, from Spark's own CodegenMetrics. A warm rep that still
+      // compiles means the 100-entry generated-class cache evicted its
+      // classes between reps — the recompile tax the
+      // spark.sql.codegen.cache.maxEntries default levies on a
+      // 273-query board.
+      val cg = org.apache.spark.metrics.source.CodegenMetrics
       val times = (1 to reps).map { _ =>
+        val c0 = cg.METRIC_COMPILATION_TIME.getCount
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val compiles = cg.METRIC_COMPILATION_TIME.getCount - c0
+        (wall, compiles)
       }
-      println(f"PROFILE $name%-26s ${times.map(t => f"$t%.2f").mkString("  ")}")
+      println(f"PROFILE $name%-26s ${times.map(t => f"${t._1}%.2f").mkString("  ")}" +
+        s"  compiles=${times.map(_._2).mkString(",")}")
     }
     spark.stop()
   }
