@@ -429,6 +429,15 @@ object Sketches {
     // identical grid by construction ([[cmsRegistersFromCounts]] salts the
     // same "row:key" hash; each cell sums pre-counted weights). The
     // corpus-facing stage is one map-side-combinable groupBy on the key.
+    //
+    // Measured ALTERNATIVE, rejected (r20): aggregating the exploded
+    // observations directly on (row, col) — a ≤depth·width-key map-side
+    // combine, near-zero exchange — reads slower at sf0.1 (interleaved
+    // same-session A/B, 3 rounds: direct 6.8-9.9s vs pre-count 4.8-5.5s):
+    // the depth× per-token string-concat+hash work dominates long before
+    // the vocabulary exchange does. Re-weigh only if a profile shows the
+    // vocabulary shuffle itself dominating (very high distinct-key-to-
+    // token ratios at much larger scale).
     cmsRegistersFromCounts(
       df.select(col(keyCol).cast("string").as("__cms_k0"))
         .groupBy("__cms_k0").agg(count(lit(1)).as("__cms_n0")),

@@ -16,7 +16,12 @@ object SparkTestHarness {
         s"${sys.props("java.io.tmpdir")}/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-round lazy-checkpoint discipline emits one
+    // "RDD was locally checkpointed ... cannot be recomputed" WARN per
+    // released block, which flooded the driver's captured test tail with
+    // megabytes of log I/O (r19 verdict: the recorded `sbt test` was cut
+    // off mid-run). The suites assert on results, never on log text.
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 }
